@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One query-visible operator of the engine: a Spark-first DataFrame
+  * program plus (when SQL-expressible) an equivalent ANSI SQL oracle the
+  * driver runs in DuckDB over the same parquet tables.
+  *
+  * Oracle-authoring rules (so that value/schema hashing matches DuckDB):
+  *  - every computed column is aliased identically on both sides;
+  *  - every query is totally ordered (driver may hash rows in sequence);
+  *  - double aggregations go through DECIMAL(38,6) so the result is
+  *    order-independent and bit-identical across engines;
+  *  - integer-typed results are cast so DuckDB's widening (HUGEINT sums,
+  *    BIGINT row_number/length/year) matches Spark's types.
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    build: (SparkSession, String) => DataFrame)
+
+object QuerySpec {
+  /** Operator with a DuckDB-checkable oracle. */
+  def checked(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, Some(oracle.stripMargin.trim), build)
+
+  /** Operator whose semantics are not ANSI-SQL-expressible (driver records
+    * a rows-only check; a ScalaTest spec pins the semantics instead). */
+  def rowsOnly(name: String)(
+      build: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, None, build)
+}
+
+/** Parquet test-table loader (driver corpus, see TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // outright; read the raw int64 nanos and truncate to micros
+      // (integer `div`, not `/`, to stay exact above 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every corpus table as a temp view (for spark.sql entry). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.{RollingHash, TextFunctions}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` /
+  * `embeddings` corpus tables: deduplication, text analysis, similarity
+  * search, multimodal plumbing. SQL-expressible ops carry DuckDB oracles;
+  * hash-based ops (engine-specific xxhash64) are rows-only here and
+  * pinned by ScalaTest specs instead.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── deduplication ────────────────────────────────────────────────────
+    QuerySpec.checked("dd1_exact_dedup",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  min(doc_id) AS keep_id, count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""") { (s, d) =>
+      Dedup.exactDedup(t(s, d, "documents")).orderBy("keep_id")
+    },
+
+    QuerySpec.checked("dd2_dedup_stats",
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        |  count(*) - count(DISTINCT text) AS n_dupes FROM documents""") { (s, d) =>
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+    },
+
+    // MinHash/LSH + SimHash near-dup: xxhash64-based, not ANSI-expressible.
+    QuerySpec.rowsOnly("dd3_minhash_lsh_neardup") { (s, d) =>
+      Dedup.minhashNearDuplicates(t(s, d, "documents"), k = 64, bands = 16)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    QuerySpec.rowsOnly("dd4_simhash") { (s, d) =>
+      Dedup.simhash64(t(s, d, "documents")).orderBy("doc_id")
+    },
+
+    QuerySpec.rowsOnly("dd5_simhash_neardup") { (s, d) =>
+      Dedup.simhashNearDuplicates(t(s, d, "documents"), maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    QuerySpec.rowsOnly("dd6_ngram_jaccard") { (s, d) =>
+      val docs = t(s, d, "documents")
+      // exact Jaccard over LSH candidates, threshold 0 = report all pairs
+      Dedup.jaccardVerify(docs, Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs), bands = 16), threshold = 0.0)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── text analysis ────────────────────────────────────────────────────
+    QuerySpec.checked("tx1_token_count",
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    QuerySpec.checked("tx2_quality_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  (length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) * 1.0
+        |    / length(text) AS punct_ratio
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    QuerySpec.rowsOnly("tx3_quality_score") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    QuerySpec.rowsOnly("tx4_lang_id") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    QuerySpec.checked("tx5_fingerprint_md5",
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // custom Catalyst Expression (codegen'd Karp–Rabin rolling hash)
+    QuerySpec.rowsOnly("tx6_rolling_fingerprint") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), RollingHash.rolling_hash(col("text"), 16).as("rfp"))
+        .orderBy("doc_id")
+    },
+
+    // ── similarity search ────────────────────────────────────────────────
+    // Exact brute-force cosine top-k (vs vec_id 0's embedding); floating
+    // cosine values are engine-specific in the last ulps → rows-only, with
+    // exactness pinned in SimilaritySpec against an in-test oracle.
+    QuerySpec.rowsOnly("ann1_bruteforce_topk") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, q, k = 10)
+    },
+
+    QuerySpec.rowsOnly("ann2_lsh_topk") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      // synthetic embeddings are near-orthogonal: widen the multiprobe
+      // radius so the candidate set is ~10% of the corpus, not ~0.
+      Similarity.annTopK(emb, q, k = 10, dim = q.length, probe = 5)
+    },
+
+    QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), dim = 64,
+        threshold = 0.5, nPlanes = 8).orderBy("vec_a", "vec_b")
+    },
+
+    // ── multimodal plumbing (STUB kernels, real Spark machinery) ─────────
+    QuerySpec.rowsOnly("mm1_decode_featurize") { (s, d) =>
+      Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticMediaTable(t(s, d, "documents")))
+        .orderBy("media_id")
+    },
+
+    QuerySpec.rowsOnly("mm2_frame_sample") { (s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMediaTable(t(s, d, "documents")))
+        .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // ── events: windowed aggregation (batch form of the streaming op) ────
+    QuerySpec.checked("ev1_tumbling_window",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy("ws", "event_type")
+    },
+
+    QuerySpec.rowsOnly("ev2_session_window") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("cnt"))
+        .orderBy("user_id", "ws")
+    }
+  )
+}

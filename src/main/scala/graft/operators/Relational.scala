@@ -1,0 +1,615 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The relational parity surface of the engine — every declared query from
+  * SURVEY.md §2 (scans, filters, joins, aggregates, sorts, set ops, scalar
+  * functions, windows, grouping sets), expressed DataFrame-first so Catalyst
+  * plans scans with pushed filters/pruned columns and picks join strategies
+  * (broadcast for dims, shuffled for facts) on its own.
+  *
+  * Reference surface being reproduced: the relational algebra locked in by
+  * Huawei-Spark/Spark-SQL-on-HBase's test corpus
+  * (src/test/scala/org/apache/spark/sql/hbase/HBaseSQLQuerySuite.scala,
+  * HBaseBasicQueriesSuite.scala, HBaseTpcMiniTestSuite.scala).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Order-independent, engine-exact double sum: route through
+    * DECIMAL(38,6). Matches oracle `CAST(sum(CAST(x AS DECIMAL(38,6))) AS
+    * DOUBLE)` bit-for-bit regardless of partitioning / add order. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private def davg(c: Column): Column = dsum(c) / count(c)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── §2.1 scans ────────────────────────────────────────────────────────
+    // (l_orderkey, l_linenumber) is NOT unique in the corpus — every
+    // lineitem ordering below is total over the projected columns.
+    QuerySpec.checked("s1_scan_limit",
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
+        |l_suppkey, l_quantity, l_extendedprice LIMIT 3""") {
+      (s, d) => t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice").limit(3)
+    },
+
+    QuerySpec.checked("s2_point_lookup",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 1 ORDER BY l_linenumber, l_quantity""") { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber", "l_quantity")
+    },
+
+    QuerySpec.checked("s3_count_star",
+      "SELECT count(*) AS cnt FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+    },
+
+    // ── §2.2 filters / predicates ─────────────────────────────────────────
+    QuerySpec.checked("p1_filter_project",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1000 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 1000 && col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("p2_not_demorgan",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'O' OR o_totalprice < 500)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders")
+        .filter(!(col("o_orderstatus") === "O" || col("o_totalprice") < 500))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("p3_in_list",
+      """SELECT c_name FROM customer WHERE c_nationkey IN (1, 2, 3)
+        |ORDER BY c_name""") { (s, d) =>
+      t(s, d, "customer").filter(col("c_nationkey").isin(1, 2, 3))
+        .select("c_name").orderBy("c_name")
+    },
+
+    QuerySpec.checked("p4_range_conjunction",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey > 10 AND l_orderkey < 500 AND l_quantity >= 25
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") > 10 && col("l_orderkey") < 500 &&
+          col("l_quantity") >= 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // o_custkey has no NULLs in the corpus at any SF, so IS NULL semantics
+    // are exercised through a derived nullable column (nullif) instead.
+    QuerySpec.checked("p5_is_null",
+      """SELECT o_orderkey FROM orders WHERE nullif(o_orderstatus, 'O') IS NULL
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders").filter(nullif(col("o_orderstatus"), lit("O")).isNull)
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("p6_is_not_null",
+      """SELECT o_orderkey FROM orders WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders").filter(nullif(col("o_orderstatus"), lit("O")).isNotNull)
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("p7_timestamp_between",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(
+          to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-01-01"))))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QuerySpec.checked("p8_like",
+      "SELECT c_name FROM customer WHERE c_name LIKE '%0001%' ORDER BY c_name") {
+      (s, d) =>
+        t(s, d, "customer").filter(col("c_name").like("%0001%"))
+          .select("c_name").orderBy("c_name")
+    },
+
+    QuerySpec.checked("p9_not_like",
+      "SELECT c_name FROM customer WHERE c_name NOT LIKE '%1%' ORDER BY c_name") {
+      (s, d) =>
+        t(s, d, "customer").filter(!col("c_name").like("%1%"))
+          .select("c_name").orderBy("c_name")
+    },
+
+    QuerySpec.checked("p10_not_between",
+      """SELECT o_orderkey FROM orders WHERE o_orderkey NOT BETWEEN 10 AND 5000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders").filter(!col("o_orderkey").between(10, 5000))
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    // ── §2.3 joins ────────────────────────────────────────────────────────
+    QuerySpec.checked("j1_inner_equi",
+      """SELECT c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""") { (s, d) =>
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "inner")
+        .select("c_name", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("j2_left_outer",
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n LEFT OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""") { (s, d) =>
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      n.join(r, n("n_regionkey") === r("r_regionkey"), "left_outer")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+
+    QuerySpec.checked("j3_full_outer",
+      """SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+        |FROM region r FULL OUTER JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |ORDER BY n.n_nationkey ASC NULLS FIRST, r.r_regionkey ASC NULLS FIRST""") {
+      (s, d) =>
+        val r = t(s, d, "region"); val n = t(s, d, "nation")
+        r.join(n, r("r_regionkey") === n("n_regionkey"), "full_outer")
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy(col("n_nationkey").asc_nulls_first, col("r_regionkey").asc_nulls_first)
+    },
+
+    QuerySpec.checked("j4_left_semi_theta",
+      """SELECT x.n_nationkey, x.n_name, x.n_regionkey FROM nation x
+        |WHERE EXISTS (SELECT 1 FROM region y WHERE x.n_regionkey >= y.r_regionkey + 2)
+        |ORDER BY x.n_nationkey""") { (s, d) =>
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      n.join(r, n("n_regionkey") >= r("r_regionkey") + 2, "left_semi")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    QuerySpec.checked("j5_implicit_join",
+      """SELECT s.s_name FROM supplier s, nation n
+        |WHERE s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |ORDER BY s.s_name""") { (s, d) =>
+      val sup = t(s, d, "supplier"); val n = t(s, d, "nation")
+      sup.crossJoin(n)
+        .filter(col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_3")
+        .select("s_name").orderBy("s_name")
+    },
+
+    QuerySpec.checked("j6_multiway_self",
+      """SELECT a.n_nationkey AS ak, b.n_name AS bn, c.n_regionkey AS ck
+        |FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+        |JOIN nation c ON a.n_nationkey = c.n_nationkey
+        |ORDER BY ak""") { (s, d) =>
+      val a = t(s, d, "nation").alias("a")
+      val b = t(s, d, "nation").alias("b")
+      val c = t(s, d, "nation").alias("c")
+      a.join(b, col("a.n_nationkey") === col("b.n_nationkey"))
+        .join(c, col("a.n_nationkey") === col("c.n_nationkey"))
+        .select(col("a.n_nationkey").as("ak"), col("b.n_name").as("bn"),
+          col("c.n_regionkey").as("ck"))
+        .orderBy("ak")
+    },
+
+    QuerySpec.checked("j7_nullsafe_eq",
+      """SELECT n.n_nationkey, r.r_name FROM nation n JOIN region r
+        |ON n.n_regionkey IS NOT DISTINCT FROM r.r_regionkey
+        |ORDER BY n.n_nationkey""") { (s, d) =>
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      n.join(r, n("n_regionkey") <=> r("r_regionkey"))
+        .select("n_nationkey", "r_name").orderBy("n_nationkey")
+    },
+
+    QuerySpec.checked("j8_join_limited_subquery",
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100) c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""") { (s, d) =>
+      val c = t(s, d, "customer").orderBy("c_custkey").limit(100)
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .select("c_custkey", "o_orderkey").orderBy("o_orderkey")
+    },
+
+    QuerySpec.checked("j9_fact_dim_broadcast",
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size > 40
+        |ORDER BY l.l_orderkey, l.l_linenumber, p.p_name""") { (s, d) =>
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_size") > 40)
+      // dim side is small at every SF relative to the fact: broadcast it.
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name")
+        .orderBy("l_orderkey", "l_linenumber", "p_name")
+    },
+
+    QuerySpec.checked("j10_left_anti",
+      """SELECT c.c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+        |ORDER BY c.c_custkey""") { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 4000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // ── §2.4 aggregates ───────────────────────────────────────────────────
+    QuerySpec.checked("a1_groupby_count",
+      """SELECT l_orderkey, count(1) AS cnt FROM lineitem
+        |GROUP BY l_orderkey ORDER BY l_orderkey""") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt")).orderBy("l_orderkey")
+    },
+
+    QuerySpec.checked("a2_group_sum_range",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey > 100 AND l_orderkey <= 500
+        |GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") > 100 && col("l_orderkey") <= 500)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QuerySpec.checked("a3_min_max_avg",
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          davg(col("l_quantity")).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    QuerySpec.checked("a4_count_distinct",
+      "SELECT count(DISTINCT o_custkey) AS cd FROM orders") { (s, d) =>
+      t(s, d, "orders").agg(countDistinct(col("o_custkey")).as("cd"))
+    },
+
+    QuerySpec.checked("a5_having",
+      """SELECT o_custkey, count(o_orderkey) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(o_orderkey) > 5
+        |ORDER BY o_custkey ASC NULLS FIRST""") { (s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(col("o_orderkey")).as("cnt"))
+        .filter(col("cnt") > 5)
+        .orderBy(col("o_custkey").asc_nulls_first)
+    },
+
+    QuerySpec.checked("a6_avg_group",
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""") { (s, d) =>
+      t(s, d, "customer").groupBy("c_nationkey")
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("c_nationkey")
+    },
+
+    QuerySpec.checked("a7_count_in",
+      """SELECT count(o_custkey) AS cnt FROM orders
+        |WHERE o_custkey IN (1, 25, 50, 75, 100)""") { (s, d) =>
+      t(s, d, "orders").filter(col("o_custkey").isin(1, 25, 50, 75, 100))
+        .agg(count(col("o_custkey")).as("cnt"))
+    },
+
+    QuerySpec.checked("a8_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QuerySpec.checked("a9_multi_count_distinct",
+      """SELECT count(*) AS cd2 FROM
+        |(SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)""") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_returnflag"), col("l_linestatus")).as("cd2"))
+    },
+
+    // HLL sketches differ across engines — rows-only; exactness pinned in
+    // ApproxSpec (relative-error bound vs exact count).
+    QuerySpec.rowsOnly("a10_approx_count_distinct") { (s, d) =>
+      t(s, d, "orders")
+        .agg(approx_count_distinct(col("o_custkey"), 0.04).as("acd"))
+    },
+
+    QuerySpec.checked("a11_group_by_expr",
+      """SELECT l_orderkey % 10 AS bucket, count(1) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      t(s, d, "lineitem").groupBy((col("l_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket")
+    },
+
+    QuerySpec.checked("a12_negated_agg",
+      "SELECT -max(l_quantity) AS neg_max, -min(l_quantity) AS neg_min FROM lineitem") {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .agg((-max(col("l_quantity"))).as("neg_max"),
+            (-min(col("l_quantity"))).as("neg_min"))
+    },
+
+    // ── §2.6 sorts / limits / distinct ────────────────────────────────────
+    QuerySpec.checked("t1_sort_desc_limit",
+      "SELECT * FROM nation ORDER BY n_name DESC LIMIT 5") { (s, d) =>
+      t(s, d, "nation").orderBy(col("n_name").desc).limit(5)
+    },
+
+    QuerySpec.checked("t2_sort_multi_dir",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""") { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+    },
+
+    QuerySpec.checked("t3_distinct",
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus") { (s, d) =>
+      t(s, d, "orders").select("o_orderstatus").distinct().orderBy("o_orderstatus")
+    },
+
+    QuerySpec.checked("t4_topk_project",
+      "SELECT c_name FROM customer ORDER BY c_custkey LIMIT 2") { (s, d) =>
+      t(s, d, "customer").orderBy("c_custkey").select("c_name").limit(2)
+    },
+
+    // ── §2.7 set operations ───────────────────────────────────────────────
+    QuerySpec.checked("u1_union_distinct",
+      """SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+        |ORDER BY name""") { (s, d) =>
+      t(s, d, "nation").select(col("n_name").as("name"))
+        .union(t(s, d, "region").select(col("r_name").as("name")))
+        .distinct().orderBy("name")
+    },
+
+    QuerySpec.checked("u2_union_all",
+      """SELECT n_regionkey AS rk FROM nation UNION ALL
+        |SELECT r_regionkey AS rk FROM region ORDER BY rk""") { (s, d) =>
+      t(s, d, "nation").select(col("n_regionkey").as("rk"))
+        .union(t(s, d, "region").select(col("r_regionkey").as("rk")))
+        .orderBy("rk")
+    },
+
+    QuerySpec.checked("u3_intersect",
+      """SELECT n_regionkey AS rk FROM nation INTERSECT
+        |SELECT r_regionkey AS rk FROM region ORDER BY rk""") { (s, d) =>
+      t(s, d, "nation").select(col("n_regionkey").as("rk"))
+        .intersect(t(s, d, "region").select(col("r_regionkey").as("rk")))
+        .orderBy("rk")
+    },
+
+    QuerySpec.checked("u4_except",
+      """SELECT rk FROM (SELECT n_nationkey AS rk FROM nation EXCEPT
+        |SELECT r_regionkey AS rk FROM region) ORDER BY rk""") { (s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").as("rk"))
+        .except(t(s, d, "region").select(col("r_regionkey").as("rk")))
+        .orderBy("rk")
+    },
+
+    // ── §2.9 scalar functions / expressions ───────────────────────────────
+    QuerySpec.checked("f1_substr",
+      """SELECT substr(c_name, 1, 8) AS s FROM customer
+        |ORDER BY c_custkey LIMIT 5""") { (s, d) =>
+      t(s, d, "customer").orderBy("c_custkey")
+        .select(substring(col("c_name"), 1, 8).as("s")).limit(5)
+    },
+
+    QuerySpec.checked("f2_upper_lower",
+      """SELECT upper(n.n_name) AS un, lower(r.r_name) AS lr
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY un""") { (s, d) =>
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(upper(col("n_name")).as("un"), lower(col("r_name")).as("lr"))
+        .orderBy("un")
+    },
+
+    QuerySpec.checked("f3_math_scalar",
+      "SELECT CAST(abs(-1.3) AS DOUBLE) AS a, CAST(sqrt(4.0) AS DOUBLE) AS sq") {
+      (s, _) =>
+        s.range(1).select(abs(lit(-1.3d)).as("a"), sqrt(lit(4.0d)).as("sq"))
+    },
+
+    QuerySpec.checked("f4_bitwise",
+      """SELECT o_orderkey & 1 AS band, o_orderkey | 0 AS bor,
+        |  xor(o_orderkey, 0) AS bxor, ~o_orderkey AS bnot
+        |FROM orders ORDER BY o_orderkey LIMIT 3""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey")
+        .select(
+          col("o_orderkey").bitwiseAND(lit(1L)).as("band"),
+          col("o_orderkey").bitwiseOR(lit(0L)).as("bor"),
+          col("o_orderkey").bitwiseXOR(lit(0L)).as("bxor"),
+          bitwise_not(col("o_orderkey")).as("bnot"))
+        .limit(3)
+    },
+
+    QuerySpec.checked("f5_case_when",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS sz
+        |FROM orders ORDER BY o_orderkey LIMIT 10""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 1000, "big").otherwise("small").as("sz"))
+        .limit(10)
+    },
+
+    QuerySpec.checked("f6_casts",
+      "SELECT CAST(true AS VARCHAR) AS bs, CAST('123' AS INTEGER) AS i") { (s, _) =>
+      s.range(1).select(lit(true).cast("string").as("bs"),
+        lit("123").cast("int").as("i"))
+    },
+
+    QuerySpec.checked("f7_unary_neg",
+      """SELECT -o_totalprice AS np, -(o_orderkey + 1) AS nk
+        |FROM orders ORDER BY o_orderkey LIMIT 3""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey")
+        .select((-col("o_totalprice")).as("np"),
+          (-(col("o_orderkey") + 1)).as("nk"))
+        .limit(3)
+    },
+
+    QuerySpec.checked("f8_between_numeric",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_linenumber LIMIT 5""") { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_quantity").between(10, 20))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber").limit(5)
+    },
+
+    QuerySpec.checked("f9_concat_length",
+      """SELECT c_name || '_' || c_mktsegment AS cn,
+        |  CAST(length(c_name) AS INTEGER) AS ln
+        |FROM customer ORDER BY c_custkey LIMIT 5""") { (s, d) =>
+      t(s, d, "customer").orderBy("c_custkey")
+        .select(concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cn"),
+          length(col("c_name")).as("ln"))
+        .limit(5)
+    },
+
+    // UDF surface (reference: HBaseAdditionalQuerySuite.scala:193-227) — a
+    // registered scalar UDF usable in projections/filters.
+    QuerySpec.checked("f10_udf_scalar",
+      """SELECT c_name FROM customer
+        |WHERE CAST(length(c_name) AS INTEGER) > 10 AND c_nationkey = 1
+        |ORDER BY c_name""") { (s, d) =>
+      s.udf.register("graft_strlen", (v: String) => if (v == null) 0 else v.length)
+      t(s, d, "customer")
+        .filter(call_udf("graft_strlen", col("c_name")) > 10 && col("c_nationkey") === 1)
+        .select("c_name").orderBy("c_name")
+    },
+
+    QuerySpec.checked("f11_conditional",
+      """SELECT o_orderkey, coalesce(o_orderpriority, 'none') AS pr,
+        |  nullif(o_orderstatus, 'O') AS st
+        |FROM orders ORDER BY o_orderkey LIMIT 5""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          coalesce(col("o_orderpriority"), lit("none")).as("pr"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .limit(5)
+    },
+
+    QuerySpec.checked("f12_datetime_parts",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("y", "m")
+    },
+
+    QuerySpec.checked("f13_complex_types",
+      """SELECT l_orderkey, ([l_quantity, l_discount])[1] AS arr0,
+        |  ({'q': l_quantity, 'd': l_discount}).q AS sq
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount LIMIT 5""") { (s, d) =>
+      t(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .select(col("l_orderkey"),
+          array(col("l_quantity"), col("l_discount")).getItem(0).as("arr0"),
+          struct(col("l_quantity").as("q"), col("l_discount").as("d"))
+            .getField("q").as("sq"))
+        .limit(5)
+    },
+
+    // ── §2.5 windows (engine capability beyond reference parity) ─────────
+    QuerySpec.checked("w1_row_number",
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INTEGER) AS rn
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), row_number().over(w).as("rn"))
+        .orderBy("o_orderkey")
+    },
+
+    // RANGE (not ROWS) frame + DECIMAL accumulation: (l_orderkey,
+    // l_linenumber) has duplicates, so a ROWS frame would be
+    // tie-order-dependent; RANGE gives every peer row the same value.
+    QuerySpec.checked("w2_running_sum",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(38, 6))).over(w)
+            .cast(DoubleType).as("run_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QuerySpec.checked("w3_rank_lag",
+      """SELECT o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INTEGER) AS rk,
+        |  lag(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val wRank = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+      val wLag = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), rank().over(wRank).as("rk"),
+          lag(col("o_totalprice"), 1).over(wLag).as("prev_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── grouping sets (beyond-reference freebies, §2.4 "absent") ──────────
+    QuerySpec.checked("g1_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""") {
+      (s, d) =>
+        t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
+    QuerySpec.checked("g2_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""") {
+      (s, d) =>
+        t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+    }
+  )
+}

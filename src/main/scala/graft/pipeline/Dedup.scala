@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication for training-data pipelines, at 100 TB design
+  * scale. Four families:
+  *
+  *  - exact:   hash-groupBy on normalized text (one shuffle on a 16-byte
+  *             key — the minimum possible data movement for global dedup);
+  *  - MinHash: shingle → k-permutation signatures → banded LSH →
+  *             candidate pairs → exact-Jaccard verification. All joins are
+  *             on short band-hash keys, never on document text, so shuffle
+  *             volume is O(docs × k), independent of document size;
+  *  - SimHash: 64-bit sign-aggregated token hashes; near-dup candidates
+  *             via 16-bit chunk buckets (Hamming ≤ 3 ⇒ some chunk equal),
+  *             verified with bit_count(xor);
+  *  - n-gram Jaccard: exact similarity on shingle-hash sets, evaluated
+  *             only on LSH candidates (never all-pairs).
+  *
+  * Everything is DataFrame algebra (explode / groupBy / join) so Catalyst
+  * gets full visibility: AQE handles skewed band buckets, and the group
+  * keys are hashes, so data is uniformly partitioned by construction.
+  */
+object Dedup {
+
+  // ── exact ───────────────────────────────────────────────────────────────
+
+  /** One surviving id per distinct normalized text + multiplicity. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(TextFunctions.normalized(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-first projection: the deduplicated corpus itself. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = exactDedup(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ── MinHash + LSH ───────────────────────────────────────────────────────
+
+  /** k-permutation MinHash signature per document over word shingles.
+    * sig[i] = min over shingles of xxhash64(shingleHash, i) — re-hashing
+    * instead of (a*h+b) keeps Long arithmetic inside ANSI mode (Spark 4
+    * default) without overflow errors, and is just as uniform. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64, shingle: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), shingle)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs: signatures agree on at least one of
+    * `bands` bands (band width = sigLen/bands). Join key is
+    * (band, bandHash) — a short uniform key, so the shuffle is balanced
+    * at any corpus size. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, sigLen: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = sigLen / bands
+    val banded = sigs.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * w + 1, lit(w)), b)))
+      .as(Seq("band", "bh")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard on shingle-hash sets, computed only for the
+    * given candidate pairs (columns doc_a, doc_b). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingle: Int = 3,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(transform(TextFunctions.wordShingles(col(textCol), shingle),
+        s => xxhash64(s))).as("shset"))
+    pairs
+      .join(sets, col("doc_a") === col("jid")).withColumnRenamed("shset", "set_a").drop("jid")
+      .join(sets, col("doc_b") === col("jid")).withColumnRenamed("shset", "set_b").drop("jid")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0).otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash near-dup pipeline: signatures → LSH → verified pairs. */
+  def minhashNearDuplicates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      shingle: Int = 3, threshold: Double = 0.7): DataFrame =
+    jaccardVerify(docs,
+      lshCandidatePairs(minhashSignatures(docs, k, shingle), bands, k),
+      shingle, threshold)
+
+  // ── SimHash ─────────────────────────────────────────────────────────────
+
+  /** 64-bit SimHash per document over whitespace tokens. */
+  def simhash64(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (< 16):
+    * pigeonhole on 4 × 16-bit chunks → bucket join → exact bit_count. */
+  def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash64(docs, textCol, idCol)
+    val chunked = sh.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xffff)): _*))
+      .as(Seq("chunk", "cv")))
+    val l = chunked.as("l"); val r = chunked.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns travelling next to a typed
+  * metadata struct. The Spark-side machinery — schema, partition-sized
+  * batch processing via `mapPartitions`, deterministic output shapes —
+  * is real and tested; the actual codec kernels are STUBBED (this
+  * container has no image/audio libraries) behind `decodeStub`, which
+  * derives deterministic pseudo-metadata/features from the bytes, so the
+  * pipeline shape (schema in → schema out, batch iteration, no
+  * driver-side collection) is exactly what a real decoder drops into.
+  */
+object Multimodal {
+
+  /** Typed metadata carried with every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
+
+  /** Media-table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", mediaMetaType, nullable = false)))
+
+  /** Manufacture a media table from any corpus table (docs → fake bytes).
+    * In production this column arrives from the lakehouse as real bytes;
+    * the point here is the downstream plumbing. */
+  def syntheticMediaTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("image/stub").as("mime"),
+        (pmod(xxhash64(col(textCol)), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 1).cast("int").as("height"),
+        lit(1).as("n_frames"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+
+  /** STUB decode kernel: a real implementation would parse the payload
+    * with an image/audio codec. This deterministic fake reads "pixels"
+    * as byte statistics so tests can pin exact outputs. */
+  private[pipeline] def decodeStub(payload: Array[Byte]): (Int, Double) = {
+    // ??? real codec goes here — deterministic fake below.
+    var sum = 0L; var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    (payload.length, if (payload.isEmpty) 0.0 else sum.toDouble / payload.length)
+  }
+
+  private val featDim = 8
+
+  /** STUB feature extraction: fixed-size float vector per payload.
+    * Real kernel = CNN/embedding model; fake = strided byte hashes with
+    * the same shape/contract (dense, fixed dim, deterministic). */
+  private[pipeline] def featureStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featDim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      out(i % featDim) += (b * 2654435761L % 1000).toFloat / 1000f
+      i += 1
+    }
+    out
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = true),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Decode + feature-extract, batched per partition (the shape a real
+    * vectorized decoder needs: one kernel init per partition, streaming
+    * rows, no driver involvement). */
+  def decodeAndFeaturize(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "meta.mime").rdd
+      .mapPartitions { rows =>
+        // per-partition kernel init would go here (decoder handles etc.)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (n, mean) = decodeStub(payload)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"), n, mean,
+            featureStub(payload).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: the payload is cut
+    * into fixed-size chunks ("frames"), exploded to one row per frame,
+    * and every k-th frame is kept — the exact fan-out pattern a real
+    * frame sampler produces, with no driver involvement. */
+  def sampleFrames(media: DataFrame, chunkBytes: Int = 64, everyK: Int = 4): DataFrame = {
+    val nChunks = greatest(ceil(length(col("payload")).cast("double") / chunkBytes), lit(1L))
+    media.select(col("media_id"),
+      posexplode(transform(
+        sequence(lit(0L), nChunks.cast("long") - 1),
+        i => col("payload").substr((i * chunkBytes + 1).cast("int"), lit(chunkBytes))))
+        .as(Seq("frame_idx", "frame_bytes")))
+      .filter(pmod(col("frame_idx"), lit(everyK)) === 0)
+  }
+}
