@@ -1,0 +1,295 @@
+package graft.connector
+
+import graft.store.{RowCodec, SegmentFile}
+import java.nio.file.{Files, Paths}
+import java.util.{OptionalLong, UUID}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** "graftkv" — a sorted-KV DataSource V2 connector: the Spark-native
+  * re-expression of the reference's HBase relation
+  * (/root/reference src/main/scala/org/apache/spark/sql/hbase/
+  * HBaseRelation.scala — BaseRelation+CatalystScan+InsertableRelation →
+  * DSv2 Table with SupportsRead/SupportsWrite).
+  *
+  *  - Layout: a table directory of sorted segment files (SegmentFile),
+  *    each covering a disjoint composite-key range = the "region".
+  *  - Reads: one InputPartition per surviving segment after key-range
+  *    pruning (reference HBaseCriticalPoint partition pruning, leading
+  *    dimension); the reader seeks past out-of-range keys (skip-scan
+  *    analog) and prunes value columns (SupportsPushDownRequiredColumns).
+  *  - Writes: RequiresDistributionAndOrdering asks Spark for a global
+  *    range-shuffle + in-partition sort on the key columns — the bulk-load
+  *    pipeline of the reference (hbaseCommands.scala:149-305) expressed
+  *    declaratively, so every task emits one sorted segment.
+  */
+class GraftKvDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftkv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftKvMeta.read(GraftKvDataSource.path(options)) match {
+      case Some((schema, _)) => schema
+      case None => throw new IllegalArgumentException(
+        s"graftkv table at ${GraftKvDataSource.path(options)} has no metadata; " +
+          "provide a schema or write data first")
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = GraftKvDataSource.path(opts)
+    val keys = GraftKvMeta.read(path).map(_._2)
+      .orElse(Option(opts.get("key")).map(_.split(",").map(_.trim).toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        "graftkv requires option key='col1,col2' on first write"))
+    new GraftKvTable(path, schema, keys)
+  }
+}
+
+object GraftKvDataSource {
+  def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftkv requires a path"))
+}
+
+/** Table-level metadata: schema json + key column list. */
+object GraftKvMeta {
+  private def metaFile(dir: String) = Paths.get(dir, "_graft_meta.json")
+
+  def write(dir: String, schema: StructType, keys: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(metaFile(dir), keys.mkString(",") + "\n" + schema.json)
+  }
+
+  def read(dir: String): Option[(StructType, Seq[String])] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) None
+    else {
+      val lines = Files.readString(f)
+      val sep = lines.indexOf('\n')
+      val keys = lines.substring(0, sep).split(",").map(_.trim).toSeq
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        lines.substring(sep + 1)).asInstanceOf[StructType]
+      Some((schema, keys))
+    }
+  }
+}
+
+class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graftkv:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftKvScanBuilder(path, tableSchema, keys)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false)
+}
+
+// ── read path ────────────────────────────────────────────────────────────
+
+class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** Keep filters that constrain the leading key column for pruning/seek;
+    * everything is returned as residual so Spark re-evaluates (pushdown
+    * here is an I/O optimization, never a correctness dependency —
+    * reference ScanPredClassifier splits the same way). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KeyRange.constrains(_, keys.head))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan =
+    new GraftKvScan(path, schema, keys, required, pushed, limit)
+}
+
+class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
+    required: StructType, pushed: Array[Filter], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")})"
+
+  private lazy val codec = RowCodec(schema, keys)
+  private lazy val range = KeyRange.fromFilters(pushed, codec.keyFields.head.dataType, keys.head)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs = SegmentFile.listSegments(path)
+    // region pruning on the leading key dimension: keep segments whose
+    // [min,max] leading value intersects the conjunctive filter range
+    val survivors = segs.filter { m =>
+      range.intersects(codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey))
+    }
+    survivors.map(m => GraftKvInputPartition(path, m.file, m.count): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, range, limit)
+
+  override def estimateStatistics(): Statistics = {
+    val segs = SegmentFile.listSegments(path)
+    val rows = segs.map(_.count).sum
+    // rough decoded-size estimate so the planner can make broadcast calls
+    val bytes = segs.map(_.sizeBytes).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+final case class GraftKvInputPartition(dir: String, file: String, count: Long)
+    extends InputPartition
+
+class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
+    projection: Seq[String], range: KeyRange, limit: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftKvInputPartition]
+    new GraftKvPartitionReader(p, schema, keys, projection, range, limit)
+  }
+}
+
+/** Streams a segment, skipping records outside the leading-key range
+  * (reference skip-scan/point-get analog, HBaseSQLReaderRDD.scala:248-373)
+  * and stopping early once past the upper bound — sound because segment
+  * records are in composite-key order. */
+class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
+    keys: Seq[String], projection: Seq[String], range: KeyRange, limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val codec = RowCodec(schema, keys)
+  private val project = codec.projector(projection)
+  private val reader = new SegmentFile.Reader(p.dir, p.file)
+  private var current: InternalRow = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (reader.hasNext) {
+      val (k, v) = reader.next()
+      val lead = codec.leadingKeyValue(k)
+      if (range.above(lead)) { reader.close(); return false } // early stop
+      if (range.contains(lead)) {
+        current = project(codec.decodeKey(k), codec.decodeValue(v))
+        emitted += 1
+        return true
+      }
+      // below/outside range: seek forward
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+// ── write path ───────────────────────────────────────────────────────────
+
+class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
+    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new GraftKvWriteBuilder(path, schema, keys, truncate = true)
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val sortOrders: Array[SortOrder] =
+      keys.map(k => Expressions.sort(Expressions.column(k),
+        SortDirection.ASCENDING)).toArray
+
+    // global range partitioning + in-partition sort on the key =
+    // declarative bulk-load (reference HBasePartitioner + sorted HFiles)
+    override def requiredDistribution(): Distribution = Distributions.ordered(sortOrders)
+    override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new GraftKvWriterFactory(path, schema, keys)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        if (truncate) {
+          val committed = messages.collect {
+            case GraftKvCommit(files) => files
+          }.flatten.toSet
+          val d = new java.io.File(path)
+          Option(d.list()).getOrElse(Array.empty[String])
+            .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
+              !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
+            .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+        }
+        GraftKvMeta.write(path, schema, keys)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.collect { case GraftKvCommit(files) => files }.flatten
+          .foreach { f =>
+            Files.deleteIfExists(Paths.get(path, f))
+            Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+          }
+    }
+  }
+}
+
+final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
+
+class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftKvDataWriter(path, schema, keys, partitionId, taskId)
+}
+
+/** Receives rows already range-partitioned and key-sorted (the Write's
+  * required distribution/ordering) and streams them into one segment. */
+class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  Files.createDirectories(Paths.get(path))
+  private val codec = RowCodec(schema, keys)
+  private val name = f"segment-$partitionId%05d-${UUID.randomUUID().toString.take(8)}"
+  private val writer = new SegmentFile.Writer(path, name)
+
+  override def write(row: InternalRow): Unit =
+    writer.write(codec.encodeKey(row), codec.encodeValue(row))
+
+  override def commit(): WriterCommitMessage = {
+    val meta = writer.close()
+    GraftKvCommit(if (meta == null) Nil else Seq(meta.file))
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    Files.deleteIfExists(Paths.get(path, s"$name.kv"))
+    Files.deleteIfExists(Paths.get(path, s"$name.kvmeta"))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.connector.KvCommands
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries through the graftkv sorted-KV connector (the reference's own
+  * scan/write layer, SURVEY §2.1/§2.2/§2.8). Each query loads the
+  * corpus table into a KV table once per (sf, table), reads it back
+  * through DSv2, and must match the DuckDB oracle over the original
+  * parquet — which proves the whole encode → range-shuffle → sorted
+  * segment → prune → seek → decode loop is lossless.
+  */
+object KvOps {
+
+  /** KV fixture dir per scale factor (derived, cached across queries). */
+  private def kvRoot(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_kv/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  private val lock = new Object
+
+  /** Idempotently materialize a corpus table as a KV table. */
+  private def ensure(spark: SparkSession, sfDir: String, table: String,
+      keys: Seq[String]): String = lock.synchronized {
+    val path = s"${kvRoot(sfDir)}/$table"
+    if (graft.connector.GraftKvMeta.read(path).isEmpty) {
+      KvCommands.createTable(Tables.table(spark, sfDir, table), path, keys)
+    }
+    path
+  }
+
+  private def lineitemKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "lineitem", Seq("l_orderkey", "l_linenumber")))
+
+  private def ordersKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec.checked("kv1_scan_count",
+      "SELECT count(*) AS cnt FROM lineitem") { (s, d) =>
+      lineitemKv(s, d).agg(count(lit(1)).as("cnt"))
+    },
+
+    // point lookup on the leading key → segment pruning + in-segment seek
+    QuerySpec.checked("kv2_point_lookup",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 1 ORDER BY l_linenumber, l_quantity""") { (s, d) =>
+      lineitemKv(s, d).filter(col("l_orderkey") === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber", "l_quantity")
+    },
+
+    QuerySpec.checked("kv3_range_scan",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_orderkey > 50 AND l_orderkey <= 120
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""") { (s, d) =>
+      lineitemKv(s, d)
+        .filter(col("l_orderkey") > 50 && col("l_orderkey") <= 120)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // non-key residual filter + column pruning through the KV reader
+    QuerySpec.checked("kv4_residual_filter",
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_quantity >= 49 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_quantity""") { (s, d) =>
+      lineitemKv(s, d)
+        .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")
+    },
+
+    QuerySpec.checked("kv5_agg_over_kv",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      lineitemKv(s, d).groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // single-column PK table incl. nullable strings + timestamps in values
+    QuerySpec.checked("kv6_orders_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderkey >= 10 AND o_orderkey < 20 ORDER BY o_orderkey""") { (s, d) =>
+      ordersKv(s, d)
+        .filter(col("o_orderkey") >= 10 && col("o_orderkey") < 20)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // heterogeneous join: KV table × parquet dim (reference J9,
+    // HBaseAdditionalQuerySuite.scala:153-159)
+    QuerySpec.checked("kv7_kv_parquet_join",
+      """SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c
+        |ON o.o_custkey = c.c_custkey WHERE o.o_orderkey < 50
+        |ORDER BY o.o_orderkey""") { (s, d) =>
+      val o = ordersKv(s, d).filter(col("o_orderkey") < 50)
+      val c = Tables.table(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name").orderBy("o_orderkey")
+    },
+
+    // IN-list point-set lookup (reference point-get batching, R12)
+    QuerySpec.checked("kv8_in_list_points",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (3, 7, 11, 400) ORDER BY o_orderkey""") { (s, d) =>
+      ordersKv(s, d).filter(col("o_orderkey").isin(3, 7, 11, 400))
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }
+  )
+}

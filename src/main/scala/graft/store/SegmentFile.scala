@@ -1,0 +1,101 @@
+package graft.store
+
+import graft.codec.OrderedCodec
+import java.io._
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable.ArrayBuffer
+
+/** One sorted run of (key, value) records plus a sidecar meta file with
+  * the segment's key range and row count — the "region" analog of the
+  * reference's storage layer (partition = key range, reference
+  * HBasePartition.scala:26-38). Record layout:
+  * `[4B keyLen][key][4B valLen][value]`, keys in unsigned-lexicographic
+  * order (which RowCodec makes equal to composite value order).
+  */
+object SegmentFile {
+
+  final case class Meta(file: String, minKey: Array[Byte], maxKey: Array[Byte],
+      count: Long, sizeBytes: Long)
+
+  def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
+  private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
+
+  /** Streaming writer; caller must feed records in key order. */
+  final class Writer(dir: String, name: String) {
+    private val seg = segmentPath(dir, name)
+    private val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(seg), 1 << 16))
+    private var minKey: Array[Byte] = _
+    private var lastKey: Array[Byte] = _
+    private var count = 0L
+
+    def write(key: Array[Byte], value: Array[Byte]): Unit = {
+      if (minKey == null) minKey = key
+      else require(OrderedCodec.compare(lastKey, key) <= 0,
+        s"segment $name: keys out of order")
+      lastKey = key
+      out.writeInt(key.length); out.write(key)
+      out.writeInt(value.length); out.write(value)
+      count += 1
+    }
+
+    /** Close and persist the sidecar meta; returns the meta (null keys if
+      * the segment is empty — caller should drop such segments). */
+    def close(): Meta = {
+      out.flush(); out.close()
+      if (count == 0) { Files.deleteIfExists(seg); return null }
+      val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg))
+      val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
+      mo.writeInt(m.minKey.length); mo.write(m.minKey)
+      mo.writeInt(m.maxKey.length); mo.write(m.maxKey)
+      mo.writeLong(m.count); mo.writeLong(m.sizeBytes)
+      mo.close()
+      m
+    }
+  }
+
+  def readMeta(dir: String, name: String): Meta = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(metaPath(dir, name))))
+    try {
+      val min = new Array[Byte](in.readInt()); in.readFully(min)
+      val max = new Array[Byte](in.readInt()); in.readFully(max)
+      Meta(s"$name.kv", min, max, in.readLong(), in.readLong())
+    } finally in.close()
+  }
+
+  /** All segment metas under a table dir. */
+  def listSegments(dir: String): Seq[Meta] = {
+    val d = new File(dir)
+    val names = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta")).sorted
+    names.toSeq.map(readMeta(dir, _))
+  }
+
+  /** Iterate a segment's records in key order. */
+  final class Reader(dir: String, file: String) extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
+    private val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(Paths.get(dir, file)), 1 << 16))
+    private var nextRec: (Array[Byte], Array[Byte]) = _
+    private var eof = false
+    advance()
+
+    private def advance(): Unit = {
+      try {
+        val kl = in.readInt()
+        val k = new Array[Byte](kl); in.readFully(k)
+        val vl = in.readInt()
+        val v = new Array[Byte](vl); in.readFully(v)
+        nextRec = (k, v)
+      } catch {
+        case _: EOFException => eof = true; nextRec = null; in.close()
+      }
+    }
+
+    override def hasNext: Boolean = !eof
+    override def next(): (Array[Byte], Array[Byte]) = {
+      val r = nextRec; advance(); r
+    }
+    override def close(): Unit = if (!eof) in.close()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("v")).head().get(0)
+
+  test("tokenCount counts whitespace tokens, collapsing runs") {
+    assert(one(TextFunctions.tokenCount(col("t")), "a b  c\td") == 4)
+    assert(one(TextFunctions.tokenCount(col("t")), "  leading and trailing  ") == 3)
+  }
+
+  test("wordShingles produces n-token windows") {
+    val sh = one(TextFunctions.wordShingles(col("t"), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+    // shorter than n → whole text as one shingle
+    val short = one(TextFunctions.wordShingles(col("t"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short.toSeq == Seq("a b"))
+  }
+
+  test("quality score is in [0,1] and ranks clean text above symbol soup") {
+    val clean = one(TextFunctions.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and it is a fine day in the park")
+      .asInstanceOf[Double]
+    val soup = one(TextFunctions.qualityScore(col("t")),
+      "@#$%^&*()!!! ~~ ++ == ;;; @#$%").asInstanceOf[Double]
+    assert(clean >= 0 && clean <= 1 && soup >= 0 && soup <= 1)
+    assert(clean > soup)
+  }
+
+  test("langId picks the stopword-dominant language") {
+    assert(one(TextFunctions.langId(col("t")),
+      "the cat and the dog sat in that house and it was warm") == "en")
+    assert(one(TextFunctions.langId(col("t")),
+      "der hund und die katze das ist nicht ein problem") == "de")
+    assert(one(TextFunctions.langId(col("t")),
+      "el perro y la casa de que los gatos para una familia") == "es")
+    assert(one(TextFunctions.langId(col("t")), "xyzzy plugh") == "und")
+    assert(one(TextFunctions.langId(col("t")), "你好世界你好世界") == "zh")
+  }
+
+  test("fingerprints are normalization-invariant") {
+    val a = one(TextFunctions.fingerprintMd5(col("t")), "Hello   World")
+    val b = one(TextFunctions.fingerprintMd5(col("t")), "hello world ")
+    assert(a == b)
+  }
+
+  test("rolling hash: equal text equal hash, window-local change moves it") {
+    val h1 = one(RollingHash.rolling_hash(col("t"), 8), "abcdefghijklmnop")
+    val h2 = one(RollingHash.rolling_hash(col("t"), 8), "abcdefghijklmnop")
+    val h3 = one(RollingHash.rolling_hash(col("t"), 8), "abcdefghijklmnoq")
+    assert(h1 == h2 && h1 != h3)
+    assert(one(RollingHash.rolling_hash(col("t"), 8), "") == 0L)
+  }
+
+  test("rolling hash works inside whole-stage codegen over a table") {
+    val n = graft.Tables.table(spark, TestSpark.sf, "documents")
+      .select(RollingHash.rolling_hash(col("text")).as("h"))
+      .filter(col("h").isNotNull).count()
+    assert(n == 500)
+  }
+}

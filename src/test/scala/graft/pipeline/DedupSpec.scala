@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the dedup family on planted duplicates (the corpus
+  * itself has none at sf0.001, so the pipeline's recall is pinned with
+  * synthetic near-dups). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar io"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 0
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses exact duplicates only") {
+    val d = Dedup.exactDedup(base).collect()
+    assert(d.length == 4) // 5 docs, one exact-dup pair
+    val dup = d.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("dropExactDuplicates keeps first occurrence") {
+    val kept = Dedup.dropExactDuplicates(base).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 1L, 2L, 4L)))
+  }
+
+  test("minhash near-dup finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashNearDuplicates(base, k = 64, bands = 16,
+      shingle = 3, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((0L, 1L)) || keys.contains((0L, 3L)))
+    // exact duplicates always collide with jaccard 1.0
+    val exact = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 3L)
+    assert(exact.exists(_.getAs[Double]("jaccard") == 1.0))
+    // the unrelated document never pairs with anything
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 2L || r.getAs[Long]("doc_b") == 2L))
+  }
+
+  test("simhash: exact dup has distance 0, near-dup is close, unrelated far") {
+    val sh = Dedup.simhash64(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+    val nd = Dedup.simhashNearDuplicates(base, maxDist = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(nd.contains((0L, 3L)))
+  }
+
+  test("jaccardVerify computes exact n-gram jaccard") {
+    val pairs = Seq((0L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardVerify(base, pairs, threshold = 0.0).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 1.0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cosineRef(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  private def vecs = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // close to 0
+    (2L, Seq(0f, 1f, 0f, 0f)),       // orthogonal to 0
+    (3L, Seq(-1f, 0f, 0f, 0f)),      // opposite of 0
+    (4L, Seq(2f, 0f, 0f, 0f))        // colinear with 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val q = Seq(1f, 0f, 0f, 0f)
+    val top = Similarity.bruteForceTopK(vecs, q, k = 3).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(0L, 4L, 1L))
+    assert(math.abs(top(0).getAs[Double]("sim") - 1.0) < 1e-12)
+    assert(math.abs(top(2).getAs[Double]("sim") - cosineRef(q, Seq(0.9f, 0.1f, 0f, 0f))) < 1e-12)
+  }
+
+  test("hyperplane signature: colinear vectors share it, opposite vectors differ") {
+    val sigs = vecs.select($"vec_id",
+      Similarity.hyperplaneSignature($"embedding", dim = 4, nPlanes = 16).as("sig"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
+    assert(sigs(0L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) == 16) // all planes flip
+  }
+
+  test("annTopK finds the exact nearest neighbours on clustered data") {
+    val q = Seq(1f, 0f, 0f, 0f)
+    val top = Similarity.annTopK(vecs, q, k = 2, dim = 4, nPlanes = 16, probe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top == Seq(0L, 4L))
+  }
+
+  test("embeddingNearDupPairs reports colinear pair") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, dim = 4, threshold = 0.95,
+      nPlanes = 8).collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("matches corpus embeddings against an in-test oracle") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
+    val rows = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")))
+    val q = rows.find(_._1 == 0L).get._2
+    val expect = rows.map { case (id, v) => (id, cosineRef(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == expect)
+  }
+}
