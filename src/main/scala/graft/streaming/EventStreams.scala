@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has
+  * no streaming (SURVEY §2.11); this is the engine-extension scope built
+  * on watermarks + windowed aggregation + arbitrary stateful ops. Every
+  * transform also works on a batch DataFrame of the same schema — the
+  * batch forms are what the DuckDB oracle checks (ev1/ev2 in
+  * PipelineOps); these wrappers add the streaming-only pieces
+  * (watermark, output mode, state timeouts).
+  */
+object EventStreams {
+
+  /** events schema as stored (ts is int64 nanos in the driver parquet;
+    * see Tables.table — the stream reader does the same truncation). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream. Accepts a directory of event parquet files
+    * or a single file (streamed via a glob on its parent — readStream
+    * only takes directories). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(dir)
+    val reader = spark.readStream.schema(rawSchema)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * late data beyond `lateness` is dropped deterministically. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding-window rates (1h window, 15m slide). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * flatMapGroupsWithState (the custom-state path the built-in windows
+    * can't express). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events; var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the streaming surface end-to-end with the memory sink: a batch
+  * of events parquet flows through readStream → watermark → windowed agg
+  * → memory table, and the result must equal the same aggregation run in
+  * batch mode. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  // update mode: with the corpus arriving as one micro-batch, every
+  // window is emitted with its final value, so streaming == batch exactly
+  // (append mode would hold windows back until the watermark passes them)
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val stream = EventStreams.eventStream(spark, s"${TestSpark.sf}/events.parquet")
+    val got = runToMemory(EventStreams.tumblingAgg(stream), "t_tumbling", "update")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.tumblingAgg(Tables.table(spark, TestSpark.sf, "events"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
+  test("session windows produce per-user sessions") {
+    // session windows only support append mode; the trailing no-data
+    // micro-batch advances the watermark and flushes finalized sessions
+    val stream = EventStreams.eventStream(spark, s"${TestSpark.sf}/events.parquet")
+    val got = runToMemory(EventStreams.sessionAgg(stream), "t_sessions", "append")
+    assert(got.count() > 0)
+    assert(got.filter(col("we") <= col("ws")).count() == 0)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val events = Seq(
+      EventStreams.UserEvent(1L, "click", 1.0),
+      EventStreams.UserEvent(1L, "click", 2.5),
+      EventStreams.UserEvent(2L, "view", 4.0)
+    ).toDS()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.UserEvent]
+    input.addData(events.collect().toSeq: _*)
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("t_state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val byUser = spark.table("t_state").as[EventStreams.UserRunning]
+      .collect().map(u => u.user_id -> u).toMap
+    assert(byUser(1L).n_events == 2 && math.abs(byUser(1L).total_value - 3.5) < 1e-9)
+    assert(byUser(2L).n_events == 1 && byUser(2L).total_value == 4.0)
+  }
+}
