@@ -104,11 +104,13 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String])
 
 class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggPushed: Option[Seq[KvAgg]] = None
 
   /** Keep filters that constrain the leading key column for pruning/seek;
     * everything is returned as residual so Spark re-evaluates (pushdown
@@ -125,9 +127,93 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  override def build(): Scan =
-    new GraftKvScan(path, schema, keys, required, pushed, limit)
+  /** Metadata-only aggregation (the reference's coprocessor-parity path,
+    * AddCoprocessor.scala → SupportsPushDownAggregates per SURVEY R11):
+    * COUNT(*) and MIN/MAX of the leading key column are answered from
+    * segment sidecar metadata — zero data bytes read at any table size.
+    * Spark only calls this when every filter was fully consumed by the
+    * source, which for this connector means "no filters at all". */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+    def leadName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    val specs: Seq[Option[KvAgg]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(KvAgg.Count)
+      case m: Min if leadName(m.column()).contains(keys.head) => Some(KvAgg.MinLead)
+      case m: Max if leadName(m.column()).contains(keys.head) => Some(KvAgg.MaxLead)
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) {
+      aggPushed = Some(specs.flatten); true
+    } else false
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(aggs) => new GraftKvAggScan(path, schema, keys, aggs)
+    case None => new GraftKvScan(path, schema, keys, required, pushed, limit)
+  }
 }
+
+/** Pushed-aggregate kinds the segment metadata can answer. */
+sealed trait KvAgg
+object KvAgg {
+  case object Count extends KvAgg
+  case object MinLead extends KvAgg
+  case object MaxLead extends KvAgg
+}
+
+/** Scan that answers pushed aggregates purely from segment sidecars:
+  * one partial row per segment, no data file opened. */
+class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
+    aggs: Seq[KvAgg]) extends Scan with Batch {
+
+  private def leadField = schema(keys.head)
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (KvAgg.Count, i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    case (_, i) => org.apache.spark.sql.types.StructField(s"agg_$i", leadField.dataType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftKvAggScan(path=$path, aggs=$aggs)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val codec = RowCodec(schema, keys)
+    SegmentFile.listSegments(path).map { m =>
+      KvAggPartition(m.count,
+        codec.decodeKey(m.minKey)(0), codec.decodeKey(m.maxKey)(0)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val theAggs = aggs
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[KvAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              theAggs.map {
+                case KvAgg.Count => p.count
+                case KvAgg.MinLead => p.minLead
+                case KvAgg.MaxLead => p.maxLead
+              }.toArray[Any])
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+final case class KvAggPartition(count: Long, minLead: Any, maxLead: Any)
+    extends InputPartition
 
 class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     required: StructType, pushed: Array[Filter], limit: Int)

@@ -1,0 +1,157 @@
+package graft.connector
+
+import graft.store.SegmentFile
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Filesystem-backed `TableCatalog` for graftkv tables — the Spark-native
+  * restatement of the reference's HBase `metadata`-table catalog
+  * (/root/reference src/main/scala/.../HBaseCatalog.scala): table
+  * metadata lives as plain JSON under `<root>/<namespace>/<table>/`,
+  * not Java-serialized blobs, and the whole DDL surface works through
+  * stock SQL once the catalog is registered:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftKvCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/data/graft")
+  * spark.sql("CREATE TABLE graft.db.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+  * spark.sql("INSERT INTO graft.db.t SELECT ...")   // O6/O7
+  * spark.sql("SELECT * FROM graft.db.t WHERE k = 5")
+  * spark.sql("SHOW TABLES IN graft.db")             // O4
+  * spark.sql("DESCRIBE TABLE graft.db.t")           // O5
+  * spark.sql("DROP TABLE graft.db.t")               // O2
+  * }}}
+  */
+class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog/$name")
+    Files.createDirectories(Paths.get(root))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def tableDir(ident: Identifier): String =
+    (Seq(root) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  // ── tables ─────────────────────────────────────────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_graft_meta.json")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    GraftKvMeta.read(tableDir(ident)) match {
+      case Some((schema, keys)) => new GraftKvTable(tableDir(ident), schema, keys)
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftKvMeta.read(tableDir(ident)).isDefined
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val keys = Option(properties.get("key"))
+      .orElse(Option(properties.get("option.key")))
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(schema.fieldNames.head)) // default PK: first column
+    require(keys.forall(schema.fieldNames.contains),
+      s"key columns $keys not all present in ${schema.fieldNames.mkString(",")}")
+    GraftKvMeta.write(tableDir(ident), schema, keys)
+    new GraftKvTable(tableDir(ident), schema, keys)
+  }
+
+  /** ALTER: only non-key column add/drop, like the reference (O3). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val (schema, keys) = GraftKvMeta.read(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    if (SegmentFile.nonEmpty(dir))
+      throw new UnsupportedOperationException(
+        "graftkv ALTER TABLE is metadata-only and requires an empty table")
+    var s = schema
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        s = s.add(a.fieldNames()(0), a.dataType(), a.isNullable)
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        val n = d.fieldNames()(0)
+        if (keys.contains(n))
+          throw new UnsupportedOperationException(s"cannot drop key column $n")
+        s = StructType(s.fields.filterNot(_.name == n))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change $other")
+    }
+    GraftKvMeta.write(dir, s, keys)
+    new GraftKvTable(dir, s, keys)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) false
+    else { KvCommands.dropTable(tableDir(ident)); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(Paths.get(tableDir(newIdent)).getParent)
+    Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(newIdent)))
+  }
+
+  // ── namespaces ─────────────────────────────────────────────────────────
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get((Seq(root) ++ namespace.toSeq).mkString("/")))
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get((Seq(root) ++ namespace.toSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graftkv namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(d)) false
+    else if (!cascade && Files.list(d).iterator().hasNext) {
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    } else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(d); true
+    }
+  }
+}

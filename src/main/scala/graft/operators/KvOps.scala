@@ -107,6 +107,15 @@ object KvOps {
         .select("o_orderkey", "c_name").orderBy("o_orderkey")
     },
 
+    // metadata-only aggregation: COUNT/MIN/MAX answered from segment
+    // sidecars via SupportsPushDownAggregates (coprocessor parity, R11)
+    QuerySpec.checked("kv9_metadata_agg",
+      """SELECT count(*) AS cnt, min(l_orderkey) AS min_k, max(l_orderkey) AS max_k
+        |FROM lineitem""") { (s, d) =>
+      lineitemKv(s, d).agg(count(lit(1)).as("cnt"),
+        min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
+    },
+
     // IN-list point-set lookup (reference point-get batching, R12)
     QuerySpec.checked("kv8_in_list_points",
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -72,6 +72,8 @@ object SegmentFile {
     names.toSeq.map(readMeta(dir, _))
   }
 
+  def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty
+
   /** Iterate a segment's records in key order. */
   final class Reader(dir: String, file: String) extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
     private val in = new DataInputStream(new BufferedInputStream(

@@ -46,6 +46,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("isFinalPlan=true") && plan.contains("*("), plan.take(1500))
   }
 
+  test("kv COUNT/MIN/MAX is answered from segment metadata (agg pushdown)") {
+    val df = SparkEntry.queries("kv9_metadata_agg")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      df.queryExecution.executedPlan.toString.take(1500))
+    val row = df.head()
+    assert(row.getLong(0) == 6000L && row.getLong(1) == 0L)
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()
