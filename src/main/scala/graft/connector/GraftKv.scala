@@ -112,12 +112,13 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
   private var limit: Int = -1
   private var aggPushed: Option[Seq[KvAgg]] = None
 
-  /** Keep filters that constrain the leading key column for pruning/seek;
-    * everything is returned as residual so Spark re-evaluates (pushdown
-    * here is an I/O optimization, never a correctness dependency —
-    * reference ScanPredClassifier splits the same way). */
+  /** Record every filter for planning-time pruning (the critical-point
+    * module evaluates whole trees three-valued), but return them all as
+    * residual so Spark re-evaluates — pushdown here is an I/O
+    * optimization, never a correctness dependency (reference
+    * ScanPredClassifier splits the same way). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(KeyRange.constrains(_, keys.head))
+    pushed = filters
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -225,20 +226,53 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")})"
 
   private lazy val codec = RowCodec(schema, keys)
-  private lazy val range = KeyRange.fromFilters(pushed, codec.keyFields.head.dataType, keys.head)
 
+  /** Qualified leading-dimension ranges (critical-point algebra) for
+    * in-segment seek and early stop. */
+  private lazy val leadRanges = graft.pruning.CriticalPoints.MultiRange(
+    graft.pruning.CriticalPoints.qualifiedRanges(
+      pushed.toSeq, keys.head, codec.keyFields.head.dataType),
+    codec.keyFields.head.dataType)
+
+  /** Two complementary segment prunes (reference HBaseCriticalPoint):
+    *  1. the qualified critical-point ranges of the leading dimension
+    *     must intersect the segment's leading span (catches disjunctive
+    *     gaps, IN-lists, and globally unsatisfiable predicates);
+    *  2. three-valued evaluation of the whole predicate over the
+    *     segment's multi-dimensional key bounds (descends while leading
+    *     dims are pinned to a point) must not prove False. */
   override def planInputPartitions(): Array[InputPartition] = {
+    import graft.pruning.TriEval
     val segs = SegmentFile.listSegments(path)
-    // region pruning on the leading key dimension: keep segments whose
-    // [min,max] leading value intersects the conjunctive filter range
-    val survivors = segs.filter { m =>
-      range.intersects(codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey))
-    }
+    val survivors =
+      if (pushed.isEmpty) segs
+      else {
+        val conj = pushed.reduce(org.apache.spark.sql.sources.And(_, _))
+        segs.filter { m =>
+          leadRanges.intersects(
+            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) && {
+          val mins = codec.decodeKeyNormalized(m.minKey)
+          val maxs = codec.decodeKeyNormalized(m.maxKey)
+          var bound = Map.empty[String, TriEval.Binding]
+          var i = 0
+          var pinned = true
+          while (i < keys.length && pinned) {
+            val dt = codec.keyFields(i).dataType
+            val cmp = TriEval.comparator(dt)
+            bound += keys(i) -> TriEval.Binding(dt,
+              TriEval.ValueRange(Some(mins(i)), loInc = true, Some(maxs(i)), hiInc = true))
+            pinned = cmp(mins(i), maxs(i)) == 0
+            i += 1
+          }
+          TriEval.eval(conj, bound) != TriEval.False
+          }
+        }
+      }
     survivors.map(m => GraftKvInputPartition(path, m.file, m.count): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, range, limit)
+    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges, limit)
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
@@ -256,21 +290,23 @@ final case class GraftKvInputPartition(dir: String, file: String, count: Long)
     extends InputPartition
 
 class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
-    projection: Seq[String], range: KeyRange, limit: Int)
-    extends PartitionReaderFactory {
+    projection: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
+    limit: Int) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftKvInputPartition]
-    new GraftKvPartitionReader(p, schema, keys, projection, range, limit)
+    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit)
   }
 }
 
-/** Streams a segment, skipping records outside the leading-key range
-  * (reference skip-scan/point-get analog, HBaseSQLReaderRDD.scala:248-373)
-  * and stopping early once past the upper bound — sound because segment
-  * records are in composite-key order. */
+/** Streams a segment, skipping records whose leading key falls in a
+  * disqualified critical-point gap (reference skip-scan/point-get
+  * analog, HBaseSQLReaderRDD.scala:248-373 + HBaseCustomFilter seek
+  * hints) and stopping once past the last qualified range — sound
+  * because segment records are in composite-key order. */
 class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
-    keys: Seq[String], projection: Seq[String], range: KeyRange, limit: Int)
+    keys: Seq[String], projection: Seq[String],
+    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int)
     extends PartitionReader[InternalRow] {
 
   private val codec = RowCodec(schema, keys)
@@ -284,13 +320,13 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     while (reader.hasNext) {
       val (k, v) = reader.next()
       val lead = codec.leadingKeyValue(k)
-      if (range.above(lead)) { reader.close(); return false } // early stop
-      if (range.contains(lead)) {
+      if (ranges.pastAll(lead)) { reader.close(); return false } // early stop
+      if (ranges.contains(lead)) {
         current = project(codec.decodeKey(k), codec.decodeValue(v))
         emitted += 1
         return true
       }
-      // below/outside range: seek forward
+      // inside a disqualified gap: seek forward
     }
     false
   }

@@ -170,4 +170,12 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     case s: UTF8String => s.toString
     case v => v
   }
+
+  /** All key-column values with strings in external form (for the
+    * pruning module's value-domain comparisons). */
+  def decodeKeyNormalized(keyBytes: Array[Byte]): Array[Any] =
+    decodeKey(keyBytes).map {
+      case s: UTF8String => s.toString
+      case v => v
+    }
 }

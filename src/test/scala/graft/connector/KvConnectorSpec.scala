@@ -72,6 +72,21 @@ class KvConnectorSpec extends AnyFunSuite {
     // and the pruned query still returns the right row
     val row = KvCommands.table(spark, path).filter(col("k") === 5000L).collect()
     assert(row.length == 1 && row.head.getLong(1) == 10000L)
+
+    // IN-list: only segments containing one of the points survive
+    val inPruned = new GraftKvScan(path, schema, Seq("k"), schema,
+      Array(org.apache.spark.sql.sources.In("k", Array(5L, 9990L))), -1)
+      .planInputPartitions().length
+    assert(inPruned == 2, s"IN-list should prune to 2 segments, got $inPruned/$all")
+    // unsatisfiable conjunction prunes everything
+    val none = new GraftKvScan(path, schema, Seq("k"), schema,
+      Array(org.apache.spark.sql.sources.LessThan("k", 8L),
+        org.apache.spark.sql.sources.GreaterThan("k", 8L)), -1)
+      .planInputPartitions().length
+    assert(none == 0, s"contradiction should prune all segments, got $none")
+    val inRows = KvCommands.table(spark, path)
+      .filter(col("k").isin(5L, 9990L)).collect().map(_.getLong(0)).sorted
+    assert(inRows.toSeq == Seq(5L, 9990L))
   }
 
   test("append adds rows; overwrite replaces them") {
