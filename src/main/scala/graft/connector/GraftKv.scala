@@ -218,12 +218,22 @@ final case class KvAggPartition(count: Long, minLead: Any, maxLead: Any)
 
 class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     required: StructType, pushed: Array[Filter], limit: Int)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")})"
+
+  /** Segments are sorted by the composite key, so each partition's rows
+    * arrive ordered by the key prefix that survived column pruning —
+    * Catalyst elides the corresponding SortExec (reference R9:
+    * HBaseSQLTableScan declares RangePartitioning over key columns). */
+  override def outputOrdering(): Array[SortOrder] =
+    keys.takeWhile(required.fieldNames.contains)
+      .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))
+      .toArray
 
   private lazy val codec = RowCodec(schema, keys)
 

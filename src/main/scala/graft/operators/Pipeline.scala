@@ -134,6 +134,13 @@ object PipelineOps {
       Similarity.annTopK(emb, q, k = 10, dim = q.length, probe = 5)
     },
 
+    QuerySpec.rowsOnly("ann4_ivf_topk") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(emb, q, k = 10, nCentroids = 16, nProbe = 4)
+    },
+
     QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>
       Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), dim = 64,
         threshold = 0.5, nPlanes = 8).orderBy("vec_a", "vec_b")

@@ -251,6 +251,20 @@ object Relational {
         .select("c_custkey").orderBy("c_custkey")
     },
 
+    // skew-safe salted join — must be indistinguishable from the plain
+    // join (the oracle IS the plain join), while spreading hot keys over
+    // nSalts shuffle partitions
+    QuerySpec.checked("j11_salted_join",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""") { (s, d) =>
+      Scale.saltedJoin(
+        t(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        t(s, d, "orders"), key = "o_orderkey", nSalts = 8)
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+    },
+
     // ── §2.4 aggregates ───────────────────────────────────────────────────
     QuerySpec.checked("a1_groupby_count",
       """SELECT l_orderkey, count(1) AS cnt FROM lineitem

@@ -54,6 +54,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(row.getLong(0) == 6000L && row.getLong(1) == 0L)
   }
 
+  test("kv scan reports key ordering so partition-local sorts are elided") {
+    // ensure fixture exists
+    SparkEntry.queries("kv1_scan_count")(spark, sf).collect()
+    val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
+    val df = graft.connector.KvCommands.table(spark, kvPath)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Sort "),
+      df.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join, for inner and left joins") {
+    val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "v")
+    val dim = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "name")
+
+    val plainInner = fact.join(dim, Seq("k"), "inner")
+      .collect().map(_.toSeq).toSet
+    val saltedInner = Scale.saltedJoin(fact, dim, "k", nSalts = 4)
+      .collect().map(_.toSeq).toSet
+    assert(saltedInner == plainInner)
+
+    val plainLeft = fact.join(dim, Seq("k"), "left")
+      .collect().map(_.toSeq).toSet
+    val saltedLeft = Scale.saltedJoin(fact, dim, "k", nSalts = 4, joinType = "left")
+      .collect().map(_.toSeq).toSet
+    assert(saltedLeft == plainLeft)
+  }
+
+  test("saltedJoin actually spreads a hot key over multiple salts") {
+    val fact = spark.range(1000).select(lit(42L).as("k"), col("id").as("v"))
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col("k"), col("v")), lit(8)).cast("int"))
+    assert(salted.select("__salt").distinct().count() == 8)
+  }
+
+  test("coLocate range-partitions and sorts within partitions") {
+    val df = Scale.coLocate(
+      graft.Tables.table(spark, TestSpark.sf, "orders"), "o_orderkey", 4)
+    assert(df.rdd.getNumPartitions == 4)
+    val ordered = df.mapPartitions { it =>
+      val ks = it.map(_.getAs[Long]("o_orderkey")).toSeq
+      Iterator.single(ks == ks.sorted)
+    }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(ordered.forall(identity))
+  }
+}

@@ -52,6 +52,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("ivfTopK probing every cell equals brute force; fewer cells is a subset search") {
+    val emb = graft.Tables.table(spark, graft.TestSpark.sf, "embeddings")
+      .limit(100).cache()
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5).collect().map(_.getAs[Long]("vec_id"))
+    val full = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(full.toSeq == bf.toSeq)
+    // partial probe returns vectors only from probed cells (k results, ranked)
+    val part = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nProbe = 2).collect()
+    assert(part.length == 5)
+    assert(part.map(_.getAs[Double]("sim")).toSeq.reverse.sorted.reverse ==
+      part.map(_.getAs[Double]("sim")).toSeq)
+  }
+
   test("matches corpus embeddings against an in-test oracle") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
     val rows = emb.collect().map(r =>
