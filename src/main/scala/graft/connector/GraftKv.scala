@@ -321,7 +321,14 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
 
   private val codec = RowCodec(schema, keys)
   private val project = codec.projector(projection)
-  private val reader = new SegmentFile.Reader(p.dir, p.file)
+  // seek: start at the sparse-index floor of the first qualified range's
+  // lower bound instead of the segment head (point-get parity, R12)
+  private val startOffset: Long = ranges.ranges.headOption.flatMap(_.lo) match {
+    case Some(lo) => SegmentFile.floorOffset(
+      SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")), codec.encodeLeading(lo))
+    case None => 0L
+  }
+  private val reader = new SegmentFile.Reader(p.dir, p.file, startOffset)
   private var current: InternalRow = _
   private var emitted = 0L
 

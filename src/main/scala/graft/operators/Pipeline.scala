@@ -160,6 +160,16 @@ object PipelineOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    // JSON column access (events.props is a JSON string)
+    QuerySpec.checked("ev3_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""") { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
     // ── events: windowed aggregation (batch form of the streaming op) ────
     QuerySpec.checked("ev1_tumbling_window",
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, event_type,

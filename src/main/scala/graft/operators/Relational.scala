@@ -561,6 +561,31 @@ object Relational {
         .limit(5)
     },
 
+    // generator / UDTF surface (§2.10): explode = LATERAL VIEW / unnest
+    QuerySpec.checked("x1_explode",
+      """SELECT n_nationkey, unnest(string_split(n_name, '_')) AS part
+        |FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey, part""") { (s, d) =>
+      t(s, d, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey"), explode(split(col("n_name"), "_")).as("part"))
+        .orderBy("n_nationkey", "part")
+    },
+
+    QuerySpec.checked("x2_scalar_subquery",
+      """SELECT o_orderkey, (SELECT max(o_totalprice) FROM orders) AS mx
+        |FROM orders ORDER BY o_orderkey LIMIT 5""") { (s, d) =>
+      val o = t(s, d, "orders")
+      val mx = o.agg(max(col("o_totalprice")).as("mx"))
+      o.orderBy("o_orderkey").limit(5).select("o_orderkey")
+        .crossJoin(broadcast(mx))
+    },
+
+    // partition-local sort (reference T2 SORT BY) — order depends on the
+    // partitioning, so no cross-engine oracle; pinned by plan/count only
+    QuerySpec.rowsOnly("t5_sort_within_partitions") { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .sortWithinPartitions("o_orderkey")
+    },
+
     // ── §2.5 windows (engine capability beyond reference parity) ─────────
     QuerySpec.checked("w1_row_number",
       """SELECT o_orderkey,

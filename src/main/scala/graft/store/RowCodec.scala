@@ -171,6 +171,11 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     case v => v
   }
 
+  /** Encode a leading-key-column value (external form) to its
+    * order-preserving byte prefix, for sparse-index seeks. */
+  def encodeLeading(v: Any): Array[Byte] =
+    encodeKeyField(keyFields.head.dataType, v)
+
   /** All key-column values with strings in external form (for the
     * pruning module's value-domain comparisons). */
   def decodeKeyNormalized(keyBytes: Array[Byte]): Array[Any] =

@@ -14,28 +14,38 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SegmentFile {
 
+  /** Sidecar metadata: key range, count, size, and a sparse index of
+    * (key, byteOffset) every `indexEvery` records — the binary-searchable
+    * entry points a point lookup seeks to instead of scanning from the
+    * segment head (reference point-get batching / seek hints,
+    * HBaseSQLReaderRDD.scala:268-315, HBaseCustomFilter seek logic). */
   final case class Meta(file: String, minKey: Array[Byte], maxKey: Array[Byte],
-      count: Long, sizeBytes: Long)
+      count: Long, sizeBytes: Long,
+      index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty)
 
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
 
   /** Streaming writer; caller must feed records in key order. */
-  final class Writer(dir: String, name: String) {
+  final class Writer(dir: String, name: String, indexEvery: Int = 256) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
     private var minKey: Array[Byte] = _
     private var lastKey: Array[Byte] = _
     private var count = 0L
+    private var bytes = 0L
+    private val index = IndexedSeq.newBuilder[(Array[Byte], Long)]
 
     def write(key: Array[Byte], value: Array[Byte]): Unit = {
       if (minKey == null) minKey = key
       else require(OrderedCodec.compare(lastKey, key) <= 0,
         s"segment $name: keys out of order")
       lastKey = key
+      if (count > 0 && count % indexEvery == 0) index += ((key, bytes))
       out.writeInt(key.length); out.write(key)
       out.writeInt(value.length); out.write(value)
+      bytes += 8L + key.length + value.length
       count += 1
     }
 
@@ -44,11 +54,16 @@ object SegmentFile {
     def close(): Meta = {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
-      val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg))
+      val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
+        index.result())
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
       mo.writeInt(m.minKey.length); mo.write(m.minKey)
       mo.writeInt(m.maxKey.length); mo.write(m.maxKey)
       mo.writeLong(m.count); mo.writeLong(m.sizeBytes)
+      mo.writeInt(m.index.length)
+      m.index.foreach { case (k, off) =>
+        mo.writeInt(k.length); mo.write(k); mo.writeLong(off)
+      }
       mo.close()
       m
     }
@@ -60,7 +75,16 @@ object SegmentFile {
     try {
       val min = new Array[Byte](in.readInt()); in.readFully(min)
       val max = new Array[Byte](in.readInt()); in.readFully(max)
-      Meta(s"$name.kv", min, max, in.readLong(), in.readLong())
+      val count = in.readLong(); val size = in.readLong()
+      // sparse index (absent in pre-index sidecars → seekless reads)
+      val idx = try {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val k = new Array[Byte](in.readInt()); in.readFully(k)
+          (k, in.readLong())
+        }
+      } catch { case _: EOFException => IndexedSeq.empty }
+      Meta(s"$name.kv", min, max, count, size, idx)
     } finally in.close()
   }
 
@@ -74,10 +98,28 @@ object SegmentFile {
 
   def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty
 
-  /** Iterate a segment's records in key order. */
-  final class Reader(dir: String, file: String) extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
+  /** Greatest sparse-index offset whose key is strictly below `keyPrefix`
+    * (unsigned-lexicographic) — a safe seek start for any scan whose
+    * lower bound encodes to `keyPrefix`, because records before it are
+    * all ≤ that index key. */
+  def floorOffset(meta: Meta, keyPrefix: Array[Byte]): Long = {
+    var best = 0L
+    var i = 0
+    while (i < meta.index.length &&
+      OrderedCodec.compare(meta.index(i)._1, keyPrefix) < 0) {
+      best = meta.index(i)._2
+      i += 1
+    }
+    best
+  }
+
+  /** Iterate a segment's records in key order, optionally starting at a
+    * byte offset taken from the sparse index. */
+  final class Reader(dir: String, file: String, startOffset: Long = 0L)
+      extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
     private val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(Paths.get(dir, file)), 1 << 16))
+    if (startOffset > 0) in.skipNBytes(startOffset)
     private var nextRec: (Array[Byte], Array[Byte]) = _
     private var eof = false
     advance()

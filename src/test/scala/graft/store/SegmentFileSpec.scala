@@ -1,0 +1,48 @@
+package graft.store
+
+import graft.codec.OrderedCodec
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class SegmentFileSpec extends AnyFunSuite {
+
+  test("sparse index gives bounded seeks: a high lower bound skips most records") {
+    val dir = Files.createTempDirectory("segidx").toString
+    val w = new SegmentFile.Writer(dir, "s0", indexEvery = 100)
+    (0 until 10000).foreach { i =>
+      w.write(OrderedCodec.encodeLong(i.toLong), Array[Byte](1, 2, 3))
+    }
+    val meta = w.close()
+    assert(meta.index.length == 99)
+
+    val roundTrip = SegmentFile.readMeta(dir, "s0")
+    assert(roundTrip.index.length == 99)
+    assert(roundTrip.count == 10000)
+
+    val off = SegmentFile.floorOffset(roundTrip, OrderedCodec.encodeLong(9000L))
+    assert(off > 0)
+
+    val r = new SegmentFile.Reader(dir, "s0.kv", off)
+    val keys = r.map { case (k, _) => OrderedCodec.decodeLong(k) }.toVector
+    // bounded: we land at most one index stride before the bound
+    assert(keys.length <= 1100, s"read ${keys.length} records from offset")
+    assert(keys.head <= 9000L && keys.contains(9000L) && keys.last == 9999L)
+  }
+
+  test("floor offset never lands past the bound (strictly-below semantics)") {
+    val dir = Files.createTempDirectory("segidx2").toString
+    val w = new SegmentFile.Writer(dir, "s1", indexEvery = 10)
+    // duplicate keys around boundaries exercise the ≤/＜ edge
+    (0 until 1000).foreach { i =>
+      w.write(OrderedCodec.encodeLong((i / 3).toLong), Array[Byte](0))
+    }
+    val meta = w.close()
+    for (bound <- Seq(0L, 1L, 50L, 333L)) {
+      val off = SegmentFile.floorOffset(meta, OrderedCodec.encodeLong(bound))
+      val r = new SegmentFile.Reader(dir, "s1.kv", off)
+      val first = OrderedCodec.decodeLong(r.next()._1)
+      r.close()
+      assert(first <= bound, s"bound $bound: first visible key $first")
+    }
+  }
+}
