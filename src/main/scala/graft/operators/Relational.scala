@@ -561,6 +561,43 @@ object Relational {
         .limit(5)
     },
 
+    QuerySpec.checked("f15_string_funcs",
+      """SELECT trim(c_mktsegment) AS t, replace(c_name, 'Customer', 'C') AS rp,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS lp,
+        |  CAST(strpos(c_name, '#') AS INTEGER) AS ip,
+        |  reverse(c_mktsegment) AS rv
+        |FROM customer ORDER BY c_custkey LIMIT 5""") { (s, d) =>
+      t(s, d, "customer").orderBy("c_custkey")
+        .select(trim(col("c_mktsegment")).as("t"),
+          regexp_replace(col("c_name"), "Customer", "C").as("rp"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("lp"),
+          instr(col("c_name"), "#").as("ip"),
+          reverse(col("c_mktsegment")).as("rv"))
+        .limit(5)
+    },
+
+    // sqrt is IEEE-correctly-rounded (identical across engines); ln/exp
+    // are probed at exact points only — libm implementations may differ
+    // in the last ulp elsewhere, and round() differs on .5 ties
+    QuerySpec.checked("f16_math_funcs",
+      """SELECT CAST(sqrt(o_totalprice) AS DOUBLE) AS sq,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS f,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS c,
+        |  CAST(pow(o_orderkey, 2) AS DOUBLE) AS p,
+        |  o_orderkey % 7 AS m, CAST(exp(0) AS DOUBLE) AS e,
+        |  CAST(ln(1) AS DOUBLE) AS l
+        |FROM orders ORDER BY o_orderkey LIMIT 5""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey")
+        .select(sqrt(col("o_totalprice")).as("sq"),
+          floor(col("o_totalprice")).as("f"),
+          ceil(col("o_totalprice")).as("c"),
+          pow(col("o_orderkey"), 2).as("p"),
+          (col("o_orderkey") % 7).as("m"),
+          exp(lit(0)).as("e"),
+          log(lit(1.0)).as("l"))
+        .limit(5)
+    },
+
     // generator / UDTF surface (§2.10): explode = LATERAL VIEW / unnest
     QuerySpec.checked("x1_explode",
       """SELECT n_nationkey, unnest(string_split(n_name, '_')) AS part
