@@ -42,19 +42,21 @@ object Dedup {
 
   // ── MinHash + LSH ───────────────────────────────────────────────────────
 
-  /** k-permutation MinHash signature per document over word shingles.
-    * sig[i] = min over shingles of xxhash64(shingleHash, i) — re-hashing
-    * instead of (a*h+b) keeps Long arithmetic inside ANSI mode (Spark 4
-    * default) without overflow errors, and is just as uniform. */
+  /** k-permutation MinHash signature per document over word shingles:
+    * sig[i] = min over shingles of rehash(shingleHash, i).
+    *
+    * Map-only (no explode, no groupBy): at corpus scale the naive
+    * explode-then-min shuffles |docs|×|shingles| rows, while this is one
+    * pass per row — the first shuffle of the dedup pipeline is the
+    * short-key LSH band join. The kernel is a native Catalyst
+    * expression ([[graft.functions.MinHashSignature]]) because the
+    * equivalent higher-order-function algebra runs interpreted, k ×
+    * |shingles| lambda calls per row. */
   def minhashSignatures(docs: DataFrame, k: Int = 64, shingle: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextFunctions.wordShingles(col(textCol), shingle)).as("sh"))
-      .select(col(idCol), xxhash64(col("sh")).as("h"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m_$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.MinHashSignature.minhash_signature(
+        TextFunctions.wordShingles(col(textCol), shingle), k).as("sig"))
 
   /** Banded-LSH candidate pairs: signatures agree on at least one of
     * `bands` bands (band width = sigLen/bands). Join key is
@@ -102,18 +104,23 @@ object Dedup {
 
   // ── SimHash ─────────────────────────────────────────────────────────────
 
-  /** 64-bit SimHash per document over whitespace tokens. */
+  /** 64-bit SimHash per document over whitespace tokens. Single-pass
+    * per-row fold: the bit-sum vector accumulates through one
+    * `aggregate` over the token hashes (map-only, no explode/groupBy
+    * shuffle — same rationale as [[minhashSignatures]]). */
   def simhash64(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
-    }
-    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val bitsOf = (h: Column) => transform(masks,
+      m => when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+    docs
+      .withColumn("__th", transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn("__bitsums", aggregate(col("__th"),
+        array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
       .select(col(idCol),
-        (0 until 64).map(j => when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until 64).map(j =>
+          when(element_at(col("__bitsums"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
