@@ -36,6 +36,13 @@ object KvOps {
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
 
+  /** 3-part composite PK (reference teacher-table analog, FIXTURES §1.3):
+    * (user_id, event_type, event_id) exercises multi-dimensional keys
+    * with a string middle dimension. */
+  private def eventsKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "events",
+      Seq("user_id", "event_type", "event_id")))
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec.checked("kv1_scan_count",
@@ -114,6 +121,23 @@ object KvOps {
         |FROM lineitem""") { (s, d) =>
       lineitemKv(s, d).agg(count(lit(1)).as("cnt"),
         min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
+    },
+
+    // multi-dimensional composite PK: filter pins the leading dim and
+    // constrains the string second dim → deep-dimension pruning +
+    // shuffle-free-adjacent aggregation on the key prefix
+    QuerySpec.checked("kv10_multidim_key",
+      """SELECT user_id, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id = 7 AND event_type >= 'p'
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""") { (s, d) =>
+      eventsKv(s, d)
+        .filter(col("user_id") === 7 && col("event_type") >= "p")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy("user_id", "event_type")
     },
 
     // IN-list point-set lookup (reference point-get batching, R12)

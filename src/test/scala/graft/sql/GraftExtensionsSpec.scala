@@ -1,0 +1,38 @@
+package graft.sql
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftExtensions.register(s); s }
+
+  test("rolling_hash is callable from SQL and matches the Column API") {
+    graft.Tables.table(spark, TestSpark.sf, "documents").createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, rolling_hash(text, 16) AS h FROM docs_v ORDER BY doc_id LIMIT 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = graft.Tables.table(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(
+          org.apache.spark.sql.functions.col("text"), 16).as("h"))
+      .orderBy("doc_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("minhash_signature is callable from SQL with default and explicit k") {
+    val rows = spark.sql(
+      """SELECT minhash_signature(array('a b c', 'b c d'), 8) AS sig,
+        |       minhash_signature(array('a b c', 'b c d')) AS sig64""".stripMargin)
+      .head()
+    assert(rows.getSeq[Long](0).length == 8)
+    assert(rows.getSeq[Long](1).length == 64)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('x'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("minhash"))
+  }
+}
