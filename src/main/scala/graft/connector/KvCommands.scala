@@ -71,4 +71,16 @@ object KvCommands {
   /** Region (segment) inventory: file, rows, bytes — SHOW-style metadata. */
   def segments(path: String): Seq[(String, Long, Long)] =
     SegmentFile.listSegments(path).map(m => (m.file, m.count, m.sizeBytes))
+
+  /** Compaction: appends create key-overlapping segments (pruning still
+    * correct, but a point lookup may touch several runs); rewriting the
+    * table through the ordered write path restores disjoint sorted
+    * segments — the major-compaction analog of an LSM/region store.
+    * Safe in one step: new segments get fresh names and the overwrite
+    * commit deletes the old files only after every task finished. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val keys = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))._2
+    createTable(table(spark, path), path, keys)
+  }
 }

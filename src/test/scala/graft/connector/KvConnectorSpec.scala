@@ -99,6 +99,30 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getLong(0) == 9L)
   }
 
+  test("compaction merges overlapping appended segments, preserving data") {
+    val path = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 100, 2).select(col("id").as("k"), lit("even").as("v")),
+      path, Seq("k"))
+    KvCommands.append(
+      spark.range(1, 100, 2).select(col("id").as("k"), lit("odd").as("v")), path)
+    val before = SegmentFile.listSegments(path)
+    // appended runs overlap the original key range
+    assert(before.size >= 2)
+    KvCommands.compact(spark, path)
+    val after = SegmentFile.listSegments(path)
+    val sorted = after.sortWith((a, b) =>
+      graft.codec.OrderedCodec.compare(a.minKey, b.minKey) < 0)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(graft.codec.OrderedCodec.compare(a.maxKey, b.minKey) <= 0)
+      case _ => ()
+    }
+    assert(after.map(_.count).sum == 100)
+    assert(KvCommands.table(spark, path).count() == 100)
+    assert(KvCommands.table(spark, path).filter(col("k") === 41).head().getString(1) == "odd")
+  }
+
   test("bulk load from CSV goes through the sorted-segment pipeline") {
     val dir = Files.createTempDirectory("graftkv_csv")
     val csv = dir.resolve("data.csv")
