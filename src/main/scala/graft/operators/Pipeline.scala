@@ -160,6 +160,17 @@ object PipelineOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    // BPE-ish subword counting (alnum runs + isolated symbols)
+    QuerySpec.checked("tx7_subword_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subwords
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     // JSON column access (events.props is a JSON string)
     QuerySpec.checked("ev3_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
