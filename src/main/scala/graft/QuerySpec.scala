@@ -25,6 +25,17 @@ object QuerySpec {
       build: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, Some(oracle.stripMargin.trim), build)
 
+  /** Order-independent, engine-exact double sum: route through
+    * DECIMAL(38,6) so the result is bit-identical across engines and
+    * partitionings. Single definition — the precision is a correctness
+    * contract with the oracle SQL, never restate it inline. */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double")
+
+  def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dsum(c) / org.apache.spark.sql.functions.count(c)
+
   /** Operator whose semantics are not ANSI-SQL-expressible (driver records
     * a rows-only check; a ScalaTest spec pins the semantics instead). */
   def rowsOnly(name: String)(

@@ -98,6 +98,8 @@ object OrderedCodec {
   // UTF-8 itself is lexicographic-order-preserving for codepoints.
 
   def encodeString(v: String): Array[Byte] = {
+    require(v.indexOf('\u0000') < 0,
+      "string key values may not contain NUL (reserved as key terminator)")
     val utf = v.getBytes(StandardCharsets.UTF_8)
     val out = new Array[Byte](utf.length + 1)
     System.arraycopy(utf, 0, out, 0, utf.length)

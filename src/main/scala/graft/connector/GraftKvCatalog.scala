@@ -46,15 +46,21 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): String =
     (Seq(root) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
 
+  /** Files.list holds an open directory stream — always close it. */
+  private def withDirListing[A](p: java.nio.file.Path)(
+      f: Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   // ── tables ─────────────────────────────────────────────────────────────
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    Files.list(d).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_graft_meta.json")))
+    withDirListing(d)(_.filter(p => Files.exists(p.resolve("_graft_meta.json")))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -118,9 +124,8 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   // ── namespaces ─────────────────────────────────────────────────────────
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(Paths.get(root)).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
+    withDirListing(Paths.get(root))(_.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -144,11 +149,11 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(d)) false
-    else if (!cascade && Files.list(d).iterator().hasNext) {
+    else if (!cascade && withDirListing(d)(_.hasNext)) {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     } else {
       def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+        if (Files.isDirectory(p)) withDirListing(p)(_.toSeq).foreach(rm)
         Files.deleteIfExists(p)
       }
       rm(d); true

@@ -86,8 +86,7 @@ object KvOps {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       lineitemKv(s, d).groupBy("l_returnflag")
-        .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-          .cast("double").as("sum_qty"),
+        .agg(graft.QuerySpec.dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     },
@@ -135,8 +134,7 @@ object KvOps {
         .filter(col("user_id") === 7 && col("event_type") >= "p")
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .cast("double").as("sum_value"))
+          graft.QuerySpec.dsum(col("value")).as("sum_value"))
         .orderBy("user_id", "event_type")
     },
 

@@ -191,8 +191,7 @@ object PipelineOps {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-            .cast("double").as("sum_value"))
+          graft.QuerySpec.dsum(col("value")).as("sum_value"))
         .orderBy("ws", "event_type")
     },
 

@@ -22,11 +22,9 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Order-independent, engine-exact double sum: route through
-    * DECIMAL(38,6). Matches oracle `CAST(sum(CAST(x AS DECIMAL(38,6))) AS
-    * DOUBLE)` bit-for-bit regardless of partitioning / add order. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
-  private def davg(c: Column): Column = dsum(c) / count(c)
+  // engine-exact double aggregation (see QuerySpec.dsum contract)
+  private def dsum(c: Column): Column = QuerySpec.dsum(c)
+  private def davg(c: Column): Column = QuerySpec.davg(c)
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -18,6 +18,11 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       nSalts: Int = 8, joinType: String = "inner",
       saltBy: Seq[String] = Nil): DataFrame = {
+    // right/full outer would emit nSalts copies of unmatched dim rows
+    // (the dim side is replicated) — only fact-preserving joins are sound
+    require(Set("inner", "left", "leftouter", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltCols: Seq[Column] =
       (key +: (if (saltBy.nonEmpty) saltBy else fact.columns.toSeq.filterNot(_ == key)))
         .map(col)

@@ -64,6 +64,8 @@ object TriEval {
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     case (TimestampNTZType, dt0: java.time.LocalDateTime) =>
       dt0.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt0.getNano / 1000L
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+    case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
     case (_: StringType, s) => s.toString
     case (_, other) => other
   }
@@ -83,7 +85,13 @@ object TriEval {
       java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case BooleanType => (a, b) =>
       java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
-    case _ => (a, b) => a.toString.compareTo(b.toString)
+    // strings must compare in UTF-8 byte order (the store's key order and
+    // binary collation) — String.compareTo is UTF-16 code-unit order,
+    // which disagrees for supplementary-plane codepoints
+    case _ => (a, b) =>
+      graft.codec.OrderedCodec.compare(
+        a.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Bindings for the columns whose range is known (key dimensions of a

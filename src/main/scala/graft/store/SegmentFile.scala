@@ -69,7 +69,12 @@ object SegmentFile {
     }
   }
 
-  def readMeta(dir: String, name: String): Meta = {
+  /** Read a sidecar. `withIndex = false` skips deserializing the sparse
+    * index — planning (pruning/statistics) only needs min/max/count, and
+    * eagerly materializing O(rows/256) index entries for every segment on
+    * every query plan would not scale; only a partition reader seeking
+    * into its one segment pays for the index. */
+  def readMeta(dir: String, name: String, withIndex: Boolean = true): Meta = {
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name))))
     try {
@@ -77,7 +82,7 @@ object SegmentFile {
       val max = new Array[Byte](in.readInt()); in.readFully(max)
       val count = in.readLong(); val size = in.readLong()
       // sparse index (absent in pre-index sidecars → seekless reads)
-      val idx = try {
+      val idx = if (!withIndex) IndexedSeq.empty else try {
         val n = in.readInt()
         (0 until n).map { _ =>
           val k = new Array[Byte](in.readInt()); in.readFully(k)
@@ -88,12 +93,13 @@ object SegmentFile {
     } finally in.close()
   }
 
-  /** All segment metas under a table dir. */
+  /** All segment metas under a table dir (index not loaded — see
+    * readMeta). */
   def listSegments(dir: String): Seq[Meta] = {
     val d = new File(dir)
     val names = Option(d.list()).getOrElse(Array.empty[String])
       .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta")).sorted
-    names.toSeq.map(readMeta(dir, _))
+    names.toSeq.map(readMeta(dir, _, withIndex = false))
   }
 
   def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty
