@@ -260,7 +260,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         val conj = pushed.reduce(org.apache.spark.sql.sources.And(_, _))
         segs.filter { m =>
           leadRanges.intersects(
-            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) && {
+            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
+          bloomSurvives(m) && {
           val mins = codec.decodeKeyNormalized(m.minKey)
           val maxs = codec.decodeKeyNormalized(m.maxKey)
           var bound = Map.empty[String, TriEval.Binding]
@@ -279,6 +280,39 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         }
       }
     survivors.map(m => GraftKvInputPartition(path, m.file, m.count): InputPartition).toArray
+  }
+
+  /** Per-dimension Bloom pruning for point filters on non-leading key
+    * columns — the range metadata can't help there, but a top-level
+    * (conjunctive) EqualTo/In whose value is provably absent from the
+    * segment's dimension filter kills the segment. Or-nested predicates
+    * never reach here (they are a single conjunct, not matched). */
+  private def bloomSurvives(m: SegmentFile.Meta): Boolean = {
+    if (m.blooms.isEmpty) return true
+    import graft.pruning.TriEval
+    try {
+      var dim = 1
+      while (dim < keys.length) {
+        val bloom = m.blooms(dim - 1)
+        val dt = codec.keyFields(dim).dataType
+        val col = keys(dim)
+        pushed.foreach {
+          case EqualTo(a, v) if a == col && v != null =>
+            val nv = TriEval.normalize(dt, v)
+            if (nv != null && !bloom.mightContain(
+              SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv))))
+              return false
+          case In(a, vs) if a == col && vs.nonEmpty =>
+            val nvs = vs.toSeq.map(TriEval.normalize(dt, _)).filter(_ != null)
+            if (nvs.nonEmpty && !nvs.exists(nv => bloom.mightContain(
+              SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv)))))
+              return false
+          case _ => ()
+        }
+        dim += 1
+      }
+      true
+    } catch { case _: Exception => true } // unprovable → keep the segment
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -407,17 +441,30 @@ class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String])
 }
 
 /** Receives rows already range-partitioned and key-sorted (the Write's
-  * required distribution/ordering) and streams them into one segment. */
+  * required distribution/ordering) and streams them into one segment,
+  * populating per-dimension Bloom filters for the non-leading key
+  * columns as it goes. */
 class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
   private val codec = RowCodec(schema, keys)
   private val name = f"segment-$partitionId%05d-${UUID.randomUUID().toString.take(8)}"
-  private val writer = new SegmentFile.Writer(path, name)
+  private val nBloomDims = keys.length - 1
+  private val writer = new SegmentFile.Writer(path, name, nBlooms = nBloomDims)
+  private val bloomHashes =
+    if (nBloomDims > 0) new Array[Long](nBloomDims) else null
 
-  override def write(row: InternalRow): Unit =
-    writer.write(codec.encodeKey(row), codec.encodeValue(row))
+  override def write(row: InternalRow): Unit = {
+    if (bloomHashes != null) {
+      var i = 0
+      while (i < nBloomDims) {
+        bloomHashes(i) = SegmentFile.Bloom.hashBytes(codec.encodeKeyDim(row, i + 1))
+        i += 1
+      }
+    }
+    writer.write(codec.encodeKey(row), codec.encodeValue(row), bloomHashes)
+  }
 
   override def commit(): WriterCommitMessage = {
     val meta = writer.close()

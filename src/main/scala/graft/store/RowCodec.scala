@@ -176,6 +176,18 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
   def encodeLeading(v: Any): Array[Byte] =
     encodeKeyField(keyFields.head.dataType, v)
 
+  /** Encode one key dimension's value (external/normalized form) — used
+    * for per-dimension Bloom probes. */
+  def encodeDimValue(dim: Int, v: Any): Array[Byte] =
+    encodeKeyField(keyFields(dim).dataType, v)
+
+  /** Encode one key dimension straight from a full-schema row (writer's
+    * Bloom population path). */
+  def encodeKeyDim(row: InternalRow, dim: Int): Array[Byte] = {
+    val f = keyFields(dim)
+    encodeKeyField(f.dataType, row.get(keyOrdinals(dim), f.dataType))
+  }
+
   /** All key-column values with strings in external form (for the
     * pruning module's value-domain comparisons). */
   def decodeKeyNormalized(keyBytes: Array[Byte]): Array[Any] =

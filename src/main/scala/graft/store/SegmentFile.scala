@@ -14,20 +14,63 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SegmentFile {
 
-  /** Sidecar metadata: key range, count, size, and a sparse index of
-    * (key, byteOffset) every `indexEvery` records — the binary-searchable
-    * entry points a point lookup seeks to instead of scanning from the
-    * segment head (reference point-get batching / seek hints,
+  /** Sidecar metadata: key range, count, size, per-dimension Bloom
+    * filters over non-leading key columns (prunes segments for point
+    * filters that don't constrain the leading key — the range metadata
+    * can't help there), and a sparse index of (key, byteOffset) every
+    * `indexEvery` records — the binary-searchable entry points a point
+    * lookup seeks to instead of scanning from the segment head
+    * (reference point-get batching / seek hints,
     * HBaseSQLReaderRDD.scala:268-315, HBaseCustomFilter seek logic). */
   final case class Meta(file: String, minKey: Array[Byte], maxKey: Array[Byte],
       count: Long, sizeBytes: Long,
+      blooms: IndexedSeq[Bloom] = IndexedSeq.empty,
       index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty)
+
+  /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
+    * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
+    * dimension per segment; false positives only cost an unpruned scan. */
+  final case class Bloom(words: Array[Long]) {
+    def mightContain(h: Long): Boolean = {
+      val b1 = (h & 0x7fffffff) % (words.length * 64)
+      val b2 = ((h >>> 32) & 0x7fffffff) % (words.length * 64)
+      ((words(b1.toInt / 64) >>> (b1 % 64)) & 1L) == 1L &&
+        ((words(b2.toInt / 64) >>> (b2 % 64)) & 1L) == 1L
+    }
+  }
+  object Bloom {
+    val DefaultWords = 64 // 4096 bits
+
+    final class Builder(nWords: Int = DefaultWords) {
+      private val words = new Array[Long](nWords)
+      def add(h: Long): Unit = {
+        val b1 = (h & 0x7fffffff) % (nWords * 64)
+        val b2 = ((h >>> 32) & 0x7fffffff) % (nWords * 64)
+        words(b1.toInt / 64) |= 1L << (b1 % 64)
+        words(b2.toInt / 64) |= 1L << (b2 % 64)
+      }
+      def result(): Bloom = Bloom(words)
+    }
+
+    def hashBytes(b: Array[Byte]): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 911L)
+  }
+
+  /** New-format sidecar marker (legacy files start with a positive
+    * min-key length). */
+  private val FormatV2 = -2
 
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
 
-  /** Streaming writer; caller must feed records in key order. */
-  final class Writer(dir: String, name: String, indexEvery: Int = 256) {
+  /** Streaming writer; caller must feed records in key order. `nBlooms`
+    * is the number of per-dimension Bloom filters the caller will feed
+    * via the `bloomHashes` argument of write (one 64-bit hash per
+    * tracked dimension per record). */
+  final class Writer(dir: String, name: String, indexEvery: Int = 256,
+      nBlooms: Int = 0) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
@@ -36,13 +79,19 @@ object SegmentFile {
     private var count = 0L
     private var bytes = 0L
     private val index = IndexedSeq.newBuilder[(Array[Byte], Long)]
+    private val bloomBuilders = Array.fill(nBlooms)(new Bloom.Builder())
 
-    def write(key: Array[Byte], value: Array[Byte]): Unit = {
+    def write(key: Array[Byte], value: Array[Byte],
+        bloomHashes: Array[Long] = null): Unit = {
       if (minKey == null) minKey = key
       else require(OrderedCodec.compare(lastKey, key) <= 0,
         s"segment $name: keys out of order")
       lastKey = key
       if (count > 0 && count % indexEvery == 0) index += ((key, bytes))
+      if (bloomHashes != null) {
+        var i = 0
+        while (i < nBlooms) { bloomBuilders(i).add(bloomHashes(i)); i += 1 }
+      }
       out.writeInt(key.length); out.write(key)
       out.writeInt(value.length); out.write(value)
       bytes += 8L + key.length + value.length
@@ -55,11 +104,17 @@ object SegmentFile {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
-        index.result())
+        bloomBuilders.map(_.result()).toIndexedSeq, index.result())
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
+      mo.writeInt(FormatV2)
       mo.writeInt(m.minKey.length); mo.write(m.minKey)
       mo.writeInt(m.maxKey.length); mo.write(m.maxKey)
       mo.writeLong(m.count); mo.writeLong(m.sizeBytes)
+      mo.writeInt(m.blooms.length)
+      m.blooms.foreach { bl =>
+        mo.writeInt(bl.words.length)
+        bl.words.foreach(mo.writeLong)
+      }
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
         mo.writeInt(k.length); mo.write(k); mo.writeLong(off)
@@ -78,9 +133,20 @@ object SegmentFile {
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name))))
     try {
-      val min = new Array[Byte](in.readInt()); in.readFully(min)
+      val first = in.readInt()
+      val v2 = first == FormatV2
+      val minLen = if (v2) in.readInt() else first // legacy: first int IS minLen
+      val min = new Array[Byte](minLen); in.readFully(min)
       val max = new Array[Byte](in.readInt()); in.readFully(max)
       val count = in.readLong(); val size = in.readLong()
+      val blooms =
+        if (!v2) IndexedSeq.empty
+        else (0 until in.readInt()).map { _ =>
+          val words = new Array[Long](in.readInt())
+          var i = 0
+          while (i < words.length) { words(i) = in.readLong(); i += 1 }
+          Bloom(words)
+        }
       // sparse index (absent in pre-index sidecars → seekless reads)
       val idx = if (!withIndex) IndexedSeq.empty else try {
         val n = in.readInt()
@@ -89,7 +155,7 @@ object SegmentFile {
           (k, in.readLong())
         }
       } catch { case _: EOFException => IndexedSeq.empty }
-      Meta(s"$name.kv", min, max, count, size, idx)
+      Meta(s"$name.kv", min, max, count, size, blooms, idx)
     } finally in.close()
   }
 

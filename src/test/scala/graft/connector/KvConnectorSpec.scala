@@ -89,6 +89,33 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(inRows.toSeq == Seq(5L, 9990L))
   }
 
+  test("bloom filters prune segments for point filters on non-leading key dims") {
+    val path = tmpTable()
+    // k2 correlates with the k1 range, so each range-partitioned segment
+    // holds only 1-2 distinct k2 values — a bloom can prove absence
+    val df = spark.range(10000).select(col("id").as("k1"),
+      concat(lit("g"), (col("id") / 2500).cast("int")).as("k2"),
+      col("id").as("v"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.write.format("graftkv").option("key", "k1,k2").mode("overwrite").save(path)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val schema = GraftKvMeta.read(path).get._1
+    val all = new GraftKvScan(path, schema, Seq("k1", "k2"), schema,
+      Array.empty, -1).planInputPartitions().length
+    assert(all > 1)
+    val pruned = new GraftKvScan(path, schema, Seq("k1", "k2"), schema,
+      Array(org.apache.spark.sql.sources.EqualTo("k2", "g0")), -1)
+      .planInputPartitions().length
+    assert(pruned < all, s"bloom should prune: $pruned of $all segments")
+    // absent value prunes everything
+    val none = new GraftKvScan(path, schema, Seq("k1", "k2"), schema,
+      Array(org.apache.spark.sql.sources.EqualTo("k2", "nope")), -1)
+      .planInputPartitions().length
+    assert(none == 0, s"absent k2 value should prune all segments, got $none")
+    // and results stay correct through the full query path
+    assert(KvCommands.table(spark, path).filter(col("k2") === "g0").count() == 2500)
+  }
+
   test("append adds rows; overwrite replaces them") {
     val path = tmpTable()
     KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
