@@ -114,6 +114,28 @@ object OrderedCodec {
     (new String(b, off, end - off, StandardCharsets.UTF_8), end - off + 1)
   }
 
+  /** Compare two Strings in UTF-8 byte order without encoding them
+    * (UTF-16 code-unit order disagrees for supplementary-plane
+    * codepoints: surrogates sort below [U+E000, U+FFFF] in UTF-16 but
+    * above them in UTF-8/codepoint order — remap both ranges before
+    * comparing). Allocation-free: runs in the per-record seek path. */
+  def compareUtf8(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca < 0xd800 || cb < 0xd800) return ca - cb
+        val xa = if (ca >= 0xe000) ca - 0x800 else ca + 0x2000
+        val xb = if (cb >= 0xe000) cb - 0x800 else cb + 0x2000
+        return xa - xb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
   // ── unsigned byte-array comparison (the store's key order) ─────────────
 
   def compare(a: Array[Byte], b: Array[Byte]): Int = {

@@ -282,38 +282,38 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     survivors.map(m => GraftKvInputPartition(path, m.file, m.count): InputPartition).toArray
   }
 
-  /** Per-dimension Bloom pruning for point filters on non-leading key
-    * columns — the range metadata can't help there, but a top-level
-    * (conjunctive) EqualTo/In whose value is provably absent from the
-    * segment's dimension filter kills the segment. Or-nested predicates
-    * never reach here (they are a single conjunct, not matched). */
-  private def bloomSurvives(m: SegmentFile.Meta): Boolean = {
-    if (m.blooms.isEmpty) return true
+  /** Per-dimension Bloom probe hashes, derived once per scan from the
+    * pushed conjuncts (they depend only on the query, not the segment).
+    * A segment survives iff for every (dim, hashes) entry at least one
+    * hash might be contained. Or-nested predicates never contribute
+    * (each pushed element is a top-level conjunct; only bare EqualTo/In
+    * match), so pruning stays sound. */
+  private lazy val bloomProbes: Seq[(Int, Seq[Long])] = {
     import graft.pruning.TriEval
     try {
-      var dim = 1
-      while (dim < keys.length) {
-        val bloom = m.blooms(dim - 1)
+      (1 until keys.length).flatMap { dim =>
         val dt = codec.keyFields(dim).dataType
-        val col = keys(dim)
-        pushed.foreach {
-          case EqualTo(a, v) if a == col && v != null =>
-            val nv = TriEval.normalize(dt, v)
-            if (nv != null && !bloom.mightContain(
-              SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv))))
-              return false
-          case In(a, vs) if a == col && vs.nonEmpty =>
-            val nvs = vs.toSeq.map(TriEval.normalize(dt, _)).filter(_ != null)
-            if (nvs.nonEmpty && !nvs.exists(nv => bloom.mightContain(
-              SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv)))))
-              return false
-          case _ => ()
+        val colName = keys(dim)
+        pushed.toSeq.flatMap {
+          case EqualTo(a, v) if a == colName && v != null =>
+            Option(TriEval.normalize(dt, v)).map(nv =>
+              dim -> Seq(SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv))))
+          case In(a, vs) if a == colName && vs.nonEmpty =>
+            val hs = vs.toSeq.map(TriEval.normalize(dt, _)).filter(_ != null)
+              .map(nv => SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv)))
+            if (hs.nonEmpty) Some(dim -> hs) else None
+          case _ => None
         }
-        dim += 1
       }
-      true
-    } catch { case _: Exception => true } // unprovable → keep the segment
+    } catch { case _: Exception => Seq.empty } // unprovable → no bloom pruning
   }
+
+  /** Bloom pruning for point filters on non-leading key columns — the
+    * range metadata can't help there. */
+  private def bloomSurvives(m: SegmentFile.Meta): Boolean =
+    m.blooms.isEmpty || bloomProbes.forall { case (dim, hs) =>
+      dim - 1 >= m.blooms.length || hs.exists(m.blooms(dim - 1).mightContain)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges, limit)
@@ -356,10 +356,14 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   private val codec = RowCodec(schema, keys)
   private val project = codec.projector(projection)
   // seek: start at the sparse-index floor of the first qualified range's
-  // lower bound instead of the segment head (point-get parity, R12)
+  // lower bound instead of the segment head (point-get parity, R12);
+  // an unencodable bound (e.g. a filter literal containing NUL) just
+  // means no seek, never a failed query
   private val startOffset: Long = ranges.ranges.headOption.flatMap(_.lo) match {
-    case Some(lo) => SegmentFile.floorOffset(
-      SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")), codec.encodeLeading(lo))
+    case Some(lo) =>
+      try SegmentFile.floorOffset(
+        SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")), codec.encodeLeading(lo))
+      catch { case _: Exception => 0L }
     case None => 0L
   }
   private val reader = new SegmentFile.Reader(p.dir, p.file, startOffset)

@@ -56,8 +56,12 @@ object TriEval {
     case (IntegerType, n: Number) => n.intValue()
     case (ShortType, n: Number) => n.shortValue()
     case (ByteType, n: Number) => n.byteValue()
-    case (DoubleType, n: Number) => n.doubleValue()
-    case (FloatType, n: Number) => n.floatValue()
+    // canonicalize -0.0 → +0.0: SQL equality treats them equal, but the
+    // order-preserving encoding (and any hash of it) does not
+    case (DoubleType, n: Number) =>
+      val d = n.doubleValue(); if (d == 0.0d) 0.0d else d
+    case (FloatType, n: Number) =>
+      val f = n.floatValue(); if (f == 0.0f) 0.0f else f
     case (TimestampType, t: java.sql.Timestamp) =>
       t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
     case (TimestampType, i: java.time.Instant) =>
@@ -89,9 +93,7 @@ object TriEval {
     // binary collation) — String.compareTo is UTF-16 code-unit order,
     // which disagrees for supplementary-plane codepoints
     case _ => (a, b) =>
-      graft.codec.OrderedCodec.compare(
-        a.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.codec.OrderedCodec.compareUtf8(a.toString, b.toString)
   }
 
   /** Bindings for the columns whose range is known (key dimensions of a

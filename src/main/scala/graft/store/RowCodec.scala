@@ -182,10 +182,18 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     encodeKeyField(keyFields(dim).dataType, v)
 
   /** Encode one key dimension straight from a full-schema row (writer's
-    * Bloom population path). */
+    * Bloom population path). Canonicalizes -0.0 → +0.0 so the bloom hash
+    * matches probe-side SQL equality, and names the column on null. */
   def encodeKeyDim(row: InternalRow, dim: Int): Array[Byte] = {
     val f = keyFields(dim)
-    encodeKeyField(f.dataType, row.get(keyOrdinals(dim), f.dataType))
+    val v = row.get(keyOrdinals(dim), f.dataType)
+    require(v != null, s"null in key column ${f.name}")
+    val cv = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+      case fl: java.lang.Float if fl.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
+    encodeKeyField(f.dataType, cv)
   }
 
   /** All key-column values with strings in external form (for the

@@ -32,22 +32,27 @@ object SegmentFile {
     * dimension per segment; false positives only cost an unpruned scan. */
   final case class Bloom(words: Array[Long]) {
     def mightContain(h: Long): Boolean = {
-      val b1 = (h & 0x7fffffff) % (words.length * 64)
-      val b2 = ((h >>> 32) & 0x7fffffff) % (words.length * 64)
-      ((words(b1.toInt / 64) >>> (b1 % 64)) & 1L) == 1L &&
-        ((words(b2.toInt / 64) >>> (b2 % 64)) & 1L) == 1L
+      val (b1, b2) = Bloom.bitPositions(h, words.length)
+      ((words(b1 / 64) >>> (b1 % 64)) & 1L) == 1L &&
+        ((words(b2 / 64) >>> (b2 % 64)) & 1L) == 1L
     }
   }
   object Bloom {
     val DefaultWords = 64 // 4096 bits
 
+    /** The one definition of both probe positions — add and mightContain
+      * must stay bit-symmetric or pruning silently drops rows. */
+    def bitPositions(h: Long, nWords: Int): (Int, Int) = {
+      val nBits = nWords * 64
+      (((h & 0x7fffffff) % nBits).toInt, (((h >>> 32) & 0x7fffffff) % nBits).toInt)
+    }
+
     final class Builder(nWords: Int = DefaultWords) {
       private val words = new Array[Long](nWords)
       def add(h: Long): Unit = {
-        val b1 = (h & 0x7fffffff) % (nWords * 64)
-        val b2 = ((h >>> 32) & 0x7fffffff) % (nWords * 64)
-        words(b1.toInt / 64) |= 1L << (b1 % 64)
-        words(b2.toInt / 64) |= 1L << (b2 % 64)
+        val (b1, b2) = bitPositions(h, nWords)
+        words(b1 / 64) |= 1L << (b1 % 64)
+        words(b2 / 64) |= 1L << (b2 % 64)
       }
       def result(): Bloom = Bloom(words)
     }

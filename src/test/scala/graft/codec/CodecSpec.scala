@@ -85,6 +85,17 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("compareUtf8 equals UTF-8 byte order incl. supplementary-plane chars") {
+    val samples = Seq("", "a", "ab", "￿", "", "𐀀" /* U+10000 */,
+      "😀" /* emoji */, "z￿", "z𐀀", "ß", "日本")
+    for (a <- samples; b <- samples) {
+      val byByte = Integer.signum(OrderedCodec.compare(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+      assert(Integer.signum(OrderedCodec.compareUtf8(a, b)) == byByte,
+        s"compareUtf8(${a.codePoints().toArray.toSeq}, ${b.codePoints().toArray.toSeq})")
+    }
+  }
+
   test("string terminator keeps composite prefix order sound") {
     // ("ab", "c…") must sort before ("abc", "") at the byte level
     val k1 = OrderedCodec.encodeString("ab") ++ OrderedCodec.encodeString("c")
