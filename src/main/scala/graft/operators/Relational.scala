@@ -675,6 +675,62 @@ object Relational {
             col("l_linestatus").asc_nulls_first)
     },
 
+    // explicit GROUPING SETS (SQL entry point — the DataFrame API only
+    // exposes rollup/cube; both lifecycles are first-class, SURVEY §3.1/3.2)
+    QuerySpec.checked("g3_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""") {
+      (s, d) =>
+        Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // IN-subquery predicate (semi-join in SQL form)
+    QuerySpec.checked("x3_in_subquery",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_sq")
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT o_orderkey FROM orders_sq
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_nationkey = 1)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // pivot (beyond-reference freebie) — oracle as CASE aggregation
+    QuerySpec.checked("p11_pivot",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS A,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS N,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("l_linestatus")
+    },
+
+    // min_by/max_by — the deterministic restatement of the reference's
+    // LAST(n) surface (HBaseSQLQuerySuite.scala:88-92): value at the
+    // extreme of a unique ordering column
+    QuerySpec.checked("a13_min_by_max_by",
+      """SELECT o_orderstatus,
+        |  max_by(o_totalprice, o_orderkey) AS last_price,
+        |  min_by(o_totalprice, o_orderkey) AS first_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"))
+        .orderBy("o_orderstatus")
+    },
+
     QuerySpec.checked("g2_cube",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
