@@ -37,7 +37,7 @@ class GraftKvDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftKvMeta.read(GraftKvDataSource.path(options)) match {
-      case Some((schema, _)) => schema
+      case Some(m) => m.schema
       case None => throw new IllegalArgumentException(
         s"graftkv table at ${GraftKvDataSource.path(options)} has no metadata; " +
           "provide a schema or write data first")
@@ -47,11 +47,16 @@ class GraftKvDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = GraftKvDataSource.path(opts)
-    val keys = GraftKvMeta.read(path).map(_._2)
+    val meta = GraftKvMeta.read(path)
+    val keys = meta.map(_.keys)
       .orElse(Option(opts.get("key")).map(_.split(",").map(_.trim).toSeq))
       .getOrElse(throw new IllegalArgumentException(
         "graftkv requires option key='col1,col2' on first write"))
-    new GraftKvTable(path, schema, keys)
+    // encoding is fixed at table birth; a live table's meta wins over opts
+    val encoding = meta.map(_.encoding)
+      .orElse(Option(opts.get("encoding")))
+      .getOrElse(graft.store.RowCodec.Binary)
+    new GraftKvTable(path, schema, keys, encoding)
   }
 }
 
@@ -61,30 +66,42 @@ object GraftKvDataSource {
       throw new IllegalArgumentException("graftkv requires a path"))
 }
 
-/** Table-level metadata: schema json + key column list. */
+/** Table-level metadata: key column list (+ codec encoding) and schema
+  * json. Header line `k1,k2` (legacy, binary codec) or `k1,k2|encoding`. */
+final case class KvTableMeta(schema: StructType, keys: Seq[String],
+    encoding: String)
+
 object GraftKvMeta {
   private def metaFile(dir: String) = Paths.get(dir, "_graft_meta.json")
 
-  def write(dir: String, schema: StructType, keys: Seq[String]): Unit = {
+  def write(dir: String, schema: StructType, keys: Seq[String],
+      encoding: String = graft.store.RowCodec.Binary): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(metaFile(dir), keys.mkString(",") + "\n" + schema.json)
+    Files.writeString(metaFile(dir),
+      keys.mkString(",") + "|" + encoding + "\n" + schema.json)
   }
 
-  def read(dir: String): Option[(StructType, Seq[String])] = {
+  def read(dir: String): Option[KvTableMeta] = {
     val f = metaFile(dir)
     if (!Files.exists(f)) None
     else {
       val lines = Files.readString(f)
       val sep = lines.indexOf('\n')
-      val keys = lines.substring(0, sep).split(",").map(_.trim).toSeq
+      val header = lines.substring(0, sep)
+      val (keysPart, encoding) = header.indexOf('|') match {
+        case -1 => (header, graft.store.RowCodec.Binary)
+        case i => (header.substring(0, i), header.substring(i + 1))
+      }
+      val keys = keysPart.split(",").map(_.trim).toSeq
       val schema = org.apache.spark.sql.types.DataType.fromJson(
         lines.substring(sep + 1)).asInstanceOf[StructType]
-      Some((schema, keys))
+      Some(KvTableMeta(schema, keys, encoding))
     }
   }
 }
 
-class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String])
+class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
+    encoding: String = graft.store.RowCodec.Binary)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graftkv:$path"
@@ -94,15 +111,17 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String])
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftKvScanBuilder(path, tableSchema, keys)
+    new GraftKvScanBuilder(path, tableSchema, keys, encoding)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false)
+    new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
+      encoding = encoding)
 }
 
 // ── read path ────────────────────────────────────────────────────────────
 
-class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
+class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
+    encoding: String = graft.store.RowCodec.Binary)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -155,8 +174,9 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String])
   }
 
   override def build(): Scan = aggPushed match {
-    case Some(aggs) => new GraftKvAggScan(path, schema, keys, aggs)
-    case None => new GraftKvScan(path, schema, keys, required, pushed, limit)
+    case Some(aggs) => new GraftKvAggScan(path, schema, keys, aggs, encoding)
+    case None =>
+      new GraftKvScan(path, schema, keys, required, pushed, limit, encoding)
   }
 }
 
@@ -171,7 +191,8 @@ object KvAgg {
 /** Scan that answers pushed aggregates purely from segment sidecars:
   * one partial row per segment, no data file opened. */
 class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
-    aggs: Seq[KvAgg]) extends Scan with Batch {
+    aggs: Seq[KvAgg], encoding: String = graft.store.RowCodec.Binary)
+    extends Scan with Batch {
 
   private def leadField = schema(keys.head)
 
@@ -184,7 +205,7 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
   override def description(): String = s"GraftKvAggScan(path=$path, aggs=$aggs)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val codec = RowCodec(schema, keys)
+    val codec = RowCodec(schema, keys, encoding)
     SegmentFile.listSegments(path).map { m =>
       KvAggPartition(m.count,
         codec.decodeKey(m.minKey)(0), codec.decodeKey(m.maxKey)(0)): InputPartition
@@ -217,7 +238,8 @@ final case class KvAggPartition(count: Long, minLead: Any, maxLead: Any)
     extends InputPartition
 
 class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
-    required: StructType, pushed: Array[Filter], limit: Int)
+    required: StructType, pushed: Array[Filter], limit: Int,
+    encoding: String = graft.store.RowCodec.Binary)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering {
 
@@ -235,7 +257,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))
       .toArray
 
-  private lazy val codec = RowCodec(schema, keys)
+  private lazy val codec = RowCodec(schema, keys, encoding)
 
   /** Qualified leading-dimension ranges (critical-point algebra) for
     * in-segment seek and early stop. */
@@ -316,7 +338,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges, limit)
+    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges,
+      limit, encoding)
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
@@ -335,11 +358,12 @@ final case class GraftKvInputPartition(dir: String, file: String, count: Long)
 
 class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
     projection: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
-    limit: Int) extends PartitionReaderFactory {
+    limit: Int, encoding: String = graft.store.RowCodec.Binary)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftKvInputPartition]
-    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit)
+    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit, encoding)
   }
 }
 
@@ -350,10 +374,11 @@ class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
   * because segment records are in composite-key order. */
 class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     keys: Seq[String], projection: Seq[String],
-    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int)
+    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
+    encoding: String = graft.store.RowCodec.Binary)
     extends PartitionReader[InternalRow] {
 
-  private val codec = RowCodec(schema, keys)
+  private val codec = RowCodec(schema, keys, encoding)
   private val project = codec.projector(projection)
   // seek: start at the sparse-index floor of the first qualified range's
   // lower bound instead of the segment head (point-get parity, R12);
@@ -362,7 +387,8 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   private val startOffset: Long = ranges.ranges.headOption.flatMap(_.lo) match {
     case Some(lo) =>
       try SegmentFile.floorOffset(
-        SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")), codec.encodeLeading(lo))
+        SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")),
+        codec.encodeLeading(lo), codec.compareKeys)
       catch { case _: Exception => 0L }
     case None => 0L
   }
@@ -393,10 +419,11 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
 // ── write path ───────────────────────────────────────────────────────────
 
 class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
-    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+    truncate: Boolean, encoding: String = graft.store.RowCodec.Binary)
+    extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new GraftKvWriteBuilder(path, schema, keys, truncate = true)
+    new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sortOrders: Array[SortOrder] =
@@ -410,7 +437,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftKvWriterFactory(path, schema, keys)
+        new GraftKvWriterFactory(path, schema, keys, encoding)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         if (truncate) {
@@ -423,7 +450,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
         }
-        GraftKvMeta.write(path, schema, keys)
+        GraftKvMeta.write(path, schema, keys, encoding)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -438,10 +465,10 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 
 final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
 
-class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String])
-    extends DataWriterFactory {
+class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
+    encoding: String = graft.store.RowCodec.Binary) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftKvDataWriter(path, schema, keys, partitionId, taskId)
+    new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding)
 }
 
 /** Receives rows already range-partitioned and key-sorted (the Write's
@@ -449,13 +476,15 @@ class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String])
   * populating per-dimension Bloom filters for the non-leading key
   * columns as it goes. */
 class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    encoding: String = graft.store.RowCodec.Binary) extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
-  private val codec = RowCodec(schema, keys)
+  private val codec = RowCodec(schema, keys, encoding)
   private val name = f"segment-$partitionId%05d-${UUID.randomUUID().toString.take(8)}"
   private val nBloomDims = keys.length - 1
-  private val writer = new SegmentFile.Writer(path, name, nBlooms = nBloomDims)
+  private val writer = new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
+    cmp = codec.compareKeys)
   private val bloomHashes =
     if (nBloomDims > 0) new Array[Long](nBloomDims) else null
 

@@ -65,7 +65,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table =
     GraftKvMeta.read(tableDir(ident)) match {
-      case Some((schema, keys)) => new GraftKvTable(tableDir(ident), schema, keys)
+      case Some(m) => new GraftKvTable(tableDir(ident), m.schema, m.keys, m.encoding)
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -81,32 +81,38 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(Seq(schema.fieldNames.head)) // default PK: first column
     require(keys.forall(schema.fieldNames.contains),
       s"key columns $keys not all present in ${schema.fieldNames.mkString(",")}")
-    GraftKvMeta.write(tableDir(ident), schema, keys)
-    new GraftKvTable(tableDir(ident), schema, keys)
+    // per-table codec (reference DDL `IN stringformat`): validated here so
+    // a bad CREATE fails at DDL time, not first write
+    val encoding = Option(properties.get("encoding"))
+      .orElse(Option(properties.get("option.encoding")))
+      .getOrElse(graft.store.RowCodec.Binary)
+    graft.store.RowCodec(schema, keys, encoding) // validates encoding + types
+    GraftKvMeta.write(tableDir(ident), schema, keys, encoding)
+    new GraftKvTable(tableDir(ident), schema, keys, encoding)
   }
 
   /** ALTER: only non-key column add/drop, like the reference (O3). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
-    val (schema, keys) = GraftKvMeta.read(dir)
+    val m = GraftKvMeta.read(dir)
       .getOrElse(throw new NoSuchTableException(ident))
     if (SegmentFile.nonEmpty(dir))
       throw new UnsupportedOperationException(
         "graftkv ALTER TABLE is metadata-only and requires an empty table")
-    var s = schema
+    var s = m.schema
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         s = s.add(a.fieldNames()(0), a.dataType(), a.isNullable)
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         val n = d.fieldNames()(0)
-        if (keys.contains(n))
+        if (m.keys.contains(n))
           throw new UnsupportedOperationException(s"cannot drop key column $n")
         s = StructType(s.fields.filterNot(_.name == n))
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change $other")
     }
-    GraftKvMeta.write(dir, s, keys)
-    new GraftKvTable(dir, s, keys)
+    GraftKvMeta.write(dir, s, m.keys, m.encoding)
+    new GraftKvTable(dir, s, m.keys, m.encoding)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

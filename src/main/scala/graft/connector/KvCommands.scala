@@ -15,10 +15,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object KvCommands {
 
   /** O1: CREATE TABLE ... (+ initial data). The key columns are the
-    * composite primary key, in order. */
-  def createTable(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    * composite primary key, in order; `encoding` picks the per-table
+    * codec (binary | stringformat, reference DDL `IN stringformat`). */
+  def createTable(df: DataFrame, path: String, keys: Seq[String],
+      encoding: String = graft.store.RowCodec.Binary): Unit =
     df.write.format("graftkv")
       .option("key", keys.mkString(","))
+      .option("encoding", encoding)
       .mode("overwrite")
       .save(path)
 
@@ -53,7 +56,7 @@ object KvCommands {
   /** O5: DESCRIBE — one row per column: (name, type, KEY order / NONKEY),
     * plus per-segment region info if requested. */
   def describe(spark: SparkSession, path: String): DataFrame = {
-    val (schema, keys) = GraftKvMeta.read(path).getOrElse(
+    val KvTableMeta(schema, keys, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     import scala.jdk.CollectionConverters._
     val rows = schema.fields.map { f =>
@@ -79,8 +82,8 @@ object KvCommands {
     * Safe in one step: new segments get fresh names and the overwrite
     * commit deletes the old files only after every task finished. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val keys = GraftKvMeta.read(path).getOrElse(
-      throw new IllegalArgumentException(s"no graftkv table at $path"))._2
-    createTable(table(spark, path), path, keys)
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    createTable(table(spark, path), path, m.keys, m.encoding)
   }
 }

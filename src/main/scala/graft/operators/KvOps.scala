@@ -22,10 +22,11 @@ object KvOps {
 
   /** Idempotently materialize a corpus table as a KV table. */
   private def ensure(spark: SparkSession, sfDir: String, table: String,
-      keys: Seq[String]): String = lock.synchronized {
-    val path = s"${kvRoot(sfDir)}/$table"
+      keys: Seq[String], encoding: String = graft.store.RowCodec.Binary,
+      fixture: String = null): String = lock.synchronized {
+    val path = s"${kvRoot(sfDir)}/${Option(fixture).getOrElse(table)}"
     if (graft.connector.GraftKvMeta.read(path).isEmpty) {
-      KvCommands.createTable(Tables.table(spark, sfDir, table), path, keys)
+      KvCommands.createTable(Tables.table(spark, sfDir, table), path, keys, encoding)
     }
     path
   }
@@ -42,6 +43,14 @@ object KvOps {
   private def eventsKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "events",
       Seq("user_id", "event_type", "event_id")))
+
+  /** Same orders table stored under the stringformat codec (reference DDL
+    * `IN stringformat`): every field is its decimal-string form, and all
+    * key ordering — writer sort check, floor seeks, pruning — runs
+    * through the typed-comparator path instead of byte order. */
+  private def ordersStrKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey"),
+      encoding = graft.store.RowCodec.StringFormat, fixture = "orders_str"))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -144,6 +153,31 @@ object KvOps {
         |WHERE o_orderkey IN (3, 7, 11, 400) ORDER BY o_orderkey""") { (s, d) =>
       ordersKv(s, d).filter(col("o_orderkey").isin(3, 7, 11, 400))
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // stringformat codec roundtrip (reference stringformat tables,
+    // HBaseTpcStringFormatMiniTestSuite): every type in orders survives
+    // the encode-as-string → decode loop losslessly
+    QuerySpec.checked("kv11_stringformat_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderkey >= 10 AND o_orderkey < 20 ORDER BY o_orderkey""") { (s, d) =>
+      ordersStrKv(s, d)
+        .filter(col("o_orderkey") >= 10 && col("o_orderkey") < 20)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // numeric range over string-encoded keys: byte order would give
+    // "100" < "51" — only the typed-comparator path (RowCodec.compareKeys)
+    // keeps pruning/seek/early-stop sound here
+    QuerySpec.checked("kv12_stringformat_range",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 50 AND o_orderkey <= 120
+        |ORDER BY o_orderkey""") { (s, d) =>
+      ordersStrKv(s, d)
+        .filter(col("o_orderkey") > 50 && col("o_orderkey") <= 120)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -147,9 +147,15 @@ object PipelineOps {
     },
 
     // ── multimodal plumbing (STUB kernels, real Spark machinery) ─────────
+    // The raw `features array<float>` column is pinned by MultimodalSpec;
+    // here it is projected to a hashable fingerprint because the driver's
+    // rows-only check still sorts/hashes the result (arrays aren't
+    // hashable in its pandas compare).
     QuerySpec.rowsOnly("mm1_decode_featurize") { (s, d) =>
       Multimodal.decodeAndFeaturize(
         Multimodal.syntheticMediaTable(t(s, d, "documents")))
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("mean_byte"),
+          xxhash64(to_json(col("features"))).as("features_fp"))
         .orderBy("media_id")
     },
 

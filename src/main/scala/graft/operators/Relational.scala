@@ -251,16 +251,18 @@ object Relational {
 
     // skew-safe salted join — must be indistinguishable from the plain
     // join (the oracle IS the plain join), while spreading hot keys over
-    // nSalts shuffle partitions
+    // nSalts shuffle partitions. The replicated side must be a genuinely
+    // small dim (supplier = SF×10k rows): replication multiplies it by
+    // nSalts, so a fact-sized right side would defeat the rewrite.
     QuerySpec.checked("j11_salted_join",
-      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |ORDER BY l.l_orderkey, l.l_linenumber, o.o_totalprice""") { (s, d) =>
+      """SELECT l.l_orderkey, l.l_linenumber, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, s.s_name""") { (s, d) =>
       Scale.saltedJoin(
-        t(s, d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
-        t(s, d, "orders"), key = "o_orderkey", nSalts = 8)
-        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
-        .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+        t(s, d, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey"),
+        t(s, d, "supplier"), key = "s_suppkey", nSalts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+        .orderBy("l_orderkey", "l_linenumber", "s_name")
     },
 
     // ── §2.4 aggregates ───────────────────────────────────────────────────
@@ -729,6 +731,24 @@ object Relational {
         .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
           min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // ── §2.10 typed UDAF (Aggregator + functions.udaf) ───────────────────
+    // Quantity-weighted mean price; decimal-exact accumulation so the
+    // double result is bit-identical to DuckDB (see WeightedAvg scaladoc).
+    // Scales are chosen so the product sum stays scale 6 — DuckDB's
+    // decimal→double cast is lossy once the unscaled value leaves the
+    // int64 range, so a scale-12 product sum would drift a ulp.
+    QuerySpec.checked("a14_udaf",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(graft.functions.WeightedAvg(
+          col("l_extendedprice").cast("decimal(24,4)"),
+          col("l_quantity").cast("decimal(14,2)")).as("wavg_price"))
+        .orderBy("l_returnflag")
     },
 
     QuerySpec.checked("g2_cube",

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,29 +72,33 @@ object Multimodal {
     out
   }
 
-  private val decodedSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("mime", StringType, nullable = true),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+  /** Input/output records for the typed decode kernel. Staying in
+    * `Dataset[T]` (instead of `df.rdd` + `Row`) keeps the operator inside
+    * Catalyst: the surrounding plan keeps whole-stage codegen and AQE, and
+    * rows cross the kernel boundary via encoders, not
+    * InternalRow→Row→InternalRow conversions. */
+  private[pipeline] final case class MediaIn(
+      media_id: Long, payload: Array[Byte], mime: String)
+  private[pipeline] final case class MediaDecoded(
+      media_id: Long, mime: String, n_bytes: Int, mean_byte: Double,
+      features: Array[Float])
 
   /** Decode + feature-extract, batched per partition (the shape a real
     * vectorized decoder needs: one kernel init per partition, streaming
     * rows, no driver involvement). */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload", "meta.mime").rdd
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[MediaIn]
       .mapPartitions { rows =>
         // per-partition kernel init would go here (decoder handles etc.)
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val (n, mean) = decodeStub(payload)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"), n, mean,
-            featureStub(payload).toSeq)
+        rows.map { m =>
+          val (n, mean) = decodeStub(m.payload)
+          MediaDecoded(m.media_id, m.mime, n, mean, featureStub(m.payload))
         }
       }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF()
   }
 
   /** Frame-sampling plumbing for video-like payloads: the payload is cut

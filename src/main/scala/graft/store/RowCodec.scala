@@ -2,21 +2,42 @@ package graft.store
 
 import graft.codec.OrderedCodec
 import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Binds the order-preserving codec to a Spark schema: composite-key
-  * encode/decode (order-preserving concatenation, reference semantics of
-  * /root/reference src/main/scala/.../util/HBaseKVHelper.scala:25-97) and
-  * a plain length-prefixed value codec for non-key columns (null = flag
-  * byte, mirroring the reference's null-as-absent-cell convention).
+/** Binds a per-table codec to a Spark schema: composite-key encode/decode
+  * and a value codec for non-key columns (null = flag byte, mirroring the
+  * reference's null-as-absent-cell convention).
+  *
+  * Two encodings, selected per table (reference DDL `IN stringformat`,
+  * HBaseSQLParser.scala:84,153):
+  *
+  *  - `binary` — order-preserving binary (reference binaryformat,
+  *    util/bytesUtils.scala:25-248 semantics re-derived in OrderedCodec):
+  *    unsigned byte order of encoded keys == composite value order.
+  *  - `stringformat` — every field is its decimal/string representation
+  *    (reference StringBytesUtils, util/bytesUtils.scala:251-358),
+  *    NUL-terminated per key dimension. Byte order of numeric encodings
+  *    is NOT value order ("10" < "9"), so everything that orders keys —
+  *    the segment writer's sort check, sparse-index floor lookups —
+  *    goes through [[compareKeys]], the typed-comparator path (reference
+  *    util/comparators.scala:26-263: parse back, compare in the value
+  *    domain). Segments stay sorted by VALUE order (Spark's ordered
+  *    write delivers it), so range pruning over decoded min/max keys
+  *    stays sound in both encodings.
   */
-final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
+final case class RowCodec(schema: StructType, keyCols: Seq[String],
+    encoding: String = RowCodec.Binary) {
 
   require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
     s"key columns $keyCols must exist in ${schema.fieldNames.mkString(",")}")
+  require(RowCodec.Encodings.contains(encoding),
+    s"unknown graftkv encoding '$encoding' (expected ${RowCodec.Encodings.mkString("/")})")
+
+  private val isString = encoding == RowCodec.StringFormat
 
   val keyFields: Seq[StructField] = keyCols.map(schema(_))
   val valueFields: Seq[StructField] =
@@ -25,19 +46,56 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
   private val keyOrdinals = keyCols.map(schema.fieldIndex).toArray
   private val valueOrdinals = valueFields.map(f => schema.fieldIndex(f.name)).toArray
 
-  // ── key side (order-preserving) ────────────────────────────────────────
-
-  private def encodeKeyField(dt: DataType, v: Any): Array[Byte] = dt match {
-    case LongType | TimestampType | TimestampNTZType => OrderedCodec.encodeLong(v.asInstanceOf[Long])
-    case IntegerType | DateType => OrderedCodec.encodeInt(v.asInstanceOf[Int])
-    case ShortType => OrderedCodec.encodeShort(v.asInstanceOf[Short])
-    case ByteType => OrderedCodec.encodeByte(v.asInstanceOf[Byte])
-    case BooleanType => OrderedCodec.encodeBoolean(v.asInstanceOf[Boolean])
-    case DoubleType => OrderedCodec.encodeDouble(v.asInstanceOf[Double])
-    case FloatType => OrderedCodec.encodeFloat(v.asInstanceOf[Float])
-    case _: StringType => OrderedCodec.encodeString(v.toString)
-    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  if (isString) (keyFields ++ valueFields).foreach { f =>
+    require(RowCodec.stringable(f.dataType),
+      s"stringformat tables support primitive/string columns only; " +
+        s"${f.name} is ${f.dataType.simpleString}")
   }
+
+  // ── key side ───────────────────────────────────────────────────────────
+
+  /** Canonical string form of one field value (stringformat cells/keys).
+    * Round-trips exactly: Long/Int/... via decimal digits,
+    * Double/Float via java.lang.*.toString (shortest exact repr). */
+  private def stringRepr(dt: DataType, v: Any): String = dt match {
+    case _: StringType => v.toString
+    case BooleanType => v.toString
+    case _ => v.toString // integrals, IEEE floats, micros longs, date ints
+  }
+
+  private def parseString(dt: DataType, s: String): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case IntegerType | DateType => s.toInt
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case BooleanType => s.toBoolean
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case _: StringType => UTF8String.fromString(s)
+    case other => throw new IllegalArgumentException(s"unsupported stringformat type $other")
+  }
+
+  private def encodeKeyField(dt: DataType, v: Any): Array[Byte] =
+    if (isString) {
+      val s = stringRepr(dt, v)
+      require(s.indexOf('\u0000') < 0,
+        "string key values may not contain NUL (reserved as key terminator)")
+      val utf = s.getBytes(UTF_8)
+      val out = new Array[Byte](utf.length + 1)
+      System.arraycopy(utf, 0, out, 0, utf.length)
+      out(utf.length) = 0
+      out
+    } else dt match {
+      case LongType | TimestampType | TimestampNTZType => OrderedCodec.encodeLong(v.asInstanceOf[Long])
+      case IntegerType | DateType => OrderedCodec.encodeInt(v.asInstanceOf[Int])
+      case ShortType => OrderedCodec.encodeShort(v.asInstanceOf[Short])
+      case ByteType => OrderedCodec.encodeByte(v.asInstanceOf[Byte])
+      case BooleanType => OrderedCodec.encodeBoolean(v.asInstanceOf[Boolean])
+      case DoubleType => OrderedCodec.encodeDouble(v.asInstanceOf[Double])
+      case FloatType => OrderedCodec.encodeFloat(v.asInstanceOf[Float])
+      case _: StringType => OrderedCodec.encodeString(v.toString)
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
 
   /** Encode the composite key of a full-schema row. Key columns are
     * non-nullable by contract (reference: key cols declared NOT NULL). */
@@ -54,13 +112,25 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     out.toByteArray
   }
 
+  /** NUL-scan: end index of the field starting at `off`. */
+  private def nulEnd(bytes: Array[Byte], off: Int): Int = {
+    var end = off
+    while (end < bytes.length && bytes(end) != 0) end += 1
+    end
+  }
+
   /** Decode a composite key into (values in keyCols order). */
   def decodeKey(bytes: Array[Byte]): Array[Any] = {
     val out = new Array[Any](keyFields.length)
     var off = 0
     var i = 0
     while (i < keyFields.length) {
-      keyFields(i).dataType match {
+      if (isString) {
+        val end = nulEnd(bytes, off)
+        out(i) = parseString(keyFields(i).dataType,
+          new String(bytes, off, end - off, UTF_8))
+        off = end + 1
+      } else keyFields(i).dataType match {
         case LongType | TimestampType | TimestampNTZType =>
           out(i) = OrderedCodec.decodeLong(bytes, off); off += 8
         case IntegerType | DateType =>
@@ -80,7 +150,63 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     out
   }
 
-  // ── value side (compact, not order-preserving) ─────────────────────────
+  // ── typed key comparison (the stringformat comparator path) ────────────
+
+  /** Allocation-free signed-decimal parse of an ASCII slice (integral
+    * stringformat dims on the hot write/seek paths). */
+  private def parseLongAscii(b: Array[Byte], from: Int, until: Int): Long = {
+    var i = from
+    var neg = false
+    if (i < until && b(i) == '-') { neg = true; i += 1 }
+    var x = 0L
+    while (i < until) { x = x * 10 + (b(i) - '0'); i += 1 }
+    if (neg) -x else x
+  }
+
+  /** Compare two encoded composite keys in the VALUE domain. For binary
+    * encoding this is plain unsigned byte order (encodings are
+    * order-preserving); for stringformat it is the typed-comparator walk
+    * (reference comparators.scala: parse each dimension back and compare
+    * numerically). Either side may be a leading-dimension prefix (floor
+    * lookups): a strict dimension-prefix of the other sorts first. */
+  def compareKeys(a: Array[Byte], b: Array[Byte]): Int =
+    if (!isString) OrderedCodec.compare(a, b)
+    else {
+      var offA = 0
+      var offB = 0
+      var i = 0
+      while (i < keyFields.length && offA < a.length && offB < b.length) {
+        val endA = nulEnd(a, offA)
+        val endB = nulEnd(b, offB)
+        val c = keyFields(i).dataType match {
+          case _: StringType =>
+            // UTF-8 byte order == codepoint order; compare slices raw
+            var j = 0
+            val n = math.min(endA - offA, endB - offB)
+            var d = 0
+            while (j < n && d == 0) {
+              d = (a(offA + j) & 0xff) - (b(offB + j) & 0xff); j += 1
+            }
+            if (d != 0) d else (endA - offA) - (endB - offB)
+          case DoubleType | FloatType =>
+            java.lang.Double.compare(
+              new String(a, offA, endA - offA, UTF_8).toDouble,
+              new String(b, offB, endB - offB, UTF_8).toDouble)
+          case BooleanType =>
+            java.lang.Boolean.compare(a(offA) == 't', b(offB) == 't')
+          case _ => // integrals, timestamps, dates
+            java.lang.Long.compare(
+              parseLongAscii(a, offA, endA), parseLongAscii(b, offB, endB))
+        }
+        if (c != 0) return c
+        offA = endA + 1
+        offB = endB + 1
+        i += 1
+      }
+      Integer.compare(a.length - offA, b.length - offB)
+    }
+
+  // ── value side ─────────────────────────────────────────────────────────
 
   def encodeValue(row: InternalRow): Array[Byte] = {
     val bos = new ByteArrayOutputStream(64)
@@ -91,7 +217,14 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
       if (row.isNullAt(valueOrdinals(i))) out.writeByte(0)
       else {
         out.writeByte(1)
-        f.dataType match {
+        if (isString) {
+          val v = row.get(valueOrdinals(i), f.dataType)
+          val b = stringRepr(f.dataType, v match {
+            case u: UTF8String => u.toString
+            case other => other
+          }).getBytes(UTF_8)
+          out.writeInt(b.length); out.write(b)
+        } else f.dataType match {
           case LongType | TimestampType | TimestampNTZType => out.writeLong(row.getLong(valueOrdinals(i)))
           case IntegerType | DateType => out.writeInt(row.getInt(valueOrdinals(i)))
           case ShortType => out.writeShort(row.getShort(valueOrdinals(i)).toInt)
@@ -122,7 +255,10 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
     var i = 0
     while (i < valueFields.length) {
       if (in.readByte() == 0) out(i) = null
-      else out(i) = valueFields(i).dataType match {
+      else if (isString) {
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        out(i) = parseString(valueFields(i).dataType, new String(b, UTF_8))
+      } else out(i) = valueFields(i).dataType match {
         case LongType | TimestampType | TimestampNTZType => in.readLong()
         case IntegerType | DateType => in.readInt()
         case ShortType => in.readShort()
@@ -166,13 +302,21 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
   }
 
   /** Leading-key-column value of an encoded key (for segment pruning). */
-  def leadingKeyValue(keyBytes: Array[Byte]): Any = decodeKey(keyBytes)(0) match {
-    case s: UTF8String => s.toString
-    case v => v
+  def leadingKeyValue(keyBytes: Array[Byte]): Any = {
+    if (isString) {
+      val end = nulEnd(keyBytes, 0)
+      parseString(keyFields.head.dataType, new String(keyBytes, 0, end, UTF_8)) match {
+        case s: UTF8String => s.toString
+        case v => v
+      }
+    } else decodeKey(keyBytes)(0) match {
+      case s: UTF8String => s.toString
+      case v => v
+    }
   }
 
   /** Encode a leading-key-column value (external form) to its
-    * order-preserving byte prefix, for sparse-index seeks. */
+    * per-encoding byte prefix, for sparse-index seeks. */
   def encodeLeading(v: Any): Array[Byte] =
     encodeKeyField(keyFields.head.dataType, v)
 
@@ -203,4 +347,19 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String]) {
       case s: UTF8String => s.toString
       case v => v
     }
+}
+
+object RowCodec {
+  val Binary = "binary"
+  val StringFormat = "stringformat"
+  val Encodings: Set[String] = Set(Binary, StringFormat)
+
+  /** Types representable in stringformat (reference StringBytesUtils
+    * covers exactly the primitives + string). */
+  def stringable(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
+         ShortType | ByteType | BooleanType | DoubleType | FloatType |
+         _: StringType => true
+    case _ => false
+  }
 }

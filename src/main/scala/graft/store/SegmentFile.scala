@@ -70,12 +70,17 @@ object SegmentFile {
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
 
-  /** Streaming writer; caller must feed records in key order. `nBlooms`
-    * is the number of per-dimension Bloom filters the caller will feed
-    * via the `bloomHashes` argument of write (one 64-bit hash per
-    * tracked dimension per record). */
+  /** Streaming writer; caller must feed records in key order under `cmp`
+    * — unsigned byte order for the binary codec, the typed-comparator
+    * order for stringformat tables (RowCodec.compareKeys); either way the
+    * file's physical order is the composite VALUE order, which is what
+    * makes min/max pruning and floor seeks sound. `nBlooms` is the number
+    * of per-dimension Bloom filters the caller will feed via the
+    * `bloomHashes` argument of write (one 64-bit hash per tracked
+    * dimension per record). */
   final class Writer(dir: String, name: String, indexEvery: Int = 256,
-      nBlooms: Int = 0) {
+      nBlooms: Int = 0,
+      cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
@@ -89,7 +94,7 @@ object SegmentFile {
     def write(key: Array[Byte], value: Array[Byte],
         bloomHashes: Array[Long] = null): Unit = {
       if (minKey == null) minKey = key
-      else require(OrderedCodec.compare(lastKey, key) <= 0,
+      else require(cmp(lastKey, key) <= 0,
         s"segment $name: keys out of order")
       lastKey = key
       if (count > 0 && count % indexEvery == 0) index += ((key, bytes))
@@ -176,14 +181,16 @@ object SegmentFile {
   def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty
 
   /** Greatest sparse-index offset whose key is strictly below `keyPrefix`
-    * (unsigned-lexicographic) — a safe seek start for any scan whose
-    * lower bound encodes to `keyPrefix`, because records before it are
-    * all ≤ that index key. */
-  def floorOffset(meta: Meta, keyPrefix: Array[Byte]): Long = {
+    * under `cmp` (the table's key order: unsigned-lexicographic for the
+    * binary codec, typed for stringformat) — a safe seek start for any
+    * scan whose lower bound encodes to `keyPrefix`, because records
+    * before it are all ≤ that index key. */
+  def floorOffset(meta: Meta, keyPrefix: Array[Byte],
+      cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare): Long = {
     var best = 0L
     var i = 0
     while (i < meta.index.length &&
-      OrderedCodec.compare(meta.index(i)._1, keyPrefix) < 0) {
+      cmp(meta.index(i)._1, keyPrefix) < 0) {
       best = meta.index(i)._2
       i += 1
     }

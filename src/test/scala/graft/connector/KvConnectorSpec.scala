@@ -61,7 +61,7 @@ class KvConnectorSpec extends AnyFunSuite {
     try {
       df.write.format("graftkv").option("key", "k").mode("overwrite").save(path)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val schema = GraftKvMeta.read(path).get._1
+    val schema = GraftKvMeta.read(path).get.schema
     val all = new GraftKvScan(path, schema, Seq("k"), schema, Array.empty, -1)
       .planInputPartitions().length
     val pruned = new GraftKvScan(path, schema, Seq("k"), schema,
@@ -99,7 +99,7 @@ class KvConnectorSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try df.write.format("graftkv").option("key", "k1,k2").mode("overwrite").save(path)
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val schema = GraftKvMeta.read(path).get._1
+    val schema = GraftKvMeta.read(path).get.schema
     val all = new GraftKvScan(path, schema, Seq("k1", "k2"), schema,
       Array.empty, -1).planInputPartitions().length
     assert(all > 1)

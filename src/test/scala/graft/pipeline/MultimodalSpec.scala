@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the multimodal plumbing: typed decode/featurize kernel semantics
+  * (including the raw `features array<float>` column the driver's
+  * rows-only check can't hash) and the frame-sampling fan-out shape.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, ""),
+      (3L, "a" * 300)).toDF("doc_id", "text")
+    Multimodal.syntheticMediaTable(docs)
+  }
+
+  test("decodeAndFeaturize matches the stub kernels row-for-row, raw arrays included") {
+    val out = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
+    assert(out.length === 3)
+
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    val texts = Map(1L -> "hello world", 2L -> "", 3L -> "a" * 300)
+    for ((id, text) <- texts) {
+      val payload = text.getBytes("UTF-8")
+      val r = byId(id)
+      assert(r.getAs[Int]("n_bytes") === payload.length)
+      val expMean = if (payload.isEmpty) 0.0
+        else payload.map(_ & 0xff).map(_.toLong).sum.toDouble / payload.length
+      assert(r.getAs[Double]("mean_byte") === expMean)
+      assert(r.getAs[String]("mime") === "image/stub")
+      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      assert(feats.length === 8)
+      assert(feats === Multimodal.featureStub(payload).toSeq)
+    }
+  }
+
+  test("decodeAndFeaturize stays a typed Dataset plan (no RDD scan barrier)") {
+    // The typed mapPartitions shows up as SerializeFromObject/MapPartitions/
+    // DeserializeToObject — not as an ExistingRDD/LogicalRDD scan, which is
+    // what the old df.rdd roundtrip produced (losing codegen + AQE above it).
+    val plan = Multimodal.decodeAndFeaturize(media).queryExecution.optimizedPlan
+    val rendered = plan.toString
+    assert(!rendered.contains("LogicalRDD"), s"plan dropped to RDD:\n$rendered")
+    assert(rendered.contains("MapPartitions"), s"expected typed MapPartitions:\n$rendered")
+  }
+
+  test("sampleFrames keeps every k-th fixed-size chunk") {
+    val out = Multimodal.sampleFrames(media, chunkBytes = 4, everyK = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 1: 11 bytes -> 3 chunks (0,1,2) -> keep 0,2
+    val doc1 = out.filter(_.getAs[Long]("media_id") == 1L)
+    assert(doc1.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
+    assert(new String(doc1(0).getAs[Array[Byte]]("frame_bytes"), "UTF-8") === "hell")
+    // empty payload still yields one (empty) frame row at idx 0
+    val doc2 = out.filter(_.getAs[Long]("media_id") == 2L)
+    assert(doc2.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0))
+  }
+}
