@@ -23,6 +23,8 @@ object Shell {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.catalog.graft", classOf[connector.GraftKvCatalog].getName)
       .config("spark.sql.catalog.graft.root", kvRoot)
+      // honor the kv scan's KeyGroupedPartitioning (shuffle-free GROUP BY)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -155,6 +155,19 @@ object KvOps {
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     },
 
+    // filtered metadata aggregation: the BETWEEN is consumed by the
+    // source (lead-only filter), so COUNT/MIN/MAX still push down —
+    // fully-covered segments answer from sidecar metadata, only the two
+    // boundary segments scan their records
+    QuerySpec.checked("kv13_metadata_agg_filtered",
+      """SELECT count(*) AS cnt, min(l_orderkey) AS min_k, max(l_orderkey) AS max_k
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 4000""") { (s, d) =>
+      lineitemKv(s, d)
+        .filter(col("l_orderkey") >= 100 && col("l_orderkey") <= 4000)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("min_k"), max(col("l_orderkey")).as("max_k"))
+    },
+
     // stringformat codec roundtrip (reference stringformat tables,
     // HBaseTpcStringFormatMiniTestSuite): every type in orders survives
     // the encode-as-string → decode loop losslessly

@@ -87,5 +87,26 @@ object CriticalPoints {
       r.hi.forall(h => { val c = cmp(lo, h); c < 0 || (c == 0 && r.hiInc) }) &&
         r.lo.forall(l => { val c = cmp(hi, l); c > 0 || (c == 0 && r.loInc) })
     }
+
+    /** Lower bound of the first range whose interior is still ahead of
+      * `v` — the seek target when a sorted reader finds itself in a
+      * disqualified gap (ranges are generated sorted by the
+      * critical-point cut). A range with an OPEN lower bound equal to
+      * `v` is ahead too: for `k > 50` the record k=50 sits exactly on
+      * the excluded bound, and the next qualified values start right
+      * after it — skipping to the NEXT range instead would leapfrog
+      * them. The floor of such a bound is at/behind the current
+      * position, so the resulting seek is a harmless no-op. */
+    def nextLowerBound(v: Any): Option[Any] =
+      ranges.find(r => r.lo.exists { l =>
+        val c = cmp(l, v); c > 0 || (c == 0 && !r.loInc)
+      }).flatMap(_.lo)
+
+    /** Is the whole inclusive interval [lo, hi] inside ONE qualified
+      * range? (fully-covered segment test for filtered metadata-only
+      * aggregation — a single range is an interval, so containing both
+      * ends contains everything between) */
+    def coversInterval(lo: Any, hi: Any): Boolean =
+      ranges.exists(r => inRange(r, lo) && inRange(r, hi))
   }
 }

@@ -198,15 +198,25 @@ object SegmentFile {
   }
 
   /** Iterate a segment's records in key order, optionally starting at a
-    * byte offset taken from the sparse index. */
+    * byte offset taken from the sparse index. Supports forward re-seeks
+    * (`skipForwardTo`) so a multi-range scan can jump over disqualified
+    * gaps instead of decoding through them (reference seek-hint protocol,
+    * HBaseCustomFilter.scala:222-435), and counts decoded records so
+    * tests can assert decoded ≈ matched. */
   final class Reader(dir: String, file: String, startOffset: Long = 0L)
       extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
     private val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(Paths.get(dir, file)), 1 << 16))
     if (startOffset > 0) in.skipNBytes(startOffset)
+    // absolute offset of the next unread byte (the pre-read record ends here)
+    private var pos: Long = startOffset
+    private var decoded: Long = 0L
     private var nextRec: (Array[Byte], Array[Byte]) = _
     private var eof = false
     advance()
+
+    /** Records decoded so far (incl. pre-read) — the seek efficiency metric. */
+    def decodedCount: Long = decoded
 
     private def advance(): Unit = {
       try {
@@ -214,11 +224,23 @@ object SegmentFile {
         val k = new Array[Byte](kl); in.readFully(k)
         val vl = in.readInt()
         val v = new Array[Byte](vl); in.readFully(v)
+        pos += 8L + kl + vl
+        decoded += 1
         nextRec = (k, v)
       } catch {
         case _: EOFException => eof = true; nextRec = null; in.close()
       }
     }
+
+    /** Drop the pre-read record and jump to an absolute byte offset
+      * further ahead (a sparse-index floor); no-op when the target is at
+      * or behind the current position — never moves backwards. */
+    def skipForwardTo(target: Long): Unit =
+      if (!eof && target > pos) {
+        in.skipNBytes(target - pos)
+        pos = target
+        advance()
+      }
 
     override def hasNext: Boolean = !eof
     override def next(): (Array[Byte], Array[Byte]) = {

@@ -52,6 +52,46 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(metas.map(_.count).sum == 1000)
   }
 
+  test("IN-list scan re-seeks across gaps: decoded ≈ matched, not segment size") {
+    val path = tmpTable()
+    // one big segment so gap-skipping (not segment pruning) does the work
+    val df = spark.range(20000).coalesce(1)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    KvCommands.createTable(df, path, Seq("k"))
+    val meta = GraftKvMeta.read(path).get
+    assert(SegmentFile.listSegments(path).length == 1)
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array(org.apache.spark.sql.sources.In("k", Array[Any](100L, 10000L, 19990L))), -1)
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 1)
+    val reader = scan.createReaderFactory().createReader(parts(0))
+      .asInstanceOf[GraftKvPartitionReader]
+    var rows = 0
+    while (reader.next()) rows += 1
+    // 3 point ranges, sparse index every 256 records: each seek lands at
+    // most one index stride behind its target, so decoded stays within
+    // ~3×256 + matched — nowhere near the 20k-record segment
+    assert(rows == 3)
+    assert(reader.decodedCount <= 1000,
+      s"decoded ${reader.decodedCount} records for 3 matches (no re-seek?)")
+    reader.close()
+
+    // regression: an exclusive lower bound (k > 50) puts record k=50 ON
+    // the excluded bound — the gap re-seek must not leapfrog the range
+    // interior (51..120) to the next range
+    val scan2 = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("k", 50L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k", 120L)), -1)
+    val r2 = scan2.createReaderFactory()
+      .createReader(scan2.planInputPartitions()(0))
+      .asInstanceOf[GraftKvPartitionReader]
+    val ks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (r2.next()) ks += r2.get().getLong(0)
+    r2.close()
+    assert(ks.toSeq == (51L to 120L), s"got ${ks.take(5)}..${ks.takeRight(5)}")
+  }
+
   test("leading-key filter prunes segments at planning time") {
     val path = tmpTable()
     val df = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))

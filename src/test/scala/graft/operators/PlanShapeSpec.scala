@@ -67,6 +67,51 @@ class PlanShapeSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("kv COUNT/MIN/MAX under a lead-key range still pushes to metadata") {
+    val df = SparkEntry.queries("kv13_metadata_agg_filtered")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftKvAggScan"), plan.take(1500))
+    // values must match the plain parquet computation
+    val exp = graft.Tables.table(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey").between(100, 4000))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_orderkey")).head()
+    val got = df.head()
+    assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1) &&
+      got.getLong(2) == exp.getLong(2), s"got $got expected $exp")
+  }
+
+  test("kv GROUP BY on the key prefix needs no shuffle (KeyGroupedPartitioning)") {
+    // the reference's own plan-shape pattern (HBaseAdditionalQuerySuite:
+    // 288-297, no Exchange for GROUP BY on the row-key prefix); here the
+    // scan reports KeyGroupedPartitioning over the disjoint lead dim
+    SparkEntry.queries("kv1_scan_count")(spark, sf).collect() // fixture
+    val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
+    val df = graft.connector.KvCommands.table(spark, kvPath)
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // grouping on a superset of the disjoint prefix is also shuffle-free
+    val df2 = graft.connector.KvCommands.table(spark, kvPath)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"))
+    df2.collect()
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), plan2.take(2000))
+    // results must equal the shuffled plan's (correctness of the elision)
+    val expected = graft.connector.KvCommands.table(spark, kvPath)
+      .repartition(4)
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()
