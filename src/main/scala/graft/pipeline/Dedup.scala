@@ -76,17 +76,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard on shingle-hash sets, computed only for the
-    * given candidate pairs (columns doc_a, doc_b). */
-  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingle: Int = 3,
-      threshold: Double = 0.7, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(transform(TextFunctions.wordShingles(col(textCol), shingle),
-        s => xxhash64(s))).as("shset"))
+  /** Per-document distinct shingle-hash set — the shared intermediate of
+    * the one-scan dedup pipeline: signatures derive from it map-side,
+    * and Jaccard verification compares these same sets. Computed by the
+    * native [[graft.functions.ShingleHashes]] kernel (token hashes
+    * rolled into window hashes, no shingle-string materialization, no
+    * interpreted lambdas). */
+  def shingleHashSets(docs: DataFrame, shingle: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.ShingleHashes.shingle_hashes(
+        TextFunctions.tokens(col(textCol)), shingle).as("shset"))
+
+  /** Exact Jaccard on precomputed shingle-hash sets (columns idCol,
+    * shset), evaluated only for the given candidate pairs. */
+  def jaccardVerifySets(sets: DataFrame, pairs: DataFrame,
+      threshold: Double = 0.7, idCol: String = "doc_id"): DataFrame = {
+    val s = sets.select(col(idCol).as("jid"), col("shset"))
     pairs
-      .join(sets, col("doc_a") === col("jid")).withColumnRenamed("shset", "set_a").drop("jid")
-      .join(sets, col("doc_b") === col("jid")).withColumnRenamed("shset", "set_b").drop("jid")
+      .join(s, col("doc_a") === col("jid")).withColumnRenamed("shset", "set_a").drop("jid")
+      .join(s, col("doc_b") === col("jid")).withColumnRenamed("shset", "set_b").drop("jid")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
@@ -95,12 +104,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Full MinHash near-dup pipeline: signatures → LSH → verified pairs. */
+  /** Exact n-gram Jaccard on shingle-hash sets, computed only for the
+    * given candidate pairs (columns doc_a, doc_b). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingle: Int = 3,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    jaccardVerifySets(shingleHashSets(docs, shingle, textCol, idCol), pairs,
+      threshold, idCol)
+
+  /** Full MinHash near-dup pipeline: ONE text scan builds the
+    * shingle-hash sets; signatures derive from those hashes map-side
+    * (bit-identical to hashing the shingle strings — same xxhash64
+    * seed), LSH-bands the signatures, and verification reuses the same
+    * persisted sets instead of re-shingling the corpus. The persisted
+    * intermediate is (id, hashes) — a fraction of the text size — and
+    * spills to disk if it outgrows memory. */
   def minhashNearDuplicates(docs: DataFrame, k: Int = 64, bands: Int = 16,
-      shingle: Int = 3, threshold: Double = 0.7): DataFrame =
-    jaccardVerify(docs,
-      lshCandidatePairs(minhashSignatures(docs, k, shingle), bands, k),
-      shingle, threshold)
+      shingle: Int = 3, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = shingleHashSets(docs, shingle, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col(idCol),
+      graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k).as("sig"))
+    jaccardVerifySets(sets, lshCandidatePairs(sigs, bands, k, idCol),
+      threshold, idCol)
+  }
 
   // ── SimHash ─────────────────────────────────────────────────────────────
 

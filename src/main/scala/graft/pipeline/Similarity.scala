@@ -78,45 +78,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: deterministic coarse centroids (the first
-    * `nCentroids` corpus vectors by id — a stand-in for k-means that
-    * keeps planning deterministic), every vector assigned to its nearest
-    * centroid once, and a query probes only the `nProbe` closest
-    * centroid cells before exact ranking — the classic scale path when
-    * even signature buckets are too coarse. The assignment is pure
-    * column algebra, so it distributes and codegens. */
+  /** IVF (inverted-file) ANN, index-free form: centroids from a
+    * deterministic sampled k-means ([[AnnIndex.sampleCentroids]]), every
+    * vector assigned to its nearest centroid, and a query probes only
+    * the `nProbe` closest centroid cells before exact ranking. The
+    * assignment is pure column algebra, so it distributes and codegens.
+    * For repeated queries build [[AnnIndex]] once instead — this form
+    * re-assigns cells per query; the index stores them cell-partitioned
+    * so a probe reads only its directories. */
   def ivfTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val centroids: Array[(Int, Seq[Float])] = embeddings
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
-
-    def cosTo(c: Seq[Float], v: Column): Column =
-      cosine(v, array(c.map(x => lit(x)): _*))
-
-    // argmax over centroid similarities, as chained column algebra
-    def nearestCell(v: Column): Column = {
-      val sims = centroids.map { case (i, c) => (i, cosTo(c, v)) }
-      val best = greatest(sims.map(_._2): _*)
-      sims.reverse.foldLeft(lit(-1)) { case (acc, (i, s)) =>
-        when(s === best, lit(i)).otherwise(acc)
-      }
-    }
-
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
-    val probeCells = centroids.map { case (i, c) => (i, cosLocal(c, query)) }
-      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
-
+    val cents = AnnIndex.sampleCentroids(embeddings, nCentroids,
+      vecCol = vecCol, idCol = idCol)
+    val q = query.map(_.toDouble).toArray
+    val probeCells: Seq[Int] = cents.indices
+      .sortBy(i => -AnnIndex.cosLocal(q, cents(i))).take(nProbe)
     val qArr = array(query.map(v => lit(v)): _*)
     embeddings
-      .withColumn("__cell", nearestCell(col(vecCol)))
+      .withColumn("__cell", AnnIndex.nearestCell(cents, col(vecCol)))
       .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol), cosine(col(vecCol), qArr).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

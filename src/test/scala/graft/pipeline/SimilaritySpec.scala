@@ -67,6 +67,39 @@ class SimilaritySpec extends AnyFunSuite {
       part.map(_.getAs[Double]("sim")).toSeq)
   }
 
+  test("AnnIndex: materialized probes match index-free search") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(200).cache()
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = q.length, nPlanes = 16, nCentroids = 8)
+
+    // LSH probe over the precomputed signature column = recomputed-sig path
+    val live = Similarity.annTopK(emb, q, k = 5, dim = q.length, nPlanes = 16, probe = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val idx = AnnIndex.annTopK(spark, dir, q, k = 5, dim = q.length,
+      nPlanes = 16, probe = 5).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(idx == live)
+
+    // IVF probing every cell recovers exact brute-force top-k
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivfAll = AnnIndex.ivfTopK(spark, dir, q, k = 5, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivfAll == bf)
+
+    // partial probe reads only the probed cell partitions and stays ranked
+    val part = AnnIndex.ivfTopK(spark, dir, q, k = 5, nProbe = 2).collect()
+    assert(part.nonEmpty)
+    assert(part.map(_.getAs[Double]("sim")).toSeq.reverse.sorted.reverse ==
+      part.map(_.getAs[Double]("sim")).toSeq)
+    // plan-level: the cell filter is a partition filter, not a data scan
+    val plan = AnnIndex.ivfTopK(spark, dir, q, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      plan.take(1500))
+  }
+
   test("matches corpus embeddings against an in-test oracle") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
     val rows = emb.collect().map(r =>
