@@ -25,6 +25,8 @@ object Shell {
       .config("spark.sql.catalog.graft.root", kvRoot)
       // honor the kv scan's KeyGroupedPartitioning (shuffle-free GROUP BY)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // native functions + LOAD DATA statement
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -521,13 +521,23 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     extends PartitionReader[InternalRow] {
 
   private val codec = RowCodec(schema, keys, encoding)
-  private val project = codec.projector(projection)
   // sparse index kept for the whole scan: the initial seek AND per-gap
   // re-seeks read it (an unreadable sidecar just means no seeks, never a
   // failed query)
   private val meta: Option[SegmentFile.Meta] =
     try Some(SegmentFile.readMeta(p.dir, p.file.stripSuffix(".kv")))
     catch { case _: Exception => None }
+  // decode with the schema this segment was WRITTEN with (self-describing
+  // V3 sidecar) — after ALTER TABLE, old segments keep their own value
+  // layout and columns they predate project as null. Key columns never
+  // change, so all pruning/seek paths are codec-agnostic.
+  private val segCodec: RowCodec = meta.flatMap(_.schemaJson) match {
+    case Some(js) if js != schema.json =>
+      RowCodec(org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[StructType], keys, encoding)
+    case _ => codec
+  }
+  private val project = segCodec.compatProjector(projection.map(schema(_)))
   // seek: start at the sparse-index floor of the first qualified range's
   // lower bound instead of the segment head (point-get parity, R12);
   // an unencodable bound (e.g. a filter literal containing NUL) just
@@ -553,10 +563,10 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     if (limit >= 0 && emitted >= limit) return false
     while (reader.hasNext) {
       val (k, v) = reader.next()
-      val lead = codec.leadingKeyValue(k)
+      val lead = segCodec.leadingKeyValue(k)
       if (ranges.pastAll(lead)) { reader.close(); return false } // early stop
       if (ranges.contains(lead)) {
-        current = project(codec.decodeKey(k), codec.decodeValue(v))
+        current = project(segCodec.decodeKey(k), segCodec.decodeValue(v))
         emitted += 1
         return true
       } else {
@@ -623,7 +633,15 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
         }
-        GraftKvMeta.write(path, schema, keys, encoding)
+        // An APPEND must not let the write's INPUT schema replace the
+        // table's declared one — INSERT VALUES resolves literals as
+        // non-nullable, and a tightened nullability makes codegen read
+        // genuinely-null columns as 0. Overwrite (truncate) replaces all
+        // data, so there the write schema is authoritative.
+        val declared =
+          if (truncate) schema
+          else GraftKvMeta.read(path).map(_.schema).getOrElse(schema)
+        GraftKvMeta.write(path, declared, keys, encoding)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -657,7 +675,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private val name = f"segment-$partitionId%05d-${UUID.randomUUID().toString.take(8)}"
   private val nBloomDims = keys.length - 1
   private val writer = new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
-    cmp = codec.compareKeys)
+    cmp = codec.compareKeys, schemaJson = schema.json)
   private val bloomHashes =
     if (nBloomDims > 0) new Array[Long](nBloomDims) else null
 

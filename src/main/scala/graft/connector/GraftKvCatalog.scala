@@ -1,6 +1,5 @@
 package graft.connector
 
-import graft.store.SegmentFile
 import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
@@ -91,14 +90,15 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     new GraftKvTable(tableDir(ident), schema, keys, encoding)
   }
 
-  /** ALTER: only non-key column add/drop, like the reference (O3). */
+  /** ALTER: non-key column add/drop, metadata-only and valid on LIVE
+    * tables (reference HBaseCatalog.scala:217-251) — segments are
+    * self-describing (their sidecar carries the schema they were written
+    * with), so existing data keeps decoding with its own layout and
+    * added columns read as null until rewritten. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val m = GraftKvMeta.read(dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    if (SegmentFile.nonEmpty(dir))
-      throw new UnsupportedOperationException(
-        "graftkv ALTER TABLE is metadata-only and requires an empty table")
     var s = m.schema
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>

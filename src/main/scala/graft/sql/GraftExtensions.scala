@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHashFn)
     e.injectFunction(GraftExtensions.minhashFn)
+    // LOAD DATA INPATH ... INTO TABLE ... (reference parser statement,
+    // HBaseSQLParser.scala:213-222) — everything else delegates
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,78 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** SQL statement surface for bulk load (reference
+  * `LOAD DATA [LOCAL] INPATH f INTO TABLE t [FIELDS TERMINATED BY c]`,
+  * HBaseSQLParser.scala:213-222): a thin parser interceptor that
+  * recognizes the LOAD statement and hands everything else to Spark's
+  * own parser. The command itself is declarative — CSV read with the
+  * target table's schema, appended (or overwritten) THROUGH THE CATALOG
+  * with `writeTo`, so the catalog's range-shuffle + sorted-segment write
+  * path does the heavy lifting; there is no imperative load loop.
+  *
+  * Combined with CREATE TABLE ... TBLPROPERTIES('key'='...') on the
+  * graft catalog, the whole reference CLI flow (create → load → query)
+  * is plain SQL statements.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case GraftSqlParser.LoadStmt(_, path, overwrite, table, delim) =>
+      GraftLoadDataCommand(path,
+        table.replace("`", "").split('.').toSeq,
+        Option(delim), overwrite != null)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  /** LOAD DATA [LOCAL] INPATH 'p' [OVERWRITE] INTO TABLE t
+    * [FIELDS TERMINATED BY 'c'] — LOCAL is accepted and ignored (all
+    * paths are filesystem paths here). */
+  private[sql] val LoadStmt =
+    ("""(?is)\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+""" +
+      """([\w.`]+)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*""").r
+}
+
+/** Executable LOAD: CSV (delimiter-configurable) with the target table's
+  * schema, written through the catalog. */
+case class GraftLoadDataCommand(csvPath: String, table: Seq[String],
+    delimiter: Option[String], overwrite: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tname = table.map(p => s"`$p`").mkString(".")
+    val schema = spark.table(tname).schema
+    val df = spark.read
+      .option("delimiter", delimiter.getOrElse(","))
+      .schema(schema)
+      .csv(csvPath)
+    if (overwrite) df.writeTo(tname).overwrite(org.apache.spark.sql.functions.lit(true))
+    else df.writeTo(tname).append()
+    Nil
+  }
+}

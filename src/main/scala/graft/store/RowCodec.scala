@@ -301,6 +301,33 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     }
   }
 
+  /** Cross-version row assembler: projection fields come from the
+    * CURRENT table schema, this codec carries the schema a segment was
+    * WRITTEN with. Columns are matched by name AND type; a column the
+    * segment predates (ALTER ADD) — or whose type changed via a
+    * drop-and-recreate — reads as null. Key columns never change
+    * (ALTER refuses), so they always resolve. */
+  def compatProjector(projection: Seq[StructField]): (Array[Any], Array[Any]) => InternalRow = {
+    val fromKey: Array[Boolean] = projection.map(f => keyCols.contains(f.name)).toArray
+    val srcIdx: Array[Int] = projection.map { f =>
+      val ki = keyCols.indexOf(f.name)
+      if (ki >= 0) ki
+      else valueFields.indexWhere(v => v.name == f.name && v.dataType == f.dataType)
+    }.toArray
+    (key, value) => {
+      val out = new Array[Any](srcIdx.length)
+      var i = 0
+      while (i < srcIdx.length) {
+        out(i) =
+          if (srcIdx(i) < 0) null
+          else if (fromKey(i)) key(srcIdx(i))
+          else value(srcIdx(i))
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+  }
+
   /** Leading-key-column value of an encoded key (for segment pruning). */
   def leadingKeyValue(keyBytes: Array[Byte]): Any = {
     if (isString) {

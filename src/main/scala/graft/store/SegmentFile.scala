@@ -25,7 +25,8 @@ object SegmentFile {
   final case class Meta(file: String, minKey: Array[Byte], maxKey: Array[Byte],
       count: Long, sizeBytes: Long,
       blooms: IndexedSeq[Bloom] = IndexedSeq.empty,
-      index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty)
+      index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty,
+      schemaJson: Option[String] = None)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -63,9 +64,12 @@ object SegmentFile {
           b.length, 911L)
   }
 
-  /** New-format sidecar marker (legacy files start with a positive
-    * min-key length). */
+  /** Sidecar format markers (legacy files start with a positive min-key
+    * length). V3 adds the writer's schema json — segments are
+    * self-describing, so ALTER TABLE on a populated table is
+    * metadata-only: old segments decode with their own layout. */
   private val FormatV2 = -2
+  private val FormatV3 = -3
 
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
@@ -80,7 +84,8 @@ object SegmentFile {
     * dimension per record). */
   final class Writer(dir: String, name: String, indexEvery: Int = 256,
       nBlooms: Int = 0,
-      cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare) {
+      cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare,
+      schemaJson: String = null) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
@@ -114,9 +119,16 @@ object SegmentFile {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
-        bloomBuilders.map(_.result()).toIndexedSeq, index.result())
+        bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
+        Option(schemaJson))
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV2)
+      mo.writeInt(FormatV3)
+      m.schemaJson match {
+        case Some(js) =>
+          val b = js.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          mo.writeInt(b.length); mo.write(b)
+        case None => mo.writeInt(-1)
+      }
       mo.writeInt(m.minKey.length); mo.write(m.minKey)
       mo.writeInt(m.maxKey.length); mo.write(m.maxKey)
       mo.writeLong(m.count); mo.writeLong(m.sizeBytes)
@@ -144,13 +156,22 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v2 = first == FormatV2
-      val minLen = if (v2) in.readInt() else first // legacy: first int IS minLen
+      val v3 = first == FormatV3
+      val v2plus = v3 || first == FormatV2
+      val schemaJson =
+        if (!v3) None
+        else in.readInt() match {
+          case -1 => None
+          case n =>
+            val b = new Array[Byte](n); in.readFully(b)
+            Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val minLen = if (v2plus) in.readInt() else first // legacy: first int IS minLen
       val min = new Array[Byte](minLen); in.readFully(min)
       val max = new Array[Byte](in.readInt()); in.readFully(max)
       val count = in.readLong(); val size = in.readLong()
       val blooms =
-        if (!v2) IndexedSeq.empty
+        if (!v2plus) IndexedSeq.empty
         else (0 until in.readInt()).map { _ =>
           val words = new Array[Long](in.readInt())
           var i = 0
@@ -165,7 +186,7 @@ object SegmentFile {
           (k, in.readLong())
         }
       } catch { case _: EOFException => IndexedSeq.empty }
-      Meta(s"$name.kv", min, max, count, size, blooms, idx)
+      Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson)
     } finally in.close()
   }
 

@@ -27,4 +27,26 @@ class ShellSpec extends AnyFunSuite {
     assert(h != 0L)
     Shell.execute(spark, "DROP TABLE graft.sh.t")
   }
+
+  test("CREATE → LOAD DATA INPATH → SELECT purely as SQL statements") {
+    // the reference CLI flow (HBaseSQLParser LOAD statement), all SQL
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_load")
+    java.nio.file.Files.writeString(csvDir.resolve("data.csv"), "3|c\n1|a\n2|b\n")
+    Shell.execute(spark, "CREATE NAMESPACE IF NOT EXISTS graft.ld")
+    Shell.execute(spark,
+      "CREATE TABLE graft.ld.t (k BIGINT, v STRING) TBLPROPERTIES('key'='k')")
+    Shell.execute(spark,
+      s"LOAD DATA INPATH '$csvDir/data.csv' INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
+    val rows = Shell.execute(spark, "SELECT k, v FROM graft.ld.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // second load appends; OVERWRITE load replaces
+    Shell.execute(spark,
+      s"LOAD DATA INPATH '$csvDir/data.csv' INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
+    assert(Shell.execute(spark, "SELECT count(*) AS c FROM graft.ld.t").head().getLong(0) == 6L)
+    Shell.execute(spark,
+      s"LOAD DATA INPATH '$csvDir/data.csv' OVERWRITE INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
+    assert(Shell.execute(spark, "SELECT count(*) AS c FROM graft.ld.t").head().getLong(0) == 3L)
+    Shell.execute(spark, "DROP TABLE graft.ld.t")
+  }
 }

@@ -12,6 +12,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       // honor the kv scan's KeyGroupedPartitioning (shuffle-free GROUP BY)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // native functions + LOAD DATA statement
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

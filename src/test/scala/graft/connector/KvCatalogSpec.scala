@@ -42,7 +42,7 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT OVERWRITE graft.db.t VALUES (9, 'z', 0.0)")
     assert(spark.sql("SELECT count(*) AS c FROM graft.db.t").head().getLong(0) == 1L)
 
-    // O3: ALTER on an empty table only (metadata-only, like the reference)
+    // O3: ALTER is metadata-only but works on empty tables too
     spark.sql("CREATE TABLE graft.db.t2 (k BIGINT, a STRING) TBLPROPERTIES ('key'='k')")
     spark.sql("ALTER TABLE graft.db.t2 ADD COLUMN b INT")
     spark.sql("ALTER TABLE graft.db.t2 DROP COLUMN a")
@@ -53,6 +53,54 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.t")
     spark.sql("DROP TABLE graft.db.t2")
     assert(spark.sql("SHOW TABLES IN graft.db").collect().isEmpty)
+  }
+
+  test("ALTER TABLE on a POPULATED table: old segments decode with their own layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.live (k BIGINT, a STRING, x DOUBLE) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.db.live VALUES (1, 'one', 1.5), (2, 'two', 2.5)")
+
+    // metadata-only ADD on a live table: existing rows read null for b
+    spark.sql("ALTER TABLE graft.db.live ADD COLUMN b INT")
+    val afterAdd = spark.sql("SELECT k, a, x, b FROM graft.db.live ORDER BY k").collect()
+    assert(afterAdd.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(afterAdd.map(_.getString(1)).toSeq == Seq("one", "two"))
+    assert(afterAdd.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+    assert(afterAdd.forall(_.isNullAt(3)))
+
+    // new writes carry the new layout; both generations read side by side
+    spark.sql("INSERT INTO graft.db.live VALUES (3, 'three', 3.5, 30)")
+    val mixed = spark.sql("SELECT k, b FROM graft.db.live ORDER BY k").collect()
+    assert(mixed.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq == Seq(-1, -1, 30))
+
+    // DROP on a live table: the column disappears; old segments that
+    // still store it simply stop projecting it
+    spark.sql("ALTER TABLE graft.db.live DROP COLUMN a")
+    val afterDrop = spark.sql("SELECT k, x, b FROM graft.db.live ORDER BY k").collect()
+    assert(afterDrop.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5))
+    assert(!spark.sql("DESCRIBE TABLE graft.db.live").collect()
+      .map(_.getString(0)).contains("a"))
+
+    // key columns stay immutable
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.live DROP COLUMN k")
+    }
+    assert(e.getMessage.toLowerCase.contains("key") ||
+      e.getCause != null && e.getCause.getMessage.toLowerCase.contains("key"))
+
+    // compaction rewrites everything into the current layout (path from
+    // the live catalog instance — the conf may have been re-pointed by
+    // another suite sharing the session, but the cached catalog has not)
+    val dir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftKvCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "live"))
+      .name().stripPrefix("graftkv:")
+    KvCommands.compact(spark, dir)
+    val compacted = spark.sql("SELECT k, x, b FROM graft.db.live ORDER BY k").collect()
+    assert(compacted.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5))
+    assert(compacted.map(r => if (r.isNullAt(2)) -1 else r.getInt(2)).toSeq == Seq(-1, -1, 30))
+
+    spark.sql("DROP TABLE graft.db.live")
   }
 
   test("CTAS creates and loads a kv table") {
