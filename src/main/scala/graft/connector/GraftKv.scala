@@ -472,9 +472,47 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       dim - 1 >= m.blooms.length || hs.exists(m.blooms(dim - 1).mightContain)
     }
 
+  /** Dimension-descent seek (reference HBaseCustomFilter.scala:222-435
+    * dimension recursion): when the leading k dims are pinned to POINTS
+    * by the predicate, the reader seeks straight to
+    * (p0,…,p_{k-1}, lo_k) — the next dim's lower bound — and stops once
+    * past (p0,…,hi_k), instead of walking the whole pinned block. */
+  private lazy val deepSeek: Option[GraftKvDeepSeek] = {
+    import graft.pruning.TriEval
+    if (pushed.isEmpty || keys.length < 2) None
+    else {
+      val perDim = codec.keyFields.map(f =>
+        graft.pruning.CriticalPoints.qualifiedRanges(pushed.toSeq, f.name, f.dataType))
+      if (perDim.exists(_.isEmpty)) None // unsatisfiable — pruning empties the scan
+      else {
+        val cmps = codec.keyFields.map(f => TriEval.comparator(f.dataType))
+        val pinned = perDim.zipWithIndex
+          .takeWhile { case (rs, i) => rs.length == 1 && rs.head.isPoint(cmps(i)) }
+          .map(_._1.head.lo.get)
+        val p = pinned.length
+        if (p == 0) None
+        else try {
+          val next = if (p < keys.length) Some(perDim(p)) else None
+          val seek = new java.io.ByteArrayOutputStream(32)
+          pinned.zipWithIndex.foreach { case (v, i) =>
+            seek.write(codec.encodeDimValue(i, v))
+          }
+          next.flatMap(_.head.lo).foreach(lo =>
+            seek.write(codec.encodeDimValue(p, lo)))
+          val (stopVals, lastInc) = next match {
+            case Some(rs) if rs.last.hi.isDefined =>
+              ((pinned :+ rs.last.hi.get).toArray, rs.last.hiInc)
+            case _ => (pinned.toArray[Any], true)
+          }
+          Some(GraftKvDeepSeek(seek.toByteArray, stopVals, lastInc))
+        } catch { case _: Exception => None } // unencodable bound → no deep seek
+      }
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges,
-      limit, encoding)
+      limit, encoding, deepSeek)
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
@@ -498,14 +536,21 @@ final case class GraftKvInputPartition(dir: String, file: String, count: Long,
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
 }
 
+/** Composite seek derived at planning: byte prefix to floor-seek to, and
+  * the per-dimension stop bound (normalized value domain). */
+final case class GraftKvDeepSeek(seekKey: Array[Byte], stopValues: Array[Any],
+    lastInclusive: Boolean) extends Serializable
+
 class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
     projection: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
-    limit: Int, encoding: String = graft.store.RowCodec.Binary)
+    limit: Int, encoding: String = graft.store.RowCodec.Binary,
+    deepSeek: Option[GraftKvDeepSeek] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftKvInputPartition]
-    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit, encoding)
+    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit,
+      encoding, deepSeek)
   }
 }
 
@@ -517,7 +562,8 @@ class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
 class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     keys: Seq[String], projection: Seq[String],
     ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
-    encoding: String = graft.store.RowCodec.Binary)
+    encoding: String = graft.store.RowCodec.Binary,
+    deepSeek: Option[GraftKvDeepSeek] = None)
     extends PartitionReader[InternalRow] {
 
   private val codec = RowCodec(schema, keys, encoding)
@@ -539,15 +585,34 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   }
   private val project = segCodec.compatProjector(projection.map(schema(_)))
   // seek: start at the sparse-index floor of the first qualified range's
-  // lower bound instead of the segment head (point-get parity, R12);
-  // an unencodable bound (e.g. a filter literal containing NUL) just
-  // means no seek, never a failed query
-  private val startOffset: Long = (for {
-    m <- meta
-    lo <- ranges.ranges.headOption.flatMap(_.lo)
-  } yield
-    try SegmentFile.floorOffset(m, codec.encodeLeading(lo), codec.compareKeys)
-    catch { case _: Exception => 0L }).getOrElse(0L)
+  // lower bound — or deeper, at the composite pinned-prefix bound when
+  // the predicate pins leading dims to points (dimension descent); an
+  // unencodable bound (e.g. a filter literal containing NUL) just means
+  // no seek, never a failed query
+  private val startOffset: Long = {
+    val lead = (for {
+      m <- meta
+      lo <- ranges.ranges.headOption.flatMap(_.lo)
+    } yield
+      try SegmentFile.floorOffset(m, codec.encodeLeading(lo), codec.compareKeys)
+      catch { case _: Exception => 0L }).getOrElse(0L)
+    val deep = (for { m <- meta; d <- deepSeek } yield
+      try SegmentFile.floorOffset(m, d.seekKey, codec.compareKeys)
+      catch { case _: Exception => 0L }).getOrElse(0L)
+    math.max(lead, deep)
+  }
+  // stop bound of the deep seek, compared per dimension in the value domain
+  private val stopCmps: Array[(Any, Any) => Int] =
+    codec.keyFields.map(f => graft.pruning.TriEval.comparator(f.dataType)).toArray
+
+  private def pastDeepStop(d: GraftKvDeepSeek, kvals: Array[Any]): Boolean = {
+    var i = 0
+    var c = 0
+    while (i < d.stopValues.length && c == 0) {
+      c = stopCmps(i)(kvals(i), d.stopValues(i)); i += 1
+    }
+    c > 0 || (c == 0 && !d.lastInclusive)
+  }
   private val reader = new SegmentFile.Reader(p.dir, p.file, startOffset)
   private var current: InternalRow = _
   private var emitted = 0L
@@ -565,6 +630,9 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
       val (k, v) = reader.next()
       val lead = segCodec.leadingKeyValue(k)
       if (ranges.pastAll(lead)) { reader.close(); return false } // early stop
+      if (deepSeek.exists(d => pastDeepStop(d, segCodec.decodeKeyNormalized(k)))) {
+        reader.close(); return false // dimension-descent early stop
+      }
       if (ranges.contains(lead)) {
         current = project(segCodec.decodeKey(k), segCodec.decodeValue(v))
         emitted += 1
