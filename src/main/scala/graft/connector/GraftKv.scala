@@ -113,9 +113,12 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftKvScanBuilder(path, tableSchema, keys, encoding)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val maxSegBytes = Option(info.options.get("segment.maxBytes"))
+      .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
-      encoding = encoding)
+      encoding = encoding, maxSegBytes = maxSegBytes)
+  }
 }
 
 // ── read path ────────────────────────────────────────────────────────────
@@ -663,11 +666,13 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
 // ── write path ───────────────────────────────────────────────────────────
 
 class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
-    truncate: Boolean, encoding: String = graft.store.RowCodec.Binary)
+    truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding)
+    new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
+      maxSegBytes)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sortOrders: Array[SortOrder] =
@@ -688,7 +693,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftKvWriterFactory(path, schema, keys, encoding)
+        new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         if (truncate) {
@@ -725,29 +730,80 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
 
 class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
-    encoding: String = graft.store.RowCodec.Binary) extends DataWriterFactory {
+    encoding: String = graft.store.RowCodec.Binary,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding)
+    new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding,
+      maxSegBytes)
+}
+
+object GraftKvDataWriter {
+  /** Region-size analog: a writer partition rotates to a fresh segment
+    * once the current one crosses this (override per write with
+    * `.option("segment.maxBytes", n)`). Bounds segment size under
+    * skewed loads, and scan parallelism tracks data size instead of
+    * writer-partition count. */
+  val DefaultMaxSegmentBytes: Long = 256L << 20
+
+  /** A run of one leading-key value that exceeds maxSegBytes × this
+    * factor forces a mid-run rotation: the table loses leading-dim
+    * disjointness (KeyGroupedPartitioning falls back to a deeper
+    * prefix or Unknown) but never produces an unboundedly large
+    * segment. */
+  val ForceRotateFactor = 4L
 }
 
 /** Receives rows already range-partitioned and key-sorted (the Write's
-  * required distribution/ordering) and streams them into one segment,
-  * populating per-dimension Bloom filters for the non-leading key
-  * columns as it goes. */
+  * required distribution/ordering) and streams them into SEGMENTS,
+  * rotating to a new one at leading-key-value boundaries once the
+  * current segment exceeds `maxSegBytes` (region splits: bounded
+  * segment size at any load skew, scan parallelism proportional to
+  * data volume). Rotation at lead boundaries keeps segments disjoint
+  * on the leading dimension, preserving the shuffle-free GROUP BY
+  * partitioning. Per-dimension Bloom filters for the non-leading key
+  * columns are populated per segment as it goes. */
 class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     partitionId: Int, taskId: Long,
-    encoding: String = graft.store.RowCodec.Binary) extends DataWriter[InternalRow] {
+    encoding: String = graft.store.RowCodec.Binary,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
   private val codec = RowCodec(schema, keys, encoding)
-  private val name = f"segment-$partitionId%05d-${UUID.randomUUID().toString.take(8)}"
   private val nBloomDims = keys.length - 1
-  private val writer = new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
-    cmp = codec.compareKeys, schemaJson = schema.json)
   private val bloomHashes =
     if (nBloomDims > 0) new Array[Long](nBloomDims) else null
 
+  private var segSeq = 0
+  private var names = List.empty[String]
+  private var writer = newWriter()
+  private var committed = List.empty[String]
+  private var lastLead: Array[Byte] = _
+
+  private def newWriter(): SegmentFile.Writer = {
+    val name = f"segment-$partitionId%05d-$segSeq%03d-${UUID.randomUUID().toString.take(8)}"
+    segSeq += 1
+    names ::= name
+    new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
+      cmp = codec.compareKeys, schemaJson = schema.json)
+  }
+
+  private def rotate(): Unit = {
+    val meta = writer.close()
+    if (meta != null) committed ::= meta.file
+    writer = newWriter()
+  }
+
   override def write(row: InternalRow): Unit = {
+    val lead = codec.encodeKeyDim(row, 0)
+    if (writer.bytesWritten > maxSegBytes &&
+      (lastLead == null || !java.util.Arrays.equals(lead, lastLead) ||
+        writer.bytesWritten >
+          maxSegBytes * GraftKvDataWriter.ForceRotateFactor)) {
+      rotate()
+    }
+    lastLead = lead
     if (bloomHashes != null) {
       var i = 0
       while (i < nBloomDims) {
@@ -760,13 +816,16 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
 
   override def commit(): WriterCommitMessage = {
     val meta = writer.close()
-    GraftKvCommit(if (meta == null) Nil else Seq(meta.file))
+    if (meta != null) committed ::= meta.file
+    GraftKvCommit(committed.reverse)
   }
 
   override def abort(): Unit = {
     writer.close()
-    Files.deleteIfExists(Paths.get(path, s"$name.kv"))
-    Files.deleteIfExists(Paths.get(path, s"$name.kvmeta"))
+    names.foreach { n =>
+      Files.deleteIfExists(Paths.get(path, s"$n.kv"))
+      Files.deleteIfExists(Paths.get(path, s"$n.kvmeta"))
+    }
   }
 
   override def close(): Unit = ()

@@ -52,6 +52,13 @@ object KvOps {
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey"),
       encoding = graft.store.RowCodec.StringFormat, fixture = "orders_str"))
 
+  /** 3-part composite PK under stringformat: multi-dimensional typed
+    * comparators (numeric lead, string middle, numeric third). */
+  private def eventsStrKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "events",
+      Seq("user_id", "event_type", "event_id"),
+      encoding = graft.store.RowCodec.StringFormat, fixture = "events_str"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec.checked("kv1_scan_count",
@@ -191,6 +198,20 @@ object KvOps {
         .filter(col("o_orderkey") > 50 && col("o_orderkey") <= 120)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // 3-dim stringformat composite key: pinned numeric lead (typed
+    // compare: 7 vs "7") + string middle-dim range + aggregation —
+    // the dimension-descent seek and multi-dim comparators together
+    QuerySpec.checked("kv14_stringformat_multidim",
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events WHERE user_id = 7 AND event_type >= 'p'
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""") { (s, d) =>
+      eventsStrKv(s, d)
+        .filter(col("user_id") === 7 && col("event_type") >= "p")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id", "event_type")
     }
   )
 }

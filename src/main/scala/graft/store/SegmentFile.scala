@@ -96,6 +96,9 @@ object SegmentFile {
     private val index = IndexedSeq.newBuilder[(Array[Byte], Long)]
     private val bloomBuilders = Array.fill(nBlooms)(new Bloom.Builder())
 
+    /** Bytes written so far (segment-rotation decisions). */
+    def bytesWritten: Long = bytes
+
     def write(key: Array[Byte], value: Array[Byte],
         bloomHashes: Array[Long] = null): Unit = {
       if (minKey == null) minKey = key

@@ -129,6 +129,31 @@ class KvConnectorSpec extends AnyFunSuite {
       s"decoded ${rdr.decodedCount} records for 11 matches (no deep seek?)")
   }
 
+  test("segment rotation bounds segment size and keeps lead-dim disjointness") {
+    val path = tmpTable()
+    // one writer partition, tiny rotation threshold → many segments
+    val df = spark.range(50000).coalesce(1).select(
+      (col("id") / 100).cast("long").as("k"), col("id").as("v"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+    val metas = SegmentFile.listSegments(path)
+    assert(metas.length > 3, s"expected rotations, got ${metas.length} segment(s)")
+    assert(metas.map(_.count).sum == 50000)
+    val m = GraftKvMeta.read(path).get
+    val codec = graft.store.RowCodec(m.schema, m.keys, m.encoding)
+    // rotations align to lead-value boundaries → strictly disjoint leads,
+    // so KeyGroupedPartitioning (shuffle-free GROUP BY) is preserved
+    val sorted = metas.sortWith((a, b) => codec.compareKeys(a.minKey, b.minKey) < 0)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(codec.decodeKeyNormalized(a.maxKey)(0).asInstanceOf[Long] <
+          codec.decodeKeyNormalized(b.minKey)(0).asInstanceOf[Long])
+      case _ => ()
+    }
+    assert(KvCommands.table(spark, path).count() == 50000)
+  }
+
   test("leading-key filter prunes segments at planning time") {
     val path = tmpTable()
     val df = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
