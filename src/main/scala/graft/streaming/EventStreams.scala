@@ -64,6 +64,26 @@ object EventStreams {
         col("session_window.end").as("we"), col("user_id"),
         col("n_events"), col("session_value"))
 
+  /** Stream ingest into a graftkv table (the reference's real-time put
+    * path, S9, fed from a stream): each micro-batch appends through the
+    * connector's ordered write, so every batch lands as sorted,
+    * disjoint segments and is immediately queryable with full pruning.
+    * Appends across batches may overlap in key space — the scan falls
+    * back to UnknownPartitioning until `KvCommands.compact` restores
+    * disjointness (same contract as batch appends). */
+  def streamIntoKv(events: DataFrame, kvPath: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graftkv")
+          .option("key", keys.mkString(","))
+          .mode("append")
+          .save(kvPath)
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -43,6 +43,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.filter(col("we") <= col("ws")).count() == 0)
   }
 
+  test("stream ingest lands in a graftkv table, queryable with pruning") {
+    val stream = EventStreams.eventStream(spark, s"${TestSpark.sf}/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("kv_stream")
+    val kvPath = s"$dir/events_kv"
+    val q = EventStreams.streamIntoKv(
+      stream.select("event_id", "ts", "user_id", "event_type", "value"),
+      kvPath, Seq("user_id", "event_id"), s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.connector.KvCommands.table(spark, kvPath)
+    val expected = Tables.table(spark, TestSpark.sf, "events").count()
+    assert(back.count() == expected)
+    // point filter on the ingested table goes through the pruned kv scan
+    val one = back.filter(col("user_id") === 7L)
+    assert(one.count() ==
+      Tables.table(spark, TestSpark.sf, "events").filter(col("user_id") === 7L).count())
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
