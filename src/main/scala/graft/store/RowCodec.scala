@@ -248,30 +248,55 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     bos.toByteArray
   }
 
-  /** Decode value bytes into (values in valueFields order). */
+  // big-endian primitives (DataOutputStream wrote them) parsed straight
+  // off the array: the decode path runs once per record per scan, and a
+  // per-record DataInputStream + per-string copy was its dominant cost
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def beLong(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 56) | ((b(o + 1) & 0xffL) << 48) |
+      ((b(o + 2) & 0xffL) << 40) | ((b(o + 3) & 0xffL) << 32) |
+      ((b(o + 4) & 0xffL) << 24) | ((b(o + 5) & 0xffL) << 16) |
+      ((b(o + 6) & 0xffL) << 8) | (b(o + 7) & 0xffL)
+
+  /** Decode value bytes into (values in valueFields order).
+    * Allocation-light: primitives parse in place; strings wrap the
+    * record's value array without copying (each record owns a fresh
+    * array, so the shared backing is safe). */
   def decodeValue(bytes: Array[Byte]): Array[Any] = {
     val out = new Array[Any](valueFields.length)
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    var off = 0
     var i = 0
     while (i < valueFields.length) {
-      if (in.readByte() == 0) out(i) = null
+      val flag = bytes(off); off += 1
+      if (flag == 0) out(i) = null
       else if (isString) {
-        val b = new Array[Byte](in.readInt()); in.readFully(b)
-        out(i) = parseString(valueFields(i).dataType, new String(b, UTF_8))
-      } else out(i) = valueFields(i).dataType match {
-        case LongType | TimestampType | TimestampNTZType => in.readLong()
-        case IntegerType | DateType => in.readInt()
-        case ShortType => in.readShort()
-        case ByteType => in.readByte()
-        case BooleanType => in.readBoolean()
-        case DoubleType => in.readDouble()
-        case FloatType => in.readFloat()
+        val n = beInt(bytes, off); off += 4
+        out(i) = parseString(valueFields(i).dataType,
+          new String(bytes, off, n, UTF_8))
+        off += n
+      } else valueFields(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          out(i) = beLong(bytes, off); off += 8
+        case IntegerType | DateType =>
+          out(i) = beInt(bytes, off); off += 4
+        case ShortType =>
+          out(i) = (((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)).toShort
+          off += 2
+        case ByteType => out(i) = bytes(off); off += 1
+        case BooleanType => out(i) = bytes(off) != 0; off += 1
+        case DoubleType =>
+          out(i) = java.lang.Double.longBitsToDouble(beLong(bytes, off)); off += 8
+        case FloatType =>
+          out(i) = java.lang.Float.intBitsToFloat(beInt(bytes, off)); off += 4
         case _: StringType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          UTF8String.fromBytes(b)
+          val n = beInt(bytes, off); off += 4
+          out(i) = UTF8String.fromBytes(bytes, off, n); off += n
         case BinaryType =>
-          val b = new Array[Byte](in.readInt()); in.readFully(b)
-          b
+          val n = beInt(bytes, off); off += 4
+          out(i) = java.util.Arrays.copyOfRange(bytes, off, off + n); off += n
         case other =>
           throw new IllegalArgumentException(s"unsupported value type $other")
       }
