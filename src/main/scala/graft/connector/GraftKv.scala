@@ -423,7 +423,14 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * the row key (HBaseStrategies.scala:42-60,87-173); the DSv2
     * restatement is KeyGroupedPartitioning over the disjoint key prefix +
     * HasPartitionKey on every partition. Spark honors it when
-    * spark.sql.sources.v2.bucketing.enabled is set (our sessions set it). */
+    * spark.sql.sources.v2.bucketing.enabled is set (our sessions set it).
+    * It also enables storage-partitioned SELF-joins on the prefix (two
+    * scans of the same table share partition values, so Spark zips
+    * segment-to-segment with no shuffle — the co-located region join).
+    * Caveat: partition values are range MINIMUMS, honest for
+    * same-value-same-partition but not "one value per partition"; two
+    * DISTINCT tables would only co-join if every range boundary matched,
+    * which Spark's partition-value equality check enforces. */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     disjointPrefix match {
       case Some(p) if keys.take(p).forall(required.fieldNames.contains) =>

@@ -112,6 +112,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kv self-join on the lead key is storage-partitioned (no shuffle)") {
+    // the reference's co-located HBase-HBase join (two region scans with
+    // matching boundaries zip partition-wise); here two scans of the
+    // same kv table share partition values, so Spark plans the join with
+    // no Exchange on either side
+    SparkEntry.queries("kv1_scan_count")(spark, sf).collect() // fixture
+    val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = graft.connector.KvCommands.table(spark, kvPath)
+      val l = t.groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
+      val r = t.groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_extendedprice").as("p"))
+      val j = l.join(r, Seq("l_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2500))
+      assert(j.count() == t.select("l_orderkey").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()
