@@ -74,6 +74,14 @@ object PipelineOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // near-dup clustering: connected components over the verified pairs,
+    // one canonical doc per cluster (the step that turns pairs into a
+    // deduplicated corpus)
+    QuerySpec.rowsOnly("dd7_neardup_clusters") { (s, d) =>
+      Dedup.nearDupClusters(Dedup.minhashNearDuplicates(t(s, d, "documents")))
+        .orderBy("doc_id")
+    },
+
     // ── text analysis ────────────────────────────────────────────────────
     QuerySpec.checked("tx1_token_count",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

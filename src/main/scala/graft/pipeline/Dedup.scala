@@ -130,6 +130,49 @@ object Dedup {
       threshold, idCol)
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * MINIMUM doc id reachable through dup edges as its cluster id, via
+    * iterative label propagation (label := min(own, neighbors')) to a
+    * fixpoint. The iteration state is the PAIR graph — tiny relative to
+    * the corpus — and near-dup components are shallow (chains of a few
+    * docs), so this converges in a handful of small-join rounds at any
+    * corpus size; `maxIters` bounds the pathological long-chain case. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** The deduplicated corpus under near-dup semantics: one canonical
+    * document (minimum id) per cluster, all singletons untouched. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = nearDupClusters(pairs, idCol = idCol)
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ── SimHash ─────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash per document over whitespace tokens. Single-pass

@@ -44,6 +44,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 2L || r.getAs[Long]("doc_b") == 2L))
   }
 
+  test("nearDupClusters labels connected components; dropNearDuplicates keeps canonicals") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 → cluster 1
+      (5L, 6L, 0.95)                // pair 5-6 → cluster 5
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (4L, "solo"),
+      (5L, "b"), (6L, "b2")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // one canonical per cluster + singleton
+  }
+
   test("simhash: exact dup has distance 0, near-dup is close, unrelated far") {
     val sh = Dedup.simhash64(base).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
