@@ -445,8 +445,24 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pkLen = disjointPrefix.getOrElse(1)
-    survivors.map(m => GraftKvInputPartition(path, m.file, m.count,
-      codec.decodeKey(m.minKey).take(pkLen)): InputPartition).toArray
+    survivors.map { m =>
+      // per-partition predicate specialization (reference
+      // HBasePartition.scala:50-77 carries simplified residuals): each
+      // partition ships only the qualified ranges intersecting ITS key
+      // span, so the reader checks fewer ranges per record and its
+      // early-stop fires at the last range relevant to this segment,
+      // not the globally last one
+      val segRanges =
+        if (pushed.isEmpty) None
+        else {
+          val lo = codec.leadingKeyValue(m.minKey)
+          val hi = codec.leadingKeyValue(m.maxKey)
+          Some(graft.pruning.CriticalPoints.MultiRange(
+            leadRanges.intersecting(lo, hi), leadRanges.dt))
+        }
+      GraftKvInputPartition(path, m.file, m.count,
+        codec.decodeKey(m.minKey).take(pkLen), segRanges): InputPartition
+    }.toArray
   }
 
   /** Per-dimension Bloom probe hashes, derived once per scan from the
@@ -538,9 +554,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
 /** One surviving segment. `partitionKeyValues` is the decoded disjoint
   * key prefix of the segment's min key (internal forms) — the
-  * HasPartitionKey identity Spark's key-grouped planning consumes. */
+  * HasPartitionKey identity Spark's key-grouped planning consumes.
+  * `partitionRanges` is the segment-specialized subset of the scan's
+  * qualified leading-dim ranges (None when the scan has no filters). */
 final case class GraftKvInputPartition(dir: String, file: String, count: Long,
-    partitionKeyValues: Array[Any] = Array.empty)
+    partitionKeyValues: Array[Any] = Array.empty,
+    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
@@ -577,6 +596,9 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     extends PartitionReader[InternalRow] {
 
   private val codec = RowCodec(schema, keys, encoding)
+  // segment-specialized ranges when the planner shipped them (fewer
+  // checks per record + segment-local early stop), else the scan-wide set
+  private val effRanges = p.partitionRanges.getOrElse(ranges)
   // sparse index kept for the whole scan: the initial seek AND per-gap
   // re-seeks read it (an unreadable sidecar just means no seeks, never a
   // failed query)
@@ -602,7 +624,7 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   private val startOffset: Long = {
     val lead = (for {
       m <- meta
-      lo <- ranges.ranges.headOption.flatMap(_.lo)
+      lo <- effRanges.ranges.headOption.flatMap(_.lo)
     } yield
       try SegmentFile.floorOffset(m, codec.encodeLeading(lo), codec.compareKeys)
       catch { case _: Exception => 0L }).getOrElse(0L)
@@ -639,11 +661,11 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     while (reader.hasNext) {
       val (k, v) = reader.next()
       val lead = segCodec.leadingKeyValue(k)
-      if (ranges.pastAll(lead)) { reader.close(); return false } // early stop
+      if (effRanges.pastAll(lead)) { reader.close(); return false } // early stop
       if (deepSeek.exists(d => pastDeepStop(d, segCodec.decodeKeyNormalized(k)))) {
         reader.close(); return false // dimension-descent early stop
       }
-      if (ranges.contains(lead)) {
+      if (effRanges.contains(lead)) {
         current = project(segCodec.decodeKey(k), segCodec.decodeValue(v))
         emitted += 1
         return true
@@ -655,7 +677,7 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
         // every record between here and the floor has lead < next lo
         // (keys are sorted); floor may be behind (within one index
         // stride) — then skipForwardTo no-ops and we decode on.
-        for (m <- meta; lo <- ranges.nextLowerBound(lead) if lastSeekLo != lo) {
+        for (m <- meta; lo <- effRanges.nextLowerBound(lead) if lastSeekLo != lo) {
           lastSeekLo = lo
           try reader.skipForwardTo(
             SegmentFile.floorOffset(m, codec.encodeLeading(lo), codec.compareKeys))

@@ -108,5 +108,13 @@ object CriticalPoints {
       * ends contains everything between) */
     def coversInterval(lo: Any, hi: Any): Boolean =
       ranges.exists(r => inRange(r, lo) && inRange(r, hi))
+
+    /** The subset of qualified ranges that intersect the inclusive
+      * interval [lo, hi] — the per-partition specialization of a scan's
+      * range set to one segment's key span. */
+    def intersecting(lo: Any, hi: Any): Seq[ValueRange] = ranges.filter { r =>
+      r.hi.forall(h => { val c = cmp(lo, h); c < 0 || (c == 0 && r.hiInc) }) &&
+        r.lo.forall(l => { val c = cmp(hi, l); c > 0 || (c == 0 && r.loInc) })
+    }
   }
 }

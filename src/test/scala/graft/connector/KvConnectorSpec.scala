@@ -129,6 +129,28 @@ class KvConnectorSpec extends AnyFunSuite {
       s"decoded ${rdr.decodedCount} records for 11 matches (no deep seek?)")
   }
 
+  test("partitions carry segment-specialized residual ranges") {
+    val path = tmpTable()
+    val df = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.write.format("graftkv").option("key", "k").mode("overwrite").save(path)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k", Array[Any](100L, 9000L))), -1)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[GraftKvInputPartition])
+    assert(parts.length == 2) // one segment per point survives
+    // each partition ships ONLY the point range inside its own span
+    // (reference HBasePartition's per-partition simplified residual)
+    parts.foreach { p =>
+      assert(p.partitionRanges.isDefined)
+      assert(p.partitionRanges.get.ranges.length == 1,
+        p.partitionRanges.get.ranges.toString)
+    }
+    assert(parts(0).partitionRanges.get.ranges != parts(1).partitionRanges.get.ranges)
+  }
+
   test("segment rotation bounds segment size and keeps lead-dim disjointness") {
     val path = tmpTable()
     // one writer partition, tiny rotation threshold → many segments
