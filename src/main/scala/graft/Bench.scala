@@ -36,6 +36,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // honor the kv scan's KeyGroupedPartitioning (shuffle-free GROUP BY)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // partition-value padding would align differently-bounded kv tables
+      // by their range-minimum partition values (silent join row loss);
+      // with it off, mismatched tables fall back to shuffle
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

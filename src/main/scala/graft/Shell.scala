@@ -25,6 +25,10 @@ object Shell {
       .config("spark.sql.catalog.graft.root", kvRoot)
       // honor the kv scan's KeyGroupedPartitioning (shuffle-free GROUP BY)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // partition-value padding would align differently-bounded kv tables
+      // by their range-minimum partition values (silent join row loss);
+      // with it off, mismatched tables fall back to shuffle
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
       // native functions + LOAD DATA statement
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -52,9 +52,22 @@ class GraftKvDataSource extends TableProvider with DataSourceRegister {
       .orElse(Option(opts.get("key")).map(_.split(",").map(_.trim).toSeq))
       .getOrElse(throw new IllegalArgumentException(
         "graftkv requires option key='col1,col2' on first write"))
-    // encoding is fixed at table birth; a live table's meta wins over opts
+    // encoding is fixed at table birth: existing segments (even ones an
+    // overwrite is about to replace — truncate keeps concurrent readers'
+    // segments decodable until commit) are encoded with the meta's
+    // codec, so a CONFLICTING request must fail loudly, never be
+    // silently dropped. Re-encode = drop table (or new path) + rewrite.
+    val requested = Option(opts.get("encoding"))
+    (meta.map(_.encoding), requested) match {
+      case (Some(have), Some(want)) if have != want =>
+        throw new IllegalArgumentException(
+          s"graftkv table at $path is encoded '$have'; cannot open it as " +
+            s"'$want' — encoding is fixed at table creation (drop the " +
+            "table and rewrite to change it)")
+      case _ => ()
+    }
     val encoding = meta.map(_.encoding)
-      .orElse(Option(opts.get("encoding")))
+      .orElse(requested)
       .getOrElse(graft.store.RowCodec.Binary)
     new GraftKvTable(path, schema, keys, encoding)
   }
@@ -419,20 +432,63 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }
   }
 
+  /** Depth to which EVERY surviving segment is pinned to a single point:
+    * largest d such that each segment's min and max keys agree on the
+    * first d dimensions. At d >= 1 all rows of a segment share one
+    * leading-key value, so the value reported via HasPartitionKey is the
+    * value of every row — the honest KeyGroupedPartitioning case. */
+  private lazy val pinnedDepth: Int = {
+    import graft.pruning.TriEval
+    if (survivors.isEmpty) 0
+    else {
+      val cmps = codec.keyFields.map(f => TriEval.comparator(f.dataType))
+      survivors.iterator.map { m =>
+        val mins = codec.decodeKeyNormalized(m.minKey)
+        val maxs = codec.decodeKeyNormalized(m.maxKey)
+        var d = 0
+        while (d < keys.length && cmps(d)(mins(d), maxs(d)) == 0) d += 1
+        d
+      }.min
+    }
+  }
+
+  private def pushPartValuesEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true").toBoolean
+    catch { case _: Exception => true }
+
+  /** Key prefix reported as KeyGroupedPartitioning, if any. The DSv2
+    * contract wants every row of a partition to EQUAL the partition
+    * value, so there are exactly two safe regimes:
+    *  - pinnedDepth >= 1: segments are single-valued on the lead dim,
+    *    the min-key prefix IS every row's value — honest under any
+    *    session config (report prefix 1, the most reusable clustering;
+    *    duplicate values across segments are fine, Spark groups them).
+    *  - Ranged segments, where values are range minimums: disjointness
+    *    still guarantees same-value-same-partition — enough for the
+    *    shuffle-free GROUP BY and for joins whose two sides report
+    *    IDENTICAL value lists — but Spark's partition-value padding
+    *    (spark.sql.sources.v2.bucketing.pushPartValues.enabled, default
+    *    true in 4.x) would align differently-bounded tables BY VALUE and
+    *    silently drop join rows. So ranged prefixes are only reported
+    *    when that padding is off in the active session (our sessions set
+    *    it false); then mismatched value lists fall back to shuffle and
+    *    matched ones (self-joins, co-written tables) stay co-located. */
+  private lazy val reportedPrefix: Option[Int] =
+    if (pinnedDepth >= 1) Some(1)
+    else if (!pushPartValuesEnabled) disjointPrefix
+    else None
+
   /** The reference elides the aggregate shuffle when GROUP BY keys prefix
     * the row key (HBaseStrategies.scala:42-60,87-173); the DSv2
-    * restatement is KeyGroupedPartitioning over the disjoint key prefix +
+    * restatement is KeyGroupedPartitioning over the reported key prefix +
     * HasPartitionKey on every partition. Spark honors it when
     * spark.sql.sources.v2.bucketing.enabled is set (our sessions set it).
     * It also enables storage-partitioned SELF-joins on the prefix (two
     * scans of the same table share partition values, so Spark zips
-    * segment-to-segment with no shuffle — the co-located region join).
-    * Caveat: partition values are range MINIMUMS, honest for
-    * same-value-same-partition but not "one value per partition"; two
-    * DISTINCT tables would only co-join if every range boundary matched,
-    * which Spark's partition-value equality check enforces. */
+    * segment-to-segment with no shuffle — the co-located region join). */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    disjointPrefix match {
+    reportedPrefix match {
       case Some(p) if keys.take(p).forall(required.fieldNames.contains) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.take(p).map(k => Expressions.identity(k):
@@ -444,7 +500,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val pkLen = disjointPrefix.getOrElse(1)
+    val pkLen = reportedPrefix.getOrElse(1)
     survivors.map { m =>
       // per-partition predicate specialization (reference
       // HBasePartition.scala:50-77 carries simplified residuals): each

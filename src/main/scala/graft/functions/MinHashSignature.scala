@@ -47,10 +47,12 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 object MinHashSignature {
-  // Spark's xxhash64(col) default seed — keeping them equal means a
-  // signature derived from precomputed `xxhash64(shingle)` values is
-  // bit-identical to one computed from the shingle strings, so the
-  // one-scan dedup pipeline (shared shingle-hash sets) changes nothing.
+  // Spark's xxhash64(col) default seed. NOTE: the one-scan dedup
+  // pipeline feeds `computeFromHashes` with ShingleHashes values, which
+  // ROLL per-token hashes instead of hashing the concatenated shingle
+  // string — a different (still uniform) hash family, so its signatures
+  // are NOT bit-identical to this string path's. MinHash semantics
+  // (Pr[collision] = Jaccard) hold for either family.
   private final val Seed = 42L
 
   /** Called from generated code: one xxHash64 per shingle, k long

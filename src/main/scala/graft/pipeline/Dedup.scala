@@ -114,8 +114,12 @@ object Dedup {
 
   /** Full MinHash near-dup pipeline: ONE text scan builds the
     * shingle-hash sets; signatures derive from those hashes map-side
-    * (bit-identical to hashing the shingle strings — same xxhash64
-    * seed), LSH-bands the signatures, and verification reuses the same
+    * (NOTE: a different hash family than hashing concatenated shingle
+    * strings — shingle hashes are rolled from per-token hashes, see
+    * [[graft.functions.ShingleHashes]] — so signatures differ bitwise
+    * from the string-shingle path, but MinHash/Jaccard estimation
+    * semantics are identical), LSH-bands the signatures, and
+    * verification reuses the same
     * persisted sets instead of re-shingling the corpus. The persisted
     * intermediate is (id, hashes) — a fraction of the text size — and
     * spills to disk if it outgrows memory. */

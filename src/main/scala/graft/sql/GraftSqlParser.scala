@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case GraftSqlParser.LoadStmt(_, path, overwrite, table, delim) =>
+    // intercept ONLY when the target table resolves into a graft
+    // catalog — Spark's own LOAD DATA (Hive-table file move) keeps its
+    // stock semantics for every other catalog/table
+    case GraftSqlParser.LoadStmt(_, path, overwrite, table, delim)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
       GraftLoadDataCommand(path,
         table.replace("`", "").split('.').toSeq,
         Option(delim), overwrite != null)
@@ -56,6 +61,17 @@ object GraftSqlParser {
   private[sql] val LoadStmt =
     ("""(?is)\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+""" +
       """([\w.`]+)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*""").r
+
+  /** Does `nameParts` resolve into a [[graft.connector.GraftKvCatalog]]
+    * in the active session? Inconclusive (no active session, resolution
+    * error) counts as NO — the statement then keeps Spark's built-in
+    * LOAD DATA semantics. */
+  private[sql] def targetsGraftCatalog(nameParts: Seq[String]): Boolean =
+    SparkSession.getActiveSession.exists { spark =>
+      try org.apache.spark.sql.graftbridge.catalogOf(spark, nameParts)
+        .isInstanceOf[graft.connector.GraftKvCatalog]
+      catch { case _: Exception => false }
+    }
 }
 
 /** Executable LOAD: CSV (delimiter-configurable) with the target table's

@@ -10,4 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Resolve the catalog a multipart table name targets, mirroring
+    * Spark's own LookupCatalog rule: a first part naming a registered
+    * catalog wins, anything else lands in the session's current catalog.
+    * (CatalogManager itself is `private[sql]`, hence this bridge.) */
+  def catalogOf(spark: SparkSession, nameParts: Seq[String])
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin = {
+    val cm = spark.sessionState.catalogManager
+    nameParts match {
+      case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
+        cm.catalog(head)
+      case _ => cm.currentCatalog
+    }
+  }
 }

@@ -302,4 +302,80 @@ class KvConnectorSpec extends AnyFunSuite {
     val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("join of differently-bounded kv tables never drops rows (SPJ safety)") {
+    // Two tables over overlapping but shifted key domains range-shuffle
+    // to DIFFERENT segment boundaries. Under the default Spark config
+    // (partition-value padding ON) the scan must NOT claim
+    // KeyGroupedPartitioning for ranged segments — padding aligns
+    // partitions by their min-key "values" and silently loses join rows.
+    // The join must return the full result under either padding setting.
+    val pathA = tmpTable()
+    val pathB = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 1200).select(col("id").as("k"), (col("id") * 2).as("va")),
+      pathA, Seq("k"))
+    KvCommands.createTable(
+      spark.range(600, 1800).select(col("id").as("k"), (col("id") + 1).as("vb")),
+      pathB, Seq("k"))
+    assert(SegmentFile.listSegments(pathA).map(_.minKey.toSeq).toSet !=
+      SegmentFile.listSegments(pathB).map(_.minKey.toSeq).toSet,
+      "fixture should produce differing segment boundaries")
+    val prevPush = spark.conf.get("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (push <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", push)
+        val j = KvCommands.table(spark, pathA)
+          .join(KvCommands.table(spark, pathB), "k")
+        assert(j.count() == 600L, s"pushPartValues=$push lost join rows")
+      }
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  test("partitioning report: honest only — pinned segments or padding off") {
+    // ranged segments: KeyGroupedPartitioning only while padding is off
+    val ranged = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 2000).select(col("id").as("k"), col("id").as("v")),
+      ranged, Seq("k"))
+    val rm = GraftKvMeta.read(ranged).get
+    def partOf(path: String, m: KvTableMeta) =
+      new GraftKvScan(path, m.schema, m.keys, m.schema, Array.empty, -1)
+        .outputPartitioning()
+    val prevPush = spark.conf.get("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      assert(partOf(ranged, rm).isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+      assert(partOf(ranged, rm).isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+
+      // single-valued segments (tiny rotation threshold → one lead value
+      // per segment): partition values are exact, so the report is
+      // honest even with padding ON
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val pinned = tmpTable()
+      spark.range(0, 30)
+        .select((col("id") % 3).as("k"), col("id").as("v"))
+        .write.format("graftkv")
+        .option("key", "k").option("segment.maxBytes", "1")
+        .mode("overwrite").save(pinned)
+      val pm = GraftKvMeta.read(pinned).get
+      val codec = graft.store.RowCodec(pm.schema, pm.keys, pm.encoding)
+      assert(SegmentFile.listSegments(pinned).forall(m =>
+        codec.leadingKeyValue(m.minKey) == codec.leadingKeyValue(m.maxKey)))
+      assert(partOf(pinned, pm).isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+      // and the rows still read back completely
+      assert(KvCommands.table(spark, pinned).count() == 30)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
+    }
+  }
 }
