@@ -637,19 +637,32 @@ class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
     new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit,
       encoding, deepSeek)
   }
+
+  /** All partitions read as ColumnarBatch (the row reader stays for
+    * metadata-agg boundary scans and direct test drives): decoding
+    * straight into column vectors skips the per-record InternalRow +
+    * boxed-field allocations, and Spark's codegen'd ColumnarToRow feeds
+    * the rest of the pipeline — the same shape as the parquet reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftKvInputPartition]
+    new GraftKvColumnarReader(p, schema, keys, projection, ranges, limit,
+      encoding, deepSeek)
+  }
 }
 
-/** Streams a segment, skipping records whose leading key falls in a
+/** Shared qualification cursor over one partition's segment: streams raw
+  * (key, value) records, skipping records whose leading key falls in a
   * disqualified critical-point gap (reference skip-scan/point-get
   * analog, HBaseSQLReaderRDD.scala:248-373 + HBaseCustomFilter seek
   * hints) and stopping once past the last qualified range — sound
-  * because segment records are in composite-key order. */
-class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
-    keys: Seq[String], projection: Seq[String],
-    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
-    encoding: String = graft.store.RowCodec.Binary,
-    deepSeek: Option[GraftKvDeepSeek] = None)
-    extends PartitionReader[InternalRow] {
+  * because segment records are in composite-key order. Both the row and
+  * columnar readers drain this. */
+final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
+    keys: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
+    encoding: String, deepSeek: Option[GraftKvDeepSeek]) {
 
   private val codec = RowCodec(schema, keys, encoding)
   // segment-specialized ranges when the planner shipped them (fewer
@@ -665,13 +678,12 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   // V3 sidecar) — after ALTER TABLE, old segments keep their own value
   // layout and columns they predate project as null. Key columns never
   // change, so all pruning/seek paths are codec-agnostic.
-  private val segCodec: RowCodec = meta.flatMap(_.schemaJson) match {
+  val segCodec: RowCodec = meta.flatMap(_.schemaJson) match {
     case Some(js) if js != schema.json =>
       RowCodec(org.apache.spark.sql.types.DataType.fromJson(js)
         .asInstanceOf[StructType], keys, encoding)
     case _ => codec
   }
-  private val project = segCodec.compatProjector(projection.map(schema(_)))
   // seek: start at the sparse-index floor of the first qualified range's
   // lower bound — or deeper, at the composite pinned-prefix bound when
   // the predicate pins leading dims to points (dimension descent); an
@@ -702,8 +714,12 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     c > 0 || (c == 0 && !d.lastInclusive)
   }
   private val reader = new SegmentFile.Reader(p.dir, p.file, startOffset)
-  private var current: InternalRow = _
-  private var emitted = 0L
+  private var curKey: Array[Byte] = _
+  private var curValue: Array[Byte] = _
+  // latched on any false return: an early stop closes the underlying
+  // stream, and a caller draining in batches probes next() once more
+  // after the batch that hit the stop
+  private var done = false
   // the gap we last re-seeked for (identified by the target range's lo) —
   // one floor computation per gap, not per record
   private var lastSeekLo: Any = _
@@ -712,18 +728,23 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     * with multi-range seeks, decoded ≈ matched, not segment size). */
   def decodedCount: Long = reader.decodedCount
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
+  def key: Array[Byte] = curKey
+  def value: Array[Byte] = curValue
+
+  /** Advance to the next QUALIFIED record; false at scan end. */
+  def next(): Boolean = {
+    if (done) return false
     while (reader.hasNext) {
       val (k, v) = reader.next()
       val lead = segCodec.leadingKeyValue(k)
-      if (effRanges.pastAll(lead)) { reader.close(); return false } // early stop
+      if (effRanges.pastAll(lead)) { // early stop
+        done = true; reader.close(); return false
+      }
       if (deepSeek.exists(d => pastDeepStop(d, segCodec.decodeKeyNormalized(k)))) {
-        reader.close(); return false // dimension-descent early stop
+        done = true; reader.close(); return false // dimension-descent early stop
       }
       if (effRanges.contains(lead)) {
-        current = project(segCodec.decodeKey(k), segCodec.decodeValue(v))
-        emitted += 1
+        curKey = k; curValue = v
         return true
       } else {
         // Disqualified gap: jump to the floor of the next qualified
@@ -741,11 +762,81 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
         }
       }
     }
+    done = true
     false
   }
 
+  def close(): Unit = reader.close()
+}
+
+/** Row-at-a-time reader: cursor + per-record InternalRow assembly. */
+class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
+    keys: Seq[String], projection: Seq[String],
+    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
+    encoding: String = graft.store.RowCodec.Binary,
+    deepSeek: Option[GraftKvDeepSeek] = None)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding, deepSeek)
+  private val project = cursor.segCodec.compatProjector(projection.map(schema(_)))
+  private var current: InternalRow = _
+  private var emitted = 0L
+
+  /** Records decoded by the underlying reader (test instrumentation). */
+  def decodedCount: Long = cursor.decodedCount
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    if (!cursor.next()) return false
+    current = project(cursor.segCodec.decodeKey(cursor.key),
+      cursor.segCodec.decodeValue(cursor.value))
+    emitted += 1
+    true
+  }
+
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** Columnar reader: cursor + direct decode into OnHeapColumnVectors in
+  * batches. Same qualification semantics as the row reader; only the
+  * materialization differs (no per-record row or boxing — see
+  * RowCodec.vectorWriter). */
+class GraftKvColumnarReader(p: GraftKvInputPartition, schema: StructType,
+    keys: Seq[String], projection: Seq[String],
+    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
+    encoding: String = graft.store.RowCodec.Binary,
+    deepSeek: Option[GraftKvDeepSeek] = None,
+    batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding, deepSeek)
+  private val fields = projection.map(schema(_))
+  private val vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
+    fields.map(f =>
+      new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+        batchSize, f.dataType):
+        org.apache.spark.sql.execution.vectorized.WritableColumnVector).toArray
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+  private val writeRec = cursor.segCodec.vectorWriter(fields)
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < vecs.length) { vecs(i).reset(); i += 1 }
+    while (n < batchSize && (limit < 0 || emitted < limit) && cursor.next()) {
+      writeRec(cursor.key, cursor.value, vecs, n)
+      n += 1
+      emitted += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { cursor.close(); batch.close() }
 }
 
 // ── write path ───────────────────────────────────────────────────────────

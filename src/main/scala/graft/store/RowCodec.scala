@@ -353,6 +353,147 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     }
   }
 
+  /** Column-vector writer for the columnar scan path: decodes ONE
+    * record's projected fields straight into `WritableColumnVector`s —
+    * no per-row `InternalRow`, no boxing — and SKIPS unprojected value
+    * fields byte-wise (a string cell that isn't selected is never
+    * parsed, just stepped over). Projection fields come from the
+    * CURRENT table schema; this codec carries the schema the segment
+    * was written with, so the compat rules of [[compatProjector]] apply:
+    * key columns resolve by name, value columns by name AND type, and a
+    * column the segment predates reads as null. */
+  def vectorWriter(projection: Seq[StructField])
+      : (Array[Byte], Array[Byte],
+         Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+         Int) => Unit = {
+    import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+    // per key dim / value field: index of the projected vector fed by it,
+    // or -1 (decode-skip)
+    val keyTargets: Array[Int] = keyFields.map(kf =>
+      projection.indexWhere(_.name == kf.name)).toArray
+    val valueTargets: Array[Int] = valueFields.map(vf =>
+      projection.indexWhere(f => f.name == vf.name && f.dataType == vf.dataType)).toArray
+    // projected columns fed by neither side (segment predates them)
+    val missing: Array[Int] = projection.indices.filter(pi =>
+      !keyTargets.contains(pi) && !valueTargets.contains(pi)).toArray
+    val keyTypes = keyFields.map(_.dataType).toArray
+    val valTypes = valueFields.map(_.dataType).toArray
+
+    def putParsed(dt: DataType, vec: WritableColumnVector, rowId: Int,
+        bytes: Array[Byte], off: Int, len: Int): Unit = dt match {
+      // stringformat cell/key: parse the decimal/string repr
+      case _: StringType => vec.putByteArray(rowId, bytes, off, len)
+      case LongType | TimestampType | TimestampNTZType =>
+        vec.putLong(rowId, parseLongAscii(bytes, off, off + len))
+      case IntegerType | DateType =>
+        vec.putInt(rowId, parseLongAscii(bytes, off, off + len).toInt)
+      case ShortType => vec.putShort(rowId, parseLongAscii(bytes, off, off + len).toShort)
+      case ByteType => vec.putByte(rowId, parseLongAscii(bytes, off, off + len).toByte)
+      case BooleanType => vec.putBoolean(rowId, bytes(off) == 't')
+      case DoubleType =>
+        vec.putDouble(rowId, new String(bytes, off, len, UTF_8).toDouble)
+      case FloatType =>
+        vec.putFloat(rowId, new String(bytes, off, len, UTF_8).toFloat)
+      case other => throw new IllegalArgumentException(s"unsupported stringformat type $other")
+    }
+
+    (key, value, vecs, rowId) => {
+      // ── key walk ──
+      var off = 0
+      var i = 0
+      while (i < keyTypes.length) {
+        val tgt = keyTargets(i)
+        if (isString) {
+          val end = nulEnd(key, off)
+          if (tgt >= 0) putParsed(keyTypes(i), vecs(tgt), rowId, key, off, end - off)
+          off = end + 1
+        } else keyTypes(i) match {
+          case LongType | TimestampType | TimestampNTZType =>
+            if (tgt >= 0) vecs(tgt).putLong(rowId, OrderedCodec.decodeLong(key, off))
+            off += 8
+          case IntegerType | DateType =>
+            if (tgt >= 0) vecs(tgt).putInt(rowId, OrderedCodec.decodeInt(key, off))
+            off += 4
+          case ShortType =>
+            if (tgt >= 0) vecs(tgt).putShort(rowId, OrderedCodec.decodeShort(key, off))
+            off += 2
+          case ByteType =>
+            if (tgt >= 0) vecs(tgt).putByte(rowId, OrderedCodec.decodeByte(key, off))
+            off += 1
+          case BooleanType =>
+            if (tgt >= 0) vecs(tgt).putBoolean(rowId, key(off) != 0)
+            off += 1
+          case DoubleType =>
+            if (tgt >= 0) vecs(tgt).putDouble(rowId, OrderedCodec.decodeDouble(key, off))
+            off += 8
+          case FloatType =>
+            if (tgt >= 0) vecs(tgt).putFloat(rowId, OrderedCodec.decodeFloat(key, off))
+            off += 4
+          case _: StringType =>
+            // NUL-terminated UTF-8: the raw slice IS the string payload
+            val end = nulEnd(key, off)
+            if (tgt >= 0) vecs(tgt).putByteArray(rowId, key, off, end - off)
+            off = end + 1
+          case other => throw new IllegalArgumentException(s"unsupported key type $other")
+        }
+        i += 1
+      }
+      // ── value walk ──
+      var voff = 0
+      var j = 0
+      while (j < valTypes.length) {
+        val tgt = valueTargets(j)
+        val flag = value(voff); voff += 1
+        if (flag == 0) {
+          if (tgt >= 0) vecs(tgt).putNull(rowId)
+        } else if (isString) {
+          val n = beInt(value, voff); voff += 4
+          if (tgt >= 0) putParsed(valTypes(j), vecs(tgt), rowId, value, voff, n)
+          voff += n
+        } else valTypes(j) match {
+          case LongType | TimestampType | TimestampNTZType =>
+            if (tgt >= 0) vecs(tgt).putLong(rowId, beLong(value, voff))
+            voff += 8
+          case IntegerType | DateType =>
+            if (tgt >= 0) vecs(tgt).putInt(rowId, beInt(value, voff))
+            voff += 4
+          case ShortType =>
+            if (tgt >= 0) vecs(tgt).putShort(rowId,
+              (((value(voff) & 0xff) << 8) | (value(voff + 1) & 0xff)).toShort)
+            voff += 2
+          case ByteType =>
+            if (tgt >= 0) vecs(tgt).putByte(rowId, value(voff))
+            voff += 1
+          case BooleanType =>
+            if (tgt >= 0) vecs(tgt).putBoolean(rowId, value(voff) != 0)
+            voff += 1
+          case DoubleType =>
+            if (tgt >= 0) vecs(tgt).putDouble(rowId,
+              java.lang.Double.longBitsToDouble(beLong(value, voff)))
+            voff += 8
+          case FloatType =>
+            if (tgt >= 0) vecs(tgt).putFloat(rowId,
+              java.lang.Float.intBitsToFloat(beInt(value, voff)))
+            voff += 4
+          case _: StringType =>
+            val n = beInt(value, voff); voff += 4
+            if (tgt >= 0) vecs(tgt).putByteArray(rowId, value, voff, n)
+            voff += n
+          case BinaryType =>
+            val n = beInt(value, voff); voff += 4
+            if (tgt >= 0) vecs(tgt).putByteArray(rowId, value, voff, n)
+            voff += n
+          case other => throw new IllegalArgumentException(s"unsupported value type $other")
+        }
+        j += 1
+      }
+      var mi = 0
+      while (mi < missing.length) {
+        vecs(missing(mi)).putNull(rowId); mi += 1
+      }
+    }
+  }
+
   /** Leading-key-column value of an encoded key (for segment pruning). */
   def leadingKeyValue(keyBytes: Array[Byte]): Any = {
     if (isString) {

@@ -337,6 +337,58 @@ class KvConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar scan: batches decode all types identically to the row reader") {
+    // DataFrame reads drain the scan through ColumnarBatch (parquet-style);
+    // the row reader remains the semantic reference. Pin (a) the plan is
+    // actually columnar and (b) every supported type — nulls included —
+    // decodes to the same values through both materializations.
+    val binPath = tmpTable()
+    val wide = Seq(
+      (1L, 7, "a", Some(2.5f), Some(true), Some(3.toShort), Some(9.toByte),
+        Some("payload"), Some(Array[Byte](1, 2, 3))),
+      (2L, 8, "b", None, None, None, None, None, None),
+      (3L, 9, "c", Some(-0.5f), Some(false), Some(-3.toShort), Some(-9.toByte),
+        Some(""), Some(Array.empty[Byte]))
+    ).toDF("k1", "k2", "s", "f", "bool", "sh", "by", "v", "bin")
+    KvCommands.createTable(wide, binPath, Seq("k1", "k2"))
+    val df = KvCommands.table(spark, binPath)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString.take(1200))
+    def norm(x: Any): Any = x match {
+      case a: Array[Byte] => a.toSeq
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+    val viaBatch = df.collect().map(r => r.toSeq.map(norm)).toSet
+    val meta = GraftKvMeta.read(binPath).get
+    val rowReader = new GraftKvScan(binPath, meta.schema, meta.keys,
+      meta.schema, Array.empty, -1)
+    val fields = meta.schema.fields
+    val viaRows = rowReader.planInputPartitions().flatMap { p =>
+      val r = rowReader.createReaderFactory().createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (r.next()) {
+        val row = r.get()
+        buf += fields.indices.map(i =>
+          norm(if (row.isNullAt(i)) null else row.get(i, fields(i).dataType))).toSeq
+      }
+      r.close(); buf
+    }.toSet
+    assert(viaBatch == viaRows)
+
+    // stringformat tables run the ascii-parse vector path; projection
+    // subsets skip unselected cells byte-wise
+    val strPath = tmpTable()
+    KvCommands.createTable(sample, strPath, Seq("k1", "k2"),
+      encoding = graft.store.RowCodec.StringFormat)
+    val proj = KvCommands.table(spark, strPath).select("k2", "d")
+    proj.collect()
+    assert(proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(proj.collect().map(_.toSeq).toSet ==
+      sample.select("k2", "d").collect().map(_.toSeq).toSet)
+  }
+
   test("partitioning report: honest only — pinned segments or padding off") {
     // ranged segments: KeyGroupedPartitioning only while padding is off
     val ranged = tmpTable()
