@@ -75,7 +75,21 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     case other => throw new IllegalArgumentException(s"unsupported stringformat type $other")
   }
 
-  private def encodeKeyField(dt: DataType, v: Any): Array[Byte] =
+  /** Canonicalize IEEE zeros in KEY positions: SQL equality (and the
+    * normalized filter domain, TriEval.normalize) treats -0.0 = +0.0,
+    * but both the order-preserving bit trick and the stringformat repr
+    * separate them — a stored -0.0 key would sort below a `k = 0.0`
+    * point range and never match. Keys canonicalize at every encode
+    * entry point (write, seek bound, bloom); VALUE cells are stored
+    * verbatim. */
+  private def canonKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  private def encodeKeyField(dt: DataType, v0: Any): Array[Byte] = {
+    val v = canonKey(v0)
     if (isString) {
       val s = stringRepr(dt, v)
       require(s.indexOf('\u0000') < 0,
@@ -96,6 +110,7 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
       case _: StringType => OrderedCodec.encodeString(v.toString)
       case other => throw new IllegalArgumentException(s"unsupported key type $other")
     }
+  }
 
   /** Encode the composite key of a full-schema row. Key columns are
     * non-nullable by contract (reference: key cols declared NOT NULL). */
@@ -519,18 +534,14 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     encodeKeyField(keyFields(dim).dataType, v)
 
   /** Encode one key dimension straight from a full-schema row (writer's
-    * Bloom population path). Canonicalizes -0.0 → +0.0 so the bloom hash
-    * matches probe-side SQL equality, and names the column on null. */
+    * Bloom population path; zero canonicalization happens in
+    * [[encodeKeyField]] like every other key encode). Names the column
+    * on null. */
   def encodeKeyDim(row: InternalRow, dim: Int): Array[Byte] = {
     val f = keyFields(dim)
     val v = row.get(keyOrdinals(dim), f.dataType)
     require(v != null, s"null in key column ${f.name}")
-    val cv = v match {
-      case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
-      case fl: java.lang.Float if fl.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
-      case other => other
-    }
-    encodeKeyField(f.dataType, cv)
+    encodeKeyField(f.dataType, v)
   }
 
   /** All key-column values with strings in external form (for the

@@ -389,6 +389,25 @@ class KvConnectorSpec extends AnyFunSuite {
       sample.select("k2", "d").collect().map(_.toSeq).toSet)
   }
 
+  test("-0.0 stored in a double key column matches k = 0.0 (SQL equality)") {
+    // IEEE total order puts -0.0 below +0.0, but SQL equality (and the
+    // normalized filter domain) treats them equal — keys canonicalize
+    // at write so the stored byte order agrees with query semantics
+    for (enc <- Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat)) {
+      val path = tmpTable()
+      KvCommands.createTable(
+        Seq((-0.0d, "negzero"), (1.5d, "one-and-a-half"), (-2.0d, "neg"))
+          .toDF("k", "v"),
+        path, Seq("k"), encoding = enc)
+      val t = KvCommands.table(spark, path)
+      assert(t.filter(col("k") === 0.0d).collect().map(_.getString(1)).toSeq ==
+        Seq("negzero"), s"encoding=$enc point filter")
+      assert(t.filter(col("k") >= 0.0d && col("k") < 1.0d)
+        .collect().map(_.getString(1)).toSeq == Seq("negzero"),
+        s"encoding=$enc range filter")
+    }
+  }
+
   test("partitioning report: honest only — pinned segments or padding off") {
     // ranged segments: KeyGroupedPartitioning only while padding is off
     val ranged = tmpTable()
