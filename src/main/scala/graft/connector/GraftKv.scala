@@ -124,7 +124,10 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftKvScanBuilder(path, tableSchema, keys, encoding)
+    new GraftKvScanBuilder(path, tableSchema, keys, encoding,
+      // read-time restriction to specific segment files (compaction
+      // reads exactly one overlap group through this)
+      Option(options.get("files")).map(_.split(",").map(_.trim).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxSegBytes = Option(info.options.get("segment.maxBytes"))
@@ -137,7 +140,8 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
 // ── read path ────────────────────────────────────────────────────────────
 
 class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
-    encoding: String = graft.store.RowCodec.Binary)
+    encoding: String = graft.store.RowCodec.Binary,
+    restrictFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -178,6 +182,9 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
+    // a file-restricted read (compaction's group scan) must not answer
+    // aggregates from whole-table metadata
+    if (restrictFiles.nonEmpty) return false
     if (!pushed.forall(GraftKvScanBuilder.leadOnlyExact(_, keys.head)) ||
       limit >= 0 || agg.groupByExpressions().nonEmpty) return false
     def leadName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -200,7 +207,8 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     case Some(aggs) =>
       new GraftKvAggScan(path, schema, keys, aggs, encoding, pushed.toSeq)
     case None =>
-      new GraftKvScan(path, schema, keys, required, pushed, limit, encoding)
+      new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
+        restrictFiles)
   }
 }
 
@@ -341,7 +349,8 @@ final case class KvAggBoundaryPartition(dir: String, file: String)
 
 class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     required: StructType, pushed: Array[Filter], limit: Int,
-    encoding: String = graft.store.RowCodec.Binary)
+    encoding: String = graft.store.RowCodec.Binary,
+    restrictFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning {
 
@@ -378,6 +387,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   private lazy val survivors: Seq[SegmentFile.Meta] = {
     import graft.pruning.TriEval
     val segs = SegmentFile.listSegments(path)
+      .filter(m => restrictFiles.forall(_.contains(m.file)))
     if (pushed.isEmpty) segs
     else {
       val conj = pushed.reduce(org.apache.spark.sql.sources.And(_, _))
@@ -598,6 +608,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
+      .filter(m => restrictFiles.forall(_.contains(m.file)))
     val rows = segs.map(_.count).sum
     // rough decoded-size estimate so the planner can make broadcast calls
     val bytes = segs.map(_.sizeBytes).sum
@@ -872,16 +883,26 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
         new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val committed = messages.collect {
+          case GraftKvCommit(files) => files
+        }.flatten.toSet
         if (truncate) {
-          val committed = messages.collect {
-            case GraftKvCommit(files) => files
-          }.flatten.toSet
           val d = new java.io.File(path)
           Option(d.list()).getOrElse(Array.empty[String])
             .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
         }
+        // record the live segment set (manifest swap is the commit
+        // point for readers; see SegmentFile manifest notes). A legacy
+        // table without a manifest treats the directory as live — which
+        // at this point already includes this commit's files.
+        val prevLive: Set[String] =
+          if (truncate) Set.empty
+          else graft.store.SegmentFile.readManifest(path).getOrElse(
+            Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+              .filter(_.endsWith(".kv")).toSet)
+        graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
         // An APPEND must not let the write's INPUT schema replace the
         // table's declared one — INSERT VALUES resolves literals as
         // non-nullable, and a tightened nullability makes codegen read

@@ -48,7 +48,9 @@ object KvCommands {
   def dropTable(path: String): Unit = {
     val d = new java.io.File(path)
     Option(d.list()).getOrElse(Array.empty[String])
-      .filter(n => n.endsWith(".kv") || n.endsWith(".kvmeta") || n == "_graft_meta.json")
+      .filter(n => n.endsWith(".kv") || n.endsWith(".kvmeta") ||
+        n == "_graft_meta.json" || n == "_graft_segments" ||
+        n.startsWith("._graft_segments.tmp-"))
       .foreach(n => new java.io.File(d, n).delete())
     d.delete()
   }
@@ -86,4 +88,99 @@ object KvCommands {
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     createTable(table(spark, path), path, m.keys, m.encoding)
   }
+
+  /** Read amplification of a point lookup: the largest number of live
+    * segments any single key can fall into (1 = fully disjoint). Sweep
+    * over segments ordered by min key with a heap of active max keys —
+    * metadata only, no data read. */
+  def overlapDepth(path: String): Int = {
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
+    val segs = SegmentFile.listSegments(path)
+    if (segs.isEmpty) 0
+    else {
+      val sorted = segs.sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
+      val active = scala.collection.mutable.PriorityQueue.empty[Array[Byte]](
+        Ordering.fromLessThan[Array[Byte]]((a, b) => cmp(a, b) > 0)) // min-heap
+      var depth = 0
+      sorted.foreach { s =>
+        while (active.nonEmpty && cmp(active.head, s.minKey) < 0) active.dequeue()
+        active.enqueue(s.maxKey)
+        depth = math.max(depth, active.size)
+      }
+      depth
+    }
+  }
+
+  /** Minor compaction: rewrite ONLY groups of key-overlapping segments
+    * (an LSM/region store's compaction-by-region, not a full-table
+    * rewrite — at 100 TB the table never rewrites whole). Each connected
+    * component of the segment-overlap graph with ≥ `minGroup` members is
+    * read back through a file-restricted scan, rewritten via the ordered
+    * write path into fresh disjoint segments, and swapped into the
+    * segment manifest atomically; disjoint segments are never touched.
+    * A crash mid-compaction leaves only orphan files the manifest
+    * excludes — readers never see duplicates. Returns the number of
+    * segments rewritten. */
+  def compactMinor(spark: SparkSession, path: String, minGroup: Int = 2): Int = {
+    import java.nio.file.{Files, Paths}
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
+    val sorted = SegmentFile.listSegments(path)
+      .sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
+    // connected components over composite-key ranges: a component's
+    // union is one contiguous interval, so "group max so far" suffices
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[SegmentFile.Meta]]
+    var groupMax: Array[Byte] = null
+    sorted.foreach { s =>
+      if (groupMax != null && cmp(s.minKey, groupMax) <= 0) {
+        groups(groups.length - 1) = groups.last :+ s
+        if (cmp(s.maxKey, groupMax) > 0) groupMax = s.maxKey
+      } else {
+        groups += Vector(s)
+        groupMax = s.maxKey
+      }
+    }
+    val toRewrite = groups.filter(_.size >= math.max(minGroup, 2)).toSeq
+    var rewritten = 0
+    toRewrite.foreach { g =>
+      val files = g.map(_.file).toSet
+      val grouped = spark.read.format("graftkv")
+        .option("files", files.mkString(",")).load(path)
+      // replacement segments are produced in a scratch table (fresh dir,
+      // same layout) by the ordered range-shuffle write, then MOVED in —
+      // they become visible only at the manifest swap below
+      val tmp = s"$path.compacting-${java.util.UUID.randomUUID().toString.take(8)}"
+      createTable(grouped, tmp, m.keys, m.encoding)
+      val moved = SegmentFile.listSegments(tmp).map(_.file)
+      moved.foreach { f =>
+        Files.move(Paths.get(tmp, f), Paths.get(path, f))
+        Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
+          Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      }
+      val live = SegmentFile.readManifest(path).getOrElse(
+        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+          .filter(_.endsWith(".kv")).toSet -- moved)
+      SegmentFile.writeManifest(path, live -- files ++ moved) // commit point
+      files.foreach { f =>
+        Files.deleteIfExists(Paths.get(path, f))
+        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      }
+      Option(new java.io.File(tmp).list()).getOrElse(Array.empty[String])
+        .foreach(n => Files.deleteIfExists(Paths.get(tmp, n)))
+      Files.deleteIfExists(Paths.get(tmp))
+      rewritten += g.size
+    }
+    rewritten
+  }
+
+  /** Auto-compaction policy for streamed/appended tables: compact only
+    * when a point lookup could touch more than `maxDepth` overlapping
+    * segments. The check is metadata-only, so calling this after every
+    * append batch is cheap; the rewrite, when it fires, touches only the
+    * overlapping groups. Returns true if a compaction ran. */
+  def autoCompact(spark: SparkSession, path: String, maxDepth: Int = 4): Boolean =
+    overlapDepth(path) > maxDepth && compactMinor(spark, path) > 0
 }

@@ -193,13 +193,47 @@ object SegmentFile {
     } finally in.close()
   }
 
-  /** All segment metas under a table dir (index not loaded — see
-    * readMeta). */
+  // ── live-segment manifest ──────────────────────────────────────────────
+  // Commits and compactions record the LIVE segment set in a manifest
+  // swapped by atomic rename, so a multi-step rewrite (write replacement
+  // segments, THEN swap, THEN delete originals) is crash-safe: a reader
+  // always sees either the old set or the new set, and files a crash
+  // orphaned between steps are simply never listed. Tables written
+  // before manifests existed have none — directory listing remains the
+  // authority there (the write paths start one on their next commit).
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "_graft_segments")
+
+  /** Live `.kv` file names, when a manifest governs this table. */
+  def readManifest(dir: String): Option[Set[String]] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator.map(_.trim)
+      .filter(_.nonEmpty).toSet)
+  }
+
+  /** Atomically replace the manifest (temp file + rename). */
+  def writeManifest(dir: String, files: Iterable[String]): Unit = {
+    val tmp = Paths.get(dir,
+      s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, files.toSeq.sorted.mkString("\n"))
+    // POSIX rename: atomic and replaces any existing manifest
+    Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** All LIVE segment metas under a table dir (index not loaded — see
+    * readMeta). Manifest-governed tables list exactly the manifest set;
+    * legacy tables list the directory. */
   def listSegments(dir: String): Seq[Meta] = {
     val d = new File(dir)
-    val names = Option(d.list()).getOrElse(Array.empty[String])
-      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta")).sorted
-    names.toSeq.map(readMeta(dir, _, withIndex = false))
+    val onDisk = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
+    val names = readManifest(dir) match {
+      case Some(live) => onDisk.filter(n => live.contains(s"$n.kv"))
+      case None => onDisk
+    }
+    names.sorted.toSeq.map(readMeta(dir, _, withIndex = false))
   }
 
   def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty

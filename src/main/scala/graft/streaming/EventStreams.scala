@@ -72,7 +72,8 @@ object EventStreams {
     * back to UnknownPartitioning until `KvCommands.compact` restores
     * disjointness (same contract as batch appends). */
   def streamIntoKv(events: DataFrame, kvPath: String, keys: Seq[String],
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      autoCompactDepth: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -81,6 +82,13 @@ object EventStreams {
           .option("key", keys.mkString(","))
           .mode("append")
           .save(kvPath)
+        // depth check is metadata-only (cheap per batch); the rewrite,
+        // when it fires, touches only the overlapping segment groups
+        if (autoCompactDepth > 0) {
+          graft.connector.KvCommands.autoCompact(batch.sparkSession, kvPath,
+            autoCompactDepth)
+          ()
+        }
       }
       .start()
 

@@ -274,6 +274,56 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(KvCommands.table(spark, path).filter(col("k") === 41).head().getString(1) == "odd")
   }
 
+  test("minor compaction rewrites only overlapping groups; manifest hides orphans") {
+    val path = tmpTable()
+    // disjoint far region [100000, 101000) — must never be rewritten —
+    // plus an overlapping pile-up in [0, 100) from repeated appends
+    KvCommands.createTable(
+      spark.range(100000, 101000).select(col("id").as("k"), lit("far").as("v")),
+      path, Seq("k"))
+    val farFiles = SegmentFile.listSegments(path)
+      .filter(m => graft.codec.OrderedCodec.decodeLong(m.minKey) >= 100000L)
+      .map(_.file).toSet
+    assert(farFiles.nonEmpty)
+    // each run: 400 rows over [i, 2000+i) step 5 — runs interleave, so
+    // every key region of [0, 2000) sees one segment per run
+    for (i <- 0 until 5)
+      KvCommands.append(
+        spark.range(0, 2000, 5).select((col("id") + i).as("k"),
+          lit(s"run$i").as("v")), path)
+    assert(KvCommands.overlapDepth(path) >= 5)
+
+    val rewritten = KvCommands.compactMinor(spark, path)
+    assert(rewritten >= 5, s"expected the overlapping runs rewritten, got $rewritten")
+    assert(KvCommands.overlapDepth(path) == 1) // fully disjoint again
+    val after = SegmentFile.listSegments(path).map(_.file).toSet
+    assert(farFiles.subsetOf(after), "disjoint segments must be left untouched")
+    // all rows survive, with per-row values intact
+    val t = KvCommands.table(spark, path)
+    assert(t.count() == 1000 + 2000)
+    assert(t.filter(col("k") === 7).head().getString(1) == "run2") // 7 = 5 + 2
+    assert(t.filter(col("k") === 100007).head().getString(1) == "far")
+
+    // a file in the directory but not in the manifest (a crash orphan)
+    // is invisible to scans
+    val orphanData = java.nio.file.Paths.get(path, "segment-orphan-000-deadbeef.kv")
+    val liveSeg = SegmentFile.listSegments(path).head.file
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path, liveSeg), orphanData)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path, liveSeg.stripSuffix(".kv") + ".kvmeta"),
+      java.nio.file.Paths.get(path, "segment-orphan-000-deadbeef.kvmeta"))
+    assert(KvCommands.table(spark, path).count() == 3000,
+      "orphan segment outside the manifest must not be scanned")
+
+    // under the threshold, autoCompact is a no-op; above it, it fires
+    assert(!KvCommands.autoCompact(spark, path, maxDepth = 4))
+    for (i <- 0 until 6)
+      KvCommands.append(
+        spark.range(0, 10).select(col("id").as("k"), lit(s"b$i").as("v")), path)
+    assert(KvCommands.autoCompact(spark, path, maxDepth = 4))
+    assert(KvCommands.overlapDepth(path) == 1)
+  }
+
   test("bulk load from CSV goes through the sorted-segment pipeline") {
     val dir = Files.createTempDirectory("graftkv_csv")
     val csv = dir.resolve("data.csv")
