@@ -205,6 +205,46 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // ── curation: quality selection, mixing, packing ─────────────────────
+    QuerySpec.checked("cu1_topk_per_group",
+      """SELECT lang, doc_id, n_tokens, rank_in_group FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(len(string_split(text, ' ')) AS INTEGER) DESC, doc_id)
+        |      AS INTEGER) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 5 ORDER BY lang, rank_in_group""") { (s, d) =>
+      graft.pipeline.Curation.topKPerGroup(
+        t(s, d, "documents").withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text"))),
+        groupCol = "lang", scoreCol = "n_tokens", k = 5)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("rank_in_group"))
+        .orderBy("lang", "rank_in_group")
+    },
+
+    // seed-deterministic per-stratum Bernoulli — Spark's RNG, so rows-only
+    QuerySpec.rowsOnly("cu2_stratified_sample") { (s, d) =>
+      graft.pipeline.Curation.stratifiedSample(t(s, d, "documents"),
+        stratumCol = "lang",
+        fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25),
+        seed = 42L)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    },
+
+    // greedy next-fit packing — order-dependent, pinned by CurationSpec
+    QuerySpec.rowsOnly("cu3_sequence_pack") { (s, d) =>
+      graft.pipeline.Curation.packSequences(t(s, d, "documents"),
+        budgetTokens = 512).toDF().orderBy("doc_id")
+    },
+
+    QuerySpec.rowsOnly("cu4_pack_stats") { (s, d) =>
+      graft.pipeline.Curation.packStats(
+        graft.pipeline.Curation.packSequences(t(s, d, "documents"),
+          budgetTokens = 512), budgetTokens = 512)
+        .orderBy("pack_id")
+    },
+
     // JSON column access (events.props is a JSON string)
     QuerySpec.checked("ev3_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

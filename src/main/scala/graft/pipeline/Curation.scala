@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation for training-data pipelines: per-group quality
+  * selection, stratified source mixing, and sequence packing — the
+  * steps between "deduplicated corpus" and "training batches".
+  *
+  * All three are designed for the 100 TB shape:
+  *  - top-k per group is one shuffle on the group key with map-side
+  *    partial ranking left to Spark's window machinery;
+  *  - stratified sampling is map-only (per-row Bernoulli against the
+  *    stratum's fraction — no shuffle at all);
+  *  - sequence packing is per-partition imperative logic (the one
+  *    genuinely sequential step, so it runs via mapPartitions after an
+  *    explicit deterministic repartition, never on the driver).
+  */
+object Curation {
+
+  /** Keep the `k` highest-quality documents per group (e.g. language or
+    * source domain): the standard per-stratum quality filter. Rank by
+    * `scoreCol` descending with `idCol` as the deterministic tie-break.
+    * One shuffle on the group key; composes entirely from windowed
+    * algebra so Catalyst/AQE own the physical plan. */
+  def topKPerGroup(docs: DataFrame, groupCol: String, scoreCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
+
+  /** Stratified sample: per-stratum Bernoulli fractions (a training-mix
+    * re-weighting, e.g. upsample low-resource languages). Map-only and
+    * seed-deterministic — `sampleBy` evaluates a per-row uniform draw
+    * against the stratum's fraction, so no shuffle and no skew at any
+    * corpus size. Strata absent from `fractions` are dropped (fraction
+    * 0.0), matching the usual mixture-spec semantics. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy(stratumCol, fractions, seed)
+
+  final case class PackedDoc(doc_id: Long, n_tokens: Int, pack_id: Long,
+      pack_seq: Int)
+
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * (context-window filling) with a greedy next-fit pass. Documents are
+    * spread across `numPartitions` by a deterministic key hash and
+    * walked in `idCol` order inside each partition; a pack closes when
+    * the next document would overflow `budgetTokens`. Pack ids are
+    * `partition * 2^32 + localIndex`, so they are globally unique and
+    * reproducible run to run. A single document longer than the budget
+    * gets a pack of its own (callers chunk oversized docs upstream).
+    *
+    * The sequential pass is genuinely order-dependent, so it runs as
+    * per-partition imperative logic — each task packs its own slice
+    * independently, which is exactly how a 1000-executor run wants it
+    * (no global coordination, no driver involvement). */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+      numPartitions: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .repartition(numPartitions, pmod(col("doc_id"), lit(numPartitions)))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var packLocal = 0L
+        var used = 0
+        var seq = 0
+        var open = false
+        it.map { case (docId, nTokens) =>
+          if (!open || used + nTokens > budgetTokens) {
+            if (open) packLocal += 1
+            used = 0; seq = 0; open = true
+          }
+          used += nTokens
+          val out = PackedDoc(docId, nTokens, (pid << 32) | packLocal, seq)
+          seq += 1
+          out
+        }
+      }
+  }
+
+  /** Pack utilization report: docs per pack, tokens used, fill ratio —
+    * the curation dashboard number ("how full are the context windows"). */
+  def packStats(packed: Dataset[PackedDoc], budgetTokens: Int): DataFrame =
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+      .withColumn("fill", col("tokens_used").cast("double") / budgetTokens)
+}

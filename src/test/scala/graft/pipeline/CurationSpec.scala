@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators: per-group quality top-k, stratified mixing,
+  * sequence packing. Packing is order-dependent (not SQL-expressible),
+  * so its invariants are pinned here instead of by the DuckDB gate. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topKPerGroup keeps the k best per group with deterministic ties") {
+    val docs = Seq(
+      (1L, "en", 10), (2L, "en", 30), (3L, "en", 30), (4L, "en", 5),
+      (5L, "de", 7), (6L, "de", 9)
+    ).toDF("doc_id", "lang", "score")
+    val top2 = Curation.topKPerGroup(docs, "lang", "score", k = 2)
+      .select("lang", "doc_id", "rank_in_group")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // en: scores 30,30 → tie broken by doc_id asc (2 before 3)
+    assert(top2 == Set(("en", 2L, 1), ("en", 3L, 2), ("de", 6L, 1), ("de", 5L, 2)))
+  }
+
+  test("stratifiedSample is seed-deterministic and drops absent strata") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("zh").as("lang"))
+    val frac = Map("en" -> 0.3)
+    val a = Curation.stratifiedSample(docs, "lang", frac, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(docs, "lang", frac, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must reproduce the same sample")
+    val langs = Curation.stratifiedSample(docs, "lang", frac, seed = 7L)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"), "strata without a fraction are dropped")
+    // 1000 en rows at 0.3: well within ±50% of expectation
+    assert(a.size > 150 && a.size < 450, s"got ${a.size}")
+  }
+
+  test("packSequences: every doc packed once, budget respected, deterministic") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      // texts of 1..40 whitespace tokens
+      concat_ws(" ", array_repeat(lit("tok"), (col("id") % 40 + 1).cast("int")))
+        .as("text"))
+    val budget = 100
+    val packed = Curation.packSequences(docs, budgetTokens = budget,
+      numPartitions = 8).collect()
+    assert(packed.map(_.doc_id).toSet == (0L until 500L).toSet,
+      "every document must appear in exactly one pack")
+    val byPack = packed.groupBy(_.pack_id)
+    byPack.foreach { case (pid, ds) =>
+      val total = ds.map(_.n_tokens).sum
+      assert(total <= budget || ds.length == 1,
+        s"pack $pid holds $total tokens across ${ds.length} docs")
+      // pack_seq is a contiguous 0-based walk in doc order
+      assert(ds.sortBy(_.doc_id).map(_.pack_seq).toSeq == ds.indices,
+        s"pack $pid has a non-contiguous sequence")
+    }
+    // deterministic run to run (fixed hash partitioning + in-partition sort)
+    val again = Curation.packSequences(docs, budgetTokens = budget,
+      numPartitions = 8).collect()
+    assert(again.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet ==
+      packed.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet)
+  }
+
+  test("packStats reports fill ratios consistent with the packing") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat_ws(" ", array_repeat(lit("t"), 10)).as("text")) // 10 tokens each
+    val packed = Curation.packSequences(docs, budgetTokens = 50, numPartitions = 4)
+    val stats = Curation.packStats(packed, budgetTokens = 50).collect()
+    // 10-token docs into 50-token packs → every full pack holds 5 docs
+    assert(stats.forall(r => r.getLong(1) <= 5))
+    assert(stats.forall(r => math.abs(
+      r.getDouble(3) - r.getLong(2).toDouble / 50) < 1e-9))
+    assert(stats.map(_.getLong(1)).sum == 200L)
+  }
+}
