@@ -136,6 +136,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("join of two kv tables with pinned segments is storage-partitioned") {
+    // cross-TABLE co-located join (reference HBase-HBase join): both
+    // sides report exact per-segment partition values (single-valued
+    // segments), so Spark's storage-partitioned join aligns them —
+    // including the non-matching keys, via partition-value pushdown —
+    // with no Exchange on either side
+    import org.apache.spark.sql.functions.col
+    def pinnedTable(lo: Int, hi: Int, valName: String): String = {
+      val p = java.nio.file.Files.createTempDirectory("graftkv_spj").toString + "/t"
+      spark.range(lo, hi)
+        .select((col("id") % 32).as("k"), (col("id") + 100).as(valName))
+        .write.format("graftkv")
+        .option("key", "k").option("segment.maxBytes", "1")
+        .mode("overwrite").save(p)
+      p
+    }
+    val pa = pinnedTable(0, 640, "va")   // leads 0..31
+    val pb = pinnedTable(0, 320, "vb")   // leads 0..31, fewer rows
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = graft.connector.KvCommands.table(spark, pa)
+        .groupBy("k").agg(org.apache.spark.sql.functions.count("va").as("na"))
+      val b = graft.connector.KvCommands.table(spark, pb)
+        .groupBy("k").agg(org.apache.spark.sql.functions.count("vb").as("nb"))
+      val j = a.join(b, Seq("k"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2500))
+      assert(j.count() == 32)
+      assert(j.filter(col("k") === 3).head().getLong(2) == 10L) // 320/32 per lead
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()
