@@ -21,6 +21,8 @@ object Bench {
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group
     "dd3_minhash_lsh_neardup", // minhash + LSH + verify
+    "cu1_topk_per_group",    // per-group quality top-k (windowed rank)
+    "cu3_sequence_pack",     // token-budget sequence packing
     "tx3_quality_score",     // text scoring scan
     "ann1_bruteforce_topk",  // similarity search (exact baseline)
     "ann2_lsh_topk",         // similarity search (materialized-index probe)
