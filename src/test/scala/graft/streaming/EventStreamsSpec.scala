@@ -61,6 +61,26 @@ class EventStreamsSpec extends AnyFunSuite {
       Tables.table(spark, TestSpark.sf, "events").filter(col("user_id") === 7L).count())
   }
 
+  test("stream ingest with auto-compaction keeps overlap depth bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("kv_stream_ac")
+    val kvPath = s"$dir/t"
+    val q = EventStreams.streamIntoKv(
+      input.toDF().toDF("k", "v"), kvPath, Seq("k"), s"$dir/ckpt",
+      autoCompactDepth = 2)
+    // 6 batches over the SAME key range: without compaction each batch
+    // adds an overlapping run (depth would reach ~6)
+    for (b <- 0 until 6) {
+      input.addData((0L until 50L).map(k => (k, s"b$b-$k")): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(graft.connector.KvCommands.table(spark, kvPath).count() == 300)
+    val depth = graft.connector.KvCommands.overlapDepth(kvPath)
+    assert(depth <= 3, s"auto-compaction should bound read amplification, got $depth")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
