@@ -48,8 +48,13 @@ object Bench {
     val queries = SparkEntry.queries
     // untimed warmup: JIT/codegen + parquet footer caches + one-time KV
     // fixture and ANN index builds, so timed queries measure query cost
-    // only (the index is built once and reused — the scale contract)
-    Seq("s3_count_star", "kv2_point_lookup", "ann2_lsh_topk").foreach { w =>
+    // only (the index is built once and reused — the scale contract).
+    // The dedup pipeline queries warm their own stages: their cold cost
+    // is dominated by whole-stage-codegen compilation of the multi-stage
+    // join pipelines (~1s JVM-wide, measured), which amortizes to zero
+    // at any real corpus size — steady-state is the scale-relevant cost.
+    Seq("s3_count_star", "kv2_point_lookup", "ann2_lsh_topk",
+      "dd1_exact_dedup", "dd3_minhash_lsh_neardup").foreach { w =>
       try queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
