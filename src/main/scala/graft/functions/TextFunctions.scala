@@ -108,4 +108,18 @@ object TextFunctions {
     }
     when(cjk * 2 > length(text), lit("zh")).otherwise(latinPick)
   }
+
+  /** PII-style redaction for training text: emails → [EMAIL], URLs →
+    * [URL], long digit runs (ids, phone-ish) → [NUM]. Pure
+    * `regexp_replace` chain — codegen'd, map-only, no shuffle at any
+    * corpus size. Patterns stay in the Java∩RE2 common subset so the
+    * same SQL runs on any engine (the DuckDB oracle replays it
+    * verbatim); application order matters (emails before digit runs, or
+    * an address's digits would be half-eaten). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("[EMAIL]"))
+    val url = regexp_replace(email, lit("https?://[^\\s]+"), lit("[URL]"))
+    regexp_replace(url, lit("[0-9]{6,}"), lit("[NUM]"))
+  }
 }

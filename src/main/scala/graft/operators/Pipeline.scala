@@ -245,6 +245,23 @@ object PipelineOps {
         .orderBy("pack_id")
     },
 
+    // PII-style scrub before training: identical regex chain replayed by
+    // the oracle (Java∩RE2-safe patterns)
+    QuerySpec.checked("cu5_redact_pii",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      'https?://[^\s]+', '[URL]', 'g'),
+        |    '[0-9]{6,}', '[NUM]', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // JSON column access (events.props is a JSON string)
     QuerySpec.checked("ev3_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

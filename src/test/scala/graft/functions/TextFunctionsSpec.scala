@@ -47,6 +47,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(TextFunctions.langId(col("t")), "你好世界你好世界") == "zh")
   }
 
+  test("redactPii masks emails, urls, and long digit runs") {
+    val df = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "see https://example.com/a?b=1 and http://x.io",
+      "id 1234567890 but keep 12345 and the year 2024",
+      "clean text stays clean"
+    ).toDF("text").select(TextFunctions.redactPii(col("text")).as("r"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail me at [EMAIL] today",
+      "see [URL] and [URL]",
+      "id [NUM] but keep 12345 and the year 2024",
+      "clean text stays clean"))
+  }
+
   test("fingerprints are normalization-invariant") {
     val a = one(TextFunctions.fingerprintMd5(col("t")), "Hello   World")
     val b = one(TextFunctions.fingerprintMd5(col("t")), "hello world ")
