@@ -201,6 +201,11 @@ object SegmentFile {
   // orphaned between steps are simply never listed. Tables written
   // before manifests existed have none — directory listing remains the
   // authority there (the write paths start one on their next commit).
+  // Concurrency contract: ONE writer/compactor per table at a time
+  // (the reference's region-server ownership analog); concurrent
+  // readers are always safe. Cross-process writer coordination needs an
+  // external lock — same stance as any filesystem-manifest table format
+  // without a transaction server.
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_graft_segments")
 

@@ -54,6 +54,17 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("cnt"))
 
+  /** Streaming exact dedup: drop events whose `idCols` were already
+    * seen, with state bounded by the watermark — the streaming form of
+    * the corpus exact-dedup (Dedup.dropExactDuplicates). State size is
+    * O(events inside the lateness horizon), not O(stream history), so
+    * it runs forever at any rate. */
+  def dedupEvents(events: DataFrame, lateness: String = "2 hours",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Session windows per user with a 30-minute gap. */
   def sessionAgg(events: DataFrame): DataFrame =
     events

@@ -61,6 +61,25 @@ class EventStreamsSpec extends AnyFunSuite {
       Tables.table(spark, TestSpark.sf, "events").filter(col("user_id") === 7L).count())
   }
 
+  test("streaming dedup drops replayed events, state bounded by watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // the same event file fed twice = an at-least-once replay
+    val src = Tables.table(spark, TestSpark.sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    src.write.mode("overwrite").parquet(s"$dir/in")
+    src.write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(src.schema)
+      .parquet(s"$dir/in")
+    val q = EventStreams.dedupEvents(stream)
+      .writeStream.outputMode("append").format("memory").queryName("t_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("t_dedup").count()
+    assert(got == src.count(),
+      s"replayed duplicates must be dropped exactly once (got $got)")
+  }
+
   test("stream ingest with auto-compaction keeps overlap depth bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
