@@ -52,6 +52,38 @@ class KvFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random predicates over a 3-part key with a string middle dimension") {
+    // (user_id, event_type, event_id): exercises string-dim blooms,
+    // dimension descent through a string middle, and mixed residuals
+    val ev = graft.Tables.table(spark, sf, "events")
+      .select("user_id", "event_type", "event_id", "value")
+    val path = Files.createTempDirectory("graftkv_fuzz_ev").toString + "/t"
+    KvCommands.createTable(ev, path, Seq("user_id", "event_type", "event_id"))
+    val kv = KvCommands.table(spark, path)
+    val types = Seq("click", "view", "purchase", "scroll", "login", "absent")
+    val maxUser = ev.agg(max("user_id")).head().getLong(0)
+    val rnd = new scala.util.Random(7)
+    def u(): Long = rnd.nextLong(maxUser + 10)
+    val preds: Seq[Column] = Seq.fill(30)(rnd.nextInt(7) match {
+      case 0 => col("user_id") === u()
+      case 1 => col("user_id") === u() && col("event_type") === types(rnd.nextInt(6))
+      case 2 => col("event_type").isin(Seq.fill(rnd.nextInt(3) + 1)(
+        types(rnd.nextInt(6))): _*)
+      case 3 => col("user_id").between(u(), u())
+      case 4 => col("user_id") === u() && col("event_type") === types(rnd.nextInt(6)) &&
+        col("event_id") > rnd.nextLong(10000)
+      case 5 => !(col("event_type") === types(rnd.nextInt(6)))
+      case 6 => col("user_id") < u() && col("value") >= rnd.nextDouble() * 100
+    })
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val exp = ev.filter(p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = kv.filter(p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == exp, s"predicate #$i [$p]: kv=${got.size}, parquet=${exp.size}")
+    }
+  }
+
   test("random predicates: kv scans equal parquet under both codecs") {
     val maxKey = parquet.agg(max("l_orderkey")).head().getLong(0)
     val rnd = new scala.util.Random(42)
