@@ -408,6 +408,16 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           pinned = cmp(mins(i), maxs(i)) == 0
           i += 1
         }
+        // value-column zone maps (V4 sidecars): bind each recorded
+        // [min,max] so residual predicates can prove a segment false —
+        // the parquet row-group-stats analog; unbound columns stay
+        // Unknown, so the prune is conservative by construction
+        m.zoneStats.foreach { z =>
+          bound += z.name -> TriEval.Binding(z.dataType,
+            TriEval.ValueRange(Some(TriEval.normalize(z.dataType, z.min)),
+              loInc = true,
+              Some(TriEval.normalize(z.dataType, z.max)), hiInc = true))
+        }
         TriEval.eval(conj, bound) != TriEval.False
         }
       }
@@ -978,6 +988,33 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private var committed = List.empty[String]
   private var lastLead: Array[Byte] = _
 
+  // value-column zone maps (V4 sidecar): per-SEGMENT min/max of numeric
+  // non-key columns, tracked over non-null values and reset at rotation
+  private val statFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
+    codec.valueFields.filter(f => SegmentFile.zoneMappable(f.dataType))
+      .map(f => schema.fieldIndex(f.name) -> f).toArray
+  private val statCmps: Array[(Any, Any) => Int] =
+    statFields.map { case (_, f) => graft.pruning.TriEval.comparator(f.dataType) }
+  private val statMin = new Array[Any](statFields.length)
+  private val statMax = new Array[Any](statFields.length)
+  // a zone stat is a TOTAL claim ("every row's v lies in [min,max]"),
+  // which the 3-valued pruner uses to decide IsNull(v) = False — so a
+  // column that saw ANY null in the segment must not publish one
+  private val statNulls = new Array[Boolean](statFields.length)
+
+  private def segZoneStats(): Seq[SegmentFile.ZoneStat] = {
+    val out = Seq.newBuilder[SegmentFile.ZoneStat]
+    var i = 0
+    while (i < statFields.length) {
+      if (statMin(i) != null && !statNulls(i))
+        out += SegmentFile.ZoneStat(statFields(i)._2.name,
+          statFields(i)._2.dataType, statMin(i), statMax(i))
+      statMin(i) = null; statMax(i) = null; statNulls(i) = false
+      i += 1
+    }
+    out.result()
+  }
+
   private def newWriter(): SegmentFile.Writer = {
     val name = f"segment-$partitionId%05d-$segSeq%03d-${UUID.randomUUID().toString.take(8)}"
     segSeq += 1
@@ -987,7 +1024,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
 
   private def rotate(): Unit = {
-    val meta = writer.close()
+    val meta = writer.close(segZoneStats())
     if (meta != null) committed ::= meta.file
     writer = newWriter()
   }
@@ -1008,11 +1045,22 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
         i += 1
       }
     }
+    var si = 0
+    while (si < statFields.length) {
+      val (ord, f) = statFields(si)
+      if (row.isNullAt(ord)) statNulls(si) = true
+      else {
+        val v = row.get(ord, f.dataType)
+        if (statMin(si) == null || statCmps(si)(v, statMin(si)) < 0) statMin(si) = v
+        if (statMax(si) == null || statCmps(si)(v, statMax(si)) > 0) statMax(si) = v
+      }
+      si += 1
+    }
     writer.write(codec.encodeKey(row), codec.encodeValue(row), bloomHashes)
   }
 
   override def commit(): WriterCommitMessage = {
-    val meta = writer.close()
+    val meta = writer.close(segZoneStats())
     if (meta != null) committed ::= meta.file
     GraftKvCommit(committed.reverse)
   }

@@ -26,7 +26,8 @@ object SegmentFile {
       count: Long, sizeBytes: Long,
       blooms: IndexedSeq[Bloom] = IndexedSeq.empty,
       index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      zoneStats: Seq[ZoneStat] = Seq.empty)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -67,9 +68,64 @@ object SegmentFile {
   /** Sidecar format markers (legacy files start with a positive min-key
     * length). V3 adds the writer's schema json — segments are
     * self-describing, so ALTER TABLE on a populated table is
-    * metadata-only: old segments decode with their own layout. */
+    * metadata-only: old segments decode with their own layout. V4 adds
+    * VALUE-column zone maps (per-segment min/max of numeric non-key
+    * columns, the parquet row-group-stats analog): residual filters can
+    * prune whole segments when values correlate with key order, and the
+    * prune is conservative — a segment is dropped only when the whole
+    * predicate is provably false over the recorded ranges. */
   private val FormatV2 = -2
   private val FormatV3 = -3
+  private val FormatV4 = -4
+
+  /** One value-column zone entry: (column, type, min, max) over the
+    * segment's non-null values. Types are the fixed-width numerics the
+    * 3-valued pruner can compare. */
+  final case class ZoneStat(name: String, dataType: org.apache.spark.sql.types.DataType,
+      min: Any, max: Any)
+
+  private val zoneTags: Seq[(Byte, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Seq[(Byte, DataType)](1.toByte -> LongType, 2.toByte -> IntegerType,
+      3.toByte -> ShortType, 4.toByte -> ByteType, 5.toByte -> DoubleType,
+      6.toByte -> FloatType, 7.toByte -> TimestampType,
+      8.toByte -> TimestampNTZType, 9.toByte -> DateType)
+  }
+  private val tagOf = zoneTags.map(_.swap).toMap
+  private val typeOf = zoneTags.toMap
+
+  /** Can this value column carry a zone map? */
+  def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    tagOf.contains(dt)
+
+  private def writeZoneValue(out: DataOutputStream,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        out.writeLong(v.asInstanceOf[Long])
+      case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
+      case ShortType => out.writeShort(v.asInstanceOf[Short].toInt)
+      case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
+      case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+      case FloatType => out.writeFloat(v.asInstanceOf[Float])
+      case other => throw new IllegalArgumentException(s"no zone map for $other")
+    }
+  }
+
+  private def readZoneValue(in: DataInputStream,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => in.readLong()
+      case IntegerType | DateType => in.readInt()
+      case ShortType => in.readShort()
+      case ByteType => in.readByte()
+      case DoubleType => in.readDouble()
+      case FloatType => in.readFloat()
+      case other => throw new IllegalArgumentException(s"no zone map for $other")
+    }
+  }
 
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
@@ -117,15 +173,17 @@ object SegmentFile {
     }
 
     /** Close and persist the sidecar meta; returns the meta (null keys if
-      * the segment is empty — caller should drop such segments). */
-    def close(): Meta = {
+      * the segment is empty — caller should drop such segments).
+      * `zoneStats` are the caller-tracked value-column min/max for THIS
+      * segment (the writer is codec-agnostic and never decodes values). */
+    def close(zoneStats: Seq[ZoneStat] = Seq.empty): Meta = {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
-        Option(schemaJson))
+        Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)))
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV3)
+      mo.writeInt(FormatV4)
       m.schemaJson match {
         case Some(js) =>
           val b = js.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -139,6 +197,16 @@ object SegmentFile {
       m.blooms.foreach { bl =>
         mo.writeInt(bl.words.length)
         bl.words.foreach(mo.writeLong)
+      }
+      // zone maps BEFORE the index: planning reads stats with
+      // withIndex=false and must not deserialize the index to get them
+      mo.writeInt(m.zoneStats.length)
+      m.zoneStats.foreach { z =>
+        val nb = z.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        mo.writeInt(nb.length); mo.write(nb)
+        mo.writeByte(tagOf(z.dataType).toInt)
+        writeZoneValue(mo, z.dataType, z.min)
+        writeZoneValue(mo, z.dataType, z.max)
       }
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
@@ -159,7 +227,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v3 = first == FormatV3
+      val v4 = first == FormatV4
+      val v3 = v4 || first == FormatV3
       val v2plus = v3 || first == FormatV2
       val schemaJson =
         if (!v3) None
@@ -181,6 +250,14 @@ object SegmentFile {
           while (i < words.length) { words(i) = in.readLong(); i += 1 }
           Bloom(words)
         }
+      val stats =
+        if (!v4) Seq.empty[ZoneStat]
+        else (0 until in.readInt()).map { _ =>
+          val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+          val dt = typeOf(in.readByte())
+          ZoneStat(new String(nb, java.nio.charset.StandardCharsets.UTF_8),
+            dt, readZoneValue(in, dt), readZoneValue(in, dt))
+        }
       // sparse index (absent in pre-index sidecars → seekless reads)
       val idx = if (!withIndex) IndexedSeq.empty else try {
         val n = in.readInt()
@@ -189,7 +266,7 @@ object SegmentFile {
           (k, in.readLong())
         }
       } catch { case _: EOFException => IndexedSeq.empty }
-      Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson)
+      Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats)
     } finally in.close()
   }
 

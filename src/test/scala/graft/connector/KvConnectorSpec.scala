@@ -458,6 +458,51 @@ class KvConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("value-column zone maps prune segments; nulls disable the claim") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, IsNull}
+    // payload correlates with the key (the honest zone-map case): a
+    // tight payload band must plan a fraction of the segments
+    val path = tmpTable()
+    spark.range(0, 20000).select(col("id").as("k"), (col("id") * 3).as("payload"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", (16 * 1024).toString)
+      .mode("overwrite").save(path)
+    val m = GraftKvMeta.read(path).get
+    val total = SegmentFile.listSegments(path).length
+    assert(total >= 8, s"fixture should span many segments, got $total")
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int =
+      new GraftKvScan(path, m.schema, m.keys, m.schema, filters.toArray, -1)
+        .planInputPartitions().length
+    val pruned = planned(GreaterThanOrEqual("payload", 30000L), LessThan("payload", 33000L))
+    assert(pruned < total / 2, s"zone maps should prune: $pruned of $total")
+    // and the surviving scan returns exactly the right rows
+    val got = KvCommands.table(spark, path)
+      .filter(col("payload") >= 30000L && col("payload") < 33000L).count()
+    assert(got == 1000)
+
+    // a column with nulls publishes NO zone claim: IS NULL rows survive
+    val nullPath = tmpTable()
+    spark.range(0, 4000).select(col("id").as("k"),
+        when(col("id") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", (8 * 1024).toString)
+      .mode("overwrite").save(nullPath)
+    val nm = GraftKvMeta.read(nullPath).get
+    // IS NULL may soundly skip segments that provably hold no nulls
+    // (null-free segments DO publish a total zone claim), but every
+    // segment containing a null has no claim and must be planned —
+    // the row count is the invariant
+    val nullSegs = SegmentFile.listSegments(nullPath)
+      .count(_.zoneStats.forall(_.name != "v"))
+    val plannedNull = new GraftKvScan(nullPath, nm.schema, nm.keys, nm.schema,
+      Array[org.apache.spark.sql.sources.Filter](IsNull("v")), -1)
+      .planInputPartitions().length
+    assert(plannedNull == nullSegs,
+      s"IS NULL must plan exactly the $nullSegs claim-free segments, got $plannedNull")
+    assert(KvCommands.table(spark, nullPath).filter(col("v").isNull).count() == 40)
+  }
+
   test("partitioning report: honest only — pinned segments or padding off") {
     // ranged segments: KeyGroupedPartitioning only while padding is off
     val ranged = tmpTable()
