@@ -411,12 +411,19 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         // value-column zone maps (V4 sidecars): bind each recorded
         // [min,max] so residual predicates can prove a segment false —
         // the parquet row-group-stats analog; unbound columns stay
-        // Unknown, so the prune is conservative by construction
+        // Unknown, so the prune is conservative by construction.
+        // Bind only when the CURRENT schema still has the column at the
+        // recorded type — after a drop-and-recreate type change the
+        // compatProjector reads such columns as null, so a stale stat
+        // would wrongly prove IsNull(col) false (or feed a mistyped
+        // value into the comparator); mirroring compatProjector's
+        // name+type rule keeps pruning and projection consistent.
         m.zoneStats.foreach { z =>
-          bound += z.name -> TriEval.Binding(z.dataType,
-            TriEval.ValueRange(Some(TriEval.normalize(z.dataType, z.min)),
-              loInc = true,
-              Some(TriEval.normalize(z.dataType, z.max)), hiInc = true))
+          if (schema.fields.exists(f => f.name == z.name && f.dataType == z.dataType))
+            bound += z.name -> TriEval.Binding(z.dataType,
+              TriEval.ValueRange(Some(TriEval.normalize(z.dataType, z.min)),
+                loInc = true,
+                Some(TriEval.normalize(z.dataType, z.max)), hiInc = true))
         }
         TriEval.eval(conj, bound) != TriEval.False
         }
@@ -896,13 +903,6 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
         val committed = messages.collect {
           case GraftKvCommit(files) => files
         }.flatten.toSet
-        if (truncate) {
-          val d = new java.io.File(path)
-          Option(d.list()).getOrElse(Array.empty[String])
-            .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
-              !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
-            .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
-        }
         // record the live segment set (manifest swap is the commit
         // point for readers; see SegmentFile manifest notes). A legacy
         // table without a manifest treats the directory as live — which
@@ -912,7 +912,21 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
           else graft.store.SegmentFile.readManifest(path).getOrElse(
             Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
               .filter(_.endsWith(".kv")).toSet)
+        // manifest FIRST, deletes after: a reader always sees either the
+        // old committed set (pre-swap) or the new one (post-swap); a
+        // crash between swap and delete leaves only orphan files the
+        // manifest already excludes. Deleting first would expose an
+        // empty/partial table in the window — and on a manifest-governed
+        // table the stale manifest would then hide the new segments for
+        // good.
         graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
+        if (truncate) {
+          val d = new java.io.File(path)
+          Option(d.list()).getOrElse(Array.empty[String])
+            .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
+              !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
+            .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+        }
         // An APPEND must not let the write's INPUT schema replace the
         // table's declared one — INSERT VALUES resolves literals as
         // non-nullable, and a tightened nullability makes codegen read

@@ -52,6 +52,13 @@ object KvCommands {
         n == "_graft_meta.json" || n == "_graft_segments" ||
         n.startsWith("._graft_segments.tmp-"))
       .foreach(n => new java.io.File(d, n).delete())
+    // sweep scratch dirs stranded by a crashed minor compaction
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".compacting-"))
+      .foreach { sd =>
+        Option(sd.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
+        sd.delete()
+      }
     d.delete()
   }
 
@@ -144,15 +151,27 @@ object KvCommands {
       }
     }
     val toRewrite = groups.filter(_.size >= math.max(minGroup, 2)).toSeq
+    // A legacy (pre-manifest) table's reader authority is the directory
+    // listing, so replacement files moved in below would surface as
+    // duplicates mid-compaction. Pin the current live set into a manifest
+    // FIRST — the table becomes manifest-governed, and from here on the
+    // move → swap → delete sequence is atomic for readers.
+    if (toRewrite.nonEmpty && SegmentFile.readManifest(path).isEmpty)
+      SegmentFile.writeManifest(path,
+        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+          .filter(_.endsWith(".kv")).toSet)
     var rewritten = 0
     toRewrite.foreach { g =>
       val files = g.map(_.file).toSet
       val grouped = spark.read.format("graftkv")
         .option("files", files.mkString(",")).load(path)
-      // replacement segments are produced in a scratch table (fresh dir,
-      // same layout) by the ordered range-shuffle write, then MOVED in —
-      // they become visible only at the manifest swap below
-      val tmp = s"$path.compacting-${java.util.UUID.randomUUID().toString.take(8)}"
+      // replacement segments are produced in a scratch table (a hidden
+      // subdirectory of the table dir — the manifest hides it from
+      // readers, and dropTable sweeps it if a crash strands it) by the
+      // ordered range-shuffle write, then MOVED in — they become visible
+      // only at the manifest swap below
+      val tmp = new java.io.File(path,
+        s".compacting-${java.util.UUID.randomUUID().toString.take(8)}").getPath
       createTable(grouped, tmp, m.keys, m.encoding)
       val moved = SegmentFile.listSegments(tmp).map(_.file)
       moved.foreach { f =>
@@ -160,10 +179,13 @@ object KvCommands {
         Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
           Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
-      val live = SegmentFile.readManifest(path).getOrElse(
-        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-          .filter(_.endsWith(".kv")).toSet -- moved)
-      SegmentFile.writeManifest(path, live -- files ++ moved) // commit point
+      val live = SegmentFile.readManifest(path).get // written above
+      // Commit point. Caveat: the replaced files are deleted right after
+      // the swap (no snapshot retention), so a scan PLANNED against the
+      // old manifest that is still running can fail on a missing file
+      // and must re-plan — same contract as a region store's compaction
+      // discard.
+      SegmentFile.writeManifest(path, live -- files ++ moved)
       files.foreach { f =>
         Files.deleteIfExists(Paths.get(path, f))
         Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
