@@ -187,6 +187,23 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     if (restrictFiles.nonEmpty) return false
     if (!pushed.forall(GraftKvScanBuilder.leadOnlyExact(_, keys.head)) ||
       limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+    // Overlapping segments can hold several GENERATIONS of the same key
+    // (Put-upsert appends): sidecar counts include superseded versions
+    // the merge-on-read path suppresses, so metadata-only aggregation is
+    // only sound over a fully key-disjoint (bulk-loaded or compacted)
+    // table. Metadata-only check; compaction restores pushdown.
+    val cmp = graft.store.RowCodec(schema, keys, encoding).compareKeys _
+    val segs = SegmentFile.listSegments(path)
+      .sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
+    if (segs.length > 1) {
+      var prevMax = segs.head.maxKey
+      var i = 1
+      while (i < segs.length) {
+        if (cmp(segs(i).minKey, prevMax) <= 0) return false
+        if (cmp(segs(i).maxKey, prevMax) > 0) prevMax = segs(i).maxKey
+        i += 1
+      }
+    }
     def leadName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
@@ -431,25 +448,51 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }
   }
 
-  /** Shortest key prefix length p such that surviving segments are
-    * STRICTLY disjoint on the first p dimensions (prefix of one segment's
-    * max < prefix of the next segment's min). On that prefix, every
-    * distinct prefix value lives in exactly one partition, so a GROUP BY
-    * containing those columns needs no shuffle. Bulk loads range-shuffle
-    * on the leading dimension, so a fresh table is disjoint at p=1;
-    * appends may overlap (→ None → UnknownPartitioning, the safe
-    * fallback, until compaction restores disjointness). */
-  private lazy val disjointPrefix: Option[Int] = {
-    import graft.pruning.TriEval
-    if (survivors.isEmpty) None
-    else if (survivors.length == 1) Some(1)
+  /** Overlap components of the surviving segments over their FULL
+    * composite-key ranges, sorted by min key. Appends (Put-upsert) may
+    * store several generations of the same key in different segments;
+    * all candidates for a key live inside one component, so each
+    * component reads as ONE merged partition (k-way last-write-wins
+    * merge). The common case — a bulk-loaded or compacted table — is
+    * all-singleton components with zero merge overhead. Components'
+    * unions are disjoint intervals, so all partition-level reasoning
+    * (disjoint prefixes, pinned depth, partition keys) runs over
+    * component bounds. */
+  private lazy val comps: Seq[GraftKvScan.SegComp] = {
+    if (survivors.isEmpty) Seq.empty
     else {
       val sorted = survivors.sortWith((a, b) => codec.compareKeys(a.minKey, b.minKey) < 0)
-      val maxs = sorted.map(m => codec.decodeKeyNormalized(m.maxKey))
-      val mins = sorted.map(m => codec.decodeKeyNormalized(m.minKey))
+      val out = scala.collection.mutable.ArrayBuffer.empty[GraftKvScan.SegComp]
+      sorted.foreach { s =>
+        if (out.nonEmpty && codec.compareKeys(s.minKey, out.last.maxKey) <= 0) {
+          val c = out.last
+          out(out.length - 1) = GraftKvScan.SegComp(c.members :+ s,
+            if (codec.compareKeys(s.maxKey, c.maxKey) > 0) s.maxKey else c.maxKey)
+        } else out += GraftKvScan.SegComp(Vector(s), s.maxKey)
+      }
+      out.toSeq
+    }
+  }
+
+  /** Shortest key prefix length p such that scan partitions (overlap
+    * components) are STRICTLY disjoint on the first p dimensions (prefix
+    * of one component's max < prefix of the next component's min). On
+    * that prefix, every distinct prefix value lives in exactly one
+    * partition, so a GROUP BY containing those columns needs no shuffle.
+    * Bulk loads range-shuffle on the leading dimension, so a fresh table
+    * is disjoint at p=1; appends may overlap across lead values (→ None
+    * → UnknownPartitioning, the safe fallback, until compaction restores
+    * disjointness). */
+  private lazy val disjointPrefix: Option[Int] = {
+    import graft.pruning.TriEval
+    if (comps.isEmpty) None
+    else if (comps.length == 1) Some(1)
+    else {
+      val maxs = comps.map(c => codec.decodeKeyNormalized(c.maxKey))
+      val mins = comps.map(c => codec.decodeKeyNormalized(c.minKey))
       val cmps = codec.keyFields.map(f => TriEval.comparator(f.dataType)).toArray
       (1 to keys.length).find { p =>
-        (0 until sorted.length - 1).forall { i =>
+        (0 until comps.length - 1).forall { i =>
           var c = 0
           var d = 0
           while (d < p && c == 0) { c = cmps(d)(maxs(i)(d), mins(i + 1)(d)); d += 1 }
@@ -459,19 +502,20 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }
   }
 
-  /** Depth to which EVERY surviving segment is pinned to a single point:
-    * largest d such that each segment's min and max keys agree on the
-    * first d dimensions. At d >= 1 all rows of a segment share one
-    * leading-key value, so the value reported via HasPartitionKey is the
-    * value of every row — the honest KeyGroupedPartitioning case. */
+  /** Depth to which EVERY scan partition (overlap component) is pinned to
+    * a single point: largest d such that each component's min and max
+    * keys agree on the first d dimensions. At d >= 1 all rows of a
+    * partition share one leading-key value, so the value reported via
+    * HasPartitionKey is the value of every row — the honest
+    * KeyGroupedPartitioning case. */
   private lazy val pinnedDepth: Int = {
     import graft.pruning.TriEval
-    if (survivors.isEmpty) 0
+    if (comps.isEmpty) 0
     else {
       val cmps = codec.keyFields.map(f => TriEval.comparator(f.dataType))
-      survivors.iterator.map { m =>
-        val mins = codec.decodeKeyNormalized(m.minKey)
-        val maxs = codec.decodeKeyNormalized(m.maxKey)
+      comps.iterator.map { c =>
+        val mins = codec.decodeKeyNormalized(c.minKey)
+        val maxs = codec.decodeKeyNormalized(c.maxKey)
         var d = 0
         while (d < keys.length && cmps(d)(mins(d), maxs(d)) == 0) d += 1
         d
@@ -520,15 +564,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.take(p).map(k => Expressions.identity(k):
             org.apache.spark.sql.connector.expressions.Expression).toArray,
-          survivors.length)
+          comps.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          survivors.length)
+          comps.length)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pkLen = reportedPrefix.getOrElse(1)
-    survivors.map { m =>
+    comps.map { c =>
       // per-partition predicate specialization (reference
       // HBasePartition.scala:50-77 carries simplified residuals): each
       // partition ships only the qualified ranges intersecting ITS key
@@ -538,13 +582,21 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       val segRanges =
         if (pushed.isEmpty) None
         else {
-          val lo = codec.leadingKeyValue(m.minKey)
-          val hi = codec.leadingKeyValue(m.maxKey)
+          val lo = codec.leadingKeyValue(c.minKey)
+          val hi = codec.leadingKeyValue(c.maxKey)
           Some(graft.pruning.CriticalPoints.MultiRange(
             leadRanges.intersecting(lo, hi), leadRanges.dt))
         }
-      GraftKvInputPartition(path, m.file, m.count,
-        codec.decodeKey(m.minKey).take(pkLen), segRanges): InputPartition
+      val pk = codec.decodeKey(c.minKey).take(pkLen)
+      if (c.members.length == 1) {
+        val m = c.members.head
+        GraftKvInputPartition(path, m.file, m.count, pk, segRanges): InputPartition
+      } else
+        // ascending (generation, file) — merge ties resolve to the later
+        // entry, so ordering here IS the last-write-wins authority
+        GraftKvMergePartition(path,
+          c.members.sortBy(m => (m.gen, m.file)).map(m => (m.file, m.gen)),
+          pk, segRanges): InputPartition
     }.toArray
   }
 
@@ -621,7 +673,10 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges,
-      limit, encoding, deepSeek)
+      limit, encoding, deepSeek,
+      // Spark requires all partitions of a scan to agree on columnar vs
+      // row output, so one merge partition makes the whole scan row-based
+      columnar = comps.forall(_.members.length == 1))
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
@@ -633,6 +688,14 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
     }
+  }
+}
+
+object GraftKvScan {
+  /** One overlap component: members sorted by min key, plus the
+    * component's overall max key (members' min is the first member's). */
+  final case class SegComp(members: Vector[SegmentFile.Meta], maxKey: Array[Byte]) {
+    def minKey: Array[Byte] = members.head.minKey
   }
 }
 
@@ -649,6 +712,21 @@ final case class GraftKvInputPartition(dir: String, file: String, count: Long,
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
 }
 
+/** One overlap component of ≥2 key-overlapping segments (appends since
+  * the last compaction): the same composite key may exist in several of
+  * them, so the reader k-way-merges the members and keeps only the
+  * newest version of each key (Put-upsert / last-write-wins — the HBase
+  * semantics of the reference's insert path, HBaseRelation.scala:644-708,
+  * where a Put replaces the cell at the same row key). `files` is in
+  * ascending (generation, file) order. */
+final case class GraftKvMergePartition(dir: String, files: Seq[(String, Long)],
+    partitionKeyValues: Array[Any] = Array.empty,
+    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
+}
+
 /** Composite seek derived at planning: byte prefix to floor-seek to, and
   * the per-dimension stop bound (normalized value domain). */
 final case class GraftKvDeepSeek(seekKey: Array[Byte], stopValues: Array[Any],
@@ -657,21 +735,29 @@ final case class GraftKvDeepSeek(seekKey: Array[Byte], stopValues: Array[Any],
 class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
     projection: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
     limit: Int, encoding: String = graft.store.RowCodec.Binary,
-    deepSeek: Option[GraftKvDeepSeek] = None)
+    deepSeek: Option[GraftKvDeepSeek] = None, columnar: Boolean = true)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftKvInputPartition]
-    new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit,
-      encoding, deepSeek)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftKvMergePartition =>
+        new GraftKvMergingReader(p, schema, keys, projection, ranges, limit,
+          encoding, deepSeek)
+      case p: GraftKvInputPartition =>
+        new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit,
+          encoding, deepSeek)
+    }
 
-  /** All partitions read as ColumnarBatch (the row reader stays for
-    * metadata-agg boundary scans and direct test drives): decoding
+  /** Fully-disjoint scans read as ColumnarBatch (the row reader stays
+    * for metadata-agg boundary scans and direct test drives): decoding
     * straight into column vectors skips the per-record InternalRow +
     * boxed-field allocations, and Spark's codegen'd ColumnarToRow feeds
-    * the rest of the pipeline — the same shape as the parquet reader. */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+    * the rest of the pipeline — the same shape as the parquet reader.
+    * A scan containing any merge partition (overlapping appends awaiting
+    * compaction) is entirely row-based — Spark forbids mixing columnar
+    * and row partitions in one scan; compaction restores the columnar
+    * path. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -826,6 +912,77 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
   override def close(): Unit = cursor.close()
 }
 
+/** Last-write-wins k-way merge over one overlap component (Put-upsert,
+  * the reference's HBase insert semantics: a Put at an existing row key
+  * replaces the cell, HBaseRelation.scala:644-708). Each member cursor
+  * yields its qualified records in composite-key order; the merge emits
+  * the minimum key across members, resolving duplicates to the record
+  * from the highest generation (ties: later file = later write order).
+  * Cost is linear in component size per record — and components are
+  * bounded by the auto-compaction depth policy, so this never becomes a
+  * wide merge at scale. */
+class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
+    keys: Seq[String], projection: Seq[String],
+    ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
+    encoding: String = graft.store.RowCodec.Binary,
+    deepSeek: Option[GraftKvDeepSeek] = None)
+    extends PartitionReader[InternalRow] {
+
+  private val codec = RowCodec(schema, keys, encoding)
+
+  // members in ascending (generation, file) order — the LAST equal-key
+  // record visited below is the newest version
+  private final class Member(file: String) {
+    val cursor = new KvRecordCursor(
+      GraftKvInputPartition(p.dir, file, 0L, Array.empty, p.partitionRanges),
+      schema, keys, ranges, encoding, deepSeek)
+    // per-member projector: members may carry different write-time
+    // schemas (V3 self-describing sidecars, ALTER TABLE history)
+    val project = cursor.segCodec.compatProjector(projection.map(schema(_)))
+    var active: Boolean = cursor.next()
+    def key: Array[Byte] = cursor.key
+    def advance(): Unit = { active = cursor.next() }
+  }
+  private val members: Array[Member] = p.files.map(f => new Member(f._1)).toArray
+  private var current: InternalRow = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    var minKey: Array[Byte] = null
+    var i = 0
+    while (i < members.length) {
+      val m = members(i)
+      if (m.active && (minKey == null || codec.compareKeys(m.key, minKey) < 0))
+        minKey = m.key
+      i += 1
+    }
+    if (minKey == null) return false
+    // consume EVERY record carrying this key (also consecutive
+    // duplicates within one member — pre-dedupe legacy segments);
+    // ascending member order makes the last one seen the winner
+    var win: Member = null
+    var winKey: Array[Byte] = null
+    var winValue: Array[Byte] = null
+    i = 0
+    while (i < members.length) {
+      val m = members(i)
+      while (m.active && codec.compareKeys(m.key, minKey) == 0) {
+        win = m; winKey = m.cursor.key; winValue = m.cursor.value
+        m.advance()
+      }
+      i += 1
+    }
+    current = win.project(win.cursor.segCodec.decodeKey(winKey),
+      win.cursor.segCodec.decodeValue(winValue))
+    emitted += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = members.foreach(_.cursor.close())
+}
+
 /** Columnar reader: cursor + direct decode into OnHeapColumnVectors in
   * batches. Same qualification semantics as the row reader; only the
   * materialization differs (no per-record row or boxing — see
@@ -883,6 +1040,17 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
       keys.map(k => Expressions.sort(Expressions.column(k),
         SortDirection.ASCENDING)).toArray
 
+    // This write's commit GENERATION (driver-side, under the one-writer
+    // contract): one more than the newest live segment's. Readers use it
+    // for last-write-wins merge when later appends overlap older
+    // segments — the HBase cell-timestamp analog, with a deterministic
+    // total order instead of wall clocks.
+    private val gen: Long =
+      if (truncate) 1L
+      else (try graft.store.SegmentFile.listSegments(path).map(_.gen)
+        catch { case _: Exception => Seq.empty[Long] })
+        .maxOption.getOrElse(0L) + 1L
+
     // Global range partitioning on the LEADING key dimension only + full
     // composite-key sort within partitions = declarative bulk-load
     // (reference HBasePartitioner + sorted HFiles). Partitioning on the
@@ -897,7 +1065,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes)
+        new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val committed = messages.collect {
@@ -952,11 +1120,12 @@ final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
 
 class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
-    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
+    gen: Long = 0L)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding,
-      maxSegBytes)
+      maxSegBytes, gen)
 }
 
 object GraftKvDataWriter {
@@ -987,7 +1156,8 @@ object GraftKvDataWriter {
 class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     partitionId: Int, taskId: Long,
     encoding: String = graft.store.RowCodec.Binary,
-    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
+    gen: Long = 0L)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
@@ -1034,7 +1204,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     segSeq += 1
     names ::= name
     new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
-      cmp = codec.compareKeys, schemaJson = schema.json)
+      cmp = codec.compareKeys, schemaJson = schema.json, gen = gen)
   }
 
   private def rotate(): Unit = {
@@ -1043,22 +1213,29 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     writer = newWriter()
   }
 
-  override def write(row: InternalRow): Unit = {
-    val lead = codec.encodeKeyDim(row, 0)
-    if (writer.bytesWritten > maxSegBytes &&
-      (lastLead == null || !java.util.Arrays.equals(lead, lastLead) ||
-        writer.bytesWritten >
-          maxSegBytes * GraftKvDataWriter.ForceRotateFactor)) {
-      rotate()
-    }
-    lastLead = lead
-    if (bloomHashes != null) {
-      var i = 0
-      while (i < nBloomDims) {
-        bloomHashes(i) = SegmentFile.Bloom.hashBytes(codec.encodeKeyDim(row, i + 1))
-        i += 1
-      }
-    }
+  // one-record lookahead buffer: the key-sorted input stream puts equal
+  // composite keys adjacent, so holding back one record is enough to
+  // apply Put-upsert WITHIN a write — the later row replaces the earlier
+  // one (HBase keeps the newest cell timestamp; for ties within one put
+  // batch the winner is load-order-determined there too). Superseded
+  // rows still fold into zone stats and blooms, which only WIDENS those
+  // claims — pruning stays sound, just marginally less sharp.
+  private var bufKey: Array[Byte] = _
+  private var bufValue: Array[Byte] = _
+  private var bufBlooms: Array[Long] = _
+
+  private def flushBuffered(): Unit = if (bufKey != null) {
+    writer.write(bufKey, bufValue, bufBlooms)
+    bufKey = null
+  }
+
+  /** Fold this row into the CURRENT segment's zone-stat epoch. Must run
+    * after any rotation triggered by the row, or the row's values would
+    * be claimed by the closing segment and missing from its own. A
+    * buffered record always flushes into the writer that was current
+    * when its rows were folded (flush precedes rotation), so dup-path
+    * folds are epoch-correct too. */
+  private def foldStats(row: InternalRow): Unit = {
     var si = 0
     while (si < statFields.length) {
       val (ord, f) = statFields(si)
@@ -1070,10 +1247,39 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       }
       si += 1
     }
-    writer.write(codec.encodeKey(row), codec.encodeValue(row), bloomHashes)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = codec.encodeKey(row)
+    if (bufKey != null && codec.compareKeys(key, bufKey) == 0) {
+      foldStats(row)
+      bufValue = codec.encodeValue(row) // duplicate key: later row wins
+      return
+    }
+    flushBuffered()
+    val lead = codec.encodeKeyDim(row, 0)
+    if (writer.bytesWritten > maxSegBytes &&
+      (lastLead == null || !java.util.Arrays.equals(lead, lastLead) ||
+        writer.bytesWritten >
+          maxSegBytes * GraftKvDataWriter.ForceRotateFactor)) {
+      rotate()
+    }
+    lastLead = lead
+    foldStats(row)
+    bufKey = key
+    bufValue = codec.encodeValue(row)
+    if (bloomHashes != null) {
+      var i = 0
+      while (i < nBloomDims) {
+        bloomHashes(i) = SegmentFile.Bloom.hashBytes(codec.encodeKeyDim(row, i + 1))
+        i += 1
+      }
+      bufBlooms = bloomHashes.clone()
+    }
   }
 
   override def commit(): WriterCommitMessage = {
+    flushBuffered()
     val meta = writer.close(segZoneStats())
     if (meta != null) committed ::= meta.file
     GraftKvCommit(committed.reverse)

@@ -23,16 +23,45 @@ object KvOps {
   /** Idempotently materialize a corpus table as a KV table. */
   private def ensure(spark: SparkSession, sfDir: String, table: String,
       keys: Seq[String], encoding: String = graft.store.RowCodec.Binary,
-      fixture: String = null): String = lock.synchronized {
-    val path = s"${kvRoot(sfDir)}/${Option(fixture).getOrElse(table)}"
-    if (graft.connector.GraftKvMeta.read(path).isEmpty) {
-      KvCommands.createTable(Tables.table(spark, sfDir, table), path, keys, encoding)
+      fixture: String = null): String =
+    ensureDf(spark, sfDir, Option(fixture).getOrElse(table),
+      Tables.table(spark, sfDir, table), keys, encoding)
+
+  /** Idempotently materialize `df` as a KV table. A cached fixture whose
+    * declared keys or codec differ from the request (stale layout from
+    * an earlier code version) is dropped and rebuilt — fixtures must
+    * reflect the CURRENT key design or parity results silently drift. */
+  private def ensureDf(spark: SparkSession, sfDir: String, fixture: String,
+      df: => DataFrame, keys: Seq[String],
+      encoding: String = graft.store.RowCodec.Binary): String = lock.synchronized {
+    val path = s"${kvRoot(sfDir)}/$fixture"
+    val current = graft.connector.GraftKvMeta.read(path)
+      .exists(m => m.keys == keys && m.encoding == encoding)
+    if (!current) {
+      KvCommands.dropTable(path)
+      KvCommands.createTable(df, path, keys, encoding)
     }
     path
   }
 
-  private def lineitemKv(s: SparkSession, d: String): DataFrame =
-    KvCommands.table(s, ensure(s, d, "lineitem", Seq("l_orderkey", "l_linenumber")))
+  /** The synthetic corpus' (l_orderkey, l_linenumber) is NOT unique, and
+    * a keyed store under Put semantics would collapse the twins (HBase
+    * would: same row key = same cell). Storing a multiset in a keyed
+    * store takes a uniquifying key dimension — here the row's
+    * deterministic rank among its key twins (the HBase-user equivalent
+    * is appending a sequence to the row key). Queries never read l_uid;
+    * it only makes every composite key distinct. */
+  private def lineitemKv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lazy val li = Tables.table(s, d, "lineitem")
+    lazy val orderCols = li.columns
+      .filterNot(c => c == "l_orderkey" || c == "l_linenumber").map(col).toSeq
+    lazy val keyed = li.withColumn("l_uid",
+      row_number().over(Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy(orderCols: _*)))
+    KvCommands.table(s, ensureDf(s, d, "lineitem", keyed,
+      Seq("l_orderkey", "l_linenumber", "l_uid")))
+  }
 
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
@@ -58,6 +87,26 @@ object KvOps {
     KvCommands.table(s, ensure(s, d, "events",
       Seq("user_id", "event_type", "event_id"),
       encoding = graft.store.RowCodec.StringFormat, fixture = "events_str"))
+
+  /** Orders with a Put-upsert overlay: every order with key ≤ 100 is
+    * RE-INSERTED with o_orderstatus = 'X' (reference insert = HBase Put,
+    * which replaces the cell at an existing row key). The appended run
+    * overlaps the original segments, so reads go through the
+    * last-write-wins merge — the oracle states the post-upsert truth
+    * directly over the parquet original. */
+  private def ordersUpsertKv(s: SparkSession, d: String): DataFrame = {
+    val path = lock.synchronized {
+      val p = s"${kvRoot(d)}/orders_upsert"
+      if (graft.connector.GraftKvMeta.read(p).isEmpty) {
+        val o = Tables.table(s, d, "orders")
+        KvCommands.createTable(o, p, Seq("o_orderkey"))
+        KvCommands.append(o.filter(col("o_orderkey") <= 100)
+          .withColumn("o_orderstatus", lit("X")), p)
+      }
+      p
+    }
+    KvCommands.table(s, path)
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -212,6 +261,29 @@ object KvOps {
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Put-upsert semantics (reference HBaseRelation.scala:644-708): a
+    // re-inserted key REPLACES the stored row. Row-level read through
+    // the last-write-wins merge over overlapping generations.
+    QuerySpec.checked("kv15_upsert",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""") { (s, d) =>
+      ordersUpsertKv(s, d).filter(col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+
+    // whole-table aggregation over the merged view: superseded versions
+    // must not be counted (metadata-agg pushdown correctly refuses the
+    // overlapping table and the scan merges instead)
+    QuerySpec.checked("kv16_upsert_agg",
+      """SELECT CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END AS st,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY st""") { (s, d) =>
+      ordersUpsertKv(s, d)
+        .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("cnt"))
+        .orderBy("st")
     }
   )
 }

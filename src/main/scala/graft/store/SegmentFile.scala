@@ -27,7 +27,8 @@ object SegmentFile {
       blooms: IndexedSeq[Bloom] = IndexedSeq.empty,
       index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty,
       schemaJson: Option[String] = None,
-      zoneStats: Seq[ZoneStat] = Seq.empty)
+      zoneStats: Seq[ZoneStat] = Seq.empty,
+      gen: Long = 0L)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -77,6 +78,12 @@ object SegmentFile {
   private val FormatV2 = -2
   private val FormatV3 = -3
   private val FormatV4 = -4
+  // V5 adds the segment's commit GENERATION — a per-table monotonically
+  // increasing write counter (the HBase cell-timestamp analog). When two
+  // live segments contain the same composite key, the record from the
+  // higher generation is the row's current version (last-write-wins /
+  // Put-upsert semantics); pre-V5 segments read as generation 0.
+  private val FormatV5 = -5
 
   /** One value-column zone entry: (column, type, min, max) over the
     * segment's non-null values. Types are the fixed-width numerics the
@@ -141,7 +148,7 @@ object SegmentFile {
   final class Writer(dir: String, name: String, indexEvery: Int = 256,
       nBlooms: Int = 0,
       cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare,
-      schemaJson: String = null) {
+      schemaJson: String = null, gen: Long = 0L) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
@@ -181,9 +188,11 @@ object SegmentFile {
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
-        Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)))
+        Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
+        gen)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV4)
+      mo.writeInt(FormatV5)
+      mo.writeLong(m.gen)
       m.schemaJson match {
         case Some(js) =>
           val b = js.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -227,7 +236,9 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v4 = first == FormatV4
+      val v5 = first == FormatV5
+      val gen = if (v5) in.readLong() else 0L
+      val v4 = v5 || first == FormatV4
       val v3 = v4 || first == FormatV3
       val v2plus = v3 || first == FormatV2
       val schemaJson =
@@ -266,7 +277,8 @@ object SegmentFile {
           (k, in.readLong())
         }
       } catch { case _: EOFException => IndexedSeq.empty }
-      Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats)
+      Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats,
+        gen)
     } finally in.close()
   }
 

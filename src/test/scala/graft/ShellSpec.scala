@@ -40,13 +40,19 @@ class ShellSpec extends AnyFunSuite {
     val rows = Shell.execute(spark, "SELECT k, v FROM graft.ld.t ORDER BY k").collect()
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    // second load appends; OVERWRITE load replaces
+    // a second load of the SAME keys upserts (Put semantics — reloading
+    // a row key replaces the stored row); OVERWRITE load truncates first
+    java.nio.file.Files.writeString(csvDir.resolve("data2.csv"), "3|c2\n1|a2\n2|b2\n")
     Shell.execute(spark,
-      s"LOAD DATA INPATH '$csvDir/data.csv' INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
-    assert(Shell.execute(spark, "SELECT count(*) AS c FROM graft.ld.t").head().getLong(0) == 6L)
+      s"LOAD DATA INPATH '$csvDir/data2.csv' INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
+    val after = Shell.execute(spark, "SELECT k, v FROM graft.ld.t ORDER BY k").collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c2")), "re-loaded keys must take the new values")
     Shell.execute(spark,
       s"LOAD DATA INPATH '$csvDir/data.csv' OVERWRITE INTO TABLE graft.ld.t FIELDS TERMINATED BY '|'")
-    assert(Shell.execute(spark, "SELECT count(*) AS c FROM graft.ld.t").head().getLong(0) == 3L)
+    val over = Shell.execute(spark, "SELECT k, v FROM graft.ld.t ORDER BY k").collect()
+    assert(over.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
     Shell.execute(spark, "DROP TABLE graft.ld.t")
   }
 }

@@ -103,16 +103,40 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.live")
   }
 
+  test("stale zone stats never prune after a column type change") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.zs (k BIGINT, z BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.db.zs VALUES (1, 10), (2, 20), (3, 30)")
+    // the segment's sidecar now carries a LongType zone claim for z;
+    // change z's type — old segments project z as null from here on
+    spark.sql("ALTER TABLE graft.db.zs DROP COLUMN z")
+    spark.sql("ALTER TABLE graft.db.zs ADD COLUMN z DOUBLE")
+    // the stale stat must not bind: IS NULL has to see every old row
+    // (an unfixed prune would decide IsNull(z) = False from the claim)
+    val nulls = spark.sql("SELECT k FROM graft.db.zs WHERE z IS NULL ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nulls == Seq(1L, 2L, 3L),
+      s"type-changed column must read as null everywhere, got $nulls")
+    // and a typed comparison against the NEW type must not throw or
+    // mis-prune either (old segments contribute nothing non-null)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.zs WHERE z > 5.0")
+      .head().getLong(0) == 0L)
+    spark.sql("DROP TABLE graft.db.zs")
+  }
+
   test("CTAS creates and loads a kv table") {
+    // orders' composite (o_orderkey, o_custkey) is genuinely unique, so
+    // the CTAS row count survives Put-upsert key resolution verbatim
+    // (lineitem's natural key is not unique in the synthetic corpus)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
     spark.sql(
-      s"""CREATE TABLE graft.db2.li TBLPROPERTIES ('key'='l_orderkey,l_linenumber') AS
-         |SELECT l_orderkey, l_linenumber, l_quantity
-         |FROM parquet.`${TestSpark.sf}/lineitem.parquet` WHERE l_orderkey < 100""".stripMargin)
-    val n = spark.sql("SELECT count(*) AS c FROM graft.db2.li").head().getLong(0)
-    val exp = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
-      .filter("l_orderkey < 100").count()
+      s"""CREATE TABLE graft.db2.ord TBLPROPERTIES ('key'='o_orderkey,o_custkey') AS
+         |SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`${TestSpark.sf}/orders.parquet` WHERE o_orderkey < 100""".stripMargin)
+    val n = spark.sql("SELECT count(*) AS c FROM graft.db2.ord").head().getLong(0)
+    val exp = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .filter("o_orderkey < 100").count()
     assert(n == exp)
-    spark.sql("DROP TABLE graft.db2.li")
+    spark.sql("DROP TABLE graft.db2.ord")
   }
 }

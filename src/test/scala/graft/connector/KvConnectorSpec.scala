@@ -153,10 +153,12 @@ class KvConnectorSpec extends AnyFunSuite {
 
   test("segment rotation bounds segment size and keeps lead-dim disjointness") {
     val path = tmpTable()
-    // one writer partition, tiny rotation threshold → many segments
+    // one writer partition, tiny rotation threshold → many segments;
+    // v joins the key so the 100 rows per lead value are distinct
+    // composite keys, not Put-upserts of one key
     val df = spark.range(50000).coalesce(1).select(
       (col("id") / 100).cast("long").as("k"), col("id").as("v"))
-    df.write.format("graftkv").option("key", "k")
+    df.write.format("graftkv").option("key", "k,v")
       .option("segment.maxBytes", "65536")
       .mode("overwrite").save(path)
     val metas = SegmentFile.listSegments(path)
@@ -524,13 +526,14 @@ class KvConnectorSpec extends AnyFunSuite {
 
       // single-valued segments (tiny rotation threshold → one lead value
       // per segment): partition values are exact, so the report is
-      // honest even with padding ON
+      // honest even with padding ON. v joins the key so the 10 rows per
+      // lead value are distinct keys, not Put-upserts of one key.
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       val pinned = tmpTable()
       spark.range(0, 30)
         .select((col("id") % 3).as("k"), col("id").as("v"))
         .write.format("graftkv")
-        .option("key", "k").option("segment.maxBytes", "1")
+        .option("key", "k,v").option("segment.maxBytes", "1")
         .mode("overwrite").save(pinned)
       val pm = GraftKvMeta.read(pinned).get
       val codec = graft.store.RowCodec(pm.schema, pm.keys, pm.encoding)
@@ -543,5 +546,70 @@ class KvConnectorSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", prevPush)
     }
+  }
+
+  test("appends upsert by primary key: last write wins (Put semantics)") {
+    val path = tmpTable()
+    KvCommands.createTable(
+      spark.range(1, 11).select(col("id").as("k"), lit("v0").as("v")),
+      path, Seq("k"))
+    KvCommands.append(
+      spark.range(3, 6).select(col("id").as("k"), lit("v1").as("v")), path)
+    KvCommands.append(
+      Seq((4L, "v2")).toDF("k", "v"), path)
+    val t = KvCommands.table(spark, path)
+    // COUNT goes through the merge (agg pushdown refuses overlapping
+    // segments — sidecar counts include superseded versions)
+    assert(t.count() == 10)
+    val vals = t.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals(1L) == "v0" && vals(2L) == "v0")
+    assert(vals(3L) == "v1" && vals(5L) == "v1")
+    assert(vals(4L) == "v2", "the newest generation must win")
+    // a range scan through the merged read keeps key order + filters
+    assert(t.filter(col("k") >= 3 && col("k") <= 5).orderBy("k")
+      .collect().map(_.getString(1)).toSeq == Seq("v1", "v2", "v1"))
+
+    // compaction makes the upsert PHYSICAL: superseded versions are
+    // dropped, the table is disjoint again (columnar + metadata-agg
+    // paths restored), and results are unchanged
+    assert(KvCommands.compactMinor(spark, path) > 0)
+    assert(SegmentFile.listSegments(path).map(_.count).sum == 10,
+      "compaction must discard superseded row versions")
+    assert(KvCommands.overlapDepth(path) == 1)
+    val after = KvCommands.table(spark, path)
+    assert(after.count() == 10)
+    assert(after.filter(col("k") === 4).head().getString(1) == "v2")
+  }
+
+  test("duplicate keys within a single write collapse to one row") {
+    val path = tmpTable()
+    KvCommands.createTable(
+      Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, Seq("k"))
+    val rows = KvCommands.table(spark, path).orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(SegmentFile.listSegments(path).map(_.count).sum == 2,
+      "the duplicate must not even be written")
+  }
+
+  test("minor compaction on a legacy (manifest-less) table becomes manifest-governed first") {
+    val path = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 100).select(col("id").as("k"), lit("old").as("v")),
+      path, Seq("k"))
+    KvCommands.append(
+      spark.range(50, 150).select(col("id").as("k"), lit("new").as("v")), path)
+    // simulate a pre-manifest table: directory listing is the authority
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_graft_segments"))
+    assert(SegmentFile.readManifest(path).isEmpty)
+    assert(KvCommands.compactMinor(spark, path) > 0)
+    // the table is manifest-governed now, with exactly the merged rows
+    assert(SegmentFile.readManifest(path).isDefined)
+    val t = KvCommands.table(spark, path)
+    assert(t.count() == 150)
+    assert(t.filter(col("k") === 75).head().getString(1) == "new")
+    assert(t.filter(col("k") === 25).head().getString(1) == "old")
   }
 }

@@ -22,9 +22,17 @@ class KvFuzzSpec extends AnyFunSuite {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
   private lazy val kvPaths: Map[String, String] = {
+    // (l_orderkey, l_linenumber) is not unique in the synthetic corpus;
+    // under Put semantics the twins would collapse, so the key gets a
+    // deterministic uniquifying rank dimension (multiset-in-KV pattern)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_quantity", "l_returnflag")
+    val keyed = parquet.withColumn("l_uid", row_number().over(w))
     Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat).map { enc =>
       val p = Files.createTempDirectory(s"graftkv_fuzz_$enc").toString + "/t"
-      KvCommands.createTable(parquet, p, Seq("l_orderkey", "l_linenumber"), enc)
+      KvCommands.createTable(keyed, p,
+        Seq("l_orderkey", "l_linenumber", "l_uid"), enc)
       enc -> p
     }.toMap
   }

@@ -148,7 +148,9 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.range(lo, hi)
         .select((col("id") % 32).as("k"), (col("id") + 100).as(valName))
         .write.format("graftkv")
-        .option("key", "k").option("segment.maxBytes", "1")
+        // the value column joins the key: 20 rows per lead value are
+        // distinct composite keys, not Put-upserts of one key
+        .option("key", s"k,$valName").option("segment.maxBytes", "1")
         .mode("overwrite").save(p)
       p
     }

@@ -88,14 +88,18 @@ class EventStreamsSpec extends AnyFunSuite {
     val q = EventStreams.streamIntoKv(
       input.toDF().toDF("k", "v"), kvPath, Seq("k"), s"$dir/ckpt",
       autoCompactDepth = 2)
-    // 6 batches over the SAME key range: without compaction each batch
-    // adds an overlapping run (depth would reach ~6)
+    // 6 batches over the SAME keys: each batch is an upsert of all 50
+    // rows (Put semantics), and without compaction each batch adds an
+    // overlapping run (depth would reach ~6)
     for (b <- 0 until 6) {
       input.addData((0L until 50L).map(k => (k, s"b$b-$k")): _*)
       q.processAllAvailable()
     }
     q.stop()
-    assert(graft.connector.KvCommands.table(spark, kvPath).count() == 300)
+    val t = graft.connector.KvCommands.table(spark, kvPath)
+    assert(t.count() == 50, "re-ingested keys upsert, not duplicate")
+    assert(t.filter(col("k") === 7L).head().getString(1) == "b5-7",
+      "the LAST batch's value must win")
     val depth = graft.connector.KvCommands.overlapDepth(kvPath)
     assert(depth <= 3, s"auto-compaction should bound read amplification, got $depth")
   }
