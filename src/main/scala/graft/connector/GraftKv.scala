@@ -115,13 +115,35 @@ object GraftKvMeta {
 
 class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graftkv:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** SQL DELETE (the HBase Delete-mutation analog — the reference's SQL
+    * surface stops at INSERT, but its store deletes by row key; here the
+    * engine completes the DML story): matching rows get TOMBSTONE
+    * records appended at the next generation through the same ordered
+    * write path as any insert, so a delete is a distributed scan + a
+    * sorted key-only append — never a table rewrite. Readers suppress
+    * tombstoned keys; compaction erases them physically. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftKvDelete.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(GraftKvDelete.toColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    spark.read.format("graftkv").load(path)
+      .filter(cond)
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.format("graftkv").option("tombstone", "true")
+      .mode("append").save(path)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftKvScanBuilder(path, tableSchema, keys, encoding,
@@ -132,8 +154,11 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxSegBytes = Option(info.options.get("segment.maxBytes"))
       .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
+    // tombstone writes (DELETE) append key-only records whose value is
+    // the delete marker; the input schema is just the key columns
+    val tombstone = Option(info.options.get("tombstone")).exists(_.toBoolean)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
-      encoding = encoding, maxSegBytes = maxSegBytes)
+      encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone)
   }
 }
 
@@ -195,6 +220,9 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     val cmp = graft.store.RowCodec(schema, keys, encoding).compareKeys _
     val segs = SegmentFile.listSegments(path)
       .sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
+    // tombstones (DELETEs awaiting compaction) are records the sidecar
+    // counts but the table does not contain
+    if (segs.exists(_.tombstones > 0)) return false
     if (segs.length > 1) {
       var prevMax = segs.head.maxKey
       var i = 1
@@ -681,13 +709,46 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
       .filter(m => restrictFiles.forall(_.contains(m.file)))
-    val rows = segs.map(_.count).sum
+    // superseded versions under overlap are still counted (estimates
+    // only), but tombstones are pure deletions — subtract them
+    val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)
     // rough decoded-size estimate so the planner can make broadcast calls
     val bytes = segs.map(_.sizeBytes).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
     }
+  }
+}
+
+/** v1-Filter → Column translation for DELETE conditions. Deliberately
+  * total over the shapes Spark pushes for simple predicates; an
+  * untranslatable filter makes canDeleteWhere refuse, and Spark reports
+  * the DELETE as unsupported rather than silently deleting the wrong
+  * rows. */
+object GraftKvDelete {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(not)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
   }
 }
 
@@ -776,7 +837,11 @@ class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
   * columnar readers drain this. */
 final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     keys: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
-    encoding: String, deepSeek: Option[GraftKvDeepSeek]) {
+    encoding: String, deepSeek: Option[GraftKvDeepSeek],
+    // Only the generation MERGE wants tombstones (they suppress older
+    // versions of their key); every direct reader skips them — a
+    // deleted key simply is not a row.
+    includeTombstones: Boolean = false) {
 
   private val codec = RowCodec(schema, keys, encoding)
   // segment-specialized ranges when the planner shipped them (fewer
@@ -858,8 +923,11 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
         done = true; reader.close(); return false // dimension-descent early stop
       }
       if (effRanges.contains(lead)) {
-        curKey = k; curValue = v
-        return true
+        if (v != null || includeTombstones) {
+          curKey = k; curValue = v
+          return true
+        }
+        // tombstone outside a merge: the key is deleted — skip on
       } else {
         // Disqualified gap: jump to the floor of the next qualified
         // range instead of decoding through the gap (reference per-gap
@@ -935,7 +1003,7 @@ class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
   private final class Member(file: String) {
     val cursor = new KvRecordCursor(
       GraftKvInputPartition(p.dir, file, 0L, Array.empty, p.partitionRanges),
-      schema, keys, ranges, encoding, deepSeek)
+      schema, keys, ranges, encoding, deepSeek, includeTombstones = true)
     // per-member projector: members may carry different write-time
     // schemas (V3 self-describing sidecars, ALTER TABLE history)
     val project = cursor.segCodec.compatProjector(projection.map(schema(_)))
@@ -949,34 +1017,41 @@ class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    var minKey: Array[Byte] = null
-    var i = 0
-    while (i < members.length) {
-      val m = members(i)
-      if (m.active && (minKey == null || codec.compareKeys(m.key, minKey) < 0))
-        minKey = m.key
-      i += 1
-    }
-    if (minKey == null) return false
-    // consume EVERY record carrying this key (also consecutive
-    // duplicates within one member — pre-dedupe legacy segments);
-    // ascending member order makes the last one seen the winner
-    var win: Member = null
-    var winKey: Array[Byte] = null
-    var winValue: Array[Byte] = null
-    i = 0
-    while (i < members.length) {
-      val m = members(i)
-      while (m.active && codec.compareKeys(m.key, minKey) == 0) {
-        win = m; winKey = m.cursor.key; winValue = m.cursor.value
-        m.advance()
+    while (true) {
+      var minKey: Array[Byte] = null
+      var i = 0
+      while (i < members.length) {
+        val m = members(i)
+        if (m.active && (minKey == null || codec.compareKeys(m.key, minKey) < 0))
+          minKey = m.key
+        i += 1
       }
-      i += 1
+      if (minKey == null) return false
+      // consume EVERY record carrying this key (also consecutive
+      // duplicates within one member — pre-dedupe legacy segments);
+      // ascending member order makes the last one seen the winner
+      var win: Member = null
+      var winKey: Array[Byte] = null
+      var winValue: Array[Byte] = null
+      i = 0
+      while (i < members.length) {
+        val m = members(i)
+        while (m.active && codec.compareKeys(m.key, minKey) == 0) {
+          win = m; winKey = m.cursor.key; winValue = m.cursor.value
+          m.advance()
+        }
+        i += 1
+      }
+      // winner is a tombstone → the key is deleted as of its
+      // generation; every older version was just consumed — move on
+      if (winValue != null) {
+        current = win.project(win.cursor.segCodec.decodeKey(winKey),
+          win.cursor.segCodec.decodeValue(winValue))
+        emitted += 1
+        return true
+      }
     }
-    current = win.project(win.cursor.segCodec.decodeKey(winKey),
-      win.cursor.segCodec.decodeValue(winValue))
-    emitted += 1
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current
@@ -1028,7 +1103,8 @@ class GraftKvColumnarReader(p: GraftKvInputPartition, schema: StructType,
 
 class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
-    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
+    tombstone: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
@@ -1065,7 +1141,8 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen)
+        new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen,
+          tombstone)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val committed = messages.collect {
@@ -1121,11 +1198,11 @@ final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
 class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    gen: Long = 0L)
+    gen: Long = 0L, tombstone: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding,
-      maxSegBytes, gen)
+      maxSegBytes, gen, tombstone)
 }
 
 object GraftKvDataWriter {
@@ -1157,7 +1234,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     partitionId: Int, taskId: Long,
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    gen: Long = 0L)
+    gen: Long = 0L, tombstone: Boolean = false)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
@@ -1253,7 +1330,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     val key = codec.encodeKey(row)
     if (bufKey != null && codec.compareKeys(key, bufKey) == 0) {
       foldStats(row)
-      bufValue = codec.encodeValue(row) // duplicate key: later row wins
+      // duplicate key: later row wins (null = the delete marker)
+      bufValue = if (tombstone) null else codec.encodeValue(row)
       return
     }
     flushBuffered()
@@ -1267,7 +1345,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     lastLead = lead
     foldStats(row)
     bufKey = key
-    bufValue = codec.encodeValue(row)
+    bufValue = if (tombstone) null else codec.encodeValue(row)
     if (bloomHashes != null) {
       var i = 0
       while (i < nBloomDims) {

@@ -44,6 +44,21 @@ object KvCommands {
     createTable(df, path, keys)
   }
 
+  /** DELETE FROM t WHERE cond (Scala API; SQL DELETE routes through
+    * GraftKvTable.deleteWhere): matching keys get tombstone records at
+    * the next generation — a distributed scan + sorted key-only append,
+    * never a table rewrite. Readers suppress tombstoned keys;
+    * compaction erases them physically. */
+  def delete(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): Unit = {
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    table(spark, path).filter(cond)
+      .select(m.keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.format("graftkv").option("tombstone", "true")
+      .mode("append").save(path)
+  }
+
   /** O2: DROP TABLE (logical+physical here — no catalog indirection). */
   def dropTable(path: String): Unit = {
     val d = new java.io.File(path)

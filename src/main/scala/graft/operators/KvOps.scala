@@ -108,6 +108,21 @@ object KvOps {
     KvCommands.table(s, path)
   }
 
+  /** Orders with a DELETE applied: every order with o_totalprice below
+    * 100000 is tombstoned (scan-based delete on a NON-key column). The
+    * oracle states the post-delete truth over the parquet original. */
+  private def ordersDeleteKv(s: SparkSession, d: String): DataFrame = {
+    val path = lock.synchronized {
+      val p = s"${kvRoot(d)}/orders_delete"
+      if (graft.connector.GraftKvMeta.read(p).isEmpty) {
+        KvCommands.createTable(Tables.table(s, d, "orders"), p, Seq("o_orderkey"))
+        KvCommands.delete(s, p, col("o_totalprice") < 100000.0)
+      }
+      p
+    }
+    KvCommands.table(s, path)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec.checked("kv1_scan_count",
@@ -284,6 +299,18 @@ object KvOps {
       ordersUpsertKv(s, d)
         .groupBy(col("o_orderstatus").as("st")).agg(count(lit(1)).as("cnt"))
         .orderBy("st")
+    },
+
+    // DELETE semantics (tombstones at the next generation, the HBase
+    // Delete-mutation analog): deleted rows are invisible to scans,
+    // range filters, and aggregates — the oracle applies the delete
+    // predicate to the parquet original
+    QuerySpec.checked("kv17_delete",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 100000 AND o_orderkey <= 500
+        |ORDER BY o_orderkey""") { (s, d) =>
+      ordersDeleteKv(s, d).filter(col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     }
   )
 }

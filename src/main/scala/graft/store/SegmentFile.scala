@@ -28,7 +28,8 @@ object SegmentFile {
       index: IndexedSeq[(Array[Byte], Long)] = IndexedSeq.empty,
       schemaJson: Option[String] = None,
       zoneStats: Seq[ZoneStat] = Seq.empty,
-      gen: Long = 0L)
+      gen: Long = 0L,
+      tombstones: Long = 0L)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -84,6 +85,13 @@ object SegmentFile {
   // higher generation is the row's current version (last-write-wins /
   // Put-upsert semantics); pre-V5 segments read as generation 0.
   private val FormatV5 = -5
+  // V6 adds the segment's TOMBSTONE count. A tombstone record (value
+  // length -1 in the data file, the HBase Delete-marker analog) deletes
+  // its key: readers skip it, the generation merge suppresses older
+  // versions beneath it, and compaction drops both. The count lets
+  // planning refuse metadata-only aggregates over tombstoned tables
+  // without opening data files.
+  private val FormatV6 = -6
 
   /** One value-column zone entry: (column, type, min, max) over the
     * segment's non-null values. Types are the fixed-width numerics the
@@ -155,6 +163,7 @@ object SegmentFile {
     private var minKey: Array[Byte] = _
     private var lastKey: Array[Byte] = _
     private var count = 0L
+    private var tombstoneCount = 0L
     private var bytes = 0L
     private val index = IndexedSeq.newBuilder[(Array[Byte], Long)]
     private val bloomBuilders = Array.fill(nBlooms)(new Bloom.Builder())
@@ -162,6 +171,8 @@ object SegmentFile {
     /** Bytes written so far (segment-rotation decisions). */
     def bytesWritten: Long = bytes
 
+    /** Append a record; `value = null` writes a TOMBSTONE (value length
+      * -1): the key is deleted as of this segment's generation. */
     def write(key: Array[Byte], value: Array[Byte],
         bloomHashes: Array[Long] = null): Unit = {
       if (minKey == null) minKey = key
@@ -174,8 +185,14 @@ object SegmentFile {
         while (i < nBlooms) { bloomBuilders(i).add(bloomHashes(i)); i += 1 }
       }
       out.writeInt(key.length); out.write(key)
-      out.writeInt(value.length); out.write(value)
-      bytes += 8L + key.length + value.length
+      if (value == null) {
+        out.writeInt(-1)
+        tombstoneCount += 1
+        bytes += 8L + key.length
+      } else {
+        out.writeInt(value.length); out.write(value)
+        bytes += 8L + key.length + value.length
+      }
       count += 1
     }
 
@@ -189,10 +206,11 @@ object SegmentFile {
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
-        gen)
+        gen, tombstoneCount)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV5)
+      mo.writeInt(FormatV6)
       mo.writeLong(m.gen)
+      mo.writeLong(m.tombstones)
       m.schemaJson match {
         case Some(js) =>
           val b = js.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -236,8 +254,10 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v5 = first == FormatV5
+      val v6 = first == FormatV6
+      val v5 = v6 || first == FormatV5
       val gen = if (v5) in.readLong() else 0L
+      val tombstones = if (v6) in.readLong() else 0L
       val v4 = v5 || first == FormatV4
       val v3 = v4 || first == FormatV3
       val v2plus = v3 || first == FormatV2
@@ -278,7 +298,7 @@ object SegmentFile {
         }
       } catch { case _: EOFException => IndexedSeq.empty }
       Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats,
-        gen)
+        gen, tombstones)
     } finally in.close()
   }
 
@@ -375,8 +395,11 @@ object SegmentFile {
         val kl = in.readInt()
         val k = new Array[Byte](kl); in.readFully(k)
         val vl = in.readInt()
-        val v = new Array[Byte](vl); in.readFully(v)
-        pos += 8L + kl + vl
+        // vl == -1 is a TOMBSTONE (deleted key): value reads as null
+        val v = if (vl < 0) null else {
+          val b = new Array[Byte](vl); in.readFully(b); b
+        }
+        pos += 8L + kl + (if (vl < 0) 0 else vl)
         decoded += 1
         nextRec = (k, v)
       } catch {

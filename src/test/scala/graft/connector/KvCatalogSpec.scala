@@ -103,6 +103,20 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.db.live")
   }
 
+  test("SQL DELETE FROM goes through tombstones") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.del (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.db.del VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    spark.sql("DELETE FROM graft.db.del WHERE k = 2 OR v = 'd'")
+    val left = spark.sql("SELECT k, v FROM graft.db.del ORDER BY k").collect()
+    assert(left.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // deleted keys can be re-inserted (newer generation beats tombstone)
+    spark.sql("INSERT INTO graft.db.del VALUES (2, 'b2')")
+    assert(spark.sql("SELECT v FROM graft.db.del WHERE k = 2").head().getString(0) == "b2")
+    spark.sql("DROP TABLE graft.db.del")
+  }
+
   test("stale zone stats never prune after a column type change") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("CREATE TABLE graft.db.zs (k BIGINT, z BIGINT) TBLPROPERTIES ('key'='k')")

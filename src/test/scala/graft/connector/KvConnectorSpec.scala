@@ -594,6 +594,38 @@ class KvConnectorSpec extends AnyFunSuite {
       "the duplicate must not even be written")
   }
 
+  test("DELETE writes tombstones: rows vanish, re-insert resurrects, compaction erases") {
+    val path = tmpTable()
+    KvCommands.createTable(
+      spark.range(1, 21).select(col("id").as("k"), lit("live").as("v")),
+      path, Seq("k"))
+    // residual (non-key) condition: delete is scan-based, not key-only
+    KvCommands.delete(spark, path, col("k") % 2 === 0)
+    val t = KvCommands.table(spark, path)
+    assert(t.count() == 10)
+    assert(t.collect().forall(_.getLong(0) % 2 == 1))
+    // range scan + point lookup both suppress tombstoned keys
+    assert(t.filter(col("k") === 4).count() == 0)
+    assert(t.filter(col("k").between(1, 6)).count() == 3)
+    // the sidecars record the tombstones (metadata-agg must refuse)
+    assert(SegmentFile.listSegments(path).map(_.tombstones).sum == 10)
+
+    // re-inserting a deleted key wins over the tombstone (newer gen)
+    KvCommands.append(Seq((4L, "back")).toDF("k", "v"), path)
+    assert(KvCommands.table(spark, path).filter(col("k") === 4)
+      .head().getString(1) == "back")
+    assert(KvCommands.table(spark, path).count() == 11)
+
+    // compaction drops tombstones AND their victims physically
+    assert(KvCommands.compactMinor(spark, path) > 0)
+    assert(SegmentFile.listSegments(path).map(_.tombstones).sum == 0)
+    assert(SegmentFile.listSegments(path).map(_.count).sum == 11)
+    val after = KvCommands.table(spark, path)
+    assert(after.count() == 11)
+    assert(after.filter(col("k") === 4).head().getString(1) == "back")
+    assert(after.filter(col("k") === 6).count() == 0)
+  }
+
   test("minor compaction on a legacy (manifest-less) table becomes manifest-governed first") {
     val path = tmpTable()
     KvCommands.createTable(
