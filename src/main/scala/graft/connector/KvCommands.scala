@@ -143,9 +143,17 @@ object KvCommands {
     * write path into fresh disjoint segments, and swapped into the
     * segment manifest atomically; disjoint segments are never touched.
     * A crash mid-compaction leaves only orphan files the manifest
-    * excludes — readers never see duplicates. Returns the number of
-    * segments rewritten. */
-  def compactMinor(spark: SparkSession, path: String, minGroup: Int = 2): Int = {
+    * excludes — readers never see duplicates.
+    *
+    * Replaced segments are NOT deleted at the swap: they stay on disk
+    * (invisible — the manifest excludes them) for `retainReplacedMs`,
+    * so a scan PLANNED against the pre-compaction manifest keeps
+    * reading its files — the snapshot-retention window of a manifest
+    * table format. The sweep at the end of each compaction deletes any
+    * unmanifested segment file older than the window, which also
+    * reclaims crash orphans. Returns the number of segments rewritten. */
+  def compactMinor(spark: SparkSession, path: String, minGroup: Int = 2,
+      retainReplacedMs: Long = 600000L): Int = {
     import java.nio.file.{Files, Paths}
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
@@ -195,23 +203,36 @@ object KvCommands {
           Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
       val live = SegmentFile.readManifest(path).get // written above
-      // Commit point. Caveat: the replaced files are deleted right after
-      // the swap (no snapshot retention), so a scan PLANNED against the
-      // old manifest that is still running can fail on a missing file
-      // and must re-plan — same contract as a region store's compaction
-      // discard.
+      // commit point — replaced files stay on disk for the retention
+      // window (see scaladoc), invisible behind the manifest
       SegmentFile.writeManifest(path, live -- files ++ moved)
-      files.foreach { f =>
-        Files.deleteIfExists(Paths.get(path, f))
-        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
-      }
       Option(new java.io.File(tmp).list()).getOrElse(Array.empty[String])
         .foreach(n => Files.deleteIfExists(Paths.get(tmp, n)))
       Files.deleteIfExists(Paths.get(tmp))
       rewritten += g.size
     }
+    if (rewritten > 0) sweepUnmanifested(path, retainReplacedMs)
     rewritten
   }
+
+  /** Delete unmanifested segment files (replaced by compaction, or
+    * stranded by a crashed writer) older than `olderThanMs`. Bounded by
+    * the manifest contract: anything not listed is invisible to every
+    * reader planned after the swap, and the age guard keeps files alive
+    * for scans planned before it. */
+  def sweepUnmanifested(path: String, olderThanMs: Long): Unit =
+    SegmentFile.readManifest(path).foreach { live =>
+      import java.nio.file.{Files, Paths}
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+        .filter(n => n.endsWith(".kv") &&
+          !live.contains(n) &&
+          new java.io.File(path, n).lastModified() <= cutoff)
+        .foreach { n =>
+          Files.deleteIfExists(Paths.get(path, n))
+          Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
+        }
+    }
 
   /** Auto-compaction policy for streamed/appended tables: compact only
     * when a point lookup could touch more than `maxDepth` overlapping

@@ -312,9 +312,12 @@ object SegmentFile {
   // authority there (the write paths start one on their next commit).
   // Concurrency contract: ONE writer/compactor per table at a time
   // (the reference's region-server ownership analog); concurrent
-  // readers are always safe. Cross-process writer coordination needs an
-  // external lock — same stance as any filesystem-manifest table format
-  // without a transaction server.
+  // readers are always safe — compaction keeps replaced segments on
+  // disk for a retention window (KvCommands.sweepUnmanifested), so
+  // scans planned against the previous manifest finish against their
+  // own snapshot. Cross-process writer coordination needs an external
+  // lock — same stance as any filesystem-manifest table format without
+  // a transaction server.
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_graft_segments")
 

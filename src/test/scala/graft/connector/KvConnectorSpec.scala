@@ -626,6 +626,37 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(after.filter(col("k") === 6).count() == 0)
   }
 
+  test("compaction retains replaced segments for the grace window") {
+    def files(path: String): Set[String] =
+      Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+        .filter(_.endsWith(".kv")).toSet
+    // default window: replaced files stay on disk (in-flight scans
+    // planned against the old manifest keep reading them) but are
+    // invisible to readers planned after the swap
+    val path = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 100).select(col("id").as("k"), lit("a").as("v")), path, Seq("k"))
+    KvCommands.append(
+      spark.range(0, 100).select(col("id").as("k"), lit("b").as("v")), path)
+    val before = files(path)
+    assert(KvCommands.compactMinor(spark, path) > 0)
+    assert(before.subsetOf(files(path)), "replaced segments must be retained")
+    assert(SegmentFile.listSegments(path).map(_.file).toSet.intersect(before).isEmpty,
+      "retained files must not be visible to new readers")
+    assert(KvCommands.table(spark, path).count() == 100)
+
+    // zero window: the sweep reclaims them at the swap
+    val path2 = tmpTable()
+    KvCommands.createTable(
+      spark.range(0, 100).select(col("id").as("k"), lit("a").as("v")), path2, Seq("k"))
+    KvCommands.append(
+      spark.range(0, 100).select(col("id").as("k"), lit("b").as("v")), path2)
+    val before2 = files(path2)
+    assert(KvCommands.compactMinor(spark, path2, retainReplacedMs = 0L) > 0)
+    assert(files(path2).intersect(before2).isEmpty, "zero grace sweeps immediately")
+    assert(KvCommands.table(spark, path2).count() == 100)
+  }
+
   test("minor compaction on a legacy (manifest-less) table becomes manifest-governed first") {
     val path = tmpTable()
     KvCommands.createTable(
