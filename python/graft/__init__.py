@@ -1,0 +1,75 @@
+"""Python client for the graft engine — the analog of the reference's
+python package (/root/reference python/pyspark_hbase/sql/context.py,
+which wraps HBaseSQLContext for PySpark users).
+
+The engine itself is pure Scala; this shim only wires a PySpark session
+to it (catalog + SQL extensions + classpath) and exposes the handful of
+operations the reference's Python surface offered: DDL/DML via SQL,
+bulk load, and table reads. Everything else is plain PySpark on the
+returned session.
+
+Usage:
+    from graft import GraftSession
+    spark = GraftSession.build(catalog_root="/data/graft",
+                               classes="/path/to/graft/classes-or-jar")
+    spark.sql("CREATE TABLE graft.db.t (k BIGINT, v STRING) "
+              "TBLPROPERTIES('key'='k')")
+    spark.sql("INSERT INTO graft.db.t VALUES (1, 'a')")
+    spark.sql("DELETE FROM graft.db.t WHERE k = 1")
+"""
+
+from pyspark.sql import SparkSession
+
+
+class GraftSession:
+    """Builder for a SparkSession wired to the graft engine."""
+
+    @staticmethod
+    def build(catalog_root, classes=None, app_name="graft",
+              master="local[*]", shuffle_partitions=32):
+        """Return a SparkSession with the graft catalog mounted at
+        `catalog_root` and the graft SQL extensions (LOAD DATA statement,
+        native functions) installed.
+
+        classes: directory or jar holding the compiled graft engine; it
+        is appended to the driver/executor classpath. Omit when the
+        engine is already on the session classpath (e.g. spark-submit
+        --jars).
+        """
+        b = (SparkSession.builder
+             .appName(app_name)
+             .master(master)
+             .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+             .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+             .config("spark.sql.catalog.graft",
+                     "graft.connector.GraftKvCatalog")
+             .config("spark.sql.catalog.graft.root", catalog_root)
+             # storage-partitioned plans (shuffle-free GROUP BY / SPJ on
+             # the kv key prefix) — same settings the Scala entry uses
+             .config("spark.sql.sources.v2.bucketing.enabled", "true")
+             .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+                     "false"))
+        if classes:
+            b = (b.config("spark.driver.extraClassPath", classes)
+                  .config("spark.executor.extraClassPath", classes))
+        return b.getOrCreate()
+
+    # -- convenience wrappers over the SQL surface ----------------------
+
+    @staticmethod
+    def create_table(spark, name, columns_ddl, key):
+        """CREATE TABLE graft.<name>(<columns_ddl>) with the composite
+        primary key `key` (comma-separated column list)."""
+        spark.sql("CREATE TABLE %s (%s) TBLPROPERTIES('key'='%s')"
+                  % (name, columns_ddl, key))
+
+    @staticmethod
+    def load_csv(spark, path, table, delimiter=",", overwrite=False):
+        """LOAD DATA INPATH — the reference's bulk-load statement."""
+        spark.sql("LOAD DATA INPATH '%s' %sINTO TABLE %s "
+                  "FIELDS TERMINATED BY '%s'"
+                  % (path, "OVERWRITE " if overwrite else "", table, delimiter))
+
+    @staticmethod
+    def table(spark, name):
+        return spark.table(name)

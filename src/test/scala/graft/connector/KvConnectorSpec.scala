@@ -568,6 +568,10 @@ class KvConnectorSpec extends AnyFunSuite {
     // a range scan through the merged read keeps key order + filters
     assert(t.filter(col("k") >= 3 && col("k") <= 5).orderBy("k")
       .collect().map(_.getString(1)).toSeq == Seq("v1", "v2", "v1"))
+    // overlapping generations force the row-based merging reader (Spark
+    // forbids mixing columnar and row partitions in one scan)
+    val mergedPlan = t.queryExecution.executedPlan.toString
+    assert(!mergedPlan.contains("ColumnarToRow"), mergedPlan.take(1200))
 
     // compaction makes the upsert PHYSICAL: superseded versions are
     // dropped, the table is disjoint again (columnar + metadata-agg
@@ -579,6 +583,10 @@ class KvConnectorSpec extends AnyFunSuite {
     val after = KvCommands.table(spark, path)
     assert(after.count() == 10)
     assert(after.filter(col("k") === 4).head().getString(1) == "v2")
+    after.collect()
+    val compactedPlan = after.queryExecution.executedPlan.toString
+    assert(compactedPlan.contains("ColumnarToRow"),
+      "compaction must restore the columnar read path\n" + compactedPlan.take(1200))
   }
 
   test("duplicate keys within a single write collapse to one row") {

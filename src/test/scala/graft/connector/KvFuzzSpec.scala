@@ -92,6 +92,52 @@ class KvFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random upsert/delete/compaction sequences match a reference model") {
+    // the generation machinery (Put-upsert merge, tombstones, minor
+    // compaction) under a random op stream, checked after every op
+    // against a driver-side Map — the simplest possible truth
+    import spark.implicits._
+    val path = Files.createTempDirectory("graftkv_fuzz_ud").toString + "/t"
+    val rnd = new scala.util.Random(1234)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def randomBatch(): Seq[(Long, String)] =
+      Seq.fill(rnd.nextInt(40) + 10)(
+        (rnd.nextLong(100), s"v${rnd.nextInt(100000)}"))
+    // within one batch, the LAST occurrence of a key is the winner both
+    // in the engine (sorted-adjacent, later row wins only if the sort is
+    // stable — it is not) and the model; avoid ambiguity by keeping one
+    // row per key per batch
+    def distinctBatch(): Seq[(Long, String)] =
+      randomBatch().groupBy(_._1).map(_._2.head).toSeq
+    val initial = distinctBatch()
+    initial.foreach { case (k, v) => model(k) = v }
+    KvCommands.createTable(initial.toDF("k", "v"), path, Seq("k"))
+    for (step <- 0 until 12) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // upsert append
+          val b = distinctBatch()
+          b.foreach { case (k, v) => model(k) = v }
+          KvCommands.append(b.toDF("k", "v"), path)
+        case 2 => // range delete
+          val lo = rnd.nextLong(100)
+          val hi = lo + rnd.nextLong(30)
+          model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          KvCommands.delete(spark, path, col("k").between(lo, hi))
+        case 3 =>
+          KvCommands.compactMinor(spark, path, retainReplacedMs = 0L)
+      }
+      val got = KvCommands.table(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model.toMap, s"divergence after step $step")
+    }
+    // final compaction must preserve the state exactly
+    KvCommands.compactMinor(spark, path, retainReplacedMs = 0L)
+    val fin = KvCommands.table(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == model.toMap)
+    assert(KvCommands.overlapDepth(path) == 1)
+  }
+
   test("random predicates: kv scans equal parquet under both codecs") {
     val maxKey = parquet.agg(max("l_orderkey")).head().getLong(0)
     val rnd = new scala.util.Random(42)

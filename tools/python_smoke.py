@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Driver-side smoke test of the Python shim (python/graft): create,
+insert, upsert, delete, load CSV, and read back through the graft
+catalog — the same flow the reference's python suite drives against
+HBaseSQLContext. Run from the repo root after `sbt compile`:
+
+    python3 tools/python_smoke.py
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+from graft import GraftSession  # noqa: E402
+
+CLASSES = os.path.join(os.path.dirname(__file__), "..",
+                       "target", "scala-2.13", "classes")
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="graft_py_")
+    spark = GraftSession.build(catalog_root=root, classes=CLASSES)
+    try:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.py")
+        GraftSession.create_table(spark, "graft.py.t",
+                                  "k BIGINT, v STRING", key="k")
+        spark.sql("INSERT INTO graft.py.t VALUES (1, 'a'), (2, 'b')")
+        # Put-upsert: re-inserting key 2 replaces it
+        spark.sql("INSERT INTO graft.py.t VALUES (2, 'b2')")
+        rows = {r.k: r.v for r in spark.sql(
+            "SELECT k, v FROM graft.py.t ORDER BY k").collect()}
+        assert rows == {1: "a", 2: "b2"}, rows
+        # DELETE via tombstones
+        spark.sql("DELETE FROM graft.py.t WHERE k = 1")
+        rows = [r.k for r in spark.sql("SELECT k FROM graft.py.t").collect()]
+        assert rows == [2], rows
+        # LOAD DATA INPATH (bulk load statement)
+        csv = os.path.join(root, "in.csv")
+        with open(csv, "w") as f:
+            f.write("10|x\n11|y\n")
+        GraftSession.load_csv(spark, csv, "graft.py.t", delimiter="|")
+        n = spark.sql("SELECT count(*) AS c FROM graft.py.t").collect()[0].c
+        assert n == 3, n
+        # native function registered by the extensions
+        h = spark.sql("SELECT rolling_hash(v) AS h FROM graft.py.t "
+                      "WHERE k = 10").collect()[0].h
+        assert h != 0
+        print("python smoke: OK")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
