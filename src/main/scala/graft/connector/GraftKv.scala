@@ -575,7 +575,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     *    matched ones (self-joins, co-written tables) stay co-located. */
   private lazy val reportedPrefix: Option[Int] =
     if (pinnedDepth >= 1) Some(1)
-    else if (!pushPartValuesEnabled) disjointPrefix
+    else if (!pushPartValuesEnabled && comps.forall(_.members.length == 1))
+      // ranged claims only over singleton components: a multi-member
+      // ranged component would otherwise plan as ONE merge task — there
+      // the range-sharded merge (parallelism) beats a degenerate
+      // co-location claim
+      disjointPrefix
     else None
 
   /** The reference elides the aggregate shuffle when GROUP BY keys prefix
@@ -592,15 +597,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.take(p).map(k => Expressions.identity(k):
             org.apache.spark.sql.connector.expressions.Expression).toArray,
-          comps.length)
+          plannedPartitions.length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          comps.length)
+          plannedPartitions.length)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val pkLen = reportedPrefix.getOrElse(1)
-    comps.map { c =>
+    comps.flatMap { c =>
       // per-partition predicate specialization (reference
       // HBasePartition.scala:50-77 carries simplified residuals): each
       // partition ships only the qualified ranges intersecting ITS key
@@ -618,15 +623,41 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       val pk = codec.decodeKey(c.minKey).take(pkLen)
       if (c.members.length == 1) {
         val m = c.members.head
-        GraftKvInputPartition(path, m.file, m.count, pk, segRanges): InputPartition
-      } else
+        Seq(GraftKvInputPartition(path, m.file, m.count, pk, segRanges): InputPartition)
+      } else {
         // ascending (generation, file) — merge ties resolve to the later
         // entry, so ordering here IS the last-write-wins authority
-        GraftKvMergePartition(path,
-          c.members.sortBy(m => (m.gen, m.file)).map(m => (m.file, m.gen)),
-          pk, segRanges): InputPartition
+        val files = c.members.sortBy(m => (m.gen, m.file)).map(m => (m.file, m.gen))
+        if (reportedPrefix.isDefined)
+          // a KeyGroupedPartitioning claim wants one partition per comp
+          // (splitting could put one prefix value into two partitions)
+          Seq(GraftKvMergePartition(path, files, pk, segRanges): InputPartition)
+        else {
+          // Range-sharded merge read: split the component at member
+          // min-key boundaries so heavy-append tables (e.g. streaming
+          // ingest, where every batch spans the key domain) keep scan
+          // parallelism ~ data volume instead of collapsing to one
+          // merge task until compaction. Every key's versions fall in
+          // exactly one shard, so last-write-wins stays sound.
+          val splits = c.members.map(_.minKey)
+            .sortWith((a, b) => codec.compareKeys(a, b) < 0)
+            .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+              if (acc.nonEmpty && codec.compareKeys(acc.last, k) == 0) acc
+              else acc :+ k
+            }
+            .drop(1) // the comp's own min opens the first shard
+          val none = null.asInstanceOf[Array[Byte]]
+          val bounds = (none +: splits) zip (splits :+ none)
+          bounds.map { case (from, until) =>
+            GraftKvMergePartition(path, files, pk, segRanges,
+              fromKey = from, untilKey = until): InputPartition
+          }
+        }
+      }
     }.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   /** Per-dimension Bloom probe hashes, derived once per scan from the
     * pushed conjuncts (they depend only on the query, not the segment).
@@ -782,7 +813,12 @@ final case class GraftKvInputPartition(dir: String, file: String, count: Long,
   * ascending (generation, file) order. */
 final case class GraftKvMergePartition(dir: String, files: Seq[(String, Long)],
     partitionKeyValues: Array[Any] = Array.empty,
-    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None)
+    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None,
+    // composite-key shard window [fromKey, untilKey), null = unbounded:
+    // a large overlap component is split into parallel shards at member
+    // min-key boundaries (range-sharded LSM merge read), so scan
+    // parallelism tracks data volume even before compaction
+    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
@@ -841,7 +877,12 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     // Only the generation MERGE wants tombstones (they suppress older
     // versions of their key); every direct reader skips them — a
     // deleted key simply is not a row.
-    includeTombstones: Boolean = false) {
+    includeTombstones: Boolean = false,
+    // Composite-key window [fromKey, untilKey) for range-sharded merge
+    // reads: the cursor seeks to fromKey's floor and stops at untilKey.
+    // null = unbounded. Compared with the table's key order, so every
+    // key's versions land in exactly one shard.
+    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null) {
 
   private val codec = RowCodec(schema, keys, encoding)
   // segment-specialized ranges when the planner shipped them (fewer
@@ -878,7 +919,10 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     val deep = (for { m <- meta; d <- deepSeek } yield
       try SegmentFile.floorOffset(m, d.seekKey, codec.compareKeys)
       catch { case _: Exception => 0L }).getOrElse(0L)
-    math.max(lead, deep)
+    val shard = (for { m <- meta; f <- Option(fromKey) } yield
+      try SegmentFile.floorOffset(m, f, codec.compareKeys)
+      catch { case _: Exception => 0L }).getOrElse(0L)
+    math.max(math.max(lead, deep), shard)
   }
   // stop bound of the deep seek, compared per dimension in the value domain
   private val stopCmps: Array[(Any, Any) => Int] =
@@ -915,6 +959,11 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     if (done) return false
     while (reader.hasNext) {
       val (k, v) = reader.next()
+      if (fromKey != null && codec.compareKeys(k, fromKey) < 0) {
+        // within one index stride below the shard window — decode on
+      } else if (untilKey != null && codec.compareKeys(k, untilKey) >= 0) {
+        done = true; reader.close(); return false // shard early stop
+      } else {
       val lead = segCodec.leadingKeyValue(k)
       if (effRanges.pastAll(lead)) { // early stop
         done = true; reader.close(); return false
@@ -942,6 +991,7 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
             SegmentFile.floorOffset(m, codec.encodeLeading(lo), codec.compareKeys))
           catch { case _: Exception => () }
         }
+      }
       }
     }
     done = true
@@ -1003,7 +1053,8 @@ class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
   private final class Member(file: String) {
     val cursor = new KvRecordCursor(
       GraftKvInputPartition(p.dir, file, 0L, Array.empty, p.partitionRanges),
-      schema, keys, ranges, encoding, deepSeek, includeTombstones = true)
+      schema, keys, ranges, encoding, deepSeek, includeTombstones = true,
+      fromKey = p.fromKey, untilKey = p.untilKey)
     // per-member projector: members may carry different write-time
     // schemas (V3 self-describing sidecars, ALTER TABLE history)
     val project = cursor.segCodec.compatProjector(projection.map(schema(_)))

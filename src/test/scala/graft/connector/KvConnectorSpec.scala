@@ -589,6 +589,38 @@ class KvConnectorSpec extends AnyFunSuite {
       "compaction must restore the columnar read path\n" + compactedPlan.take(1200))
   }
 
+  test("heavy whole-range appends read as range-sharded parallel merges") {
+    val path = tmpTable()
+    // 5 staggered appends over [100g, 2000+100g) → one overlap
+    // component of ≥5 segments with distinct min keys; the scan must
+    // split it into shards, not collapse to a single merge task. Key
+    // k's winner is the newest generation covering it: min(4, k/100).
+    KvCommands.createTable(
+      spark.range(0, 2000).select(col("id").as("k"), lit("g0").as("v")),
+      path, Seq("k"))
+    for (g <- 1 to 4)
+      KvCommands.append(
+        spark.range(100L * g, 2000L + 100L * g)
+          .select(col("id").as("k"), lit(s"g$g").as("v")), path)
+    val m = GraftKvMeta.read(path).get
+    val parts = new GraftKvScan(path, m.schema, m.keys, m.schema, Array.empty, -1)
+      .planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[GraftKvMergePartition]))
+    assert(parts.length > 1,
+      s"whole-range overlap must shard for parallelism, got ${parts.length} partition(s)")
+    // every key resolves to its newest covering generation, exactly once
+    val t = KvCommands.table(spark, path)
+    assert(t.count() == 2400)
+    def winner(k: Long): String = s"g${math.min(4, k / 100)}"
+    assert(t.filter(col("k") === 50).head().getString(1) == "g0")
+    assert(t.filter(col("k") === 150).head().getString(1) == "g1")
+    assert(t.filter(col("k") === 1234).head().getString(1) == winner(1234))
+    // shard windows compose with pushed filters and point lookups
+    assert(t.filter(col("k").between(500, 509)).count() == 10)
+    val all = t.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 2400L).forall(k => all(k) == winner(k)))
+  }
+
   test("duplicate keys within a single write collapse to one row") {
     val path = tmpTable()
     KvCommands.createTable(
