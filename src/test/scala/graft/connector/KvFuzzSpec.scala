@@ -92,12 +92,15 @@ class KvFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("random upsert/delete/compaction sequences match a reference model") {
+  for (enc <- Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat))
+  test(s"random upsert/delete/compaction sequences match a reference model ($enc)") {
     // the generation machinery (Put-upsert merge, tombstones, minor
     // compaction) under a random op stream, checked after every op
-    // against a driver-side Map — the simplest possible truth
+    // against a driver-side Map — the simplest possible truth. Run for
+    // both codecs: the merge resolves key equality through the table's
+    // comparator, which is typed (not byte-wise) under stringformat.
     import spark.implicits._
-    val path = Files.createTempDirectory("graftkv_fuzz_ud").toString + "/t"
+    val path = Files.createTempDirectory(s"graftkv_fuzz_ud_$enc").toString + "/t"
     val rnd = new scala.util.Random(1234)
     val model = scala.collection.mutable.Map.empty[Long, String]
     def randomBatch(): Seq[(Long, String)] =
@@ -111,7 +114,7 @@ class KvFuzzSpec extends AnyFunSuite {
       randomBatch().groupBy(_._1).map(_._2.head).toSeq
     val initial = distinctBatch()
     initial.foreach { case (k, v) => model(k) = v }
-    KvCommands.createTable(initial.toDF("k", "v"), path, Seq("k"))
+    KvCommands.createTable(initial.toDF("k", "v"), path, Seq("k"), enc)
     for (step <- 0 until 12) {
       rnd.nextInt(4) match {
         case 0 | 1 => // upsert append
