@@ -397,7 +397,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     restrictFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportOrdering with SupportsReportPartitioning {
+    with SupportsReportOrdering with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -415,11 +416,29 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   private lazy val codec = RowCodec(schema, keys, encoding)
 
+  /** The segment set this scan plans over, listed ONCE — compile-time
+    * pruning and any later runtime re-prune both start from this list,
+    * so a concurrent commit can never make the runtime-filtered plan see
+    * segments the original plan (and its partitioning claim) didn't. */
+  private lazy val allSegs: Seq[SegmentFile.Meta] =
+    SegmentFile.listSegments(path)
+      .filter(m => restrictFiles.forall(_.contains(m.file)))
+
+  /** The whole pruning → overlap-components → partitions pipeline, keyed
+    * on a conjunct set. Instantiated once for the compile-time pushed
+    * filters and possibly a second time when Spark delivers runtime
+    * filters (SupportsRuntimeV2Filtering) — the runtime instance prunes
+    * the STATIC plan's survivors further and inherits its partitioning
+    * claim, so partition-key arity stays consistent with what the
+    * planner already captured. */
+  private final class Planner(filters: Array[Filter],
+      baseSegs: => Seq[SegmentFile.Meta], claimOverride: Option[Option[Int]]) {
+
   /** Qualified leading-dimension ranges (critical-point algebra) for
     * in-segment seek and early stop. */
-  private lazy val leadRanges = graft.pruning.CriticalPoints.MultiRange(
+  lazy val leadRanges = graft.pruning.CriticalPoints.MultiRange(
     graft.pruning.CriticalPoints.qualifiedRanges(
-      pushed.toSeq, keys.head, codec.keyFields.head.dataType),
+      filters.toSeq, keys.head, codec.keyFields.head.dataType),
     codec.keyFields.head.dataType)
 
   /** Two complementary segment prunes (reference HBaseCriticalPoint):
@@ -429,13 +448,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     *  2. three-valued evaluation of the whole predicate over the
     *     segment's multi-dimensional key bounds (descends while leading
     *     dims are pinned to a point) must not prove False. */
-  private lazy val survivors: Seq[SegmentFile.Meta] = {
+  lazy val survivors: Seq[SegmentFile.Meta] = {
     import graft.pruning.TriEval
-    val segs = SegmentFile.listSegments(path)
-      .filter(m => restrictFiles.forall(_.contains(m.file)))
-    if (pushed.isEmpty) segs
+    val segs = baseSegs
+    if (filters.isEmpty) segs
     else {
-      val conj = pushed.reduce(org.apache.spark.sql.sources.And(_, _))
+      val conj = filters.reduce(org.apache.spark.sql.sources.And(_, _))
       segs.filter { m =>
         leadRanges.intersects(
           codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
@@ -486,7 +504,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * unions are disjoint intervals, so all partition-level reasoning
     * (disjoint prefixes, pinned depth, partition keys) runs over
     * component bounds. */
-  private lazy val comps: Seq[GraftKvScan.SegComp] = {
+  lazy val comps: Seq[GraftKvScan.SegComp] = {
     if (survivors.isEmpty) Seq.empty
     else {
       val sorted = survivors.sortWith((a, b) => codec.compareKeys(a.minKey, b.minKey) < 0)
@@ -573,7 +591,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     *    when that padding is off in the active session (our sessions set
     *    it false); then mismatched value lists fall back to shuffle and
     *    matched ones (self-joins, co-written tables) stay co-located. */
-  private lazy val reportedPrefix: Option[Int] =
+  lazy val reportedPrefix: Option[Int] = claimOverride.getOrElse {
     if (pinnedDepth >= 1) Some(1)
     else if (!pushPartValuesEnabled && comps.forall(_.members.length == 1))
       // ranged claims only over singleton components: a multi-member
@@ -582,28 +600,9 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // co-location claim
       disjointPrefix
     else None
+  }
 
-  /** The reference elides the aggregate shuffle when GROUP BY keys prefix
-    * the row key (HBaseStrategies.scala:42-60,87-173); the DSv2
-    * restatement is KeyGroupedPartitioning over the reported key prefix +
-    * HasPartitionKey on every partition. Spark honors it when
-    * spark.sql.sources.v2.bucketing.enabled is set (our sessions set it).
-    * It also enables storage-partitioned SELF-joins on the prefix (two
-    * scans of the same table share partition values, so Spark zips
-    * segment-to-segment with no shuffle — the co-located region join). */
-  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    reportedPrefix match {
-      case Some(p) if keys.take(p).forall(required.fieldNames.contains) =>
-        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          keys.take(p).map(k => Expressions.identity(k):
-            org.apache.spark.sql.connector.expressions.Expression).toArray,
-          plannedPartitions.length)
-      case _ =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          plannedPartitions.length)
-    }
-
-  private lazy val plannedPartitions: Array[InputPartition] = {
+  lazy val plannedPartitions: Array[InputPartition] = {
     val pkLen = reportedPrefix.getOrElse(1)
     comps.flatMap { c =>
       // per-partition predicate specialization (reference
@@ -613,7 +612,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // early-stop fires at the last range relevant to this segment,
       // not the globally last one
       val segRanges =
-        if (pushed.isEmpty) None
+        if (filters.isEmpty) None
         else {
           val lo = codec.leadingKeyValue(c.minKey)
           val hi = codec.leadingKeyValue(c.maxKey)
@@ -657,8 +656,6 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
-
   /** Per-dimension Bloom probe hashes, derived once per scan from the
     * pushed conjuncts (they depend only on the query, not the segment).
     * A segment survives iff for every (dim, hashes) entry at least one
@@ -671,7 +668,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       (1 until keys.length).flatMap { dim =>
         val dt = codec.keyFields(dim).dataType
         val colName = keys(dim)
-        pushed.toSeq.flatMap {
+        filters.toSeq.flatMap {
           case EqualTo(a, v) if a == colName && v != null =>
             Option(TriEval.normalize(dt, v)).map(nv =>
               dim -> Seq(SegmentFile.Bloom.hashBytes(codec.encodeDimValue(dim, nv))))
@@ -697,12 +694,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * by the predicate, the reader seeks straight to
     * (p0,…,p_{k-1}, lo_k) — the next dim's lower bound — and stops once
     * past (p0,…,hi_k), instead of walking the whole pinned block. */
-  private lazy val deepSeek: Option[GraftKvDeepSeek] = {
+  lazy val deepSeek: Option[GraftKvDeepSeek] = {
     import graft.pruning.TriEval
-    if (pushed.isEmpty || keys.length < 2) None
+    if (filters.isEmpty || keys.length < 2) None
     else {
       val perDim = codec.keyFields.map(f =>
-        graft.pruning.CriticalPoints.qualifiedRanges(pushed.toSeq, f.name, f.dataType))
+        graft.pruning.CriticalPoints.qualifiedRanges(filters.toSeq, f.name, f.dataType))
       if (perDim.exists(_.isEmpty)) None // unsatisfiable — pruning empties the scan
       else {
         val cmps = codec.keyFields.map(f => TriEval.comparator(f.dataType))
@@ -729,13 +726,77 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       }
     }
   }
+  } // Planner
+
+  private lazy val static = new Planner(pushed, allSegs, None)
+
+  /** Runtime re-plan, set by `filter` between planning and execution.
+    * Volatile: Spark plans on the driver but may hand the scan between
+    * threads (AQE) before execution reads the partitions. */
+  @volatile private var runtimePlan: Option[Planner] = None
+  private def active: Planner = runtimePlan.getOrElse(static)
+
+  /** Test hooks: partition counts before/after runtime filtering. */
+  private[connector] def staticPartitionCount: Int = static.plannedPartitions.length
+  private[connector] def runtimePartitionCount: Option[Int] =
+    runtimePlan.map(_.plannedPartitions.length)
+
+  /** DSv2 runtime filtering — the dynamic-partition-pruning analog for
+    * the kv store. In a star join whose dim side carries a selective
+    * filter, Spark evaluates the dim side first and hands this scan the
+    * surviving join-key values as an IN predicate; re-running the
+    * segment prune over them turns a fact-table full scan into a few
+    * seeks. Only key columns are offered: runtime values on them reach
+    * the critical-point ranges (lead dim: per-partition seeks) and the
+    * per-dimension Blooms (non-lead dims: segment prune). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only key columns that survived column pruning: Spark resolves these
+    // against the scan OUTPUT and throws on absent ones (a join key is
+    // always in the output, so this never loses a real pruning chance)
+    keys.filter(required.fieldNames.contains).map(k => Expressions.column(k)).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, keys.toSet))
+    if (translated.nonEmpty)
+      // prune the static survivors further (never a fresh listing — a
+      // concurrent commit must not surface new segments mid-query) and
+      // pin the static partitioning claim so partition-key arity matches
+      // what the planner captured before filtering
+      runtimePlan = Some(new Planner(pushed ++ translated, static.survivors,
+        Some(static.reportedPrefix)))
+  }
+
+  /** The reference elides the aggregate shuffle when GROUP BY keys prefix
+    * the row key (HBaseStrategies.scala:42-60,87-173); the DSv2
+    * restatement is KeyGroupedPartitioning over the reported key prefix +
+    * HasPartitionKey on every partition. Spark honors it when
+    * spark.sql.sources.v2.bucketing.enabled is set (our sessions set it).
+    * It also enables storage-partitioned SELF-joins on the prefix (two
+    * scans of the same table share partition values, so Spark zips
+    * segment-to-segment with no shuffle — the co-located region join). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    static.reportedPrefix match {
+      case Some(p) if keys.take(p).forall(required.fieldNames.contains) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          keys.take(p).map(k => Expressions.identity(k):
+            org.apache.spark.sql.connector.expressions.Expression).toArray,
+          static.plannedPartitions.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          static.plannedPartitions.length)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = active.plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, leadRanges,
-      limit, encoding, deepSeek,
+    // static state throughout: Spark materializes the factory during
+    // planning (columnar decision), before runtime filters arrive; the
+    // refined per-partition ranges ride in the partitions themselves
+    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq, static.leadRanges,
+      limit, encoding, static.deepSeek,
       // Spark requires all partitions of a scan to agree on columnar vs
       // row output, so one merge partition makes the whole scan row-based
-      columnar = comps.forall(_.members.length == 1))
+      columnar = static.comps.forall(_.members.length == 1))
 
   override def estimateStatistics(): Statistics = {
     val segs = SegmentFile.listSegments(path)
@@ -788,6 +849,44 @@ object GraftKvScan {
     * component's overall max key (members' min is the first member's). */
   final case class SegComp(members: Vector[SegmentFile.Meta], maxKey: Array[Byte]) {
     def minKey: Array[Byte] = members.head.minKey
+  }
+
+  /** Translate the runtime predicates Spark hands a filterable scan
+    * (dynamic-pruning subquery results arrive as IN / = over the join
+    * column) into v1 filters carrying external Scala values — the form
+    * the whole pruning stack (TriEval, critical points, Blooms) already
+    * speaks. Non-key columns and unknown shapes are dropped: runtime
+    * filtering is an optimization, the join still applies its own
+    * condition, so under-translating only costs pruning, never rows. */
+  def runtimeToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      keyCols: Set[String]): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def toScala(l: V2Literal[_]): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    p.name match {
+      case "IN" =>
+        val ch = p.children()
+        for {
+          col <- ch.headOption.flatMap(colName)
+          if keyCols.contains(col) && ch.length > 1 &&
+            ch.tail.forall(_.isInstanceOf[V2Literal[_]])
+        } yield In(col, ch.tail.map(c => toScala(c.asInstanceOf[V2Literal[_]])))
+      case "=" =>
+        p.children() match {
+          case Array(r, l: V2Literal[_]) =>
+            colName(r).filter(keyCols.contains).map(EqualTo(_, toScala(l)))
+          case Array(l: V2Literal[_], r) =>
+            colName(r).filter(keyCols.contains).map(EqualTo(_, toScala(l)))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 }
 

@@ -11,6 +11,14 @@ package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DSv2 literal from an external Scala value — `LiteralValue` is
+    * `private[sql]`, so tests driving `SupportsRuntimeV2Filtering`
+    * directly mint runtime predicates through this. */
+  def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType)
+      : connector.expressions.Literal[_] =
+    connector.expressions.LiteralValue(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value), dt)
+
   /** Resolve the catalog a multipart table name targets, mirroring
     * Spark's own LookupCatalog rule: a first part naming a registered
     * catalog wins, anything else lands in the session's current catalog.

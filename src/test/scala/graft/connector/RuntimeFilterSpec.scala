@@ -1,0 +1,116 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime filtering (SupportsRuntimeV2Filtering) — the kv connector's
+  * dynamic-partition-pruning analog: Spark evaluates the dim side of a
+  * star join first and hands the fact scan the surviving join-key values
+  * as an IN predicate; the scan re-runs its segment prune over them.
+  * Mirrors the reference's point-get batching for join-key lists
+  * (HBaseSQLReaderRDD.scala:268-315) at the planner level. */
+class RuntimeFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graftkv_rf_$tag").toString
+
+  private def v2In(col: String, values: Long*): Predicate =
+    new Predicate("IN",
+      (Expressions.column(col) +: values.map(v => graftbridge.v2Literal(v, LongType):
+        org.apache.spark.sql.connector.expressions.Expression)).toArray)
+
+  /** All GraftKvScan instances reachable from an executed plan, looking
+    * through AQE wrappers and materialized query stages. */
+  private def kvScans(p: SparkPlan): Seq[GraftKvScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => kvScans(a.executedPlan)
+      case q: QueryStageExec => kvScans(q.plan)
+      case b: BatchScanExec =>
+        b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(kvScans) ++
+      p.subqueries.flatMap(kvScans)
+  }
+
+  test("a runtime IN on the lead key re-prunes segments and ranges") {
+    val path = tmpDir("unit") + "/t"
+    // 20k rows bulk-loaded → range-shuffled into several lead-disjoint
+    // segments (shuffle.partitions=4 in the test session)
+    val df = spark.range(20000).select(col("id").as("k"), (col("id") % 97).as("v"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536") // rotate → several segments
+      .mode("overwrite").save(path)
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array.empty, -1, meta.encoding)
+    val before = scan.planInputPartitions().length
+    assert(before >= 3, s"expected several segments, got $before")
+
+    // two point keys in the first quarter of the domain → one segment
+    scan.filter(Array(v2In("k", 5L, 17L)))
+    val after = scan.planInputPartitions()
+    assert(after.length < before,
+      s"runtime filter did not prune: $before -> ${after.length}")
+    assert(scan.runtimePartitionCount.contains(after.length))
+    // the partitions that survive carry refined per-partition ranges, so
+    // the reader seeks to the points instead of draining the segment
+    val ranges = after.collect {
+      case p: GraftKvInputPartition => p.partitionRanges
+    }
+    assert(ranges.forall(_.isDefined))
+  }
+
+  test("non-key runtime predicates are ignored (optimization, never semantics)") {
+    val path = tmpDir("nonkey") + "/t"
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")), path, Seq("k"))
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array.empty, -1, meta.encoding)
+    val before = scan.planInputPartitions().length
+    scan.filter(Array(v2In("v", 1L, 2L))) // v is not a key column
+    assert(scan.planInputPartitions().length == before)
+    assert(scan.runtimePartitionCount.isEmpty)
+  }
+
+  test("star join: the dim side's join keys prune the kv fact scan at runtime") {
+    val path = tmpDir("join") + "/t"
+    val fact = spark.range(40000).select(
+      col("id").as("k"), (col("id") % 1000).as("v"))
+    fact.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+
+    val dimPath = tmpDir("dim")
+    // 100 dim rows, fks clustered at the bottom of the fact key domain
+    spark.range(100).select((col("id") * 40).as("fk"), (col("id") % 5).as("cat"))
+      .write.mode("overwrite").parquet(dimPath)
+
+    val kv = KvCommands.table(spark, path)
+    val dim = spark.read.parquet(dimPath).filter(col("cat") === 2)
+    val joined = kv.join(dim, kv("k") === dim("fk"))
+    val rows = joined.collect()
+    assert(rows.length == 20) // ids 2,7,…,97
+
+    val scans = kvScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "kv scan not found in executed plan")
+    val filtered = scans.flatMap(s => s.runtimePartitionCount.map((s, _)))
+    assert(filtered.nonEmpty, "runtime filter never reached the kv scan")
+    filtered.foreach { case (s, n) =>
+      assert(n < s.staticPartitionCount,
+        s"runtime filter pruned nothing: ${s.staticPartitionCount} -> $n")
+    }
+  }
+}
