@@ -311,6 +311,27 @@ object KvOps {
         |ORDER BY o_orderkey""") { (s, d) =>
       ordersDeleteKv(s, d).filter(col("o_orderkey") <= 500)
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // star join with a selective dim filter: Spark evaluates the dim
+    // side first (broadcast) and hands the kv fact scan the surviving
+    // join keys as a runtime IN predicate (SupportsRuntimeV2Filtering —
+    // the DPP analog; RuntimeFilterSpec pins that the scan actually
+    // prunes). At scale this is the difference between a 100 TB fact
+    // scan and a few hundred segment seeks.
+    QuerySpec.checked("kv18_runtime_pruned_join",
+      """SELECT l.l_orderkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY l.l_orderkey ORDER BY l.l_orderkey""") { (s, d) =>
+      val l = lineitemKv(s, d)
+      val o = Tables.table(s, d, "orders").filter(col("o_totalprice") > 400000)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.QuerySpec.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_orderkey")
     }
   )
 }
