@@ -121,7 +121,7 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   /** SQL DELETE (the HBase Delete-mutation analog — the reference's SQL
     * surface stops at INSERT, but its store deletes by row key; here the
@@ -157,8 +157,11 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     // tombstone writes (DELETE) append key-only records whose value is
     // the delete marker; the input schema is just the key columns
     val tombstone = Option(info.options.get("tombstone")).exists(_.toBoolean)
+    // internal: compaction pins the output generation to its inputs' max
+    val genOverride = Option(info.options.get("gen.override")).map(_.toLong)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
-      encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone)
+      encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
+      genOverride = genOverride)
   }
 }
 
@@ -788,6 +791,24 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = active.plannedPartitions
 
+  /** Streaming read (readStream on a kv table): each micro-batch covers
+    * the segments COMMITTED since the last one, keyed on the per-commit
+    * generation number — a change feed of upserted rows (tombstone
+    * records are suppressed by the readers, so deletes emit nothing).
+    * Compaction pins its outputs to the inputs' max generation, so
+    * reorganized rows never re-emit. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftKvMicroBatchStream(path, schema, keys, required, pushed, encoding)
+
+  /** Row-based reader factory for the streaming path: one factory serves
+    * every micro-batch, and a later batch may contain merge partitions,
+    * so the columnar claim a one-shot batch scan could make is unsafe
+    * here. */
+  private[connector] def rowReaderFactory: PartitionReaderFactory =
+    new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq,
+      static.leadRanges, limit, encoding, static.deepSeek, columnar = false)
+
   override def createReaderFactory(): PartitionReaderFactory =
     // static state throughout: Spark materializes the factory during
     // planning (columnar decision), before runtime filters arrive; the
@@ -888,6 +909,70 @@ object GraftKvScan {
       case _ => None
     }
   }
+}
+
+/** Streaming offset for a kv table: the highest commit GENERATION this
+  * stream has emitted. Generations are assigned per write commit
+  * (monotonic under the one-writer contract), so an offset interval
+  * (lo, hi] is exactly "the commits between two points in time". */
+final case class GraftKvGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+/** Micro-batch streaming source over a kv table (readStream side of the
+  * connector; the writeStream side is EventStreams.streamIntoKv). Each
+  * batch reads the segments whose generation falls in (start, end] via
+  * the same file-restricted scan compaction uses — i.e. a CHANGE FEED
+  * of upserted rows: re-inserted keys re-emit with their new values,
+  * tombstone records (DELETEs) are suppressed by the readers, and
+  * compaction's reorganized segments keep their inputs' generation so
+  * old rows never re-emit. Pushed filters and column pruning apply to
+  * every batch. */
+class GraftKvMicroBatchStream(path: String, schema: StructType,
+    keys: Seq[String], required: StructType, pushed: Array[Filter],
+    encoding: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Monotonic guard: a truncate/overwrite resets generations to 1;
+    * clamping keeps offsets non-decreasing (the stream stays silent
+    * until new commits pass the old offset — restart the query after
+    * an overwrite, as with any file-based source). */
+  @volatile private var maxSeen = 0L
+
+  override def initialOffset(): Offset = GraftKvGenOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val g = (try SegmentFile.listSegments(path).map(_.gen)
+      catch { case _: Exception => Seq.empty[Long] }).maxOption.getOrElse(0L)
+    maxSeen = math.max(maxSeen, g)
+    GraftKvGenOffset(maxSeen)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftKvGenOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftKvGenOffset].gen
+    val hi = end.asInstanceOf[GraftKvGenOffset].gen
+    val files = SegmentFile.listSegments(path)
+      .filter(m => m.gen > lo && m.gen <= hi).map(_.file).toSet
+    if (files.isEmpty) Array.empty
+    else
+      // the batch planner handles the window like any restricted scan:
+      // key-range pruning, per-partition ranges, and last-write-wins
+      // merge WITHIN the window (several commits in one batch)
+      new GraftKvScan(path, schema, keys, required, pushed, -1, encoding,
+        restrictFiles = Some(files)).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKvScan(path, schema, keys, required, pushed, -1, encoding)
+      .rowReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One surviving segment. `partitionKeyValues` is the decoded disjoint
@@ -1254,12 +1339,12 @@ class GraftKvColumnarReader(p: GraftKvInputPartition, schema: StructType,
 class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    tombstone: Boolean = false)
+    tombstone: Boolean = false, genOverride: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
-      maxSegBytes)
+      maxSegBytes, genOverride = genOverride)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sortOrders: Array[SortOrder] =
@@ -1270,12 +1355,16 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     // contract): one more than the newest live segment's. Readers use it
     // for last-write-wins merge when later appends overlap older
     // segments — the HBase cell-timestamp analog, with a deterministic
-    // total order instead of wall clocks.
-    private val gen: Long =
+    // total order instead of wall clocks. Compaction overrides it with
+    // the max generation of the segments it rewrites: the output holds
+    // the SAME versions, so stamping it "newer" would lie to streaming
+    // readers (whose offsets are generations) and re-emit old rows.
+    private val gen: Long = genOverride.getOrElse {
       if (truncate) 1L
       else (try graft.store.SegmentFile.listSegments(path).map(_.gen)
         catch { case _: Exception => Seq.empty[Long] })
         .maxOption.getOrElse(0L) + 1L
+    }
 
     // Global range partitioning on the LEADING key dimension only + full
     // composite-key sort within partitions = declarative bulk-load

@@ -18,12 +18,15 @@ object KvCommands {
     * composite primary key, in order; `encoding` picks the per-table
     * codec (binary | stringformat, reference DDL `IN stringformat`). */
   def createTable(df: DataFrame, path: String, keys: Seq[String],
-      encoding: String = graft.store.RowCodec.Binary): Unit =
-    df.write.format("graftkv")
+      encoding: String = graft.store.RowCodec.Binary,
+      genOverride: Option[Long] = None): Unit = {
+    val w = df.write.format("graftkv")
       .option("key", keys.mkString(","))
       .option("encoding", encoding)
       .mode("overwrite")
-      .save(path)
+    genOverride.foreach(g => w.option("gen.override", g.toString))
+    w.save(path)
+  }
 
   /** O7: INSERT INTO t SELECT ... (append new sorted segments). */
   def append(df: DataFrame, path: String): Unit =
@@ -108,7 +111,11 @@ object KvCommands {
   def compact(spark: SparkSession, path: String): Unit = {
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
-    createTable(table(spark, path), path, m.keys, m.encoding)
+    // preserve the max input generation: compaction reorganizes existing
+    // versions, it doesn't create new ones — streaming readers key their
+    // offsets on generations and must not re-emit compacted rows
+    val maxGen = SegmentFile.listSegments(path).map(_.gen).maxOption
+    createTable(table(spark, path), path, m.keys, m.encoding, maxGen)
   }
 
   /** Read amplification of a point lookup: the largest number of live
@@ -195,7 +202,10 @@ object KvCommands {
       // only at the manifest swap below
       val tmp = new java.io.File(path,
         s".compacting-${java.util.UUID.randomUUID().toString.take(8)}").getPath
-      createTable(grouped, tmp, m.keys, m.encoding)
+      // replacement segments keep the group's max generation (same
+      // versions, reorganized) so gen-offset streams don't re-emit them
+      createTable(grouped, tmp, m.keys, m.encoding,
+        genOverride = Some(g.map(_.gen).max))
       val moved = SegmentFile.listSegments(tmp).map(_.file)
       moved.foreach { f =>
         Files.move(Paths.get(tmp, f), Paths.get(path, f))

@@ -1,0 +1,78 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The kv streaming SOURCE (readStream side; streamIntoKv is the sink):
+  * a change feed of upserted rows keyed on commit generations. Pins the
+  * offset semantics — snapshot first, appends incrementally, upserts
+  * re-emit with new values, deletes emit nothing, compaction re-emits
+  * nothing (its outputs keep their inputs' generation). */
+class KvStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("readStream: snapshot, appends, upserts, deletes, compaction") {
+    val path = Files.createTempDirectory("graftkv_stream_src").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
+
+    val q = spark.readStream.format("graftkv").load(path)
+      .writeStream.format("memory").queryName("kv_src_sink")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_stream_ckpt").toString)
+      .start()
+    try {
+      def rows(): Seq[(Long, String)] = {
+        q.processAllAvailable()
+        spark.table("kv_src_sink").as[(Long, String)].collect().toSeq.sorted
+      }
+      assert(rows() == Seq((1L, "a"), (2L, "b"))) // initial snapshot
+
+      KvCommands.append(Seq((3L, "c")).toDF("k", "v"), path)
+      assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // upsert: the key re-emits with its new value (change feed)
+      KvCommands.append(Seq((2L, "b2")).toDF("k", "v"), path)
+      assert(rows() == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")))
+
+      // delete: the tombstone commit emits nothing
+      KvCommands.delete(spark, path, col("k") === 1L)
+      assert(rows().length == 4)
+
+      // compaction reorganizes all of the above; nothing re-emits
+      assert(KvCommands.compactMinor(spark, path) > 0)
+      assert(rows().length == 4)
+
+      // and the table still streams after it
+      KvCommands.append(Seq((9L, "z")).toDF("k", "v"), path)
+      assert(rows() == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (9L, "z")))
+    } finally q.stop()
+  }
+
+  test("pushed filters and pruning apply per batch") {
+    val path = Files.createTempDirectory("graftkv_stream_f").toString + "/t"
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), (col("id") % 10).as("v")),
+      path, Seq("k"))
+    val q = spark.readStream.format("graftkv").load(path)
+      .filter(col("k") >= 90).select("k")
+      .writeStream.format("memory").queryName("kv_src_filtered")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_stream_fckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def got(): Seq[Long] =
+        spark.table("kv_src_filtered").as[Long].collect().toSeq.sorted
+      assert(got() == (90L until 100L))
+      KvCommands.append(
+        Seq((50L, 0L), (95L, 1L), (150L, 2L)).toDF("k", "v"), path)
+      q.processAllAvailable()
+      assert(got() == ((90L until 100L) :+ 95L :+ 150L).sorted)
+    } finally q.stop()
+  }
+}
