@@ -17,6 +17,7 @@ object Bench {
     "s2_point_lookup",       // point lookup (parquet)
     "kv2_point_lookup",      // key-pruned point lookup through the KV connector
     "kv5_agg_over_kv",       // full-table scan + agg through the KV connector
+    "kv18_runtime_pruned_join", // star join: runtime scan pruning (DPP analog)
     "t2_sort_multi_dir",     // top-k
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group

@@ -149,7 +149,9 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     new GraftKvScanBuilder(path, tableSchema, keys, encoding,
       // read-time restriction to specific segment files (compaction
       // reads exactly one overlap group through this)
-      Option(options.get("files")).map(_.split(",").map(_.trim).toSet))
+      Option(options.get("files")).map(_.split(",").map(_.trim).toSet),
+      // streaming admission control: cap the segment files per micro-batch
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val maxSegBytes = Option(info.options.get("segment.maxBytes"))
@@ -169,7 +171,8 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
 
 class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
-    restrictFiles: Option[Set[String]] = None)
+    restrictFiles: Option[Set[String]] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -256,7 +259,7 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
       new GraftKvAggScan(path, schema, keys, aggs, encoding, pushed.toSeq)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
-        restrictFiles)
+        restrictFiles, maxFilesPerTrigger)
   }
 }
 
@@ -398,7 +401,8 @@ final case class KvAggBoundaryPartition(dir: String, file: String)
 class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     required: StructType, pushed: Array[Filter], limit: Int,
     encoding: String = graft.store.RowCodec.Binary,
-    restrictFiles: Option[Set[String]] = None)
+    restrictFiles: Option[Set[String]] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
@@ -799,7 +803,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * reorganized rows never re-emit. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftKvMicroBatchStream(path, schema, keys, required, pushed, encoding)
+    new GraftKvMicroBatchStream(path, schema, keys, required, pushed, encoding,
+      maxFilesPerTrigger)
 
   /** Row-based reader factory for the streaming path: one factory serves
     * every micro-batch, and a later batch may contain merge partitions,
@@ -931,9 +936,10 @@ final case class GraftKvGenOffset(gen: Long)
   * every batch. */
 class GraftKvMicroBatchStream(path: String, schema: StructType,
     keys: Seq[String], required: StructType, pushed: Array[Filter],
-    encoding: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    encoding: String, maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** Monotonic guard: a truncate/overwrite resets generations to 1;
     * clamping keeps offsets non-decreasing (the stream stays silent
@@ -941,14 +947,48 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
     * an overwrite, as with any file-based source). */
   @volatile private var maxSeen = 0L
 
+  private def liveSegs: Seq[SegmentFile.Meta] =
+    try SegmentFile.listSegments(path)
+    catch { case _: Exception => Seq.empty }
+
   override def initialOffset(): Offset = GraftKvGenOffset(0L)
 
   override def latestOffset(): Offset = {
-    val g = (try SegmentFile.listSegments(path).map(_.gen)
-      catch { case _: Exception => Seq.empty[Long] }).maxOption.getOrElse(0L)
-    maxSeen = math.max(maxSeen, g)
+    maxSeen = math.max(maxSeen, liveSegs.map(_.gen).maxOption.getOrElse(0L))
     GraftKvGenOffset(maxSeen)
   }
+
+  /** Admission control (`.option("maxFilesPerTrigger", n)`): advance the
+    * offset one whole COMMIT (generation) at a time until the file cap
+    * is hit — at 100 TB a restarted stream must not be handed the whole
+    * backlog as one micro-batch. A single over-cap commit still goes
+    * through whole (offsets are commit-aligned), matching the file
+    * source's per-file behavior. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[GraftKvGenOffset].gen
+    val cap = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles)
+      case _ => None
+    }
+    val byGen = liveSegs.filter(_.gen > lo)
+      .groupBy(_.gen).toSeq.sortBy(_._1)
+    var hi = lo
+    var files = 0
+    val it = byGen.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (g, ss) = it.next()
+      if (files > 0 && cap.exists(files + ss.length > _)) full = true
+      else { hi = g; files += ss.length }
+    }
+    maxSeen = math.max(maxSeen, hi)
+    GraftKvGenOffset(math.max(hi, lo))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftKvGenOffset(json.trim.toLong)

@@ -52,6 +52,30 @@ class KvStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces a backlog commit-by-commit") {
+    val path = Files.createTempDirectory("graftkv_stream_adm").toString + "/t"
+    KvCommands.createTable(Seq((0L, "s")).toDF("k", "v"), path, Seq("k"))
+    // backlog of 4 more commits BEFORE the stream starts
+    (1 to 4).foreach(i => KvCommands.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), path))
+
+    val q = spark.readStream.format("graftkv")
+      .option("maxFilesPerTrigger", "1").load(path)
+      .writeStream.format("memory").queryName("kv_src_paced")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_stream_admckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kv_src_paced").as[(Long, String)].collect().toSeq.sorted
+      assert(got.map(_._1) == (0L to 4L)) // everything arrives...
+      // ...but paced: one commit (generation) per micro-batch
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 5,
+        s"expected >=5 paced batches, got ${batches.length}")
+    } finally q.stop()
+  }
+
   test("pushed filters and pruning apply per batch") {
     val path = Files.createTempDirectory("graftkv_stream_f").toString + "/t"
     KvCommands.createTable(
