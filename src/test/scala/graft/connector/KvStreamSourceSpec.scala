@@ -76,6 +76,74 @@ class KvStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzz: random upserts/deletes/compactions under a live stream") {
+    // Batch boundaries are nondeterministic (continuous trigger), so the
+    // invariants must hold under ANY commit grouping:
+    //  (a) every emitted row is a value some upsert actually wrote;
+    //  (b) for every key whose final action was an upsert, the LAST
+    //      emission of that key is its final value (deletes may leave a
+    //      stale last emission — an append-only feed has no retractions).
+    val path = Files.createTempDirectory("graftkv_stream_fuzz").toString + "/t"
+    val rnd = new scala.util.Random(777)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    val legal = scala.collection.mutable.Set.empty[(Long, String)]
+    def batch(): Seq[(Long, String)] =
+      Seq.fill(rnd.nextInt(30) + 5)(
+        (rnd.nextLong(60), s"v${rnd.nextInt(100000)}"))
+        .groupBy(_._1).map(_._2.head).toSeq
+    val initial = batch()
+    initial.foreach { case (k, v) => model(k) = v; legal += ((k, v)) }
+    KvCommands.createTable(initial.toDF("k", "v"), path, Seq("k"))
+
+    val feed = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, String])]
+    val q = spark.readStream.format("graftkv").load(path)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_stream_fuzzckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        feed.synchronized { feed += ((id, rows)) }
+        ()
+      }
+      .start()
+    try {
+      for (step <- 0 until 15) {
+        rnd.nextInt(5) match {
+          case 0 | 1 | 2 => // upsert append
+            val b = batch()
+            b.foreach { case (k, v) => model(k) = v; legal += ((k, v)) }
+            KvCommands.append(b.toDF("k", "v"), path)
+          case 3 => // range delete
+            val lo = rnd.nextLong(60)
+            val hi = lo + rnd.nextLong(20)
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+            KvCommands.delete(spark, path, col("k").between(lo, hi))
+          case 4 => // compaction mid-stream (default retention keeps
+            // replaced files for in-flight readers)
+            KvCommands.compactMinor(spark, path)
+        }
+        if (rnd.nextInt(3) == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val byBatch = feed.synchronized { feed.sortBy(_._1).toVector }
+      val allEmitted = byBatch.flatMap(_._2)
+      assert(allEmitted.forall(legal.contains),
+        "feed fabricated a row no upsert ever wrote")
+      val lastEmission: Map[Long, String] =
+        byBatch.foldLeft(Map.empty[Long, String])((acc, b) => acc ++ b._2)
+      // (b): model keys are exactly the ones whose final action was an
+      // upsert; each must have its final value as its last emission
+      model.foreach { case (k, v) =>
+        assert(lastEmission.get(k).contains(v),
+          s"key $k: last emission ${lastEmission.get(k)} != final value $v")
+      }
+      // and the table itself still matches the model (sanity)
+      val tbl = KvCommands.table(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(tbl == model.toMap)
+    } finally q.stop()
+  }
+
   test("pushed filters and pruning apply per batch") {
     val path = Files.createTempDirectory("graftkv_stream_f").toString + "/t"
     KvCommands.createTable(
