@@ -114,14 +114,19 @@ object GraftKvMeta {
 }
 
 class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
-    encoding: String = graft.store.RowCodec.Binary)
+    encoding: String = graft.store.RowCodec.Binary,
+    snapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = s"graftkv:$path"
+  override def name(): String =
+    s"graftkv:$path" + snapshot.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+    // a snapshot (VERSION AS OF) is a frozen read-only view: no writes,
+    // and no streaming (offsets are live-commit generations)
+    (if (snapshot.isDefined) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)).asJava
 
   /** SQL DELETE (the HBase Delete-mutation analog — the reference's SQL
     * surface stops at INSERT, but its store deletes by row key; here the
@@ -131,7 +136,7 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     * sorted key-only append — never a table rewrite. Readers suppress
     * tombstoned keys; compaction erases them physically. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftKvDelete.toColumn(_).isDefined)
+    snapshot.isEmpty && filters.forall(GraftKvDelete.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -151,9 +156,14 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
       // reads exactly one overlap group through this)
       Option(options.get("files")).map(_.split(",").map(_.trim).toSet),
       // streaming admission control: cap the segment files per micro-batch
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      // time travel: catalog VERSION AS OF (table-level) or the path
+      // API's read option
+      snapshot.orElse(Option(options.get("snapshot.version")).map(_.toLong)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    snapshot.foreach(v => throw new IllegalArgumentException(
+      s"cannot write to snapshot v$v of graftkv:$path — snapshots are read-only"))
     val maxSegBytes = Option(info.options.get("segment.maxBytes"))
       .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
     // tombstone writes (DELETE) append key-only records whose value is
@@ -172,7 +182,8 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
 class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     restrictFiles: Option[Set[String]] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    snapshotVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -214,8 +225,9 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     // a file-restricted read (compaction's group scan) must not answer
-    // aggregates from whole-table metadata
-    if (restrictFiles.nonEmpty) return false
+    // aggregates from whole-table metadata; a snapshot read's metadata
+    // checks would run against the LIVE listing — stay conservative
+    if (restrictFiles.nonEmpty || snapshotVersion.nonEmpty) return false
     if (!pushed.forall(GraftKvScanBuilder.leadOnlyExact(_, keys.head)) ||
       limit >= 0 || agg.groupByExpressions().nonEmpty) return false
     // Overlapping segments can hold several GENERATIONS of the same key
@@ -259,7 +271,7 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
       new GraftKvAggScan(path, schema, keys, aggs, encoding, pushed.toSeq)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
-        restrictFiles, maxFilesPerTrigger)
+        restrictFiles, maxFilesPerTrigger, snapshotVersion)
   }
 }
 
@@ -402,7 +414,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     required: StructType, pushed: Array[Filter], limit: Int,
     encoding: String = graft.store.RowCodec.Binary,
     restrictFiles: Option[Set[String]] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    snapshotVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
@@ -426,9 +439,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   /** The segment set this scan plans over, listed ONCE — compile-time
     * pruning and any later runtime re-prune both start from this list,
     * so a concurrent commit can never make the runtime-filtered plan see
-    * segments the original plan (and its partitioning claim) didn't. */
+    * segments the original plan (and its partitioning claim) didn't.
+    * A snapshot read (VERSION AS OF) lists from its retained manifest
+    * instead of the live one. */
   private lazy val allSegs: Seq[SegmentFile.Meta] =
-    SegmentFile.listSegments(path)
+    snapshotVersion.map(SegmentFile.listSegmentsAsOf(path, _))
+      .getOrElse(SegmentFile.listSegments(path))
       .filter(m => restrictFiles.forall(_.contains(m.file)))
 
   /** The whole pruning → overlap-components → partitions pipeline, keyed
@@ -825,8 +841,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       columnar = static.comps.forall(_.members.length == 1))
 
   override def estimateStatistics(): Statistics = {
-    val segs = SegmentFile.listSegments(path)
-      .filter(m => restrictFiles.forall(_.contains(m.file)))
+    val segs = allSegs
     // superseded versions under overlap are still counted (estimates
     // only), but tombstones are pure deletions — subtract them
     val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)

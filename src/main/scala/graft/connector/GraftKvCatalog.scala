@@ -68,6 +68,21 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Time travel: `SELECT … FROM graft.db.t VERSION AS OF n` — Spark
+    * routes the version literal here; `n` is a snapshot manifest version
+    * (one per commit, see SegmentFile.writeManifest). The snapshot is a
+    * frozen read-only view listed from its retained manifest; it stays
+    * readable through compaction's retention window. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftKvMeta.read(tableDir(ident)) match {
+      case Some(m) =>
+        val v = version.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graftkv snapshot versions are numeric commit ids; got '$version'"))
+        new GraftKvTable(tableDir(ident), m.schema, m.keys, m.encoding, Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftKvMeta.read(tableDir(ident)).isDefined
 

@@ -242,7 +242,20 @@ object KvCommands {
           Files.deleteIfExists(Paths.get(path, n))
           Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
         }
+      // snapshot manifests expire with the files they reference: past the
+      // window a VERSION AS OF read fails with "no snapshot" instead of
+      // "missing segment files"
+      SegmentFile.pruneManifestVersions(path, cutoff)
     }
+
+  /** Retained snapshot versions (newest = the current table state). */
+  def snapshots(path: String): Seq[Long] = SegmentFile.manifestVersions(path)
+
+  /** Time travel via the path API: the table as of snapshot `version`
+    * (the catalog equivalent is `SELECT … FROM graft.db.t VERSION AS OF n`). */
+  def tableAsOf(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.format("graftkv")
+      .option("snapshot.version", version.toString).load(path)
 
   /** Auto-compaction policy for streamed/appended tables: compact only
     * when a point lookup could touch more than `maxDepth` overlapping

@@ -329,14 +329,74 @@ object SegmentFile {
       .filter(_.nonEmpty).toSet)
   }
 
-  /** Atomically replace the manifest (temp file + rename). */
+  /** Atomically replace the manifest (temp file + rename), retaining the
+    * new set as a numbered SNAPSHOT manifest first (`_graft_segments.vN`,
+    * N monotonic) — the time-travel commit log. A snapshot stays readable
+    * while its files live, i.e. until compaction's retention sweep
+    * reclaims files it replaced (KvCommands.sweepUnmanifested, which also
+    * prunes snapshot manifests past the window). A crash between the two
+    * writes leaves a snapshot that never became current — still a
+    * consistent set (data files are always in place before the manifest
+    * write), so snapshot readers may see the commit the crash swallowed. */
   def writeManifest(dir: String, files: Iterable[String]): Unit = {
-    val tmp = Paths.get(dir,
-      s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, files.toSeq.sorted.mkString("\n"))
-    // POSIX rename: atomic and replaces any existing manifest
-    Files.move(tmp, manifestPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val body = files.toSeq.sorted.mkString("\n")
+    def swapTo(target: Path): Unit = {
+      val tmp = Paths.get(dir,
+        s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.writeString(tmp, body)
+      // POSIX rename: atomic and replaces any existing file
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val v = manifestVersions(dir).lastOption.getOrElse(0L) + 1L
+    swapTo(versionedManifestPath(dir, v))
+    swapTo(manifestPath(dir))
+  }
+
+  private def versionedManifestPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"_graft_segments.v$v")
+
+  /** Retained snapshot versions, ascending (commit order). */
+  def manifestVersions(dir: String): Seq[Long] =
+    Option(new File(dir).list()).getOrElse(Array.empty[String]).toSeq
+      .flatMap { n =>
+        if (n.startsWith("_graft_segments.v"))
+          n.stripPrefix("_graft_segments.v").toLongOption
+        else None
+      }.sorted
+
+  def readManifestVersion(dir: String, v: Long): Option[Set[String]] = {
+    val p = versionedManifestPath(dir, v)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator.map(_.trim)
+      .filter(_.nonEmpty).toSet)
+  }
+
+  /** Delete snapshot manifests older than `cutoffMillis` (mtime), always
+    * keeping the newest one (it mirrors the current manifest). */
+  def pruneManifestVersions(dir: String, cutoffMillis: Long): Unit = {
+    val vs = manifestVersions(dir)
+    vs.dropRight(1).foreach { v =>
+      val f = versionedManifestPath(dir, v).toFile
+      if (f.lastModified() <= cutoffMillis) f.delete()
+    }
+  }
+
+  /** The LIVE segment set as of snapshot `version`. Replaced files keep
+    * their sidecars on disk through the retention window, so a recent
+    * snapshot lists fully even after compaction rewrote it. */
+  def listSegmentsAsOf(dir: String, version: Long): Seq[Meta] = {
+    val live = readManifestVersion(dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot version $version at $dir " +
+          s"(retained: ${manifestVersions(dir).mkString(", ")})"))
+    val onDisk = Option(new File(dir).list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
+      .filter(n => live.contains(s"$n.kv"))
+    val missing = live -- onDisk.map(s => s"$s.kv").toSet
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshot $version of $dir references swept segments: " +
+        missing.toSeq.sorted.mkString(", "))
+    onDisk.sorted.toSeq.map(readMeta(dir, _, withIndex = false))
   }
 
   /** All LIVE segment metas under a table dir (index not loaded — see

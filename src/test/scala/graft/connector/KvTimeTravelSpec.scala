@@ -1,0 +1,88 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Time travel over kv tables: every commit retains a numbered snapshot
+  * manifest (`_graft_segments.vN`), readable via `VERSION AS OF` through
+  * the catalog or `snapshot.version` through the path API. Snapshots are
+  * frozen read-only views; they survive compaction for the retention
+  * window and expire with it. */
+class KvTimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft_tt", classOf[GraftKvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tt.root",
+      Files.createTempDirectory("graft_tt_catalog").toString)
+    s
+  }
+  import spark.implicits._
+
+  private def state(path: String, v: Long): Map[Long, String] =
+    KvCommands.tableAsOf(spark, path, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("each commit is a readable snapshot; compaction preserves history") {
+    val path = Files.createTempDirectory("graftkv_tt").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
+    val v1 = KvCommands.snapshots(path).last
+    KvCommands.append(Seq((3L, "c")).toDF("k", "v"), path)
+    val v2 = KvCommands.snapshots(path).last
+    KvCommands.append(Seq((2L, "b2")).toDF("k", "v"), path) // upsert
+    val v3 = KvCommands.snapshots(path).last
+    KvCommands.delete(spark, path, col("k") === 1L)
+    val v4 = KvCommands.snapshots(path).last
+    assert(Seq(v1, v2, v3, v4) == Seq(v1, v2, v3, v4).sorted && v1 < v4)
+
+    assert(state(path, v1) == Map(1L -> "a", 2L -> "b"))
+    assert(state(path, v2) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(state(path, v3) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(state(path, v4) == Map(2L -> "b2", 3L -> "c"))
+
+    // compaction rewrites the physical layout but every snapshot above
+    // must read the same (replaced files are retained for the window)
+    assert(KvCommands.compactMinor(spark, path) > 0)
+    assert(state(path, v1) == Map(1L -> "a", 2L -> "b"))
+    assert(state(path, v3) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // and the newest snapshot equals the live table
+    val vLast = KvCommands.snapshots(path).last
+    assert(state(path, vLast) ==
+      KvCommands.table(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+
+    // filters prune inside a snapshot read too
+    assert(KvCommands.tableAsOf(spark, path, v2)
+      .filter(col("k") >= 2L).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
+  test("VERSION AS OF through the catalog; snapshots are read-only and expire") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.tt")
+    spark.sql("CREATE TABLE graft_tt.tt.h (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_tt.tt.h VALUES (1, 'x')")
+    spark.sql("INSERT INTO graft_tt.tt.h VALUES (2, 'y')")
+
+    val path = spark.conf.get("spark.sql.catalog.graft_tt.root") + "/tt/h"
+    val vs = KvCommands.snapshots(path)
+    assert(vs.size >= 2)
+    val before = spark.sql(s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs.head}")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before == Seq(1L))
+    val now = spark.sql(s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs.last}")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(now == Seq(1L, 2L))
+
+    // unknown version fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tt.tt.h VERSION AS OF 999999").collect()
+    }
+    assert(e.getMessage.contains("no snapshot") || e.getMessage.contains("999999"))
+
+    // expiry: a zero-retention sweep prunes all but the newest snapshot
+    KvCommands.compactMinor(spark, path, minGroup = 2, retainReplacedMs = 0L)
+    KvCommands.sweepUnmanifested(path, olderThanMs = 0L)
+    assert(KvCommands.snapshots(path).size == 1)
+  }
+}
