@@ -94,10 +94,14 @@ object KvOps {
     * overlaps the original segments, so reads go through the
     * last-write-wins merge — the oracle states the post-upsert truth
     * directly over the parquet original. */
-  private def ordersUpsertKv(s: SparkSession, d: String): DataFrame = {
-    val path = lock.synchronized {
+  private def ordersUpsertPath(s: SparkSession, d: String): String =
+    lock.synchronized {
       val p = s"${kvRoot(d)}/orders_upsert"
-      if (graft.connector.GraftKvMeta.read(p).isEmpty) {
+      // rebuild when absent OR when built by a pre-snapshot code version
+      // (kv19 reads the creation snapshot, so the commit log must exist)
+      if (graft.connector.GraftKvMeta.read(p).isEmpty ||
+        KvCommands.snapshots(p).size < 2) {
+        KvCommands.dropTable(p)
         val o = Tables.table(s, d, "orders")
         KvCommands.createTable(o, p, Seq("o_orderkey"))
         KvCommands.append(o.filter(col("o_orderkey") <= 100)
@@ -105,8 +109,9 @@ object KvOps {
       }
       p
     }
-    KvCommands.table(s, path)
-  }
+
+  private def ordersUpsertKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ordersUpsertPath(s, d))
 
   /** Orders with a DELETE applied: every order with o_totalprice below
     * 100000 is tombstoned (scan-based delete on a NON-key column). The
@@ -332,6 +337,18 @@ object KvOps {
         .agg(count(lit(1)).as("cnt"),
           graft.QuerySpec.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_orderkey")
+    },
+
+    // time travel: the upsert fixture's CREATION snapshot predates the
+    // Put-upsert overlay, so VERSION AS OF its first commit must read
+    // exactly the parquet original — the oracle is the unmodified table
+    QuerySpec.checked("kv19_time_travel",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey <= 200 ORDER BY o_orderkey""") { (s, d) =>
+      val p = ordersUpsertPath(s, d)
+      KvCommands.tableAsOf(s, p, KvCommands.snapshots(p).head)
+        .filter(col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
     }
   )
 }
