@@ -73,3 +73,19 @@ class GraftSession:
     @staticmethod
     def table(spark, name):
         return spark.table(name)
+
+    @staticmethod
+    def table_as_of(spark, name, version):
+        """Time travel: the catalog table as of snapshot `version`
+        (one snapshot per commit; see SegmentFile.writeManifest)."""
+        return spark.sql("SELECT * FROM %s VERSION AS OF %d" % (name, version))
+
+    @staticmethod
+    def read_stream(spark, path, max_files_per_trigger=None):
+        """Change feed of the kv table at `path`: the initial snapshot,
+        then every committed upsert; deletes emit nothing. Offsets are
+        commit generations, so compaction never re-emits."""
+        r = spark.readStream.format("graftkv")
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.load(path)

@@ -41,6 +41,14 @@ def main():
         GraftSession.load_csv(spark, csv, "graft.py.t", delimiter="|")
         n = spark.sql("SELECT count(*) AS c FROM graft.py.t").collect()[0].c
         assert n == 3, n
+        # time travel: the post-upsert, pre-delete snapshot still has k=1
+        tdir = os.path.join(root, "py", "t")
+        vs = sorted(int(f.rsplit("v", 1)[1]) for f in os.listdir(tdir)
+                    if f.startswith("_graft_segments.v"))
+        assert len(vs) == 4, vs  # insert, upsert, delete, load
+        hist = {r.k: r.v for r in
+                GraftSession.table_as_of(spark, "graft.py.t", vs[1]).collect()}
+        assert hist == {1: "a", 2: "b2"}, hist
         # native function registered by the extensions
         h = spark.sql("SELECT rolling_hash(v) AS h FROM graft.py.t "
                       "WHERE k = 10").collect()[0].h
