@@ -58,6 +58,43 @@ class KvTimeTravelSpec extends AnyFunSuite {
       Seq(2L, 3L))
   }
 
+  test("fuzz: every retained snapshot replays its historical state") {
+    // random upserts / range deletes / compactions with default retention
+    // (nothing swept); after the run, EVERY recorded snapshot version
+    // must read back exactly the model state at its commit
+    val path = Files.createTempDirectory("graftkv_tt_fuzz").toString + "/t"
+    val rnd = new scala.util.Random(99)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, String])]
+    def batch(): Seq[(Long, String)] =
+      Seq.fill(rnd.nextInt(25) + 5)(
+        (rnd.nextLong(50), s"v${rnd.nextInt(100000)}"))
+        .groupBy(_._1).map(_._2.head).toSeq
+    val init = batch()
+    init.foreach { case (k, v) => model(k) = v }
+    KvCommands.createTable(init.toDF("k", "v"), path, Seq("k"))
+    history += KvCommands.snapshots(path).last -> model.toMap
+    for (_ <- 0 until 12) {
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 =>
+          val b = batch()
+          b.foreach { case (k, v) => model(k) = v }
+          KvCommands.append(b.toDF("k", "v"), path)
+        case 3 =>
+          val lo = rnd.nextLong(50)
+          val hi = lo + rnd.nextLong(15)
+          model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          KvCommands.delete(spark, path, col("k").between(lo, hi))
+        case 4 =>
+          KvCommands.compactMinor(spark, path) // default retention: keeps history
+      }
+      history += KvCommands.snapshots(path).last -> model.toMap
+    }
+    history.foreach { case (v, st) =>
+      assert(state(path, v) == st, s"snapshot $v diverged from its history")
+    }
+  }
+
   test("VERSION AS OF through the catalog; snapshots are read-only and expire") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.tt")
     spark.sql("CREATE TABLE graft_tt.tt.h (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
