@@ -779,7 +779,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     keys.filter(required.fieldNames.contains).map(k => Expressions.column(k)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, keys.toSet))
+    val dtOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, keys.toSet, dtOf))
     if (translated.nonEmpty)
       // prune the static survivors further (never a fresh listing — a
       // concurrent commit must not surface new segments mid-query) and
@@ -899,8 +900,16 @@ object GraftKvScan {
     * speaks. Non-key columns and unknown shapes are dropped: runtime
     * filtering is an optimization, the join still applies its own
     * condition, so under-translating only costs pruning, never rows. */
+  /** Above this many IN values the runtime filter collapses to a
+    * [min, max] range: the critical-point planner cuts one range PER
+    * VALUE (quadratic qualification cost), and at that cardinality the
+    * per-value precision buys nothing a range doesn't — the join
+    * re-filters whatever the wider scan returns. */
+  private val MaxRuntimeInValues = 1024
+
   def runtimeToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
-      keyCols: Set[String]): Option[Filter] = {
+      keyCols: Set[String],
+      dtOf: Map[String, org.apache.spark.sql.types.DataType]): Option[Filter] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     def toScala(l: V2Literal[_]): Any =
@@ -917,7 +926,23 @@ object GraftKvScan {
           col <- ch.headOption.flatMap(colName)
           if keyCols.contains(col) && ch.length > 1 &&
             ch.tail.forall(_.isInstanceOf[V2Literal[_]])
-        } yield In(col, ch.tail.map(c => toScala(c.asInstanceOf[V2Literal[_]])))
+          f <- {
+            val vals = ch.tail.map(c => toScala(c.asInstanceOf[V2Literal[_]]))
+            if (vals.length <= MaxRuntimeInValues) Some(In(col, vals))
+            else {
+              val dt = dtOf(col)
+              val cmp = graft.pruning.TriEval.comparator(dt)
+              val norm = vals.map(v => v -> graft.pruning.TriEval.normalize(dt, v))
+                .filter(_._2 != null)
+              if (norm.isEmpty) None
+              else {
+                val lo = norm.reduce((a, b) => if (cmp(a._2, b._2) <= 0) a else b)._1
+                val hi = norm.reduce((a, b) => if (cmp(a._2, b._2) >= 0) a else b)._1
+                Some(And(GreaterThanOrEqual(col, lo), LessThanOrEqual(col, hi)))
+              }
+            }
+          }
+        } yield f
       case "=" =>
         p.children() match {
           case Array(r, l: V2Literal[_]) =>

@@ -68,12 +68,39 @@ object CriticalPoints {
   final case class MultiRange(ranges: Seq[ValueRange], dt: DataType)
       extends Serializable {
     @transient private lazy val cmp = comparator(dt)
+    @transient private lazy val arr = ranges.toIndexedSeq
 
     private def inRange(r: ValueRange, v: Any): Boolean =
       r.lo.forall(l => { val c = cmp(v, l); c > 0 || (c == 0 && r.loInc) }) &&
         r.hi.forall(h => { val c = cmp(v, h); c < 0 || (c == 0 && r.hiInc) })
 
-    def contains(v: Any): Boolean = ranges.exists(inRange(_, v))
+    /** Does range `r` start strictly after value `v` — i.e. can `v` not
+      * possibly belong to `r` or any later range? (ranges are sorted and
+      * disjoint, so this predicate is monotone over the sequence, which
+      * is what makes every membership question a binary search — an
+      * IN-list pushes one point range PER VALUE, and a runtime join-key
+      * filter can carry thousands, so per-record checks must not be
+      * linear in the range count). */
+    private def startsAfter(r: ValueRange, v: Any): Boolean =
+      r.lo.exists { l => val c = cmp(l, v); c > 0 || (c == 0 && !r.loInc) }
+
+    /** Index of the last range NOT starting after `v`; -1 if all do. */
+    private def floorIdx(v: Any): Int = {
+      var lo = 0
+      var hi = arr.length - 1
+      var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (startsAfter(arr(mid), v)) hi = mid - 1
+        else { best = mid; lo = mid + 1 }
+      }
+      best
+    }
+
+    def contains(v: Any): Boolean = {
+      val i = floorIdx(v)
+      i >= 0 && inRange(arr(i), v)
+    }
 
     /** v is past every range (sorted reader may stop). */
     def pastAll(v: Any): Boolean =
@@ -82,10 +109,31 @@ object CriticalPoints {
       }
 
     /** Does the inclusive interval [lo, hi] intersect any qualified
-      * range? (segment-level pruning on the leading dimension) */
-    def intersects(lo: Any, hi: Any): Boolean = ranges.exists { r =>
-      r.hi.forall(h => { val c = cmp(lo, h); c < 0 || (c == 0 && r.hiInc) }) &&
-        r.lo.forall(l => { val c = cmp(hi, l); c > 0 || (c == 0 && r.loInc) })
+      * range? (segment-level pruning on the leading dimension) The last
+      * range starting at or before `hi` is the only candidate: every
+      * earlier range ends before it starts, so if ITS upper bound is
+      * below `lo`, all earlier ones are too. */
+    def intersects(lo: Any, hi: Any): Boolean = {
+      val i = lastStartingWithin(hi)
+      i >= 0 && arr(i).hi.forall { h =>
+        val c = cmp(lo, h); c < 0 || (c == 0 && arr(i).hiInc)
+      }
+    }
+
+    /** Index of the last range whose lower bound admits some value
+      * ≤ `hi` (i.e. the range does not lie entirely above `hi`). */
+    private def lastStartingWithin(hi: Any): Int = {
+      var lo = 0
+      var up = arr.length - 1
+      var best = -1
+      while (lo <= up) {
+        val mid = (lo + up) >>> 1
+        val above = arr(mid).lo.exists { l =>
+          val c = cmp(l, hi); c > 0 || (c == 0 && !arr(mid).loInc)
+        }
+        if (above) up = mid - 1 else { best = mid; lo = mid + 1 }
+      }
+      best
     }
 
     /** Lower bound of the first range whose interior is still ahead of
@@ -97,10 +145,10 @@ object CriticalPoints {
       * after it — skipping to the NEXT range instead would leapfrog
       * them. The floor of such a bound is at/behind the current
       * position, so the resulting seek is a harmless no-op. */
-    def nextLowerBound(v: Any): Option[Any] =
-      ranges.find(r => r.lo.exists { l =>
-        val c = cmp(l, v); c > 0 || (c == 0 && !r.loInc)
-      }).flatMap(_.lo)
+    def nextLowerBound(v: Any): Option[Any] = {
+      val i = floorIdx(v) + 1 // first range starting after v
+      if (i < arr.length) arr(i).lo else None
+    }
 
     /** Is the whole inclusive interval [lo, hi] inside ONE qualified
       * range? (fully-covered segment test for filtered metadata-only

@@ -422,12 +422,16 @@ object SegmentFile {
     * before it are all ≤ that index key. */
   def floorOffset(meta: Meta, keyPrefix: Array[Byte],
       cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare): Long = {
+    // binary search — a point-heavy scan (IN-list / runtime join keys)
+    // re-seeks once per gap, so the floor lookup must not walk the index
+    val idx = meta.index
+    var lo = 0
+    var hi = idx.length - 1
     var best = 0L
-    var i = 0
-    while (i < meta.index.length &&
-      cmp(meta.index(i)._1, keyPrefix) < 0) {
-      best = meta.index(i)._2
-      i += 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(idx(mid)._1, keyPrefix) < 0) { best = idx(mid)._2; lo = mid + 1 }
+      else hi = mid - 1
     }
     best
   }
