@@ -286,7 +286,26 @@ object PipelineOps {
         .orderBy("ws", "event_type")
     },
 
-    QuerySpec.rowsOnly("ev2_session_window") { (s, d) =>
+    // session windows have a plain ANSI restatement (gaps-and-islands:
+    // a session break is a gap >= 10 min, sessions are the running sum
+    // of breaks), so the engine-specific operator gets a real oracle
+    QuerySpec.checked("ev2_session_window",
+      """SELECT user_id, ws, we, cnt FROM (
+        |  SELECT user_id, min(t) AS ws, max(t) + INTERVAL 10 MINUTE AS we,
+        |    count(*) AS cnt
+        |  FROM (
+        |    SELECT user_id, t,
+        |      sum(CASE WHEN prev_t IS NULL
+        |               OR t - prev_t >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM (
+        |      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |        lag(CAST(ts AS TIMESTAMP))
+        |          OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+        |      FROM events))
+        |  GROUP BY user_id, sid
+        |) ORDER BY user_id, ws""") { (s, d) =>
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
