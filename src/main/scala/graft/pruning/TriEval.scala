@@ -128,11 +128,11 @@ object TriEval {
     case In(a, vs) => bound.get(a) match {
       case None => Unknown
       case Some(b) =>
-        val nvs = vs.toSeq.map(normalize(b.dt, _)).filter(_ != null)
+        val arr = normalizedSorted(vs, b.dt)
         val r = b.range
         if (r.isPoint(b.cmp)) {
-          if (nvs.exists(b.cmp(r.lo.get, _) == 0)) True else False
-        } else if (nvs.forall(outside(b, _))) False
+          if (sortedContains(arr, r.lo.get, b.cmp)) True else False
+        } else if (!anyInRange(arr, b)) False
         else Unknown
     }
 
@@ -140,6 +140,68 @@ object TriEval {
     case IsNotNull(a) => if (bound.contains(a)) True else Unknown
 
     case _ => Unknown
+  }
+
+  /** Per-In-instance cache of the normalized, sorted, null-free value
+    * array, keyed on the values array's IDENTITY (weak — entries die
+    * with the filter tree). One planning pass evaluates the same In
+    * node against every candidate range and every segment's bounds;
+    * without the cache a wide IN (point-get batching, runtime join
+    * keys) re-normalizes per evaluation and the candidate loop in
+    * qualifiedRanges goes quadratic in the IN size. */
+  private val inCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Any], (DataType, Array[Any])]())
+
+  private def normalizedSorted(vs: Array[Any], dt: DataType): Array[Any] = {
+    val hit = inCache.get(vs)
+    if (hit != null && hit._1 == dt) hit._2
+    else {
+      val cmp = comparator(dt)
+      val arr = vs.iterator.map(normalize(dt, _)).filter(_ != null).toArray
+      java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],
+        new java.util.Comparator[AnyRef] {
+          def compare(a: AnyRef, b: AnyRef): Int = cmp(a, b)
+        })
+      inCache.put(vs, (dt, arr))
+      arr
+    }
+  }
+
+  private def sortedContains(arr: Array[Any], v: Any,
+      cmp: (Any, Any) => Int): Boolean = {
+    var lo = 0
+    var hi = arr.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cmp(arr(mid), v)
+      if (c == 0) return true
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  /** Is any of the sorted values inside the binding's range? (the exact
+    * negation of "every value is outside") */
+  private def anyInRange(arr: Array[Any], b: Binding): Boolean = {
+    if (arr.isEmpty) return false
+    val r = b.range
+    // first index whose value is not below the lower bound
+    var first = 0
+    r.lo.foreach { l =>
+      var lo = 0
+      var hi = arr.length - 1
+      first = arr.length
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = b.cmp(arr(mid), l)
+        if (c < 0 || (c == 0 && !r.loInc)) lo = mid + 1
+        else { first = mid; hi = mid - 1 }
+      }
+    }
+    first < arr.length && !r.hi.exists { h =>
+      val c = b.cmp(arr(first), h); c > 0 || (c == 0 && !r.hiInc)
+    }
   }
 
   /** v strictly outside the bound's range? */

@@ -52,6 +52,22 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(metas.map(_.count).sum == 1000)
   }
 
+  test("a WIDE IN list (point-get batching at scale) stays exact and fast") {
+    // thousands of point ranges: the consumed-filter reader enforces
+    // them record-exactly, so every membership/seek structure on the
+    // path (candidate qualification, range checks, gap seeks, index
+    // floors) runs at this cardinality — sublinear or this test crawls
+    val path = tmpTable()
+    val df = spark.range(50000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    KvCommands.createTable(df, path, Seq("k"))
+    val rnd = new scala.util.Random(5)
+    val wanted = Seq.fill(3000)(rnd.nextLong(60000)).distinct // ~17% misses
+    val got = KvCommands.table(spark, path)
+      .filter(col("k").isin(wanted: _*))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wanted.filter(_ < 50000).toSet)
+  }
+
   test("IN-list scan re-seeks across gaps: decoded ≈ matched, not segment size") {
     val path = tmpTable()
     // one big segment so gap-skipping (not segment pruning) does the work
