@@ -42,7 +42,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("default")
 
-  private def tableDir(ident: Identifier): String =
+  private[graft] def tableDir(ident: Identifier): String =
     (Seq(root) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
 
   /** Files.list holds an open directory stream — always close it. */

@@ -33,6 +33,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftLoadDataCommand(path,
         table.replace("`", "").split('.').toSeq,
         Option(delim), overwrite != null)
+    case GraftSqlParser.ShowSnapshotsStmt(table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftShowSnapshotsCommand(table.replace("`", "").split('.').toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -62,6 +66,10 @@ object GraftSqlParser {
     ("""(?is)\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+""" +
       """([\w.`]+)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*""").r
 
+  /** SHOW SNAPSHOTS FOR|IN [TABLE] t — the time-travel commit log. */
+  private[sql] val ShowSnapshotsStmt =
+    """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
   /** Does `nameParts` resolve into a [[graft.connector.GraftKvCatalog]]
     * in the active session? Inconclusive (no active session, resolution
     * error) counts as NO — the statement then keeps Spark's built-in
@@ -90,5 +98,41 @@ case class GraftLoadDataCommand(csvPath: String, table: Seq[String],
     if (overwrite) df.writeTo(tname).overwrite(org.apache.spark.sql.functions.lit(true))
     else df.writeTo(tname).append()
     Nil
+  }
+}
+
+/** SHOW SNAPSHOTS FOR t — one row per retained commit of the table's
+  * time-travel log (version to feed `VERSION AS OF`, commit wall-clock,
+  * live segment count, whether it is the current state). */
+case class GraftShowSnapshotsCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, TimestampType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("segments", IntegerType, nullable = false)(),
+    AttributeReference("is_current", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.SegmentFile
+    val (plugin, rest) = org.apache.spark.sql.graftbridge.catalogAndRest(spark, table)
+    val cat = plugin match {
+      case c: graft.connector.GraftKvCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"SHOW SNAPSHOTS targets graftkv catalog tables; " +
+          s"'${table.mkString(".")}' resolves to catalog '${other.name()}'")
+    }
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      rest.dropRight(1).toArray, rest.last)
+    val dir = cat.tableDir(ident)
+    val vs = SegmentFile.manifestVersions(dir)
+    vs.map { v =>
+      Row(v,
+        new java.sql.Timestamp(SegmentFile.manifestVersionFile(dir, v).lastModified()),
+        SegmentFile.readManifestVersion(dir, v).map(_.size).getOrElse(0),
+        v == vs.last)
+    }
   }
 }

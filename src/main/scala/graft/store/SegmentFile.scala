@@ -364,6 +364,10 @@ object SegmentFile {
         else None
       }.sorted
 
+  /** The snapshot manifest file itself (mtime = commit wall-clock). */
+  def manifestVersionFile(dir: String, v: Long): File =
+    versionedManifestPath(dir, v).toFile
+
   def readManifestVersion(dir: String, v: Long): Option[Set[String]] = {
     val p = versionedManifestPath(dir, v)
     if (!Files.exists(p)) None

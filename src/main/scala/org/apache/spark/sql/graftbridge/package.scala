@@ -24,12 +24,18 @@ package object graftbridge {
     * catalog wins, anything else lands in the session's current catalog.
     * (CatalogManager itself is `private[sql]`, hence this bridge.) */
   def catalogOf(spark: SparkSession, nameParts: Seq[String])
-      : org.apache.spark.sql.connector.catalog.CatalogPlugin = {
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    catalogAndRest(spark, nameParts)._1
+
+  /** Like [[catalogOf]], but also returns the name parts REMAINING after
+    * catalog resolution (namespace + table). */
+  def catalogAndRest(spark: SparkSession, nameParts: Seq[String])
+      : (org.apache.spark.sql.connector.catalog.CatalogPlugin, Seq[String]) = {
     val cm = spark.sessionState.catalogManager
     nameParts match {
       case head +: rest if rest.nonEmpty && cm.isCatalogRegistered(head) =>
-        cm.catalog(head)
-      case _ => cm.currentCatalog
+        (cm.catalog(head), rest)
+      case _ => (cm.currentCatalog, nameParts)
     }
   }
 }

@@ -122,4 +122,28 @@ class KvTimeTravelSpec extends AnyFunSuite {
     KvCommands.sweepUnmanifested(path, olderThanMs = 0L)
     assert(KvCommands.snapshots(path).size == 1)
   }
+
+  test("SHOW SNAPSHOTS lists the commit log; pure-SQL time travel") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.ss")
+    spark.sql("CREATE TABLE graft_tt.ss.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_tt.ss.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft_tt.ss.t VALUES (2, 'b')")
+
+    val snaps = spark.sql("SHOW SNAPSHOTS FOR graft_tt.ss.t").collect()
+    assert(snaps.length == 2)
+    assert(snaps.map(_.getLong(0)).sorted.toSeq == snaps.map(_.getLong(0)).toSeq)
+    assert(snaps.count(_.getBoolean(3)) == 1 && snaps.last.getBoolean(3))
+
+    // drive time travel entirely from the SHOW output
+    val first = snaps.head.getLong(0)
+    val got = spark.sql(s"SELECT k FROM graft_tt.ss.t VERSION AS OF $first")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+
+    // non-graft targets keep Spark's own error behavior (no intercept)
+    val e = intercept[Exception] {
+      spark.sql("SHOW SNAPSHOTS FOR not_a_catalog.db.t").collect()
+    }
+    assert(e != null)
+  }
 }
