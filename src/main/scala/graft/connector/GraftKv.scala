@@ -978,7 +978,7 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
     keys: Seq[String], required: StructType, pushed: Array[Filter],
     encoding: String, maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** Monotonic guard: a truncate/overwrite resets generations to 1;
@@ -994,7 +994,8 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
   override def initialOffset(): Offset = GraftKvGenOffset(0L)
 
   override def latestOffset(): Offset = {
-    maxSeen = math.max(maxSeen, liveSegs.map(_.gen).maxOption.getOrElse(0L))
+    val live = liveSegs.map(_.gen).maxOption.getOrElse(0L)
+    maxSeen = math.max(maxSeen, availableNowCap.fold(live)(math.min(live, _)))
     GraftKvGenOffset(maxSeen)
   }
 
@@ -1013,7 +1014,8 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
       case m: ReadMaxFiles => Some(m.maxFiles)
       case _ => None
     }
-    val byGen = liveSegs.filter(_.gen > lo)
+    val byGen = liveSegs
+      .filter(m => m.gen > lo && availableNowCap.forall(m.gen <= _))
       .groupBy(_.gen).toSeq.sortBy(_._1)
     var hi = lo
     var files = 0
@@ -1029,6 +1031,14 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Trigger.AvailableNow: pin the target to the generations present at
+    * query start — the query processes exactly that backlog (paced by
+    * the read limit) and terminates, even while commits keep landing. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(liveSegs.map(_.gen).maxOption.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =
     GraftKvGenOffset(json.trim.toLong)

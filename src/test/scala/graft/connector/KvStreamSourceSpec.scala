@@ -144,6 +144,28 @@ class KvStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the start-time backlog and stops") {
+    val path = Files.createTempDirectory("graftkv_stream_an").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
+    KvCommands.append(Seq((2L, "b")).toDF("k", "v"), path)
+
+    val q = spark.readStream.format("graftkv")
+      .option("maxFilesPerTrigger", "1").load(path)
+      .writeStream.format("memory").queryName("kv_src_an")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_stream_anckpt").toString)
+      .start()
+    // a commit AFTER query start must not be drained by this run
+    KvCommands.append(Seq((3L, "c")).toDF("k", "v"), path)
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    val got = spark.table("kv_src_an").as[(Long, String)].collect().map(_._1).sorted.toSeq
+    // 1 and 2 were present at start; 3 raced the prepare call — it may
+    // only appear if its commit landed before the offset was pinned
+    assert(got.startsWith(Seq(1L, 2L)) && got.length <= 3)
+  }
+
   test("pushed filters and pruning apply per batch") {
     val path = Files.createTempDirectory("graftkv_stream_f").toString + "/t"
     KvCommands.createTable(
