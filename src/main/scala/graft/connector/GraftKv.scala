@@ -143,11 +143,7 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     val cond = filters.flatMap(GraftKvDelete.toColumn(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    spark.read.format("graftkv").load(path)
-      .filter(cond)
-      .select(keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.format("graftkv").option("tombstone", "true")
-      .mode("append").save(path)
+    KvCommands.delete(spark, path, cond) // one tombstone write path
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -192,6 +188,11 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggPushed: Option[Seq[KvAgg]] = None
+  // the EXACT listing pushAggregation validated (disjoint, tombstone-free):
+  // the agg scan must plan over this set, not a fresh listing — a commit
+  // landing between validation and planning would otherwise slip
+  // overlapping/tombstoned segments past the safety gate
+  private var aggSegs: Seq[SegmentFile.Meta] = Nil
 
   /** Record every filter for planning-time pruning (the critical-point
     * module evaluates whole trees three-valued). Filters that are pure
@@ -262,13 +263,14 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) {
-      aggPushed = Some(specs.flatten); true
+      aggPushed = Some(specs.flatten); aggSegs = segs; true
     } else false
   }
 
   override def build(): Scan = aggPushed match {
     case Some(aggs) =>
-      new GraftKvAggScan(path, schema, keys, aggs, encoding, pushed.toSeq)
+      new GraftKvAggScan(path, schema, keys, aggs, encoding, pushed.toSeq,
+        aggSegs)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
         restrictFiles, maxFilesPerTrigger, snapshotVersion)
@@ -317,7 +319,7 @@ object KvAgg {
   * pruned-away segments never open their data file at any table size. */
 class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
     aggs: Seq[KvAgg], encoding: String = graft.store.RowCodec.Binary,
-    pushed: Seq[Filter] = Nil)
+    pushed: Seq[Filter] = Nil, segs: Seq[SegmentFile.Meta] = Nil)
     extends Scan with Batch {
 
   private def leadField = schema(keys.head)
@@ -339,7 +341,7 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
     codec.keyFields.head.dataType)
 
   override def planInputPartitions(): Array[InputPartition] =
-    SegmentFile.listSegments(path).flatMap { m =>
+    segs.flatMap { m =>
       val minLead = codec.leadingKeyValue(m.minKey)
       val maxLead = codec.leadingKeyValue(m.maxKey)
       if (pushed.isEmpty)
@@ -819,9 +821,16 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * Compaction pins its outputs to the inputs' max generation, so
     * reorganized rows never re-emit. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the catalog path rejects this via capabilities; the path API
+    // (.option("snapshot.version", n)) must fail the same way rather
+    // than silently streaming the live table
+    snapshotVersion.foreach(v => throw new UnsupportedOperationException(
+      s"cannot stream snapshot v$v of graftkv:$path — snapshots are frozen; " +
+        "stream the live table instead"))
     new GraftKvMicroBatchStream(path, schema, keys, required, pushed, encoding,
       maxFilesPerTrigger)
+  }
 
   /** Row-based reader factory for the streaming path: one factory serves
     * every micro-batch, and a later batch may contain merge partitions,
@@ -971,9 +980,13 @@ final case class GraftKvGenOffset(gen: Long)
   * the same file-restricted scan compaction uses — i.e. a CHANGE FEED
   * of upserted rows: re-inserted keys re-emit with their new values,
   * tombstone records (DELETEs) are suppressed by the readers, and
-  * compaction's reorganized segments keep their inputs' generation so
-  * old rows never re-emit. Pushed filters and column pruning apply to
-  * every batch. */
+  * compaction's reorganized segments keep their inputs' max generation,
+  * so a CAUGHT-UP stream never re-sees them. The one at-least-once
+  * window: a compaction that merges generations from BOTH sides of a
+  * lagging stream's offset lands inside its unread range, re-emitting
+  * the already-read side. Compact at caught-up points (streamIntoKv's
+  * per-batch autoCompact does) for exactly-once. Pushed filters and
+  * column pruning apply to every batch. */
 class GraftKvMicroBatchStream(path: String, schema: StructType,
     keys: Seq[String], required: StructType, pushed: Array[Filter],
     encoding: String, maxFilesPerTrigger: Option[Int] = None)
@@ -1432,9 +1445,17 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     tombstone: Boolean = false, genOverride: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
 
-  override def truncate(): WriteBuilder =
+  override def truncate(): WriteBuilder = {
+    // an overwrite of pure delete markers is a contradiction: truncate
+    // makes the write schema authoritative, so forwarding the flag would
+    // replace the table with a key-only shell, and dropping it would
+    // store the markers as rows — fail instead of corrupting either way
+    if (tombstone) throw new IllegalArgumentException(
+      "tombstone writes append delete markers; combining them with " +
+        "overwrite would truncate the table — use mode(\"append\")")
     new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
       maxSegBytes, genOverride = genOverride)
+  }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val sortOrders: Array[SortOrder] =

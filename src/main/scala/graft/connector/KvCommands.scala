@@ -68,6 +68,8 @@ object KvCommands {
     Option(d.list()).getOrElse(Array.empty[String])
       .filter(n => n.endsWith(".kv") || n.endsWith(".kvmeta") ||
         n == "_graft_meta.json" || n == "_graft_segments" ||
+        n.startsWith("_graft_segments.v") || // snapshot manifests: a
+        // recreated table must not inherit the dead table's history
         n.startsWith("._graft_segments.tmp-"))
       .foreach(n => new java.io.File(d, n).delete())
     // sweep scratch dirs stranded by a crashed minor compaction
@@ -216,6 +218,15 @@ object KvCommands {
       // commit point — replaced files stay on disk for the retention
       // window (see scaladoc), invisible behind the manifest
       SegmentFile.writeManifest(path, live -- files ++ moved)
+      // age the replaced files from their REPLACEMENT, not their write:
+      // the sweep's cutoff is mtime-based, and a segment written long
+      // ago would otherwise be reclaimed the instant it is replaced,
+      // voiding the grace window for in-flight scans and snapshots
+      val now = System.currentTimeMillis()
+      files.foreach { f =>
+        new java.io.File(path, f).setLastModified(now)
+        new java.io.File(path, f.stripSuffix(".kv") + ".kvmeta").setLastModified(now)
+      }
       Option(new java.io.File(tmp).list()).getOrElse(Array.empty[String])
         .foreach(n => Files.deleteIfExists(Paths.get(tmp, n)))
       Files.deleteIfExists(Paths.get(tmp))

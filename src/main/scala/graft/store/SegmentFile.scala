@@ -347,10 +347,22 @@ object SegmentFile {
       // POSIX rename: atomic and replaces any existing file
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    val v = manifestVersions(dir).lastOption.getOrElse(0L) + 1L
+    val versions = manifestVersions(dir)
+    val v = versions.lastOption.getOrElse(0L) + 1L
     swapTo(versionedManifestPath(dir, v))
     swapTo(manifestPath(dir))
+    // bound the commit log: an append-only table (streaming ingest)
+    // never compacts, so without a count cap it would accumulate one
+    // snapshot manifest per commit forever and this directory listing
+    // would slow down the hot write path. Metadata-only: expired
+    // versions just stop answering VERSION AS OF.
+    versions.dropRight(MaxRetainedManifests - 1)
+      .foreach(old => versionedManifestPath(dir, old).toFile.delete())
   }
+
+  /** Newest snapshot manifests kept regardless of age (the time-based
+    * retention sweep prunes within this bound). */
+  val MaxRetainedManifests = 64
 
   private def versionedManifestPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_segments.v$v")

@@ -123,6 +123,39 @@ class KvTimeTravelSpec extends AnyFunSuite {
     assert(KvCommands.snapshots(path).size == 1)
   }
 
+  test("regressions: snapshot streams refuse; drop clears history; tombstone overwrite fails") {
+    val path = Files.createTempDirectory("graftkv_tt_reg").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
+    KvCommands.append(Seq((2L, "b")).toDF("k", "v"), path)
+
+    // a snapshot is frozen — streaming it must fail loudly, not silently
+    // stream the live table
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graftkv")
+        .option("snapshot.version", "1").load(path)
+        .writeStream.format("memory").queryName("tt_reg_refused")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graftkv_tt_regckpt").toString)
+        .start().processAllAvailable()
+    }
+    assert(e1.toString.contains("frozen") ||
+      Option(e1.getCause).exists(_.toString.contains("frozen")))
+
+    // dropping a table must drop its commit log: the recreated table
+    // starts a fresh history instead of inheriting unreadable versions
+    KvCommands.dropTable(path)
+    KvCommands.createTable(Seq((9L, "z")).toDF("k", "v"), path, Seq("k"))
+    assert(KvCommands.snapshots(path) == Seq(1L))
+
+    // delete markers + overwrite is a contradiction — refused
+    val e2 = intercept[Exception] {
+      Seq(9L).toDF("k").write.format("graftkv")
+        .option("tombstone", "true").mode("overwrite").save(path)
+    }
+    assert(e2.toString.contains("tombstone") ||
+      Option(e2.getCause).exists(_.toString.contains("tombstone")))
+  }
+
   test("SHOW SNAPSHOTS lists the commit log; pure-SQL time travel") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.ss")
     spark.sql("CREATE TABLE graft_tt.ss.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
