@@ -72,6 +72,26 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(ranges.forall(_.isDefined))
   }
 
+  test("a huge runtime IN collapses to its [min,max] range and still prunes") {
+    val path = tmpDir("wide") + "/t"
+    spark.range(20000).select(col("id").as("k"), col("id").as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array.empty, -1, meta.encoding)
+    val before = scan.planInputPartitions().length
+    assert(before >= 3)
+    // 2000 values, all inside the first tenth of the key domain: over
+    // the collapse threshold, so the filter becomes [min,max] — still
+    // enough to prune every segment past the first tenth
+    scan.filter(Array(v2In("k", (0L until 2000L): _*)))
+    val after = scan.planInputPartitions()
+    assert(after.length < before,
+      s"collapsed range pruned nothing: $before -> ${after.length}")
+  }
+
   test("non-key runtime predicates are ignored (optimization, never semantics)") {
     val path = tmpDir("nonkey") + "/t"
     KvCommands.createTable(
