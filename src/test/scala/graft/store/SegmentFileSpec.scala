@@ -29,6 +29,23 @@ class SegmentFileSpec extends AnyFunSuite {
     assert(keys.head <= 9000L && keys.contains(9000L) && keys.last == 9999L)
   }
 
+  test("snapshot manifests: monotonic numbering, count cap, age prune") {
+    val dir = Files.createTempDirectory("segmanifest").toString
+    (1 to 70).foreach(i => SegmentFile.writeManifest(dir, Seq(s"s$i.kv")))
+    val vs = SegmentFile.manifestVersions(dir)
+    // numbering never restarts; only the newest MaxRetainedManifests stay
+    assert(vs.last == 70L && vs.length == SegmentFile.MaxRetainedManifests)
+    assert(vs == (vs.head to 70L))
+    // each retained version reads its own committed set; the newest
+    // mirrors the current manifest
+    assert(SegmentFile.readManifestVersion(dir, vs.head).contains(Set(s"s${vs.head}.kv")))
+    assert(SegmentFile.readManifest(dir).contains(Set("s70.kv")))
+    // age prune keeps the newest regardless of cutoff
+    SegmentFile.pruneManifestVersions(dir, System.currentTimeMillis() + 1000)
+    assert(SegmentFile.manifestVersions(dir) == Seq(70L))
+    assert(SegmentFile.readManifestVersion(dir, 70L).contains(Set("s70.kv")))
+  }
+
   test("floor offset never lands past the bound (strictly-below semantics)") {
     val dir = Files.createTempDirectory("segidx2").toString
     val w = new SegmentFile.Writer(dir, "s1", indexEvery = 10)
