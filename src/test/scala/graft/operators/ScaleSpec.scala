@@ -8,6 +8,36 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bucketed parquet tables join with no shuffle (co-located join)") {
+    // the parquet-side analog of the kv storage-partitioned join: both
+    // sides pre-hashed into the same bucket count on the join key, so
+    // the sort-merge join reads bucket-to-bucket with zero Exchange —
+    // at 100 TB this is the difference between joining in place and
+    // re-shuffling both tables every query
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_fact")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_dim")
+    spark.range(20000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .write.bucketBy(8, "k").sortBy("k").format("parquet")
+      .saveAsTable("graft_bucket_fact")
+    spark.range(5000).select(col("id").as("k"), (col("id") % 3).as("w"))
+      .write.bucketBy(8, "k").sortBy("k").format("parquet")
+      .saveAsTable("graft_bucket_dim")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-exchange decision (a broadcast would hide it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bucket_fact")
+        .join(spark.table("graft_bucket_dim"), "k")
+      assert(j.count() == 5000)
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_dim")
+    }
+  }
+
   test("saltedJoin equals the plain join, for inner and left joins") {
     val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
       .toDF("k", "v")
