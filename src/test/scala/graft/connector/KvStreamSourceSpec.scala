@@ -14,12 +14,16 @@ class KvStreamSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("readStream: snapshot, appends, upserts, deletes, compaction") {
-    val path = Files.createTempDirectory("graftkv_stream_src").toString + "/t"
-    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
+  // both codecs: the change-feed windows resolve key identity through the
+  // table comparator, which is typed (not byte-wise) under stringformat
+  for (enc <- Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat))
+  test(s"readStream: snapshot, appends, upserts, deletes, compaction ($enc)") {
+    val path = Files.createTempDirectory(s"graftkv_stream_src_$enc").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      Seq("k"), enc)
 
     val q = spark.readStream.format("graftkv").load(path)
-      .writeStream.format("memory").queryName("kv_src_sink")
+      .writeStream.format("memory").queryName(s"kv_src_sink_$enc")
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graftkv_stream_ckpt").toString)
@@ -27,7 +31,7 @@ class KvStreamSourceSpec extends AnyFunSuite {
     try {
       def rows(): Seq[(Long, String)] = {
         q.processAllAvailable()
-        spark.table("kv_src_sink").as[(Long, String)].collect().toSeq.sorted
+        spark.table(s"kv_src_sink_$enc").as[(Long, String)].collect().toSeq.sorted
       }
       assert(rows() == Seq((1L, "a"), (2L, "b"))) // initial snapshot
 

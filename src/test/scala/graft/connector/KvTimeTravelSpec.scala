@@ -24,9 +24,11 @@ class KvTimeTravelSpec extends AnyFunSuite {
     KvCommands.tableAsOf(spark, path, v).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("each commit is a readable snapshot; compaction preserves history") {
-    val path = Files.createTempDirectory("graftkv_tt").toString + "/t"
-    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
+  for (enc <- Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat))
+  test(s"each commit is a readable snapshot; compaction preserves history ($enc)") {
+    val path = Files.createTempDirectory(s"graftkv_tt_$enc").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      Seq("k"), enc)
     val v1 = KvCommands.snapshots(path).last
     KvCommands.append(Seq((3L, "c")).toDF("k", "v"), path)
     val v2 = KvCommands.snapshots(path).last
