@@ -18,6 +18,8 @@ object Bench {
     "kv2_point_lookup",      // key-pruned point lookup through the KV connector
     "kv5_agg_over_kv",       // full-table scan + agg through the KV connector
     "kv18_runtime_pruned_join", // star join: runtime scan pruning (DPP analog)
+    "j12_asof_join",         // as-of join (union + single window pass)
+    "j13_range_join",        // interval join (bucketed equi-join + residual)
     "t2_sort_multi_dir",     // top-k
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group

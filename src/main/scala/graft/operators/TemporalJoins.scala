@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins — as-of and interval (range) joins, operators neither
+  * stock Spark nor the inherited SQL surface has as primitives (the
+  * reference engine, Huawei-Spark/Spark-SQL-on-HBase, stops at equi/theta
+  * joins: HBaseSQLQuerySuite.scala join coverage). Naively both are
+  * inequality joins, which Spark plans as BroadcastNestedLoopJoin — an
+  * O(|probe|·|build|) per-key cartesian that dies long before 100 TB.
+  * Each operator here is re-expressed so the heavy lifting is ONE hash
+  * shuffle and the per-row work is constant:
+  *
+  *  - [[asofJoin]]: union probe+build rows on a (key, time) axis and let a
+  *    single window pass carry the most recent build payload forward —
+  *    linear in |probe|+|build|, no pairwise expansion at all;
+  *  - [[intervalCountJoin]]: fixed-width time buckets turn the interval
+  *    predicate into an equi-join with exactly two candidate buckets per
+  *    probe row, then an exact residual filter — pairwise work is bounded
+  *    by matches actually inside the window, never the cross product.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each probe row, the payload of the most recent build
+    * row with the same key and `buildTime <= probeTime` (same-instant
+    * builds count as "before"; ties on buildTime resolve toward the
+    * larger `tieBreak`, making the result deterministic). Probes with no
+    * qualifying build get null payload columns — left-join semantics.
+    *
+    * Shape: both inputs are tagged and unioned, then one window per key
+    * ordered by (time, side, tieBreak) runs `last(payload) IGNORE NULLS`
+    * over a growing frame — Spark evaluates that incrementally, so the
+    * cost is one shuffle on the key plus a per-partition sort. At cluster
+    * scale the shuffle is keyed by user/entity id (high cardinality), and
+    * no operator ever materializes a probe×build pair.
+    *
+    * @param payload build columns to attach, as (buildCol -> outputName) —
+    *                renaming at the source keeps self-joins unambiguous.
+    * @param probeOut probe columns to carry into the result.
+    */
+  def asofJoin(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTime: String,
+      buildKey: String, buildTime: String,
+      payload: Seq[(String, String)], tieBreak: String,
+      probeOut: Seq[String]): DataFrame = {
+    val payloadStruct = struct(payload.map { case (src, _) => build(src) }: _*)
+    val payloadType = build.select(payloadStruct).schema.head.dataType
+    val tbType = build.schema(tieBreak).dataType
+    val probeFields = probeOut.map(c => probe.schema(c))
+
+    val buildSide = build.select(
+      Seq(build(buildKey).as("__k"), build(buildTime).as("__t"),
+        lit(0).as("__side"), build(tieBreak).as("__tb"),
+        payloadStruct.as("__p")) ++
+        probeFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val probeSide = probe.select(
+      Seq(probe(probeKey).as("__k"), probe(probeTime).as("__t"),
+        lit(1).as("__side"), lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(payloadType).as("__p")) ++
+        probeOut.map(probe(_)): _*)
+
+    // Build rows sort before probe rows at an equal timestamp (__side
+    // 0 < 1) so "at-or-before" includes same-instant builds; among equal
+    // (time, side) the unique tieBreak makes the row order — and hence
+    // last() — deterministic.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    buildSide.unionByName(probeSide)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(probeOut.map(col) ++
+        payload.map { case (src, out) => col(s"__last.$src").as(out) }: _*)
+  }
+
+  /** Interval-count join: for each probe row, how many build rows share
+    * its key and fall in `[probeTime - windowSec, probeTime)`. Probes with
+    * no qualifying build count 0 — left-join semantics.
+    *
+    * The window width doubles as the bucket width: a build row lands in
+    * exactly one bucket, a probe row qualifies builds from exactly two
+    * consecutive buckets, so the equi-join on (key, bucket) expands each
+    * probe row 2× — constant, independent of data volume — and the exact
+    * interval is enforced as a residual on the joined pairs. All time
+    * arithmetic is integer microseconds (`div`, not double division:
+    * epoch-micros exceed a double's exact-integer range).
+    *
+    * @param probeId unique probe column the counts are keyed by.
+    */
+  def intervalCountJoin(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTime: String,
+      buildKey: String, buildTime: String,
+      windowSec: Long, probeId: String, countName: String): DataFrame = {
+    val w = windowSec * 1000000L // bucket width in microseconds
+    val buildSide = build.select(
+      build(buildKey).as("__k"), unix_micros(build(buildTime)).as("__bt"))
+      .withColumn("__bbucket", expr(s"__bt div ${w}L"))
+    val probeSide = probe.select(col(probeId), col(probeKey).as("__pk"),
+      unix_micros(col(probeTime)).as("__pt"))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"(__pt - ${w}L) div ${w}L"),
+          expr(s"__pt div ${w}L"))))
+
+    probeSide.join(buildSide,
+      probeSide("__bucket") === buildSide("__bbucket") &&
+        probeSide("__pk") === buildSide("__k") &&
+        buildSide("__bt") >= probeSide("__pt") - lit(w) &&
+        buildSide("__bt") < probeSide("__pt"),
+      "left")
+      .groupBy(col(probeId))
+      .agg(count(col("__bt")).as(countName))
+  }
+
+  // ── declared queries ──────────────────────────────────────────────────
+
+  private def events(s: SparkSession, dir: String, kind: String): DataFrame =
+    Tables.table(s, dir, "events").where(col("event_type") === kind)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // For each click, the most recent view by the same user at-or-before
+    // the click. The oracle states the same semantics as the inequality
+    // join Spark must never be allowed to plan (rn=1 over ts DESC).
+    QuerySpec.checked("j12_asof_join",
+      """SELECT event_id, user_id, prior_view_id FROM (
+        |  SELECT a.event_id, a.user_id, b.event_id AS prior_view_id,
+        |         row_number() OVER (PARTITION BY a.event_id
+        |                            ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        |  FROM events a LEFT JOIN events b
+        |    ON b.user_id = a.user_id AND b.event_type = 'view'
+        |   AND b.ts <= a.ts
+        |  WHERE a.event_type = 'click'
+        |) WHERE rn = 1 ORDER BY event_id""") { (s, d) =>
+      asofJoin(
+        probe = events(s, d, "click"), build = events(s, d, "view"),
+        probeKey = "user_id", probeTime = "ts",
+        buildKey = "user_id", buildTime = "ts",
+        payload = Seq("event_id" -> "prior_view_id"), tieBreak = "event_id",
+        probeOut = Seq("event_id", "user_id"))
+        .orderBy("event_id")
+    },
+
+    // For each click, how many views the same user made in the hour
+    // before it (exclusive of the click instant).
+    QuerySpec.checked("j13_range_join",
+      """SELECT a.event_id, count(b.event_id) AS n_prior_views
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id AND b.event_type = 'view'
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        |WHERE a.event_type = 'click'
+        |GROUP BY a.event_id ORDER BY a.event_id""") { (s, d) =>
+      intervalCountJoin(
+        probe = events(s, d, "click"), build = events(s, d, "view"),
+        probeKey = "user_id", probeTime = "ts",
+        buildKey = "user_id", buildTime = "ts",
+        windowSec = 3600L, probeId = "event_id", countName = "n_prior_views")
+        .orderBy("event_id")
+    }
+  )
+}

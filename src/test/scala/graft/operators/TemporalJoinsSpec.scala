@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics and plan shape of the temporal joins. The planted fixture
+  * covers the edge cases the fixed corpus can't guarantee to hit: a build
+  * at the exact probe instant, ties on build time, probes with no match,
+  * and window boundaries (build exactly windowSec before the probe is IN,
+  * build at the probe instant is OUT). */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  //                        id,  key, time
+  private def probes = Seq(
+    (100L, 1L, ts(1000)), // after both builds of key 1
+    (101L, 1L, ts(150)),  // between build 10 (t=100) and build 11 (t=200)
+    (102L, 1L, ts(100)),  // exactly AT build 10 — at-or-before includes it
+    (103L, 2L, ts(500)),  // key 2 has tied builds at t=400
+    (104L, 3L, ts(500)),  // key 3 has no builds at all
+    (105L, 2L, ts(300))   // before every key-2 build
+  ).toDF("pid", "key", "t")
+
+  private def builds = Seq(
+    (10L, 1L, ts(100)),
+    (11L, 1L, ts(200)),
+    (20L, 2L, ts(400)), // tie on time with 21 — larger id must win
+    (21L, 2L, ts(400))
+  ).toDF("bid", "key", "t")
+
+  test("asofJoin picks the latest at-or-before build, ties by id") {
+    val got = TemporalJoins.asofJoin(probes, builds,
+      probeKey = "key", probeTime = "t", buildKey = "key", buildTime = "t",
+      payload = Seq("bid" -> "matched"), tieBreak = "bid",
+      probeOut = Seq("pid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(100L -> 11L, 101L -> 10L, 102L -> 10L,
+      103L -> 21L, 104L -> -1L, 105L -> -1L))
+  }
+
+  test("intervalCountJoin counts [t-w, t) exactly, zero for no match") {
+    // window 300s: probe@1000 sees [700,1000) -> no key-1 build;
+    // probe@150 sees [-150,150) -> build@100; probe@100 sees [-200,100)
+    // -> nothing (the same-instant build is OUT of the half-open window);
+    // probe@500 sees [200,500) -> both tied key-2 builds.
+    val got = TemporalJoins.intervalCountJoin(probes, builds,
+      probeKey = "key", probeTime = "t", buildKey = "key", buildTime = "t",
+      windowSec = 300L, probeId = "pid", countName = "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 0L,
+      103L -> 2L, 104L -> 0L, 105L -> 0L))
+  }
+
+  test("window-boundary build exactly windowSec before the probe is IN") {
+    val p = Seq((1L, 1L, ts(600))).toDF("pid", "key", "t")
+    val b = Seq((5L, 1L, ts(300)), (6L, 1L, ts(299))).toDF("bid", "key", "t")
+    val got = TemporalJoins.intervalCountJoin(p, b, "key", "t", "key", "t",
+      windowSec = 300L, probeId = "pid", countName = "n").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
+  test("neither operator plans a nested-loop or cartesian join") {
+    val asof = TemporalJoins.asofJoin(probes, builds, "key", "t", "key", "t",
+      Seq("bid" -> "matched"), "bid", Seq("pid"))
+    val ivl = TemporalJoins.intervalCountJoin(probes, builds,
+      "key", "t", "key", "t", 300L, "pid", "n")
+    for (df <- Seq(asof, ivl)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+    // the as-of is join-free by construction: one shuffle, one window
+    assert(!asof.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("corpus query j12 matches the brute-force inequality join") {
+    val d = "/root/testdata/sf0.001"
+    val fast = graft.SparkEntry.queries("j12_asof_join")(spark, d).collect()
+    val ev = graft.Tables.table(spark, d, "events")
+    val a = ev.where($"event_type" === "click").select(
+      $"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
+    val b = ev.where($"event_type" === "view").select(
+      $"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id").orderBy($"b_ts".desc, $"b_id".desc)
+    val slow = a.join(b, $"b_user" === $"a_user" && $"b_ts" <= $"a_ts", "left")
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"a_id", $"a_user", $"b_id").orderBy($"a_id").collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f.getLong(0) == s.getLong(0))
+      assert(f.getLong(1) == s.getLong(1))
+      assert(f.isNullAt(2) == s.isNullAt(2))
+      if (!f.isNullAt(2)) assert(f.getLong(2) == s.getLong(2))
+    }
+  }
+}
