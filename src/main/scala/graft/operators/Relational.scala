@@ -760,6 +760,73 @@ object Relational {
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ── round-4 surface widening ──────────────────────────────────────────
+
+    // Exact interpolated quantiles. l_quantity holds small integers, so
+    // every interpolation at p ∈ {0.25, 0.5} lands on a multiple of 0.25 —
+    // exact in double under both engines' interpolation formulas (a general
+    // p over arbitrary doubles could differ by an ulp between a+(b-a)f and
+    // a(1-f)+bf).
+    QuerySpec.checked("a15_median",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Rank-fraction window functions: the divisions are the same two
+    // IEEE-exact operations in both engines ((rank-1)/(n-1), rank/n), and
+    // o_orderkey is unique so the ordering is total.
+    QuerySpec.checked("w4_rank_fractions",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS INTEGER) AS tile,
+        |  percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS cd
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      t(s, d, "orders").select(col("o_orderkey"),
+        ntile(4).over(w).as("tile"), percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd")).orderBy("o_orderkey")
+    },
+
+    // Correlated aggregate subquery, re-expressed as the scalable form: one
+    // grouped aggregation + an equi-join back to the fact (never a per-row
+    // subquery execution). The oracle states the correlated original.
+    QuerySpec.checked("x4_correlated_agg_subquery",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |         / count(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val o = t(s, d, "orders")
+      val avgs = o.groupBy("o_custkey")
+        .agg(davg(col("o_totalprice")).as("__avg"))
+      o.join(avgs, "o_custkey")
+        .where(col("o_totalprice") > col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Regex family. The replace pattern is anchored so first-match
+    // (DuckDB default) and all-matches (Spark) semantics coincide.
+    QuerySpec.checked("f17_regex",
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS pri_num,
+        |  regexp_replace(o_orderpriority, '^[0-9]-', '') AS pri_name,
+        |  lpad(o_orderstatus, 3, '_') AS padded
+        |FROM orders ORDER BY o_orderkey LIMIT 20""") { (s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey").limit(20)
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_num"),
+          regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("pri_name"),
+          lpad(col("o_orderstatus"), 3, "_").as("padded"))
     }
   )
 }
