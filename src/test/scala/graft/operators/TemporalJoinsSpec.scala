@@ -78,6 +78,46 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!asof.queryExecution.executedPlan.toString.contains("Join"))
   }
 
+  test("fuzz: random data with dense ties matches the brute-force joins") {
+    // Tiny key/time domains force the edge cases on purpose: same-instant
+    // probe/build pairs, tied build times, empty keys, and window
+    // boundaries landing exactly on bucket edges.
+    val rnd = new scala.util.Random(4242)
+    val p = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(50) * 100L)))
+      .toDF("pid", "key", "t")
+    val b = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(50) * 100L)))
+      .toDF("bid", "key", "t")
+
+    val asofGot = TemporalJoins.asofJoin(p, b, "key", "t", "key", "t",
+      Seq("bid" -> "matched"), "bid", Seq("pid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"bt".desc, $"bid".desc)
+    val asofWant = p.join(
+      b.select($"bid", $"key".as("bk"), $"t".as("bt")),
+      $"bk" === $"key" && $"bt" <= $"t", "left")
+      .withColumn("rn", row_number().over(wRn)).where($"rn" === 1)
+      .collect().map(r => r.getAs[Long]("pid") ->
+        (if (r.isNullAt(r.fieldIndex("bid"))) -1L
+         else r.getAs[Long]("bid"))).toMap
+    assert(asofGot == asofWant)
+
+    val w = 700L // deliberately NOT aligned with the 100 s time grid
+    val ivlGot = TemporalJoins.intervalCountJoin(p, b, "key", "t", "key",
+      "t", windowSec = w, probeId = "pid", countName = "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivlWant = p.join(
+      b.select($"bid", $"key".as("bk"), $"t".as("bt")),
+      $"bk" === $"key" &&
+        $"bt" >= $"t" - expr(s"INTERVAL $w SECOND") && $"bt" < $"t", "left")
+      .groupBy($"pid").agg(count($"bid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivlGot == ivlWant)
+  }
+
   test("corpus query j12 matches the brute-force inequality join") {
     val d = "/root/testdata/sf0.001"
     val fast = graft.SparkEntry.queries("j12_asof_join")(spark, d).collect()
