@@ -103,6 +103,29 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream event-time interval join: pairs each left event with
+    * the right-side events of the same user from the preceding
+    * `windowSec` (half-open — the left instant itself excluded). The
+    * explicit time-range condition is what lets Spark EXPIRE join state
+    * as the watermark advances: state stays O(events inside window +
+    * lateness), not O(stream history), so the join runs forever at any
+    * rate. Inner-join matches emit as they arrive (no watermark hold).
+    * The batch form of the same semantics is
+    * [[graft.operators.TemporalJoins.intervalCountJoin]] — the spec
+    * asserts the two agree pair-for-pair. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      windowSec: Long = 3600L, lateness: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).select(
+      col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness).select(
+      col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts"))
+    l.join(r, expr(s"""r_user = l_user
+      AND r_ts >= l_ts - INTERVAL $windowSec SECOND
+      AND r_ts < l_ts"""))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -104,6 +104,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(depth <= 3, s"auto-compaction should bound read amplification, got $depth")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val src = s"${TestSpark.sf}/events.parquet"
+    val clicks = EventStreams.eventStream(spark, src)
+      .where(col("event_type") === "click")
+    val views = EventStreams.eventStream(spark, src)
+      .where(col("event_type") === "view")
+    val got = runToMemory(EventStreams.intervalJoin(clicks, views),
+      "t_ssjoin", "append")
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+
+    val ev = Tables.table(spark, TestSpark.sf, "events")
+    val a = ev.where($"event_type" === "click")
+      .select($"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
+    val b = ev.where($"event_type" === "view")
+      .select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val want = a.join(b, $"b_user" === $"a_user" &&
+        $"b_ts" >= $"a_ts" - expr("INTERVAL 1 HOUR") && $"b_ts" < $"a_ts")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+
+    // the batch operator (TemporalJoins.intervalCountJoin) agrees per-click
+    val counts = graft.operators.TemporalJoins.intervalCountJoin(
+      ev.where($"event_type" === "click"), ev.where($"event_type" === "view"),
+      "user_id", "ts", "user_id", "ts", 3600L, "event_id", "n")
+      .where($"n" > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCounts = got.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(gotCounts == counts)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
