@@ -268,6 +268,36 @@ object KvCommands {
     spark.read.format("graftkv")
       .option("snapshot.version", version.toString).load(path)
 
+  /** Change-data diff between two retained snapshots: one row per key
+    * whose visible row differs between versions `fromV` and `toV`,
+    * tagged 'added' / 'removed' / 'updated' (the old_ and new_ columns
+    * carry both sides' values). Both sides are ordinary pruned snapshot
+    * scans; the
+    * diff is ONE full-outer join on the primary key — each side
+    * shuffles once on the key it is already sorted by, so the operator
+    * scales with the table, never with its commit history. */
+  def snapshotDiff(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val KvTableMeta(schema, keys, _) = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    val vals = schema.fieldNames.toSeq.filterNot(keys.contains)
+    def side(v: Long, tag: String) = tableAsOf(spark, path, v).select(
+      keys.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
+        lit(true).as(s"${tag}_present"): _*)
+    val j = side(fromV, "old").join(side(toV, "new"), keys, "full_outer")
+    // null-safe: a value flipping to/from NULL is still a change
+    val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("change",
+        when(col("old_present").isNull, "added")
+          .when(col("new_present").isNull, "removed")
+          .when(valueChanged, "updated")) // unchanged rows get NULL…
+      .where(col("change").isNotNull)     // …and are dropped here
+      .select(keys.map(col) ++ Seq(col("change")) ++
+        vals.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Auto-compaction policy for streamed/appended tables: compact only
     * when a point lookup could touch more than `maxDepth` overlapping
     * segments. The check is metadata-only, so calling this after every

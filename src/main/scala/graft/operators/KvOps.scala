@@ -349,6 +349,23 @@ object KvOps {
       KvCommands.tableAsOf(s, p, KvCommands.snapshots(p).head)
         .filter(col("o_orderkey") <= 200)
         .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+    },
+
+    // snapshot diff (CDC between retained commits): creation →
+    // post-upsert on the upsert fixture is exactly the upserted slice,
+    // every row an 'updated' with the original status on the old side —
+    // which the oracle can state directly over the parquet original
+    QuerySpec.checked("kv20_snapshot_diff",
+      """SELECT o_orderkey, 'updated' AS change,
+        |  o_orderstatus AS old_status, 'X' AS new_status
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""") { (s, d) =>
+      val p = ordersUpsertPath(s, d)
+      val vs = KvCommands.snapshots(p)
+      KvCommands.snapshotDiff(s, p, vs.head, vs.last)
+        .select(col("o_orderkey"), col("change"),
+          col("old_o_orderstatus").as("old_status"),
+          col("new_o_orderstatus").as("new_status"))
+        .orderBy("o_orderkey")
     }
   )
 }

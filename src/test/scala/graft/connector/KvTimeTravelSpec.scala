@@ -181,4 +181,29 @@ class KvTimeTravelSpec extends AnyFunSuite {
     }
     assert(e != null)
   }
+
+  test("snapshotDiff tags added, removed, and updated rows") {
+    val path = Files.createTempDirectory("graftkv_diff").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      Seq("k"))
+    val v1 = KvCommands.snapshots(path).last
+    KvCommands.append(Seq((3L, "c")).toDF("k", "v"), path)  // added
+    KvCommands.append(Seq((2L, "b2")).toDF("k", "v"), path) // updated (Put)
+    KvCommands.delete(spark, path, col("k") === 1L)         // removed
+    val vN = KvCommands.snapshots(path).last
+
+    val diff = KvCommands.snapshotDiff(spark, path, v1, vN).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(diff == Map(
+      1L -> (("removed", "a", null)),
+      2L -> (("updated", "b", "b2")),
+      3L -> (("added", null, "c"))))
+
+    // a version diffed against itself is empty, and the diff survives
+    // compaction (it reads snapshots, not the live layout)
+    assert(KvCommands.snapshotDiff(spark, path, v1, v1).count() == 0)
+    KvCommands.compactMinor(spark, path)
+    assert(KvCommands.snapshotDiff(spark, path, v1, vN).count() == 3)
+  }
 }
