@@ -245,6 +245,14 @@ object PipelineOps {
         .orderBy("pack_id")
     },
 
+    // the full curation chain (quality gate → exact dedup → near-dup
+    // drop → packing) — packing is order-dependent, near-dup semantics
+    // are engine-specific, so rows-only; CurationSpec pins the chain
+    QuerySpec.rowsOnly("cu6_corpus_pipeline") { (s, d) =>
+      graft.pipeline.Curation.curateCorpus(t(s, d, "documents"))
+        .toDF().orderBy("doc_id")
+    },
+
     // PII-style scrub before training: identical regex chain replayed by
     // the oracle (Java∩RE2-safe patterns)
     QuerySpec.checked("cu5_redact_pii",

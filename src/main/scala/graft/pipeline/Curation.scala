@@ -95,4 +95,21 @@ object Curation {
     packed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
       .withColumn("fill", col("tokens_used").cast("double") / budgetTokens)
+
+  /** The whole raw-corpus → training-batches chain as one declarative
+    * flow: quality gate (map-only) → exact dedup (one hash shuffle) →
+    * MinHash near-dup drop (banded LSH, candidates only) → token-budget
+    * packing (per-partition sequential pass). Each stage only ever
+    * narrows the corpus, so the expensive near-dup join runs on the
+    * already-gated survivors — the stage order IS the scale design. */
+  def curateCorpus(docs: DataFrame, minTokens: Int = 10,
+      budgetTokens: Int = 512, threshold: Double = 0.8): Dataset[PackedDoc] = {
+    val gated = docs.filter(
+      TextFunctions.tokenCount(col("text")) >= minTokens)
+    val exact = Dedup.dropExactDuplicates(gated)
+    val pairs = Dedup.minhashNearDuplicates(exact, k = 64, bands = 16,
+      shingle = 3, threshold = threshold)
+    val unique = Dedup.dropNearDuplicates(exact, pairs)
+    packSequences(unique, budgetTokens)
+  }
 }

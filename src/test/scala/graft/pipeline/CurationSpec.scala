@@ -76,4 +76,23 @@ class CurationSpec extends AnyFunSuite {
       r.getDouble(3) - r.getLong(2).toDouble / 50) < 1e-9))
     assert(stats.map(_.getLong(1)).sum == 200L)
   }
+
+  test("curateCorpus gates quality, drops exact and near dups, then packs") {
+    val long = ("spark native analytics engine builds sorted segment " +
+      "stores with pruned columnar scans and pushed filters today") // 18 tok
+    val docs = Seq(
+      (0L, long),                       // survives (canonical)
+      (1L, long),                       // exact dup of 0 → dropped
+      (2L, long + " tonight"),          // near dup of 0 → dropped
+      (3L, "too short to train on"),    // 5 tokens < gate → dropped
+      (4L, "a completely different corpus document about stream " +
+        "processing watermarks state stores and event time joins")
+    ).toDF("doc_id", "text")
+    val packed = Curation.curateCorpus(docs, minTokens = 10,
+      budgetTokens = 512, threshold = 0.5)
+    val kept = packed.collect().map(_.doc_id).toSet
+    assert(kept == Set(0L, 4L), s"got $kept")
+    // both fit one 512-token budget; pack ids are globally unique longs
+    assert(packed.collect().forall(_.n_tokens <= 512))
+  }
 }
