@@ -194,6 +194,15 @@ object PipelineOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    QuerySpec.rowsOnly("mm3_resize") { (s, d) =>
+      Multimodal.resize(
+        Multimodal.syntheticMediaTable(t(s, d, "documents")), factor = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("payload")).as("n_bytes"),
+          xxhash64(col("payload")).as("payload_fp"))
+        .orderBy("media_id")
+    },
+
     // BPE-ish subword counting (alnum runs + isolated symbols)
     QuerySpec.checked("tx7_subword_count",
       """SELECT doc_id,

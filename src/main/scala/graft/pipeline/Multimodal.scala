@@ -101,6 +101,39 @@ object Multimodal {
       .toDF()
   }
 
+  private[pipeline] final case class MediaResizeIn(
+      media_id: Long, payload: Array[Byte], width: Int, height: Int)
+  private[pipeline] final case class MediaResized(
+      media_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  /** Resize, batched per partition like [[decodeAndFeaturize]]. The STUB
+    * kernel keeps every factor²-th byte (area scaling — a factor-2
+    * downscale quarters the payload) and divides the metadata dims; a
+    * real implementation swaps in a pixel resampler with the identical
+    * contract: smaller payload out, scaled dimensions, deterministic. */
+  def resize(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val stride = factor * factor
+    media.select(col("media_id"), col("payload"),
+      coalesce(col("meta.width"), lit(1)).as("width"),
+      coalesce(col("meta.height"), lit(1)).as("height"))
+      .as[MediaResizeIn]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          // ??? real resampling kernel goes here — strided fake below.
+          val n = m.payload.length
+          val out = new Array[Byte](if (n == 0) 0 else (n + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = m.payload(i * stride); i += 1 }
+          MediaResized(m.media_id, out,
+            math.max(m.width / factor, 1), math.max(m.height / factor, 1))
+        }
+      }
+      .toDF()
+  }
+
   /** Frame-sampling plumbing for video-like payloads: the payload is cut
     * into fixed-size chunks ("frames"), exploded to one row per frame,
     * and every k-th frame is kept — the exact fan-out pattern a real

@@ -49,6 +49,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rendered.contains("MapPartitions"), s"expected typed MapPartitions:\n$rendered")
   }
 
+  test("resize strides the payload by factor² and halves the dims") {
+    val out = Multimodal.resize(media, factor = 2).orderBy("media_id")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val meta = media.select("media_id", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val texts = Map(1L -> "hello world", 2L -> "", 3L -> "a" * 300)
+    for ((id, text) <- texts) {
+      val payload = text.getBytes("UTF-8")
+      val r = out(id)
+      val got = r.getAs[Array[Byte]]("payload")
+      assert(got.length === (if (payload.isEmpty) 0 else (payload.length + 3) / 4))
+      assert(got.toSeq === payload.indices.collect {
+        case i if i % 4 == 0 => payload(i) }.toSeq)
+      val (w, h) = meta(id)
+      assert(r.getAs[Int]("width") === math.max(w / 2, 1))
+      assert(r.getAs[Int]("height") === math.max(h / 2, 1))
+    }
+  }
+
   test("sampleFrames keeps every k-th fixed-size chunk") {
     val out = Multimodal.sampleFrames(media, chunkBytes = 4, everyK = 2)
       .orderBy("media_id", "frame_idx").collect()
