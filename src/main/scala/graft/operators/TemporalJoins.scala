@@ -28,7 +28,9 @@ object TemporalJoins {
     * row with the same key and `buildTime <= probeTime` (same-instant
     * builds count as "before"; ties on buildTime resolve toward the
     * larger `tieBreak`, making the result deterministic). Probes with no
-    * qualifying build get null payload columns — left-join semantics.
+    * qualifying build get null payload columns — left-join semantics,
+    * including over NULLs: a null key or time on either side never
+    * matches, exactly as SQL join equality/inequality would decide.
     *
     * Shape: both inputs are tagged and unioned, then one window per key
     * ordered by (time, side, tieBreak) runs `last(payload) IGNORE NULLS`
@@ -52,7 +54,12 @@ object TemporalJoins {
     val tbType = build.schema(tieBreak).dataType
     val probeFields = probeOut.map(c => probe.schema(c))
 
-    val buildSide = build.select(
+    // SQL join equality never matches NULL: a null-key build can match
+    // nothing (dropped), a null-key probe keeps null payload (it lands in
+    // the null window partition, which now holds no builds).
+    val buildSide = build
+      .where(build(buildKey).isNotNull && build(buildTime).isNotNull)
+      .select(
       Seq(build(buildKey).as("__k"), build(buildTime).as("__t"),
         lit(0).as("__side"), build(tieBreak).as("__tb"),
         payloadStruct.as("__p")) ++
@@ -101,10 +108,12 @@ object TemporalJoins {
     val buildSide = build.select(
       build(buildKey).as("__k"), unix_micros(build(buildTime)).as("__bt"))
       .withColumn("__bbucket", expr(s"__bt div ${w}L"))
+    // explode_outer: a null-time probe keeps its row (null bucket joins
+    // nothing) and still reports count 0 — left-join semantics
     val probeSide = probe.select(col(probeId), col(probeKey).as("__pk"),
       unix_micros(col(probeTime)).as("__pt"))
       .withColumn("__bucket",
-        explode(sequence(expr(s"(__pt - ${w}L) div ${w}L"),
+        explode_outer(sequence(expr(s"(__pt - ${w}L) div ${w}L"),
           expr(s"__pt div ${w}L"))))
 
     probeSide.join(buildSide,

@@ -78,6 +78,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!asof.queryExecution.executedPlan.toString.contains("Join"))
   }
 
+  test("SQL null semantics: null keys/times never match, probes survive") {
+    val noTime: Option[java.sql.Timestamp] = None
+    val p = Seq(
+      (1L, Some(1L), Some(ts(500))),
+      (2L, None: Option[Long], Some(ts(500))), // null key
+      (3L, Some(1L), noTime)                   // null time
+    ).toDF("pid", "key", "t")
+    val b = Seq(
+      (10L, Some(1L), Some(ts(400))),
+      (11L, None: Option[Long], Some(ts(400))), // null key matches nothing
+      (12L, Some(1L), noTime)                   // null time matches nothing
+    ).toDF("bid", "key", "t")
+
+    val asof = TemporalJoins.asofJoin(p, b, "key", "t", "key", "t",
+      Seq("bid" -> "matched"), "bid", Seq("pid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(asof == Map(1L -> 10L, 2L -> -1L, 3L -> -1L))
+
+    val ivl = TemporalJoins.intervalCountJoin(p, b, "key", "t", "key", "t",
+      windowSec = 300L, probeId = "pid", countName = "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivl == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("fuzz: random data with dense ties matches the brute-force joins") {
     // Tiny key/time domains force the edge cases on purpose: same-instant
     // probe/build pairs, tied build times, empty keys, and window
