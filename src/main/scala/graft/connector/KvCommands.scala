@@ -282,19 +282,21 @@ object KvCommands {
     val KvTableMeta(schema, keys, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     val vals = schema.fieldNames.toSeq.filterNot(keys.contains)
+    // internal columns are __-prefixed so a user value column named
+    // e.g. "present" can't collide with the marker flags
     def side(v: Long, tag: String) = tableAsOf(spark, path, v).select(
       keys.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
-        lit(true).as(s"${tag}_present"): _*)
+        lit(true).as(s"__${tag}_present"): _*)
     val j = side(fromV, "old").join(side(toV, "new"), keys, "full_outer")
     // null-safe: a value flipping to/from NULL is still a change
     val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    j.withColumn("change",
-        when(col("old_present").isNull, "added")
-          .when(col("new_present").isNull, "removed")
+    j.withColumn("__change",
+        when(col("__old_present").isNull, "added")
+          .when(col("__new_present").isNull, "removed")
           .when(valueChanged, "updated")) // unchanged rows get NULL…
-      .where(col("change").isNotNull)     // …and are dropped here
-      .select(keys.map(col) ++ Seq(col("change")) ++
+      .where(col("__change").isNotNull)   // …and are dropped here
+      .select(keys.map(col) ++ Seq(col("__change").as("change")) ++
         vals.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 

@@ -82,7 +82,9 @@ object TemporalJoins {
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(probeOut.map(col) ++
-        payload.map { case (src, out) => col(s"__last.$src").as(out) }: _*)
+        // getField resolves by exact name (a dotted source column would
+        // misparse through the string path)
+        payload.map { case (src, out) => col("__last").getField(src).as(out) }: _*)
   }
 
   /** Interval-count join: for each probe row, how many build rows share
@@ -104,6 +106,7 @@ object TemporalJoins {
       probeKey: String, probeTime: String,
       buildKey: String, buildTime: String,
       windowSec: Long, probeId: String, countName: String): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val w = windowSec * 1000000L // bucket width in microseconds
     val buildSide = build.select(
       build(buildKey).as("__k"), unix_micros(build(buildTime)).as("__bt"))

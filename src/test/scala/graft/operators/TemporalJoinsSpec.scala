@@ -144,7 +144,7 @@ class TemporalJoinsSpec extends AnyFunSuite {
   }
 
   test("corpus query j12 matches the brute-force inequality join") {
-    val d = "/root/testdata/sf0.001"
+    val d = TestSpark.sf
     val fast = graft.SparkEntry.queries("j12_asof_join")(spark, d).collect()
     val ev = graft.Tables.table(spark, d, "events")
     val a = ev.where($"event_type" === "click").select(

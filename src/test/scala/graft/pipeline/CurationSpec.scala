@@ -79,7 +79,7 @@ class CurationSpec extends AnyFunSuite {
 
   test("curateCorpus gates quality, drops exact and near dups, then packs") {
     val long = ("spark native analytics engine builds sorted segment " +
-      "stores with pruned columnar scans and pushed filters today") // 18 tok
+      "stores with pruned columnar scans and pushed filters today") // 16 tok
     val docs = Seq(
       (0L, long),                       // survives (canonical)
       (1L, long),                       // exact dup of 0 → dropped
