@@ -268,6 +268,30 @@ object KvCommands {
     spark.read.format("graftkv")
       .option("snapshot.version", version.toString).load(path)
 
+  /** UPDATE t SET col = expr, … WHERE cond: scan the matching rows,
+    * apply the assignments, and re-append — Put-upsert semantics make
+    * the appended rows replace the stored versions, so an update is a
+    * pruned scan plus a sorted append of ONLY the touched rows, never a
+    * table rewrite (the same storage story as [[delete]]'s tombstones).
+    * Key columns cannot be assigned: a key change is semantically a
+    * delete + insert, which the caller must state explicitly. */
+  def update(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    val badKeys = set.keySet.intersect(m.keys.toSet)
+    require(badKeys.isEmpty,
+      s"cannot assign key columns ${badKeys.mkString(", ")}: " +
+        "delete and re-insert to move a row")
+    val unknown = set.keySet.diff(m.schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val updated = set.foldLeft(table(spark, path).filter(cond)) {
+      case (df, (c, e)) => df.withColumn(c, e.cast(m.schema(c).dataType))
+    }
+    updated.write.format("graftkv").mode("append").save(path)
+  }
+
   /** Change-data diff between two retained snapshots: one row per key
     * whose visible row differs between versions `fromV` and `toV`,
     * tagged 'added' / 'removed' / 'updated' (the old_ and new_ columns

@@ -128,6 +128,22 @@ object KvOps {
     KvCommands.table(s, path)
   }
 
+  /** Orders with an UPDATE applied: high-value orders get a new
+    * priority (scan + assignment + Put-upsert append of only the touched
+    * rows — never a table rewrite). */
+  private def ordersUpdateKv(s: SparkSession, d: String): DataFrame = {
+    val path = lock.synchronized {
+      val p = s"${kvRoot(d)}/orders_update"
+      if (graft.connector.GraftKvMeta.read(p).isEmpty) {
+        KvCommands.createTable(Tables.table(s, d, "orders"), p, Seq("o_orderkey"))
+        KvCommands.update(s, p, col("o_totalprice") > 400000.0,
+          Map("o_orderpriority" -> lit("0-UPDATED")))
+      }
+      p
+    }
+    KvCommands.table(s, path)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec.checked("kv1_scan_count",
@@ -366,6 +382,17 @@ object KvOps {
           col("old_o_orderstatus").as("old_status"),
           col("new_o_orderstatus").as("new_status"))
         .orderBy("o_orderkey")
+    },
+
+    // UPDATE = pruned scan + upsert append of the touched rows; the
+    // oracle restates the assignment as a CASE over the parquet original
+    QuerySpec.checked("kv21_update",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 400000 THEN '0-UPDATED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      ordersUpdateKv(s, d)
+        .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
     }
   )
 }

@@ -77,7 +77,7 @@ class KvTimeTravelSpec extends AnyFunSuite {
     KvCommands.createTable(init.toDF("k", "v"), path, Seq("k"))
     history += KvCommands.snapshots(path).last -> model.toMap
     for (_ <- 0 until 12) {
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 | 2 =>
           val b = batch()
           b.foreach { case (k, v) => model(k) = v }
@@ -88,12 +88,40 @@ class KvTimeTravelSpec extends AnyFunSuite {
           model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
           KvCommands.delete(spark, path, col("k").between(lo, hi))
         case 4 =>
+          val lo = rnd.nextLong(50)
+          val hi = lo + rnd.nextLong(15)
+          model.keys.filter(k => k >= lo && k <= hi).toSeq
+            .foreach(k => model(k) = model(k) + "+")
+          KvCommands.update(spark, path, col("k").between(lo, hi),
+            Map("v" -> concat(col("v"), lit("+"))))
+        case 5 =>
           KvCommands.compactMinor(spark, path) // default retention: keeps history
       }
       history += KvCommands.snapshots(path).last -> model.toMap
     }
     history.foreach { case (v, st) =>
       assert(state(path, v) == st, s"snapshot $v diverged from its history")
+    }
+
+    // snapshotDiff between random version pairs must equal the model delta
+    for (_ <- 0 until 8) {
+      val i = rnd.nextInt(history.size); val j = rnd.nextInt(history.size)
+      val (va, sa) = history(math.min(i, j))
+      val (vb, sb) = history(math.max(i, j))
+      val got = KvCommands.snapshotDiff(spark, path, va, vb).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+        .toMap
+      val want = (sa.keySet ++ sb.keySet).flatMap { k =>
+        (sa.get(k), sb.get(k)) match {
+          case (None, Some(nv)) => Some(k -> (("added", None, Some(nv))))
+          case (Some(ov), None) => Some(k -> (("removed", Some(ov), None)))
+          case (Some(ov), Some(nv)) if ov != nv =>
+            Some(k -> (("updated", Some(ov), Some(nv))))
+          case _ => None
+        }
+      }.toMap
+      assert(got == want, s"diff $va -> $vb diverged from the model delta")
     }
   }
 
@@ -180,6 +208,22 @@ class KvTimeTravelSpec extends AnyFunSuite {
       spark.sql("SHOW SNAPSHOTS FOR not_a_catalog.db.t").collect()
     }
     assert(e != null)
+  }
+
+  test("update assigns non-key columns via upsert append, keys guarded") {
+    val path = Files.createTempDirectory("graftkv_upd").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      Seq("k"))
+    KvCommands.update(spark, path, col("k") === 1L, Map("v" -> lit("a2")))
+    assert(KvCommands.table(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      KvCommands.update(spark, path, lit(true), Map("k" -> lit(9L)))
+    }
+    intercept[IllegalArgumentException] {
+      KvCommands.update(spark, path, lit(true), Map("nope" -> lit("x")))
+    }
   }
 
   test("snapshotDiff tags added, removed, and updated rows") {
