@@ -116,11 +116,28 @@ object GraftKvMeta {
 class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     snapshot: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / subquery-DELETE route through the
+    * delta-based row-level write (GraftKvRowLevel.scala): changed rows
+    * land as Put-upserts and tombstones, never a table rewrite. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (snapshot.isDefined) throw new UnsupportedOperationException(
+      "a snapshot (VERSION AS OF) is a frozen read-only view")
+    () => new GraftKvRowLevelOperation(path, tableSchema, keys, encoding,
+      info.command)
+  }
 
   override def name(): String =
     s"graftkv:$path" + snapshot.map(v => s"@v$v").getOrElse("")
-  override def schema(): StructType = tableSchema
+  // key columns are NOT NULL by codec contract (RowCodec.encodeKey
+  // rejects nulls) — reporting it lets Spark accept them as row IDs for
+  // row-level operations and skip needless null branches in codegen
+  override def schema(): StructType = StructType(tableSchema.fields.map(f =>
+    if (keys.contains(f.name)) f.copy(nullable = false) else f))
   override def capabilities(): java.util.Set[TableCapability] =
     // a snapshot (VERSION AS OF) is a frozen read-only view: no writes,
     // and no streaming (offsets are live-commit generations)

@@ -134,10 +134,47 @@ object KvOps {
   private def ordersUpdateKv(s: SparkSession, d: String): DataFrame = {
     val path = lock.synchronized {
       val p = s"${kvRoot(d)}/orders_update"
-      if (graft.connector.GraftKvMeta.read(p).isEmpty) {
+      // snapshots < 2 = created but the update never committed: rebuild
+      if (graft.connector.GraftKvMeta.read(p).isEmpty ||
+        KvCommands.snapshots(p).size < 2) {
+        KvCommands.dropTable(p)
         KvCommands.createTable(Tables.table(s, d, "orders"), p, Seq("o_orderkey"))
         KvCommands.update(s, p, col("o_totalprice") > 400000.0,
           Map("o_orderpriority" -> lit("0-UPDATED")))
+      }
+      p
+    }
+    KvCommands.table(s, path)
+  }
+
+  /** Orders after a SQL MERGE INTO through the DSv2 row-level delta
+    * path: low keys have their price doubled (matched update), a
+    * key-shifted slice is inserted (not matched). The fixture registers
+    * a graft catalog rooted at the fixture dir so the statement runs as
+    * pure SQL against the kv table. */
+  private def ordersMergeKv(s: SparkSession, d: String): DataFrame = {
+    val path = lock.synchronized {
+      val root = kvRoot(d)
+      val p = s"$root/db/orders_merge"
+      // snapshots < 2 = created but the merge never committed: rebuild
+      if (graft.connector.GraftKvMeta.read(p).isEmpty ||
+        KvCommands.snapshots(p).size < 2) {
+        KvCommands.dropTable(p)
+        s.conf.set("spark.sql.catalog.graft_kvops",
+          classOf[graft.connector.GraftKvCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_kvops.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kvops.db")
+        val o = Tables.table(s, d, "orders")
+        KvCommands.createTable(o, p, Seq("o_orderkey"))
+        o.filter(col("o_orderkey") <= 50)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") <= 10)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+          .createOrReplaceTempView("orders_merge_src")
+        s.sql("""MERGE INTO graft_kvops.db.orders_merge t
+          |USING orders_merge_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       }
       p
     }
@@ -393,6 +430,23 @@ object KvOps {
         |FROM orders ORDER BY o_orderkey""") { (s, d) =>
       ordersUpdateKv(s, d)
         .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+    },
+
+    // SQL MERGE INTO via the DSv2 delta row-level path; the oracle
+    // restates the merge as CASE (matched update) + UNION (inserts).
+    // Doubling a double is exact, so values hash-match cross-engine.
+    QuerySpec.checked("kv22_merge_into",
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= 50 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_totalprice FROM orders
+        |  WHERE o_orderkey <= 10
+        |) ORDER BY o_orderkey""") { (s, d) =>
+      ordersMergeKv(s, d)
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
     }
   )
 }
