@@ -81,6 +81,33 @@ class GraftSession:
         return spark.sql("SELECT * FROM %s VERSION AS OF %d" % (name, version))
 
     @staticmethod
+    def update(spark, table, set_clause, where):
+        """SQL UPDATE via the DSv2 row-level delta path: only the
+        changed rows are written (upserts + tombstones), never a table
+        rewrite."""
+        spark.sql("UPDATE %s SET %s WHERE %s" % (table, set_clause, where))
+
+    @staticmethod
+    def delete(spark, table, where):
+        """SQL DELETE: translatable predicates tombstone via the
+        metadata path; subquery conditions route through the row-level
+        delta plan."""
+        spark.sql("DELETE FROM %s WHERE %s" % (table, where))
+
+    @staticmethod
+    def merge(spark, target, source_view, on, clauses):
+        """MERGE INTO target USING source_view ON <on> <clauses>, e.g.
+        clauses='WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+        INSERT *'."""
+        spark.sql("MERGE INTO %s AS t USING %s AS s ON %s %s"
+                  % (target, source_view, on, clauses))
+
+    @staticmethod
+    def show_snapshots(spark, table):
+        """The table's retained commit log (one snapshot per commit)."""
+        return spark.sql("SHOW SNAPSHOTS FOR %s" % table)
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

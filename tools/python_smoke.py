@@ -53,6 +53,20 @@ def main():
         h = spark.sql("SELECT rolling_hash(v) AS h FROM graft.py.t "
                       "WHERE k = 10").collect()[0].h
         assert h != 0
+        # SQL row-level DML via the DSv2 delta path
+        GraftSession.update(spark, "graft.py.t", "v = 'upd'", "k = 10")
+        st = {r.k: r.v for r in spark.table("graft.py.t").collect()}
+        assert st[10] == "upd", st
+        spark.sql("SELECT CAST(2 AS BIGINT) AS k, 'm' AS v "
+                  "UNION ALL SELECT CAST(12 AS BIGINT), 'new'"
+                  ).createOrReplaceTempView("msrc")
+        GraftSession.merge(spark, "graft.py.t", "msrc", "t.k = s.k",
+                           "WHEN MATCHED THEN UPDATE SET * "
+                           "WHEN NOT MATCHED THEN INSERT *")
+        st = {r.k: r.v for r in spark.table("graft.py.t").collect()}
+        assert st == {2: "m", 10: "upd", 11: "y", 12: "new"}, st
+        snaps = GraftSession.show_snapshots(spark, "graft.py.t").collect()
+        assert len(snaps) >= 6, snaps
         print("python smoke: OK")
     finally:
         spark.stop()
