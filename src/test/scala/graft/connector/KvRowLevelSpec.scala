@@ -75,6 +75,19 @@ class KvRowLevelSpec extends AnyFunSuite {
     assert(state(t) == Map(2L -> (("b", 2.0))))
   }
 
+  test("UPDATE appends a delta, it does not rewrite the table") {
+    val t = freshTable((1L to 100L).map(k => (k, s"r$k", k.toDouble)))
+    val path = spark.conf.get("spark.sql.catalog.graft_rl.root") + s"/db/t$n"
+    val before = graft.store.SegmentFile.readManifest(path).get
+    spark.sql(s"UPDATE $t SET v = 'hit' WHERE k = 42")
+    val after = graft.store.SegmentFile.readManifest(path).get
+    // every original segment is still live — nothing was rewritten —
+    // and the delta added at most one put segment (no keys moved)
+    assert(before.subsetOf(after), "update must not drop live segments")
+    assert((after -- before).sizeIs <= 1, s"delta too large: ${after -- before}")
+    assert(state(t)(42L) == (("hit", 42.0)))
+  }
+
   test("row-level ops stay append-only history: snapshots replay, compaction applies") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     val path = spark.conf.get("spark.sql.catalog.graft_rl.root") + s"/db/t$n"
