@@ -18,6 +18,40 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("kv scan reports custom metrics: segments pruned, records decoded") {
+    // multi-segment table (tiny rotation threshold), selective lead-key
+    // filter: most segments prune, and the readers report decode work
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("kv_metrics")
+      .toString + "/t"
+    spark.range(50000).coalesce(1)
+      .select((col("id") / 100).cast("long").as("k"), col("id").as("v"))
+      .write.format("graftkv").option("key", "k,v")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    val df = spark.read.format("graftkv").load(path)
+      .filter(col("k") === 250L)
+    df.collect()
+    // AQE wraps executed stages in QueryStageExec nodes whose inner plan
+    // is a field, not a child — recurse through all the wrappers
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec => findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan).nextOption()
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val m = scan.metrics
+    assert(m.contains("segmentsTotal") && m.contains("segmentsPruned") &&
+      m.contains("recordsDecoded") && m.contains("gapSeeks"), m.keySet)
+    assert(m("recordsDecoded").value > 0, "readers must report decode work")
+    assert(m("segmentsTotal").value > 0)
+    assert(m("segmentsPruned").value > 0,
+      s"a point lookup must prune segments (total ${m("segmentsTotal").value})")
+  }
+
   test("parquet filter is pushed to the scan (p1)") {
     val plan = planOf("p1_filter_project")
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
