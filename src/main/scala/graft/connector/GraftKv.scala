@@ -1573,52 +1573,63 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
         val committed = messages.collect {
           case GraftKvCommit(files) => files
         }.flatten.toSet
-        // record the live segment set (manifest swap is the commit
-        // point for readers; see SegmentFile manifest notes). A legacy
-        // table without a manifest treats the directory as live — which
-        // at this point already includes this commit's files.
-        val prevLive: Set[String] =
-          if (truncate) Set.empty
-          else graft.store.SegmentFile.readManifest(path).getOrElse(
-            Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-              .filter(_.endsWith(".kv")).toSet)
-        // manifest FIRST, deletes after: a reader always sees either the
-        // old committed set (pre-swap) or the new one (post-swap); a
-        // crash between swap and delete leaves only orphan files the
-        // manifest already excludes. Deleting first would expose an
-        // empty/partial table in the window — and on a manifest-governed
-        // table the stale manifest would then hide the new segments for
-        // good.
-        graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
         if (truncate) {
+          // overwrite: the manifest swap is still the commit point —
+          // manifest FIRST, deletes after, so a reader always sees
+          // either the old committed set or the new one, and a crash
+          // between swap and delete leaves only orphans the manifest
+          // already excludes. The write schema is authoritative here
+          // (all data is replaced).
+          graft.store.SegmentFile.writeManifest(path, committed)
           val d = new java.io.File(path)
           Option(d.list()).getOrElse(Array.empty[String])
             .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+          GraftKvMeta.write(path, schema, keys, encoding)
+        } else {
+          // append: the shared protocol (see GraftKvCommitProtocol)
+          GraftKvCommitProtocol.commitAppend(path, committed, schema, keys,
+            encoding)
         }
-        // An APPEND must not let the write's INPUT schema replace the
-        // table's declared one — INSERT VALUES resolves literals as
-        // non-nullable, and a tightened nullability makes codegen read
-        // genuinely-null columns as 0. Overwrite (truncate) replaces all
-        // data, so there the write schema is authoritative.
-        val declared =
-          if (truncate) schema
-          else GraftKvMeta.read(path).map(_.schema).getOrElse(schema)
-        GraftKvMeta.write(path, declared, keys, encoding)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        messages.collect { case GraftKvCommit(files) => files }.flatten
-          .foreach { f =>
-            Files.deleteIfExists(Paths.get(path, f))
-            Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
-          }
+        GraftKvCommitProtocol.abortFiles(path, messages)
     }
   }
 }
 
 final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
+
+/** The append-commit protocol, shared by the batch append and the delta
+  * (row-level DML) writes so the two can never drift: manifest-FIRST
+  * swap of prevLive ++ committed — a reader always sees either the old
+  * committed set or the new one, and a crash after the swap leaves only
+  * orphans the manifest already excludes — then a meta refresh that
+  * preserves the DECLARED schema (an append must not let the write's
+  * input schema replace the table's: INSERT VALUES resolves literals
+  * non-nullable, and tightened nullability makes codegen read genuinely
+  * null columns as 0). */
+private[connector] object GraftKvCommitProtocol {
+  def commitAppend(path: String, committed: Set[String],
+      writeSchema: StructType, keys: Seq[String], encoding: String): Unit = {
+    val prevLive: Set[String] =
+      graft.store.SegmentFile.readManifest(path).getOrElse(
+        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+          .filter(_.endsWith(".kv")).toSet)
+    graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
+    val declared = GraftKvMeta.read(path).map(_.schema).getOrElse(writeSchema)
+    GraftKvMeta.write(path, declared, keys, encoding)
+  }
+
+  def abortFiles(path: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftKvCommit(files) => files }.flatten
+      .foreach { f =>
+        Files.deleteIfExists(Paths.get(path, f))
+        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      }
+}
 
 class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,

@@ -72,29 +72,13 @@ class GraftKvDeltaWrite(path: String, schema: StructType, keys: Seq[String],
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
       new GraftKvDeltaWriterFactory(path, schema, keys, encoding, idSchema, gen)
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val committed = messages.collect {
-        case GraftKvCommit(files) => files
-      }.flatten.toSet
-      val prevLive: Set[String] =
-        graft.store.SegmentFile.readManifest(path).getOrElse(
-          Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-            .filter(_.endsWith(".kv")).toSet)
-      // manifest-first commit point, same as the append path
-      graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
-      // a row-level op never changes the declared schema
-      val declared = GraftKvMeta.read(path).map(_.schema).getOrElse(schema)
-      GraftKvMeta.write(path, declared, keys, encoding)
-    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      GraftKvCommitProtocol.commitAppend(path,
+        messages.collect { case GraftKvCommit(files) => files }.flatten.toSet,
+        schema, keys, encoding)
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      messages.collect { case GraftKvCommit(files) => files }.flatten
-        .foreach { f =>
-          java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(path, f))
-          java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
-        }
+      GraftKvCommitProtocol.abortFiles(path, messages)
   }
 }
 
@@ -123,10 +107,19 @@ class GraftKvDeltaWriter(path: String, schema: StructType, keys: Seq[String],
   }
   private val puts = new java.util.TreeMap[Array[Byte], InternalRow](ord)
   private val dels = new java.util.TreeMap[Array[Byte], InternalRow](ord)
+  private var files = List.empty[String]
+
+  /** Memory bound: past this many buffered rows the maps drain into
+    * segments and clear — an unbounded UPDATE streams through in sorted
+    * chunks (overlapping segments are legal; merge-on-read + compaction
+    * own them). Cross-chunk and cross-task same-key conflicts all
+    * resolve by the gen/gen+1 split, so chunking never changes results. */
+  private val FlushRows = 1 << 16
 
   override def insert(row: InternalRow): Unit = {
     val r = row.copy()
     puts.put(codec.encodeKey(r), r)
+    maybeFlush()
   }
 
   override def update(meta: InternalRow, id: InternalRow,
@@ -138,33 +131,49 @@ class GraftKvDeltaWriter(path: String, schema: StructType, keys: Seq[String],
     // tombstones the vacated key
     if (codec.compareKeys(oldKey, newKey) != 0) dels.put(oldKey, id.copy())
     puts.put(newKey, r)
+    maybeFlush()
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
     dels.put(idCodec.encodeKey(id), id.copy())
+    maybeFlush()
+  }
 
   override def write(row: InternalRow): Unit = insert(row)
 
-  override def commit(): WriterCommitMessage = {
-    val files = List.newBuilder[String]
+  private def maybeFlush(): Unit =
+    if (puts.size + dels.size >= FlushRows) flushChunk()
+
+  private def flushChunk(): Unit = {
     def drain(rows: java.util.TreeMap[Array[Byte], InternalRow],
         rowSchema: StructType, g: Long, tombstone: Boolean): Unit =
       if (!rows.isEmpty) {
         val w = new GraftKvDataWriter(path, rowSchema, keys, partitionId,
           taskId, encoding, gen = g, tombstone = tombstone)
         rows.values().forEach(r => w.write(r))
-        w.commit() match { case GraftKvCommit(fs) => files ++= fs }
+        w.commit() match { case GraftKvCommit(fs) => files = files ++ fs }
+        rows.clear()
       }
-    // a key deleted in this task that also receives a put is owned by
-    // the put (same rule the gen/gen+1 split applies across tasks)
+    // a key deleted in this chunk that also receives a put is owned by
+    // the put (same rule the gen/gen+1 split applies across chunks/tasks)
     puts.keySet().forEach(k => dels.remove(k))
     drain(dels, idSchema, gen, tombstone = true)
     drain(puts, schema, gen + 1L, tombstone = false)
-    GraftKvCommit(files.result())
   }
 
-  // nothing durable exists before commit(); a failure mid-commit leaves
-  // only orphan files the manifest never saw (dropTable sweeps them)
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    flushChunk()
+    GraftKvCommit(files)
+  }
+
+  /** Chunk flushes land files before the task commits — delete them on
+    * abort (anything a crash strands is invisible behind the manifest
+    * and reclaimed by the retention sweep / dropTable). */
+  override def abort(): Unit =
+    files.foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+    }
   override def close(): Unit = ()
 }

@@ -286,9 +286,16 @@ object KvCommands {
         "delete and re-insert to move a row")
     val unknown = set.keySet.diff(m.schema.fieldNames.toSet)
     require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
-    val updated = set.foldLeft(table(spark, path).filter(cond)) {
-      case (df, (c, e)) => df.withColumn(c, e.cast(m.schema(c).dataType))
-    }
+    // ONE projection evaluates every assignment against the OLD row —
+    // SQL UPDATE semantics: SET a = b, b = a swaps, independent of
+    // assignment order. (The cast is exactness vs the declared type;
+    // under Spark 4's default ANSI mode a lossy value errors loudly.)
+    val updated = table(spark, path).filter(cond).select(
+      m.schema.fieldNames.map { c =>
+        set.get(c)
+          .map(_.cast(m.schema(c).dataType).as(c))
+          .getOrElse(org.apache.spark.sql.functions.col(c))
+      }.toSeq: _*)
     updated.write.format("graftkv").mode("append").save(path)
   }
 

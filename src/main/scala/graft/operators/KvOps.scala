@@ -155,15 +155,19 @@ object KvOps {
   private def ordersMergeKv(s: SparkSession, d: String): DataFrame = {
     val path = lock.synchronized {
       val root = kvRoot(d)
+      // catalog NAME carries the sfDir: Spark caches catalog instances
+      // by name after first use, so a shared name would pin the first
+      // sfDir's root for the whole session
+      val cat = "graft_kvops_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val p = s"$root/db/orders_merge"
       // snapshots < 2 = created but the merge never committed: rebuild
       if (graft.connector.GraftKvMeta.read(p).isEmpty ||
         KvCommands.snapshots(p).size < 2) {
         KvCommands.dropTable(p)
-        s.conf.set("spark.sql.catalog.graft_kvops",
+        s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.connector.GraftKvCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_kvops.root", root)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_kvops.db")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
         val o = Tables.table(s, d, "orders")
         KvCommands.createTable(o, p, Seq("o_orderkey"))
         o.filter(col("o_orderkey") <= 50)
@@ -171,7 +175,7 @@ object KvOps {
           .unionByName(o.filter(col("o_orderkey") <= 10)
             .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
           .createOrReplaceTempView("orders_merge_src")
-        s.sql("""MERGE INTO graft_kvops.db.orders_merge t
+        s.sql(s"""MERGE INTO $cat.db.orders_merge t
           |USING orders_merge_src s ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)

@@ -226,6 +226,17 @@ class KvTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("update evaluates every assignment against the OLD row (swap)") {
+    val path = Files.createTempDirectory("graftkv_swap").toString + "/t"
+    KvCommands.createTable(Seq((1L, 10L, 20L)).toDF("k", "a", "b"), path,
+      Seq("k"))
+    KvCommands.update(spark, path, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r = KvCommands.table(spark, path).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((20L, 10L)),
+      "SET a = b, b = a must swap, not chain")
+  }
+
   test("snapshotDiff tags added, removed, and updated rows") {
     val path = Files.createTempDirectory("graftkv_diff").toString + "/t"
     KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
