@@ -88,6 +88,43 @@ class KvRowLevelSpec extends AnyFunSuite {
     assert(state(t)(42L) == (("hit", 42.0)))
   }
 
+  test("fuzz: random SQL DML sequence tracks the model through compactions") {
+    val t = freshTable((1L to 20L).map(k => (k, s"v$k", k.toDouble)))
+    val path = spark.conf.get("spark.sql.catalog.graft_rl.root") + s"/db/t$n"
+    val model = scala.collection.mutable.Map(
+      (1L to 20L).map(k => k -> ((s"v$k", k.toDouble))): _*)
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 10) {
+      rnd.nextInt(4) match {
+        case 0 => // ranged UPDATE (delta row-level path)
+          val lo = rnd.nextLong(30); val hi = lo + rnd.nextLong(10)
+          spark.sql(s"UPDATE $t SET x = x + 1, v = concat(v, '+') " +
+            s"WHERE k BETWEEN $lo AND $hi")
+          model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach { k =>
+            val (v, x) = model(k); model(k) = (v + "+", x + 1)
+          }
+        case 1 => // ranged DELETE (tombstone path)
+          val lo = rnd.nextLong(30); val hi = lo + rnd.nextLong(6)
+          spark.sql(s"DELETE FROM $t WHERE k BETWEEN $lo AND $hi")
+          model.keys.filter(k => k >= lo && k <= hi).toSeq
+            .foreach(model.remove)
+        case 2 => // MERGE: random source updates/inserts
+          val src = Seq.fill(rnd.nextInt(8) + 3)(
+            (rnd.nextLong(40), s"m$round-${rnd.nextInt(100)}", round.toDouble))
+            .groupBy(_._1).map(_._2.head).toSeq // MERGE rejects dup keys
+          src.toDF("k", "v", "x").createOrReplaceTempView(s"fz$round")
+          spark.sql(s"""MERGE INTO $t AS tgt USING fz$round AS s
+            |ON tgt.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          src.foreach { case (k, v, x) => model(k) = (v, x) }
+        case 3 =>
+          KvCommands.compactMinor(spark, path)
+      }
+      assert(state(t) == model.toMap, s"diverged after round $round")
+    }
+  }
+
   test("row-level ops stay append-only history: snapshots replay, compaction applies") {
     val t = freshTable(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     val path = spark.conf.get("spark.sql.catalog.graft_rl.root") + s"/db/t$n"
