@@ -143,7 +143,8 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     // and no streaming (offsets are live-commit generations)
     (if (snapshot.isDefined) Set(TableCapability.BATCH_READ)
      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)).asJava
+       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+       TableCapability.STREAMING_WRITE)).asJava
 
   /** SQL DELETE (the HBase Delete-mutation analog — the reference's SQL
     * surface stops at INSERT, but its store deletes by row key; here the
@@ -186,7 +187,7 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     val genOverride = Option(info.options.get("gen.override")).map(_.toLong)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
       encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
-      genOverride = genOverride)
+      genOverride = genOverride, queryId = info.queryId())
   }
 }
 
@@ -1517,7 +1518,8 @@ class GraftKvColumnarReader(p: GraftKvInputPartition, schema: StructType,
 class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    tombstone: Boolean = false, genOverride: Option[Long] = None)
+    tombstone: Boolean = false, genOverride: Option[Long] = None,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder = {
@@ -1529,7 +1531,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
       "tombstone writes append delete markers; combining them with " +
         "overwrite would truncate the table — use mode(\"append\")")
     new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
-      maxSegBytes, genOverride = genOverride)
+      maxSegBytes, genOverride = genOverride, queryId = queryId)
   }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
@@ -1563,6 +1565,16 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     override def requiredDistribution(): Distribution =
       Distributions.ordered(sortOrders.take(1))
     override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+    /** writeStream.format("graftkv"): the native streaming sink —
+      * epoch-idempotent Put appends (GraftKvStreamSink.scala). */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (truncate || tombstone) throw new UnsupportedOperationException(
+        "streaming kv writes are append-only Puts " +
+          "(no complete-mode truncate, no tombstone streams)")
+      new GraftKvStreamingWrite(path, schema, keys, encoding, queryId)
+    }
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

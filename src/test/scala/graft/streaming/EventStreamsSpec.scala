@@ -135,6 +135,48 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(gotCounts == counts)
   }
 
+  test("native streaming sink: writeStream.format(graftkv), epoch-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("kv_sink")
+    val kvPath = s"$dir/events_kv"
+    val stream = EventStreams.eventStream(spark, s"${TestSpark.sf}/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = stream.writeStream.format("graftkv")
+      .option("key", "user_id,event_id")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(kvPath)
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.connector.KvCommands.table(spark, kvPath)
+    val src = Tables.table(spark, TestSpark.sf, "events")
+    assert(back.count() == src.count())
+    assert(back.filter(col("user_id") === 7L).count() ==
+      src.filter(col("user_id") === 7L).count())
+
+    // epoch replay: re-offering a committed epoch with NEW (duplicate)
+    // files must not double-append — the marker routes it to a sweep
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val path2 = s"$dir/replay_kv"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val sw = new graft.connector.GraftKvStreamingWrite(
+      path2, schema, Seq("k"), graft.store.RowCodec.Binary, "q1")
+    def epochMsg(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.connector.GraftKvStreamingWriterFactory(
+        path2, schema, Seq("k"), graft.store.RowCodec.Binary, 0L)
+        .createWriter(0, 0L, 5L)
+      Seq(1L -> "a", 2L -> "b").foreach { case (k, v) =>
+        w.write(InternalRow(k, UTF8String.fromString(v)))
+      }
+      w.commit()
+    }
+    sw.commit(5L, Array(epochMsg()))
+    assert(graft.connector.KvCommands.table(spark, path2).count() == 2)
+    sw.commit(5L, Array(epochMsg())) // the replay
+    assert(graft.connector.KvCommands.table(spark, path2).count() == 2,
+      "replayed epoch must not double-append")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
