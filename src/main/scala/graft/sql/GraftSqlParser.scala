@@ -37,6 +37,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
       GraftShowSnapshotsCommand(table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.CompactStmt(table, major)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftCompactCommand(table.replace("`", "").split('.').toSeq,
+        major != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -70,6 +75,11 @@ object GraftSqlParser {
   private[sql] val ShowSnapshotsStmt =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
 
+  /** COMPACT TABLE t [MAJOR] — minor compaction (overlap groups only)
+    * by default; MAJOR rewrites the whole table into disjoint runs. */
+  private[sql] val CompactStmt =
+    """(?is)\s*COMPACT\s+TABLE\s+([\w.`]+)(\s+MAJOR)?\s*;?\s*""".r
+
   /** Does `nameParts` resolve into a [[graft.connector.GraftKvCatalog]]
     * in the active session? Inconclusive (no active session, resolution
     * error) counts as NO — the statement then keeps Spark's built-in
@@ -98,6 +108,45 @@ case class GraftLoadDataCommand(csvPath: String, table: Seq[String],
     if (overwrite) df.writeTo(tname).overwrite(org.apache.spark.sql.functions.lit(true))
     else df.writeTo(tname).append()
     Nil
+  }
+}
+
+/** COMPACT TABLE t [MAJOR] — the maintenance statement: minor rewrites
+  * only the overlapping segment groups (read-amplification repair after
+  * upserts/deletes/streaming ingest); MAJOR rewrites everything into
+  * disjoint sorted runs. Returns the number of segments rewritten. */
+case class GraftCompactCommand(table: Seq[String], major: Boolean)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.IntegerType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("segments_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "COMPACT TABLE")
+    val n =
+      if (major) {
+        val before = graft.store.SegmentFile.listSegments(dir).length
+        graft.connector.KvCommands.compact(spark, dir)
+        before
+      } else graft.connector.KvCommands.compactMinor(spark, dir)
+    Seq(Row(n))
+  }
+}
+
+/** Resolve a graft-catalog table's filesystem dir from its SQL name. */
+private[sql] object GraftCatalogPaths {
+  def tableDir(spark: SparkSession, table: Seq[String], stmt: String): String = {
+    val (plugin, rest) = org.apache.spark.sql.graftbridge.catalogAndRest(spark, table)
+    val cat = plugin match {
+      case c: graft.connector.GraftKvCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"$stmt targets graftkv catalog tables; " +
+          s"'${table.mkString(".")}' resolves to catalog '${other.name()}'")
+    }
+    cat.tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+      rest.dropRight(1).toArray, rest.last))
   }
 }
 

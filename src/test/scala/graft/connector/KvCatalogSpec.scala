@@ -153,4 +153,28 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(n == exp)
     spark.sql("DROP TABLE graft.db2.ord")
   }
+
+  test("COMPACT TABLE statement: minor repairs overlap, MAJOR rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbc")
+    spark.sql(
+      "CREATE TABLE graft.dbc.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    // three overlapping commits (each spans the key domain)
+    for (i <- 1 to 3)
+      spark.sql(s"INSERT INTO graft.dbc.t VALUES (1, 'a$i'), (50, 'z$i')")
+    val path = spark.conf.get("spark.sql.catalog.graft.root") + "/dbc/t"
+    assert(KvCommands.overlapDepth(path) >= 3)
+
+    val minor = spark.sql("COMPACT TABLE graft.dbc.t").head().getInt(0)
+    assert(minor >= 3, s"minor must rewrite the overlap group, got $minor")
+    assert(KvCommands.overlapDepth(path) == 1)
+    // Put-upsert truth preserved: the last insert wins per key
+    val got = spark.sql("SELECT k, v FROM graft.dbc.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a3", 50L -> "z3"))
+
+    val major = spark.sql("COMPACT TABLE graft.dbc.t MAJOR").head().getInt(0)
+    assert(major >= 1)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.dbc.t").head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft.dbc.t")
+  }
 }
