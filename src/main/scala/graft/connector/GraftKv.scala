@@ -1573,7 +1573,8 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
       if (truncate || tombstone) throw new UnsupportedOperationException(
         "streaming kv writes are append-only Puts " +
           "(no complete-mode truncate, no tombstone streams)")
-      new GraftKvStreamingWrite(path, schema, keys, encoding, queryId)
+      new GraftKvStreamingWrite(path, schema, keys, encoding, queryId,
+        maxSegBytes)
     }
 
     override def toBatch: BatchWrite = new BatchWrite {
@@ -1624,12 +1625,17 @@ final case class GraftKvCommit(files: Seq[String]) extends WriterCommitMessage
   * non-nullable, and tightened nullability makes codegen read genuinely
   * null columns as 0). */
 private[connector] object GraftKvCommitProtocol {
+  /** `exclude`: files that must NOT ride into the manifest via the
+    * legacy directory-listing fallback — a streaming epoch REPLAY
+    * commits the FIRST attempt's files while its own duplicates are
+    * still on disk awaiting the sweep. */
   def commitAppend(path: String, committed: Set[String],
-      writeSchema: StructType, keys: Seq[String], encoding: String): Unit = {
+      writeSchema: StructType, keys: Seq[String], encoding: String,
+      exclude: Set[String] = Set.empty): Unit = {
     val prevLive: Set[String] =
       graft.store.SegmentFile.readManifest(path).getOrElse(
         Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-          .filter(_.endsWith(".kv")).toSet)
+          .filter(_.endsWith(".kv")).toSet) -- exclude
     graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
     val declared = GraftKvMeta.read(path).map(_.schema).getOrElse(writeSchema)
     GraftKvMeta.write(path, declared, keys, encoding)
@@ -1682,7 +1688,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     partitionId: Int, taskId: Long,
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    gen: Long = 0L, tombstone: Boolean = false)
+    gen: Long = 0L, tombstone: Boolean = false,
+    segSeqStart: Int = 0)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
@@ -1691,7 +1698,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private val bloomHashes =
     if (nBloomDims > 0) new Array[Long](nBloomDims) else null
 
-  private var segSeq = 0
+  private var segSeq = segSeqStart
   private var names = List.empty[String]
   private var writer = newWriter()
   private var committed = List.empty[String]
@@ -1725,7 +1732,11 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
 
   private def newWriter(): SegmentFile.Writer = {
-    val name = f"segment-$partitionId%05d-$segSeq%03d-${UUID.randomUUID().toString.take(8)}"
+    // %06d: within one generation, merge ties resolve by FILE NAME — the
+    // zero-padded sequence makes later chunks of one task sort (and win)
+    // deterministically after earlier ones (chunked buffered writers
+    // pass segSeqStart = chunkIndex * stride)
+    val name = f"segment-$partitionId%05d-$segSeq%06d-${UUID.randomUUID().toString.take(8)}"
     segSeq += 1
     names ::= name
     new SegmentFile.Writer(path, name, nBlooms = nBloomDims,

@@ -90,90 +90,130 @@ class GraftKvDeltaWriterFactory(path: String, schema: StructType,
       partitionId, taskId)
 }
 
+/** Per-task sorted chunk buffer, the shared kernel of the delta
+  * (row-level DML) and streaming-sink writers: rows accumulate in key
+  * order and drain into segments through the ordinary
+  * [[GraftKvDataWriter]] (rotation, blooms, zone maps) in bounded
+  * chunks — unsorted input needs no distribution/ordering support from
+  * the engine, and memory is bounded by the chunk, not the batch.
+  * Within a chunk a re-put key keeps the later row (TreeMap overwrite);
+  * across chunks the drain passes an increasing segment-name sequence
+  * ([[GraftKvDataWriter]] segSeqStart), so same-generation merge ties
+  * resolve to the LATER chunk deterministically. */
+private[connector] final class KvSortedChunkBuffer(path: String,
+    schema: StructType, keys: Seq[String], encoding: String, gen: Long,
+    partitionId: Int, taskId: Long, tombstone: Boolean,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes) {
+
+  private val codec = RowCodec(schema, keys, encoding)
+  private[connector] val rows =
+    new java.util.TreeMap[Array[Byte], InternalRow](
+      new java.util.Comparator[Array[Byte]] {
+        def compare(a: Array[Byte], b: Array[Byte]): Int =
+          codec.compareKeys(a, b)
+      })
+  private var chunk = 0
+  var files = List.empty[String]
+
+  def put(row: InternalRow): Unit = {
+    val r = row.copy()
+    rows.put(codec.encodeKey(r), r)
+  }
+
+  def putKeyed(key: Array[Byte], row: InternalRow): Unit =
+    rows.put(key, row.copy())
+
+  def encodeKey(row: InternalRow): Array[Byte] = codec.encodeKey(row)
+  def sameKey(a: Array[Byte], b: Array[Byte]): Boolean =
+    codec.compareKeys(a, b) == 0
+  def size: Int = rows.size
+
+  def drain(): Unit = if (!rows.isEmpty) {
+    val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
+      encoding, maxSegBytes, gen, tombstone,
+      segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride)
+    chunk += 1
+    rows.values().forEach(r => w.write(r))
+    w.commit() match { case GraftKvCommit(fs) => files = files ++ fs }
+    rows.clear()
+  }
+
+  def abort(): Unit =
+    files.foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+    }
+}
+
+private[connector] object KvSortedChunkBuffer {
+  /** Memory bound: past this many buffered rows a writer drains. */
+  val FlushRows: Int = 1 << 16
+  /** Per-chunk segment-name sequence stride (a 64k-row chunk rotates
+    * far fewer than this many segments). */
+  val ChunkSeqStride: Int = 1000
+}
+
 /** Buffers this task's delta in key order and replays it through the
-  * ordinary segment writers at commit, reusing all the storage
-  * machinery (segment rotation, blooms, zone maps). Buffering sidesteps
-  * any distribution/ordering demand on Spark's delta plan; the held
-  * volume is the statement's delta for this task — the rows a row-level
-  * statement touches, not the table. */
+  * ordinary segment writers, chunked ([[KvSortedChunkBuffer]]).
+  * Buffering sidesteps any distribution/ordering demand on Spark's
+  * delta plan; the held volume is bounded by the chunk. */
 class GraftKvDeltaWriter(path: String, schema: StructType, keys: Seq[String],
     encoding: String, idSchema: StructType, gen: Long,
     partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
 
-  private val codec = RowCodec(schema, keys, encoding)
-  private val idCodec = RowCodec(idSchema, keys, encoding)
-  private val ord = new java.util.Comparator[Array[Byte]] {
-    def compare(a: Array[Byte], b: Array[Byte]): Int = codec.compareKeys(a, b)
-  }
-  private val puts = new java.util.TreeMap[Array[Byte], InternalRow](ord)
-  private val dels = new java.util.TreeMap[Array[Byte], InternalRow](ord)
-  private var files = List.empty[String]
-
-  /** Memory bound: past this many buffered rows the maps drain into
-    * segments and clear — an unbounded UPDATE streams through in sorted
-    * chunks (overlapping segments are legal; merge-on-read + compaction
-    * own them). Cross-chunk and cross-task same-key conflicts all
-    * resolve by the gen/gen+1 split, so chunking never changes results. */
-  private val FlushRows = 1 << 16
+  // tombstones at gen, puts at gen+1: cross-chunk and cross-task
+  // same-key del/put conflicts resolve to the put, deterministically
+  private val dels = new KvSortedChunkBuffer(path, idSchema, keys, encoding,
+    gen, partitionId, taskId, tombstone = true)
+  private val puts = new KvSortedChunkBuffer(path, schema, keys, encoding,
+    gen + 1L, partitionId, taskId, tombstone = false)
 
   override def insert(row: InternalRow): Unit = {
-    val r = row.copy()
-    puts.put(codec.encodeKey(r), r)
+    puts.put(row)
     maybeFlush()
   }
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    val r = row.copy()
-    val newKey = codec.encodeKey(r)
-    val oldKey = idCodec.encodeKey(id)
+    val newKey = puts.encodeKey(row)
+    val oldKey = dels.encodeKey(id)
     // a key-preserving update is a plain Put; a key-moving one also
     // tombstones the vacated key
-    if (codec.compareKeys(oldKey, newKey) != 0) dels.put(oldKey, id.copy())
-    puts.put(newKey, r)
+    if (!puts.sameKey(oldKey, newKey)) dels.putKeyed(oldKey, id)
+    puts.putKeyed(newKey, row)
     maybeFlush()
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    dels.put(idCodec.encodeKey(id), id.copy())
+    dels.put(id)
     maybeFlush()
   }
 
   override def write(row: InternalRow): Unit = insert(row)
 
   private def maybeFlush(): Unit =
-    if (puts.size + dels.size >= FlushRows) flushChunk()
+    if (puts.size + dels.size >= KvSortedChunkBuffer.FlushRows) flushChunk()
 
   private def flushChunk(): Unit = {
-    def drain(rows: java.util.TreeMap[Array[Byte], InternalRow],
-        rowSchema: StructType, g: Long, tombstone: Boolean): Unit =
-      if (!rows.isEmpty) {
-        val w = new GraftKvDataWriter(path, rowSchema, keys, partitionId,
-          taskId, encoding, gen = g, tombstone = tombstone)
-        rows.values().forEach(r => w.write(r))
-        w.commit() match { case GraftKvCommit(fs) => files = files ++ fs }
-        rows.clear()
-      }
     // a key deleted in this chunk that also receives a put is owned by
-    // the put (same rule the gen/gen+1 split applies across chunks/tasks)
-    puts.keySet().forEach(k => dels.remove(k))
-    drain(dels, idSchema, gen, tombstone = true)
-    drain(puts, schema, gen + 1L, tombstone = false)
+    // the put (the same rule the gen split applies across chunks/tasks)
+    puts.rows.keySet().forEach(k => dels.rows.remove(k))
+    dels.drain()
+    puts.drain()
   }
 
   override def commit(): WriterCommitMessage = {
     flushChunk()
-    GraftKvCommit(files)
+    GraftKvCommit(dels.files ++ puts.files)
   }
 
   /** Chunk flushes land files before the task commits — delete them on
     * abort (anything a crash strands is invisible behind the manifest
     * and reclaimed by the retention sweep / dropTable). */
-  override def abort(): Unit =
-    files.foreach { f =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
-    }
+  override def abort(): Unit = {
+    dels.abort()
+    puts.abort()
+  }
   override def close(): Unit = ()
 }

@@ -13,25 +13,32 @@ import graft.store.RowCodec
   * the foreachBatch detour. Each micro-batch appends Put records
   * through the shared commit protocol EXACTLY ONCE:
   *
-  *  - Writers buffer-sort per task in bounded chunks (the delta
-  *    writer's approach), so the unsorted stream needs no
-  *    distribution/ordering support from the streaming engine.
-  *  - Epoch idempotence: commit writes a marker file (atomic rename)
-  *    carrying the committed file list BEFORE the manifest swap. A
-  *    replayed epoch (driver restart re-runs the batch and re-offers
-  *    commit) finds the marker, re-unions the marker's files into the
-  *    manifest (a no-op if the first attempt finished; a repair if it
-  *    crashed between marker and swap), and sweeps the replay's files
-  *    instead of double-appending. If the first attempt's files are
-  *    gone (a graceful abort deleted them), the replay commits its own
-  *    files — sources replay a micro-batch deterministically, so the
-  *    content is the same.
+  *  - Writers buffer-sort per task in bounded chunks
+  *    ([[KvSortedChunkBuffer]], the delta writer's machinery), so the
+  *    unsorted stream needs no distribution/ordering support from the
+  *    streaming engine; later chunks' segments sort after earlier ones
+  *    within the epoch's generation, keeping Put-upsert last-write-wins
+  *    deterministic for duplicate keys inside one task.
+  *  - Epoch idempotence is a 2-phase marker: an INTENT file carrying
+  *    the committed file list lands atomically before the manifest
+  *    swap, and is renamed to DONE after it. A replayed epoch (driver
+  *    restart re-runs the batch and re-offers commit) that finds DONE
+  *    just sweeps its duplicates; one that finds only INTENT repairs
+  *    the manifest from the intent list (the crash hit between marker
+  *    and swap) — or, if those files were aborted away, commits its own
+  *    identical batch. Markers older than the previous epoch are
+  *    deleted at each commit (only the latest epoch can ever replay).
   *  - Generations are base + epochId + 1: monotone within a query and
   *    across restarts (a re-created sink's base only grows), so the kv
   *    streaming SOURCE sees each epoch as an ordinary commit window.
+  *
+  * Same single-writer contract as every other write path: the stream
+  * must be the table's only concurrent writer (an interleaved batch
+  * INSERT could claim the generation an in-flight epoch will commit).
   */
 class GraftKvStreamingWrite(path: String, schema: StructType,
-    keys: Seq[String], encoding: String, queryId: String)
+    keys: Seq[String], encoding: String, queryId: String,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
     extends StreamingWrite {
 
   private val baseGen: Long =
@@ -41,45 +48,62 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftKvStreamingWriterFactory(path, schema, keys, encoding, baseGen)
+    new GraftKvStreamingWriterFactory(path, schema, keys, encoding, baseGen,
+      maxSegBytes)
 
-  private def marker(epochId: Long) =
-    Paths.get(path, s"._graft_epoch-$queryId-$epochId")
+  private def intent(epochId: Long) =
+    Paths.get(path, s"._graft_epoch-$queryId-$epochId.intent")
+  private def done(epochId: Long) =
+    Paths.get(path, s"._graft_epoch-$queryId-$epochId.done")
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect {
       case GraftKvCommit(files) => files
     }.flatten.toSet
-    val m = marker(epochId)
-    if (Files.exists(m)) {
-      val prior = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).toSet
+    if (Files.exists(done(epochId))) {
+      // the epoch IS committed (manifest swapped) — drop the replay
+      GraftKvCommitProtocol.abortFiles(path, messages)
+    } else if (Files.exists(intent(epochId))) {
+      // crashed between marker and swap (or between swap and rename —
+      // then the union below is a no-op)
+      val prior = new String(Files.readAllBytes(intent(epochId)),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSet
       if (prior.forall(f => Files.exists(Paths.get(path, f)))) {
-        // first attempt's files are all present: (re-)union them into
-        // the manifest — no-op if already live, repair if the crash hit
-        // between marker and swap — and drop the replay's duplicates
-        GraftKvCommitProtocol.commitAppend(path, prior, schema, keys, encoding)
+        GraftKvCommitProtocol.commitAppend(path, prior, schema, keys,
+          encoding, exclude = fresh)
+        markDone(epochId)
         GraftKvCommitProtocol.abortFiles(path, messages)
       } else {
-        // first attempt was aborted after the marker: its files are
-        // gone, so the replay's (identical) batch is the commit
-        writeMarker(m, fresh)
+        // the first attempt's files were aborted away — the replay's
+        // (identical, sources replay deterministically) batch commits
+        writeIntent(epochId, fresh)
         GraftKvCommitProtocol.commitAppend(path, fresh, schema, keys, encoding)
+        markDone(epochId)
       }
     } else {
-      writeMarker(m, fresh)
+      writeIntent(epochId, fresh)
       GraftKvCommitProtocol.commitAppend(path, fresh, schema, keys, encoding)
+      markDone(epochId)
     }
+    // GC: only the LATEST epoch can ever be re-offered; older markers
+    // are dead weight in the table dir (constant-time trailing sweep)
+    Seq(intent(epochId - 2), done(epochId - 2))
+      .foreach(Files.deleteIfExists(_))
   }
 
-  private def writeMarker(m: java.nio.file.Path, files: Set[String]): Unit = {
-    Files.createDirectories(m.getParent)
+  private def writeIntent(epochId: Long, files: Set[String]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val m = intent(epochId)
     val tmp = m.resolveSibling(m.getFileName.toString + ".tmp")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def markDone(epochId: Long): Unit =
+    Files.move(intent(epochId), done(epochId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -87,55 +111,39 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
 }
 
 class GraftKvStreamingWriterFactory(path: String, schema: StructType,
-    keys: Seq[String], encoding: String, baseGen: Long)
+    keys: Seq[String], encoding: String, baseGen: Long,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftKvBufferedPutWriter(path, schema, keys, encoding,
-      baseGen + epochId + 1, partitionId, taskId)
+      baseGen + epochId + 1, partitionId, taskId, maxSegBytes)
 }
 
-/** Put writer for unsorted input: buffers rows in key order and drains
-  * into segments in bounded chunks (within-chunk duplicate keys keep
-  * the later put — same Put-upsert rule as the sorted path's lookahead
-  * buffer; across chunks/tasks the merge-on-read generation order
-  * resolves). Memory is bounded by the chunk, not the batch. */
+/** Put writer for unsorted input: one [[KvSortedChunkBuffer]], drained
+  * in bounded chunks. Within-chunk duplicate keys keep the later put
+  * (TreeMap overwrite); across chunks the segment-name sequence keeps
+  * the later chunk winning; across tasks a key's order within one
+  * micro-batch is undefined (as it is in Spark itself). */
 class GraftKvBufferedPutWriter(path: String, schema: StructType,
     keys: Seq[String], encoding: String, gen: Long,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    extends DataWriter[InternalRow] {
 
-  private val codec = RowCodec(schema, keys, encoding)
-  private val rows = new java.util.TreeMap[Array[Byte], InternalRow](
-    new java.util.Comparator[Array[Byte]] {
-      def compare(a: Array[Byte], b: Array[Byte]): Int = codec.compareKeys(a, b)
-    })
-  private var files = List.empty[String]
-  private val FlushRows = 1 << 16
+  private val buf = new KvSortedChunkBuffer(path, schema, keys, encoding,
+    gen, partitionId, taskId, tombstone = false, maxSegBytes)
 
   override def write(row: InternalRow): Unit = {
-    val r = row.copy()
-    rows.put(codec.encodeKey(r), r)
-    if (rows.size >= FlushRows) flush()
-  }
-
-  private def flush(): Unit = if (!rows.isEmpty) {
-    val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
-      encoding, gen = gen)
-    rows.values().forEach(r => w.write(r))
-    w.commit() match { case GraftKvCommit(fs) => files = files ++ fs }
-    rows.clear()
+    buf.put(row)
+    if (buf.size >= KvSortedChunkBuffer.FlushRows) buf.drain()
   }
 
   override def commit(): WriterCommitMessage = {
-    flush()
-    GraftKvCommit(files)
+    buf.drain()
+    GraftKvCommit(buf.files)
   }
 
-  override def abort(): Unit =
-    files.foreach { f =>
-      Files.deleteIfExists(Paths.get(path, f))
-      Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
-    }
-
+  override def abort(): Unit = buf.abort()
   override def close(): Unit = ()
 }

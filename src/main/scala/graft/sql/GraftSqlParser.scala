@@ -166,16 +166,7 @@ case class GraftShowSnapshotsCommand(table: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.SegmentFile
-    val (plugin, rest) = org.apache.spark.sql.graftbridge.catalogAndRest(spark, table)
-    val cat = plugin match {
-      case c: graft.connector.GraftKvCatalog => c
-      case other => throw new IllegalArgumentException(
-        s"SHOW SNAPSHOTS targets graftkv catalog tables; " +
-          s"'${table.mkString(".")}' resolves to catalog '${other.name()}'")
-    }
-    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-      rest.dropRight(1).toArray, rest.last)
-    val dir = cat.tableDir(ident)
+    val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW SNAPSHOTS")
     val vs = SegmentFile.manifestVersions(dir)
     vs.map { v =>
       Row(v,

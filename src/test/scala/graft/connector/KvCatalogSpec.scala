@@ -161,7 +161,13 @@ class KvCatalogSpec extends AnyFunSuite {
     // three overlapping commits (each spans the key domain)
     for (i <- 1 to 3)
       spark.sql(s"INSERT INTO graft.dbc.t VALUES (1, 'a$i'), (50, 'z$i')")
-    val path = spark.conf.get("spark.sql.catalog.graft.root") + "/dbc/t"
+    // resolve through the CACHED catalog instance — conf may have been
+    // re-set by another suite after the instance was created
+    val (plugin, rest) = org.apache.spark.sql.graftbridge.catalogAndRest(
+      spark, Seq("graft", "dbc", "t"))
+    val path = plugin.asInstanceOf[GraftKvCatalog].tableDir(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        rest.dropRight(1).toArray, rest.last))
     assert(KvCommands.overlapDepth(path) >= 3)
 
     val minor = spark.sql("COMPACT TABLE graft.dbc.t").head().getInt(0)

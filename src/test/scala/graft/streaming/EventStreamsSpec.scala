@@ -177,6 +177,29 @@ class EventStreamsSpec extends AnyFunSuite {
       "replayed epoch must not double-append")
   }
 
+  test("buffered put writer: the later chunk wins a re-put key") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = java.nio.file.Files.createTempDirectory("kv_chunk")
+      .toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val w = new graft.connector.GraftKvBufferedPutWriter(
+      path, schema, Seq("k"), graft.store.RowCodec.Binary, 1L, 0, 0L)
+    w.write(InternalRow(42L, UTF8String.fromString("old")))
+    // force at least one chunk flush between the two versions of key 42
+    (0 until (1 << 16)).foreach(i =>
+      w.write(InternalRow(1000L + i, UTF8String.fromString("f"))))
+    w.write(InternalRow(42L, UTF8String.fromString("new")))
+    val msg = w.commit()
+    new graft.connector.GraftKvStreamingWrite(
+      path, schema, Seq("k"), graft.store.RowCodec.Binary, "q2")
+      .commit(0L, Array(msg))
+    val got = graft.connector.KvCommands.table(spark, path)
+      .filter(col("k") === 42L).head().getString(1)
+    assert(got == "new", s"cross-chunk last-write-wins broken: got $got")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
