@@ -90,8 +90,16 @@ object GraftKvMeta {
   def write(dir: String, schema: StructType, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.writeString(metaFile(dir),
+    // tmp + atomic rename: a concurrent committer's meta refresh must
+    // never expose a half-written file to a racing read (the CAS commit
+    // protocol makes concurrent committers the NORMAL case)
+    val tmp = Paths.get(dir,
+      s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp,
       keys.mkString(",") + "|" + encoding + "\n" + schema.json)
+    Files.move(tmp, metaFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def read(dir: String): Option[KvTableMeta] = {
@@ -100,6 +108,8 @@ object GraftKvMeta {
     else {
       val lines = Files.readString(f)
       val sep = lines.indexOf('\n')
+      if (sep < 0) throw new IllegalStateException(
+        s"corrupt graftkv meta at $f (no header line)")
       val header = lines.substring(0, sep)
       val (keysPart, encoding) = header.indexOf('|') match {
         case -1 => (header, graft.store.RowCodec.Binary)
@@ -426,10 +436,32 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
   * table, "records decoded vs emitted" proves gap seeks work, per query,
   * in production, not just in plan-shape tests. */
 object GraftKvMetrics {
-  final class Sum(n: String, desc: String)
+  // Each metric is its own ZERO-ARG class: the SQL UI re-instantiates
+  // the metric class by reflection from its name at aggregation time
+  // (SQLAppStatusListener.aggregateMetrics → Utils.loadExtensions), so
+  // a constructor parameter — however convenient — makes every query's
+  // onExecutionEnd throw in the listener thread.
+  final class SegmentsTotal
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = desc
+    override def name(): String = "segmentsTotal"
+    override def description(): String = "segments in table"
+  }
+  final class SegmentsPruned
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "segmentsPruned"
+    override def description(): String =
+      "segments pruned (static + runtime predicates)"
+  }
+  final class RecordsDecoded
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "recordsDecoded"
+    override def description(): String = "records decoded from segments"
+  }
+  final class GapSeeks
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "gapSeeks"
+    override def description(): String =
+      "in-segment re-seeks across disqualified gaps"
   }
   def task(n: String, v: Long): org.apache.spark.sql.connector.metric.CustomTaskMetric =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -437,10 +469,7 @@ object GraftKvMetrics {
       override def value(): Long = v
     }
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new Sum("segmentsTotal", "segments in table"),
-    new Sum("segmentsPruned", "segments pruned (static + runtime predicates)"),
-    new Sum("recordsDecoded", "records decoded from segments"),
-    new Sum("gapSeeks", "in-segment re-seeks across disqualified gaps"))
+    new SegmentsTotal, new SegmentsPruned, new RecordsDecoded, new GapSeeks)
 }
 
 final case class KvAggPartition(count: Long, minLead: Any, maxLead: Any)
@@ -1632,11 +1661,15 @@ private[connector] object GraftKvCommitProtocol {
   def commitAppend(path: String, committed: Set[String],
       writeSchema: StructType, keys: Seq[String], encoding: String,
       exclude: Set[String] = Set.empty): Unit = {
-    val prevLive: Set[String] =
-      graft.store.SegmentFile.readManifest(path).getOrElse(
-        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-          .filter(_.endsWith(".kv")).toSet) -- exclude
-    graft.store.SegmentFile.writeManifest(path, prevLive ++ committed)
+    // optimistic CAS (SegmentFile.commitManifest): concurrent appenders
+    // each publish prevLive ++ own files at a fresh version — a lost
+    // race re-reads, so no committer drops another's segments. A replay
+    // whose files are already live publishes nothing (no-op detection).
+    graft.store.SegmentFile.commitManifest(path)(
+      base => Some(base -- exclude ++ committed),
+      fallbackBase = Option(new java.io.File(path).list())
+        .getOrElse(Array.empty[String])
+        .filter(_.endsWith(".kv")).toSet -- exclude)
     val declared = GraftKvMeta.read(path).map(_.schema).getOrElse(writeSchema)
     GraftKvMeta.write(path, declared, keys, encoding)
   }

@@ -129,12 +129,32 @@ private[connector] final class KvSortedChunkBuffer(path: String,
   def size: Int = rows.size
 
   def drain(): Unit = if (!rows.isEmpty) {
+    // the %06d segment-name field caps a task at 1M sequence numbers —
+    // past it names stop sorting numerically and same-generation
+    // last-write-wins tie-breaks would silently misresolve. Fail loudly
+    // instead (a task this size should raise FlushRows/maxSegBytes).
+    if ((chunk.toLong + 1L) * KvSortedChunkBuffer.ChunkSeqStride > 1000000L)
+      throw new IllegalStateException(
+        s"task exceeded ${1000000L / KvSortedChunkBuffer.ChunkSeqStride} " +
+          "buffered chunks: segment-name sequence width would overflow")
     val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
       encoding, maxSegBytes, gen, tombstone,
       segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride)
     chunk += 1
     rows.values().forEach(r => w.write(r))
-    w.commit() match { case GraftKvCommit(fs) => files = files ++ fs }
+    w.commit() match {
+      case GraftKvCommit(fs) =>
+        files = files ++ fs // record BEFORE the guard so abort() reclaims
+        // a chunk that rotates past its sequence stride would overrun
+        // the next chunk's range and break cross-chunk last-write-wins
+        // for re-put keys — only reachable with a pathologically small
+        // segment.maxBytes; reject the write rather than corrupt order
+        if (fs.size >= KvSortedChunkBuffer.ChunkSeqStride)
+          throw new IllegalStateException(
+            s"chunk produced ${fs.size} segments ≥ stride " +
+              s"${KvSortedChunkBuffer.ChunkSeqStride}: raise " +
+              "segment.maxBytes (cross-chunk ordering would break)")
+    }
     rows.clear()
   }
 

@@ -70,7 +70,9 @@ object KvCommands {
         n == "_graft_meta.json" || n == "_graft_segments" ||
         n.startsWith("_graft_segments.v") || // snapshot manifests: a
         // recreated table must not inherit the dead table's history
-        n.startsWith("._graft_segments.tmp-"))
+        n.startsWith("._graft_segments.tmp-") ||
+        n.startsWith("._graft_meta.tmp-") ||
+        n.startsWith("._graft_epoch-")) // streaming markers die with the table
       .foreach(n => new java.io.File(d, n).delete())
     // sweep scratch dirs stranded by a crashed minor compaction
     Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -214,23 +216,37 @@ object KvCommands {
         Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
           Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
-      val live = SegmentFile.readManifest(path).get // written above
-      // commit point — replaced files stay on disk for the retention
-      // window (see scaladoc), invisible behind the manifest
-      SegmentFile.writeManifest(path, live -- files ++ moved)
-      // age the replaced files from their REPLACEMENT, not their write:
-      // the sweep's cutoff is mtime-based, and a segment written long
-      // ago would otherwise be reclaimed the instant it is replaced,
-      // voiding the grace window for in-flight scans and snapshots
-      val now = System.currentTimeMillis()
-      files.foreach { f =>
-        new java.io.File(path, f).setLastModified(now)
-        new java.io.File(path, f.stripSuffix(".kv") + ".kvmeta").setLastModified(now)
+      // commit point (CAS): merge the swap into whatever the manifest
+      // says NOW — concurrent appends ride along untouched. If any of
+      // this group's inputs is no longer live (a concurrent compactor
+      // already replaced it), merging our rewrite would resurrect its
+      // rows as duplicates — abort THIS group instead and drop its
+      // replacement files; the concurrent maintainer owns that range.
+      val swapped = SegmentFile.commitManifest(path) { live =>
+        if (files.subsetOf(live)) Some(live -- files ++ moved) else None
+      }
+      if (swapped.isEmpty) {
+        moved.foreach { f =>
+          Files.deleteIfExists(Paths.get(path, f))
+          Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        }
+      } else {
+        // replaced files stay on disk for the retention window (see
+        // scaladoc), invisible behind the manifest. Age them from their
+        // REPLACEMENT, not their write: the sweep's cutoff is
+        // mtime-based, and a segment written long ago would otherwise
+        // be reclaimed the instant it is replaced, voiding the grace
+        // window for in-flight scans and snapshots.
+        val now = System.currentTimeMillis()
+        files.foreach { f =>
+          new java.io.File(path, f).setLastModified(now)
+          new java.io.File(path, f.stripSuffix(".kv") + ".kvmeta").setLastModified(now)
+        }
+        rewritten += g.size
       }
       Option(new java.io.File(tmp).list()).getOrElse(Array.empty[String])
         .foreach(n => Files.deleteIfExists(Paths.get(tmp, n)))
       Files.deleteIfExists(Paths.get(tmp))
-      rewritten += g.size
     }
     if (rewritten > 0) sweepUnmanifested(path, retainReplacedMs)
     rewritten
@@ -257,6 +273,29 @@ object KvCommands {
       // window a VERSION AS OF read fails with "no snapshot" instead of
       // "missing segment files"
       SegmentFile.pruneManifestVersions(path, cutoff)
+      // stale streaming-epoch markers: a crashed writeIntent strands a
+      // .tmp forever, and markers of abandoned checkpoints (dead query
+      // ids) accumulate — the per-commit trailing delete only covers
+      // the live query. Sweep aged ones, but KEEP each query's newest
+      // non-tmp marker regardless of age: an idle-then-restarted stream
+      // still needs it to recognize its last epoch as committed.
+      val markers = Option(new java.io.File(path).list())
+        .getOrElse(Array.empty[String]).filter(_.startsWith("._graft_epoch-"))
+      // name = ._graft_epoch-<queryId>-<epochId>.<intent|done>; queryId
+      // is a UUID (contains dashes) — epochId is the LAST dash token
+      def parse(n: String): Option[(String, Long)] = {
+        val stem = n.stripPrefix("._graft_epoch-")
+          .stripSuffix(".intent").stripSuffix(".done")
+        val cut = stem.lastIndexOf('-')
+        if (cut < 0) None
+        else stem.drop(cut + 1).toLongOption.map(e => (stem.take(cut), e))
+      }
+      val keep: Set[String] = markers.filterNot(_.endsWith(".tmp"))
+        .flatMap(n => parse(n).map { case (q, e) => (q, e, n) })
+        .groupBy(_._1).values.flatMap(_.maxByOption(_._2).map(_._3)).toSet
+      markers.filterNot(keep.contains)
+        .filter(n => new java.io.File(path, n).lastModified() <= cutoff)
+        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
     }
 
   /** Retained snapshot versions (newest = the current table state). */

@@ -303,61 +303,137 @@ object SegmentFile {
   }
 
   // ── live-segment manifest ──────────────────────────────────────────────
-  // Commits and compactions record the LIVE segment set in a manifest
-  // swapped by atomic rename, so a multi-step rewrite (write replacement
-  // segments, THEN swap, THEN delete originals) is crash-safe: a reader
-  // always sees either the old set or the new set, and files a crash
-  // orphaned between steps are simply never listed. Tables written
-  // before manifests existed have none — directory listing remains the
-  // authority there (the write paths start one on their next commit).
-  // Concurrency contract: ONE writer/compactor per table at a time
-  // (the reference's region-server ownership analog); concurrent
-  // readers are always safe — compaction keeps replaced segments on
-  // disk for a retention window (KvCommands.sweepUnmanifested), so
-  // scans planned against the previous manifest finish against their
-  // own snapshot. Cross-process writer coordination needs an external
-  // lock — same stance as any filesystem-manifest table format without
-  // a transaction server.
+  // Commits and compactions record the LIVE segment set in a versioned
+  // manifest log (`_graft_segments.vN`). The AUTHORITY is the highest
+  // retained version; version N+1 is published with CREATE-IF-ABSENT
+  // semantics (hard link — atomic fail-if-exists on POSIX), so a
+  // read-modify-write commit is an optimistic CAS: two concurrent
+  // committers can both read version N, but only one can create N+1 —
+  // the loser re-reads and re-applies, and neither can ever silently
+  // drop the other's committed segments. A multi-step rewrite (write
+  // replacement segments, THEN publish, THEN delete originals) stays
+  // crash-safe: a reader always sees a committed set, and files a
+  // crash orphaned between steps are simply never listed. Tables
+  // written before manifests existed have none — directory listing
+  // remains the authority there (the write paths start a manifest on
+  // their next commit). Concurrent readers are always safe —
+  // compaction keeps replaced segments on disk for a retention window
+  // (KvCommands.sweepUnmanifested), so scans planned against an older
+  // version finish against their own snapshot.
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_graft_segments")
 
-  /** Live `.kv` file names, when a manifest governs this table. */
-  def readManifest(dir: String): Option[Set[String]] = {
+  private def readMirror(dir: String): Option[Set[String]] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
     else Some(Files.readString(p).linesIterator.map(_.trim)
       .filter(_.nonEmpty).toSet)
   }
 
-  /** Atomically replace the manifest (temp file + rename), retaining the
-    * new set as a numbered SNAPSHOT manifest first (`_graft_segments.vN`,
-    * N monotonic) — the time-travel commit log. A snapshot stays readable
-    * while its files live, i.e. until compaction's retention sweep
-    * reclaims files it replaced (KvCommands.sweepUnmanifested, which also
-    * prunes snapshot manifests past the window). A crash between the two
-    * writes leaves a snapshot that never became current — still a
-    * consistent set (data files are always in place before the manifest
-    * write), so snapshot readers may see the commit the crash swallowed. */
-  def writeManifest(dir: String, files: Iterable[String]): Unit = {
-    val body = files.toSeq.sorted.mkString("\n")
-    def swapTo(target: Path): Unit = {
-      val tmp = Paths.get(dir,
-        s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.writeString(tmp, body)
-      // POSIX rename: atomic and replaces any existing file
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  /** Live `.kv` file names, when a manifest governs this table: the
+    * content of the highest retained snapshot version. The un-numbered
+    * `_graft_segments` mirror is informational (and the upgrade path
+    * for tables written before the versioned log existed) — it is read
+    * only when no version exists. */
+  def readManifest(dir: String): Option[Set[String]] = {
+    var attempts = 0
+    while (attempts < 64) {
+      manifestVersions(dir).lastOption match {
+        case None => return readMirror(dir)
+        case Some(v) => readManifestVersion(dir, v) match {
+          case s @ Some(_) => return s
+          // version pruned between the listing and the read (a sweep
+          // raced us) — a newer version exists; re-list
+          case None => attempts += 1
+        }
+      }
     }
-    val versions = manifestVersions(dir)
-    val v = versions.lastOption.getOrElse(0L) + 1L
-    swapTo(versionedManifestPath(dir, v))
-    swapTo(manifestPath(dir))
-    // bound the commit log: an append-only table (streaming ingest)
-    // never compacts, so without a count cap it would accumulate one
-    // snapshot manifest per commit forever and this directory listing
-    // would slow down the hot write path. Metadata-only: expired
-    // versions just stop answering VERSION AS OF.
-    versions.dropRight(MaxRetainedManifests - 1)
-      .foreach(old => versionedManifestPath(dir, old).toFile.delete())
+    throw new IllegalStateException(s"cannot read a stable manifest at $dir")
+  }
+
+  /** Optimistic-CAS manifest commit: read the current committed set,
+    * apply `transform`, publish the result as snapshot version N+1 with
+    * create-if-absent semantics, retrying the whole read-modify-write
+    * on conflict. `transform` returning None aborts the commit (the
+    * caller saw a base it cannot merge with — e.g. compaction whose
+    * input segments were replaced by a concurrent maintainer); a
+    * transform that leaves an already-versioned manifest unchanged is
+    * a detected no-op (no duplicate snapshot version — an epoch replay
+    * repairing an already-swapped commit publishes nothing). Returns
+    * the live set as of this commit, or None on abort. `fallbackBase`
+    * seeds the first version of a pre-manifest (legacy) table. */
+  def commitManifest(dir: String)(
+      transform: Set[String] => Option[Set[String]],
+      fallbackBase: => Set[String] = Set.empty): Option[Set[String]] = {
+    var attempts = 0
+    while (attempts < 10000) {
+      val versions = manifestVersions(dir)
+      val baseOpt = versions.lastOption.flatMap(readManifestVersion(dir, _))
+      if (versions.nonEmpty && baseOpt.isEmpty) {
+        // max version pruned between listing and read — re-list
+        attempts += 1
+      } else {
+        val base = baseOpt.orElse(readMirror(dir)).getOrElse(fallbackBase)
+        transform(base) match {
+          case None => return None
+          case Some(next) =>
+            if (next == base && versions.nonEmpty) return Some(next)
+            val v = versions.lastOption.getOrElse(0L) + 1L
+            if (tryPublishVersion(dir, v, next)) {
+              refreshMirror(dir)
+              // bound the commit log: an append-only table (streaming
+              // ingest) never compacts, so without a count cap it would
+              // accumulate one snapshot per commit forever. Metadata-only:
+              // expired versions just stop answering VERSION AS OF.
+              versions.dropRight(MaxRetainedManifests - 1)
+                .foreach(old => versionedManifestPath(dir, old).toFile.delete())
+              return Some(next)
+            }
+            attempts += 1 // lost the CAS — re-read and re-apply
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest CAS at $dir still contended after $attempts attempts")
+  }
+
+  /** Publish `files` as snapshot `v` iff no committer beat us to `v`.
+    * Hard link gives atomic create-if-absent on POSIX (rename would
+    * silently replace a concurrent winner's snapshot). */
+  private def tryPublishVersion(dir: String, v: Long,
+      files: Set[String]): Boolean = {
+    val tmp = Paths.get(dir,
+      s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, files.toSeq.sorted.mkString("\n"))
+    try {
+      Files.createLink(versionedManifestPath(dir, v), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Best-effort refresh of the informational `_graft_segments` mirror
+    * from the current max version. Two refreshes can interleave and
+    * leave the mirror one commit behind — harmless: nothing reads it
+    * while versions exist. */
+  private def refreshMirror(dir: String): Unit =
+    manifestVersions(dir).lastOption
+      .flatMap(readManifestVersion(dir, _)).foreach { live =>
+        val tmp = Paths.get(dir,
+          s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.writeString(tmp, live.toSeq.sorted.mkString("\n"))
+        Files.move(tmp, manifestPath(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+
+  /** Publish `files` as the new live set unconditionally (overwrite /
+    * compaction-pin semantics — not a read-modify-write). Identical
+    * content on an already-versioned table is a no-op. */
+  def writeManifest(dir: String, files: Iterable[String]): Unit = {
+    val set = files.toSet
+    commitManifest(dir)(_ => Some(set))
+    ()
   }
 
   /** Newest snapshot manifests kept regardless of age (the time-based

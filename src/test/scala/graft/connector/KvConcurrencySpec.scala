@@ -1,0 +1,145 @@
+package graft.connector
+
+import graft.TestSpark
+import graft.store.SegmentFile
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent-writer safety of the manifest CAS commit protocol: the
+  * writer-vs-writer race the plain rename swap could not survive (two
+  * committers read the same prevLive; the later swap silently dropped
+  * the earlier commit's segments, and the orphan sweep then deleted the
+  * files). With create-if-absent versioned commits, every interleaving
+  * must preserve every committed segment. */
+class KvConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def inParallel(n: Int)(work: Int => Unit): Unit = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try work(i) catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown() // maximize interleaving: all threads blocked at the gate
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "workers timed out")
+    if (!failures.isEmpty) throw failures.peek()
+  }
+
+  test("manifest CAS: N racing committers never drop a committed entry") {
+    val dir = Files.createTempDirectory("graft_cas").toString
+    val threads = 8
+    val perThread = 40
+    inParallel(threads) { t =>
+      (0 until perThread).foreach { i =>
+        SegmentFile.commitManifest(dir)(base => Some(base + s"w$t-$i.kv"))
+      }
+    }
+    val live = SegmentFile.readManifest(dir).getOrElse(Set.empty)
+    val expected = (for (t <- 0 until threads; i <- 0 until perThread)
+      yield s"w$t-$i.kv").toSet
+    assert(live == expected) // every commit survived every interleaving
+    // the commit log stayed bounded and the newest version is the live set
+    val versions = SegmentFile.manifestVersions(dir)
+    assert(versions.size <= SegmentFile.MaxRetainedManifests)
+    assert(SegmentFile.readManifestVersion(dir, versions.last).contains(live))
+  }
+
+  test("manifest CAS: no-op transform on a versioned table publishes nothing") {
+    val dir = Files.createTempDirectory("graft_cas_noop").toString
+    SegmentFile.writeManifest(dir, Seq("a.kv", "b.kv"))
+    val before = SegmentFile.manifestVersions(dir)
+    // an epoch REPLAY repairing an already-swapped commit is a no-op:
+    // it must not add a duplicate snapshot to the time-travel log
+    SegmentFile.commitManifest(dir)(base => Some(base ++ Set("a.kv")))
+    SegmentFile.writeManifest(dir, Seq("a.kv", "b.kv"))
+    assert(SegmentFile.manifestVersions(dir) == before)
+    // an aborting transform publishes nothing either
+    assert(SegmentFile.commitManifest(dir)(_ => None).isEmpty)
+    assert(SegmentFile.manifestVersions(dir) == before)
+  }
+
+  test("two concurrent batch appenders lose no rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_2w").toString + "/t"
+    KvCommands.createTable(
+      Seq((-1L, "seed")).toDF("k", "v"), path, Seq("k"))
+    val writers = 4
+    val batches = 5
+    val rowsPerBatch = 200
+    inParallel(writers) { w =>
+      (0 until batches).foreach { b =>
+        val lo = (w * batches + b) * rowsPerBatch
+        val df = spark.range(lo, lo + rowsPerBatch)
+          .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        KvCommands.append(df, path)
+      }
+    }
+    val got = KvCommands.table(spark, path).filter(col("k") >= 0)
+    assert(got.count() === writers.toLong * batches * rowsPerBatch)
+    assert(got.select(countDistinct("k")).as[Long].head() ===
+      writers.toLong * batches * rowsPerBatch)
+  }
+
+  test("appenders racing a compactor lose no rows and make no duplicates") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_wc").toString + "/t"
+    KvCommands.createTable(Seq((-1L, "seed")).toDF("k", "v"), path, Seq("k"))
+    val writers = 3
+    val batches = 4
+    val rowsPerBatch = 150
+    // worker `writers` is the compactor, churning while appends land;
+    // overlapping appends (same key ranges re-put at later generations)
+    // force real overlap groups for it to rewrite
+    inParallel(writers + 1) {
+      case w if w < writers =>
+        (0 until batches).foreach { b =>
+          val lo = (w * batches + b) * rowsPerBatch
+          val df = spark.range(lo, lo + rowsPerBatch)
+            .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+          KvCommands.append(df, path)
+        }
+      case _ =>
+        (0 until 6).foreach { _ =>
+          KvCommands.compactMinor(spark, path, minGroup = 2,
+            retainReplacedMs = 60000L)
+          Thread.sleep(50)
+        }
+    }
+    val total = writers.toLong * batches * rowsPerBatch
+    val got = KvCommands.table(spark, path).filter(col("k") >= 0)
+    assert(got.count() === total)          // nothing lost, nothing doubled
+    assert(got.select(countDistinct("k")).as[Long].head() === total)
+    // a final quiesced compaction fully normalizes the LSM
+    KvCommands.compactMinor(spark, path, minGroup = 2)
+    assert(KvCommands.table(spark, path).filter(col("k") >= 0).count() === total)
+  }
+
+  test("two racing compactors on one table never duplicate rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_2c").toString + "/t"
+    KvCommands.createTable(Seq((-1L, "seed")).toDF("k", "v"), path, Seq("k"))
+    // overlapping generations of the same key range → overlap groups
+    (0 until 4).foreach { g =>
+      val df = spark.range(0, 400)
+        .select(col("id").as("k"), concat(lit(s"g$g-"), col("id")).as("v"))
+      KvCommands.append(df, path)
+    }
+    inParallel(2) { _ =>
+      KvCommands.compactMinor(spark, path, minGroup = 2,
+        retainReplacedMs = 60000L)
+    }
+    val got = KvCommands.table(spark, path).filter(col("k") >= 0)
+    assert(got.count() === 400L)           // Put-upsert: one row per key
+    // last generation won for every key (g3- prefix)
+    assert(got.filter(col("v").startsWith("g3-")).count() === 400L)
+  }
+}

@@ -721,7 +721,11 @@ class KvConnectorSpec extends AnyFunSuite {
     KvCommands.append(
       spark.range(50, 150).select(col("id").as("k"), lit("new").as("v")), path)
     // simulate a pre-manifest table: directory listing is the authority
+    // (a true legacy table has neither the mirror nor the versioned log)
     java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_graft_segments"))
+    SegmentFile.manifestVersions(path).foreach(v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(path, s"_graft_segments.v$v")))
     assert(SegmentFile.readManifest(path).isEmpty)
     assert(KvCommands.compactMinor(spark, path) > 0)
     // the table is manifest-governed now, with exactly the merged rows
