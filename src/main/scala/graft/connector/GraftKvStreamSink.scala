@@ -32,9 +32,13 @@ import graft.store.RowCodec
   *    across restarts (a re-created sink's base only grows), so the kv
   *    streaming SOURCE sees each epoch as an ordinary commit window.
   *
-  * Same single-writer contract as every other write path: the stream
-  * must be the table's only concurrent writer (an interleaved batch
-  * INSERT could claim the generation an in-flight epoch will commit).
+  * Concurrent writers are safe at the segment level: the manifest CAS
+  * (SegmentFile.commitManifest) means an interleaved batch INSERT or a
+  * second stream can never drop this sink's committed segments. What
+  * concurrency does NOT define is same-key ordering across writers —
+  * two writers re-putting one key may tie on generation and resolve by
+  * segment name (same stance as Spark's own cross-task ordering);
+  * writers covering disjoint keys compose freely.
   */
 class GraftKvStreamingWrite(path: String, schema: StructType,
     keys: Seq[String], encoding: String, queryId: String,

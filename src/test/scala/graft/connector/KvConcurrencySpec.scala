@@ -123,6 +123,54 @@ class KvConcurrencySpec extends AnyFunSuite {
     assert(KvCommands.table(spark, path).filter(col("k") >= 0).count() === total)
   }
 
+  test("two concurrent streaming sinks + compactor stay exactly-once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_2sink").toString
+    val kvPath = s"$root/t"
+    KvCommands.createTable(Seq((-1L, "seed")).toDF("k", "v"), kvPath, Seq("k"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val sinks = 2
+    val batches = 4
+    val rowsPerBatch = 250
+    def batchDf(w: Int, b: Int) = {
+      val lo = (w * batches + b) * rowsPerBatch
+      spark.range(lo, lo + rowsPerBatch)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    }
+    // worker `sinks` is a concurrent compactor churning mid-stream
+    inParallel(sinks + 1) {
+      case w if w < sinks =>
+        val inDir = s"$root/in$w"
+        batchDf(w, 0).write.mode("append").parquet(inDir)
+        val q = spark.readStream.schema(schema).parquet(inDir)
+          .writeStream.format("graftkv")
+          .option("checkpointLocation", s"$root/ckpt$w")
+          .start(kvPath)
+        (1 until batches).foreach { b =>
+          batchDf(w, b).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        }
+        q.processAllAvailable()
+        q.stop()
+      case _ =>
+        (0 until 8).foreach { _ =>
+          KvCommands.compactMinor(spark, kvPath, minGroup = 2,
+            retainReplacedMs = 60000L)
+          Thread.sleep(100)
+        }
+    }
+    val total = sinks.toLong * batches * rowsPerBatch
+    val got = KvCommands.table(spark, kvPath).filter(col("k") >= 0)
+    assert(got.count() === total)
+    assert(got.select(countDistinct("k")).as[Long].head() === total)
+    assert(got.filter(col("v") =!= concat(lit("v"), col("k"))).count() === 0L)
+    // quiesced compaction normalizes the interleaved epochs' segments
+    KvCommands.compactMinor(spark, kvPath, minGroup = 2)
+    assert(KvCommands.table(spark, kvPath).filter(col("k") >= 0)
+      .count() === total)
+  }
+
   test("two racing compactors on one table never duplicate rows") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_2c").toString + "/t"
