@@ -19,13 +19,43 @@ object PipelineOps {
 
   private val annLock = new Object
 
+  /** Bounded (k-row) invariant reduction for the ANN gate queries: row
+    * count, self-hit at rank 1, monotone sims, and sim-vs-exact-cosine
+    * equality for every returned id (`res` columns: vec_id, sim).
+    * Driver-side work is k rows — constant at any corpus size. */
+  private def annInvariants(s: SparkSession, emb: DataFrame,
+      q: Seq[Float], res: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val qArr = array(q.map(v => lit(v)): _*)
+    val exact = emb.select(col("vec_id"),
+      Similarity.cosine(col("embedding"), qArr).as("xsim"))
+    val rows = res.join(exact, "vec_id")
+      .select(col("vec_id"), col("sim"), col("xsim")).collect()
+    val ordered = rows.sortBy(r =>
+      (-r.getDouble(1), r.getAs[Number]("vec_id").longValue()))
+    val sims = ordered.map(_.getDouble(1))
+    // self-similarity lands within an ulp of 1.0 (d/(na·nb) can round
+    // to 1.0000000000000002) — rank is the invariant, not the literal
+    val selfHit = ordered.headOption.exists(r =>
+      r.getAs[Number]("vec_id").longValue() == 0L &&
+        math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    val descending = sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }
+    val simsExact = rows.forall(r => r.getDouble(1) == r.getDouble(2))
+    Seq((rows.length, selfHit, descending, simsExact))
+      .toDF("n_returned", "self_hit", "sims_descending", "sims_exact")
+  }
+
   /** Idempotently materialize the ANN index side table for a scale
     * factor (signatures + IVF cells, cell-partitioned parquet). Queries
-    * probe this instead of recomputing per scan. */
+    * probe this instead of recomputing per scan. The path carries
+    * [[graft.pipeline.AnnIndex.FormatVersion]]: an index cached by an
+    * older build (different signature/centroid scheme) must be ignored,
+    * not probed — stale signatures silently drop true candidates. */
   private def ensureAnnIndex(s: SparkSession, sfDir: String, dim: Int): String =
     annLock.synchronized {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
-        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/embeddings"
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}" +
+        s"/embeddings-v${graft.pipeline.AnnIndex.FormatVersion}"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         graft.pipeline.AnnIndex.build(t(s, sfDir, "embeddings"), path, dim)
       }
@@ -51,8 +81,34 @@ object PipelineOps {
         (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
     },
 
-    // MinHash/LSH + SimHash near-dup: xxhash64-based, not ANSI-expressible.
-    QuerySpec.rowsOnly("dd3_minhash_lsh_neardup") { (s, d) =>
+    // MinHash/LSH near-dup: the SIGNATURES are xxhash64-based (engine-
+    // specific), but the OUTPUT — exact-Jaccard-verified pairs above the
+    // threshold — has an ANSI restatement: all-pairs n-gram Jaccard over
+    // word-shingle sets. The oracle is exhaustive where the engine is
+    // LSH-pruned, so a hash-match also proves LSH recall on this corpus
+    // (banded signatures surface every above-threshold pair here).
+    QuerySpec.checked("dd3_minhash_lsh_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / len(list_distinct(a.s || b.s)) END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
       Dedup.minhashNearDuplicates(t(s, d, "documents"), k = 64, bands = 16)
         .orderBy("doc_a", "doc_b")
     },
@@ -66,18 +122,72 @@ object PipelineOps {
         .orderBy("doc_a", "doc_b")
     },
 
-    QuerySpec.rowsOnly("dd6_ngram_jaccard") { (s, d) =>
+    // bigram variant at a looser threshold: 32 bands (width 2) keep LSH
+    // recall effectively exhaustive down at J=0.5, so the exhaustive
+    // all-pairs oracle applies here too
+    QuerySpec.checked("dd6_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / len(list_distinct(a.s || b.s)) END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
       val docs = t(s, d, "documents")
-      // exact Jaccard over LSH candidates, threshold 0 = report all pairs
       Dedup.jaccardVerify(docs, Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs), bands = 16), threshold = 0.0)
+        Dedup.minhashSignatures(docs, k = 64, shingle = 2), bands = 32),
+        shingle = 2, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
     // near-dup clustering: connected components over the verified pairs,
     // one canonical doc per cluster (the step that turns pairs into a
-    // deduplicated corpus)
-    QuerySpec.rowsOnly("dd7_neardup_clusters") { (s, d) =>
+    // deduplicated corpus). Oracle: transitive closure of the same
+    // above-threshold pair graph (recursive CTE), min reachable id.
+    QuerySpec.checked("dd7_neardup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) >= 0.7
+        |),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY doc_id""") { (s, d) =>
       Dedup.nearDupClusters(Dedup.minhashNearDuplicates(t(s, d, "documents")))
         .orderBy("doc_id")
     },
@@ -106,7 +216,34 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
-    QuerySpec.rowsOnly("tx3_quality_score") { (s, d) =>
+    // the quality formula is deliberately IEEE-mirrorable (same fold
+    // order, same division shapes), so the oracle hash-matches doubles
+    QuerySpec.checked("tx3_quality_score",
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS lt,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(lt) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(lt, t -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','it'], t))) AS DOUBLE)
+        |           / len(lt) END AS stopword_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_reduce(list_transform(toks, t -> CAST(len(t) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+        |           / len(toks) END AS mean_token_len,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subwords,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE (length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text) END AS punct,
+        |    least(length(text) / 500.0, 1.0) AS len_score
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  greatest(0.0, least(1.0, len_score * 0.4 + stopword_ratio * 0.4 + (1.0 - punct) * 0.2)) AS quality,
+        |  stopword_ratio, mean_token_len, n_subwords
+        |FROM m ORDER BY doc_id""") { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"),
           TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
@@ -115,7 +252,33 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
-    QuerySpec.rowsOnly("tx4_lang_id") { (s, d) =>
+    // the stopword-argmax heuristic restated as CASE over per-language
+    // hit counts (tie order = seed order, CJK codepoint ratio first)
+    QuerySpec.checked("tx4_lang_id",
+      """WITH base AS (
+        |  SELECT doc_id, lang AS labeled_lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS lt,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+        |  FROM documents
+        |),
+        |sc AS (
+        |  SELECT *,
+        |    len(list_filter(lt, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))) AS s_en,
+        |    len(list_filter(lt, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], t))) AS s_de,
+        |    len(list_filter(lt, t -> list_contains(['el','la','de','que','los','las','una','por','con','para'], t))) AS s_es,
+        |    len(list_filter(lt, t -> list_contains(['le','la','et','les','des','une','est','dans','pour','que'], t))) AS s_fr,
+        |    len(list_filter(lt, t -> list_contains(['il','la','che','di','non','una','per','sono','con','del'], t))) AS s_it
+        |  FROM base
+        |)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN cjk * 2 > length(text) THEN 'zh'
+        |       WHEN greatest(s_en,s_de,s_es,s_fr,s_it) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
+        |       ELSE 'it' END AS pred_lang
+        |FROM sc ORDER BY doc_id""") { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextFunctions.langId(col("text")).as("pred_lang"))
@@ -138,10 +301,24 @@ object PipelineOps {
     },
 
     // ── similarity search ────────────────────────────────────────────────
-    // Exact brute-force cosine top-k (vs vec_id 0's embedding); floating
-    // cosine values are engine-specific in the last ulps → rows-only, with
-    // exactness pinned in SimilaritySpec against an in-test oracle.
-    QuerySpec.rowsOnly("ann1_bruteforce_topk") { (s, d) =>
+    // Exact brute-force cosine top-k (vs vec_id 0's embedding). The
+    // cosine arithmetic is an IEEE-mirrorable left fold (float→double
+    // products summed in array order, d / (na*nb)), so the DuckDB
+    // restatement via list_reduce hash-matches the doubles exactly.
+    QuerySpec.checked("ann1_bruteforce_topk",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b)) AS nb
+        |  FROM embeddings e, q
+        |)
+        |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |FROM sc ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
@@ -151,22 +328,37 @@ object PipelineOps {
     // LSH/IVF probes run against the materialized AnnIndex side table
     // (built once per corpus): signatures/cells are precomputed, so a
     // query is a bucket probe, not an O(N·dim·planes) corpus scan.
-    QuerySpec.rowsOnly("ann2_lsh_topk") { (s, d) =>
+    // The probed candidate SET is signature-dependent (not ANSI-
+    // expressible) and recall-vs-bruteforce is a property of this
+    // near-orthogonal synthetic corpus, not of the operator — so the
+    // oracle pins the checkable invariants: k rows, the query vector at
+    // rank 1 with sim 1.0, descending order, and every returned sim
+    // equal to the independently recomputed exact cosine (an index
+    // serving stale or mis-bucketed vectors fails this). Recall on
+    // planted near-dups is pinned by SimilaritySpec.
+    QuerySpec.checked("ann2_lsh_topk",
+      """SELECT CAST(10 AS INTEGER) AS n_returned, true AS self_hit,
+        |  true AS sims_descending, true AS sims_exact""") { (s, d) =>
+      import s.implicits._
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       // synthetic embeddings are near-orthogonal: widen the multiprobe
       // radius so the candidate set is ~10% of the corpus, not ~0.
-      graft.pipeline.AnnIndex.annTopK(s, ensureAnnIndex(s, d, q.length), q,
+      val res = graft.pipeline.AnnIndex.annTopK(s, ensureAnnIndex(s, d, q.length), q,
         k = 10, dim = q.length, probe = 5)
+      annInvariants(s, emb, q, res, k = 10)
     },
 
-    QuerySpec.rowsOnly("ann4_ivf_topk") { (s, d) =>
+    QuerySpec.checked("ann4_ivf_topk",
+      """SELECT CAST(10 AS INTEGER) AS n_returned, true AS self_hit,
+        |  true AS sims_descending, true AS sims_exact""") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      graft.pipeline.AnnIndex.ivfTopK(s, ensureAnnIndex(s, d, q.length), q,
+      val res = graft.pipeline.AnnIndex.ivfTopK(s, ensureAnnIndex(s, d, q.length), q,
         k = 10, nProbe = 4)
+      annInvariants(s, emb, q, res, k = 10)
     },
 
     QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>
@@ -232,13 +424,30 @@ object PipelineOps {
         .orderBy("lang", "rank_in_group")
     },
 
-    // seed-deterministic per-stratum Bernoulli — Spark's RNG, so rows-only
-    QuerySpec.rowsOnly("cu2_stratified_sample") { (s, d) =>
-      graft.pipeline.Curation.stratifiedSample(t(s, d, "documents"),
-        stratumCol = "lang",
-        fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25),
-        seed = 42L)
-        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    // Per-stratum Bernoulli draws are Spark's RNG (no ANSI restatement
+    // of the sampled SET), but the statistical contract IS checkable:
+    // exact-fraction strata must keep everything, absent strata nothing,
+    // and Bernoulli strata must land within 4σ of n·p (a deterministic
+    // verdict — the seed is fixed). The doc-level determinism is pinned
+    // by CurationSpec.
+    QuerySpec.checked("cu2_stratified_sample",
+      """SELECT lang, true AS within_bounds
+        |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fr = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25)
+      val sampled = graft.pipeline.Curation.stratifiedSample(docs,
+        stratumCol = "lang", fractions = fr, seed = 42L)
+      val p = coalesce(element_at(typedLit(fr), col("lang")), lit(0.0))
+      docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .join(sampled.groupBy("lang").agg(count(lit(1)).as("k")),
+          Seq("lang"), "left").na.fill(0L, Seq("k"))
+        .select(col("lang"),
+          when(p === 1.0, col("k") === col("n"))
+            .when(p === 0.0, col("k") === 0)
+            .otherwise(abs(col("k") - col("n") * p) <=
+              lit(4.0) * sqrt(col("n") * p * (lit(1.0) - p)) + 1.0)
+            .as("within_bounds"))
+        .orderBy("lang")
     },
 
     // greedy next-fit packing — order-dependent, pinned by CurationSpec
@@ -247,19 +456,73 @@ object PipelineOps {
         budgetTokens = 512).toDF().orderBy("doc_id")
     },
 
-    QuerySpec.rowsOnly("cu4_pack_stats") { (s, d) =>
+    // pack ids are partition-layout-derived (no ANSI restatement), but
+    // packing's conservation laws are: every doc packed exactly once
+    // (counts and token totals match the corpus) and no multi-doc pack
+    // over budget
+    QuerySpec.checked("cu4_pack_stats",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  true AS budget_ok FROM documents""") { (s, d) =>
       graft.pipeline.Curation.packStats(
         graft.pipeline.Curation.packSequences(t(s, d, "documents"),
           budgetTokens = 512), budgetTokens = 512)
-        .orderBy("pack_id")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("tokens_used")).as("total_tokens"),
+          (max(when(col("n_docs") > 1, col("tokens_used")).otherwise(0L)) <= 512)
+            .as("budget_ok"))
     },
 
     // the full curation chain (quality gate → exact dedup → near-dup
-    // drop → packing) — packing is order-dependent, near-dup semantics
-    // are engine-specific, so rows-only; CurationSpec pins the chain
-    QuerySpec.rowsOnly("cu6_corpus_pipeline") { (s, d) =>
+    // drop → packing): every stage except the pack-id assignment has an
+    // ANSI restatement (the near-dup drop via the exhaustive all-pairs
+    // Jaccard + recursive closure), so the oracle checks the surviving
+    // doc set and its token counts end-to-end; pack-id/order semantics
+    // are pinned by CurationSpec.
+    QuerySpec.checked("cu6_corpus_pipeline",
+      """WITH RECURSIVE gated AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) >= 10
+        |),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM gated GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |),
+        |exd AS (SELECT g.* FROM gated g JOIN keepers USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM exd
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |losers AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) <> id
+        |)
+        |SELECT e.doc_id, CAST(len(e.w) AS INTEGER) AS n_tokens
+        |FROM exd e LEFT JOIN losers l ON e.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL
+        |ORDER BY e.doc_id""") { (s, d) =>
       graft.pipeline.Curation.curateCorpus(t(s, d, "documents"))
-        .toDF().orderBy("doc_id")
+        .toDF().select("doc_id", "n_tokens").orderBy("doc_id")
     },
 
     // PII-style scrub before training: identical regex chain replayed by

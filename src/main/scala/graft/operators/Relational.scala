@@ -356,11 +356,19 @@ object Relational {
         .agg(countDistinct(col("l_returnflag"), col("l_linestatus")).as("cd2"))
     },
 
-    // HLL sketches differ across engines — rows-only; exactness pinned in
-    // ApproxSpec (relative-error bound vs exact count).
-    QuerySpec.rowsOnly("a10_approx_count_distinct") { (s, d) =>
+    // HLL sketch values differ across engines, so the sketch itself
+    // cannot hash-match — but the accuracy CONTRACT can: emit the exact
+    // count (oracle-checkable) plus an in-band verdict for the sketch
+    // at 3× the configured rsd (ApproxSpec pins the same bound).
+    QuerySpec.checked("a10_approx_count_distinct",
+      """SELECT count(DISTINCT o_custkey) AS exact_cd, true AS approx_ok
+        |FROM orders""") { (s, d) =>
       t(s, d, "orders")
-        .agg(approx_count_distinct(col("o_custkey"), 0.04).as("acd"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cd"),
+          approx_count_distinct(col("o_custkey"), 0.04).as("acd"))
+        .select(col("exact_cd"),
+          (abs(col("acd") - col("exact_cd")).cast("double") / col("exact_cd")
+            <= 0.12).as("approx_ok"))
     },
 
     QuerySpec.checked("a11_group_by_expr",

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Bump when the signature / centroid / layout scheme changes: callers
+    * key cached index paths on it, so an index materialized by an older
+    * scheme is rebuilt instead of probed with mismatched signatures. */
+  val FormatVersion = 2
+
   private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
 
   // ── centroid selection (sampled k-means, cosine metric) ────────────────
