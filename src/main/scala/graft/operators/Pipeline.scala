@@ -366,15 +366,18 @@ object PipelineOps {
         threshold = 0.5, nPlanes = 8).orderBy("vec_a", "vec_b")
     },
 
-    // ── multimodal plumbing (STUB kernels, real Spark machinery) ─────────
-    // The raw `features array<float>` column is pinned by MultimodalSpec;
-    // here it is projected to a hashable fingerprint because the driver's
-    // rows-only check still sorts/hashes the result (arrays aren't
-    // hashable in its pandas compare).
+    // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────
+    // mm1/mm3 run on REAL PNG payloads (syntheticImageTable renders one
+    // deterministic image per doc): decoded width/height/pixel means are
+    // true codec output, pinned by MultimodalSpec. The raw `features
+    // array<float>` column is projected to a hashable fingerprint
+    // because the driver's rows-only check sorts/hashes the result
+    // (arrays aren't hashable in its pandas compare).
     QuerySpec.rowsOnly("mm1_decode_featurize") { (s, d) =>
       Multimodal.decodeAndFeaturize(
-        Multimodal.syntheticMediaTable(t(s, d, "documents")))
+        Multimodal.syntheticImageTable(t(s, d, "documents")))
         .select(col("media_id"), col("mime"), col("n_bytes"), col("mean_byte"),
+          col("width"), col("height"), col("mean_pixel"),
           xxhash64(to_json(col("features"))).as("features_fp"))
         .orderBy("media_id")
     },
@@ -388,7 +391,7 @@ object PipelineOps {
 
     QuerySpec.rowsOnly("mm3_resize") { (s, d) =>
       Multimodal.resize(
-        Multimodal.syntheticMediaTable(t(s, d, "documents")), factor = 2)
+        Multimodal.syntheticImageTable(t(s, d, "documents")), factor = 2)
         .select(col("media_id"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"),
           xxhash64(col("payload")).as("payload_fp"))

@@ -79,4 +79,64 @@ class MultimodalSpec extends AnyFunSuite {
     val doc2 = out.filter(_.getAs[Long]("media_id") == 2L)
     assert(doc2.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0))
   }
+
+  test("real image decode: PNG payloads yield true dimensions and pixel mean") {
+    // pin a known image directly through the kernel
+    val png = Multimodal.syntheticPng(seed = 7L, w = 8, h = 6)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 8 && img.getHeight === 6)
+    val expMean = {
+      var s = 0L
+      for (j <- 0 until 6; i <- 0 until 8) {
+        val rgb = img.getRGB(i, j)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      s.toDouble / (8L * 6 * 3)
+    }
+    assert(Multimodal.decodeImage(png) === Some((8, 6, expMean)))
+
+    // and end-to-end through the DataFrame path on real PNG payloads
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAndFeaturize(
+      Multimodal.syntheticImageTable(docs)).orderBy("media_id").collect()
+    val metas = Multimodal.syntheticImageTable(docs)
+      .select("media_id", "meta.width", "meta.height").orderBy("media_id")
+      .collect()
+    out.zip(metas).foreach { case (r, m) =>
+      assert(r.getAs[String]("mime") === "image/png")
+      // decoded dims are the codec's truth and must equal the declared meta
+      assert(r.getAs[Int]("width") === m.getInt(1))
+      assert(r.getAs[Int]("height") === m.getInt(2))
+      val mp = r.getAs[Double]("mean_pixel")
+      assert(mp >= 0.0 && mp <= 255.0)
+    }
+  }
+
+  test("real image resize: nearest-neighbor pixels, scaled dims, decodable output") {
+    val docs = Seq((1L, "gamma")).toDF("doc_id", "text")
+    val imgs = Multimodal.syntheticImageTable(docs)
+    val orig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      imgs.select("payload").head().getAs[Array[Byte]](0)))
+    val r = Multimodal.resize(imgs, factor = 2).head()
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+    assert(resized.getWidth === math.max(orig.getWidth / 2, 1))
+    assert(resized.getHeight === math.max(orig.getHeight / 2, 1))
+    assert(r.getAs[Int]("width") === resized.getWidth)
+    assert(r.getAs[Int]("height") === resized.getHeight)
+    // nearest-neighbor: every output pixel is an exact input pixel
+    for (j <- 0 until resized.getHeight; i <- 0 until resized.getWidth) {
+      assert((resized.getRGB(i, j) & 0xffffff) ===
+        (orig.getRGB(i * 2, j * 2) & 0xffffff))
+    }
+  }
+
+  test("non-image payloads fall back to the av stub with null image fields") {
+    val out = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("width")))
+      assert(r.isNullAt(r.fieldIndex("height")))
+      assert(r.isNullAt(r.fieldIndex("mean_pixel")))
+    }
+  }
 }
