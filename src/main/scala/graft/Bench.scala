@@ -31,6 +31,30 @@ object Bench {
     "ann2_lsh_topk",         // similarity search (materialized-index probe)
     "ev1_tumbling_window")   // event-time windowed agg
 
+  /** Queries of the previous round's bench (newest BENCH_r*.json in the
+    * repo root), for in-run regression deltas. Extracted with a regex —
+    * the file embeds the bench line inside a driver wrapper object. */
+  private def prevRound(): Option[(Int, Map[String, Double])] = {
+    val dir = new java.io.File("/root/repo")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+    if (files.isEmpty) return None
+    val newest = files.maxBy(f =>
+      f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    val round = newest.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+    val content = try new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+    catch { case _: Exception => return None }
+    // last "queries":{...} block in the file is the final bench line's
+    val block = "\\\\?\"queries\\\\?\":\\{([^}]*)\\}".r
+      .findAllMatchIn(content).toSeq.lastOption.map(_.group(1))
+    block.map { b =>
+      round -> "\\\\?\"([a-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
+        .findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,24 +87,58 @@ object Bench {
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
       }
     }
-    val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // -1 marks a failed query so a crash can't read as a fast run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def timed(dir: String): Seq[(String, Double)] =
+      headline.filter(queries.contains).map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { queries(name)(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // -1 marks a failed query so a crash can't read as a fast run
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val results = timed(sfDir)
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit comma decimals and break the JSON contract
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // in-run regression tracking: per-query delta vs the previous round's
+    // bench (positive = slower this round), so creep is visible without
+    // diffing round files by hand
+    val prev = prevRound()
+    val deltaJson = prev.map { case (round, pq) =>
+      val deltas = results.collect {
+        case (k, v) if v >= 0 && pq.get(k).exists(_ >= 0) => k -> (v - pq(k))
+      }
+      s""","prev_round":$round,"prev_delta":${obj(deltas)}"""
+    }.getOrElse("")
+
+    // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
+    // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
+    // warmups, so per-query scaling vs the primary SF is directly
+    // readable from one bench line.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(Option("/root/repo/tmp/sf1")
+        .filter(p => new java.io.File(p, "lineitem.parquet").exists()))
+    val sf1Json = sf1Dir.map { dir =>
+      Seq("s3_count_star", "kv2_point_lookup", "ann2_lsh_topk",
+        "dd1_exact_dedup", "dd3_minhash_lsh_neardup").foreach { w =>
+        try queries(w)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 warmup $w failed: ${e.getMessage}")
+        }
+      }
+      val rs = timed(dir)
+      val t = rs.map(_._2).filter(_ >= 0).sum
+      s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$sf1Json}""")
     spark.stop()
   }
 }

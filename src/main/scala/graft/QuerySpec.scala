@@ -52,12 +52,24 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
       // outright; read the raw int64 nanos and truncate to micros
-      // (integer `div`, not `/`, to stay exact above 2^53).
+      // (integer `div`, not `/`, to stay exact above 2^53). A corpus
+      // written with µs timestamps (the sf1 replication) reads as a
+      // timestamp column directly — convert only when nanos-as-long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // µs parquet written without a timezone (DuckDB) — identity
+          // under the UTC session, but typed NTZ, which unix_micros &
+          // co. reject; normalize to the session-TZ timestamp type
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every corpus table as a temp view (for spark.sql entry). */
