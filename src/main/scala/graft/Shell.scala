@@ -43,6 +43,20 @@ object Shell {
   def execute(spark: SparkSession, statement: String): DataFrame =
     spark.sql(statement.trim.stripSuffix(";"))
 
+  /** Keyword completion for the partial statement `buffer`: candidates
+    * for its last (possibly empty-prefix) word, case-insensitive, from
+    * the engine's SQL keyword inventory (the reference CLI's
+    * reflection-based completer, HBaseSQLCliDriver). The interactive
+    * loop exposes it as TAB-free `\complete <prefix>` (a plain stdin
+    * reader has no key events); an embedding REPL calls it per
+    * keystroke. */
+  def complete(buffer: String): Seq[String] = {
+    val prefix = buffer.reverse.takeWhile(c => c.isLetterOrDigit || c == '_')
+      .reverse.toUpperCase
+    if (prefix.isEmpty) sql.GraftSqlParser.keywords
+    else sql.GraftSqlParser.keywords.filter(_.startsWith(prefix))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val kvRoot = args.lift(1).getOrElse(
@@ -54,7 +68,9 @@ object Shell {
     while ({ print("graft> "); Console.flush(); line = in.readLine(); line != null } &&
       line.trim != "exit") {
       val stmt = line.trim
-      if (stmt.nonEmpty) {
+      if (stmt.startsWith("\\complete")) {
+        println(complete(stmt.stripPrefix("\\complete").trim).mkString(" "))
+      } else if (stmt.nonEmpty) {
         try execute(spark, stmt).show(50, truncate = false)
         catch { case e: Exception => println(s"error: ${e.getMessage}") }
       }

@@ -64,11 +64,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  /** LOAD DATA [LOCAL] INPATH 'p' [OVERWRITE] INTO TABLE t
+  /** LOAD [PARALL] DATA [LOCAL] INPATH 'p' [OVERWRITE] INTO TABLE t
     * [FIELDS TERMINATED BY 'c'] — LOCAL is accepted and ignored (all
-    * paths are filesystem paths here). */
+    * paths are filesystem paths here). PARALL is the reference's
+    * parallel-load variant (HBaseSQLParser.scala:213-222); both spellings
+    * route to the same distributed range-shuffle write — in this
+    * architecture every load IS the parallel path, so the keyword is
+    * grammar parity, not a second code path. */
   private[sql] val LoadStmt =
-    ("""(?is)\s*LOAD\s+DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+""" +
+    ("""(?is)\s*LOAD\s+(?:PARALL\s+)?DATA\s+(LOCAL\s+)?INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+""" +
       """([\w.`]+)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*""").r
 
   /** SHOW SNAPSHOTS FOR|IN [TABLE] t — the time-travel commit log. */
@@ -79,6 +83,27 @@ object GraftSqlParser {
     * by default; MAJOR rewrites the whole table into disjoint runs. */
   private[sql] val CompactStmt =
     """(?is)\s*COMPACT\s+TABLE\s+([\w.`]+)(\s+MAJOR)?\s*;?\s*""".r
+
+  /** SQL keyword inventory for shell completion — the reference derives
+    * its completer vocabulary by reflecting over parser fields
+    * (HBaseSQLParser.scala:28-37 getKeywords); the modern analog
+    * reflects over Spark's generated ANTLR lexer rule names (SELECT,
+    * FROM, …) and adds this parser's own statement keywords. Computed
+    * once; reflection failures degrade to the graft keywords alone. */
+  lazy val keywords: Seq[String] = {
+    val graftKw = Seq("LOAD", "PARALL", "DATA", "LOCAL", "INPATH",
+      "OVERWRITE", "INTO", "TABLE", "FIELDS", "TERMINATED", "BY",
+      "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR")
+    val sparkKw =
+      try {
+        Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
+          .getField("ruleNames").get(null).asInstanceOf[Array[String]]
+          .filter(n => n.nonEmpty && n.forall(c => c.isUpper || c == '_') &&
+            n.head.isUpper)
+          .toSeq
+      } catch { case _: Exception => Seq.empty }
+    (graftKw ++ sparkKw).distinct.sorted
+  }
 
   /** Does `nameParts` resolve into a [[graft.connector.GraftKvCatalog]]
     * in the active session? Inconclusive (no active session, resolution

@@ -55,4 +55,36 @@ class ShellSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     Shell.execute(spark, "DROP TABLE graft.ld.t")
   }
+
+  test("LOAD PARALL DATA is accepted and routes to the same distributed load") {
+    // reference grammar parity (HBaseSQLParser.scala:213-222): the
+    // PARALL variant was a separate per-task load path there; here every
+    // load is the distributed range-shuffle write, so PARALL is accepted
+    // as a no-op spelling of the same statement
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_parall")
+    java.nio.file.Files.writeString(csvDir.resolve("p.csv"), "2|y\n1|x\n")
+    Shell.execute(spark, "CREATE NAMESPACE IF NOT EXISTS graft.lp")
+    Shell.execute(spark,
+      "CREATE TABLE graft.lp.t (k BIGINT, v STRING) TBLPROPERTIES('key'='k')")
+    Shell.execute(spark,
+      s"LOAD PARALL DATA INPATH '$csvDir/p.csv' INTO TABLE graft.lp.t FIELDS TERMINATED BY '|'")
+    val rows = Shell.execute(spark, "SELECT k, v FROM graft.lp.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    Shell.execute(spark, "DROP TABLE graft.lp.t")
+  }
+
+  test("keyword completion covers graft statements and Spark SQL keywords") {
+    // the reference CLI's reflection-based completer restated
+    // (HBaseSQLParser.getKeywords / HBaseSQLCliDriver)
+    assert(Shell.complete("LOAD PARALL DATA INP").contains("INPATH"))
+    assert(Shell.complete("COMP").contains("COMPACT"))
+    assert(Shell.complete("SHOW SNAP").contains("SNAPSHOTS"))
+    assert(Shell.complete("sel").contains("SELECT")) // case-insensitive
+    assert(Shell.complete("SELECT * FR").contains("FROM"))
+    // empty prefix lists the whole vocabulary, Spark keywords included
+    val all = Shell.complete("")
+    assert(all.contains("GROUP") && all.contains("WHERE") && all.contains("PARALL"))
+    assert(all == all.sorted && all.distinct == all)
+  }
 }
