@@ -27,21 +27,26 @@ object PipelineOps {
       q: Seq[Float], res: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val qArr = array(q.map(v => lit(v)): _*)
-    val exact = emb.select(col("vec_id"),
-      Similarity.cosine(col("embedding"), qArr).as("xsim"))
-    val rows = res.join(exact, "vec_id")
-      .select(col("vec_id"), col("sim"), col("xsim")).collect()
-    val ordered = rows.sortBy(r =>
-      (-r.getDouble(1), r.getAs[Number]("vec_id").longValue()))
-    val sims = ordered.map(_.getDouble(1))
+    val returned = res.collect() // k rows, in result (sim desc, id) order
+      .map(r => (r.getAs[Number]("vec_id").longValue(),
+        r.getAs[Number]("sim").doubleValue()))
+    // recompute exact cosines ONLY for the returned ids: the IN filter
+    // pushes to the scan, so verification reads k vectors, not the
+    // corpus (the whole point of probing an index is not to rescan)
+    val xsim: Map[Long, Double] =
+      emb.filter(col("vec_id").isin(returned.map(t => Long.box(t._1)): _*))
+        .select(col("vec_id").cast("long"),
+          Similarity.cosine(col("embedding"), qArr).as("xsim"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = returned.map(_._2)
     // self-similarity lands within an ulp of 1.0 (d/(na·nb) can round
     // to 1.0000000000000002) — rank is the invariant, not the literal
-    val selfHit = ordered.headOption.exists(r =>
-      r.getAs[Number]("vec_id").longValue() == 0L &&
-        math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    val selfHit = returned.headOption.exists { case (id, sim) =>
+      id == 0L && math.abs(sim - 1.0) < 1e-9 }
     val descending = sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }
-    val simsExact = rows.forall(r => r.getDouble(1) == r.getDouble(2))
-    Seq((rows.length, selfHit, descending, simsExact))
+    val simsExact = returned.forall { case (id, sim) =>
+      xsim.get(id).contains(sim) }
+    Seq((returned.length, selfHit, descending, simsExact))
       .toDF("n_returned", "self_hit", "sims_descending", "sims_exact")
   }
 

@@ -171,6 +171,54 @@ class KvConcurrencySpec extends AnyFunSuite {
       .count() === total)
   }
 
+  test("100-generation append-heavy table: parallel scan, correct merge, compaction normalizes") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = Files.createTempDirectory("graft_100g").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    // generation g upserts the overlapping window [g*50, g*50+500):
+    // the streaming-ingest shape — every key rewritten by ~10 later
+    // generations, 100 overlapping sorted runs on disk
+    (0 until 100).foreach { g =>
+      val w = new GraftKvBufferedPutWriter(path, schema, Seq("k"),
+        graft.store.RowCodec.Binary, gen = g + 1L, partitionId = 0,
+        taskId = g.toLong)
+      (g * 50 until g * 50 + 500).foreach { k =>
+        w.write(InternalRow(k.toLong, UTF8String.fromString(s"g$g-$k")))
+      }
+      w.commit() match {
+        case GraftKvCommit(files) =>
+          GraftKvCommitProtocol.commitAppend(path, files.toSet, schema,
+            Seq("k"), graft.store.RowCodec.Binary)
+      }
+    }
+    val segsBefore = graft.store.SegmentFile.listSegments(path).size
+    assert(segsBefore >= 100, s"expected >=100 live segments, got $segsBefore")
+    val t = KvCommands.table(spark, path)
+    // LSM overlap-shard parallelism: a scan over 100 overlapping runs
+    // still plans many input partitions (reads proceed in parallel)
+    assert(t.rdd.getNumPartitions > 8,
+      s"scan of 100-gen table planned only ${t.rdd.getNumPartitions} partitions")
+    // Put-merge correctness: last generation wins every overlapped key
+    assert(t.count() === 5450L) // keys [0, 99*50+500)
+    def expected(k: Long): String = { val g = math.min(99L, k / 50); s"g$g-$k" }
+    Seq(0L, 777L, 2500L, 4949L, 5449L).foreach { k =>
+      assert(t.filter(col("k") === k).head().getString(1) === expected(k))
+    }
+    // compaction folds the overlapping runs into disjoint ones
+    assert(KvCommands.compactMinor(spark, path, minGroup = 2,
+      retainReplacedMs = 0L) > 0)
+    val segsAfter = graft.store.SegmentFile.listSegments(path).size
+    assert(segsAfter < segsBefore / 2,
+      s"compaction left $segsAfter of $segsBefore segments")
+    val tc = KvCommands.table(spark, path)
+    assert(tc.count() === 5450L)
+    Seq(0L, 777L, 2500L, 4949L, 5449L).foreach { k =>
+      assert(tc.filter(col("k") === k).head().getString(1) === expected(k))
+    }
+  }
+
   test("two racing compactors on one table never duplicate rows") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_2c").toString + "/t"
