@@ -219,6 +219,51 @@ class KvConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("retention sweep GCs stale epoch markers but keeps each query's newest") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_mks").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
+    val old = System.currentTimeMillis() - 3600_000L
+    def mk(name: String, aged: Boolean): Unit = {
+      val f = new java.io.File(path, name)
+      java.nio.file.Files.writeString(f.toPath, "x")
+      if (aged) f.setLastModified(old)
+    }
+    val qa = "11111111-aaaa-bbbb-cccc-dddddddddddd" // UUID-shaped: dashes
+    val qb = "22222222-aaaa-bbbb-cccc-dddddddddddd"
+    mk(s"._graft_epoch-$qa-3.done", aged = true)
+    mk(s"._graft_epoch-$qa-7.done", aged = true)   // newest for qa — kept
+    mk(s"._graft_epoch-$qa-2.intent", aged = true)
+    mk(s"._graft_epoch-$qb-1.done", aged = true)   // newest for qb — kept
+    mk(s"._graft_epoch-$qa-9.intent.tmp", aged = true) // crashed writeIntent
+    mk(s"._graft_epoch-$qb-0.done", aged = false)  // young — kept by age
+    KvCommands.sweepUnmanifested(path, olderThanMs = 600_000L)
+    val left = new java.io.File(path).list().filter(_.startsWith("._graft_epoch-")).toSet
+    assert(left === Set(
+      s"._graft_epoch-$qa-7.done",  // newest per query survives any age
+      s"._graft_epoch-$qb-1.done",
+      s"._graft_epoch-$qb-0.done")) // within the window survives too
+  }
+
+  test("a chunk that would overflow its segment-name stride fails loudly") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = Files.createTempDirectory("graft_stride").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    // 1-byte segment cap → one segment per row → >1000 segments in one
+    // chunk would overrun the next chunk's name range and silently break
+    // cross-chunk last-write-wins; the guard must reject it instead
+    val w = new GraftKvBufferedPutWriter(path, schema, Seq("k"),
+      graft.store.RowCodec.Binary, gen = 1L, partitionId = 0, taskId = 0L,
+      maxSegBytes = 1L)
+    (0 until 1200).foreach { k =>
+      w.write(InternalRow(k.toLong, UTF8String.fromString(s"v$k")))
+    }
+    val e = intercept[IllegalStateException](w.commit())
+    assert(e.getMessage.contains("segment.maxBytes"))
+  }
+
   test("two racing compactors on one table never duplicate rows") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_2c").toString + "/t"
