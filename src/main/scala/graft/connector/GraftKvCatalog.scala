@@ -83,6 +83,26 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Time travel by wall clock: `SELECT … FROM graft.db.t TIMESTAMP AS
+    * OF ts` — the newest snapshot committed at or before `ts` (snapshot
+    * manifest mtime = commit time; Spark hands micros). Retention
+    * applies exactly as for VERSION AS OF: a `ts` before the oldest
+    * retained snapshot has no consistent view and fails. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    GraftKvMeta.read(tableDir(ident)) match {
+      case Some(m) =>
+        val dir = tableDir(ident)
+        val tsMillis = timestamp / 1000L
+        val versions = graft.store.SegmentFile.manifestVersions(dir)
+        val v = versions.filter(v => graft.store.SegmentFile
+            .manifestVersionFile(dir, v).lastModified() <= tsMillis)
+          .lastOption.getOrElse(throw new IllegalArgumentException(
+            s"no graftkv snapshot at or before timestamp $tsMillis " +
+              s"(retained: ${versions.mkString(", ")})"))
+        new GraftKvTable(dir, m.schema, m.keys, m.encoding, Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftKvMeta.read(tableDir(ident)).isDefined
 

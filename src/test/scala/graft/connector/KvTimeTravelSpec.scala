@@ -153,6 +153,30 @@ class KvTimeTravelSpec extends AnyFunSuite {
     assert(KvCommands.snapshots(path).size == 1)
   }
 
+  test("TIMESTAMP AS OF resolves to the newest snapshot at or before the clock") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.ta")
+    spark.sql("CREATE TABLE graft_tt.ta.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_tt.ta.t VALUES (1, 'x')")
+    Thread.sleep(1100) // snapshot mtimes are millis; leave a clear gap
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO graft_tt.ta.t VALUES (2, 'y')")
+
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC")) // session TZ
+    val tsLit = fmt.format(new java.util.Date(betweenMs))
+    val asOf = spark.sql(
+      s"SELECT k FROM graft_tt.ta.t TIMESTAMP AS OF '$tsLit'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(asOf == Seq(1L), s"expected pre-second-insert state, got $asOf")
+    // a timestamp before the first commit has no consistent view
+    val e = intercept[Exception] {
+      spark.sql("SELECT k FROM graft_tt.ta.t TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no graftkv snapshot"))
+  }
+
   test("regressions: snapshot streams refuse; drop clears history; tombstone overwrite fails") {
     val path = Files.createTempDirectory("graftkv_tt_reg").toString + "/t"
     KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
