@@ -89,15 +89,25 @@ object Dedup {
         TextFunctions.tokens(col(textCol)), shingle).as("shset"))
 
   /** Exact Jaccard on precomputed shingle-hash sets (columns idCol,
-    * shset), evaluated only for the given candidate pairs. */
+    * shset), evaluated only for the given candidate pairs. The union
+    * size is |A|+|B|−|A∩B| (shset elements are distinct by
+    * construction), so verification materializes ONE intersection per
+    * pair instead of also building a union array — the dominant
+    * per-pair cost in a heavy-duplicate corpus, where candidate count
+    * grows with the square of the clique size. */
   def jaccardVerifySets(sets: DataFrame, pairs: DataFrame,
       threshold: Double = 0.7, idCol: String = "doc_id"): DataFrame = {
-    val s = sets.select(col(idCol).as("jid"), col("shset"))
+    val s = sets.select(col(idCol).as("jid"), col("shset"),
+      size(col("shset")).as("ssz"))
     pairs
-      .join(s, col("doc_a") === col("jid")).withColumnRenamed("shset", "set_a").drop("jid")
-      .join(s, col("doc_b") === col("jid")).withColumnRenamed("shset", "set_b").drop("jid")
+      .join(s, col("doc_a") === col("jid"))
+      .withColumnRenamed("shset", "set_a").withColumnRenamed("ssz", "sz_a")
+      .drop("jid")
+      .join(s, col("doc_b") === col("jid"))
+      .withColumnRenamed("shset", "set_b").withColumnRenamed("ssz", "sz_b")
+      .drop("jid")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard",
         when(col("uni") === 0, 0.0).otherwise(col("inter").cast("double") / col("uni")))
       .filter(col("jaccard") >= threshold)

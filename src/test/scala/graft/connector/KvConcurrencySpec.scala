@@ -51,6 +51,16 @@ class KvConcurrencySpec extends AnyFunSuite {
     val versions = SegmentFile.manifestVersions(dir)
     assert(versions.size <= SegmentFile.MaxRetainedManifests)
     assert(SegmentFile.readManifestVersion(dir, versions.last).contains(live))
+    // linearizable history: with append-only transforms, every retained
+    // version must contain its predecessor — a violation means two
+    // interleaved commits shared a version slot or read a stale base
+    versions.sliding(2).foreach {
+      case Seq(a, b) =>
+        val sa = SegmentFile.readManifestVersion(dir, a).get
+        val sb = SegmentFile.readManifestVersion(dir, b).get
+        assert(sa.subsetOf(sb), s"version $b lost entries committed at $a")
+      case _ => ()
+    }
   }
 
   test("manifest CAS: no-op transform on a versioned table publishes nothing") {
