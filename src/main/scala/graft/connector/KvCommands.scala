@@ -256,19 +256,21 @@ object KvCommands {
     * stranded by a crashed writer) older than `olderThanMs`. Bounded by
     * the manifest contract: anything not listed is invisible to every
     * reader planned after the swap, and the age guard keeps files alive
-    * for scans planned before it. */
-  def sweepUnmanifested(path: String, olderThanMs: Long): Unit =
-    SegmentFile.readManifest(path).foreach { live =>
+    * for scans planned before it. Returns the number of segment files
+    * reclaimed (the SQL VACUUM statement's report). */
+  def sweepUnmanifested(path: String, olderThanMs: Long): Int =
+    SegmentFile.readManifest(path).map { live =>
       import java.nio.file.{Files, Paths}
       val cutoff = System.currentTimeMillis() - olderThanMs
-      Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+      val swept = Option(new java.io.File(path).list())
+        .getOrElse(Array.empty[String])
         .filter(n => n.endsWith(".kv") &&
           !live.contains(n) &&
           new java.io.File(path, n).lastModified() <= cutoff)
-        .foreach { n =>
-          Files.deleteIfExists(Paths.get(path, n))
-          Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
-        }
+      swept.foreach { n =>
+        Files.deleteIfExists(Paths.get(path, n))
+        Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
+      }
       // snapshot manifests expire with the files they reference: past the
       // window a VERSION AS OF read fails with "no snapshot" instead of
       // "missing segment files"
@@ -296,7 +298,8 @@ object KvCommands {
       markers.filterNot(keep.contains)
         .filter(n => new java.io.File(path, n).lastModified() <= cutoff)
         .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
-    }
+      swept.length
+    }.getOrElse(0)
 
   /** Retained snapshot versions (newest = the current table state). */
   def snapshots(path: String): Seq[Long] = SegmentFile.manifestVersions(path)

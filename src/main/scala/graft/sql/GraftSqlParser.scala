@@ -42,6 +42,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           table.replace("`", "").split('.').toSeq) =>
       GraftCompactCommand(table.replace("`", "").split('.').toSeq,
         major != null)
+    case GraftSqlParser.VacuumStmt(table, n, unit)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      val retainMs = (Option(n), Option(unit)) match {
+        case (Some(v), Some(u)) =>
+          val mult = u.toUpperCase.stripSuffix("S") match {
+            case "MINUTE" => 60000L
+            case "HOUR" => 3600000L
+            case _ => 86400000L // DAY
+          }
+          v.toLong * mult
+        case _ => 600000L // default grace = the compaction retention window
+      }
+      GraftVacuumCommand(table.replace("`", "").split('.').toSeq, retainMs)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -84,6 +98,13 @@ object GraftSqlParser {
   private[sql] val CompactStmt =
     """(?is)\s*COMPACT\s+TABLE\s+([\w.`]+)(\s+MAJOR)?\s*;?\s*""".r
 
+  /** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — reclaim replaced /
+    * orphaned segment files and expired snapshot manifests older than
+    * the retention window (default: the compaction grace window). */
+  private[sql] val VacuumStmt =
+    ("""(?is)\s*VACUUM\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?))?\s*;?\s*""").r
+
   /** SQL keyword inventory for shell completion — the reference derives
     * its completer vocabulary by reflecting over parser fields
     * (HBaseSQLParser.scala:28-37 getKeywords); the modern analog
@@ -93,7 +114,8 @@ object GraftSqlParser {
   lazy val keywords: Seq[String] = {
     val graftKw = Seq("LOAD", "PARALL", "DATA", "LOCAL", "INPATH",
       "OVERWRITE", "INTO", "TABLE", "FIELDS", "TERMINATED", "BY",
-      "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR")
+      "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
+      "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -157,6 +179,27 @@ case class GraftCompactCommand(table: Seq[String], major: Boolean)
         before
       } else graft.connector.KvCommands.compactMinor(spark, dir)
     Seq(Row(n))
+  }
+}
+
+/** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — the retention
+  * maintenance statement: deletes replaced/orphaned segment files and
+  * expired snapshot manifests older than the window. A long window is
+  * the snapshot-retention guarantee; RETAIN 0 MINUTES reclaims
+  * everything not live (in-flight scans planned against older
+  * snapshots lose their files — same contract as any table format's
+  * aggressive vacuum). */
+case class GraftVacuumCommand(table: Seq[String], retainMs: Long)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.IntegerType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_reclaimed", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "VACUUM")
+    Seq(Row(graft.connector.KvCommands.sweepUnmanifested(dir, retainMs)))
   }
 }
 

@@ -74,6 +74,30 @@ class ShellSpec extends AnyFunSuite {
     Shell.execute(spark, "DROP TABLE graft.lp.t")
   }
 
+  test("VACUUM TABLE reclaims replaced segments and expired snapshots via SQL") {
+    Shell.execute(spark, "CREATE NAMESPACE IF NOT EXISTS graft.vc")
+    Shell.execute(spark,
+      "CREATE TABLE graft.vc.t (k BIGINT, v STRING) TBLPROPERTIES('key'='k')")
+    Shell.execute(spark, "INSERT INTO graft.vc.t VALUES (1, 'a'), (2, 'b')")
+    Shell.execute(spark, "INSERT INTO graft.vc.t VALUES (1, 'a2'), (3, 'c')")
+    // compaction replaces the overlapping runs but RETAINS the originals
+    // for the grace window — vacuum with zero retention reclaims them
+    assert(Shell.execute(spark, "COMPACT TABLE graft.vc.t")
+      .head().getInt(0) > 0)
+    val reclaimed = Shell.execute(spark,
+      "VACUUM TABLE graft.vc.t RETAIN 0 MINUTES").head().getInt(0)
+    assert(reclaimed > 0, "expected replaced segments to be reclaimed")
+    // data intact, history pruned to the current snapshot
+    val rows = Shell.execute(spark, "SELECT k, v FROM graft.vc.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(Shell.execute(spark, "SHOW SNAPSHOTS FOR graft.vc.t").count() == 1)
+    // a second vacuum finds nothing
+    assert(Shell.execute(spark, "VACUUM TABLE graft.vc.t RETAIN 0 MINUTES")
+      .head().getInt(0) == 0)
+    Shell.execute(spark, "DROP TABLE graft.vc.t")
+  }
+
   test("keyword completion covers graft statements and Spark SQL keywords") {
     // the reference CLI's reflection-based completer restated
     // (HBaseSQLParser.getKeywords / HBaseSQLCliDriver)
