@@ -122,6 +122,12 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(graft.store.RowCodec.Binary)
     graft.store.RowCodec(schema, keys, encoding) // validates encoding + types
     GraftKvMeta.write(tableDir(ident), schema, keys, encoding)
+    // seed an EMPTY manifest version: the table is manifest-governed
+    // from birth, so even its very first commits CAS against a real
+    // base — the directory-listing fallback (which could surface a
+    // concurrent writer's uncommitted files) never applies to
+    // catalog-created tables
+    graft.store.SegmentFile.writeManifest(tableDir(ident), Nil)
     new GraftKvTable(tableDir(ident), schema, keys, encoding)
   }
 

@@ -133,8 +133,13 @@ class KvTimeTravelSpec extends AnyFunSuite {
 
     val path = spark.conf.get("spark.sql.catalog.graft_tt.root") + "/tt/h"
     val vs = KvCommands.snapshots(path)
-    assert(vs.size >= 2)
-    val before = spark.sql(s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs.head}")
+    assert(vs.size >= 3) // empty seed + one version per INSERT
+    // the catalog seeds version 1 as the EMPTY table (manifest-governed
+    // from birth) — it is a readable snapshot like any other
+    assert(spark.sql(s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs.head}")
+      .count() == 0)
+    val before = spark.sql(
+      s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs(vs.size - 2)}")
       .collect().map(_.getLong(0)).toSeq
     assert(before == Seq(1L))
     val now = spark.sql(s"SELECT * FROM graft_tt.tt.h VERSION AS OF ${vs.last}")
@@ -217,12 +222,13 @@ class KvTimeTravelSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft_tt.ss.t VALUES (2, 'b')")
 
     val snaps = spark.sql("SHOW SNAPSHOTS FOR graft_tt.ss.t").collect()
-    assert(snaps.length == 2)
+    assert(snaps.length == 3) // CREATE's empty seed + one per INSERT
     assert(snaps.map(_.getLong(0)).sorted.toSeq == snaps.map(_.getLong(0)).toSeq)
     assert(snaps.count(_.getBoolean(3)) == 1 && snaps.last.getBoolean(3))
+    assert(snaps.head.getInt(2) == 0) // the seed lists zero segments
 
     // drive time travel entirely from the SHOW output
-    val first = snaps.head.getLong(0)
+    val first = snaps(1).getLong(0)
     val got = spark.sql(s"SELECT k FROM graft_tt.ss.t VERSION AS OF $first")
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L))
