@@ -304,6 +304,45 @@ object KvCommands {
   /** Retained snapshot versions (newest = the current table state). */
   def snapshots(path: String): Seq[Long] = SegmentFile.manifestVersions(path)
 
+  /** ZERO-COPY clone: a new independent table over the same immutable
+    * segment files (hard links — same inodes, separate directory
+    * entries), optionally as of a retained snapshot version. Segments
+    * are write-once, so the tables share bytes safely: each side's
+    * compaction/vacuum touches only its own directory entries, and
+    * the filesystem reclaims an inode when the LAST table's sweep
+    * unlinks it. The corpus-freezing primitive for training pipelines:
+    * naming a 100 TB snapshot costs metadata, not a copy. Falls back
+    * to file copies when linking is impossible (cross-device). */
+  def cloneTable(src: String, dst: String,
+      version: Option[Long] = None): Unit = {
+    import java.nio.file.{Files, Paths}
+    val m = GraftKvMeta.read(src).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $src"))
+    if (GraftKvMeta.read(dst).isDefined)
+      throw new IllegalArgumentException(s"clone target $dst already exists")
+    val live: Set[String] = version match {
+      case Some(v) => SegmentFile.readManifestVersion(src, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot version $v at $src " +
+            s"(retained: ${SegmentFile.manifestVersions(src).mkString(", ")})"))
+      case None => SegmentFile.readManifest(src).getOrElse(
+        Option(new java.io.File(src).list()).getOrElse(Array.empty[String])
+          .filter(_.endsWith(".kv")).toSet)
+    }
+    Files.createDirectories(Paths.get(dst))
+    def share(name: String): Unit = {
+      val (s, d) = (Paths.get(src, name), Paths.get(dst, name))
+      try Files.createLink(d, s)
+      catch { case _: Exception => Files.copy(s, d) }
+    }
+    live.foreach { f =>
+      share(f)
+      share(f.stripSuffix(".kv") + ".kvmeta")
+    }
+    GraftKvMeta.write(dst, m.schema, m.keys, m.encoding)
+    SegmentFile.writeManifest(dst, live)
+  }
+
   /** Time travel via the path API: the table as of snapshot `version`
     * (the catalog equivalent is `SELECT … FROM graft.db.t VERSION AS OF n`). */
   def tableAsOf(spark: SparkSession, path: String, version: Long): DataFrame =

@@ -42,6 +42,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           table.replace("`", "").split('.').toSeq) =>
       GraftCompactCommand(table.replace("`", "").split('.').toSeq,
         major != null)
+    case GraftSqlParser.CloneStmt(src, dst, v)
+        if GraftSqlParser.targetsGraftCatalog(
+          src.replace("`", "").split('.').toSeq) &&
+          GraftSqlParser.targetsGraftCatalog(
+            dst.replace("`", "").split('.').toSeq) =>
+      GraftCloneCommand(src.replace("`", "").split('.').toSeq,
+        dst.replace("`", "").split('.').toSeq,
+        Option(v).map(_.toLong))
     case GraftSqlParser.VacuumStmt(table, n, unit)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
@@ -98,6 +106,12 @@ object GraftSqlParser {
   private[sql] val CompactStmt =
     """(?is)\s*COMPACT\s+TABLE\s+([\w.`]+)(\s+MAJOR)?\s*;?\s*""".r
 
+  /** CLONE TABLE s INTO d [VERSION AS OF n] — zero-copy snapshot clone
+    * (hard-linked immutable segments; see KvCommands.cloneTable). */
+  private[sql] val CloneStmt =
+    ("""(?is)\s*CLONE\s+TABLE\s+([\w.`]+)\s+INTO\s+([\w.`]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+
   /** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — reclaim replaced /
     * orphaned segment files and expired snapshot manifests older than
     * the retention window (default: the compaction grace window). */
@@ -115,7 +129,8 @@ object GraftSqlParser {
     val graftKw = Seq("LOAD", "PARALL", "DATA", "LOCAL", "INPATH",
       "OVERWRITE", "INTO", "TABLE", "FIELDS", "TERMINATED", "BY",
       "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
-      "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS")
+      "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
+      "CLONE", "VERSION", "AS", "OF")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -179,6 +194,20 @@ case class GraftCompactCommand(table: Seq[String], major: Boolean)
         before
       } else graft.connector.KvCommands.compactMinor(spark, dir)
     Seq(Row(n))
+  }
+}
+
+/** CLONE TABLE s INTO d [VERSION AS OF n] — freeze a table (or one of
+  * its retained snapshots) as a new independent table without copying
+  * data: segments are immutable, so the clone hard-links them and
+  * starts its own manifest/commit history. */
+case class GraftCloneCommand(src: Seq[String], dst: Seq[String],
+    version: Option[Long]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = GraftCatalogPaths.tableDir(spark, src, "CLONE TABLE")
+    val dstDir = GraftCatalogPaths.tableDir(spark, dst, "CLONE TABLE")
+    graft.connector.KvCommands.cloneTable(srcDir, dstDir, version)
+    Nil
   }
 }
 

@@ -98,6 +98,38 @@ class ShellSpec extends AnyFunSuite {
     Shell.execute(spark, "DROP TABLE graft.vc.t")
   }
 
+  test("CLONE TABLE freezes snapshots zero-copy; clones are independent") {
+    Shell.execute(spark, "CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    Shell.execute(spark,
+      "CREATE TABLE graft.cl.src (k BIGINT, v STRING) TBLPROPERTIES('key'='k')")
+    Shell.execute(spark, "INSERT INTO graft.cl.src VALUES (1, 'a')")
+    Shell.execute(spark, "INSERT INTO graft.cl.src VALUES (2, 'b')")
+    val root = spark.conf.get("spark.sql.catalog.graft.root")
+    val midVersion = graft.connector.KvCommands.snapshots(s"$root/cl/src")
+      .dropRight(1).last // the state after the first INSERT
+
+    Shell.execute(spark, "CLONE TABLE graft.cl.src INTO graft.cl.full")
+    Shell.execute(spark,
+      s"CLONE TABLE graft.cl.src INTO graft.cl.old VERSION AS OF $midVersion")
+    def ks(t: String): Seq[Long] =
+      Shell.execute(spark, s"SELECT k FROM graft.cl.$t ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ks("full") == Seq(1L, 2L))
+    assert(ks("old") == Seq(1L))
+
+    // independence both ways: writes to the clone stay in the clone,
+    // and source maintenance cannot break the clone's shared files
+    Shell.execute(spark, "INSERT INTO graft.cl.full VALUES (3, 'c')")
+    assert(ks("full") == Seq(1L, 2L, 3L))
+    assert(ks("src") == Seq(1L, 2L))
+    Shell.execute(spark, "COMPACT TABLE graft.cl.src")
+    Shell.execute(spark, "VACUUM TABLE graft.cl.src RETAIN 0 MINUTES")
+    assert(ks("full") == Seq(1L, 2L, 3L))
+    assert(ks("old") == Seq(1L))
+    Seq("src", "full", "old").foreach(t =>
+      Shell.execute(spark, s"DROP TABLE graft.cl.$t"))
+  }
+
   test("keyword completion covers graft statements and Spark SQL keywords") {
     // the reference CLI's reflection-based completer restated
     // (HBaseSQLParser.getKeywords / HBaseSQLCliDriver)
