@@ -304,6 +304,25 @@ object KvCommands {
   /** Retained snapshot versions (newest = the current table state). */
   def snapshots(path: String): Seq[Long] = SegmentFile.manifestVersions(path)
 
+  /** Roll the table back to a retained snapshot: publish that
+    * snapshot's segment set as a NEW commit (history moves forward — the
+    * rolled-back-over commits stay retained and readable until the
+    * sweep, so a restore is itself undoable). Segments are immutable
+    * and still on disk within the retention window, so this is a
+    * metadata-only operation at any table size. */
+  def restoreTable(path: String, version: Long): Unit = {
+    val snap = SegmentFile.readManifestVersion(path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot version $version at $path " +
+          s"(retained: ${SegmentFile.manifestVersions(path).mkString(", ")})"))
+    val missing = snap.filterNot(f => new java.io.File(path, f).exists())
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"snapshot $version references swept segments: " +
+        missing.toSeq.sorted.mkString(", "))
+    SegmentFile.commitManifest(path)(_ => Some(snap))
+    ()
+  }
+
   /** ZERO-COPY clone: a new independent table over the same immutable
     * segment files (hard links — same inodes, separate directory
     * entries), optionally as of a retained snapshot version. Segments

@@ -50,6 +50,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCloneCommand(src.replace("`", "").split('.').toSeq,
         dst.replace("`", "").split('.').toSeq,
         Option(v).map(_.toLong))
+    case GraftSqlParser.RestoreStmt(table, v)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftRestoreCommand(table.replace("`", "").split('.').toSeq, v.toLong)
     case GraftSqlParser.VacuumStmt(table, n, unit)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
@@ -112,6 +116,13 @@ object GraftSqlParser {
     ("""(?is)\s*CLONE\s+TABLE\s+([\w.`]+)\s+INTO\s+([\w.`]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
+  /** RESTORE TABLE t [TO] VERSION AS OF n — roll back to a retained
+    * snapshot as a new forward commit (metadata-only; undoable until
+    * the sweep). */
+  private[sql] val RestoreStmt =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?""" +
+      """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+
   /** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — reclaim replaced /
     * orphaned segment files and expired snapshot manifests older than
     * the retention window (default: the compaction grace window). */
@@ -130,7 +141,7 @@ object GraftSqlParser {
       "OVERWRITE", "INTO", "TABLE", "FIELDS", "TERMINATED", "BY",
       "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
-      "CLONE", "VERSION", "AS", "OF")
+      "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -207,6 +218,18 @@ case class GraftCloneCommand(src: Seq[String], dst: Seq[String],
     val srcDir = GraftCatalogPaths.tableDir(spark, src, "CLONE TABLE")
     val dstDir = GraftCatalogPaths.tableDir(spark, dst, "CLONE TABLE")
     graft.connector.KvCommands.cloneTable(srcDir, dstDir, version)
+    Nil
+  }
+}
+
+/** RESTORE TABLE t [TO] VERSION AS OF n — time travel that WRITES: the
+  * snapshot's segment set is republished as a new commit, so rollback
+  * itself stays in the history (undoable until the sweep). */
+case class GraftRestoreCommand(table: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "RESTORE TABLE")
+    graft.connector.KvCommands.restoreTable(dir, version)
     Nil
   }
 }

@@ -130,6 +130,36 @@ class ShellSpec extends AnyFunSuite {
       Shell.execute(spark, s"DROP TABLE graft.cl.$t"))
   }
 
+  test("RESTORE TABLE rolls back to a snapshot as a new, undoable commit") {
+    Shell.execute(spark, "CREATE NAMESPACE IF NOT EXISTS graft.rs")
+    Shell.execute(spark,
+      "CREATE TABLE graft.rs.t (k BIGINT, v STRING) TBLPROPERTIES('key'='k')")
+    Shell.execute(spark, "INSERT INTO graft.rs.t VALUES (1, 'a')")
+    val root = spark.conf.get("spark.sql.catalog.graft.root")
+    val goodVersion = graft.connector.KvCommands.snapshots(s"$root/rs/t").last
+    Shell.execute(spark, "INSERT INTO graft.rs.t VALUES (2, 'oops')")
+    def ks(): Seq[Long] =
+      Shell.execute(spark, "SELECT k FROM graft.rs.t ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+    assert(ks() == Seq(1L, 2L))
+    Shell.execute(spark,
+      s"RESTORE TABLE graft.rs.t TO VERSION AS OF $goodVersion")
+    assert(ks() == Seq(1L))
+    // the restore is itself a commit: the pre-restore state stays a
+    // retained snapshot, so the rollback is undoable
+    val preRestore = graft.connector.KvCommands.snapshots(s"$root/rs/t")
+      .dropRight(1).last
+    Shell.execute(spark,
+      s"RESTORE TABLE graft.rs.t VERSION AS OF $preRestore")
+    assert(ks() == Seq(1L, 2L))
+    // an unknown version fails loudly
+    val e = intercept[Exception] {
+      Shell.execute(spark, "RESTORE TABLE graft.rs.t TO VERSION AS OF 999999")
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    Shell.execute(spark, "DROP TABLE graft.rs.t")
+  }
+
   test("keyword completion covers graft statements and Spark SQL keywords") {
     // the reference CLI's reflection-based completer restated
     // (HBaseSQLParser.getKeywords / HBaseSQLCliDriver)
