@@ -368,7 +368,8 @@ object PipelineOps {
 
     QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>
       Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), dim = 64,
-        threshold = 0.5, nPlanes = 8).orderBy("vec_a", "vec_b")
+        threshold = 0.5, nPlanes = 64, bands = 4, probeBits = 1)
+        .orderBy("vec_a", "vec_b")
     },
 
     // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────

@@ -104,17 +104,55 @@ object Similarity {
   }
 
   /** All near-duplicate embedding pairs with cosine ≥ `threshold`,
-    * found via signature-bucket join (never all-pairs). */
+    * found via BANDED multi-probe signature buckets (never all-pairs) —
+    * the minhash-LSH banding pattern applied to hyperplane sign bits:
+    * candidates share any one `w = nPlanes/bands`-bit band, where the
+    * probing side also posts its single-bit band perturbations
+    * (`probeBits = 1`), so a pair within Hamming distance 1 of any band
+    * still collides. For cosine c the per-bit agreement is 1−θ/π; at
+    * the defaults (64 planes, 4×16-bit bands, 1 probe bit) recall for
+    * c ≥ 0.95 is ~0.94 vs ~0.18 for a single exact-signature bucket,
+    * while a random near-orthogonal pair collides with probability
+    * ≈ bands·(1+w)·2^−w ≈ 0.1% — candidates stay near-linear in corpus
+    * size. Exact cosine verification prunes the rest. */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int,
-      threshold: Double = 0.95, nPlanes: Int = 16,
+      threshold: Double = 0.95, nPlanes: Int = 64, bands: Int = 4,
+      probeBits: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    require(w < 62, "band width must fit a Long")
+    require(probeBits <= 1, "only 0 or 1 probe bits supported")
     val sigged = embeddings
       .select(col(idCol), col(vecCol),
         hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"))
-    val l = sigged.as("l"); val r = sigged.as("r")
-    l.join(r, col("l.sig") === col("r.sig") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"),
-        cosine(col(s"l.$vecCol"), col(s"r.$vecCol")).as("sim"))
+    val mask = (1L << w) - 1
+    def bandVal(b: Int) = shiftrightunsigned(col("sig"), b * w).bitwiseAND(mask)
+    // posting side: one exact key per band. Only (id, band, value) —
+    // the candidate shuffle must never carry the vectors themselves;
+    // verification joins them back for candidates only.
+    val posts = sigged.select(col(idCol), posexplode(
+      array((0 until bands).map(bandVal): _*)).as(Seq("band", "bv")))
+    // probing side: the exact key plus its single-bit flips (flipping on
+    // ONE side covers band-Hamming ≤ probeBits symmetrically)
+    val probeVals = (b: Int) => {
+      val base = bandVal(b)
+      val flips = if (probeBits == 0) Seq.empty
+        else (0 until w).map(j => base.bitwiseXOR(lit(1L << j)))
+      array(base +: flips: _*)
+    }
+    val probes = sigged.select(col(idCol), posexplode(
+      array((0 until bands).map(probeVals): _*)).as(Seq("band", "bvs")))
+      .select(col(idCol), col("band"), explode(col("bvs")).as("bv"))
+    val l = probes.as("l"); val r = posts.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"))
+      .distinct()
+      .join(sigged.select(col(idCol).as("vec_a"), col(vecCol).as("__va")), "vec_a")
+      .join(sigged.select(col(idCol).as("vec_b"), col(vecCol).as("__vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -31,6 +31,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(top(2).getAs[Double]("sim") - cosineRef(q, Seq(0.9f, 0.1f, 0f, 0f))) < 1e-12)
   }
 
+  test("banded multi-probe buckets recall non-colinear near-duplicates") {
+    // planted pairs at cosine ≈ 0.95-0.99 (NOT colinear — signatures
+    // differ in a few bits) among random distractors: the banded
+    // multi-probe join must recall most of them, where a single
+    // exact-signature bucket is a coin flip. Fixed seed → deterministic.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float], eps: Double): Array[Float] =
+      v.map(x => (x + eps * rnd.nextGaussian()).toFloat)
+    val planted = (0 until 6).map { i =>
+      val v = randVec()
+      (100L + i, 200L + i, v, perturb(v, 0.08))
+    }
+    val rows =
+      planted.flatMap { case (ia, ib, va, vb) =>
+        Seq((ia, va.toSeq), (ib, vb.toSeq)) } ++
+        (0 until 50).map(i => (i.toLong, randVec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val truePairs = planted.collect {
+      case (ia, ib, va, vb) if cosineRef(va.toSeq.map(identity), vb.toSeq.map(identity)) >= 0.9 =>
+        (ia, ib)
+    }.toSet
+    assert(truePairs.size >= 4, s"seed produced too few true pairs: $truePairs")
+    val found = Similarity.embeddingNearDupPairs(df, dim = dim,
+      threshold = 0.9, nPlanes = 64, bands = 4, probeBits = 1)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recalled = truePairs.count(found.contains)
+    assert(recalled >= truePairs.size - 1,
+      s"banded recall too low: $recalled of ${truePairs.size} ($found)")
+    // verification is exact: nothing below the threshold survives
+    val sims = Similarity.embeddingNearDupPairs(df, dim = dim,
+      threshold = 0.9, nPlanes = 64, bands = 4, probeBits = 1)
+      .collect().map(_.getAs[Double]("sim"))
+    assert(sims.forall(_ >= 0.9))
+  }
+
   test("hyperplane signature: colinear vectors share it, opposite vectors differ") {
     val sigs = vecs.select($"vec_id",
       Similarity.hyperplaneSignature($"embedding", dim = 4, nPlanes = 16).as("sig"))
