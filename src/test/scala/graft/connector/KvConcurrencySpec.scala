@@ -274,6 +274,46 @@ class KvConcurrencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("segment.maxBytes"))
   }
 
+  test("a SEPARATE PROCESS racing this JVM's commits loses nothing") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // the CAS is hard-link-based, so its guarantee must hold across OS
+    // processes (two Spark JOBS appending one table), not just threads —
+    // fork a real second JVM and interleave commits with it
+    val path = Files.createTempDirectory("graft_xproc").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val rows = 100
+    val commits = 20
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val child = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.connector.KvCrossProcessMain",
+      path, "child", "1000000", rows.toString, commits.toString)
+      .redirectErrorStream(true).start()
+    // parent commits its own disjoint range concurrently, in-process
+    (0 until commits).foreach { c =>
+      val w = new GraftKvBufferedPutWriter(path, schema, Seq("k"),
+        graft.store.RowCodec.Binary, gen = c + 1L, partitionId = 1,
+        taskId = c.toLong)
+      val base = c.toLong * rows
+      (base until base + rows).foreach { k =>
+        w.write(InternalRow(k, UTF8String.fromString(s"parent-$k")))
+      }
+      w.commit() match {
+        case GraftKvCommit(files) =>
+          GraftKvCommitProtocol.commitAppend(path, files.toSet, schema,
+            Seq("k"), graft.store.RowCodec.Binary)
+      }
+    }
+    assert(child.waitFor(120, TimeUnit.SECONDS), "child JVM timed out")
+    assert(child.exitValue() === 0, "child JVM failed")
+    val total = 2L * commits * rows
+    val got = KvCommands.table(spark, path)
+    assert(got.count() === total)
+    assert(got.filter(col("k") >= 1000000L).count() === commits.toLong * rows)
+  }
+
   test("two racing compactors on one table never duplicate rows") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_2c").toString + "/t"
