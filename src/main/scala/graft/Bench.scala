@@ -45,9 +45,18 @@ object Bench {
     val content = try new String(
       java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
     catch { case _: Exception => return None }
-    // last "queries":{...} block in the file is the final bench line's
+    // The bench line may carry several "queries" blocks (the primary-SF
+    // one, then an optional "sf1" scale-stress section). Anchor at the
+    // final bench line's "metric":"total" marker and take the FIRST
+    // queries block after it — the primary-SF timings; taking the last
+    // block in the file would compare this round's primary times against
+    // last round's 10× corpus times (every delta a bogus improvement).
+    val anchor = content.lastIndexOf("\"metric\\\":\\\"total\"") match {
+      case -1 => math.max(content.lastIndexOf("\"metric\":\"total\""), 0)
+      case i => i
+    }
     val block = "\\\\?\"queries\\\\?\":\\{([^}]*)\\}".r
-      .findAllMatchIn(content).toSeq.lastOption.map(_.group(1))
+      .findFirstMatchIn(content.substring(anchor)).map(_.group(1))
     block.map { b =>
       round -> "\\\\?\"([a-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
         .findAllMatchIn(b)
@@ -118,6 +127,54 @@ object Bench {
       s""","prev_round":$round,"prev_delta":${obj(deltas)}"""
     }.getOrElse("")
 
+    // plan-time scaling probe: a synthetic 10,000-segment kv table (the
+    // segment count of a ~2.5 TB table at 256 MB segments) must PLAN in
+    // O(1) metadata reads — cold = a fresh driver process (one packed
+    // stats read + parse), warm = version-cached (zero metadata reads).
+    // Guards the 100-TB driver bottleneck the packed manifest stats
+    // exist for; query cost itself is one pruned point lookup.
+    val plan10kJson = try {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import org.apache.spark.sql.functions.col
+      val nSegs = 10000
+      val dir = "/root/repo/tmp/plan10k"
+      val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", LongType, nullable = false)))
+      if (!new java.io.File(dir, "_graft_meta.json").exists()) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val codec = graft.store.RowCodec(schema, Seq("k"))
+        val names = (0 until nSegs).map { i =>
+          val name = f"segment-$i%05d-000000-bench000"
+          val w = new graft.store.SegmentFile.Writer(dir, name,
+            cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
+          (0 until 3).foreach { j =>
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](i * 10L + j, i.toLong))
+            w.write(codec.encodeKey(row), codec.encodeValue(row))
+          }
+          w.close()
+          s"$name.kv"
+        }
+        graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
+        graft.store.SegmentFile.writeManifest(dir, names)
+      }
+      def planOnce(key: Long): Double = {
+        val t0 = System.nanoTime()
+        val n = spark.read.format("graftkv").load(dir)
+          .where(col("k") === key).count()
+        require(n == 1, s"plan10k probe read $n rows for key $key")
+        (System.nanoTime() - t0) / 1e9
+      }
+      planOnce(50001L) // JIT/codegen warmup (cache cleared below)
+      graft.store.SegmentFile.clearPlanningCache()
+      val cold = planOnce(10001L)
+      val warm = planOnce(20002L)
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
+      ""
+    }
+
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
     // warmups, so per-query scaling vs the primary SF is directly
@@ -138,7 +195,7 @@ object Bench {
       s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$sf1Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$sf1Json}""")
     spark.stop()
   }
 }

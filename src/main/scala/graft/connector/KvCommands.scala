@@ -70,7 +70,9 @@ object KvCommands {
         n == "_graft_meta.json" || n == "_graft_segments" ||
         n.startsWith("_graft_segments.v") || // snapshot manifests: a
         // recreated table must not inherit the dead table's history
+        n.startsWith("_graft_stats.v") || // packed planning stats die too
         n.startsWith("._graft_segments.tmp-") ||
+        n.startsWith("._graft_stats.tmp-") ||
         n.startsWith("._graft_meta.tmp-") ||
         n.startsWith("._graft_epoch-")) // streaming markers die with the table
       .foreach(n => new java.io.File(d, n).delete())
@@ -297,6 +299,16 @@ object KvCommands {
         .groupBy(_._1).values.flatMap(_.maxByOption(_._2).map(_._3)).toSet
       markers.filterNot(keep.contains)
         .filter(n => new java.io.File(path, n).lastModified() <= cutoff)
+        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+      // manifest/meta tmp files stranded by a crash between write and
+      // the finally-delete in tryPublishVersion / meta swap: nothing
+      // else reclaims them, so they'd accumulate until DROP TABLE
+      Option(new java.io.File(path).list())
+        .getOrElse(Array.empty[String])
+        .filter(n => (n.startsWith("._graft_segments.tmp-") ||
+          n.startsWith("._graft_meta.tmp-") ||
+          n.startsWith("._graft_stats.tmp-")) &&
+          new java.io.File(path, n).lastModified() <= cutoff)
         .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
       swept.length
     }.getOrElse(0)

@@ -471,7 +471,8 @@ object PipelineOps {
     // over budget
     QuerySpec.checked("cu4_pack_stats",
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> len(t) > 0))) AS BIGINT) AS total_tokens,
         |  true AS budget_ok FROM documents""") { (s, d) =>
       graft.pipeline.Curation.packStats(
         graft.pipeline.Curation.packSequences(t(s, d, "documents"),

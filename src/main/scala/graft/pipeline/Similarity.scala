@@ -122,7 +122,7 @@ object Similarity {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
     require(w < 62, "band width must fit a Long")
-    require(probeBits <= 1, "only 0 or 1 probe bits supported")
+    require(probeBits == 0 || probeBits == 1, "only 0 or 1 probe bits supported")
     val sigged = embeddings
       .select(col(idCol), col(vecCol),
         hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"))

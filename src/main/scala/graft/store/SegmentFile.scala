@@ -250,6 +250,12 @@ object SegmentFile {
     * every query plan would not scale; only a partition reader seeking
     * into its one segment pays for the index. */
   def readMeta(dir: String, name: String, withIndex: Boolean = true): Meta = {
+    // count PLANNING opens only (withIndex=false): a partition reader's
+    // own index load (withIndex=true, one per task, executor-side) is
+    // per-partition work that scales correctly; the planning contract
+    // (PlanningStatsSpec) is that the driver never opens per-segment
+    // sidecars just to plan
+    if (!withIndex) metaOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name))))
     try {
@@ -338,12 +344,12 @@ object SegmentFile {
   def readManifest(dir: String): Option[Set[String]] = {
     var attempts = 0
     while (attempts < 64) {
-      manifestVersions(dir).lastOption match {
+      currentVersion(dir) match {
         case None => return readMirror(dir)
         case Some(v) => readManifestVersion(dir, v) match {
           case s @ Some(_) => return s
-          // version pruned between the listing and the read (a sweep
-          // raced us) — a newer version exists; re-list
+          // version pruned between the probe and the read (a sweep or
+          // drop raced us) — re-probe
           case None => attempts += 1
         }
       }
@@ -380,13 +386,19 @@ object SegmentFile {
             if (next == base && versions.nonEmpty) return Some(next)
             val v = versions.lastOption.getOrElse(0L) + 1L
             if (tryPublishVersion(dir, v, next)) {
+              versionHints.put(dirKey(dir), v)
+              // packed planning stats ride with the new version (see the
+              // packed-stats section): previous pack + this commit's delta
+              publishStats(dir, v, versions.lastOption, next)
               refreshMirror(dir)
               // bound the commit log: an append-only table (streaming
               // ingest) never compacts, so without a count cap it would
               // accumulate one snapshot per commit forever. Metadata-only:
               // expired versions just stop answering VERSION AS OF.
-              versions.dropRight(MaxRetainedManifests - 1)
-                .foreach(old => versionedManifestPath(dir, old).toFile.delete())
+              versions.dropRight(MaxRetainedManifests - 1).foreach { old =>
+                versionedManifestPath(dir, old).toFile.delete()
+                statsPath(dir, old).toFile.delete()
+              }
               return Some(next)
             }
             attempts += 1 // lost the CAS — re-read and re-apply
@@ -404,12 +416,24 @@ object SegmentFile {
       files: Set[String]): Boolean = {
     val tmp = Paths.get(dir,
       s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, files.toSeq.sorted.mkString("\n"))
+    val body = files.toSeq.sorted.mkString("\n")
+    Files.writeString(tmp, body)
     try {
       Files.createLink(versionedManifestPath(dir, v), tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      // filesystems without hard links (some network/overlay mounts):
+      // fall back to an exclusive-create write — CREATE_NEW is the same
+      // atomic fail-if-exists primitive, so CAS semantics survive
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        try {
+          Files.write(versionedManifestPath(dir, v),
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -469,40 +493,271 @@ object SegmentFile {
     val vs = manifestVersions(dir)
     vs.dropRight(1).foreach { v =>
       val f = versionedManifestPath(dir, v).toFile
-      if (f.lastModified() <= cutoffMillis) f.delete()
+      if (f.lastModified() <= cutoffMillis) {
+        f.delete()
+        statsPath(dir, v).toFile.delete()
+      }
     }
   }
 
+  // ── packed planning stats ──────────────────────────────────────────────
+  // At 100 TB / 256 MB segments a table holds ~400k segments; planning
+  // that opens one .kvmeta sidecar per segment per query would do ~400k
+  // driver-side file opens PER PLAN (the reference amortizes the analogous
+  // region listing behind a 600 s TTL cache, HBaseRelation.scala:202-239).
+  // Instead, every manifest commit also writes `_graft_stats.vN`: ALL live
+  // segments' planning stats (key bounds, Blooms, zone maps — everything
+  // but the sparse index) in ONE packed file, built incrementally from the
+  // previous version's pack plus the commit's delta. Planning then does
+  // O(1) file reads per (table, manifest version): probe the current
+  // version, read its pack, and cache the parsed result keyed on the
+  // version file's identity — immutable once CAS-published, so the cache
+  // never needs TTL-style invalidation and stays correct across OS
+  // processes. Sidecars remain the per-segment authority (executors read
+  // them for the seek index; the pack is a planning accelerator) and the
+  // fallback when a pack is missing (legacy table, crashed committer):
+  // one sidecar sweep, after which the read path backfills the pack.
+
+  private val PackedStatsV1 = -100
+
+  private def statsPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"_graft_stats.v$v")
+
+  /** Planning-path sidecar opens, i.e. readMeta(withIndex=false) calls
+    * (test instrumentation: planning must not scale its file opens with
+    * segment count). */
+  private[graft] val metaOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  private def writePackedEntry(out: DataOutputStream, m: Meta): Unit = {
+    val nb = m.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(nb.length); out.write(nb)
+    out.writeLong(m.gen); out.writeLong(m.tombstones)
+    m.schemaJson match {
+      case Some(js) =>
+        val b = js.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      case None => out.writeInt(-1)
+    }
+    out.writeInt(m.minKey.length); out.write(m.minKey)
+    out.writeInt(m.maxKey.length); out.write(m.maxKey)
+    out.writeLong(m.count); out.writeLong(m.sizeBytes)
+    out.writeInt(m.blooms.length)
+    m.blooms.foreach { bl =>
+      out.writeInt(bl.words.length); bl.words.foreach(out.writeLong)
+    }
+    out.writeInt(m.zoneStats.length)
+    m.zoneStats.foreach { z =>
+      val zb = z.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(zb.length); out.write(zb)
+      out.writeByte(tagOf(z.dataType).toInt)
+      writeZoneValue(out, z.dataType, z.min)
+      writeZoneValue(out, z.dataType, z.max)
+    }
+  }
+
+  private def readPackedEntry(in: DataInputStream): Meta = {
+    val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+    val file = new String(nb, java.nio.charset.StandardCharsets.UTF_8)
+    val gen = in.readLong(); val tombstones = in.readLong()
+    val schemaJson = in.readInt() match {
+      case -1 => None
+      case n =>
+        val b = new Array[Byte](n); in.readFully(b)
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val min = new Array[Byte](in.readInt()); in.readFully(min)
+    val max = new Array[Byte](in.readInt()); in.readFully(max)
+    val count = in.readLong(); val size = in.readLong()
+    val blooms = (0 until in.readInt()).map { _ =>
+      val words = new Array[Long](in.readInt())
+      var i = 0
+      while (i < words.length) { words(i) = in.readLong(); i += 1 }
+      Bloom(words)
+    }
+    val stats = (0 until in.readInt()).map { _ =>
+      val zb = new Array[Byte](in.readInt()); in.readFully(zb)
+      val dt = typeOf(in.readByte())
+      ZoneStat(new String(zb, java.nio.charset.StandardCharsets.UTF_8),
+        dt, readZoneValue(in, dt), readZoneValue(in, dt))
+    }
+    Meta(file, min, max, count, size, blooms, IndexedSeq.empty, schemaJson,
+      stats, gen, tombstones)
+  }
+
+  /** Write the packed planning stats for snapshot `v`. Only the CAS
+    * winner for `v` (or a read-path backfill deriving identical content
+    * from the same immutable inputs) writes it, so a plain atomic move
+    * suffices — no second CAS. */
+  private def writePackedStats(dir: String, v: Long, metas: Seq[Meta]): Unit = {
+    val tmp = Paths.get(dir,
+      s"._graft_stats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp), 1 << 16))
+    try {
+      out.writeInt(PackedStatsV1)
+      out.writeInt(metas.length)
+      metas.foreach(writePackedEntry(out, _))
+    } finally out.close()
+    try Files.move(tmp, statsPath(dir, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: Exception => Files.deleteIfExists(tmp) }
+  }
+
+  /** Parse snapshot `v`'s packed stats; None when absent or torn
+    * (callers fall back to per-sidecar reads). */
+  private def readPackedStats(dir: String, v: Long): Option[Seq[Meta]] = {
+    val p = statsPath(dir, v)
+    if (!Files.exists(p)) return None
+    try {
+      val in = new DataInputStream(new BufferedInputStream(
+        Files.newInputStream(p), 1 << 16))
+      try {
+        if (in.readInt() != PackedStatsV1) None
+        else Some((0 until in.readInt()).map(_ => readPackedEntry(in)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  private def dirKey(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize.toString
+
+  /** Last observed max version per table dir — the probe start. */
+  private val versionHints =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** (dir, version, version-file identity) → parsed stats. The identity
+    * triple (fileKey/size/mtime) guards against a dropped-and-recreated
+    * table reusing version numbers; content for a given identity is
+    * immutable, so entries never go stale. */
+  private final case class StatsKey(dir: String, v: Long, fileKey: String,
+      size: Long, mtime: Long)
+  private val statsLock = new Object
+  private val statsCache =
+    new java.util.LinkedHashMap[StatsKey, Seq[Meta]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[StatsKey, Seq[Meta]]): Boolean = size() > 32
+    }
+
+  /** Test hook: drop every cached planning artifact (as a fresh driver
+    * process would start). */
+  private[graft] def clearPlanningCache(): Unit = {
+    statsLock.synchronized(statsCache.clear())
+    versionHints.clear()
+  }
+
+  /** Current max manifest version WITHOUT a directory listing in the
+    * steady state: versions are contiguous upward and the max is never
+    * pruned, so probing existence from the last observed version finds
+    * the head in O(new commits) stat calls. Falls back to a listing when
+    * the hint is absent or invalidated (first touch, DROP + recreate). */
+  def currentVersion(dir: String): Option[Long] = {
+    val key = dirKey(dir)
+    val hint = versionHints.get(key)
+    var v: Long =
+      if (hint != null && Files.exists(versionedManifestPath(dir, hint.longValue)))
+        hint.longValue
+      else manifestVersions(dir).lastOption.getOrElse {
+        versionHints.remove(key); return None
+      }
+    while (Files.exists(versionedManifestPath(dir, v + 1))) v += 1
+    versionHints.put(key, v)
+    Some(v)
+  }
+
+  /** All live segment planning stats as of snapshot `v`: cache → packed
+    * file → per-sidecar sweep (which backfills the pack, so the sweep
+    * happens at most once per version across all future plans and
+    * processes). None when the version vanished mid-read (drop/recreate
+    * race) — callers re-probe. */
+  private def segmentsForVersion(dir: String, v: Long): Option[Seq[Meta]] = {
+    val mp = versionedManifestPath(dir, v)
+    val attrs =
+      try Files.readAttributes(mp,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: Exception => return None }
+    val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
+      attrs.size, attrs.lastModifiedTime.toMillis)
+    statsLock.synchronized(Option(statsCache.get(key))) match {
+      case hit @ Some(_) => return hit
+      case None =>
+    }
+    val live = readManifestVersion(dir, v).getOrElse(return None)
+    // a pack is authoritative only when it lists EXACTLY the manifest's
+    // set (guards torn/mismatched packs from a crashed committer)
+    val metas = readPackedStats(dir, v)
+      .filter(ms => ms.iterator.map(_.file).toSet == live)
+      .getOrElse {
+        val ms = live.toSeq.map(_.stripSuffix(".kv")).sorted
+          .map(readMeta(dir, _, withIndex = false))
+        // best-effort backfill: read-only mounts just keep the slow path
+        try writePackedStats(dir, v, ms) catch { case _: Exception => () }
+        ms
+      }
+    statsLock.synchronized(statsCache.put(key, metas))
+    Some(metas)
+  }
+
+  /** Build + publish the pack for freshly-committed version `v`:
+    * previous pack's entries carry over (segments are immutable), only
+    * the commit's new files read their sidecars. Best-effort — a miss
+    * means readers fall back to sidecars and backfill. */
+  private def publishStats(dir: String, v: Long, prevV: Option[Long],
+      next: Set[String]): Unit =
+    try {
+      val pool = new scala.collection.mutable.HashMap[String, Meta]
+      prevV.flatMap(readPackedStats(dir, _))
+        .foreach(_.foreach(m => pool(m.file) = m))
+      val metas = next.toSeq.map(_.stripSuffix(".kv")).sorted.map(n =>
+        pool.getOrElse(s"$n.kv", readMeta(dir, n, withIndex = false)))
+      writePackedStats(dir, v, metas)
+    } catch { case _: Exception => () }
+
   /** The LIVE segment set as of snapshot `version`. Replaced files keep
-    * their sidecars on disk through the retention window, so a recent
-    * snapshot lists fully even after compaction rewrote it. */
+    * their data and sidecars on disk through the retention window, so a
+    * recent snapshot lists fully even after compaction rewrote it. */
   def listSegmentsAsOf(dir: String, version: Long): Seq[Meta] = {
     val live = readManifestVersion(dir, version).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot version $version at $dir " +
           s"(retained: ${manifestVersions(dir).mkString(", ")})"))
-    val onDisk = Option(new File(dir).list()).getOrElse(Array.empty[String])
-      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
-      .filter(n => live.contains(s"$n.kv"))
-    val missing = live -- onDisk.map(s => s"$s.kv").toSet
+    // fail at planning, not mid-scan, if the retention sweep already
+    // reclaimed this snapshot's files (one stat per segment — snapshot
+    // reads are the rare path; live plans never pay this)
+    val missing = live.filterNot(f => Files.exists(Paths.get(dir, f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"snapshot $version of $dir references swept segments: " +
         missing.toSeq.sorted.mkString(", "))
-    onDisk.sorted.toSeq.map(readMeta(dir, _, withIndex = false))
+    segmentsForVersion(dir, version).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot $version of $dir vanished while listing"))
   }
 
   /** All LIVE segment metas under a table dir (index not loaded — see
-    * readMeta). Manifest-governed tables list exactly the manifest set;
-    * legacy tables list the directory. */
+    * readMeta). Manifest-governed tables serve the packed planning stats
+    * of the current version (O(1) file reads, cached); legacy tables
+    * list the directory. */
   def listSegments(dir: String): Seq[Meta] = {
-    val d = new File(dir)
-    val onDisk = Option(d.list()).getOrElse(Array.empty[String])
-      .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
-    val names = readManifest(dir) match {
-      case Some(live) => onDisk.filter(n => live.contains(s"$n.kv"))
-      case None => onDisk
+    var attempts = 0
+    while (attempts < 64) {
+      currentVersion(dir) match {
+        case Some(v) => segmentsForVersion(dir, v) match {
+          case Some(ms) => return ms
+          case None => attempts += 1 // version vanished mid-read — re-probe
+        }
+        case None =>
+          // legacy (pre-manifest) table: directory listing is authority
+          val d = new File(dir)
+          val onDisk = Option(d.list()).getOrElse(Array.empty[String])
+            .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
+          val names = readMirror(dir) match {
+            case Some(live) => onDisk.filter(n => live.contains(s"$n.kv"))
+            case None => onDisk
+          }
+          return names.sorted.toSeq.map(readMeta(dir, _, withIndex = false))
+      }
     }
-    names.sorted.toSeq.map(readMeta(dir, _, withIndex = false))
+    throw new IllegalStateException(s"cannot list a stable segment set at $dir")
   }
 
   def nonEmpty(dir: String): Boolean = listSegments(dir).nonEmpty
