@@ -404,6 +404,50 @@ object PipelineOps {
         .orderBy("media_id")
     },
 
+    // REAL audio decode (javax.sound.sampled): one deterministic WAV per
+    // doc, decoded back by the codec. Invariant oracle — the decoded
+    // rate and frame count must equal the declared meta for EVERY clip,
+    // and RMS must be a valid normalized amplitude; the constants are
+    // pinned in SQL, so a decode drift fails the gate, not just a spec.
+    QuerySpec.checked("mm4_audio_decode",
+      """SELECT CAST(count(*) AS BIGINT) AS n_audio, true AS rates_ok,
+        |  true AS frames_ok, true AS rms_ok FROM documents""") { (s, d) =>
+      val audio = Multimodal.syntheticAudioTable(t(s, d, "documents"))
+      Multimodal.decodeAndFeaturize(audio)
+        .join(audio.select(col("media_id"),
+          col("meta.sample_rate").as("exp_rate"),
+          col("meta.n_frames").as("exp_frames")), "media_id")
+        .agg(count(lit(1)).as("n_audio"),
+          // per-row coalesce: a clip that failed to decode (null rate)
+          // must read as FALSE, not be skipped by min's null handling
+          coalesce(min(coalesce(col("sample_rate") === col("exp_rate"),
+            lit(false))), lit(false)).as("rates_ok"),
+          coalesce(min(coalesce(col("n_samples") === col("exp_frames").cast("long"),
+            lit(false))), lit(false)).as("frames_ok"),
+          coalesce(min(col("rms").isNotNull && col("rms") >= 0.0 &&
+            col("rms") <= 1.0), lit(false)).as("rms_ok"))
+    },
+
+    // REAL audio downsample: every output WAV is re-decoded by the
+    // codec, so rate = rate/2 and frames = ceil(frames/2) hold as
+    // codec-verified facts; a row that fails the round-trip is DROPPED
+    // by resampleAudio, which the pinned count catches.
+    QuerySpec.checked("mm5_audio_resample",
+      """SELECT CAST(count(*) AS BIGINT) AS n_audio, true AS rates_ok,
+        |  true AS frames_ok FROM documents""") { (s, d) =>
+      val audio = Multimodal.syntheticAudioTable(t(s, d, "documents"))
+      Multimodal.resampleAudio(audio, factor = 2)
+        .join(audio.select(col("media_id"),
+          col("meta.sample_rate").as("orig_rate"),
+          col("meta.n_frames").as("orig_frames")), "media_id")
+        .agg(count(lit(1)).as("n_audio"),
+          coalesce(min(col("sample_rate") === (col("orig_rate") / 2).cast("int")),
+            lit(false)).as("rates_ok"),
+          coalesce(min(col("n_samples") ===
+            ((col("orig_frames") + 1) / 2).cast("long")), lit(false))
+            .as("frames_ok"))
+    },
+
     // BPE-ish subword counting (alnum runs + isolated symbols)
     QuerySpec.checked("tx7_subword_count",
       """SELECT doc_id,

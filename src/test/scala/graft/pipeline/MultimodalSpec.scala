@@ -131,6 +131,85 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real audio decode: WAV payloads yield true rate, frame count, and RMS") {
+    // pin a known clip directly through the kernel: regenerate the same
+    // LCG sample stream the synthesizer wrote and compute RMS from it
+    val wav = Multimodal.syntheticWav(seed = 7L, sampleRate = 8000, nFrames = 100)
+    val expSamples = {
+      var x = 7L
+      (0 until 100).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 48).toShort
+      }
+    }
+    val expRms = math.sqrt(
+      expSamples.map(s => (s / 32768.0) * (s / 32768.0)).sum / 100)
+    val st = Multimodal.decodeAudio(wav).get
+    assert(st.sampleRate === 8000)
+    assert(st.channels === 1)
+    assert(st.nFrames === 100L)
+    assert(st.rms === expRms) // same doubles, same order — bit-exact
+
+    // end-to-end through the DataFrame path on real WAV payloads
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val audio = Multimodal.syntheticAudioTable(docs)
+    val out = Multimodal.decodeAndFeaturize(audio).orderBy("media_id").collect()
+    val metas = audio.select("media_id", "meta.sample_rate", "meta.n_frames")
+      .orderBy("media_id").collect()
+    out.zip(metas).foreach { case (r, m) =>
+      assert(r.getAs[String]("mime") === "audio/wav")
+      // decoded rate/frames are the codec's truth = the declared meta
+      assert(r.getAs[Int]("sample_rate") === m.getInt(1))
+      assert(r.getAs[Long]("n_samples") === m.getInt(2).toLong)
+      val rms = r.getAs[Double]("rms")
+      assert(rms > 0.0 && rms <= 1.0)
+      // audio rows carry no image fields
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
+  }
+
+  test("real audio downsample: decimated samples, halved rate, decodable output") {
+    val wav = Multimodal.syntheticWav(seed = 42L, sampleRate = 16000, nFrames = 101)
+    val (down, rate, frames) = Multimodal.downsampleAudio(wav, factor = 2).get
+    assert(rate === 8000)
+    assert(frames === 51L) // ceil(101 / 2)
+    // the produced bytes are a REAL decodable WAV with the same facts
+    val st = Multimodal.decodeAudio(down).get
+    assert(st.sampleRate === 8000 && st.nFrames === 51L)
+    // decimation contract: output sample k IS input sample 2k
+    def pcm16le(payload: Array[Byte]): IndexedSeq[Short] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val b = ais.readAllBytes(); ais.close()
+      (0 until b.length / 2).map(i =>
+        (((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort))
+    }
+    val orig = pcm16le(wav)
+    val dec = pcm16le(down)
+    assert(dec === (0 until 51).map(k => orig(2 * k)))
+
+    // end-to-end: every clip survives the resample round-trip
+    val docs = Seq((1L, "gamma"), (2L, "delta")).toDF("doc_id", "text")
+    val audio = Multimodal.syntheticAudioTable(docs)
+    val res = Multimodal.resampleAudio(audio, factor = 2)
+      .orderBy("media_id").collect()
+    val metas = audio.select("media_id", "meta.sample_rate", "meta.n_frames")
+      .orderBy("media_id").collect()
+    assert(res.length === 2)
+    res.zip(metas).foreach { case (r, m) =>
+      assert(r.getAs[Int]("sample_rate") === m.getInt(1) / 2)
+      assert(r.getAs[Long]("n_samples") === (m.getInt(2) + 1) / 2)
+    }
+  }
+
+  test("image and audio decoders are mutually immune") {
+    val png = Multimodal.syntheticPng(seed = 3L, w = 5, h = 5)
+    val wav = Multimodal.syntheticWav(seed = 3L, sampleRate = 8000, nFrames = 10)
+    assert(Multimodal.decodeAudio(png).isEmpty)
+    assert(Multimodal.decodeImage(wav).isEmpty)
+    assert(Multimodal.decodeStub("plain text".getBytes("UTF-8"))._1 === 10)
+  }
+
   test("non-image payloads fall back to the av stub with null image fields") {
     val out = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
     out.foreach { r =>
