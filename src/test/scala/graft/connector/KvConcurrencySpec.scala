@@ -314,6 +314,46 @@ class KvConcurrencySpec extends AnyFunSuite {
     assert(got.filter(col("k") >= 1000000L).count() === commits.toLong * rows)
   }
 
+  test("an OS-process appender racing this JVM's compactor loses nothing") {
+    import spark.implicits._
+    // the two-maintainers scenario ACROSS PROCESSES: a compactor's
+    // swap-CAS in this JVM interleaves with an appender's commit-CAS in
+    // a forked JVM — the in-process fuzz covers the interleaving, this
+    // covers the hard-link CAS actually arbitrating between OS processes
+    val path = Files.createTempDirectory("graft_xproc_c").toString + "/t"
+    KvCommands.createTable(Seq((-1L, "seed")).toDF("k", "v"), path, Seq("k"))
+    // overlapping generations of one key range → real compaction work
+    (0 until 4).foreach { g =>
+      KvCommands.append(spark.range(0, 400)
+        .select(col("id").as("k"), concat(lit(s"g$g-"), col("id")).as("v")),
+        path)
+    }
+    val rows = 25
+    val commits = 40
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val child = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.connector.KvCrossProcessMain",
+      path, "child", "1000000", rows.toString, commits.toString)
+      .redirectErrorStream(true).start()
+    // compact repeatedly while the child process is still committing
+    while (child.isAlive)
+      KvCommands.compactMinor(spark, path, minGroup = 2,
+        retainReplacedMs = 60000L)
+    assert(child.waitFor(120, TimeUnit.SECONDS), "child JVM timed out")
+    assert(child.exitValue() === 0, "child JVM failed")
+    KvCommands.compactMinor(spark, path, minGroup = 2,
+      retainReplacedMs = 60000L)
+    val got = KvCommands.table(spark, path)
+    // no child commit dropped by a compactor swap, none duplicated
+    assert(got.filter(col("k") >= 1000000L).count() === commits.toLong * rows)
+    // base keys: one row per key, last generation won, seed intact
+    val base = got.filter(col("k") >= 0 && col("k") < 1000000L)
+    assert(base.count() === 400L)
+    assert(base.filter(col("v").startsWith("g3-")).count() === 400L)
+    assert(got.filter(col("k") === -1L).count() === 1L)
+  }
+
   test("two racing compactors on one table never duplicate rows") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_2c").toString + "/t"

@@ -240,6 +240,101 @@ class KvTimeTravelSpec extends AnyFunSuite {
     assert(e != null)
   }
 
+  test("VACUUM keeps an in-flight snapshot read alive through the retention window") {
+    // the long-scan protection contract: a snapshot DataFrame planned
+    // BEFORE a compaction must execute correctly AFTER compaction +
+    // VACUUM, because replaced segments stay on disk for the window and
+    // the sweep must never reclaim files younger than it
+    val path = Files.createTempDirectory("graftkv_tt_vac").toString + "/t"
+    KvCommands.createTable(spark.range(100)
+      .select(col("id").as("k"), concat(lit("g0-"), col("id")).as("v")),
+      path, Seq("k"))
+    (1 to 3).foreach { g =>
+      KvCommands.append(spark.range(100)
+        .select(col("id").as("k"), concat(lit(s"g$g-"), col("id")).as("v")),
+        path)
+    }
+    val vOld = KvCommands.snapshots(path).last
+    val snap = KvCommands.tableAsOf(spark, path, vOld) // the in-flight read
+    assert(KvCommands.compactMinor(spark, path,
+      retainReplacedMs = 600000L) > 0)
+    KvCommands.sweepUnmanifested(path, olderThanMs = 600000L) // VACUUM
+    // the pre-compaction snapshot still reads in full
+    assert(snap.count() === 100L)
+    assert(snap.filter(col("v").startsWith("g3-")).count() === 100L)
+  }
+
+  test("compaction + VACUUM under a lagging paced stream: final values all arrive, reader never breaks") {
+    // a reader paced one commit per micro-batch lags behind a 13-commit
+    // backlog; a compaction (which collapses superseded versions) and a
+    // retention-window VACUUM land while it drains. The change feed is
+    // documented at-least-once across a compaction that crosses the
+    // offset; what must hold is: the reader never crashes on swept
+    // files, and every key's FINAL value is delivered.
+    val path = Files.createTempDirectory("graftkv_tt_vacstream").toString + "/t"
+    KvCommands.createTable(spark.range(30)
+      .select(col("id").as("k"), concat(lit("g0-"), col("id")).as("v")),
+      path, Seq("k"))
+    (1 to 12).foreach { g =>
+      KvCommands.append(spark.range(30)
+        .select(col("id").as("k"), concat(lit(s"g$g-"), col("id")).as("v")),
+        path)
+    }
+    val q = spark.readStream.format("graftkv")
+      .option("maxFilesPerTrigger", "1").load(path)
+      .writeStream.format("memory").queryName("kv_vac_lag")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graftkv_tt_vacstream_ckpt").toString)
+      .start()
+    try {
+      // reorganize + vacuum while the paced reader is mid-backlog
+      KvCommands.compactMinor(spark, path, retainReplacedMs = 600000L)
+      KvCommands.sweepUnmanifested(path, olderThanMs = 600000L)
+      q.processAllAvailable()
+      val got = spark.table("kv_vac_lag")
+        .as[(Long, String)].collect().toSeq
+      // every key delivered its final (g12) value — compaction may
+      // re-emit or collapse intermediates for a lagging reader, but the
+      // current state must always arrive
+      val finals = got.filter(_._2.startsWith("g12-")).toSet
+      assert(finals === (0L until 30L).map(k => (k, s"g12-$k")).toSet)
+    } finally q.stop()
+  }
+
+  test("reading or restoring a vacuumed snapshot fails loudly, never silently partial") {
+    val path = Files.createTempDirectory("graftkv_tt_vacres").toString + "/t"
+    KvCommands.createTable(spark.range(50)
+      .select(col("id").as("k"), lit("a").as("v")), path, Seq("k"))
+    KvCommands.append(spark.range(50)
+      .select(col("id").as("k"), lit("b").as("v")), path)
+    val vOld = KvCommands.snapshots(path).last
+    assert(KvCommands.compactMinor(spark, path,
+      retainReplacedMs = 600000L) > 0)
+    // age the replaced (unmanifested) segment files far past the window,
+    // then VACUUM: vOld's manifest survives (young) but its files go
+    val live = graft.store.SegmentFile.readManifest(path).get
+    val old = System.currentTimeMillis() - 3600_000L
+    Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+      .filter(n => n.endsWith(".kv") && !live.contains(n))
+      .foreach { n =>
+        new java.io.File(path, n).setLastModified(old)
+        new java.io.File(path, n.stripSuffix(".kv") + ".kvmeta")
+          .setLastModified(old)
+      }
+    assert(KvCommands.sweepUnmanifested(path, olderThanMs = 600000L) > 0)
+    def sweptError(body: => Any): Unit = {
+      val e = intercept[Throwable](body)
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("swept"), s"expected a loud swept-segments error, got: $msgs")
+    }
+    sweptError(KvCommands.tableAsOf(spark, path, vOld).count())
+    sweptError(KvCommands.restoreTable(path, vOld))
+    // the live table is untouched by all of the above
+    assert(KvCommands.table(spark, path).filter(col("v") === "b").count() === 50L)
+  }
+
   test("update assigns non-key columns via upsert append, keys guarded") {
     val path = Files.createTempDirectory("graftkv_upd").toString + "/t"
     KvCommands.createTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
