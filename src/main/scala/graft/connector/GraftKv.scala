@@ -933,7 +933,17 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       columnar = static.comps.forall(_.members.length == 1))
 
   override def estimateStatistics(): Statistics = {
-    val segs = allSegs
+    // POST-pushdown estimate (the DSv2 contract: statistics reflect the
+    // operators already pushed into this scan): count only the segments
+    // that survive the pushed-filter prune, not the whole table. This is
+    // what lets the planner broadcast a selectively-filtered kv side of
+    // a join at any table size — with whole-table numbers a 100 TB fact
+    // table's filtered slice would still read as 100 TB and every join
+    // would fall back to sort-merge. Residual selectivity inside the
+    // surviving segments is not modeled — the estimate is an upper
+    // bound, so it can only miss a broadcast, never choose one that
+    // doesn't fit.
+    val segs = static.survivors
     // superseded versions under overlap are still counted (estimates
     // only), but tombstones are pure deletions — subtract them
     val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)

@@ -206,6 +206,45 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("pushed-filter pruning drives the kv-side broadcast decision") {
+    // the 100x join-planning contract: a kv table whose pushed lead-key
+    // filter prunes to a sliver must report POST-prune statistics, so
+    // the planner broadcasts the filtered side instead of defaulting to
+    // sort-merge off whole-table numbers. Negative control included —
+    // the unfiltered side must NOT broadcast under the same threshold.
+    import org.apache.spark.sql.functions._
+    val dim = java.nio.file.Files.createTempDirectory("kv_bstats")
+      .toString + "/t"
+    // many small segments so the filtered slice is a tiny fraction
+    spark.range(60000).coalesce(1)
+      .select((col("id") / 100).cast("long").as("k"),
+        concat(lit("pad-pad-pad-pad-pad-"), col("id")).as("v"))
+      .write.format("graftkv").option("key", "k,v")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(dim)
+    val fullBytes = graft.store.SegmentFile.listSegments(dim)
+      .map(_.sizeBytes).sum
+    val fact = spark.range(60000)
+      .select((col("id") / 100).cast("long").as("k"), col("id").as("x"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold far below the table, far above the filtered slice
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (fullBytes / 4).toString)
+      val dimDf = spark.read.format("graftkv").load(dim)
+      val filtered = fact.join(dimDf.filter(col("k") < 5L), Seq("k"))
+      filtered.collect()
+      val planF = filtered.queryExecution.executedPlan.toString
+      assert(planF.contains("BroadcastHashJoin"),
+        s"filtered kv side (pruned stats) must broadcast:\n${planF.take(2500)}")
+      val unfiltered = fact.join(dimDf, Seq("k"))
+      unfiltered.collect()
+      val planU = unfiltered.queryExecution.executedPlan.toString
+      assert(!planU.contains("BroadcastHashJoin"),
+        s"whole kv table above threshold must not broadcast:\n${planU.take(2500)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("kv point lookup scans exactly one partition (plan-verified)") {
     // materialize the kv fixture (idempotent), then inspect pruning directly
     val rows = SparkEntry.queries("kv2_point_lookup")(spark, sf).collect()
