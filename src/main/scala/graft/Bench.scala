@@ -175,6 +175,35 @@ object Bench {
       ""
     }
 
+    // dedup-scale diagnostics: candidate-pair growth is the one
+    // superlinear risk in the near-dup chain (pairs grow with duplicate
+    // clique size SQUARED), so report docs / distinct texts / rep-level
+    // LSH candidates / verified pairs per corpus — the pairs-per-doc
+    // trend across SFs must stay ~flat now that exact duplicates
+    // collapse before LSH.
+    def dedupStats(dir: String): String = try {
+      import org.apache.spark.sql.functions.{col, md5}
+      val docs = Tables.table(spark, dir, "documents")
+      val nDocs = docs.count()
+      val nDistinct = docs.select(md5(col("text"))).distinct().count()
+      val reps = graft.pipeline.Dedup.dropExactDuplicates(docs)
+      val cands = graft.pipeline.Dedup.lshCandidatePairs(
+        graft.pipeline.Dedup.minhashSignatures(reps)).count()
+      val verified = graft.pipeline.Dedup.minhashNearDuplicates(docs).count()
+      s"""{"docs":$nDocs,"distinct_texts":$nDistinct,"rep_candidates":$cands,"verified_pairs":$verified}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dedup stats $dir failed: ${e.getMessage}")
+      "{}"
+    }
+    val dedupJson = {
+      val primary = dedupStats(sfDir)
+      val atSf1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
+        .orElse(Option("/root/repo/tmp/sf1")
+          .filter(p => new java.io.File(p, "documents.parquet").exists()))
+        .map(d => s""","sf1":${dedupStats(d)}""").getOrElse("")
+      s""","dedup":{"primary":$primary$atSf1}"""
+    }
+
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
     // warmups, so per-query scaling vs the primary SF is directly
@@ -195,7 +224,7 @@ object Bench {
       s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$sf1Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$dedupJson$sf1Json}""")
     spark.stop()
   }
 }

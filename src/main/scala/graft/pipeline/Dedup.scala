@@ -136,12 +136,59 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, k: Int = 64, bands: Int = 16,
       shingle: Int = 3, threshold: Double = 0.7,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sets = shingleHashSets(docs, shingle, textCol, idCol)
+    // Collapse EXACT duplicates before the LSH machinery: heavy-dup
+    // corpora (the 100 TB norm — crawls are full of byte-identical
+    // documents) otherwise turn each clique of c identical texts into
+    // c²/2 LSH candidates, each paying an array-intersect verification,
+    // so total work grows with the SQUARE of clique size while the
+    // corpus grows linearly. With the collapse, shingling, banding, and
+    // verification run once per DISTINCT text; the full pair set (the
+    // operator's contract — inherently quadratic in clique size) is
+    // then reconstructed algebraically: members of two near-dup groups
+    // pair with their representatives' jaccard (identical shingle sets
+    // ⇒ identical similarity), members within one group pair at exactly
+    // 1.0. Only the unavoidable output materialization stays
+    // clique-quadratic; all similarity computation is per-distinct-text.
+    val withHash = docs.select(col(idCol), col(textCol),
+      md5(col(textCol)).as("__th"))
+    val members = withHash
+      .select(col(idCol).as("__mid"), col("__th"))
+      .join(withHash.groupBy("__th").agg(min(col(idCol)).as("__rep")), "__th")
+      .select(col("__mid"), col("__rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = docs.join(
+      members.filter(col("__mid") === col("__rep"))
+        .select(col("__mid").as(idCol)), Seq(idCol), "left_semi")
+
+    val sets = shingleHashSets(reps, shingle, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col(idCol),
       graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k).as("sig"))
-    jaccardVerifySets(sets, lshCandidatePairs(sigs, bands, k, idCol),
-      threshold, idCol)
+    val repPairs = jaccardVerifySets(sets,
+      lshCandidatePairs(sigs, bands, k, idCol), threshold, idCol)
+
+    val mA = members.select(col("__rep").as("__ra"), col("__mid").as("__a"))
+    val mB = members.select(col("__rep").as("__rb"), col("__mid").as("__b"))
+    val cross = repPairs
+      .join(mA, col("doc_a") === col("__ra"))
+      .join(mB, col("doc_b") === col("__rb"))
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"), col("jaccard"))
+    if (threshold > 1.0) cross
+    else {
+      // intra-group: identical non-empty shingle sets verify at exactly
+      // 1.0; identical EMPTY sets verify at 0.0 (union 0) and never
+      // qualify — mirrors jaccardVerifySets bit-for-bit
+      val intra = members.as("x").join(members.as("y"),
+          col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+        .select(col("x.__rep").as("__r"),
+          col("x.__mid").as("doc_a"), col("y.__mid").as("doc_b"))
+        .join(sets.select(col(idCol).as("__r"), size(col("shset")).as("__ssz")),
+          "__r")
+        .filter(col("__ssz") > 0)
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      cross.union(intra)
+    }
   }
 
   /** Connected components over near-dup pairs: every document gets the
