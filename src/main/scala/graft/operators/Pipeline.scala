@@ -448,6 +448,38 @@ object PipelineOps {
             .as("frames_ok"))
     },
 
+    // REAL image decode/resize, oracle-CHECKED like the audio path: the
+    // codec-decoded dimensions must equal the declared meta for EVERY
+    // rendered PNG, pixel means must be valid, and every resized
+    // payload must RE-DECODE to exactly max(dim/2, 1) — constants
+    // pinned in SQL so a codec/kernel drift fails the gate.
+    QuerySpec.checked("mm6_image_invariants",
+      """SELECT CAST(count(*) AS BIGINT) AS n_images, true AS dims_ok,
+        |  true AS mean_ok, true AS resize_ok FROM documents""") { (s, d) =>
+      val imgs = Multimodal.syntheticImageTable(t(s, d, "documents"))
+      val meta = imgs.select(col("media_id"),
+        col("meta.width").as("ew"), col("meta.height").as("eh"))
+      val decAgg = Multimodal.decodeAndFeaturize(imgs).join(meta, "media_id")
+        .agg(count(lit(1)).as("n_images"),
+          coalesce(min(coalesce(col("width") === col("ew") &&
+            col("height") === col("eh"), lit(false))), lit(false))
+            .as("dims_ok"),
+          coalesce(min(coalesce(col("mean_pixel") >= 0.0 &&
+            col("mean_pixel") <= 255.0, lit(false))), lit(false))
+            .as("mean_ok"))
+      val resMedia = Multimodal.resize(imgs, factor = 2)
+        .select(col("media_id"), col("payload"),
+          struct(lit("image/png").as("mime"), col("width"), col("height"),
+            lit(1).as("n_frames"),
+            lit(null).cast("int").as("sample_rate")).as("meta"))
+      val resAgg = Multimodal.decodeAndFeaturize(resMedia).join(meta, "media_id")
+        .agg(coalesce(min(coalesce(
+          col("width") === greatest(floor(col("ew") / 2), lit(1)).cast("int") &&
+          col("height") === greatest(floor(col("eh") / 2), lit(1)).cast("int"),
+          lit(false))), lit(false)).as("resize_ok"))
+      decAgg.crossJoin(resAgg)
+    },
+
     // BPE-ish subword counting (alnum runs + isolated symbols)
     QuerySpec.checked("tx7_subword_count",
       """SELECT doc_id,

@@ -135,7 +135,8 @@ object Dedup {
     * spills to disk if it outgrows memory. */
   def minhashNearDuplicates(docs: DataFrame, k: Int = 64, bands: Int = 16,
       shingle: Int = 3, threshold: Double = 0.7,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      minCollapseDups: Long = 1000L): DataFrame = {
     // Collapse EXACT duplicates before the LSH machinery: heavy-dup
     // corpora (the 100 TB norm — crawls are full of byte-identical
     // documents) otherwise turn each clique of c identical texts into
@@ -149,6 +150,27 @@ object Dedup {
     // ⇒ identical similarity), members within one group pair at exactly
     // 1.0. Only the unavoidable output materialization stays
     // clique-quadratic; all similarity computation is per-distinct-text.
+    def lshVerifiedPairs(base: DataFrame): (DataFrame, DataFrame) = {
+      val sets = shingleHashSets(base, shingle, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = sets.select(col(idCol),
+        graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k)
+          .as("sig"))
+      (sets, jaccardVerifySets(sets,
+        lshCandidatePairs(sigs, bands, k, idCol), threshold, idCol))
+    }
+
+    // cheap probe first: when duplication is immaterial (a mostly-clean
+    // corpus — the common case after upstream exact dedup), run LSH
+    // directly over the documents; the collapse's extra group/join
+    // stages would cost more than the handful of clique pairs they
+    // avoid. `minCollapseDups` is the absolute duplicate-copy count at
+    // which clique-squared candidate growth starts to matter; it is a
+    // parameter so tests can force either path.
+    val nDocs = docs.count()
+    val nDistinct = docs.select(md5(col(textCol))).distinct().count()
+    if (nDocs - nDistinct < minCollapseDups) return lshVerifiedPairs(docs)._2
+
     val withHash = docs.select(col(idCol), col(textCol),
       md5(col(textCol)).as("__th"))
     val members = withHash
@@ -160,12 +182,7 @@ object Dedup {
       members.filter(col("__mid") === col("__rep"))
         .select(col("__mid").as(idCol)), Seq(idCol), "left_semi")
 
-    val sets = shingleHashSets(reps, shingle, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sets.select(col(idCol),
-      graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k).as("sig"))
-    val repPairs = jaccardVerifySets(sets,
-      lshCandidatePairs(sigs, bands, k, idCol), threshold, idCol)
+    val (sets, repPairs) = lshVerifiedPairs(reps)
 
     val mA = members.select(col("__rep").as("__ra"), col("__mid").as("__a"))
     val mB = members.select(col("__rep").as("__rb"), col("__mid").as("__b"))

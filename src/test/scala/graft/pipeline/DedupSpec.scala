@@ -44,6 +44,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 2L || r.getAs[Long]("doc_b") == 2L))
   }
 
+  test("exact-dup collapse path equals the direct LSH path pair-for-pair") {
+    // a cliquey corpus: 3 exact-duplicate cliques (sizes 4, 3, 2) of
+    // mutually near-dup texts, plus unrelated docs — the collapsed
+    // pipeline (representatives + algebraic expansion) must reproduce
+    // EXACTLY what direct LSH over all documents finds, jaccard doubles
+    // included
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy dog again and once"
+    val t3 = "the quick brown fox leaps over the lazy dog again and again"
+    val docs = (
+      (0 until 4).map(i => (10L + i, t1)) ++
+      (0 until 3).map(i => (20L + i, t2)) ++
+      (0 until 2).map(i => (30L + i, t3)) ++
+      Seq((40L, "completely unrelated text about databases and storage"),
+        (41L, "another singleton document with its own words entirely"))
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val direct = norm(Dedup.minhashNearDuplicates(docs, threshold = 0.5,
+      minCollapseDups = Long.MaxValue))
+    val collapsed = norm(Dedup.minhashNearDuplicates(docs, threshold = 0.5,
+      minCollapseDups = 1L))
+    assert(collapsed === direct)
+    // sanity: the cliques actually produced intra- and cross-group pairs
+    assert(direct.exists { case (a, b, j) => a == 10L && b == 11L && j == 1.0 })
+    assert(direct.exists { case (a, b, _) => a < 20L && b >= 20L })
+    assert(!direct.exists { case (a, b, _) => a >= 40L || b >= 40L })
+  }
+
   test("nearDupClusters labels connected components; dropNearDuplicates keeps canonicals") {
     val pairs = Seq(
       (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 → cluster 1
