@@ -167,8 +167,8 @@ object Dedup {
     // avoid. `minCollapseDups` is the absolute duplicate-copy count at
     // which clique-squared candidate growth starts to matter; it is a
     // parameter so tests can force either path.
-    val nDocs = docs.count()
-    val nDistinct = docs.select(md5(col(textCol))).distinct().count()
+    val probe = docs.agg(count(lit(1)), count_distinct(md5(col(textCol)))).head()
+    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
     if (nDocs - nDistinct < minCollapseDups) return lshVerifiedPairs(docs)._2
 
     val withHash = docs.select(col(idCol), col(textCol),
