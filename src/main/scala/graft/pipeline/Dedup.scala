@@ -165,17 +165,28 @@ object Dedup {
     // directly over the documents; the collapse's extra group/join
     // stages would cost more than the handful of clique pairs they
     // avoid. `minCollapseDups` is the absolute duplicate-copy count at
-    // which clique-squared candidate growth starts to matter; it is a
-    // parameter so tests can force either path.
-    val probe = docs.agg(count(lit(1)), count_distinct(md5(col(textCol)))).head()
-    val (nDocs, nDistinct) = (probe.getLong(0), probe.getLong(1))
-    if (nDocs - nDistinct < minCollapseDups) return lshVerifiedPairs(docs)._2
+    // which clique-squared candidate growth starts to matter; the
+    // sentinels 0 (always collapse) and Long.MaxValue (always direct)
+    // skip the probe for callers that know their corpus. The (id, hash)
+    // projection is persisted ONCE — probe, grouping, and membership
+    // all derive from it, so the collapse path reads the document TEXT
+    // exactly twice (hash pass + representative shingle pass) at any
+    // corpus size, versus once for the direct path.
+    if (minCollapseDups == Long.MaxValue) return lshVerifiedPairs(docs)._2
+    val hashed = docs.select(col(idCol).as("__mid"),
+        md5(col(textCol)).as("__th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (minCollapseDups > 0L) {
+      val probe = hashed.agg(count(lit(1)), count_distinct(col("__th"))).head()
+      if (probe.getLong(0) - probe.getLong(1) < minCollapseDups) {
+        val out = lshVerifiedPairs(docs)._2
+        hashed.unpersist()
+        return out
+      }
+    }
 
-    val withHash = docs.select(col(idCol), col(textCol),
-      md5(col(textCol)).as("__th"))
-    val members = withHash
-      .select(col(idCol).as("__mid"), col("__th"))
-      .join(withHash.groupBy("__th").agg(min(col(idCol)).as("__rep")), "__th")
+    val members = hashed
+      .join(hashed.groupBy("__th").agg(min(col("__mid")).as("__rep")), "__th")
       .select(col("__mid"), col("__rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = docs.join(
