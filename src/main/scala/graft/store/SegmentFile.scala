@@ -33,9 +33,12 @@ object SegmentFile {
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
-    * dimension per segment; false positives only cost an unpruned scan. */
+    * dimension per segment; false positives only cost an unpruned scan.
+    * An EMPTY words array is the explicit no-claim marker (a saturated
+    * filter — see Builder.result — prunes nothing and is not worth
+    * storing): mightContain answers true for everything. */
   final case class Bloom(words: Array[Long]) {
-    def mightContain(h: Long): Boolean = {
+    def mightContain(h: Long): Boolean = words.isEmpty || {
       val (b1, b2) = Bloom.bitPositions(h, words.length)
       ((words(b1 / 64) >>> (b1 % 64)) & 1L) == 1L &&
         ((words(b2 / 64) >>> (b2 % 64)) & 1L) == 1L
@@ -58,7 +61,22 @@ object SegmentFile {
         words(b1 / 64) |= 1L << (b1 % 64)
         words(b2 / 64) |= 1L << (b2 % 64)
       }
-      def result(): Bloom = Bloom(words)
+
+      /** A 256 MB segment can hold ~10⁶ DISTINCT values — far beyond
+        * what 4096 bits can discriminate (load factor ≥ ~50 % drives
+        * the false-positive rate toward 1, two probes or not). When the
+        * SET-BIT count (the true load — repeated values share bits)
+        * crosses half the filter, emit the explicit no-claim marker
+        * instead of half a KB of near-all-ones bits in every sidecar
+        * AND the packed planning stats. Probing a no-claim bloom
+        * answers true, so pruning stays sound — it just doesn't fire,
+        * exactly as the saturated filter wouldn't. */
+      def result(): Bloom = {
+        var set = 0L
+        var i = 0
+        while (i < nWords) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+        if (set > nWords.toLong * 32) Bloom(Array.empty) else Bloom(words)
+      }
     }
 
     def hashBytes(b: Array[Byte]): Long =

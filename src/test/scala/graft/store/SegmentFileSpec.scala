@@ -46,6 +46,25 @@ class SegmentFileSpec extends AnyFunSuite {
     assert(SegmentFile.readManifestVersion(dir, 70L).contains(Set("s70.kv")))
   }
 
+  test("saturated blooms become explicit no-claims, small ones keep pruning") {
+    // a small filter keeps its bits and discriminates
+    val small = new SegmentFile.Bloom.Builder()
+    (0 until 100).foreach(i => small.add(i * 2654435761L))
+    val sb = small.result()
+    assert(sb.words.nonEmpty)
+    assert(sb.mightContain(50 * 2654435761L))
+    assert((0 until 1000).count(i => sb.mightContain(-1L - i * 7919L)) < 100,
+      "a 100-entry filter must reject most absent probes")
+    // past nBits/4 adds the filter would be near-all-ones noise: emit
+    // the no-claim marker instead — answers true for everything, costs
+    // zero bytes in sidecars and packed stats
+    val big = new SegmentFile.Bloom.Builder()
+    (0 until 5000).foreach(i => big.add(i * 2654435761L))
+    val bb = big.result()
+    assert(bb.words.isEmpty)
+    assert(bb.mightContain(123456789L))
+  }
+
   test("floor offset never lands past the bound (strictly-below semantics)") {
     val dir = Files.createTempDirectory("segidx2").toString
     val w = new SegmentFile.Writer(dir, "s1", indexEvery = 10)
