@@ -65,8 +65,26 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     GraftKvMeta.read(tableDir(ident)) match {
       case Some(m) => new GraftKvTable(tableDir(ident), m.schema, m.keys, m.encoding)
-      case None => throw new NoSuchTableException(ident)
+      case None => metadataTable(ident).getOrElse(
+        throw new NoSuchTableException(ident))
     }
+
+  /** Metadata tables (`graft.db.t.snapshots`, `graft.db.t.segments`):
+    * an identifier whose LAST namespace element is an existing table and
+    * whose name is a metadata-table name resolves to a read-only
+    * in-memory view of that table's commit log / segment inventory —
+    * plain SQL tables, so inspection joins with everything else. A real
+    * table always shadows a same-named metadata path (checked above). */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty || !GraftKvMetadataTable.Names.contains(
+      ident.name().toLowerCase)) None
+    else {
+      val base = Identifier.of(ns.init, ns.last)
+      GraftKvMeta.read(tableDir(base)).flatMap(m =>
+        GraftKvMetadataTable.forName(tableDir(base), m, ident.name()))
+    }
+  }
 
   /** Time travel: `SELECT … FROM graft.db.t VERSION AS OF n` — Spark
     * routes the version literal here; `n` is a snapshot manifest version

@@ -1,0 +1,126 @@
+package graft.connector
+
+import graft.store.{RowCodec, SegmentFile}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES for graftkv: `graft.db.t.snapshots`
+  * (the commit log — version, wall-clock, segment/row/byte totals) and
+  * `graft.db.t.segments` (the live segment inventory — file, rows,
+  * bytes, generation, tombstones, decoded leading-key bounds), each a
+  * plain read-only SQL table, so table inspection composes with the
+  * whole query surface (joins, filters, aggregates) instead of being a
+  * bespoke SHOW command. Rows are computed ONCE at resolution time from
+  * the packed planning stats — O(1) file reads per table (see
+  * SegmentFile's packed-stats section), never a per-segment sweep — and
+  * ship to the single scan partition as plain serializable values. */
+object GraftKvMetadataTable {
+
+  /** Metadata-table names resolvable under a base table identifier. */
+  val Names: Set[String] = Set("snapshots", "segments")
+
+  def forName(dir: String, meta: KvTableMeta, metaName: String): Option[Table] =
+    metaName.toLowerCase match {
+      case "snapshots" => Some(snapshots(dir))
+      case "segments" => Some(segments(dir, meta))
+      case _ => None
+    }
+
+  private def snapshots(dir: String): Table = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = true)))
+    val rows = SegmentFile.manifestVersions(dir).map { v =>
+      val files = SegmentFile.readManifestVersion(dir, v).getOrElse(Set.empty)
+      // a snapshot whose files the retention sweep already reclaimed
+      // still lists (version + commit time + cardinality), with null
+      // row/byte totals instead of an error
+      val stats = scala.util.Try(SegmentFile.listSegmentsAsOf(dir, v)).toOption
+      Array[Any](v,
+        SegmentFile.manifestVersionFile(dir, v).lastModified() * 1000L,
+        files.size.toLong,
+        stats.map(ms => ms.map(_.count).sum).orNull,
+        stats.map(ms => ms.map(_.sizeBytes).sum).orNull)
+    }
+    new GraftKvMetadataTable(s"$dir#snapshots", schema, rows.toArray)
+  }
+
+  private def segments(dir: String, m: KvTableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("generation", LongType, nullable = false),
+      StructField("tombstones", LongType, nullable = false),
+      StructField("min_lead", StringType, nullable = false),
+      StructField("max_lead", StringType, nullable = false)))
+    val codec = RowCodec(m.schema, m.keys, m.encoding)
+    val rows = SegmentFile.listSegments(dir).map { s =>
+      Array[Any](s.file, s.count, s.sizeBytes, s.gen, s.tombstones,
+        String.valueOf(codec.decodeKey(s.minKey)(0)),
+        String.valueOf(codec.decodeKey(s.maxKey)(0)))
+    }
+    new GraftKvMetadataTable(s"$dir#segments", schema, rows.toArray)
+  }
+}
+
+final class GraftKvMetadataTable(tableName: String, tableSchema: StructType,
+    rows: Array[Array[Any]]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"GraftKvMetadataScan($tableName)"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(KvMetadataPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new KvMetadataReaderFactory(tableSchema)
+      }
+    }
+}
+
+/** The pre-computed rows, as plain serializable values (Long / String /
+  * null) converted to internal form reader-side. */
+final case class KvMetadataPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+final class KvMetadataReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[KvMetadataPartition].rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = it.hasNext && {
+        val vals = it.next().zip(schema.fields).map {
+          case (null, _) => null
+          case (v, f) => f.dataType match {
+            case StringType => UTF8String.fromString(v.toString)
+            case LongType | TimestampType => v.asInstanceOf[java.lang.Long].longValue
+            case other => throw new IllegalStateException(
+              s"unsupported metadata column type $other")
+          }
+        }
+        current = new GenericInternalRow(vals.toArray[Any])
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}

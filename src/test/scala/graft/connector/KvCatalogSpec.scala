@@ -183,4 +183,42 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS c FROM graft.dbc.t").head().getLong(0) == 2)
     spark.sql("DROP TABLE graft.dbc.t")
   }
+
+  test("metadata tables: t.snapshots and t.segments are plain SQL tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbm")
+    spark.sql(
+      "CREATE TABLE graft.dbm.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.dbm.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.dbm.t VALUES (3, 'c')")
+
+    // the commit log: empty seed + two inserts = 3 snapshots, versions
+    // ascending, row totals tracking the appends
+    val snaps = spark.sql(
+      "SELECT version, n_segments, n_rows FROM graft.dbm.t.snapshots ORDER BY version")
+      .collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(snaps.last.getLong(2) == 3L) // newest snapshot holds all rows
+    assert(snaps.head.getLong(1) == 0L) // catalog seed is empty
+
+    // the segment inventory joins/aggregates like any table
+    val segs = spark.sql(
+      """SELECT count(*) AS n, sum(rows) AS r, min(min_lead) AS lo
+        |FROM graft.dbm.t.segments""".stripMargin).head()
+    assert(segs.getLong(1) == 3L)
+    assert(segs.getString(2) == "1")
+    // and composes with the rest of SQL (join against the data itself)
+    val joined = spark.sql(
+      """SELECT count(*) FROM graft.dbm.t d
+        |JOIN graft.dbm.t.segments s ON CAST(s.min_lead AS BIGINT) <= d.k
+        |""".stripMargin).head().getLong(0)
+    assert(joined >= 3L)
+
+    // a real table named like a metadata table shadows the metadata path
+    spark.sql("CREATE TABLE graft.dbm.snapshots (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.dbm.snapshots VALUES (42)")
+    assert(spark.sql("SELECT k FROM graft.dbm.snapshots").head().getLong(0) == 42L)
+    spark.sql("DROP TABLE graft.dbm.snapshots")
+    spark.sql("DROP TABLE graft.dbm.t")
+  }
 }
