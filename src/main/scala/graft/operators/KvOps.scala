@@ -152,6 +152,19 @@ object KvOps {
     * key-shifted slice is inserted (not matched). The fixture registers
     * a graft catalog rooted at the fixture dir so the statement runs as
     * pure SQL against the kv table. */
+  /** Register (idempotently) a graft catalog rooted at this sf's fixture
+    * dir so metadata tables (`cat.t.snapshots` / `cat.t.segments`)
+    * resolve as plain SQL names. The catalog NAME carries the sfDir —
+    * Spark caches catalog instances by name, so a shared name would pin
+    * the first sfDir's root for the whole session. */
+  private def fixtureCatalog(s: SparkSession, d: String): String = {
+    val cat = "graft_kvmeta_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftKvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", kvRoot(d))
+    cat
+  }
+
   private def ordersMergeKv(s: SparkSession, d: String): DataFrame = {
     val path = lock.synchronized {
       val root = kvRoot(d)
@@ -451,6 +464,42 @@ object KvOps {
         |) ORDER BY o_orderkey""") { (s, d) =>
       ordersMergeKv(s, d)
         .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    // the snapshots METADATA TABLE over the upsert fixture's commit log
+    // (create = all rows, upsert = +100 physical rows in a new
+    // generation): version numbers are engine-internal, so the query
+    // ranks snapshots by version and checks the physical row totals —
+    // which the oracle states from the parquet original
+    QuerySpec.checked("kv23_snapshot_log",
+      """SELECT CAST(1 AS BIGINT) AS snap,
+        |  (SELECT count(*) FROM orders) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT count(*) FROM orders)
+        |    + (SELECT count(*) FROM orders WHERE o_orderkey <= 100)
+        |ORDER BY snap""") { (s, d) =>
+      ordersUpsertPath(s, d)
+      val cat = fixtureCatalog(s, d)
+      s.sql(
+        s"""SELECT CAST(row_number() OVER (ORDER BY version) AS BIGINT) AS snap,
+           |  n_rows FROM $cat.orders_upsert.snapshots ORDER BY snap""".stripMargin)
+    },
+
+    // the segments METADATA TABLE: segment count/boundaries are
+    // engine-internal, but the inventory's row total and decoded
+    // leading-key bounds must equal the stored data's — a pure-SQL
+    // aggregation over the metadata table against the parquet truth
+    QuerySpec.checked("kv24_segment_inventory",
+      """SELECT count(*) AS total_rows, min(o_orderkey) AS min_k,
+        |  max(o_orderkey) AS max_k FROM orders""") { (s, d) =>
+      ordersKv(s, d)
+      val cat = fixtureCatalog(s, d)
+      s.sql(
+        s"""SELECT sum(rows) AS total_rows,
+           |  min(CAST(min_lead AS BIGINT)) AS min_k,
+           |  max(CAST(max_lead AS BIGINT)) AS max_k
+           |FROM $cat.orders.segments""".stripMargin)
     }
   )
 }
