@@ -79,24 +79,31 @@ object GraftKvDataSource {
       throw new IllegalArgumentException("graftkv requires a path"))
 }
 
-/** Table-level metadata: key column list (+ codec encoding) and schema
-  * json. Header line `k1,k2` (legacy, binary codec) or `k1,k2|encoding`. */
+/** Table-level metadata: key column list (+ codec encoding, optional
+  * z-order clustering dims) and schema json. Header line `k1,k2`
+  * (legacy, binary codec), `k1,k2|encoding`, or
+  * `k1,k2|encoding|z1,z2` for a z-clustered table (whose physical
+  * leading key `_z` is the dims' Morton interleave — see
+  * graft.codec.ZOrder). */
 final case class KvTableMeta(schema: StructType, keys: Seq[String],
-    encoding: String)
+    encoding: String, zorder: Seq[graft.codec.ZDim] = Nil)
 
 object GraftKvMeta {
   private def metaFile(dir: String) = Paths.get(dir, "_graft_meta.json")
 
   def write(dir: String, schema: StructType, keys: Seq[String],
-      encoding: String = graft.store.RowCodec.Binary): Unit = {
+      encoding: String = graft.store.RowCodec.Binary,
+      zorder: Seq[graft.codec.ZDim] = Nil): Unit = {
     Files.createDirectories(Paths.get(dir))
     // tmp + atomic rename: a concurrent committer's meta refresh must
     // never expose a half-written file to a racing read (the CAS commit
     // protocol makes concurrent committers the NORMAL case)
     val tmp = Paths.get(dir,
       s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val zPart =
+      if (zorder.nonEmpty) "|" + graft.codec.ZDim.serialize(zorder) else ""
     Files.writeString(tmp,
-      keys.mkString(",") + "|" + encoding + "\n" + schema.json)
+      keys.mkString(",") + "|" + encoding + zPart + "\n" + schema.json)
     Files.move(tmp, metaFile(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -110,15 +117,18 @@ object GraftKvMeta {
       val sep = lines.indexOf('\n')
       if (sep < 0) throw new IllegalStateException(
         s"corrupt graftkv meta at $f (no header line)")
-      val header = lines.substring(0, sep)
-      val (keysPart, encoding) = header.indexOf('|') match {
-        case -1 => (header, graft.store.RowCodec.Binary)
-        case i => (header.substring(0, i), header.substring(i + 1))
-      }
-      val keys = keysPart.split(",").map(_.trim).toSeq
+      val parts = lines.substring(0, sep).split("\\|", -1)
+      val keys = parts(0).split(",").map(_.trim).toSeq
+      val encoding =
+        if (parts.length > 1) parts(1) else graft.store.RowCodec.Binary
+      val zorder =
+        if (parts.length > 2 && parts(2).nonEmpty) {
+          val k = parts(2).split(",").count(_.trim.nonEmpty)
+          graft.codec.ZDim.parse(parts(2), graft.codec.ZOrder.bitsPerDim(k))
+        } else Nil
       val schema = org.apache.spark.sql.types.DataType.fromJson(
         lines.substring(sep + 1)).asInstanceOf[StructType]
-      Some(KvTableMeta(schema, keys, encoding))
+      Some(KvTableMeta(schema, keys, encoding, zorder))
     }
   }
 }
@@ -195,9 +205,15 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     val tombstone = Option(info.options.get("tombstone")).exists(_.toBoolean)
     // internal: compaction pins the output generation to its inputs' max
     val genOverride = Option(info.options.get("gen.override")).map(_.toLong)
+    // z-clustered create: the dim specs whose Morton interleave is the
+    // _z lead (serialized ZDim list from createZOrderTable)
+    val zorder = Option(info.options.get("zorder")).map { s =>
+      val k = s.split(",").count(_.trim.nonEmpty)
+      graft.codec.ZDim.parse(s, graft.codec.ZOrder.bitsPerDim(k))
+    }.getOrElse(Nil)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
       encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
-      genOverride = genOverride, queryId = info.queryId())
+      genOverride = genOverride, queryId = info.queryId(), zorder = zorder)
   }
 }
 
@@ -507,6 +523,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
 
   private lazy val codec = RowCodec(schema, keys, encoding)
 
+  /** Z-clustering declaration (empty for plain tables): the dim specs
+    * whose Morton interleave is the `_z` leading key. One tiny JSON
+    * read per scan, driver-side — not a per-segment sidecar. */
+  private lazy val zorderDims: Seq[graft.codec.ZDim] =
+    GraftKvMeta.read(path).map(_.zorder).getOrElse(Nil)
+
   /** The segment set this scan plans over, listed ONCE — compile-time
     * pruning and any later runtime re-prune both start from this list,
     * so a concurrent commit can never make the runtime-filtered plan see
@@ -528,12 +550,75 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   private final class Planner(filters: Array[Filter],
       baseSegs: => Seq[SegmentFile.Meta], claimOverride: Option[Option[Int]]) {
 
+  /** Box → z-range cover for a z-clustered table: the pushed conjuncts'
+    * per-dim bounds become a box over truncated dim codes, and the box's
+    * quadtree cover (graft.codec.ZOrder.zRanges) becomes inclusive
+    * ranges over the `_z` lead. Sound to ENFORCE (not just prune):
+    * every row satisfying the box has its z in the cover, and every row
+    * outside the box is dropped by Spark's residual re-check — so
+    * narrowing the lead ranges can only remove rows the query filters
+    * out anyway. None = no usable bound (plain table, no dim filters). */
+  lazy val zBoxRanges: Option[Seq[graft.pruning.TriEval.ValueRange]] = {
+    import graft.pruning.TriEval
+    if (zorderDims.isEmpty || filters.isEmpty) None
+    else try {
+      val k = zorderDims.length
+      val bits = graft.codec.ZOrder.bitsPerDim(k)
+      val lo = new Array[Long](k)
+      val hi = Array.fill(k)((1L << bits) - 1)
+      var any = false
+      def conjuncts(f: Filter): Seq[Filter] = f match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case o => Seq(o)
+      }
+      val cs = filters.toSeq.flatMap(conjuncts)
+      zorderDims.zipWithIndex.foreach { case (zd, i) =>
+        val dim = zd.name
+        val dt = schema(dim).dataType
+        def code(v: Any): Long = graft.codec.ZOrder.scaledCode(
+          graft.codec.ZOrder.dimCode(dt, TriEval.normalize(dt, v)),
+          zd.minCode, zd.shift, bits)
+        cs.foreach {
+          case EqualTo(a, v) if a == dim && v != null =>
+            val c = code(v)
+            lo(i) = math.max(lo(i), c); hi(i) = math.min(hi(i), c); any = true
+          case GreaterThan(a, v) if a == dim && v != null =>
+            lo(i) = math.max(lo(i), code(v)); any = true
+          case GreaterThanOrEqual(a, v) if a == dim && v != null =>
+            lo(i) = math.max(lo(i), code(v)); any = true
+          case LessThan(a, v) if a == dim && v != null =>
+            hi(i) = math.min(hi(i), code(v)); any = true
+          case LessThanOrEqual(a, v) if a == dim && v != null =>
+            hi(i) = math.min(hi(i), code(v)); any = true
+          case In(a, vs) if a == dim && vs.exists(_ != null) =>
+            val codes = vs.filter(_ != null).map(code)
+            lo(i) = math.max(lo(i), codes.min)
+            hi(i) = math.min(hi(i), codes.max); any = true
+          case _ => ()
+        }
+      }
+      if (!any) None
+      else if (lo.indices.exists(i => lo(i) > hi(i))) Some(Seq.empty)
+      else Some(graft.codec.ZOrder.zRanges(lo, hi, bits).map { case (l, h) =>
+        TriEval.ValueRange(Some(l), loInc = true, Some(h), hiInc = true)
+      })
+    } catch { case _: Exception => None } // unprovable → no z narrowing
+  }
+
   /** Qualified leading-dimension ranges (critical-point algebra) for
-    * in-segment seek and early stop. */
-  lazy val leadRanges = graft.pruning.CriticalPoints.MultiRange(
-    graft.pruning.CriticalPoints.qualifiedRanges(
-      filters.toSeq, keys.head, codec.keyFields.head.dataType),
-    codec.keyFields.head.dataType)
+    * in-segment seek and early stop — narrowed by the z-box cover on a
+    * z-clustered table, so box predicates drive segment pruning AND
+    * in-segment seeks through the one enforcement set. */
+  lazy val leadRanges = {
+    val dt = codec.keyFields.head.dataType
+    val base = graft.pruning.CriticalPoints.qualifiedRanges(
+      filters.toSeq, keys.head, dt)
+    val narrowed = zBoxRanges match {
+      case Some(zr) => graft.pruning.CriticalPoints.intersect(base, zr, dt)
+      case None => base
+    }
+    graft.pruning.CriticalPoints.MultiRange(narrowed, dt)
+  }
 
   /** Two complementary segment prunes (reference HBaseCriticalPoint):
     *  1. the qualified critical-point ranges of the leading dimension
@@ -1558,7 +1643,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
     tombstone: Boolean = false, genOverride: Option[Long] = None,
-    queryId: String = "")
+    queryId: String = "", zorder: Seq[graft.codec.ZDim] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder = {
@@ -1570,7 +1655,8 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
       "tombstone writes append delete markers; combining them with " +
         "overwrite would truncate the table — use mode(\"append\")")
     new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
-      maxSegBytes, genOverride = genOverride, queryId = queryId)
+      maxSegBytes, genOverride = genOverride, queryId = queryId,
+      zorder = zorder)
   }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
@@ -1638,7 +1724,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
             .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
-          GraftKvMeta.write(path, schema, keys, encoding)
+          GraftKvMeta.write(path, schema, keys, encoding, zorder)
         } else {
           // append: the shared protocol (see GraftKvCommitProtocol)
           GraftKvCommitProtocol.commitAppend(path, committed, schema, keys,
@@ -1680,8 +1766,11 @@ private[connector] object GraftKvCommitProtocol {
       fallbackBase = Option(new java.io.File(path).list())
         .getOrElse(Array.empty[String])
         .filter(_.endsWith(".kv")).toSet -- exclude)
-    val declared = GraftKvMeta.read(path).map(_.schema).getOrElse(writeSchema)
-    GraftKvMeta.write(path, declared, keys, encoding)
+    val prev = GraftKvMeta.read(path)
+    val declared = prev.map(_.schema).getOrElse(writeSchema)
+    // appends preserve the table's z-clustering declaration
+    GraftKvMeta.write(path, declared, keys, encoding,
+      prev.map(_.zorder).getOrElse(Nil))
   }
 
   def abortFiles(path: String, messages: Array[WriterCommitMessage]): Unit =

@@ -170,7 +170,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change $other")
     }
-    GraftKvMeta.write(dir, s, m.keys, m.encoding)
+    GraftKvMeta.write(dir, s, m.keys, m.encoding, m.zorder)
     new GraftKvTable(dir, s, m.keys, m.encoding)
   }
 

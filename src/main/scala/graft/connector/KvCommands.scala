@@ -28,9 +28,62 @@ object KvCommands {
     w.save(path)
   }
 
-  /** O7: INSERT INTO t SELECT ... (append new sorted segments). */
-  def append(df: DataFrame, path: String): Unit =
-    df.write.format("graftkv").mode("append").save(path)
+  /** O7: INSERT INTO t SELECT ... (append new sorted segments). On a
+    * z-clustered table the `_z` lead is derived here with the table's
+    * persisted dim normalization, so callers append the logical schema
+    * and clustering stays an implementation detail. */
+  def append(df: DataFrame, path: String): Unit = {
+    val df2 = GraftKvMeta.read(path) match {
+      case Some(m) if m.zorder.nonEmpty && !df.columns.contains("_z") =>
+        df.withColumn("_z", graft.functions.ZValue.forDims(
+          m.zorder, m.zorder.map(d => df(d.name))))
+      case _ => df
+    }
+    df2.write.format("graftkv").mode("append").save(path)
+  }
+
+  /** O1 variant: CREATE a z-clustered table. The physical composite key
+    * is `(_z, dims…)` where `_z` is the dims' Morton interleave
+    * (graft.codec.ZOrder) — the bulk load range-shuffles on `_z`, so
+    * segments tile the z-curve and a box predicate over the dims prunes
+    * to the segments whose z-span intersects the box's quadtree cover.
+    * The trailing dims keep physical keys exactly as unique as the
+    * logical key, so Put/upsert semantics are unchanged.
+    *
+    * One cheap extra aggregate over the input fixes each dim's
+    * (minCode, shift) normalization for the TABLE'S LIFETIME — codes
+    * use the observed value range at full per-dim resolution; later
+    * appends outside the range clamp consistently on the write and
+    * query sides (clustering degrades, correctness holds). */
+  def createZOrderTable(df: DataFrame, path: String, dims: Seq[String],
+      encoding: String = graft.store.RowCodec.Binary,
+      maxSegBytes: Option[Long] = None): Unit = {
+    require(dims.length >= 2, "z-order clustering wants >= 2 dimensions")
+    import org.apache.spark.sql.functions.{max, min}
+    import graft.codec.{ZDim, ZOrder}
+    val bits = ZOrder.bitsPerDim(dims.length)
+    val aggs = dims.flatMap(d => Seq(min(d), max(d)))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val zdims = dims.zipWithIndex.map { case (d, i) =>
+      val dt = df.schema(d).dataType
+      val (lo, hi) = (stats.get(2 * i), stats.get(2 * i + 1))
+      if (lo == null || hi == null) ZDim.legacy(d, bits)
+      else {
+        val loC = ZOrder.dimCode(dt, graft.pruning.TriEval.normalize(dt, lo))
+        val hiC = ZOrder.dimCode(dt, graft.pruning.TriEval.normalize(dt, hi))
+        ZDim(d, loC, ZOrder.shiftFor(hiC - loC, bits)) // unsigned diff: hi >= lo
+      }
+    }
+    val withZ = df.withColumn("_z",
+      graft.functions.ZValue.forDims(zdims, dims.map(df(_))))
+    val w = withZ.write.format("graftkv")
+      .option("key", ("_z" +: dims).mkString(","))
+      .option("zorder", ZDim.serialize(zdims))
+      .option("encoding", encoding)
+      .mode("overwrite")
+    maxSegBytes.foreach(b => w.option("segment.maxBytes", b.toString))
+    w.save(path)
+  }
 
   /** Read back (the relation itself). */
   def table(spark: SparkSession, path: String): DataFrame =
@@ -89,7 +142,7 @@ object KvCommands {
   /** O5: DESCRIBE — one row per column: (name, type, KEY order / NONKEY),
     * plus per-segment region info if requested. */
   def describe(spark: SparkSession, path: String): DataFrame = {
-    val KvTableMeta(schema, keys, _) = GraftKvMeta.read(path).getOrElse(
+    val KvTableMeta(schema, keys, _, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     import scala.jdk.CollectionConverters._
     val rows = schema.fields.map { f =>
@@ -370,7 +423,7 @@ object KvCommands {
       share(f)
       share(f.stripSuffix(".kv") + ".kvmeta")
     }
-    GraftKvMeta.write(dst, m.schema, m.keys, m.encoding)
+    GraftKvMeta.write(dst, m.schema, m.keys, m.encoding, m.zorder)
     SegmentFile.writeManifest(dst, live)
   }
 
@@ -422,7 +475,7 @@ object KvCommands {
   def snapshotDiff(spark: SparkSession, path: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val KvTableMeta(schema, keys, _) = GraftKvMeta.read(path).getOrElse(
+    val KvTableMeta(schema, keys, _, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     val vals = schema.fieldNames.toSeq.filterNot(keys.contains)
     // internal columns are __-prefixed so a user value column named

@@ -152,6 +152,21 @@ object KvOps {
     * key-shifted slice is inserted (not matched). The fixture registers
     * a graft catalog rooted at the fixture dir so the statement runs as
     * pure SQL against the kv table. */
+  /** Orders clustered on the (o_custkey, o_orderkey) z-curve: the box
+    * query's "orders of a customer segment in a key range" shape reads
+    * only the segments whose z-span intersects the box's quadtree cover
+    * (ZOrderTableSpec pins the pruning; here the gate pins results). */
+  private def ordersZPath(s: SparkSession, d: String): String =
+    lock.synchronized {
+      val p = s"${kvRoot(d)}/orders_z"
+      if (!graft.connector.GraftKvMeta.read(p).exists(_.zorder.nonEmpty)) {
+        KvCommands.dropTable(p)
+        KvCommands.createZOrderTable(Tables.table(s, d, "orders"), p,
+          Seq("o_custkey", "o_orderkey"))
+      }
+      p
+    }
+
   /** Register (idempotently) a graft catalog rooted at this sf's fixture
     * dir so metadata tables (`cat.t.snapshots` / `cat.t.segments`)
     * resolve as plain SQL names. The catalog NAME carries the sfDir —
@@ -500,6 +515,22 @@ object KvOps {
            |  min(CAST(min_lead AS BIGINT)) AS min_k,
            |  max(CAST(max_lead AS BIGINT)) AS max_k
            |FROM $cat.orders.segments""".stripMargin)
+    },
+
+    // Z-ORDER clustered table (multi-dim box queries on the sorted
+    // store): orders keyed by the (o_custkey, o_orderkey) Morton
+    // interleave; the box predicate prunes via the quadtree z-range
+    // cover and the rows must be exactly the parquet original's box
+    QuerySpec.checked("kv25_zorder_box",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 30000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      KvCommands.table(s, ordersZPath(s, d))
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_orderkey").between(1000, 30000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -165,4 +165,60 @@ object CriticalPoints {
         r.lo.forall(l => { val c = cmp(hi, l); c > 0 || (c == 0 && r.loInc) })
     }
   }
+
+  /** Intersection of two SORTED, DISJOINT range lists (two-pointer).
+    * Used to narrow the filter-derived lead ranges with a z-clustered
+    * table's box cover — both operands enforce exactly, so the
+    * intersection stays an exact enforcement set. */
+  def intersect(a: Seq[ValueRange], b: Seq[ValueRange], dt: DataType)
+      : Seq[ValueRange] = {
+    val cmp = comparator(dt)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ValueRange]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ra = a(i)
+      val rb = b(j)
+      // max of lower bounds (None = -inf); ties need both inclusive
+      val (lo, loInc) = (ra.lo, rb.lo) match {
+        case (None, _) => (rb.lo, rb.loInc)
+        case (_, None) => (ra.lo, ra.loInc)
+        case (Some(x), Some(y)) =>
+          val c = cmp(x, y)
+          if (c > 0) (ra.lo, ra.loInc)
+          else if (c < 0) (rb.lo, rb.loInc)
+          else (ra.lo, ra.loInc && rb.loInc)
+      }
+      // min of upper bounds (None = +inf)
+      val (hi, hiInc) = (ra.hi, rb.hi) match {
+        case (None, _) => (rb.hi, rb.hiInc)
+        case (_, None) => (ra.hi, ra.hiInc)
+        case (Some(x), Some(y)) =>
+          val c = cmp(x, y)
+          if (c < 0) (ra.hi, ra.hiInc)
+          else if (c > 0) (rb.hi, rb.hiInc)
+          else (ra.hi, ra.hiInc && rb.hiInc)
+      }
+      val nonEmpty = (lo, hi) match {
+        case (Some(l), Some(h)) =>
+          val c = cmp(l, h); c < 0 || (c == 0 && loInc && hiInc)
+        case _ => true
+      }
+      if (nonEmpty) out += ValueRange(lo, loInc, hi, hiInc)
+      // advance whichever list's current range ends first
+      (ra.hi, rb.hi) match {
+        case (None, None) => i += 1; j += 1
+        case (None, Some(_)) => j += 1
+        case (Some(_), None) => i += 1
+        case (Some(x), Some(y)) =>
+          val c = cmp(x, y)
+          if (c < 0) i += 1
+          else if (c > 0) j += 1
+          else if (ra.hiInc == rb.hiInc) { i += 1; j += 1 }
+          else if (!ra.hiInc) i += 1
+          else j += 1
+      }
+    }
+    out.toSeq
+  }
 }

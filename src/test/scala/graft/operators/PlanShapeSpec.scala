@@ -251,7 +251,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
       sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
-    val graft.connector.KvTableMeta(schema, keys, _) = graft.connector.GraftKvMeta.read(kvPath).get
+    val graft.connector.KvTableMeta(schema, keys, _, _) = graft.connector.GraftKvMeta.read(kvPath).get
     val all = new graft.connector.GraftKvScan(kvPath, schema, keys, schema,
       Array.empty, -1).planInputPartitions().length
     val pruned = new graft.connector.GraftKvScan(kvPath, schema, keys, schema,
