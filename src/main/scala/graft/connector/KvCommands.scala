@@ -19,12 +19,16 @@ object KvCommands {
     * codec (binary | stringformat, reference DDL `IN stringformat`). */
   def createTable(df: DataFrame, path: String, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
-      genOverride: Option[Long] = None): Unit = {
+      genOverride: Option[Long] = None,
+      zorder: Seq[graft.codec.ZDim] = Nil,
+      maxSegBytes: Option[Long] = None): Unit = {
     val w = df.write.format("graftkv")
       .option("key", keys.mkString(","))
       .option("encoding", encoding)
       .mode("overwrite")
     genOverride.foreach(g => w.option("gen.override", g.toString))
+    if (zorder.nonEmpty) w.option("zorder", graft.codec.ZDim.serialize(zorder))
+    maxSegBytes.foreach(b => w.option("segment.maxBytes", b.toString))
     w.save(path)
   }
 
@@ -167,14 +171,18 @@ object KvCommands {
     * segments — the major-compaction analog of an LSM/region store.
     * Safe in one step: new segments get fresh names and the overwrite
     * commit deletes the old files only after every task finished. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      maxSegBytes: Option[Long] = None): Unit = {
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     // preserve the max input generation: compaction reorganizes existing
     // versions, it doesn't create new ones — streaming readers key their
     // offsets on generations and must not re-emit compacted rows
     val maxGen = SegmentFile.listSegments(path).map(_.gen).maxOption
-    createTable(table(spark, path), path, m.keys, m.encoding, maxGen)
+    // the z-clustering declaration rides through the rewrite (the _z
+    // column is ordinary data here — already present in the read-back)
+    createTable(table(spark, path), path, m.keys, m.encoding, maxGen,
+      zorder = m.zorder, maxSegBytes = maxSegBytes)
   }
 
   /** Read amplification of a point lookup: the largest number of live

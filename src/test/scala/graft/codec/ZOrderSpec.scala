@@ -105,6 +105,46 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("scaledCode: full per-dim resolution on narrow domains, clamped outside") {
+    val bits = ZOrder.bitsPerDim(2) // 31
+    // domain 0..99: range 99 needs 7 bits → shift 0, codes ARE the offsets
+    val minC = ZOrder.codeLong(0L)
+    val shift = ZOrder.shiftFor(ZOrder.codeLong(99L) - minC, bits)
+    assert(shift == 0)
+    assert((0L to 99L).map(v =>
+      ZOrder.scaledCode(ZOrder.codeLong(v), minC, shift, bits)) == (0L to 99L))
+    // below min clamps to 0, far above max clamps to the cell ceiling
+    assert(ZOrder.scaledCode(ZOrder.codeLong(-5L), minC, shift, bits) == 0L)
+    assert(ZOrder.scaledCode(ZOrder.codeLong(Long.MaxValue), minC, shift, bits) ==
+      (1L << bits) - 1)
+    // monotone at any shift
+    val wideShift = ZOrder.shiftFor(
+      ZOrder.codeLong(Long.MaxValue) - ZOrder.codeLong(Long.MinValue), bits)
+    val samples = Seq(Long.MinValue, -1L, 0L, 1L, 1L << 40, Long.MaxValue)
+    val scaled = samples.map(v => ZOrder.scaledCode(
+      ZOrder.codeLong(v), ZOrder.codeLong(Long.MinValue), wideShift, bits))
+    assert(scaled == scaled.sorted)
+  }
+
+  test("zValueScaled equals zValueBits over scaled codes") {
+    val mins = Array(ZOrder.codeLong(10L), ZOrder.codeLong(-50L))
+    val shifts = Array(0, 1)
+    val codes = Array(ZOrder.codeLong(42L), ZOrder.codeLong(13L))
+    val bits = ZOrder.bitsPerDim(2)
+    val expected = ZOrder.zValueBits(
+      Array(
+        ZOrder.scaledCode(codes(0), mins(0), shifts(0), bits),
+        ZOrder.scaledCode(codes(1), mins(1), shifts(1), bits)), bits)
+    assert(ZOrder.zValueScaled(codes, mins, shifts) == expected)
+  }
+
+  test("ZDim round-trips through serialization, legacy form parses") {
+    val dims = Seq(ZDim("a", -123456789L, 7), ZDim("b", 0L, 0))
+    assert(ZDim.parse(ZDim.serialize(dims), 31) == dims)
+    assert(ZDim.parse("a,b", 31) ==
+      Seq(ZDim.legacy("a", 31), ZDim.legacy("b", 31)))
+  }
+
   test("full-domain box covers [0, maxZ] in one range") {
     val bits = ZOrder.bitsPerDim(2)
     val full = (1L << bits) - 1

@@ -96,6 +96,44 @@ class ZOrderTableSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("compaction restores z-tile pruning after scattered appends") {
+    val path = tmpTable()
+    KvCommands.createZOrderTable(grid, path, Seq("a", "b"),
+      maxSegBytes = Some(8192L))
+    // ten appends scattered across the whole z-domain: each new segment
+    // spans most of the curve, so the box overlaps everything
+    (0 until 10).foreach { i =>
+      KvCommands.append(Seq((i.toLong, 99L - i, -i.toLong), (99L - i, i.toLong, i.toLong))
+        .toDF("a", "b", "v"), path)
+    }
+    val m = GraftKvMeta.read(path).get
+    def prunedCount(): (Int, Int) = {
+      val all = new GraftKvScan(path, m.schema, m.keys, m.schema,
+        Array.empty, -1).planInputPartitions().length
+      val pruned = new GraftKvScan(path, m.schema, m.keys, m.schema,
+        Array(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("a", 40L),
+          org.apache.spark.sql.sources.LessThanOrEqual("a", 49L),
+          org.apache.spark.sql.sources.GreaterThanOrEqual("b", 40L),
+          org.apache.spark.sql.sources.LessThanOrEqual("b", 49L)),
+        -1).planInputPartitions().length
+      (pruned, all)
+    }
+    KvCommands.compact(spark, path, maxSegBytes = Some(8192L))
+    // the z declaration rides through the major rewrite
+    assert(GraftKvMeta.read(path).get.zorder.map(_.name) == Seq("a", "b"))
+    val (pruned, all) = prunedCount()
+    assert(all >= 8, s"compacted table too coarse: $all segments")
+    assert(pruned * 4 <= all,
+      s"compaction should restore z-tiling: $pruned of $all survive")
+    // the appends were all overwrites of existing grid cells — count is
+    // unchanged and the upserted value wins through the compaction
+    val back = KvCommands.table(spark, path)
+    assert(back.count() == 10000L)
+    assert(back.filter(col("a") === 0L && col("b") === 99L)
+      .select("v").head().getLong(0) == 0L)
+  }
+
   test("string dims cluster and filter correctly") {
     val path = tmpTable()
     val df = Seq.tabulate(2000)(i =>
