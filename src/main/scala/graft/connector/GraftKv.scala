@@ -267,7 +267,7 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     * answer from metadata, boundary segments scan just their own
     * records. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     // a file-restricted read (compaction's group scan) must not answer
     // aggregates from whole-table metadata; a snapshot read's metadata
@@ -300,10 +300,25 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
         case _ => None
       }
+    // SUM pushes only when EVERY live segment carries the exact V7 sum
+    // claim for the column at its CURRENT schema type (a null in any
+    // segment, an overflow, a pre-V7 sidecar, or a type change all
+    // suppress the claim and the whole aggregate falls back to a scan)
+    def summable(name: String): Boolean = {
+      import org.apache.spark.sql.types._
+      schema.fields.exists(f => f.name == name && (f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })) && segs.nonEmpty && segs.forall(_.zoneStats.exists(z =>
+        z.name == name && z.dataType == schema(name).dataType && z.sum.isDefined))
+    }
     val specs: Seq[Option[KvAgg]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(KvAgg.Count)
       case m: Min if leadName(m.column()).contains(keys.head) => Some(KvAgg.MinLead)
       case m: Max if leadName(m.column()).contains(keys.head) => Some(KvAgg.MaxLead)
+      case s: Sum if !s.isDistinct &&
+        leadName(s.column()).exists(summable) =>
+        Some(KvAgg.SumCol(leadName(s.column()).get))
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) {
@@ -353,6 +368,9 @@ object KvAgg {
   case object Count extends KvAgg
   case object MinLead extends KvAgg
   case object MaxLead extends KvAgg
+  /** Exact Long SUM of an integral column from the V7 zone-stat sums
+    * (the reference coprocessor's partial-sum analog). */
+  final case class SumCol(name: String) extends KvAgg
 }
 
 /** Scan that answers pushed aggregates from segment sidecars: one
@@ -370,6 +388,7 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
 
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (KvAgg.Count, i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    case (KvAgg.SumCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = true)
     case (_, i) => org.apache.spark.sql.types.StructField(s"agg_$i", leadField.dataType, nullable = true)
   })
 
@@ -384,17 +403,27 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
       pushed, keys.head, codec.keyFields.head.dataType),
     codec.keyFields.head.dataType)
 
+  /** The agg row a fully-covered segment answers from pure metadata. */
+  private def metadataValues(m: SegmentFile.Meta): Array[Any] =
+    aggs.map {
+      case KvAgg.Count => m.count
+      case KvAgg.MinLead => codec.decodeKey(m.minKey)(0)
+      case KvAgg.MaxLead => codec.decodeKey(m.maxKey)(0)
+      case KvAgg.SumCol(n) =>
+        // presence was validated at push time over this exact listing
+        m.zoneStats.find(_.name == n).flatMap(_.sum)
+          .map(Long.box).orNull
+    }.toArray[Any]
+
   override def planInputPartitions(): Array[InputPartition] =
     segs.flatMap { m =>
       val minLead = codec.leadingKeyValue(m.minKey)
       val maxLead = codec.leadingKeyValue(m.maxKey)
       if (pushed.isEmpty)
-        Some(KvAggPartition(m.count,
-          codec.decodeKey(m.minKey)(0), codec.decodeKey(m.maxKey)(0)))
+        Some(KvAggPartition(metadataValues(m)))
       else if (!leadRanges.intersects(minLead, maxLead)) None // pruned
       else if (leadRanges.coversInterval(minLead, maxLead))
-        Some(KvAggPartition(m.count,
-          codec.decodeKey(m.minKey)(0), codec.decodeKey(m.maxKey)(0)))
+        Some(KvAggPartition(metadataValues(m)))
       else Some(KvAggBoundaryPartition(path, m.file))
     }.toArray[InputPartition]
 
@@ -412,35 +441,57 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
       override def next(): Boolean = if (done) false else { done = true; true }
 
       override def get(): InternalRow = {
-        val (count, minLead, maxLead) = partition match {
-          case p: KvAggPartition => (p.count, p.minLead, p.maxLead)
+        val values = partition match {
+          case p: KvAggPartition => p.values
           case p: KvAggBoundaryPartition =>
             // scan only this segment's matching records (seek + early
             // stop via the regular partition reader, projected to the
-            // lead column); sorted order makes min = first, max = last
+            // lead column + any summed columns); sorted order makes
+            // min = first, max = last
+            import org.apache.spark.sql.types._
+            val sumCols = aggs.collect { case KvAgg.SumCol(n) => n }.distinct
             val inner = new GraftKvPartitionReader(
               GraftKvInputPartition(p.dir, p.file, 0L),
-              schema, keys, Seq(keys.head), ranges, -1, encoding)
+              schema, keys, keys.head +: sumCols, ranges, -1, encoding)
             val dt = schema(keys.head).dataType
             var cnt = 0L
             var minV: Any = null
             var maxV: Any = null
+            val sums = new Array[Long](sumCols.length)
+            val sumSeen = new Array[Boolean](sumCols.length)
             try {
               while (inner.next()) {
-                val v = inner.get().get(0, dt)
+                val row = inner.get()
+                val v = row.get(0, dt)
                 if (minV == null) minV = v
                 maxV = v
                 cnt += 1
+                var j = 0
+                while (j < sumCols.length) {
+                  if (!row.isNullAt(1 + j)) {
+                    val x = schema(sumCols(j)).dataType match {
+                      case LongType => row.getLong(1 + j)
+                      case IntegerType => row.getInt(1 + j).toLong
+                      case ShortType => row.getShort(1 + j).toLong
+                      case _ => row.getByte(1 + j).toLong
+                    }
+                    sums(j) = Math.addExact(sums(j), x)
+                    sumSeen(j) = true
+                  }
+                  j += 1
+                }
               }
             } finally inner.close()
-            (cnt, minV, maxV)
+            aggs.map {
+              case KvAgg.Count => cnt
+              case KvAgg.MinLead => minV
+              case KvAgg.MaxLead => maxV
+              case KvAgg.SumCol(n) =>
+                val j = sumCols.indexOf(n)
+                if (sumSeen(j)) sums(j) else null
+            }.toArray[Any]
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          aggs.map {
-            case KvAgg.Count => count
-            case KvAgg.MinLead => minLead
-            case KvAgg.MaxLead => maxLead
-          }.toArray[Any])
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
 
       override def close(): Unit = ()
@@ -488,7 +539,7 @@ object GraftKvMetrics {
     new SegmentsTotal, new SegmentsPruned, new RecordsDecoded, new GapSeeks)
 }
 
-final case class KvAggPartition(count: Long, minLead: Any, maxLead: Any)
+final case class KvAggPartition(values: Array[Any])
     extends InputPartition
 
 /** Boundary segment of a filtered pushed aggregate: partially covered by
@@ -1850,14 +1901,35 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // column that saw ANY null in the segment must not publish one
   private val statNulls = new Array[Boolean](statFields.length)
 
+  // per-segment exact column SUMS (integral columns only; V7 sidecar):
+  // unlike min/max — which superseded Put-duplicates may only WIDEN —
+  // a sum must count each live row exactly once, so contributions fold
+  // at flushBuffered (the winner of a dup group), never at buffer time.
+  // Overflow of the exact Long arithmetic drops the claim (sumOk).
+  private val sumable: Array[Boolean] = statFields.map { case (_, f) =>
+    f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+  }
+  private val statSum = new Array[Long](statFields.length)
+  private val sumOk: Array[Boolean] = sumable.clone()
+  private val pendingSum = new Array[Long](statFields.length)
+  private val pendingNull = new Array[Boolean](statFields.length)
+
   private def segZoneStats(): Seq[SegmentFile.ZoneStat] = {
     val out = Seq.newBuilder[SegmentFile.ZoneStat]
     var i = 0
     while (i < statFields.length) {
       if (statMin(i) != null && !statNulls(i))
         out += SegmentFile.ZoneStat(statFields(i)._2.name,
-          statFields(i)._2.dataType, statMin(i), statMax(i))
+          statFields(i)._2.dataType, statMin(i), statMax(i),
+          if (sumable(i) && sumOk(i)) Some(statSum(i)) else None)
       statMin(i) = null; statMax(i) = null; statNulls(i) = false
+      statSum(i) = 0L; sumOk(i) = sumable(i)
       i += 1
     }
     out.result()
@@ -1895,6 +1967,16 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private def flushBuffered(): Unit = if (bufKey != null) {
     writer.write(bufKey, bufValue, bufBlooms)
     bufKey = null
+    // the flushed winner's sum contributions land in the segment the
+    // record physically entered (flush precedes any rotation)
+    var si = 0
+    while (si < statFields.length) {
+      if (sumable(si) && sumOk(si) && !pendingNull(si)) {
+        try statSum(si) = Math.addExact(statSum(si), pendingSum(si))
+        catch { case _: ArithmeticException => sumOk(si) = false }
+      }
+      si += 1
+    }
   }
 
   /** Fold this row into the CURRENT segment's zone-stat epoch. Must run
@@ -1917,10 +1999,34 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     }
   }
 
+  /** Stage the buffered row's sum contributions (folded only when the
+    * row actually flushes — a dup-group loser just gets restaged over). */
+  private def stagePending(row: InternalRow): Unit = {
+    import org.apache.spark.sql.types._
+    var si = 0
+    while (si < statFields.length) {
+      if (sumable(si)) {
+        val (ord, f) = statFields(si)
+        if (row.isNullAt(ord)) pendingNull(si) = true
+        else {
+          pendingNull(si) = false
+          pendingSum(si) = f.dataType match {
+            case LongType => row.getLong(ord)
+            case IntegerType => row.getInt(ord).toLong
+            case ShortType => row.getShort(ord).toLong
+            case _ => row.getByte(ord).toLong
+          }
+        }
+      }
+      si += 1
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     val key = codec.encodeKey(row)
     if (bufKey != null && codec.compareKeys(key, bufKey) == 0) {
       foldStats(row)
+      stagePending(row)
       // duplicate key: later row wins (null = the delete marker)
       bufValue = if (tombstone) null else codec.encodeValue(row)
       return
@@ -1935,6 +2041,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     }
     lastLead = lead
     foldStats(row)
+    stagePending(row)
     bufKey = key
     bufValue = if (tombstone) null else codec.encodeValue(row)
     if (bloomHashes != null) {

@@ -517,6 +517,18 @@ object KvOps {
            |FROM $cat.orders.segments""".stripMargin)
     },
 
+    // metadata SUM (V7 zone-stat sums, the coprocessor partial-sum
+    // analog): COUNT + exact integral SUM answered from segment
+    // metadata on a fresh bulk-loaded table (KvConnectorSpec pins the
+    // plan shape; the gate pins values against the parquet truth —
+    // identical whether the plan hits metadata or falls back to a scan)
+    QuerySpec.checked("kv26_metadata_sum",
+      """SELECT count(*) AS cnt, CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders""") { (s, d) =>
+      ordersKv(s, d).agg(count(lit(1)).as("cnt"),
+        sum(col("o_custkey")).as("sum_ck"))
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range

@@ -110,12 +110,19 @@ object SegmentFile {
   // planning refuse metadata-only aggregates over tombstoned tables
   // without opening data files.
   private val FormatV6 = -6
+  // V7 adds an optional per-zone-entry COLUMN SUM (integral types only,
+  // exact Long arithmetic — the writer drops the claim on overflow), so
+  // SUM aggregates join COUNT/MIN/MAX on the metadata-only path (the
+  // reference coprocessor's partial-sum analog). Pre-V7 entries read
+  // with no sum claim.
+  private val FormatV7 = -7
 
-  /** One value-column zone entry: (column, type, min, max) over the
-    * segment's non-null values. Types are the fixed-width numerics the
-    * 3-valued pruner can compare. */
+  /** One value-column zone entry: (column, type, min, max[, sum]) over
+    * the segment's non-null values. Types are the fixed-width numerics
+    * the 3-valued pruner can compare; `sum` is present only for
+    * integral columns whose exact Long sum the writer tracked. */
   final case class ZoneStat(name: String, dataType: org.apache.spark.sql.types.DataType,
-      min: Any, max: Any)
+      min: Any, max: Any, sum: Option[Long] = None)
 
   private val zoneTags: Seq[(Byte, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
@@ -226,7 +233,7 @@ object SegmentFile {
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
         gen, tombstoneCount)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV6)
+      mo.writeInt(FormatV7)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -252,6 +259,8 @@ object SegmentFile {
         mo.writeByte(tagOf(z.dataType).toInt)
         writeZoneValue(mo, z.dataType, z.min)
         writeZoneValue(mo, z.dataType, z.max)
+        mo.writeBoolean(z.sum.isDefined)
+        z.sum.foreach(mo.writeLong)
       }
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
@@ -278,7 +287,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v6 = first == FormatV6
+      val v7 = first == FormatV7
+      val v6 = v7 || first == FormatV6
       val v5 = v6 || first == FormatV5
       val gen = if (v5) in.readLong() else 0L
       val tombstones = if (v6) in.readLong() else 0L
@@ -310,8 +320,11 @@ object SegmentFile {
         else (0 until in.readInt()).map { _ =>
           val nb = new Array[Byte](in.readInt()); in.readFully(nb)
           val dt = typeOf(in.readByte())
+          val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
+          val sum =
+            if (v7 && in.readBoolean()) Some(in.readLong()) else None
           ZoneStat(new String(nb, java.nio.charset.StandardCharsets.UTF_8),
-            dt, readZoneValue(in, dt), readZoneValue(in, dt))
+            dt, mn, mx, sum)
         }
       // sparse index (absent in pre-index sidecars → seekless reads)
       val idx = if (!withIndex) IndexedSeq.empty else try {
@@ -536,7 +549,10 @@ object SegmentFile {
   // fallback when a pack is missing (legacy table, crashed committer):
   // one sidecar sweep, after which the read path backfills the pack.
 
-  private val PackedStatsV1 = -100
+  // V2 carries the optional per-zone-entry sums (sidecar V7); a V1 pack
+  // simply reads as absent and the read path backfills the new version
+  // from sidecars — packs are derived caches, never authorities.
+  private val PackedStatsV2 = -101
 
   private def statsPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_stats.v$v")
@@ -570,6 +586,8 @@ object SegmentFile {
       out.writeByte(tagOf(z.dataType).toInt)
       writeZoneValue(out, z.dataType, z.min)
       writeZoneValue(out, z.dataType, z.max)
+      out.writeBoolean(z.sum.isDefined)
+      z.sum.foreach(out.writeLong)
     }
   }
 
@@ -595,8 +613,10 @@ object SegmentFile {
     val stats = (0 until in.readInt()).map { _ =>
       val zb = new Array[Byte](in.readInt()); in.readFully(zb)
       val dt = typeOf(in.readByte())
+      val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
+      val sum = if (in.readBoolean()) Some(in.readLong()) else None
       ZoneStat(new String(zb, java.nio.charset.StandardCharsets.UTF_8),
-        dt, readZoneValue(in, dt), readZoneValue(in, dt))
+        dt, mn, mx, sum)
     }
     Meta(file, min, max, count, size, blooms, IndexedSeq.empty, schemaJson,
       stats, gen, tombstones)
@@ -612,7 +632,7 @@ object SegmentFile {
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp), 1 << 16))
     try {
-      out.writeInt(PackedStatsV1)
+      out.writeInt(PackedStatsV2)
       out.writeInt(metas.length)
       metas.foreach(writePackedEntry(out, _))
     } finally out.close()
@@ -631,7 +651,7 @@ object SegmentFile {
       val in = new DataInputStream(new BufferedInputStream(
         Files.newInputStream(p), 1 << 16))
       try {
-        if (in.readInt() != PackedStatsV1) None
+        if (in.readInt() != PackedStatsV2) None
         else Some((0 until in.readInt()).map(_ => readPackedEntry(in)))
       } finally in.close()
     } catch { case _: Exception => None }

@@ -735,4 +735,54 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 75).head().getString(1) == "new")
     assert(t.filter(col("k") === 25).head().getString(1) == "old")
   }
+
+  test("kv SUM of integral value columns is answered from segment metadata") {
+    val path = tmpTable()
+    val df = spark.range(5000).select(col("id").as("k"),
+      (col("id") % 97).as("m"),
+      (col("id") * 3).cast("int").as("v"))
+    KvCommands.createTable(df, path, Seq("k"))
+    val back = KvCommands.table(spark, path)
+
+    // whole-table: long + int sums and count from pure metadata
+    val agg = back.agg(sum(col("m")).as("sm"), sum(col("v")).as("sv"),
+      count(lit(1)).as("c"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    val row = agg.head()
+    assert(row.getLong(0) == (0L until 5000L).map(_ % 97).sum)
+    assert(row.getLong(1) == (0L until 5000L).map(_ * 3).sum)
+    assert(row.getLong(2) == 5000L)
+
+    // lead-range filter: covered segments answer from metadata, the two
+    // boundary segments scan and sum their matching records
+    val f = back.filter(col("k").between(100, 4000))
+      .agg(sum(col("m")).as("sm"), sum(col("v")).as("sv"))
+    f.collect()
+    assert(f.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    val fr = f.head()
+    assert(fr.getLong(0) == (100L to 4000L).map(_ % 97).sum)
+    assert(fr.getLong(1) == (100L to 4000L).map(_ * 3).sum)
+
+    // a column with ANY null publishes no sum claim → full scan fallback
+    val pathN = tmpTable()
+    KvCommands.createTable(spark.range(100).select(col("id").as("k"),
+      when(col("id") === 50, lit(null)).otherwise(col("id")).as("m")),
+      pathN, Seq("k"))
+    val aggN = KvCommands.table(spark, pathN).agg(sum(col("m")).as("sm"))
+    assert(!aggN.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    assert(aggN.head().getLong(0) == (0L until 100L).sum - 50L)
+
+    // a Put-upsert within one write sums the WINNING row only
+    val pathU = tmpTable()
+    KvCommands.createTable(
+      spark.range(100).select((col("id") % 10).as("k"), lit(1L).as("m")),
+      pathU, Seq("k"))
+    val aggU = KvCommands.table(spark, pathU).agg(sum(col("m")).as("sm"),
+      count(lit(1)).as("c"))
+    aggU.collect()
+    assert(aggU.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    assert(aggU.head().getLong(0) == 10L, "superseded duplicates must not be summed")
+  }
 }
