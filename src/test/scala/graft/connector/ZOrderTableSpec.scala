@@ -134,6 +134,31 @@ class ZOrderTableSpec extends AnyFunSuite {
       .select("v").head().getLong(0) == 0L)
   }
 
+  test("runtime join filters on z dims prune segments (DPP × z-curve)") {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.{graftbridge => gb}
+    import org.apache.spark.sql.types.LongType
+    val path = tmpTable()
+    KvCommands.createZOrderTable(grid, path, Seq("a", "b"),
+      maxSegBytes = Some(8192L))
+    val m = GraftKvMeta.read(path).get
+    val all = new GraftKvScan(path, m.schema, m.keys, m.schema,
+      Array.empty, -1).planInputPartitions().length
+    // a star join's runtime IN on dim `a` (two surviving dim keys): the
+    // scan never saw a compile-time filter, yet the runtime values bound
+    // the z-box and prune — multi-dim DPP through the z layout
+    val scan = new GraftKvScan(path, m.schema, m.keys, m.schema,
+      Array.empty, -1)
+    scan.filter(Array(new Predicate("IN",
+      (E.column("a") +: Seq(3L, 7L).map(v =>
+        gb.v2Literal(v, LongType): org.apache.spark.sql.connector.expressions.Expression)).toArray)))
+    val pruned = scan.planInputPartitions().length
+    assert(all >= 8, s"fixture too coarse: $all")
+    assert(pruned * 4 <= all,
+      s"runtime IN on a z dim should prune most segments: $pruned of $all")
+  }
+
   test("string dims cluster and filter correctly") {
     val path = tmpTable()
     val df = Seq.tabulate(2000)(i =>
