@@ -1711,9 +1711,20 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
   }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // A z-clustered table's stream writes carry the LOGICAL schema (the
+    // buffered Put sink derives `_z` per row and sorts itself), so the
+    // distribution/ordering requirement — which Spark resolves against
+    // the INPUT — must only be demanded when every key column is
+    // actually present. The batch path still hard-requires them
+    // (checked with a clear error below): its writer streams records
+    // pre-sorted and cannot derive columns.
+    private val allKeysPresent: Boolean =
+      keys.forall(schema.fieldNames.contains)
     private val sortOrders: Array[SortOrder] =
-      keys.map(k => Expressions.sort(Expressions.column(k),
-        SortDirection.ASCENDING)).toArray
+      if (allKeysPresent)
+        keys.map(k => Expressions.sort(Expressions.column(k),
+          SortDirection.ASCENDING)).toArray
+      else Array.empty
 
     // This write's commit GENERATION (driver-side, under the one-writer
     // contract): one more than the newest live segment's. Readers use it
@@ -1739,7 +1750,8 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     // the shuffle-free GROUP BY path. Skew bound: the largest single
     // lead-value run; same trade a region store makes.
     override def requiredDistribution(): Distribution =
-      Distributions.ordered(sortOrders.take(1))
+      if (allKeysPresent) Distributions.ordered(sortOrders.take(1))
+      else Distributions.unspecified()
     override def requiredOrdering(): Array[SortOrder] = sortOrders
 
     /** writeStream.format("graftkv"): the native streaming sink —
@@ -1754,9 +1766,14 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     }
 
     override def toBatch: BatchWrite = new BatchWrite {
-      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        if (!allKeysPresent) throw new IllegalArgumentException(
+          s"batch write to graftkv:$path is missing key column(s) " +
+            s"${keys.filterNot(schema.fieldNames.contains).mkString(", ")} — " +
+            "for a z-clustered table use KvCommands.append, which derives _z")
         new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen,
           tombstone)
+      }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val committed = messages.collect {

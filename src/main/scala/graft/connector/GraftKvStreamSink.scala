@@ -50,10 +50,18 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
     catch { case _: Exception => Seq.empty[Long] })
       .maxOption.getOrElse(0L)
 
+  // z-clustered sink: a stream writes the LOGICAL schema and the sink
+  // derives the `_z` lead per row from the table's persisted dim specs
+  // — the buffered Put path sorts rows itself, so (unlike the batch
+  // write's RequiresDistributionAndOrdering) nothing forces the column
+  // into the input plan
+  private val zdims: Seq[graft.codec.ZDim] =
+    GraftKvMeta.read(path).map(_.zorder).getOrElse(Nil)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftKvStreamingWriterFactory(path, schema, keys, encoding, baseGen,
-      maxSegBytes)
+      maxSegBytes, zdims)
 
   private def intent(epochId: Long) =
     Paths.get(path, s"._graft_epoch-$queryId-$epochId.intent")
@@ -116,12 +124,13 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
 
 class GraftKvStreamingWriterFactory(path: String, schema: StructType,
     keys: Seq[String], encoding: String, baseGen: Long,
-    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
+    zdims: Seq[graft.codec.ZDim] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftKvBufferedPutWriter(path, schema, keys, encoding,
-      baseGen + epochId + 1, partitionId, taskId, maxSegBytes)
+      baseGen + epochId + 1, partitionId, taskId, maxSegBytes, zdims)
 }
 
 /** Put writer for unsorted input: one [[KvSortedChunkBuffer]], drained
@@ -132,14 +141,44 @@ class GraftKvStreamingWriterFactory(path: String, schema: StructType,
 class GraftKvBufferedPutWriter(path: String, schema: StructType,
     keys: Seq[String], encoding: String, gen: Long,
     partitionId: Int, taskId: Long,
-    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes)
+    maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
+    zdims: Seq[graft.codec.ZDim] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val buf = new KvSortedChunkBuffer(path, schema, keys, encoding,
+  // derive the z-lead per row when the input carries the logical schema
+  private val augmentZ = zdims.nonEmpty && !schema.fieldNames.contains("_z")
+  private val effSchema =
+    if (augmentZ)
+      schema.add("_z", org.apache.spark.sql.types.LongType, nullable = false)
+    else schema
+  private val zOrds = zdims.map(d => schema.fieldIndex(d.name)).toArray
+  private val zTypes =
+    zdims.map(d => schema(schema.fieldIndex(d.name)).dataType).toArray
+  private val zMins = zdims.map(_.minCode).toArray
+  private val zShifts = zdims.map(_.shift).toArray
+
+  private val buf = new KvSortedChunkBuffer(path, effSchema, keys, encoding,
     gen, partitionId, taskId, tombstone = false, maxSegBytes)
 
+  private def withZ(row: InternalRow): InternalRow = {
+    val n = schema.length
+    val vals = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) { vals(i) = row.get(i, schema(i).dataType); i += 1 }
+    val codes = new Array[Long](zOrds.length)
+    i = 0
+    while (i < codes.length) {
+      codes(i) =
+        if (row.isNullAt(zOrds(i))) 0L // nulls-first, as the kernel
+        else graft.codec.ZOrder.dimCode(zTypes(i), row.get(zOrds(i), zTypes(i)))
+      i += 1
+    }
+    vals(n) = graft.codec.ZOrder.zValueScaled(codes, zMins, zShifts)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
   override def write(row: InternalRow): Unit = {
-    buf.put(row)
+    buf.put(if (augmentZ) withZ(row) else row)
     if (buf.size >= KvSortedChunkBuffer.FlushRows) buf.drain()
   }
 

@@ -134,6 +134,33 @@ class ZOrderTableSpec extends AnyFunSuite {
       .select("v").head().getLong(0) == 0L)
   }
 
+  test("streaming sink derives _z: writeStream into a z-clustered table") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpTable()
+    KvCommands.createZOrderTable(grid, path, Seq("a", "b"))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val ckpt = Files.createTempDirectory("graftkv_z_ckpt").toString
+    // the stream writes the LOGICAL schema — no _z column anywhere
+    val q = input.toDF().toDF("a", "b", "v").writeStream.format("graftkv")
+      .option("checkpointLocation", ckpt).start(path)
+    input.addData((200L, 5L, 1L), (10L, 30L, -7L)) // new key + overwrite
+    q.processAllAvailable()
+    input.addData((201L, 6L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val back = KvCommands.table(spark, path)
+    assert(back.count() == 10002L)
+    assert(back.filter(col("a") === 200L && col("b") === 5L)
+      .head().getAs[Long]("v") == 1L)
+    assert(back.filter(col("a") === 10L && col("b") === 30L)
+      .head().getAs[Long]("v") == -7L)
+    // the sink-derived _z equals the kernel under the persisted specs
+    val m = GraftKvMeta.read(path).get
+    assert(back.filter(col("_z") =!= graft.functions.ZValue.forDims(
+      m.zorder, Seq(col("a"), col("b")))).count() == 0L)
+  }
+
   test("runtime join filters on z dims prune segments (DPP × z-curve)") {
     import org.apache.spark.sql.connector.expressions.{Expressions => E}
     import org.apache.spark.sql.connector.expressions.filter.Predicate
