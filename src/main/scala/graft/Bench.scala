@@ -19,6 +19,7 @@ object Bench {
     "kv5_agg_over_kv",       // full-table scan + agg through the KV connector
     "kv18_runtime_pruned_join", // star join: runtime scan pruning (DPP analog)
     "kv25_zorder_box",       // multi-dim box query on the z-clustered layout
+    "kv26_metadata_sum",     // COUNT + exact SUM from segment metadata
     "j12_asof_join",         // as-of join (union + single window pass)
     "j13_range_join",        // interval join (bucketed equi-join + residual)
     "t2_sort_multi_dir",     // top-k
@@ -91,7 +92,8 @@ object Bench {
     // join pipelines (~1s JVM-wide, measured), which amortizes to zero
     // at any real corpus size — steady-state is the scale-relevant cost.
     Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
-      "ann2_lsh_topk", "dd1_exact_dedup", "dd3_minhash_lsh_neardup").foreach { w =>
+      "kv26_metadata_sum", "ann2_lsh_topk", "dd1_exact_dedup",
+      "dd3_minhash_lsh_neardup").foreach { w =>
       try queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
@@ -214,7 +216,8 @@ object Bench {
         .filter(p => new java.io.File(p, "lineitem.parquet").exists()))
     val sf1Json = sf1Dir.map { dir =>
       Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
-        "ann2_lsh_topk", "dd1_exact_dedup", "dd3_minhash_lsh_neardup").foreach { w =>
+        "kv26_metadata_sum", "ann2_lsh_topk", "dd1_exact_dedup",
+        "dd3_minhash_lsh_neardup").foreach { w =>
         try queries(w)(spark, dir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 warmup $w failed: ${e.getMessage}")
