@@ -611,7 +611,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * out anyway. None = no usable bound (plain table, no dim filters). */
   lazy val zBoxRanges: Option[Seq[graft.pruning.TriEval.ValueRange]] = {
     import graft.pruning.TriEval
-    if (zorderDims.isEmpty || filters.isEmpty) None
+    // never on a snapshot read: a retained snapshot of a table that was
+    // later RE-CREATED with different z specs stores z-values under the
+    // OLD normalization, and narrowing with the CURRENT meta's specs
+    // would silently drop rows — the frozen view stays correct through
+    // residual filters, just without z pruning
+    if (snapshotVersion.nonEmpty || zorderDims.isEmpty || filters.isEmpty) None
     else try {
       val k = zorderDims.length
       val bits = graft.codec.ZOrder.bitsPerDim(k)

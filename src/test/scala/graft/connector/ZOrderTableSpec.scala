@@ -186,6 +186,39 @@ class ZOrderTableSpec extends AnyFunSuite {
       s"runtime IN on a z dim should prune most segments: $pruned of $all")
   }
 
+  test("snapshot reads never narrow with current z specs") {
+    // a retained snapshot could predate a spec change (defense-in-depth:
+    // today every re-create also deletes the old files, but the frozen
+    // view must never depend on the CURRENT meta's normalization), so z
+    // narrowing is off for snapshot scans — results still exact via
+    // residuals, pruning deliberately foregone
+    val path = tmpTable()
+    KvCommands.createZOrderTable(grid, path, Seq("a", "b"),
+      maxSegBytes = Some(8192L))
+    val v1 = KvCommands.snapshots(path).last
+    val m = GraftKvMeta.read(path).get
+    val box = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("a", 10L),
+      org.apache.spark.sql.sources.LessThanOrEqual("a", 19L),
+      org.apache.spark.sql.sources.GreaterThanOrEqual("b", 30L),
+      org.apache.spark.sql.sources.LessThanOrEqual("b", 39L))
+    val live = new GraftKvScan(path, m.schema, m.keys, m.schema, box, -1)
+      .planInputPartitions().length
+    val snap = new GraftKvScan(path, m.schema, m.keys, m.schema, box, -1,
+      snapshotVersion = Some(v1)).planInputPartitions().length
+    val all = new GraftKvScan(path, m.schema, m.keys, m.schema,
+      Array.empty, -1).planInputPartitions().length
+    assert(live * 4 <= all, s"live scan should z-prune: $live of $all")
+    assert(snap == all, s"snapshot scan must not z-narrow: $snap of $all")
+    // and the snapshot's box answer stays exact
+    val exp = grid.filter(col("a").between(10, 19) && col("b").between(30, 39))
+      .select("a", "b", "v").collect().map(_.toSeq).toSet
+    val got = KvCommands.tableAsOf(spark, path, v1)
+      .filter(col("a").between(10, 19) && col("b").between(30, 39))
+      .select("a", "b", "v").collect().map(_.toSeq).toSet
+    assert(got == exp)
+  }
+
   test("string dims cluster and filter correctly") {
     val path = tmpTable()
     val df = Seq.tabulate(2000)(i =>
