@@ -167,6 +167,20 @@ object KvOps {
       p
     }
 
+  /** Events clustered on the 3-dim (user_id, event_type, event_id)
+    * z-curve — numeric lead, STRING middle (8-byte UTF-8 prefix codes),
+    * numeric third. */
+  private def eventsZPath(s: SparkSession, d: String): String =
+    lock.synchronized {
+      val p = s"${kvRoot(d)}/events_z"
+      if (!graft.connector.GraftKvMeta.read(p).exists(_.zorder.nonEmpty)) {
+        KvCommands.dropTable(p)
+        KvCommands.createZOrderTable(Tables.table(s, d, "events"), p,
+          Seq("user_id", "event_type", "event_id"))
+      }
+      p
+    }
+
   /** Register (idempotently) a graft catalog rooted at this sf's fixture
     * dir so metadata tables (`cat.t.snapshots` / `cat.t.segments`)
     * resolve as plain SQL names. The catalog NAME carries the sfDir —
@@ -543,6 +557,22 @@ object KvOps {
           col("o_orderkey").between(1000, 30000))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // 3-dim z-curve with a STRING middle dimension: numeric lead range ×
+    // string point × numeric range — exercises the UTF-8-prefix dim
+    // codes and a mixed-type box end-to-end against the parquet truth
+    QuerySpec.checked("kv27_zorder_3d",
+      """SELECT user_id, event_type, event_id, value FROM events
+        |WHERE user_id BETWEEN 3 AND 10 AND event_type = 'purchase'
+        |  AND event_id BETWEEN 100 AND 700
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      KvCommands.table(s, eventsZPath(s, d))
+        .filter(col("user_id").between(3, 10) &&
+          col("event_type") === "purchase" &&
+          col("event_id").between(100, 700))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_id")
     }
   )
 }
