@@ -178,6 +178,77 @@ object Bench {
       ""
     }
 
+    // z-order scale probe: a 1024-segment z-clustered tiling of a
+    // 1024×1024 dim grid (each segment one contiguous z-interval — what
+    // the range-shuffled bulk load produces) planned against a 32×32
+    // box (0.1% of the area). Segments touched is the scale claim: at
+    // 100 TB the same geometry holds, so a small box reads a small,
+    // size-independent fraction of the table.
+    val zScaleJson = try {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val nSegs = 1024
+      val bits = graft.codec.ZOrder.bitsPerDim(2) // 31
+      val dir = "/root/repo/tmp/zscale"
+      val schema = StructType(Seq(
+        StructField("_z", LongType, nullable = false),
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false)))
+      val keys = Seq("_z", "a", "b")
+      // grid codes ARE the values (minCode = code(0), shift 0)
+      val zdims = Seq(
+        graft.codec.ZDim("a", graft.codec.ZOrder.codeLong(0L), 0),
+        graft.codec.ZDim("b", graft.codec.ZOrder.codeLong(0L), 0))
+      if (!new java.io.File(dir, "_graft_meta.json").exists()) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val codec = graft.store.RowCodec(schema, keys)
+        val total = 1024L * 1024L
+        val span = total / nSegs // one z-interval per segment
+        def dimsOf(z: Long): (Long, Long) = {
+          var a = 0L; var b = 0L
+          var d = 0
+          while (d < 10) { // 10 bits per dim cover 0..1023
+            a = (a << 1) | ((z >>> (2 * (10 - d) - 1)) & 1L)
+            b = (b << 1) | ((z >>> (2 * (10 - d) - 2)) & 1L)
+            d += 1
+          }
+          (a, b)
+        }
+        val names = (0 until nSegs).map { i =>
+          val name = f"segment-$i%05d-000000-zscale00"
+          val w = new graft.store.SegmentFile.Writer(dir, name,
+            cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
+          Seq(i * span, i * span + span - 1).foreach { z =>
+            val (a, b) = dimsOf(z)
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](graft.codec.ZOrder.zValueScaled(
+                Array(graft.codec.ZOrder.codeLong(a), graft.codec.ZOrder.codeLong(b)),
+                zdims.map(_.minCode).toArray, zdims.map(_.shift).toArray), a, b))
+            w.write(codec.encodeKey(row), codec.encodeValue(row))
+          }
+          w.close()
+          s"$name.kv"
+        }
+        graft.connector.GraftKvMeta.write(dir, schema, keys, zorder = zdims)
+        graft.store.SegmentFile.writeManifest(dir, names)
+      }
+      // deliberately UNALIGNED to the quadtree cells — the worst-case
+      // cover shape, so `touched` is an honest upper bound
+      val box = Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("a", 500L),
+        org.apache.spark.sql.sources.LessThanOrEqual("a", 531L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("b", 300L),
+        org.apache.spark.sql.sources.LessThanOrEqual("b", 331L))
+      val m = graft.connector.GraftKvMeta.read(dir).get
+      val t0 = System.nanoTime()
+      val touched = new graft.connector.GraftKvScan(dir, m.schema, m.keys,
+        m.schema, box, -1).planInputPartitions().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      s""","zscale":{"segments":$nSegs,"box_area_pct":0.1,"touched":$touched,"plan_sec":${fmt(sec)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zscale failed: ${e.getMessage}")
+      ""
+    }
+
     // dedup-scale diagnostics: candidate-pair growth is the one
     // superlinear risk in the near-dup chain (pairs grow with duplicate
     // clique size SQUARED), so report docs / distinct texts / rep-level
@@ -228,7 +299,7 @@ object Bench {
       s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$dedupJson$sf1Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$zScaleJson$dedupJson$sf1Json}""")
     spark.stop()
   }
 }
