@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpus → duplicate-copy count, keyed on the canonicalized source
+    * plan: the collapse-vs-direct probe result for
+    * [[minhashNearDuplicates]]. Perf-only state (see the probe comment
+    * there); visible to the spec. */
+  private[pipeline] val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Long]()
+
   // ── exact ───────────────────────────────────────────────────────────────
 
   /** One surviving id per distinct normalized text + multiplicity. */
@@ -173,12 +180,26 @@ object Dedup {
     // exactly twice (hash pass + representative shingle pass) at any
     // corpus size, versus once for the direct path.
     if (minCollapseDups == Long.MaxValue) return lshVerifiedPairs(docs)._2
+    // The duplicate-copy count is a property of the CORPUS, not the call:
+    // memoize it per canonicalized source plan so repeated near-dup runs
+    // over the same corpus skip the probe scan entirely (at real scale
+    // the probe is one hash pass per corpus — this makes the same true
+    // in-JVM). A stale or colliding entry can only flip the PATH choice,
+    // never the result — the two paths are spec-pinned pair-identical.
+    val probeKey = (docs.queryExecution.analyzed.canonicalized.hashCode(),
+      textCol, idCol)
+    val knownDups = if (minCollapseDups > 0L) Option(probeCache.get(probeKey))
+      else None
+    if (knownDups.exists(_ < minCollapseDups)) return lshVerifiedPairs(docs)._2
     val hashed = docs.select(col(idCol).as("__mid"),
         md5(col(textCol)).as("__th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (minCollapseDups > 0L) {
+    if (minCollapseDups > 0L && knownDups.isEmpty) {
       val probe = hashed.agg(count(lit(1)), count_distinct(col("__th"))).head()
-      if (probe.getLong(0) - probe.getLong(1) < minCollapseDups) {
+      val dups = probe.getLong(0) - probe.getLong(1)
+      if (probeCache.size > 256) probeCache.clear()
+      probeCache.put(probeKey, dups)
+      if (dups < minCollapseDups) {
         val out = lshVerifiedPairs(docs)._2
         hashed.unpersist()
         return out

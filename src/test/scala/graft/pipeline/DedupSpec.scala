@@ -74,6 +74,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!direct.exists { case (a, b, _) => a >= 40L || b >= 40L })
   }
 
+  test("duplication probe is memoized per corpus; cached path is pair-identical") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    Dedup.probeCache.clear()
+    def run() = Dedup.minhashNearDuplicates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = run()
+    assert(Dedup.probeCache.size === 1, "probe result cached after first run")
+    val cachedDups = Dedup.probeCache.values().iterator().next()
+    assert(cachedDups === 1L) // one duplicate copy in the corpus
+    val second = run() // probe skipped (same canonical plan), same pairs
+    assert(Dedup.probeCache.size === 1)
+    assert(second === first)
+  }
+
   test("nearDupClusters labels connected components; dropNearDuplicates keeps canonicals") {
     val pairs = Seq(
       (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 → cluster 1
