@@ -197,6 +197,59 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // STREAMING near-dup: the same pair set as dd3, produced by a real
+    // Structured Streaming execution inside the gate — the documents
+    // table as a bounded file stream through the stateful banded-LSH
+    // operator (flatMapGroupsWithState index + stateful pair dedup),
+    // Trigger.AvailableNow, memory sink. Same exhaustive all-pairs
+    // Jaccard oracle as dd3: the streaming result must equal the batch
+    // operator's bit-for-bit.
+    QuerySpec.checked("dd8_streaming_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / len(list_distinct(a.s || b.s)) END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      // the file source wants a directory of files, not one file: stream
+      // a scratch dir holding a symlink to the corpus file (deterministic
+      // per corpus dir, so repeat runs reuse it)
+      val srcDir = java.nio.file.Paths.get("/tmp",
+        s"graft_dd8_src_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(path))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val out = Dedup.streamingNearDupPairs(stream)
+      val sink = "dd8_sink"
+      s.catalog.dropTempView(sink) // re-runs in one session start clean
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_a", "doc_b")
+    },
+
     // ── text analysis ────────────────────────────────────────────────────
     QuerySpec.checked("tx1_token_count",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -283,6 +283,117 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ── streaming MinHash + LSH ─────────────────────────────────────────────
+
+  /** One LSH band bucket's accumulated index: the (id, shingle-hash
+    * set) of every document this bucket has seen. Parallel arrays so
+    * the state encoder stays flat (two array columns, no nested
+    * structs). */
+  final case class BandBucketState(ids: Array[Long],
+      sets: Array[Array[Long]])
+
+  /** A document routed to one band bucket. */
+  final case class BandedDoc(band: Int, bh: Long, id: Long,
+      shset: Array[Long])
+
+  final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Exact intersection-over-union on two distinct-hash sets — the same
+    * arithmetic as [[jaccardVerifySets]] (integer intersection count,
+    * |A|+|B|−|∩| union, int→double division), so streaming pairs match
+    * the batch pipeline bit-for-bit. */
+  private[pipeline] def jaccardHashed(a: Array[Long], b: Array[Long]): Double = {
+    val (small, big) = if (a.length <= b.length) (a, b) else (b, a)
+    val seen = new java.util.HashSet[java.lang.Long](small.length * 2)
+    small.foreach(seen.add(_))
+    var inter = 0
+    var i = 0
+    while (i < big.length) {
+      if (seen.contains(big(i))) inter += 1
+      i += 1
+    }
+    val uni = a.length + b.length - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  /** Streaming near-duplicate detection: [[minhashNearDuplicates]] over
+    * an unbounded document stream. Every arriving document is checked
+    * against ALL history — the batch operator's one-shot LSH index
+    * becomes a persistent one in the state store.
+    *
+    * Shape: the map-only shingle/signature kernels run unchanged on the
+    * stream; each document fans out to `bands` (band, bandHash) keys;
+    * `flatMapGroupsWithState` keeps, per band bucket, the (id,
+    * shingle-hash set) of every member and verifies each newcomer
+    * against them inline (both sets are in hand, so verification costs
+    * no extra join); a stateful `dropDuplicates` collapses the same
+    * pair surfacing from several bands. Emitted pairs are (min id,
+    * max id, exact jaccard ≥ threshold) — for a bounded input, exactly
+    * the batch pipeline's result, whatever the micro-batch slicing.
+    *
+    * Scale: state is the corpus's distinct-shingle footprint × bands —
+    * the price of dedup-against-all-history, hash-partitioned across
+    * executors by (band, bandHash) and uniform by construction. Exact
+    * re-deliveries of an id already in a bucket no-op (replay-safe).
+    * Heavy exact-duplication should be collapsed upstream (the batch
+    * collapse's algebraic pair reconstruction needs the whole group —
+    * not expressible incrementally); near-dup CLIQUES, however, cost
+    * each member one verification against the clique per band, so the
+    * quadratic term stays bounded by emitted-pair count, same as batch. */
+  def streamingNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      shingle: Int = 3, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = k / bands
+    val sets = shingleHashSets(docs, shingle, textCol, idCol)
+    val sigs = sets.select(col(idCol).cast("long").as("id"), col("shset"),
+      graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k)
+        .as("sig"))
+    val banded = sigs.select(col("id"), col("shset"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * w + 1, lit(w)), b)))
+        .as(Seq("band", "bh")))
+      .select(col("band").cast("int").as("band"), col("bh"), col("id"),
+        col("shset"))
+      .as[BandedDoc]
+    val pairs = banded.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BandBucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, incoming, state) =>
+          val st = state.getOption.getOrElse(
+            BandBucketState(Array.empty, Array.empty))
+          val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
+          val ss = scala.collection.mutable.ArrayBuffer.from(st.sets)
+          val known = scala.collection.mutable.HashSet.from(st.ids)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          // id-ascending within the batch: emitted pairs are independent
+          // of Spark's row order inside a micro-batch
+          incoming.toArray.sortBy(_.id).foreach { d =>
+            if (!known.contains(d.id)) {
+              var i = 0
+              while (i < ids.length) {
+                val j = jaccardHashed(d.shset, ss(i))
+                if (j >= threshold)
+                  out += NearDupPair(math.min(d.id, ids(i)),
+                    math.max(d.id, ids(i)), j)
+                i += 1
+              }
+              ids += d.id
+              ss += d.shset
+              known += d.id
+            }
+          }
+          state.update(BandBucketState(ids.toArray, ss.toArray))
+          out.iterator
+      }
+    // same pair from several bands carries the same exact jaccard, so
+    // which row survives the collapse is immaterial
+    pairs.toDF("doc_a", "doc_b", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   // ── SimHash ─────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash per document over whitespace tokens. Single-pass

@@ -90,6 +90,51 @@ class DedupSpec extends AnyFunSuite {
     assert(second === first)
   }
 
+  test("streaming near-dup equals batch pair-for-pair across micro-batch splits") {
+    // real documents (sf0.001) fed in three arbitrary chunks: pairs whose
+    // members arrive in DIFFERENT micro-batches must still surface (the
+    // state store is the LSH index), plus planted cross-batch near- and
+    // exact-dups, plus a replayed doc id (must not re-pair or self-pair)
+    val corpus = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = Seq(
+      (900001L, "planted aurora borealis crossing the winter sky over quiet fjords tonight"),
+      (900002L, "planted aurora borealis crossing the winter sky over quiet fjords today"), // near-dup of 900001
+      (900003L, "planted aurora borealis crossing the winter sky over quiet fjords tonight")) // exact dup of 900001
+    val all = corpus ++ planted
+    val chunks = Seq(
+      all.take(all.length / 3) :+ planted(0),
+      all.slice(all.length / 3, 2 * all.length / 3) :+ planted(1),
+      all.drop(2 * all.length / 3)) // tail re-delivers 900001/900002 and first-delivers 900003
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Dedup.streamingNearDupPairs(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("sdd8")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("sdd8").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // no self-pairs, no duplicate pairs despite 16 bands + replay
+    assert(streamed.forall { case (a, b, _) => a < b })
+    assert(streamed.map(p => (p._1, p._2)).distinct.length === streamed.length)
+
+    val allDf = all.toSeq.toDF("doc_id", "text")
+    val batch = Dedup.minhashNearDuplicates(allDf, minCollapseDups = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSet === batch.toSet) // bit-for-bit, jaccard included
+
+    // the planted cross-batch pairs specifically
+    val keys = streamed.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((900001L, 900002L)), "near-dup split across batches")
+    assert(keys.contains((900001L, 900003L)), "exact dup split across batches")
+    assert(streamed.find(p => p._1 == 900001L && p._2 == 900003L).get._3 === 1.0)
+  }
+
   test("nearDupClusters labels connected components; dropNearDuplicates keeps canonicals") {
     val pairs = Seq(
       (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 → cluster 1
