@@ -278,6 +278,20 @@ object Bench {
       s""","dedup":{"primary":$primary$atSf1}"""
     }
 
+    // streaming near-dup end-to-end (bounded stream of the primary-SF
+    // corpus through the stateful LSH operator, AvailableNow): wall
+    // seconds INCLUDE streaming-query startup/teardown — reported
+    // separately from the batch headline, not summed into the total
+    val streamingJson = try {
+      val t0 = System.nanoTime()
+      val pairs = queries("dd8_streaming_neardup")(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s""","streaming":{"dd8_wall_sec":${fmt(sec)},"pairs":$pairs}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming dd8 failed: ${e.getMessage}")
+      ""
+    }
+
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
     // warmups, so per-query scaling vs the primary SF is directly
@@ -299,7 +313,7 @@ object Bench {
       s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$zScaleJson$dedupJson$sf1Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$zScaleJson$dedupJson$streamingJson$sf1Json}""")
     spark.stop()
   }
 }

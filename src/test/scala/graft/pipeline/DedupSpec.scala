@@ -135,6 +135,35 @@ class DedupSpec extends AnyFunSuite {
     assert(streamed.find(p => p._1 == 900001L && p._2 == 900003L).get._3 === 1.0)
   }
 
+  test("streaming near-dup runs on the RocksDB state store provider") {
+    // the provider a large-state deployment uses (bucket history doesn't
+    // fit an in-memory HDFS-backed map at 100 TB): pins that the state
+    // schema round-trips through RocksDB, not just the default provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val out = Dedup.streamingNearDupPairs(mem.toDF().toDF("doc_id", "text"))
+      val q = out.writeStream.format("memory").queryName("sdd8_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")))
+        q.processAllAvailable()
+        mem.addData(Seq((2L, "alpha beta gamma delta epsilon zeta eta theta iota")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("sdd8_rocks").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((1L, 2L))) // cross-batch pair through RocksDB
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("nearDupClusters labels connected components; dropNearDuplicates keeps canonicals") {
     val pairs = Seq(
       (1L, 2L, 0.9), (2L, 3L, 0.8), // chain 1-2-3 → cluster 1
