@@ -286,15 +286,18 @@ object Dedup {
   // ── streaming MinHash + LSH ─────────────────────────────────────────────
 
   /** One LSH band bucket's accumulated index: the (id, shingle-hash
-    * set) of every document this bucket has seen. Parallel arrays so
-    * the state encoder stays flat (two array columns, no nested
-    * structs). */
+    * set, event-time millis) of every document this bucket retains.
+    * Parallel arrays so the state encoder stays flat (no nested
+    * structs). `tss` is all-zero when the stream has no event time. */
   final case class BandBucketState(ids: Array[Long],
-      sets: Array[Array[Long]])
+      sets: Array[Array[Long]], tss: Array[Long])
 
-  /** A document routed to one band bucket. */
+  /** A document routed to one band bucket. `ts` stays a TIMESTAMP (not
+    * pre-converted millis): the watermark's column metadata must reach
+    * the stateful operator or `getCurrentWatermarkMs` throws; null when
+    * the stream has no event time. */
   final case class BandedDoc(band: Int, bh: Long, id: Long,
-      shset: Array[Long])
+      shset: Array[Long], ts: java.sql.Timestamp)
 
   final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
@@ -339,39 +342,79 @@ object Dedup {
     * collapse's algebraic pair reconstruction needs the whole group —
     * not expressible incrementally); near-dup CLIQUES, however, cost
     * each member one verification against the clique per band, so the
-    * quadratic term stays bounded by emitted-pair count, same as batch. */
+    * quadratic term stays bounded by emitted-pair count, same as batch.
+    *
+    * Bounded-state mode (the 100 TB deployment shape): with
+    * `eventTimeCol` + `horizonMs`, the stream is watermarked
+    * (`watermarkDelay` lateness) and each bucket EVICTS documents whose
+    * event time has fallen more than `horizonMs` behind the watermark —
+    * newcomers dedup against a sliding horizon of history instead of
+    * all of it, and state size is the horizon's document volume, not
+    * the stream's lifetime. Eviction is watermark-driven, so it never
+    * races late data the watermark still admits. */
   def streamingNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
       shingle: Int = 3, threshold: Double = 0.7,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      eventTimeCol: Option[String] = None,
+      horizonMs: Long = Long.MaxValue,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
     val w = k / bands
-    val sets = shingleHashSets(docs, shingle, textCol, idCol)
-    val sigs = sets.select(col(idCol).cast("long").as("id"), col("shset"),
+    val base = eventTimeCol match {
+      case Some(c) => docs.withWatermark(c, watermarkDelay)
+      case None    => docs
+    }
+    // plain alias, no cast: a Cast would strip the watermark metadata
+    // the stateful operator needs to see on this attribute
+    val tsCol = eventTimeCol.map(c => col(c))
+      .getOrElse(lit(null).cast("timestamp"))
+    val sets = base.select(col(idCol).cast("long").as("id"),
+      tsCol.as("ts"),
+      graft.functions.ShingleHashes.shingle_hashes(
+        TextFunctions.tokens(col(textCol)), shingle).as("shset"))
+    val sigs = sets.select(col("id"), col("ts"), col("shset"),
       graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k)
         .as("sig"))
-    val banded = sigs.select(col("id"), col("shset"), posexplode(
+    val banded = sigs.select(col("id"), col("ts"), col("shset"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * w + 1, lit(w)), b)))
         .as(Seq("band", "bh")))
       .select(col("band").cast("int").as("band"), col("bh"), col("id"),
-        col("shset"))
+        col("shset"), col("ts"))
       .as[BandedDoc]
+    val evicting = eventTimeCol.isDefined && horizonMs < Long.MaxValue
     val pairs = banded.groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[BandBucketState, NearDupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, incoming, state) =>
           val st = state.getOption.getOrElse(
-            BandBucketState(Array.empty, Array.empty))
-          val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
-          val ss = scala.collection.mutable.ArrayBuffer.from(st.sets)
-          val known = scala.collection.mutable.HashSet.from(st.ids)
+            BandBucketState(Array.empty, Array.empty, Array.empty))
+          // horizon eviction first: retained = event time within
+          // horizonMs of the watermark (watermark only moves forward, so
+          // an evicted doc could never pair with a still-admissible one)
+          val cutoff =
+            if (evicting && state.getCurrentWatermarkMs() > 0L)
+              state.getCurrentWatermarkMs() - horizonMs
+            else Long.MinValue
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val ss = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          val tss = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i0 = 0
+          while (i0 < st.ids.length) {
+            if (st.tss(i0) >= cutoff) {
+              ids += st.ids(i0); ss += st.sets(i0); tss += st.tss(i0)
+            }
+            i0 += 1
+          }
+          val known = scala.collection.mutable.HashSet.from(ids)
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
           // id-ascending within the batch: emitted pairs are independent
           // of Spark's row order inside a micro-batch
           incoming.toArray.sortBy(_.id).foreach { d =>
-            if (!known.contains(d.id)) {
+            val dTs = if (d.ts == null) 0L else d.ts.getTime
+            if (!known.contains(d.id) && dTs >= cutoff) {
               var i = 0
               while (i < ids.length) {
                 val j = jaccardHashed(d.shset, ss(i))
@@ -382,10 +425,11 @@ object Dedup {
               }
               ids += d.id
               ss += d.shset
+              tss += dTs
               known += d.id
             }
           }
-          state.update(BandBucketState(ids.toArray, ss.toArray))
+          state.update(BandBucketState(ids.toArray, ss.toArray, tss.toArray))
           out.iterator
       }
     // same pair from several bands carries the same exact jaccard, so

@@ -135,6 +135,45 @@ class DedupSpec extends AnyFunSuite {
     assert(streamed.find(p => p._1 == 900001L && p._2 == 900003L).get._3 === 1.0)
   }
 
+  test("streaming near-dup horizon mode evicts state past the watermark") {
+    // bounded-state deployment shape: dedup against a 10-minute sliding
+    // horizon. A near-dup arriving after its twin left the horizon must
+    // NOT pair (it would in unbounded mode) — that non-pair is the
+    // eviction observable, since state internals aren't readable.
+    def ts(min: Long) = new java.sql.Timestamp(1767225600000L + min * 60000L)
+    def near(last: String) =
+      s"orchid meadow sunrise over the eastern ridge with scattered morning $last"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Dedup.streamingNearDupPairs(
+      mem.toDF().toDF("doc_id", "text", "ts"),
+      eventTimeCol = Some("ts"), horizonMs = 10L * 60000L)
+    val q = out.writeStream.format("memory").queryName("sdd8_horizon")
+      .outputMode("append").start()
+    try {
+      Seq(
+        Seq((1L, near("fog"), ts(0))),   // wm after: t0
+        Seq((2L, near("dew"), ts(5))),   // in horizon of 1 → pair (1,2)
+        Seq((3L, "unrelated filler content about columnar shuffle services", ts(60))),
+        Seq((4L, near("mist"), ts(61))), // wm t0+60: 1,2 evicted → NO pair
+        Seq((5L, near("rain"), ts(62)))  // 4 still in horizon → pair (4,5)
+      ).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("sdd8_horizon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (4L, 5L)))
+    // the same four docs batched (no horizon) pair across the gap — so
+    // the missing (1,4)/(1,5)/(2,4)/(2,5) above is eviction at work,
+    // not LSH recall
+    val all = Seq((1L, near("fog")), (2L, near("dew")), (4L, near("mist")),
+      (5L, near("rain"))).toDF("doc_id", "text")
+    val unbounded = Dedup.minhashNearDuplicates(all, minCollapseDups = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.contains((1L, 4L)) && unbounded.contains((2L, 5L)))
+    assert(got.subsetOf(unbounded))
+  }
+
   test("streaming near-dup runs on the RocksDB state store provider") {
     // the provider a large-state deployment uses (bucket history doesn't
     // fit an in-memory HDFS-backed map at 100 TB): pins that the state
