@@ -727,6 +727,23 @@ object Relational {
         .orderBy("l_linestatus")
     },
 
+    // unpivot (melt) — pivot's inverse; oracle as a UNION ALL of the
+    // wide columns (DuckDB's UNPIVOT normalizes types differently, the
+    // union keeps both sides' shapes identical)
+    QuerySpec.checked("p12_unpivot",
+      """SELECT * FROM (
+        |  SELECT c_custkey, 'c_acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'c_nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |) ORDER BY c_custkey, metric""") { (s, d) =>
+      t(s, d, "customer")
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal").cast("double").as("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nationkey")),
+          "metric", "value")
+        .orderBy("c_custkey", "metric")
+    },
+
     // min_by/max_by — the deterministic restatement of the reference's
     // LAST(n) surface (HBaseSQLQuerySuite.scala:88-92): value at the
     // extreme of a unique ordering column

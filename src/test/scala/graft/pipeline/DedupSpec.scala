@@ -174,6 +174,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got.subsetOf(unbounded))
   }
 
+  test("dedup-on-ingest: a kv change feed composes into streaming near-dup") {
+    // the storage engine's streaming source feeding the pipeline
+    // operator: documents land in a graftkv table commit by commit and
+    // near-dup pairs surface per micro-batch — dedup AT INGEST, no
+    // separate batch pass. (Upsert caveat: a revised doc re-indexes
+    // under its new content; superseded content stays indexed, which is
+    // the conservative choice for training-data dedup.)
+    import graft.connector.KvCommands
+    def near(last: String) =
+      s"velvet canyon river bends beneath the painted mesa after the first $last"
+    val path = java.nio.file.Files.createTempDirectory("graft_dd_ingest")
+      .toString + "/t"
+    KvCommands.createTable(Seq((1L, near("rain"))).toDF("doc_id", "text"),
+      path, Seq("doc_id"))
+    val feed = spark.readStream.format("graftkv").load(path)
+    val q = Dedup.streamingNearDupPairs(feed).writeStream.format("memory")
+      .queryName("dd_ingest").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dd_ingest_ckpt").toString)
+      .start()
+    try {
+      def pairs(): Set[(Long, Long)] = {
+        q.processAllAvailable()
+        spark.table("dd_ingest").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(pairs() === Set.empty) // snapshot: one doc, nothing to pair
+      KvCommands.append(Seq((2L, near("snow")),
+        (3L, "wholly unrelated text about shuffle partition sizing"))
+        .toDF("doc_id", "text"), path)
+      assert(pairs() === Set((1L, 2L)))
+      KvCommands.append(Seq((4L, near("thaw"))).toDF("doc_id", "text"), path)
+      assert(pairs() === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+      // a delete emits nothing on the change feed → no new pairs
+      KvCommands.delete(spark, path, col("doc_id") === 3L)
+      assert(pairs() === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup runs on the RocksDB state store provider") {
     // the provider a large-state deployment uses (bucket history doesn't
     // fit an in-memory HDFS-backed map at 100 TB): pins that the state
