@@ -329,10 +329,14 @@ object Dedup {
     * `flatMapGroupsWithState` keeps, per band bucket, the (id,
     * shingle-hash set) of every member and verifies each newcomer
     * against them inline (both sets are in hand, so verification costs
-    * no extra join); a stateful `dropDuplicates` collapses the same
-    * pair surfacing from several bands. Emitted pairs are (min id,
-    * max id, exact jaccard ≥ threshold) — for a bounded input, exactly
-    * the batch pipeline's result, whatever the micro-batch slicing.
+    * no extra join). A pair colliding in several bands is emitted by
+    * exactly ONE bucket — the first band where the two signatures'
+    * slices agree (recomputed from the stored shingle hashes on a
+    * verified match, memoized per invocation) — so the plan needs NO
+    * stateful pair-dedup operator and carries no emitted-pair state at
+    * all. Emitted pairs are (min id, max id, exact jaccard ≥
+    * threshold) — for a bounded input, exactly the batch pipeline's
+    * result, whatever the micro-batch slicing.
     *
     * Scale: state is the corpus's distinct-shingle footprint × bands —
     * the price of dedup-against-all-history, hash-partitioned across
@@ -385,12 +389,37 @@ object Dedup {
         col("shset"), col("ts"))
       .as[BandedDoc]
     val evicting = eventTimeCol.isDefined && horizonMs < Long.MaxValue
+    val kk = k
+    val nBands = bands
     val pairs = banded.groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[BandBucketState, NearDupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, incoming, state) =>
+        case ((thisBand, _), incoming, state) =>
           val st = state.getOption.getOrElse(
             BandBucketState(Array.empty, Array.empty, Array.empty))
+          // signature memo for the designated-emitter check (computed
+          // only for docs that land a verified match)
+          val sigMemo = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+          def sigOf(id: Long, shset: Array[Long]): Array[Long] =
+            sigMemo.getOrElseUpdate(id,
+              graft.functions.MinHashSignature.computeFromHashes(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(shset),
+                kk).toLongArray())
+          // the ONE bucket that owns a multiply-colliding pair: the
+          // first band whose signature slices agree (slice equality ⇒
+          // equal band hash ⇒ the pair co-occurs there too)
+          def firstEqualBand(a: Array[Long], b: Array[Long]): Int = {
+            val bw = kk / nBands
+            var band = 0
+            while (band < nBands) {
+              var i = band * bw
+              val end = i + bw
+              while (i < end && a(i) == b(i)) i += 1
+              if (i == end) return band
+              band += 1
+            }
+            -1 // co-occurrence via band-hash collision only (~2^-64)
+          }
           // horizon eviction first: retained = event time within
           // horizonMs of the watermark (watermark only moves forward, so
           // an evicted doc could never pair with a still-admissible one)
@@ -418,7 +447,9 @@ object Dedup {
               var i = 0
               while (i < ids.length) {
                 val j = jaccardHashed(d.shset, ss(i))
-                if (j >= threshold)
+                if (j >= threshold &&
+                    firstEqualBand(sigOf(d.id, d.shset),
+                      sigOf(ids(i), ss(i))) == thisBand)
                   out += NearDupPair(math.min(d.id, ids(i)),
                     math.max(d.id, ids(i)), j)
                 i += 1
@@ -432,10 +463,7 @@ object Dedup {
           state.update(BandBucketState(ids.toArray, ss.toArray, tss.toArray))
           out.iterator
       }
-    // same pair from several bands carries the same exact jaccard, so
-    // which row survives the collapse is immaterial
     pairs.toDF("doc_a", "doc_b", "jaccard")
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ── SimHash ─────────────────────────────────────────────────────────────
