@@ -16,24 +16,37 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as stored (ts is int64 nanos in the driver parquet;
-    * see Tables.table — the stream reader does the same truncation). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with `ts` as stored on disk — corpora have carried
+    * int64 NANOS (Spark reads it as Long under nanosAsLong), µs
+    * TIMESTAMP, and µs TIMESTAMP_NTZ across driver generations, so the
+    * stream schema mirrors whatever the parquet footer declares. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-based event stream. Accepts a directory of event parquet files
     * or a single file (streamed via a glob on its parent — readStream
-    * only takes directories). */
+    * only takes directories). The on-disk `ts` encoding is probed from
+    * the footer with a batch read and normalized to a session-TZ
+    * timestamp exactly like the batch reader (QuerySpec.Tables.table),
+    * so every streaming transform sees the same event times the batch
+    * forms (and the DuckDB oracle) see. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(dir)
-    val reader = spark.readStream.schema(rawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(rawSchema(tsType))
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      // int64 nanos: integer `div` (not `/`) stays exact above 2^53
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs without a timezone: identity under the UTC session, retyped
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark —
