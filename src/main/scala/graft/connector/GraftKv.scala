@@ -312,10 +312,27 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
       })) && segs.nonEmpty && segs.forall(_.zoneStats.exists(z =>
         z.name == name && z.dataType == schema(name).dataType && z.sum.isDefined))
     }
+    // MIN/MAX of a value column answers from the zone maps only when
+    // every live segment marks them EXACT (V8 winners-only fold) and
+    // publishes the entry at the current schema type. Entry presence
+    // also implies the segment saw no null in the column, so the zone
+    // extremes are over all of its rows — matching SQL MIN/MAX, which
+    // ignore nulls, via the conservative route: any null anywhere
+    // suppresses the claim and the aggregate falls back to a scan.
+    def minMaxable(name: String): Boolean =
+      schema.fields.exists(f => f.name == name &&
+        SegmentFile.zoneMappable(f.dataType)) &&
+        segs.nonEmpty && segs.forall(m => m.exactZones &&
+        m.zoneStats.exists(z =>
+          z.name == name && z.dataType == schema(name).dataType))
     val specs: Seq[Option[KvAgg]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(KvAgg.Count)
       case m: Min if leadName(m.column()).contains(keys.head) => Some(KvAgg.MinLead)
       case m: Max if leadName(m.column()).contains(keys.head) => Some(KvAgg.MaxLead)
+      case m: Min if leadName(m.column()).exists(minMaxable) =>
+        Some(KvAgg.MinCol(leadName(m.column()).get))
+      case m: Max if leadName(m.column()).exists(minMaxable) =>
+        Some(KvAgg.MaxCol(leadName(m.column()).get))
       case s: Sum if !s.isDistinct &&
         leadName(s.column()).exists(summable) =>
         Some(KvAgg.SumCol(leadName(s.column()).get))
@@ -371,6 +388,13 @@ object KvAgg {
   /** Exact Long SUM of an integral column from the V7 zone-stat sums
     * (the reference coprocessor's partial-sum analog). */
   final case class SumCol(name: String) extends KvAgg
+  /** MIN/MAX of a VALUE column from the V8 exact zone maps. Pushed only
+    * when every live segment's sidecar marks its zone claims exact
+    * (winners-only fold) — pre-V8 bounds may be widened by superseded
+    * Put-duplicates and would answer with a value the table does not
+    * contain. */
+  final case class MinCol(name: String) extends KvAgg
+  final case class MaxCol(name: String) extends KvAgg
 }
 
 /** Scan that answers pushed aggregates from segment sidecars: one
@@ -389,6 +413,8 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (KvAgg.Count, i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
     case (KvAgg.SumCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = true)
+    case (KvAgg.MinCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
+    case (KvAgg.MaxCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
     case (_, i) => org.apache.spark.sql.types.StructField(s"agg_$i", leadField.dataType, nullable = true)
   })
 
@@ -413,6 +439,10 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
         // presence was validated at push time over this exact listing
         m.zoneStats.find(_.name == n).flatMap(_.sum)
           .map(Long.box).orNull
+      case KvAgg.MinCol(n) =>
+        m.zoneStats.find(_.name == n).map(_.min).orNull
+      case KvAgg.MaxCol(n) =>
+        m.zoneStats.find(_.name == n).map(_.max).orNull
     }.toArray[Any]
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -446,37 +476,48 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
           case p: KvAggBoundaryPartition =>
             // scan only this segment's matching records (seek + early
             // stop via the regular partition reader, projected to the
-            // lead column + any summed columns); sorted order makes
-            // min = first, max = last
+            // lead column + any aggregated value columns); sorted order
+            // makes lead min = first, lead max = last
             import org.apache.spark.sql.types._
-            val sumCols = aggs.collect { case KvAgg.SumCol(n) => n }.distinct
+            val valCols = aggs.collect {
+              case KvAgg.SumCol(n) => n
+              case KvAgg.MinCol(n) => n
+              case KvAgg.MaxCol(n) => n
+            }.distinct
             val inner = new GraftKvPartitionReader(
               GraftKvInputPartition(p.dir, p.file, 0L),
-              schema, keys, keys.head +: sumCols, ranges, -1, encoding)
+              schema, keys, keys.head +: valCols, ranges, -1, encoding)
             val dt = schema(keys.head).dataType
             var cnt = 0L
-            var minV: Any = null
-            var maxV: Any = null
-            val sums = new Array[Long](sumCols.length)
-            val sumSeen = new Array[Boolean](sumCols.length)
+            var minLead: Any = null
+            var maxLead: Any = null
+            val sums = new Array[Long](valCols.length)
+            val sumSeen = new Array[Boolean](valCols.length)
+            val mins = new Array[Any](valCols.length)
+            val maxs = new Array[Any](valCols.length)
+            val cmps: Array[(Any, Any) => Int] = valCols.map(c =>
+              graft.pruning.TriEval.comparator(schema(c).dataType)).toArray
             try {
               while (inner.next()) {
                 val row = inner.get()
                 val v = row.get(0, dt)
-                if (minV == null) minV = v
-                maxV = v
+                if (minLead == null) minLead = v
+                maxLead = v
                 cnt += 1
                 var j = 0
-                while (j < sumCols.length) {
+                while (j < valCols.length) {
                   if (!row.isNullAt(1 + j)) {
-                    val x = schema(sumCols(j)).dataType match {
-                      case LongType => row.getLong(1 + j)
-                      case IntegerType => row.getInt(1 + j).toLong
-                      case ShortType => row.getShort(1 + j).toLong
-                      case _ => row.getByte(1 + j).toLong
+                    val cdt = schema(valCols(j)).dataType
+                    val x = row.get(1 + j, cdt)
+                    if (mins(j) == null || cmps(j)(x, mins(j)) < 0) mins(j) = x
+                    if (maxs(j) == null || cmps(j)(x, maxs(j)) > 0) maxs(j) = x
+                    cdt match {
+                      case LongType | IntegerType | ShortType | ByteType =>
+                        sums(j) = Math.addExact(sums(j),
+                          x.asInstanceOf[Number].longValue)
+                        sumSeen(j) = true
+                      case _ => ()
                     }
-                    sums(j) = Math.addExact(sums(j), x)
-                    sumSeen(j) = true
                   }
                   j += 1
                 }
@@ -484,11 +525,13 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
             } finally inner.close()
             aggs.map {
               case KvAgg.Count => cnt
-              case KvAgg.MinLead => minV
-              case KvAgg.MaxLead => maxV
+              case KvAgg.MinLead => minLead
+              case KvAgg.MaxLead => maxLead
               case KvAgg.SumCol(n) =>
-                val j = sumCols.indexOf(n)
+                val j = valCols.indexOf(n)
                 if (sumSeen(j)) sums(j) else null
+              case KvAgg.MinCol(n) => mins(valCols.indexOf(n))
+              case KvAgg.MaxCol(n) => maxs(valCols.indexOf(n))
             }.toArray[Any]
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
@@ -1909,8 +1952,15 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private var committed = List.empty[String]
   private var lastLead: Array[Byte] = _
 
-  // value-column zone maps (V4 sidecar): per-SEGMENT min/max of numeric
-  // non-key columns, tracked over non-null values and reset at rotation
+  // value-column zone maps (V4 sidecar; EXACT since V8): per-SEGMENT
+  // min/max of numeric non-key columns over the rows the segment
+  // physically holds. Every contribution — min/max, null presence, sum
+  // — is staged per buffered record and folds at flushBuffered, i.e.
+  // only for the WINNER of a Put-duplicate group (the record actually
+  // written), so the published claims are exact over segment content:
+  // sharper pruning, and MIN/MAX joins COUNT/SUM on the metadata-only
+  // aggregate path. (Pre-V8 writers folded superseded buffer rows too,
+  // which widened min/max — sound for pruning, unusable for answers.)
   private val statFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
     codec.valueFields.filter(f => SegmentFile.zoneMappable(f.dataType))
       .map(f => schema.fieldIndex(f.name) -> f).toArray
@@ -1923,10 +1973,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // column that saw ANY null in the segment must not publish one
   private val statNulls = new Array[Boolean](statFields.length)
 
-  // per-segment exact column SUMS (integral columns only; V7 sidecar):
-  // unlike min/max — which superseded Put-duplicates may only WIDEN —
-  // a sum must count each live row exactly once, so contributions fold
-  // at flushBuffered (the winner of a dup group), never at buffer time.
+  // per-segment exact column SUMS (integral columns only; V7 sidecar).
   // Overflow of the exact Long arithmetic drops the claim (sumOk).
   private val sumable: Array[Boolean] = statFields.map { case (_, f) =>
     f.dataType match {
@@ -1939,7 +1986,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
   private val statSum = new Array[Long](statFields.length)
   private val sumOk: Array[Boolean] = sumable.clone()
-  private val pendingSum = new Array[Long](statFields.length)
+  private val pendingVal = new Array[Any](statFields.length)
   private val pendingNull = new Array[Boolean](statFields.length)
 
   private def segZoneStats(): Seq[SegmentFile.ZoneStat] = {
@@ -1979,66 +2026,56 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // composite keys adjacent, so holding back one record is enough to
   // apply Put-upsert WITHIN a write — the later row replaces the earlier
   // one (HBase keeps the newest cell timestamp; for ties within one put
-  // batch the winner is load-order-determined there too). Superseded
-  // rows still fold into zone stats and blooms, which only WIDENS those
-  // claims — pruning stays sound, just marginally less sharp.
+  // batch the winner is load-order-determined there too). Zone stats
+  // fold at flush — winners only (a dup group's rows share their key,
+  // so the blooms see nothing superseded either) — which keeps every
+  // published claim exact over the segment's physical content.
   private var bufKey: Array[Byte] = _
   private var bufValue: Array[Byte] = _
   private var bufBlooms: Array[Long] = _
 
+  /** Flush the buffered winner and fold its staged zone-stat
+    * contributions into the CURRENT segment's epoch. The contributions
+    * land in the segment the record physically entered — flush precedes
+    * any rotation — so the published claims are exact over each
+    * segment's own content. */
   private def flushBuffered(): Unit = if (bufKey != null) {
     writer.write(bufKey, bufValue, bufBlooms)
     bufKey = null
-    // the flushed winner's sum contributions land in the segment the
-    // record physically entered (flush precedes any rotation)
     var si = 0
     while (si < statFields.length) {
-      if (sumable(si) && sumOk(si) && !pendingNull(si)) {
-        try statSum(si) = Math.addExact(statSum(si), pendingSum(si))
-        catch { case _: ArithmeticException => sumOk(si) = false }
+      if (pendingNull(si)) statNulls(si) = true
+      else {
+        val v = pendingVal(si)
+        if (statMin(si) == null || statCmps(si)(v, statMin(si)) < 0) statMin(si) = v
+        if (statMax(si) == null || statCmps(si)(v, statMax(si)) > 0) statMax(si) = v
+        if (sumable(si) && sumOk(si)) {
+          val x: Long = v match {
+            case l: java.lang.Long => l.longValue
+            case i: java.lang.Integer => i.longValue
+            case s: java.lang.Short => s.longValue
+            case b: java.lang.Byte => b.longValue
+            case other => other.asInstanceOf[Number].longValue
+          }
+          try statSum(si) = Math.addExact(statSum(si), x)
+          catch { case _: ArithmeticException => sumOk(si) = false }
+        }
       }
       si += 1
     }
   }
 
-  /** Fold this row into the CURRENT segment's zone-stat epoch. Must run
-    * after any rotation triggered by the row, or the row's values would
-    * be claimed by the closing segment and missing from its own. A
-    * buffered record always flushes into the writer that was current
-    * when its rows were folded (flush precedes rotation), so dup-path
-    * folds are epoch-correct too. */
-  private def foldStats(row: InternalRow): Unit = {
+  /** Stage the buffered row's zone-stat contributions (folded only when
+    * the row actually flushes — a dup-group loser just gets restaged
+    * over, so superseded values never touch the published claims). */
+  private def stagePending(row: InternalRow): Unit = {
     var si = 0
     while (si < statFields.length) {
       val (ord, f) = statFields(si)
-      if (row.isNullAt(ord)) statNulls(si) = true
+      if (row.isNullAt(ord)) { pendingNull(si) = true; pendingVal(si) = null }
       else {
-        val v = row.get(ord, f.dataType)
-        if (statMin(si) == null || statCmps(si)(v, statMin(si)) < 0) statMin(si) = v
-        if (statMax(si) == null || statCmps(si)(v, statMax(si)) > 0) statMax(si) = v
-      }
-      si += 1
-    }
-  }
-
-  /** Stage the buffered row's sum contributions (folded only when the
-    * row actually flushes — a dup-group loser just gets restaged over). */
-  private def stagePending(row: InternalRow): Unit = {
-    import org.apache.spark.sql.types._
-    var si = 0
-    while (si < statFields.length) {
-      if (sumable(si)) {
-        val (ord, f) = statFields(si)
-        if (row.isNullAt(ord)) pendingNull(si) = true
-        else {
-          pendingNull(si) = false
-          pendingSum(si) = f.dataType match {
-            case LongType => row.getLong(ord)
-            case IntegerType => row.getInt(ord).toLong
-            case ShortType => row.getShort(ord).toLong
-            case _ => row.getByte(ord).toLong
-          }
-        }
+        pendingNull(si) = false
+        pendingVal(si) = row.get(ord, f.dataType)
       }
       si += 1
     }
@@ -2047,7 +2084,6 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   override def write(row: InternalRow): Unit = {
     val key = codec.encodeKey(row)
     if (bufKey != null && codec.compareKeys(key, bufKey) == 0) {
-      foldStats(row)
       stagePending(row)
       // duplicate key: later row wins (null = the delete marker)
       bufValue = if (tombstone) null else codec.encodeValue(row)
@@ -2062,7 +2098,6 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       rotate()
     }
     lastLead = lead
-    foldStats(row)
     stagePending(row)
     bufKey = key
     bufValue = if (tombstone) null else codec.encodeValue(row)

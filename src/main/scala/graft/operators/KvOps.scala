@@ -543,6 +543,24 @@ object KvOps {
         sum(col("o_custkey")).as("sum_ck"))
     },
 
+    // metadata MIN/MAX (V8 exact zone maps): value-column extremes
+    // answered from segment metadata alongside COUNT/SUM — zero data
+    // bytes on a fresh bulk-loaded table. o_custkey exercises the
+    // integral path, o_totalprice the double path (pure value
+    // comparisons, no arithmetic — cross-engine exact). The gate pins
+    // values against the parquet truth, identical whether the plan
+    // hits metadata or falls back to a scan; KvConnectorSpec pins the
+    // plan shape and the upsert/tombstone/null fallbacks.
+    QuerySpec.checked("kv28_metadata_minmax",
+      """SELECT count(*) AS cnt,
+        |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        |  min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp
+        |FROM orders""") { (s, d) =>
+      ordersKv(s, d).agg(count(lit(1)).as("cnt"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("o_totalprice")).as("min_tp"), max(col("o_totalprice")).as("max_tp"))
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range

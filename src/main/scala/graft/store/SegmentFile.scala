@@ -29,7 +29,8 @@ object SegmentFile {
       schemaJson: Option[String] = None,
       zoneStats: Seq[ZoneStat] = Seq.empty,
       gen: Long = 0L,
-      tombstones: Long = 0L)
+      tombstones: Long = 0L,
+      exactZones: Boolean = false)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -116,6 +117,15 @@ object SegmentFile {
   // reference coprocessor's partial-sum analog). Pre-V7 entries read
   // with no sum claim.
   private val FormatV7 = -7
+  // V8 marks the zone min/max/null claims as EXACT over the segment's
+  // physical rows: the writer folds only dup-group WINNERS (which are
+  // what it physically writes), where pre-V8 writers folded superseded
+  // buffer rows too and could publish widened bounds. Same byte layout
+  // as V7 — the version is the semantic marker (Meta.exactZones) that
+  // lets MIN/MAX of value columns join COUNT/SUM on the metadata-only
+  // aggregate path; pre-V8 sidecars stay pruning-sound but never
+  // answer a MIN/MAX from metadata.
+  private val FormatV8 = -8
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
@@ -231,9 +241,9 @@ object SegmentFile {
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
-        gen, tombstoneCount)
+        gen, tombstoneCount, exactZones = true)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV7)
+      mo.writeInt(FormatV8)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -287,7 +297,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v7 = first == FormatV7
+      val v8 = first == FormatV8
+      val v7 = v8 || first == FormatV7
       val v6 = v7 || first == FormatV6
       val v5 = v6 || first == FormatV5
       val gen = if (v5) in.readLong() else 0L
@@ -335,7 +346,7 @@ object SegmentFile {
         }
       } catch { case _: EOFException => IndexedSeq.empty }
       Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats,
-        gen, tombstones)
+        gen, tombstones, exactZones = v8)
     } finally in.close()
   }
 
@@ -553,6 +564,10 @@ object SegmentFile {
   // simply reads as absent and the read path backfills the new version
   // from sidecars — packs are derived caches, never authorities.
   private val PackedStatsV2 = -101
+  // V3 carries each entry's exactZones marker (sidecar V8). V2 packs
+  // still read — their entries conservatively report exactZones=false,
+  // so metadata MIN/MAX just stays off until the next commit repacks.
+  private val PackedStatsV3 = -102
 
   private def statsPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_stats.v$v")
@@ -565,6 +580,7 @@ object SegmentFile {
   private def writePackedEntry(out: DataOutputStream, m: Meta): Unit = {
     val nb = m.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.writeInt(nb.length); out.write(nb)
+    out.writeBoolean(m.exactZones)
     out.writeLong(m.gen); out.writeLong(m.tombstones)
     m.schemaJson match {
       case Some(js) =>
@@ -591,9 +607,10 @@ object SegmentFile {
     }
   }
 
-  private def readPackedEntry(in: DataInputStream): Meta = {
+  private def readPackedEntry(in: DataInputStream, v3: Boolean): Meta = {
     val nb = new Array[Byte](in.readInt()); in.readFully(nb)
     val file = new String(nb, java.nio.charset.StandardCharsets.UTF_8)
+    val exactZones = if (v3) in.readBoolean() else false
     val gen = in.readLong(); val tombstones = in.readLong()
     val schemaJson = in.readInt() match {
       case -1 => None
@@ -619,7 +636,7 @@ object SegmentFile {
         dt, mn, mx, sum)
     }
     Meta(file, min, max, count, size, blooms, IndexedSeq.empty, schemaJson,
-      stats, gen, tombstones)
+      stats, gen, tombstones, exactZones)
   }
 
   /** Write the packed planning stats for snapshot `v`. Only the CAS
@@ -632,7 +649,7 @@ object SegmentFile {
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp), 1 << 16))
     try {
-      out.writeInt(PackedStatsV2)
+      out.writeInt(PackedStatsV3)
       out.writeInt(metas.length)
       metas.foreach(writePackedEntry(out, _))
     } finally out.close()
@@ -651,8 +668,12 @@ object SegmentFile {
       val in = new DataInputStream(new BufferedInputStream(
         Files.newInputStream(p), 1 << 16))
       try {
-        if (in.readInt() != PackedStatsV2) None
-        else Some((0 until in.readInt()).map(_ => readPackedEntry(in)))
+        in.readInt() match {
+          case v if v == PackedStatsV2 || v == PackedStatsV3 =>
+            Some((0 until in.readInt()).map(_ =>
+              readPackedEntry(in, v3 = v == PackedStatsV3)))
+          case _ => None
+        }
       } finally in.close()
     } catch { case _: Exception => None }
   }

@@ -785,4 +785,73 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(aggU.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
     assert(aggU.head().getLong(0) == 10L, "superseded duplicates must not be summed")
   }
+
+  test("kv MIN/MAX of value columns is answered from exact zone metadata") {
+    val path = tmpTable()
+    val df = spark.range(5000).select(col("id").as("k"),
+      ((col("id") * 37) % 1009).as("m"),
+      (col("id").cast("double") * 1.5 - 100.0).as("d"))
+    KvCommands.createTable(df, path, Seq("k"))
+    val back = KvCommands.table(spark, path)
+
+    // whole-table min/max (long + double) from pure metadata
+    val agg = back.agg(min(col("m")).as("mn"), max(col("m")).as("mx"),
+      min(col("d")).as("dmn"), max(col("d")).as("dmx"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    val row = agg.head()
+    val ms = (0L until 5000L).map(i => (i * 37) % 1009)
+    assert(row.getLong(0) == ms.min && row.getLong(1) == ms.max)
+    assert(row.getDouble(2) == -100.0 && row.getDouble(3) == 4999 * 1.5 - 100.0)
+
+    // lead-range filter: covered segments answer from zone metadata,
+    // boundary segments scan their own matching records
+    val f = back.filter(col("k").between(100, 4000))
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    f.collect()
+    assert(f.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    val fms = (100L to 4000L).map(i => (i * 37) % 1009)
+    assert(f.head().getLong(0) == fms.min && f.head().getLong(1) == fms.max)
+
+    // Put-upsert then compaction: the superseded extreme (gen-1 value
+    // 1000000) must NOT leak into the compacted table's answer — the
+    // compactor rewrites winners-only segments whose zone maps are
+    // exact, so MIN/MAX pushes again and reflects only live rows
+    val pathU = tmpTable()
+    KvCommands.createTable(
+      spark.range(10).select(col("id").as("k"), lit(1000000L).as("m")),
+      pathU, Seq("k"))
+    KvCommands.append(
+      spark.range(10).select(col("id").as("k"), (col("id") + 1).as("m")),
+      pathU)
+    KvCommands.compact(spark, pathU)
+    val aggU = KvCommands.table(spark, pathU)
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    aggU.collect()
+    assert(aggU.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    assert(aggU.head().getLong(0) == 1L && aggU.head().getLong(1) == 10L,
+      "superseded generation extremes must not answer MIN/MAX")
+
+    // a column with ANY null publishes no zone entry → full scan fallback
+    val pathN = tmpTable()
+    KvCommands.createTable(spark.range(100).select(col("id").as("k"),
+      when(col("id") === 50, lit(null)).otherwise(col("id")).as("m")),
+      pathN, Seq("k"))
+    val aggN = KvCommands.table(spark, pathN)
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    assert(!aggN.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    assert(aggN.head().getLong(0) == 0L && aggN.head().getLong(1) == 99L)
+
+    // tombstones refuse metadata aggregation outright (existing gate)
+    val pathT = tmpTable()
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), col("id").as("m")),
+      pathT, Seq("k"))
+    KvCommands.delete(spark, pathT, col("k") === 50)
+    val aggT = KvCommands.table(spark, pathT)
+      .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    assert(!aggT.queryExecution.executedPlan.toString.contains("GraftKvAggScan"))
+    assert(aggT.head().getLong(0) == 0L && aggT.head().getLong(1) == 99L)
+  }
 }
