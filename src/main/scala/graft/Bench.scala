@@ -20,6 +20,7 @@ object Bench {
     "kv18_runtime_pruned_join", // star join: runtime scan pruning (DPP analog)
     "kv25_zorder_box",       // multi-dim box query on the z-clustered layout
     "kv26_metadata_sum",     // COUNT + exact SUM from segment metadata
+    "kv29_index_lookup",     // secondary-index seek + runtime-IN base prune
     "j12_asof_join",         // as-of join (union + single window pass)
     "j13_range_join",        // interval join (bucketed equi-join + residual)
     "t2_sort_multi_dir",     // top-k
@@ -80,6 +81,8 @@ object Bench {
       // by their range-minimum partition values (silent join row loss);
       // with it off, mismatched tables fall back to shuffle
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+      // native functions, graft SQL statements, secondary-index rewrite
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

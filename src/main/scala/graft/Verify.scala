@@ -17,6 +17,8 @@ object Verify {
       // by their range-minimum partition values (silent join row loss);
       // with it off, mismatched tables fall back to shuffle
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+      // native functions, graft SQL statements, secondary-index rewrite
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -137,7 +137,50 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     snapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
+
+  // plan-time accessors for the secondary-index rewrite (KvIndexRule)
+  private[graft] def kvPath: String = path
+  private[graft] def kvKeys: Seq[String] = keys
+  private[graft] def isSnapshotView: Boolean = snapshot.isDefined
+
+  // ── SupportsIndex: stock `CREATE INDEX i ON TABLE t (c)` / `DROP
+  // INDEX` route here through CreateIndexExec; semantics in KvIndex ──
+  override def createIndex(indexName: String,
+      columns: Array[org.apache.spark.sql.connector.expressions.NamedReference],
+      columnsProperties: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference, java.util.Map[String, String]],
+      properties: java.util.Map[String, String]): Unit = {
+    if (snapshot.isDefined) throw new UnsupportedOperationException(
+      "cannot index a snapshot (VERSION AS OF) view")
+    if (KvIndex.get(path, indexName).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.IndexAlreadyExistsException(
+        indexName, name(), scala.Option.empty[Throwable])
+    KvIndex.create(org.apache.spark.sql.SparkSession.active, path, indexName,
+      columns.map(_.fieldNames.mkString(".")).toSeq)
+  }
+
+  override def dropIndex(indexName: String): Unit = {
+    if (KvIndex.get(path, indexName).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
+        indexName, name(), scala.Option.empty[Throwable])
+    KvIndex.drop(path, indexName)
+  }
+
+  override def indexExists(indexName: String): Boolean =
+    KvIndex.get(path, indexName).isDefined
+
+  override def listIndexes(): Array[org.apache.spark.sql.connector.catalog.index.TableIndex] =
+    KvIndex.list(path).map { d =>
+      val props = new java.util.Properties()
+      props.setProperty("baseVersion", d.baseVersion.toString)
+      props.setProperty("inSync", KvIndex.inSync(path, d).toString)
+      new org.apache.spark.sql.connector.catalog.index.TableIndex(
+        d.name, "sorted",
+        d.cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c): org.apache.spark.sql.connector.expressions.NamedReference).toArray,
+        java.util.Collections.emptyMap(), props)
+    }.toArray
 
   /** SQL UPDATE / MERGE INTO / subquery-DELETE route through the
     * delta-based row-level write (GraftKvRowLevel.scala): changed rows

@@ -140,6 +140,9 @@ object KvCommands {
         Option(sd.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
         sd.delete()
       }
+    // secondary indexes die with their table
+    val idx = new java.io.File(d, "_index")
+    if (idx.isDirectory) KvIndex.deleteRecursively(idx)
     d.delete()
   }
 

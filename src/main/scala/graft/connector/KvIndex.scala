@@ -1,0 +1,196 @@
+package graft.connector
+
+import graft.store.SegmentFile
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** One secondary index: `cols` are the indexed value columns (the
+  * index table's leading key dimensions), `baseVersion` the base-table
+  * snapshot the index reflects exactly. */
+final case class KvIndexDef(name: String, cols: Seq[String], baseVersion: Long)
+
+/** Secondary indexes over graftkv tables (the Phoenix-style global
+  * index restated for this engine — the reference itself has none; this
+  * is extension scope like streaming and time travel).
+  *
+  * An index on `t(c)` is an ordinary graftkv table under
+  * `t/_index/<name>` keyed `(c, pk...)` — sorted by the indexed value,
+  * so an equality/range predicate on `c` becomes a leading-key seek on
+  * the index — plus a WATERMARK: the base manifest version the index
+  * was derived from. The correctness protocol is version-gated, not
+  * write-hooked:
+  *
+  *  - Writers never touch indexes. Any base commit simply advances the
+  *    base manifest version past the watermark, which makes every
+  *    index on the table invisible to the query rewrite (KvIndexRule
+  *    checks `inSync` at plan time — an O(1) version probe against the
+  *    cached manifest head). A stale index can therefore never lose or
+  *    resurrect a row; it just stops accelerating until refreshed.
+  *  - REFRESH is INCREMENTAL: the change set between the watermark and
+  *    the current version comes from the snapshot-diff CDC operator
+  *    (one key-join of two retained snapshots — scales with the delta,
+  *    never with history), applied as ordinary index-table appends
+  *    (tombstones for outdated entries, puts for new ones). A fresh
+  *    index costs one base scan; keeping it fresh costs one diff per
+  *    refresh.
+  *  - Rows whose indexed column is NULL are simply absent from the
+  *    index: every predicate the rewrite accepts is null-rejecting, so
+  *    their absence is exact, and NULLs never hit the key codec's
+  *    non-null contract.
+  *
+  * At 100 TB the payoff is the standard one: a selective predicate on
+  * a non-key column stops scanning the fact table — the index seek
+  * yields the matching primary keys, and the base scan prunes to just
+  * their segments/ranges through the existing runtime-IN machinery
+  * (SupportsRuntimeV2Filtering, the same path star joins use). */
+object KvIndex {
+
+  private val NamePat = "[A-Za-z0-9_]+"
+
+  def indexRoot(base: String): String = s"$base/_index"
+  def indexPath(base: String, name: String): String = s"${indexRoot(base)}/$name"
+  private def metaFile(idxPath: String) =
+    Paths.get(idxPath, "_graft_index")
+
+  private def writeIndexMeta(idxPath: String, cols: Seq[String], v: Long): Unit = {
+    val tmp = Paths.get(idxPath,
+      s"._graft_index.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, cols.mkString(",") + "\n" + v)
+    Files.move(tmp, metaFile(idxPath),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readIndexMeta(idxPath: String, name: String): Option[KvIndexDef] = {
+    val f = metaFile(idxPath)
+    if (!Files.exists(f)) return None
+    val lines = Files.readString(f).split('\n')
+    if (lines.length < 2) return None
+    Some(KvIndexDef(name, lines(0).split(',').map(_.trim).toSeq,
+      lines(1).trim.toLong))
+  }
+
+  /** All indexes of `base` (empty for the common no-index table after
+    * one directory-existence check — plan-time cost is negligible). */
+  def list(base: String): Seq[KvIndexDef] = {
+    val root = Paths.get(indexRoot(base))
+    if (!Files.isDirectory(root)) return Nil
+    val dirs = root.toFile.listFiles()
+    if (dirs == null) Nil
+    else dirs.toSeq.filter(_.isDirectory)
+      .flatMap(d => readIndexMeta(d.getPath, d.getName))
+      .sortBy(_.name)
+  }
+
+  def get(base: String, name: String): Option[KvIndexDef] =
+    readIndexMeta(indexPath(base, name), name)
+
+  /** Is the index exactly as fresh as the base table? The rewrite uses
+    * an index ONLY when this holds, so index content is never trusted
+    * beyond the snapshot it provably reflects. */
+  def inSync(base: String, d: KvIndexDef): Boolean =
+    SegmentFile.currentVersion(base).contains(d.baseVersion)
+
+  private def baseMeta(base: String): KvTableMeta =
+    GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
+      s"no graftkv table at $base"))
+
+  private def currentOrFail(base: String): Long =
+    SegmentFile.currentVersion(base).getOrElse(
+      throw new IllegalStateException(
+        s"table at $base has no snapshot manifest — write to it once " +
+          "(any commit starts the versioned log) before indexing"))
+
+  /** Build `name` on `base(cols)` from the CURRENT base snapshot. One
+    * scan + one range-shuffle write, exactly like any bulk load. */
+  def create(spark: SparkSession, base: String, name: String,
+      cols: Seq[String]): KvIndexDef = {
+    require(name.matches(NamePat), s"index name must match $NamePat: $name")
+    require(cols.nonEmpty, "CREATE INDEX needs at least one column")
+    val m = baseMeta(base)
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"no column '$c' in ${m.schema.fieldNames.mkString(",")}"))
+    require(cols.intersect(m.keys).isEmpty,
+      s"cannot index key columns (${cols.intersect(m.keys).mkString(",")}) " +
+        "— they are already the table's sort dimensions")
+    require(get(base, name).isEmpty, s"index '$name' already exists on $base")
+    val v = currentOrFail(base)
+    val idxPath = indexPath(base, name)
+    // read AS OF v: concurrent base commits cannot smear the watermark
+    val entries = KvCommands.tableAsOf(spark, base, v)
+      .select((cols ++ m.keys).map(col): _*)
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+    KvCommands.createTable(entries, idxPath, cols ++ m.keys, m.encoding)
+    writeIndexMeta(idxPath, cols, v)
+    KvIndexDef(name, cols, v)
+  }
+
+  /** Advance `name` to the current base snapshot by applying the CDC
+    * diff since its watermark: outdated entries tombstone out, new
+    * values append — both ordinary index-table commits, sized by the
+    * delta. No-op when already in sync. */
+  def refresh(spark: SparkSession, base: String, name: String): KvIndexDef = {
+    val d = get(base, name).getOrElse(throw new IllegalArgumentException(
+      s"no index '$name' on $base"))
+    val m = baseMeta(base)
+    val vNow = currentOrFail(base)
+    if (vNow == d.baseVersion) return d
+    val idxPath = indexPath(base, name)
+    val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
+      .persist() // one delta computation feeds both the drops and adds
+    try {
+      val idxChanged = d.cols.map(c =>
+        !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+      // entries to retire: removed rows, and updated rows whose indexed
+      // values moved (their index KEY changed). Tombstones go first so
+      // their commit generation precedes the re-adds.
+      val drops = diff.filter((col("change") === "removed" ||
+          (col("change") === "updated" && idxChanged)) &&
+          d.cols.map(c => col(s"old_$c").isNotNull).reduce(_ && _))
+        .select(d.cols.map(c => col(s"old_$c").as(c)) ++ m.keys.map(col): _*)
+      drops.write.format("graftkv").option("tombstone", "true")
+        .mode("append").save(idxPath)
+      val adds = diff.filter((col("change") === "added" ||
+          (col("change") === "updated" && idxChanged)) &&
+          d.cols.map(c => col(s"new_$c").isNotNull).reduce(_ && _))
+        .select(d.cols.map(c => col(s"new_$c").as(c)) ++ m.keys.map(col): _*)
+      KvCommands.append(adds, idxPath)
+    } finally diff.unpersist()
+    // refresh-driven tombstones accumulate → reclaim when read
+    // amplification crosses the policy line (metadata-only check)
+    KvCommands.autoCompact(spark, idxPath)
+    writeIndexMeta(idxPath, d.cols, vNow)
+    KvIndexDef(name, d.cols, vNow)
+  }
+
+  def drop(base: String, name: String): Unit = {
+    val p = Paths.get(indexPath(base, name))
+    if (Files.exists(p)) deleteRecursively(p.toFile)
+  }
+
+  private[connector] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** SHOW-style inventory: (name, cols, watermark, in_sync, entries). */
+  def describe(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = list(base).map { d =>
+      val n = SegmentFile.listSegments(indexPath(base, d.name))
+        .map(m => m.count - 2 * m.tombstones).sum
+      Row(d.name, d.cols.mkString(","), d.baseVersion, inSync(base, d),
+        math.max(n, 0L))
+    }.asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("index_name", StringType),
+      StructField("columns", StringType),
+      StructField("base_version", LongType),
+      StructField("in_sync", BooleanType),
+      StructField("entries", LongType))))
+  }
+}

@@ -66,6 +66,21 @@ object KvOps {
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
 
+  /** Orders with a secondary index on o_custkey (created on first use,
+    * refreshed if another fixture writer advanced the table — the gate
+    * must exercise the in-sync rewrite, not the stale fallback). */
+  private def ordersIndexed(s: SparkSession, d: String): DataFrame = {
+    val path = ensure(s, d, "orders", Seq("o_orderkey"))
+    graft.connector.KvIndex.get(path, "idx_ck") match {
+      case None =>
+        graft.connector.KvIndex.create(s, path, "idx_ck", Seq("o_custkey"))
+      case Some(ix) if !graft.connector.KvIndex.inSync(path, ix) =>
+        graft.connector.KvIndex.refresh(s, path, "idx_ck")
+      case _ => ()
+    }
+    KvCommands.table(s, path)
+  }
+
   /** 3-part composite PK (reference teacher-table analog, FIXTURES §1.3):
     * (user_id, event_type, event_id) exercises multi-dimensional keys
     * with a string middle dimension. */
@@ -559,6 +574,20 @@ object KvOps {
       ordersKv(s, d).agg(count(lit(1)).as("cnt"),
         min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
         min(col("o_totalprice")).as("min_tp"), max(col("o_totalprice")).as("max_tp"))
+    },
+
+    // secondary-index lookup (Phoenix-style global index, extension
+    // scope): equality on the indexed NON-key column plans as an index
+    // seek + semi-join whose pk set reaches the base scan as a runtime
+    // IN (KvIndexSpec pins the plan shape and the staleness gate); the
+    // oracle pins the values against the parquet truth — identical
+    // whether the rewrite fires or the plan falls back to a scan
+    QuerySpec.checked("kv29_index_lookup",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_custkey = 7 ORDER BY o_orderkey""") { (s, d) =>
+      ordersIndexed(s, d).filter(col("o_custkey") === 7)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
     },
 
     // Z-ORDER clustered table (multi-dim box queries on the sorted

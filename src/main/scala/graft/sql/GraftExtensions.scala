@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LOAD DATA INPATH ... INTO TABLE ... (reference parser statement,
     // HBaseSQLParser.scala:213-222) — everything else delegates
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // secondary-index rewrite: Filter on an in-sync indexed column →
+    // semi-join against the index's primary keys (runs in the operator
+    // optimization batch, before V2 pushdown sees the relation)
+    e.injectOptimizerRule(s => KvIndexRule(s))
   }
 }
 

@@ -37,6 +37,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
       GraftShowSnapshotsCommand(table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.RefreshIndexStmt(idx, table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftRefreshIndexCommand(idx,
+        table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.ShowIndexesStmt(table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftShowIndexesCommand(table.replace("`", "").split('.').toSeq)
     case GraftSqlParser.CompactStmt(table, major)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
@@ -104,6 +113,16 @@ object GraftSqlParser {
   /** SHOW SNAPSHOTS FOR|IN [TABLE] t — the time-travel commit log. */
   private[sql] val ShowSnapshotsStmt =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
+  /** REFRESH INDEX i ON [TABLE] t — advance the index to the table's
+    * current snapshot by applying the CDC diff since its watermark
+    * (CREATE INDEX / DROP INDEX are stock Spark SQL via SupportsIndex). */
+  private[sql] val RefreshIndexStmt =
+    """(?is)\s*REFRESH\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
+  /** SHOW INDEXES FOR|IN [TABLE] t — name, columns, watermark, sync. */
+  private[sql] val ShowIndexesStmt =
+    """(?is)\s*SHOW\s+INDEXES\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
 
   /** COMPACT TABLE t [MAJOR] — minor compaction (overlap groups only)
     * by default; MAJOR rewrites the whole table into disjoint runs. */
@@ -252,6 +271,41 @@ case class GraftVacuumCommand(table: Seq[String], retainMs: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalogPaths.tableDir(spark, table, "VACUUM")
     Seq(Row(graft.connector.KvCommands.sweepUnmanifested(dir, retainMs)))
+  }
+}
+
+/** REFRESH INDEX i ON t — incremental index maintenance (snapshot-diff
+  * CDC applied as index-table tombstones + puts; KvIndex.refresh). */
+case class GraftRefreshIndexCommand(index: String, table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "REFRESH INDEX")
+    Seq(Row(graft.connector.KvIndex.refresh(spark, dir, index).baseVersion))
+  }
+}
+
+/** SHOW INDEXES FOR t — inventory with per-index sync state. */
+case class GraftShowIndexesCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("index_name", StringType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)(),
+    AttributeReference("in_sync", BooleanType, nullable = false)(),
+    AttributeReference("entries", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW INDEXES")
+    graft.connector.KvIndex.describe(spark, dir).collect().toSeq
   }
 }
 

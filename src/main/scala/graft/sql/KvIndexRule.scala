@@ -1,0 +1,158 @@
+package graft.sql
+
+import graft.connector.{GraftKvTable, KvIndex, KvIndexDef}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Secondary-index query rewrite: a selective, null-rejecting predicate
+  * on an indexed value column of a graftkv table turns into a LEFT SEMI
+  * join against the index table's primary keys:
+  *
+  * {{{
+  * Filter(c = v AND rest, kv)
+  *   ==>  Filter(c = v AND rest,
+  *          kv ⋉_{pk} Project(pk, Filter(c = v, index)))
+  * }}}
+  *
+  * The index is keyed (c, pk...), so `c = v` is a leading-key seek on
+  * the index, and the semi-join's tiny build side reaches the base scan
+  * as a runtime IN over the primary key (SupportsRuntimeV2Filtering —
+  * the same machinery that prunes star joins), which prunes base
+  * segments and seek ranges instead of scanning the table. The
+  * ORIGINAL filter stays in place, so the rewrite is correctness-
+  * neutral by construction: the semi-join can only REMOVE rows the
+  * index proves absent, and it is applied only when the index is
+  * provably exact — `KvIndex.inSync` pins its watermark to the base
+  * table's current manifest version (an O(1) probe), and every
+  * accepted predicate shape is null-rejecting, so rows missing from
+  * the index (NULL indexed value) could not have matched anyway.
+  * Disable with `spark.graft.index.rewrite=false`. */
+case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.get("spark.graft.index.rewrite", "true") != "true") return plan
+    plan.transformUp {
+      case f @ Filter(cond, r: DataSourceV2Relation)
+          if r.table.isInstanceOf[GraftKvTable] &&
+            r.getTagValue(KvIndexRule.Applied).isEmpty =>
+        rewrite(f, cond, r).getOrElse(f)
+    }
+  }
+
+  private def rewrite(f: Filter, cond: Expression,
+      r: DataSourceV2Relation): Option[LogicalPlan] = {
+    val tbl = r.table.asInstanceOf[GraftKvTable]
+    // a snapshot (VERSION AS OF) read predates the index watermark's
+    // version by definition — never rewrite it. Snapshots arrive either
+    // on the table (catalog time travel) or as a read option (path
+    // API); file-restricted reads (compaction groups) and paced
+    // streaming reads are not whole-table semantics either.
+    if (tbl.isSnapshotView) return None
+    if (r.options.containsKey("snapshot.version") ||
+      r.options.containsKey("files") ||
+      r.options.containsKey("maxFilesPerTrigger")) return None
+    val base = tbl.kvPath
+    val defs = KvIndex.list(base)
+    if (defs.isEmpty) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    val candidates = for {
+      d <- defs if KvIndex.inSync(base, d)
+      attr <- r.output.find(_.name == d.cols.head).toSeq
+      usable = conjuncts.filter(KvIndexRule.indexable(_, attr))
+      if usable.nonEmpty
+    } yield (d, attr, usable)
+    candidates.headOption.map { case (d, attr, usable) =>
+      def indexPlan(): (LogicalPlan, Map[String, Attribute]) = {
+        val rel = spark.read.format("graftkv")
+          .option("path", KvIndex.indexPath(base, d.name))
+          .load().queryExecution.analyzed
+        (rel, rel.output.map(a => a.name -> a).toMap)
+      }
+      def onIndex(out: Map[String, Attribute]): Expression =
+        usable.map(_.transform {
+          case a: AttributeReference if a.exprId == attr.exprId =>
+            out(d.cols.head)
+        }).reduce(And)
+      val (idxRel, idxOut) = indexPlan()
+      val idxPred = onIndex(idxOut)
+      val baseOut = r.output.map(a => a.name -> a).toMap
+      val pkCond = tbl.kvKeys.map(k =>
+        EqualTo(baseOut(k), idxOut(k)): Expression).reduce(And)
+      val pks = Project(tbl.kvKeys.map(idxOut), Filter(idxPred, idxRel))
+      // The base scan's pruning cannot come from Spark's own
+      // PartitionPruning: the index side's predicate is consumed WHOLE
+      // by pushdown (it is the index's leading key), so by the time
+      // that rule looks for "a selective predicate on the other side"
+      // there is no Filter node left to find — and the rule would
+      // prune the wrong side. Inject the runtime subquery ourselves:
+      // base rows qualify only when their LEAD key appears among the
+      // index's matching primary keys, delivered to the scan as a
+      // runtime IN (SupportsRuntimeV2Filtering) that re-prunes
+      // segments and seek ranges. A separate relation instance keeps
+      // the subquery's expr ids disjoint from the semi-join's.
+      val (dppRel, dppOut) = indexPlan()
+      val lead = tbl.kvKeys.head
+      // pre-optimize the build side: AQE compiles a DynamicPruning
+      // subquery with the planner DIRECTLY (no optimizer pass), exactly
+      // as PartitionPruning hands it an already-optimized plan — a raw
+      // DataSourceV2Relation here fails "No plan for RelationV2". The
+      // nested execute is the OptimizeSubqueries pattern; pushdown
+      // keeps the output attribute ids, so buildKeys stay valid.
+      val buildQuery = spark.sessionState.optimizer.execute(
+        Project(Seq(dppOut(lead)), Filter(onIndex(dppOut), dppRel)))
+      val dpp = DynamicPruningSubquery(baseOut(lead), buildQuery,
+        buildKeys = Seq(dppOut(lead)), broadcastKeyIndices = Seq(0),
+        onlyInBroadcast = false)
+      // tag the RELATION: predicate pushdown re-derives Filter-over-
+      // relation shapes inside the fixpoint, and an untagged node would
+      // re-trigger the rewrite every iteration
+      r.setTagValue(KvIndexRule.Applied, true)
+      Filter(cond,
+        Join(Filter(dpp, r), pks, LeftSemi, Some(pkCond), JoinHint.NONE))
+    }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
+
+object KvIndexRule {
+  private[sql] val Applied = TreeNodeTag[Boolean]("graft.index.applied")
+
+  private def nonNullLit(e: Expression): Boolean = e match {
+    case l: Literal => l.value != null
+    case _ => false
+  }
+
+  /** Predicate shapes the index can answer: null-rejecting comparisons
+    * of the indexed attribute against literals (and OR-combinations of
+    * those). Null-rejecting matters — rows with a NULL indexed value
+    * are absent from the index, which is exact only because none of
+    * these shapes can accept a NULL. */
+  private[sql] def indexable(e: Expression, attr: Attribute): Boolean = e match {
+    case EqualTo(a: AttributeReference, l) => a.exprId == attr.exprId && nonNullLit(l)
+    case EqualTo(l, a: AttributeReference) => a.exprId == attr.exprId && nonNullLit(l)
+    case GreaterThan(a: AttributeReference, l) => a.exprId == attr.exprId && nonNullLit(l)
+    case GreaterThan(l, a: AttributeReference) => a.exprId == attr.exprId && nonNullLit(l)
+    case GreaterThanOrEqual(a: AttributeReference, l) => a.exprId == attr.exprId && nonNullLit(l)
+    case GreaterThanOrEqual(l, a: AttributeReference) => a.exprId == attr.exprId && nonNullLit(l)
+    case LessThan(a: AttributeReference, l) => a.exprId == attr.exprId && nonNullLit(l)
+    case LessThan(l, a: AttributeReference) => a.exprId == attr.exprId && nonNullLit(l)
+    case LessThanOrEqual(a: AttributeReference, l) => a.exprId == attr.exprId && nonNullLit(l)
+    case LessThanOrEqual(l, a: AttributeReference) => a.exprId == attr.exprId && nonNullLit(l)
+    case In(a: AttributeReference, vs) =>
+      a.exprId == attr.exprId && vs.nonEmpty && vs.forall(nonNullLit)
+    case Or(l, r) => indexable(l, attr) && indexable(r, attr)
+    case _ => false
+  }
+}

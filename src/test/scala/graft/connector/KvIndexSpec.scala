@@ -1,0 +1,198 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Secondary indexes (KvIndex + KvIndexRule): version-gated correctness,
+  * incremental CDC refresh, and the semi-join rewrite reaching the base
+  * scan as a runtime IN. */
+class KvIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graftkv_idx_$tag").toString + "/t"
+
+  /** Base fixture: 20k rows, several segments, value column `v`
+    * CLUSTERED with the key (v = k div 2000, so one v value lives in
+    * ~1/10th of the key domain — the case where index-driven runtime
+    * pruning visibly drops segments) and some NULLs. */
+  private def mkBase(path: String): Unit = {
+    val df = spark.range(20000).select(col("id").as("k"),
+      when(col("id") % 100 === 7, lit(null))
+        .otherwise(expr("id div 2000")).as("v"),
+      (col("id") * 2).as("w"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+  }
+
+  private def kvScans(p: SparkPlan): Seq[GraftKvScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => kvScans(a.executedPlan)
+      case q: QueryStageExec => kvScans(q.plan)
+      case b: BatchScanExec =>
+        b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(kvScans) ++ p.subqueries.flatMap(kvScans)
+  }
+
+  private def hasSemiJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty
+
+  test("index lookup equals full scan, and the rewrite prunes the base scan") {
+    val path = tmpDir("basic")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    assert(KvIndex.inSync(path, KvIndex.get(path, "iv").get))
+
+    val t = KvCommands.table(spark, path)
+    val q = t.filter(col("v") === 3).orderBy("k")
+    assert(hasSemiJoin(q), "rewrite did not fire on an in-sync index")
+    val viaIndex = q.collect()
+
+    spark.conf.set("spark.graft.index.rewrite", "false")
+    val direct = try t.filter(col("v") === 3).orderBy("k").collect()
+    finally spark.conf.set("spark.graft.index.rewrite", "true")
+    assert(viaIndex.toSeq == direct.toSeq)
+    assert(viaIndex.length == 1980) // ids 6000..7999 minus the 20 nulls
+
+    // the semi-join's pk values must reach the base scan as a runtime
+    // IN and prune segments (the DPP machinery, not a full-table scan)
+    val scans = kvScans(q.queryExecution.executedPlan)
+      .filter(_.runtimePartitionCount.isDefined)
+    assert(scans.nonEmpty, "runtime filter never reached the base scan")
+    scans.foreach(s => assert(
+      s.runtimePartitionCount.get < s.staticPartitionCount,
+      s"no pruning: ${s.staticPartitionCount} -> ${s.runtimePartitionCount.get}"))
+  }
+
+  test("range and IN predicates rewrite; IS NULL and non-indexed do not") {
+    val path = tmpDir("shapes")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+    assert(hasSemiJoin(t.filter(col("v") >= 8)))
+    assert(hasSemiJoin(t.filter(col("v").isin(1, 2, 3))))
+    assert(hasSemiJoin(t.filter(col("v") === 1 || col("v") === 9)))
+    // null-accepting or non-indexed predicates must not be rewritten
+    assert(!hasSemiJoin(t.filter(col("v").isNull)))
+    assert(!hasSemiJoin(t.filter(col("w") === 10)))
+    // values agree on the range shape too
+    val got = t.filter(col("v") >= 8).agg(count(lit(1))).head().getLong(0)
+    val exp = (0L until 20000L).count(i => i % 100 != 7 && i / 2000 >= 8)
+    assert(got == exp)
+  }
+
+  test("a base commit makes the index invisible until REFRESH catches up") {
+    val path = tmpDir("stale")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+    assert(hasSemiJoin(t.filter(col("v") === 5)))
+
+    // upsert: k=5000 moves v 2 -> 777; k=30000 appears with v=777
+    KvCommands.append(spark.range(1).select(lit(5000L).as("k"),
+      lit(777L).as("v"), lit(0L).as("w")), path)
+    KvCommands.append(spark.range(1).select(lit(30000L).as("k"),
+      lit(777L).as("v"), lit(0L).as("w")), path)
+
+    val stale = t.filter(col("v") === 777).orderBy("k")
+    assert(!hasSemiJoin(stale), "stale index must not be used")
+    val before = stale.collect()
+    assert(before.exists(_.getLong(0) == 5000L))
+    assert(before.exists(_.getLong(0) == 30000L))
+
+    val d = KvIndex.refresh(spark, path, "iv")
+    assert(KvIndex.inSync(path, d))
+    val fresh = t.filter(col("v") === 777).orderBy("k")
+    assert(hasSemiJoin(fresh), "refreshed index must be used again")
+    assert(fresh.collect().toSeq == before.toSeq)
+
+    // the MOVED row's old value must not match through the index path
+    val old = t.filter(col("v") === 2)
+    assert(hasSemiJoin(old))
+    assert(!old.collect().exists(_.getLong(0) == 5000L))
+  }
+
+  test("refresh applies deletes, and multi-refresh stays consistent") {
+    val path = tmpDir("del")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    KvCommands.delete(spark, path, col("k") >= 18000)
+    KvIndex.refresh(spark, path, "iv")
+    val t = KvCommands.table(spark, path)
+    // every carrier of v=9 (ids 18000..19999) is deleted; the index
+    // path must agree with ground truth and return nothing
+    val q = t.filter(col("v") === 9)
+    assert(hasSemiJoin(q))
+    assert(q.collect().isEmpty)
+    // second refresh with no base change is a no-op
+    val d1 = KvIndex.get(path, "iv").get
+    assert(KvIndex.refresh(spark, path, "iv") == d1)
+  }
+
+  test("stock SQL: CREATE INDEX / SHOW INDEXES / REFRESH / DROP through the catalog") {
+    val root = Files.createTempDirectory("graftkv_idx_cat").toString
+    val cat = s"gidx${math.abs(root.hashCode() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 50 FROM range(5000)")
+    spark.sql(s"CREATE INDEX iv ON TABLE $cat.db.t (v)")
+
+    val shown = spark.sql(s"SHOW INDEXES FOR $cat.db.t").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("iv"))
+    assert(shown.head.getBoolean(3), "fresh index must be in sync")
+
+    val viaIdx = spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7 ORDER BY k")
+    assert(hasSemiJoin(viaIdx))
+    assert(viaIdx.collect().map(_.getLong(0)).toSeq ==
+      (7L until 5000L by 50L).toSeq)
+
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (9999999, 7)")
+    assert(!spark.sql(s"SHOW INDEXES FOR $cat.db.t").head().getBoolean(3))
+    val v = spark.sql(s"REFRESH INDEX iv ON $cat.db.t").head().getLong(0)
+    assert(v > 0)
+    val after = spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7 ORDER BY k")
+    assert(hasSemiJoin(after))
+    assert(after.collect().map(_.getLong(0)).toSeq ==
+      ((7L until 5000L by 50L) :+ 9999999L).toSeq)
+
+    spark.sql(s"DROP INDEX iv ON $cat.db.t")
+    assert(spark.sql(s"SHOW INDEXES FOR $cat.db.t").collect().isEmpty)
+    assert(!hasSemiJoin(spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7")))
+    spark.sql(s"DROP TABLE $cat.db.t")
+  }
+
+  test("a VERSION AS OF snapshot read never uses the index") {
+    val path = tmpDir("snap")
+    mkBase(path)
+    val v0 = graft.store.SegmentFile.currentVersion(path).get
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val snap = KvCommands.tableAsOf(spark, path, v0)
+    assert(!hasSemiJoin(snap.filter(col("v") === 5)))
+    assert(snap.filter(col("v") === 5).count() ==
+      (0L until 20000L).count(i => i % 100 != 7 && i / 2000 == 5))
+  }
+
+  test("DROP TABLE removes the table's indexes") {
+    val path = tmpDir("drop")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    assert(KvIndex.list(path).nonEmpty)
+    KvCommands.dropTable(path)
+    assert(KvIndex.list(path).isEmpty)
+    assert(!new java.io.File(path).exists())
+  }
+}
