@@ -129,7 +129,14 @@ object KvIndex {
   /** Advance `name` to the current base snapshot by applying the CDC
     * diff since its watermark: outdated entries tombstone out, new
     * values append — both ordinary index-table commits, sized by the
-    * delta. No-op when already in sync. */
+    * delta. No-op when already in sync. When the watermark snapshot is
+    * no longer reconstructible — a MAJOR compaction or overwrite
+    * deletes replaced files at commit, and old manifests expire past
+    * the retention count — the incremental path cannot diff, and the
+    * refresh falls back to a FULL REBUILD from the current snapshot
+    * (the same cost as CREATE INDEX; a half-applied incremental leaves
+    * the watermark untouched, so the index just stays invisible to the
+    * rewrite until the rebuild lands). */
   def refresh(spark: SparkSession, base: String, name: String): KvIndexDef = {
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no index '$name' on $base"))
@@ -137,26 +144,36 @@ object KvIndex {
     val vNow = currentOrFail(base)
     if (vNow == d.baseVersion) return d
     val idxPath = indexPath(base, name)
-    val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
-      .persist() // one delta computation feeds both the drops and adds
-    try {
-      val idxChanged = d.cols.map(c =>
-        !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
-      // entries to retire: removed rows, and updated rows whose indexed
-      // values moved (their index KEY changed). Tombstones go first so
-      // their commit generation precedes the re-adds.
-      val drops = diff.filter((col("change") === "removed" ||
-          (col("change") === "updated" && idxChanged)) &&
-          d.cols.map(c => col(s"old_$c").isNotNull).reduce(_ && _))
-        .select(d.cols.map(c => col(s"old_$c").as(c)) ++ m.keys.map(col): _*)
-      drops.write.format("graftkv").option("tombstone", "true")
-        .mode("append").save(idxPath)
-      val adds = diff.filter((col("change") === "added" ||
-          (col("change") === "updated" && idxChanged)) &&
-          d.cols.map(c => col(s"new_$c").isNotNull).reduce(_ && _))
-        .select(d.cols.map(c => col(s"new_$c").as(c)) ++ m.keys.map(col): _*)
-      KvCommands.append(adds, idxPath)
-    } finally diff.unpersist()
+    val incremental =
+      try {
+        val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
+          .persist() // one delta computation feeds both the drops and adds
+        try {
+          val idxChanged = d.cols.map(c =>
+            !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+          // entries to retire: removed rows, and updated rows whose
+          // indexed values moved (their index KEY changed). Tombstones
+          // go first so their commit generation precedes the re-adds.
+          val drops = diff.filter((col("change") === "removed" ||
+              (col("change") === "updated" && idxChanged)) &&
+              d.cols.map(c => col(s"old_$c").isNotNull).reduce(_ && _))
+            .select(d.cols.map(c => col(s"old_$c").as(c)) ++ m.keys.map(col): _*)
+          drops.write.format("graftkv").option("tombstone", "true")
+            .mode("append").save(idxPath)
+          val adds = diff.filter((col("change") === "added" ||
+              (col("change") === "updated" && idxChanged)) &&
+              d.cols.map(c => col(s"new_$c").isNotNull).reduce(_ && _))
+            .select(d.cols.map(c => col(s"new_$c").as(c)) ++ m.keys.map(col): _*)
+          KvCommands.append(adds, idxPath)
+          true
+        } finally diff.unpersist()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!incremental) {
+      val entries = KvCommands.tableAsOf(spark, base, vNow)
+        .select((d.cols ++ m.keys).map(col): _*)
+        .where(d.cols.map(col(_).isNotNull).reduce(_ && _))
+      KvCommands.createTable(entries, idxPath, d.cols ++ m.keys, m.encoding)
+    }
     // refresh-driven tombstones accumulate → reclaim when read
     // amplification crosses the policy line (metadata-only check)
     KvCommands.autoCompact(spark, idxPath)

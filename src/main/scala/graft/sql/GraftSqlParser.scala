@@ -160,7 +160,8 @@ object GraftSqlParser {
       "OVERWRITE", "INTO", "TABLE", "FIELDS", "TERMINATED", "BY",
       "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
-      "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO")
+      "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
+      "REFRESH", "INDEX", "INDEXES")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")

@@ -37,7 +37,17 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get("spark.graft.index.rewrite", "true") != "true") return plan
-    plan.transformUp {
+    // COVERING pass first (top-down, so the Project above the Filter is
+    // visible before the semi-join pass restructures the Filter): a
+    // query needing only (indexed col, pk...) columns reads the INDEX
+    // alone — no base-table access at all.
+    val covered = plan.transformDown {
+      case p @ Project(projList, Filter(cond, r: DataSourceV2Relation))
+          if r.table.isInstanceOf[GraftKvTable] &&
+            r.getTagValue(KvIndexRule.Applied).isEmpty =>
+        covering(projList, cond, r).getOrElse(p)
+    }
+    covered.transformUp {
       case f @ Filter(cond, r: DataSourceV2Relation)
           if r.table.isInstanceOf[GraftKvTable] &&
             r.getTagValue(KvIndexRule.Applied).isEmpty =>
@@ -45,18 +55,63 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Whole-table read semantics only: a snapshot (VERSION AS OF) read
+    * predates the index watermark's version by definition, and
+    * file-restricted (compaction-group) or paced streaming reads are
+    * partial by design — none of them may touch an index. */
+  private def eligible(r: DataSourceV2Relation): Boolean = {
+    val tbl = r.table.asInstanceOf[GraftKvTable]
+    !tbl.isSnapshotView &&
+      !r.options.containsKey("snapshot.version") &&
+      !r.options.containsKey("files") &&
+      !r.options.containsKey("maxFilesPerTrigger")
+  }
+
+  /** Answer the whole Project+Filter from the index when every
+    * referenced column is stored there (single-column index: the
+    * indexed value + the full primary key) and the predicate rejects
+    * NULL indexed values (rows the index omits). The index's rows ARE
+    * the base's live non-null-c rows — same multiplicity, one entry
+    * per pk — so substituting the relation is exact, not a pruning. */
+  private def covering(projList: Seq[NamedExpression], cond: Expression,
+      r: DataSourceV2Relation): Option[LogicalPlan] = {
+    if (!eligible(r)) return None
+    val tbl = r.table.asInstanceOf[GraftKvTable]
+    val base = tbl.kvPath
+    val defs = KvIndex.list(base)
+    if (defs.isEmpty) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    val candidates = for {
+      d <- defs if d.cols.lengthCompare(1) == 0 && KvIndex.inSync(base, d)
+      attr <- r.output.find(_.name == d.cols.head).toSeq
+      // the index omits NULL-c rows, so the predicate must reject them
+      if conjuncts.exists(KvIndexRule.indexable(_, attr))
+      coveredNames = (d.cols ++ tbl.kvKeys).toSet
+      if (projList ++ conjuncts).forall(_.references.forall(a =>
+        coveredNames.contains(a.name)))
+    } yield d
+    candidates.headOption.map { d =>
+      val idxRel = spark.read.format("graftkv")
+        .option("path", KvIndex.indexPath(base, d.name))
+        .load().queryExecution.analyzed
+      val idxOut = idxRel.output.map(a => a.name -> a).toMap
+      def remap(e: Expression): Expression = e.transform {
+        case a: AttributeReference if idxOut.contains(a.name) => idxOut(a.name)
+      }
+      // keep the ORIGINAL output attribute ids — parents reference them
+      val mapped = projList.map {
+        case a: AttributeReference =>
+          Alias(idxOut(a.name), a.name)(exprId = a.exprId)
+        case ne => remap(ne).asInstanceOf[NamedExpression]
+      }
+      Project(mapped, Filter(remap(cond), idxRel))
+    }
+  }
+
   private def rewrite(f: Filter, cond: Expression,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
     val tbl = r.table.asInstanceOf[GraftKvTable]
-    // a snapshot (VERSION AS OF) read predates the index watermark's
-    // version by definition — never rewrite it. Snapshots arrive either
-    // on the table (catalog time travel) or as a read option (path
-    // API); file-restricted reads (compaction groups) and paced
-    // streaming reads are not whole-table semantics either.
-    if (tbl.isSnapshotView) return None
-    if (r.options.containsKey("snapshot.version") ||
-      r.options.containsKey("files") ||
-      r.options.containsKey("maxFilesPerTrigger")) return None
+    if (!eligible(r)) return None
     val base = tbl.kvPath
     val defs = KvIndex.list(base)
     if (defs.isEmpty) return None

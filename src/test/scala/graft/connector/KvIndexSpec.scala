@@ -49,6 +49,12 @@ class KvIndexSpec extends AnyFunSuite {
           if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
     }.nonEmpty
 
+  /** Did the plan touch the index at all — semi-join acceleration or a
+    * covering substitution? */
+  private def usesIndex(df: DataFrame): Boolean =
+    kvScans(df.queryExecution.executedPlan)
+      .exists(_.description().contains("/_index/"))
+
   test("index lookup equals full scan, and the rewrite prunes the base scan") {
     val path = tmpDir("basic")
     mkBase(path)
@@ -156,22 +162,22 @@ class KvIndexSpec extends AnyFunSuite {
     assert(shown.head.getBoolean(3), "fresh index must be in sync")
 
     val viaIdx = spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7 ORDER BY k")
-    assert(hasSemiJoin(viaIdx))
     assert(viaIdx.collect().map(_.getLong(0)).toSeq ==
       (7L until 5000L by 50L).toSeq)
+    assert(usesIndex(viaIdx)) // (k, v)-only: the covering path
 
     spark.sql(s"INSERT INTO $cat.db.t VALUES (9999999, 7)")
     assert(!spark.sql(s"SHOW INDEXES FOR $cat.db.t").head().getBoolean(3))
     val v = spark.sql(s"REFRESH INDEX iv ON $cat.db.t").head().getLong(0)
     assert(v > 0)
     val after = spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7 ORDER BY k")
-    assert(hasSemiJoin(after))
     assert(after.collect().map(_.getLong(0)).toSeq ==
       ((7L until 5000L by 50L) :+ 9999999L).toSeq)
+    assert(usesIndex(after))
 
     spark.sql(s"DROP INDEX iv ON $cat.db.t")
     assert(spark.sql(s"SHOW INDEXES FOR $cat.db.t").collect().isEmpty)
-    assert(!hasSemiJoin(spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7")))
+    assert(!usesIndex(spark.sql(s"SELECT k FROM $cat.db.t WHERE v = 7")))
     spark.sql(s"DROP TABLE $cat.db.t")
   }
 
@@ -184,6 +190,96 @@ class KvIndexSpec extends AnyFunSuite {
     assert(!hasSemiJoin(snap.filter(col("v") === 5)))
     assert(snap.filter(col("v") === 5).count() ==
       (0L until 20000L).count(i => i % 100 != 7 && i / 2000 == 5))
+  }
+
+  test("covering: a (c, pk)-only query reads the index alone") {
+    val path = tmpDir("cover")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+
+    val q = t.filter(col("v") === 3).select("k").orderBy("k")
+    q.collect()
+    val scans = kvScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.description().contains("/_index/")),
+      s"covered query touched the base table: ${scans.map(_.description())}")
+
+    spark.conf.set("spark.graft.index.rewrite", "false")
+    val direct = try t.filter(col("v") === 3).select("k").orderBy("k").collect()
+    finally spark.conf.set("spark.graft.index.rewrite", "true")
+    assert(q.collect().toSeq == direct.toSeq)
+
+    // a query needing a non-covered column must keep the base table
+    val wide = t.filter(col("v") === 3).select("k", "w")
+    wide.collect()
+    assert(kvScans(wide.queryExecution.executedPlan)
+      .exists(s => !s.description().contains("/_index/")))
+    // and still answers through the semi-join acceleration
+    assert(hasSemiJoin(wide))
+
+    // stale index: covering must back off entirely
+    KvCommands.append(spark.range(1).select(lit(50000L).as("k"),
+      lit(3L).as("v"), lit(0L).as("w")), path)
+    val stale = t.filter(col("v") === 3).select("k").orderBy("k")
+    val staleRows = stale.collect()
+    assert(kvScans(stale.queryExecution.executedPlan)
+      .forall(s => !s.description().contains("/_index/")))
+    assert(staleRows.exists(_.getLong(0) == 50000L))
+  }
+
+  test("fuzz: random upserts/deletes/compactions + refresh keep indexed queries exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(4242)
+    val path = tmpDir("fuzz")
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("w", LongType, nullable = false)))
+    val model = scala.collection.mutable.Map.empty[Long, (Option[Long], Long)]
+
+    def randomRows(n: Int): Seq[Row] = (0 until n).map { _ =>
+      val k = rnd.nextInt(3000).toLong
+      val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toLong)
+      val w = rnd.nextLong(1000000)
+      model(k) = (v, w)
+      Row(k, v.orNull, w)
+    }
+
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+    KvCommands.createTable(df(randomRows(500)), path, Seq("k"))
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+
+    for (round <- 1 to 12) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => KvCommands.append(df(randomRows(1 + rnd.nextInt(200))), path)
+        case 2 =>
+          val m = 2 + rnd.nextInt(7); val r = rnd.nextInt(m)
+          KvCommands.delete(spark, path, col("k") % m === r)
+          model.keys.filter(k => k % m == r).toSeq.foreach(model.remove)
+        case 3 =>
+          if (rnd.nextBoolean()) KvCommands.compact(spark, path)
+          else KvCommands.compactMinor(spark, path)
+      }
+      if (round % 2 == 0) KvIndex.refresh(spark, path, "iv")
+
+      val target = rnd.nextInt(20).toLong
+      val expected = model.collect {
+        case (k, (Some(v), _)) if v == target => k
+      }.toSeq.sorted
+      val q = t.filter(col("v") === target).select("k")
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"round $round, v=$target")
+      // the rewrite (covering here — a (v, k)-only query) must track
+      // the sync gate exactly: index used iff the watermark matches
+      // the current base version
+      val inSync = KvIndex.inSync(path, KvIndex.get(path, "iv").get)
+      assert(usesIndex(q) == inSync, s"round $round: rewrite/sync mismatch")
+    }
   }
 
   test("DROP TABLE removes the table's indexes") {
