@@ -108,6 +108,31 @@ class GraftSession:
         return spark.sql("SHOW SNAPSHOTS FOR %s" % table)
 
     @staticmethod
+    def create_index(spark, table, index, columns):
+        """Secondary index on `columns` (stock Spark CREATE INDEX via
+        SupportsIndex). Query rewrite engages automatically while the
+        index is in sync with the table's manifest version."""
+        spark.sql("CREATE INDEX %s ON TABLE %s (%s)"
+                  % (index, table, ", ".join(columns)))
+
+    @staticmethod
+    def refresh_index(spark, table, index):
+        """Advance the index to the table's current snapshot (CDC-
+        incremental; falls back to a rebuild when history was
+        compacted away). Returns the new base version."""
+        return spark.sql("REFRESH INDEX %s ON %s"
+                         % (index, table)).head()[0]
+
+    @staticmethod
+    def show_indexes(spark, table):
+        """(index_name, columns, base_version, in_sync, entries)."""
+        return spark.sql("SHOW INDEXES FOR %s" % table)
+
+    @staticmethod
+    def drop_index(spark, table, index):
+        spark.sql("DROP INDEX %s ON %s" % (index, table))
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

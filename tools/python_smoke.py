@@ -45,9 +45,10 @@ def main():
         tdir = os.path.join(root, "py", "t")
         vs = sorted(int(f.rsplit("v", 1)[1]) for f in os.listdir(tdir)
                     if f.startswith("_graft_segments.v"))
-        assert len(vs) == 4, vs  # insert, upsert, delete, load
+        # catalog CREATE seeds an empty v1 snapshot, then one per commit
+        assert len(vs) == 5, vs  # create(empty), insert, upsert, delete, load
         hist = {r.k: r.v for r in
-                GraftSession.table_as_of(spark, "graft.py.t", vs[1]).collect()}
+                GraftSession.table_as_of(spark, "graft.py.t", vs[2]).collect()}
         assert hist == {1: "a", 2: "b2"}, hist
         # native function registered by the extensions
         h = spark.sql("SELECT rolling_hash(v) AS h FROM graft.py.t "
@@ -67,6 +68,27 @@ def main():
         assert st == {2: "m", 10: "upd", 11: "y", 12: "new"}, st
         snaps = GraftSession.show_snapshots(spark, "graft.py.t").collect()
         assert len(snaps) >= 6, snaps
+        # secondary index lifecycle: create -> in-sync lookup ->
+        # stale after a write -> refresh -> drop
+        GraftSession.create_index(spark, "graft.py.t", "iv", ["v"])
+        idx = GraftSession.show_indexes(spark, "graft.py.t").collect()
+        assert [r.index_name for r in idx] == ["iv"], idx
+        assert idx[0].in_sync, idx
+        got = sorted(r.k for r in spark.sql(
+            "SELECT k FROM graft.py.t WHERE v = 'upd'").collect())
+        assert got == [10], got
+        spark.sql("INSERT INTO graft.py.t VALUES (99, 'upd')")
+        assert not GraftSession.show_indexes(
+            spark, "graft.py.t").collect()[0].in_sync
+        GraftSession.refresh_index(spark, "graft.py.t", "iv")
+        assert GraftSession.show_indexes(
+            spark, "graft.py.t").collect()[0].in_sync
+        got = sorted(r.k for r in spark.sql(
+            "SELECT k FROM graft.py.t WHERE v = 'upd'").collect())
+        assert got == [10, 99], got
+        GraftSession.drop_index(spark, "graft.py.t", "iv")
+        assert GraftSession.show_indexes(
+            spark, "graft.py.t").collect() == []
         print("python smoke: OK")
     finally:
         spark.stop()
