@@ -133,6 +133,31 @@ class GraftSession:
         spark.sql("DROP INDEX %s ON %s" % (index, table))
 
     @staticmethod
+    def create_materialized_view(spark, table, view, group_cols,
+                                 sum_cols=()):
+        """Incrementally-maintained COUNT/SUM aggregate over `table`
+        (sums are integral-only: Long arithmetic keeps the maintained
+        value bit-identical to a full recompute)."""
+        sums = " SUM (%s)" % ", ".join(sum_cols) if sum_cols else ""
+        spark.sql("CREATE MATERIALIZED VIEW %s ON TABLE %s GROUP BY %s%s"
+                  % (view, table, ", ".join(group_cols), sums))
+
+    @staticmethod
+    def refresh_materialized_view(spark, table, view):
+        """Fold the CDC delta since the view's watermark; returns the
+        new base version."""
+        return spark.sql("REFRESH MATERIALIZED VIEW %s ON %s"
+                         % (view, table)).head()[0]
+
+    @staticmethod
+    def show_materialized_views(spark, table):
+        return spark.sql("SHOW MATERIALIZED VIEWS FOR %s" % table)
+
+    @staticmethod
+    def drop_materialized_view(spark, table, view):
+        spark.sql("DROP MATERIALIZED VIEW %s ON %s" % (view, table))
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

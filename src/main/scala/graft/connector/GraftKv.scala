@@ -649,6 +649,23 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def description(): String =
     s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")})"
 
+  // Value equality on the IMMUTABLE scan configuration (what Spark's
+  // built-in scans do): `sameResult` — and with it broadcast/exchange
+  // and subquery REUSE — can only ever fire on scans that compare
+  // equal, so a reference-equality scan silently disables stage reuse
+  // engine-wide (a self-join scans twice; an index-driven runtime
+  // filter re-runs the index scan instead of reusing the semi-join's
+  // broadcast). Runtime-filter state is deliberately excluded: it is
+  // carried by BatchScanExec's runtimeFilters parameter, which Spark
+  // compares separately in canonicalization.
+  private def cfg = (path, required, pushed.toSeq, limit, encoding,
+    restrictFiles, maxFilesPerTrigger, snapshotVersion)
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftKvScan => o.cfg == cfg
+    case _ => false
+  }
+  override def hashCode(): Int = cfg.hashCode()
+
   /** Segments are sorted by the composite key, so each partition's rows
     * arrive ordered by the key prefix that survived column pruning —
     * Catalyst elides the corresponding SortExec (reference R9:

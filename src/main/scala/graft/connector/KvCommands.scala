@@ -140,9 +140,11 @@ object KvCommands {
         Option(sd.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
         sd.delete()
       }
-    // secondary indexes die with their table
+    // secondary indexes and materialized views die with their table
     val idx = new java.io.File(d, "_index")
     if (idx.isDirectory) KvIndex.deleteRecursively(idx)
+    val mv = new java.io.File(d, "_mv")
+    if (mv.isDirectory) KvIndex.deleteRecursively(mv)
     d.delete()
   }
 

@@ -1,0 +1,244 @@
+package graft.connector
+
+import graft.store.SegmentFile
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One materialized aggregate view: COUNT(*) plus exact Long SUMs of
+  * `sumCols`, grouped by `groupCols`, as of base version `baseVersion`. */
+final case class KvMatViewDef(name: String, groupCols: Seq[String],
+    sumCols: Seq[String], baseVersion: Long)
+
+/** Incrementally-maintained aggregate views over graftkv tables
+  * (extension scope — the warehouse "incremental materialized view"
+  * restated on this engine's CDC machinery).
+  *
+  * A view on `t` is an ordinary kv table under `t/_mv/<name>` keyed by
+  * the group columns, holding `__cnt` (group row count) and, per summed
+  * column c, `__sum_c` + `__nn_c` (exact Long sum over non-null values
+  * and the non-null count — enough to reproduce SQL SUM/AVG semantics
+  * including their NULL-when-no-input rule). The maintenance protocol
+  * is the secondary-index one ([[KvIndex]]): a WATERMARK records the
+  * base manifest version the view reflects; writers never touch views;
+  * REFRESH applies the snapshot-diff CDC delta — each removed/updated
+  * row contributes (-1, -old values) at its old group, each
+  * added/updated row (+1, +new values) at its new group; the folded
+  * deltas join the current view rows (only the AFFECTED groups) and
+  * land as Put-upserts, with emptied groups (count 0) tombstoned out.
+  * Refresh cost scales with the delta, never with the table, and falls
+  * back to a full rebuild when the watermark snapshot was compacted
+  * away. Sums are integral-only by design: Long arithmetic is exact,
+  * so an incrementally-maintained value is bit-identical to a full
+  * recompute — float sums would drift under reordering and are
+  * refused at create.
+  *
+  * Group columns are key columns of the view, so NULL group values are
+  * not representable; `create` refuses a base whose group columns can
+  * be NULL (the honest contract, checked loudly, not silently
+  * dropped). At 100 TB the payoff: a dashboard-style aggregate over an
+  * append-heavy fact table reads a tiny pre-folded view and each
+  * refresh costs one CDC diff, not a full-table re-aggregation. */
+object KvMatView {
+
+  private val NamePat = "[A-Za-z0-9_]+"
+
+  def mvRoot(base: String): String = s"$base/_mv"
+  def mvPath(base: String, name: String): String = s"${mvRoot(base)}/$name"
+  private def metaFile(p: String) = Paths.get(p, "_graft_mv")
+
+  private def writeMvMeta(p: String, d: KvMatViewDef): Unit = {
+    val tmp = Paths.get(p,
+      s"._graft_mv.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, d.groupCols.mkString(",") + "\n" +
+      d.sumCols.mkString(",") + "\n" + d.baseVersion)
+    Files.move(tmp, metaFile(p),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readMvMeta(p: String, name: String): Option[KvMatViewDef] = {
+    val f = metaFile(p)
+    if (!Files.exists(f)) return None
+    val lines = Files.readString(f).split('\n')
+    if (lines.length < 3) return None
+    def cols(s: String) = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Some(KvMatViewDef(name, cols(lines(0)), cols(lines(1)), lines(2).trim.toLong))
+  }
+
+  def list(base: String): Seq[KvMatViewDef] = {
+    val root = Paths.get(mvRoot(base))
+    if (!Files.isDirectory(root)) return Nil
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .toSeq.filter(_.isDirectory)
+      .flatMap(d => readMvMeta(d.getPath, d.getName))
+      .sortBy(_.name)
+  }
+
+  def get(base: String, name: String): Option[KvMatViewDef] =
+    readMvMeta(mvPath(base, name), name)
+
+  def inSync(base: String, d: KvMatViewDef): Boolean =
+    SegmentFile.currentVersion(base).contains(d.baseVersion)
+
+  private def baseMeta(base: String): KvTableMeta =
+    GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
+      s"no graftkv table at $base"))
+
+  private def currentOrFail(base: String): Long =
+    SegmentFile.currentVersion(base).getOrElse(
+      throw new IllegalStateException(
+        s"table at $base has no snapshot manifest — write to it once " +
+          "before creating a materialized view"))
+
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  /** Stored-row aggregation of `rows` (already filtered/typed): one row
+    * per group with __cnt / __sum_c / __nn_c. */
+  private def fold(rows: DataFrame, d: KvMatViewDef): DataFrame =
+    rows.groupBy(d.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        d.sumCols.flatMap(c => Seq(
+          coalesce(sum(col(c)), lit(0L)).as(s"__sum_$c"),
+          count(col(c)).as(s"__nn_$c"))): _*)
+
+  def create(spark: SparkSession, base: String, name: String,
+      groupCols: Seq[String], sumCols: Seq[String] = Nil): KvMatViewDef = {
+    require(name.matches(NamePat), s"view name must match $NamePat: $name")
+    require(groupCols.nonEmpty, "materialized view needs group columns")
+    val m = baseMeta(base)
+    (groupCols ++ sumCols).foreach(c =>
+      require(m.schema.fieldNames.contains(c), s"no column '$c'"))
+    sumCols.foreach(c => require(integral(m.schema(c).dataType),
+      s"SUM($c): only integral columns — Long arithmetic is exact, so " +
+        "incremental maintenance matches a full recompute bit-for-bit; " +
+        "float sums would drift under reordering"))
+    require(get(base, name).isEmpty, s"view '$name' already exists on $base")
+    val v = currentOrFail(base)
+    val snap = KvCommands.tableAsOf(spark, base, v)
+    groupCols.foreach { c =>
+      require(snap.schema(c).nullable == false ||
+        snap.filter(col(c).isNull).isEmpty,
+        s"group column '$c' holds NULLs — view keys cannot represent them")
+    }
+    val d = KvMatViewDef(name, groupCols, sumCols, v)
+    KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
+      m.encoding)
+    writeMvMeta(mvPath(base, name), d)
+    d
+  }
+
+  /** The view's logical face: group columns, `cnt`, and per summed
+    * column `sum_c` with SQL semantics (NULL when the group had no
+    * non-null input) plus `avg_c`. */
+  def read(spark: SparkSession, base: String, name: String): DataFrame = {
+    val d = get(base, name).getOrElse(throw new IllegalArgumentException(
+      s"no materialized view '$name' on $base"))
+    val t = KvCommands.table(spark, mvPath(base, name))
+    t.select(d.groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+      d.sumCols.flatMap(c => Seq(
+        when(col(s"__nn_$c") > 0, col(s"__sum_$c")).as(s"sum_$c"),
+        when(col(s"__nn_$c") > 0,
+          col(s"__sum_$c") / col(s"__nn_$c")).as(s"avg_$c"))): _*)
+  }
+
+  /** Advance to the current base snapshot by folding the CDC delta into
+    * the stored groups. No-op in sync; full rebuild when the watermark
+    * snapshot is gone (same contract as [[KvIndex.refresh]]). */
+  def refresh(spark: SparkSession, base: String, name: String): KvMatViewDef = {
+    val d = get(base, name).getOrElse(throw new IllegalArgumentException(
+      s"no materialized view '$name' on $base"))
+    val vNow = currentOrFail(base)
+    if (vNow == d.baseVersion) return d
+    val m = baseMeta(base)
+    val p = mvPath(base, name)
+    val incremental =
+      try {
+        val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
+        // each diff row contributes its OLD side negatively and its NEW
+        // side positively; 'added'/'removed' rows just lack one side.
+        // Base KEY columns keep their plain names in the diff (a key
+        // cannot change); value columns carry old_/new_ prefixes.
+        def sided(tag: String, c: String): Column =
+          if (m.keys.contains(c)) col(c) else col(s"${tag}_$c")
+        def side(tag: String, sign: Int) = diff
+          .filter(if (tag == "old") col("change").isin("removed", "updated")
+            else col("change").isin("added", "updated"))
+          .select(d.groupCols.map(c => sided(tag, c).as(c)) ++
+            Seq(lit(sign.toLong).as("__dcnt")) ++
+            d.sumCols.flatMap(c => Seq(
+              (coalesce(sided(tag, c).cast("long"), lit(0L)) * sign)
+                .as(s"__dsum_$c"),
+              when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
+                .as(s"__dnn_$c"))): _*)
+        val deltas = side("old", -1).unionAll(side("new", 1))
+          .groupBy(d.groupCols.map(col): _*)
+          .agg(sum(col("__dcnt")).as("__dcnt"),
+            d.sumCols.flatMap(c => Seq(
+              sum(col(s"__dsum_$c")).as(s"__dsum_$c"),
+              sum(col(s"__dnn_$c")).as(s"__dnn_$c"))): _*)
+          .filter(col("__dcnt") =!= 0 ||
+            d.sumCols.map(c => col(s"__dsum_$c") =!= 0 ||
+              col(s"__dnn_$c") =!= 0).foldLeft(lit(false))(_ || _))
+        if (!deltas.isEmpty) {
+          // only the affected groups' current rows join in
+          val current = KvCommands.table(spark, p)
+          val merged = deltas.join(current, d.groupCols, "left")
+            .select(d.groupCols.map(col) ++
+              Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
+                .as("__cnt")) ++
+              d.sumCols.flatMap(c => Seq(
+                (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
+                  .as(s"__sum_$c"),
+                (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
+                  .as(s"__nn_$c"))): _*)
+            .persist()
+          try {
+            // emptied groups leave the view; the rest upsert in place
+            val gone = merged.filter(col("__cnt") <= 0)
+              .select(d.groupCols.map(col): _*)
+            gone.write.format("graftkv").option("tombstone", "true")
+              .mode("append").save(p)
+            KvCommands.append(merged.filter(col("__cnt") > 0), p)
+          } finally merged.unpersist()
+        }
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!incremental)
+      KvCommands.createTable(
+        fold(KvCommands.tableAsOf(spark, base, vNow), d), p, d.groupCols,
+        m.encoding)
+    KvCommands.autoCompact(spark, p)
+    val nd = d.copy(baseVersion = vNow)
+    writeMvMeta(p, nd)
+    nd
+  }
+
+  def drop(base: String, name: String): Unit = {
+    val p = Paths.get(mvPath(base, name))
+    if (Files.exists(p)) KvIndex.deleteRecursively(p.toFile)
+  }
+
+  /** Inventory: (name, group cols, sum cols, watermark, in_sync). */
+  def describe(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = list(base).map { d =>
+      Row(d.name, d.groupCols.mkString(","), d.sumCols.mkString(","),
+        d.baseVersion, inSync(base, d))
+    }.asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("view_name", StringType),
+      StructField("group_columns", StringType),
+      StructField("sum_columns", StringType),
+      StructField("base_version", LongType),
+      StructField("in_sync", BooleanType))))
+  }
+}

@@ -590,6 +590,30 @@ object KvOps {
         .orderBy("o_orderkey")
     },
 
+    // incrementally-maintained aggregate view (KvMatView, extension
+    // scope): COUNT + exact Long SUM per group, folded from the CDC
+    // delta on refresh; the gate reads the MATERIALIZED rows and pins
+    // them against a plain GROUP BY over the parquet truth —
+    // bit-identical because the stored sums are exact Long arithmetic
+    QuerySpec.checked("kv30_matview_agg",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  sum(o_custkey) AS sum_o_custkey
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val path = ensure(s, d, "orders", Seq("o_orderkey"))
+      import graft.connector.KvMatView
+      KvMatView.get(path, "mv_status") match {
+        case None =>
+          KvMatView.create(s, path, "mv_status",
+            Seq("o_orderstatus"), Seq("o_custkey"))
+        case Some(v) if !KvMatView.inSync(path, v) =>
+          KvMatView.refresh(s, path, "mv_status")
+        case _ => ()
+      }
+      KvMatView.read(s, path, "mv_status")
+        .select(col("o_orderstatus"), col("cnt"), col("sum_o_custkey"))
+        .orderBy("o_orderstatus")
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range

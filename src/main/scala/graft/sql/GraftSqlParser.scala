@@ -46,6 +46,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
       GraftShowIndexesCommand(table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.CreateMvStmt(view, table, groupCols, sumCols)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftCreateMvCommand(view, table.replace("`", "").split('.').toSeq,
+        groupCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(sumCols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
+    case GraftSqlParser.RefreshMvStmt(view, table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftRefreshMvCommand(view, table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.ShowMvsStmt(table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftShowMvsCommand(table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.DropMvStmt(view, table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftDropMvCommand(view, table.replace("`", "").split('.').toSeq)
     case GraftSqlParser.CompactStmt(table, major)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
@@ -124,6 +143,24 @@ object GraftSqlParser {
   private[sql] val ShowIndexesStmt =
     """(?is)\s*SHOW\s+INDEXES\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
 
+  /** CREATE MATERIALIZED VIEW v ON [TABLE] t GROUP BY c,.. [SUM (c,..)] —
+    * an incrementally-maintained COUNT/SUM aggregate (KvMatView). */
+  private[sql] val CreateMvStmt =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """\s+GROUP\s+BY\s+([\w\s,]+?)(?:\s+SUM\s*\(([\w\s,]+)\))?\s*;?\s*""").r
+
+  /** REFRESH MATERIALIZED VIEW v ON [TABLE] t — fold the CDC delta. */
+  private[sql] val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
+  /** SHOW MATERIALIZED VIEWS FOR|IN [TABLE] t. */
+  private[sql] val ShowMvsStmt =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
+  /** DROP MATERIALIZED VIEW v ON [TABLE] t. */
+  private[sql] val DropMvStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+
   /** COMPACT TABLE t [MAJOR] — minor compaction (overlap groups only)
     * by default; MAJOR rewrites the whole table into disjoint runs. */
   private[sql] val CompactStmt =
@@ -161,7 +198,8 @@ object GraftSqlParser {
       "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
-      "REFRESH", "INDEX", "INDEXES")
+      "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS",
+      "GROUP", "SUM")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -307,6 +345,61 @@ case class GraftShowIndexesCommand(table: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW INDEXES")
     graft.connector.KvIndex.describe(spark, dir).collect().toSeq
+  }
+}
+
+/** CREATE MATERIALIZED VIEW v ON t GROUP BY ... [SUM (...)]. */
+case class GraftCreateMvCommand(view: String, table: Seq[String],
+    groupCols: Seq[String], sumCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "CREATE MATERIALIZED VIEW")
+    graft.connector.KvMatView.create(spark, dir, view, groupCols, sumCols)
+    Nil
+  }
+}
+
+/** REFRESH MATERIALIZED VIEW v ON t — CDC-incremental maintenance. */
+case class GraftRefreshMvCommand(view: String, table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "REFRESH MATERIALIZED VIEW")
+    Seq(Row(graft.connector.KvMatView.refresh(spark, dir, view).baseVersion))
+  }
+}
+
+/** SHOW MATERIALIZED VIEWS FOR t. */
+case class GraftShowMvsCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view_name", StringType, nullable = false)(),
+    AttributeReference("group_columns", StringType, nullable = false)(),
+    AttributeReference("sum_columns", StringType, nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)(),
+    AttributeReference("in_sync", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW MATERIALIZED VIEWS")
+    graft.connector.KvMatView.describe(spark, dir).collect().toSeq
+  }
+}
+
+/** DROP MATERIALIZED VIEW v ON t. */
+case class GraftDropMvCommand(view: String, table: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "DROP MATERIALIZED VIEW")
+    graft.connector.KvMatView.drop(dir, view)
+    Nil
   }
 }
 

@@ -1,0 +1,175 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incrementally-maintained aggregate views (KvMatView): the CDC-delta
+  * fold must stay bit-identical to a full re-aggregation through any
+  * sequence of upserts, deletes, and compactions. */
+class KvMatViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graftkv_mv_$tag").toString + "/t"
+
+  /** Full recompute of what the view must hold, from the base table. */
+  private def expected(base: String, groupCols: Seq[String],
+      sumCols: Seq[String]): Seq[Seq[Any]] =
+    KvCommands.table(spark, base)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+          avg(col(c)).as(s"avg_$c"))): _*)
+      .orderBy(groupCols.map(col): _*)
+      .collect().toSeq.map(_.toSeq)
+
+  private def actual(base: String, name: String,
+      groupCols: Seq[String]): Seq[Seq[Any]] =
+    KvMatView.read(spark, base, name)
+      .orderBy(groupCols.map(col): _*)
+      .collect().toSeq.map(_.toSeq)
+
+  test("create, read, and incremental refresh match a full re-aggregation") {
+    val path = tmpDir("basic")
+    KvCommands.createTable(
+      spark.range(5000).select(col("id").as("k"),
+        (col("id") % 7).as("g"),
+        when(col("id") % 50 === 3, lit(null)).otherwise(col("id")).as("x")),
+      path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    assert(KvMatView.inSync(path, KvMatView.get(path, "mv").get))
+    assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")))
+
+    // upserts that MOVE rows between groups, introduce nulls, add rows
+    KvCommands.append(spark.range(300).select((col("id") * 3).as("k"),
+      (col("id") % 5).as("g"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") * 100).as("x")),
+      path)
+    assert(!KvMatView.inSync(path, KvMatView.get(path, "mv").get))
+    KvMatView.refresh(spark, path, "mv")
+    assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")))
+
+    // deletes that empty whole groups: add a unique group, then kill it
+    KvCommands.append(spark.range(1).select(lit(999999L).as("k"),
+      lit(77L).as("g"), lit(1L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    assert(actual(path, "mv", Seq("g"))
+      .exists(_.head == 77L))
+    KvCommands.delete(spark, path, col("g") === 77)
+    KvMatView.refresh(spark, path, "mv")
+    val rows = actual(path, "mv", Seq("g"))
+    assert(!rows.exists(_.head == 77L), "emptied group must leave the view")
+    assert(rows == expected(path, Seq("g"), Seq("x")))
+
+    // no-op refresh returns the same definition
+    val d1 = KvMatView.get(path, "mv").get
+    assert(KvMatView.refresh(spark, path, "mv") == d1)
+  }
+
+  test("refresh survives a major compaction via the rebuild fallback") {
+    val path = tmpDir("compact")
+    KvCommands.createTable(
+      spark.range(2000).select(col("id").as("k"), (col("id") % 4).as("g"),
+        col("id").as("x")), path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    KvCommands.append(spark.range(100).select((col("id") + 5000).as("k"),
+      lit(9L).as("g"), col("id").as("x")), path)
+    KvCommands.compact(spark, path) // deletes replaced files at commit
+    KvMatView.refresh(spark, path, "mv")
+    assert(KvMatView.inSync(path, KvMatView.get(path, "mv").get))
+    assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")))
+  }
+
+  test("fuzz: the delta fold equals a recompute through random histories") {
+    val rnd = new scala.util.Random(1717)
+    val path = tmpDir("fuzz")
+    // rows built driver-side for full control over randomness
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("g", LongType, nullable = false),
+      StructField("x", LongType, nullable = true)))
+    def randomDf(n: Int) = {
+      val rs = (0 until n).map { _ =>
+        Row(rnd.nextInt(2000).toLong, rnd.nextInt(10).toLong,
+          if (rnd.nextInt(8) == 0) null else rnd.nextLong(1000))
+      }
+      spark.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), schema)
+    }
+    KvCommands.createTable(randomDf(400), path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    for (round <- 1 to 8) {
+      rnd.nextInt(3) match {
+        case 0 | 1 => KvCommands.append(randomDf(1 + rnd.nextInt(150)), path)
+        case 2 =>
+          val m = 2 + rnd.nextInt(5)
+          KvCommands.delete(spark, path, col("k") % m === rnd.nextInt(m))
+      }
+      if (round % 3 == 0) KvCommands.compactMinor(spark, path)
+      KvMatView.refresh(spark, path, "mv")
+      assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")),
+        s"round $round")
+    }
+  }
+
+  test("float sums and nullable group columns are refused loudly") {
+    val path = tmpDir("guards")
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"),
+        when(col("id") === 5, lit(null)).otherwise(col("id") % 3).as("g"),
+        (col("id").cast("double") * 1.5).as("d"),
+        col("id").as("x")),
+      path, Seq("k"))
+    intercept[IllegalArgumentException] {
+      KvMatView.create(spark, path, "mvf", Seq("x"), Seq("d"))
+    }
+    intercept[IllegalArgumentException] {
+      KvMatView.create(spark, path, "mvn", Seq("g"), Seq("x"))
+    }
+    assert(KvMatView.list(path).isEmpty)
+  }
+
+  test("SQL: CREATE / SHOW / REFRESH / DROP MATERIALIZED VIEW through the catalog") {
+    val root = Files.createTempDirectory("graftkv_mv_cat").toString
+    val cat = s"gmv${math.abs(root.hashCode() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, g BIGINT, x BIGINT) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 3, id FROM range(300)")
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW mv ON TABLE $cat.db.t GROUP BY g SUM (x)")
+
+    val shown = spark.sql(s"SHOW MATERIALIZED VIEWS FOR $cat.db.t").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("mv"))
+    assert(shown.head.getBoolean(4), "fresh view must be in sync")
+
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1000, 0, 500)")
+    assert(!spark.sql(s"SHOW MATERIALIZED VIEWS FOR $cat.db.t")
+      .head().getBoolean(4))
+    spark.sql(s"REFRESH MATERIALIZED VIEW mv ON $cat.db.t")
+
+    val tdir = s"$root/db/t"
+    val got = actual(tdir, "mv", Seq("g"))
+    assert(got == expected(tdir, Seq("g"), Seq("x")))
+
+    spark.sql(s"DROP MATERIALIZED VIEW mv ON $cat.db.t")
+    assert(spark.sql(s"SHOW MATERIALIZED VIEWS FOR $cat.db.t")
+      .collect().isEmpty)
+    spark.sql(s"DROP TABLE $cat.db.t")
+  }
+
+  test("DROP TABLE removes materialized views") {
+    val path = tmpDir("drop")
+    KvCommands.createTable(spark.range(100).select(col("id").as("k"),
+      (col("id") % 3).as("g")), path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"))
+    assert(KvMatView.list(path).nonEmpty)
+    KvCommands.dropTable(path)
+    assert(KvMatView.list(path).isEmpty)
+  }
+}

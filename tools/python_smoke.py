@@ -89,6 +89,24 @@ def main():
         GraftSession.drop_index(spark, "graft.py.t", "iv")
         assert GraftSession.show_indexes(
             spark, "graft.py.t").collect() == []
+        # materialized view lifecycle over the same table
+        GraftSession.create_materialized_view(
+            spark, "graft.py.t", "mv", ["v"], ["k"])
+        mvs = GraftSession.show_materialized_views(
+            spark, "graft.py.t").collect()
+        assert [r.view_name for r in mvs] == ["mv"] and mvs[0].in_sync, mvs
+        spark.sql("INSERT INTO graft.py.t VALUES (55, 'upd')")
+        GraftSession.refresh_materialized_view(spark, "graft.py.t", "mv")
+        agg = {r.v: (r.cnt, r.sum_k) for r in spark.sql(
+            "SELECT v, count(*) AS cnt, sum(k) AS sum_k "
+            "FROM graft.py.t GROUP BY v").collect()}
+        tdir = os.path.join(root, "py", "t")
+        mv_rows = {r.v: (r.cnt, r.sum_k) for r in spark.read.format("graftkv")
+                   .load(os.path.join(tdir, "_mv", "mv"))
+                   .selectExpr("v", "__cnt AS cnt", "__sum_k AS sum_k")
+                   .collect()}
+        assert mv_rows == agg, (mv_rows, agg)
+        GraftSession.drop_materialized_view(spark, "graft.py.t", "mv")
         print("python smoke: OK")
     finally:
         spark.stop()
