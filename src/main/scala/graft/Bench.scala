@@ -21,6 +21,7 @@ object Bench {
     "kv25_zorder_box",       // multi-dim box query on the z-clustered layout
     "kv26_metadata_sum",     // COUNT + exact SUM from segment metadata
     "kv29_index_lookup",     // secondary-index seek + runtime-IN base prune
+    "kv30_matview_agg",      // incrementally-maintained aggregate view read
     "j12_asof_join",         // as-of join (union + single window pass)
     "j13_range_join",        // interval join (bucketed equi-join + residual)
     "t2_sort_multi_dir",     // top-k
@@ -175,7 +176,27 @@ object Bench {
       graft.store.SegmentFile.clearPlanningCache()
       val cold = planOnce(10001L)
       val warm = planOnce(20002L)
-      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)}}"""
+      // secondary-index lookup at the same scale: `v` identifies one
+      // segment, so an indexed equality on this 10,000-segment table
+      // must stay point-lookup-flat (the (v, k)-only shape takes the
+      // covering path — the probe never opens the base table at all)
+      import graft.connector.KvIndex
+      KvIndex.get(dir, "iv") match {
+        case None => KvIndex.create(spark, dir, "iv", Seq("v"))
+        case Some(d) if !KvIndex.inSync(dir, d) =>
+          KvIndex.refresh(spark, dir, "iv")
+        case _ => ()
+      }
+      def idxOnce(v: Long): Double = {
+        val t0 = System.nanoTime()
+        val n = spark.read.format("graftkv").load(dir)
+          .where(col("v") === v).count()
+        require(n == 3, s"plan10k index probe read $n rows for v $v")
+        (System.nanoTime() - t0) / 1e9
+      }
+      idxOnce(5001L) // warmup
+      val viaIndex = idxOnce(7777L)
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"index_sec":${fmt(viaIndex)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
       ""
