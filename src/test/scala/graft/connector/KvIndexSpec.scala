@@ -282,6 +282,33 @@ class KvIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a string-column index orders, seeks, and refreshes correctly") {
+    val path = tmpDir("str")
+    val statuses = Seq("ACTIVE", "DELETED", "PENDING", "ZOMBIE")
+    KvCommands.createTable(
+      spark.range(8000).select(col("id").as("k"),
+        element_at(typedLit(statuses), (col("id") % 4 + 1).cast("int"))
+          .as("st"), col("id").as("w")),
+      path, Seq("k"))
+    KvIndex.create(spark, path, "ist", Seq("st"))
+    val t = KvCommands.table(spark, path)
+
+    val q = t.filter(col("st") === "PENDING").select("k")
+    assert(usesIndex(q))
+    assert(q.count() == 2000)
+    // range over the UTF-8 sort order the index key codec maintains
+    val r = t.filter(col("st") >= "DELETED" && col("st") < "PENDING")
+    assert(hasSemiJoin(r))
+    assert(r.count() == 2000) // only DELETED
+
+    KvCommands.append(spark.range(1).select(lit(50000L).as("k"),
+      lit("ZOMBIE").as("st"), lit(0L).as("w")), path)
+    KvIndex.refresh(spark, path, "ist")
+    val z = t.filter(col("st") === "ZOMBIE").select("k")
+    assert(usesIndex(z))
+    assert(z.count() == 2001)
+  }
+
   test("DROP TABLE removes the table's indexes") {
     val path = tmpDir("drop")
     mkBase(path)
