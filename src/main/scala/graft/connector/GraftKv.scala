@@ -786,6 +786,56 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     *  2. three-valued evaluation of the whole predicate over the
     *     segment's multi-dimensional key bounds (descends while leading
     *     dims are pinned to a point) must not prove False. */
+  private def keyBindings(m: SegmentFile.Meta): Map[String, graft.pruning.TriEval.Binding] = {
+    import graft.pruning.TriEval
+    val mins = codec.decodeKeyNormalized(m.minKey)
+    val maxs = codec.decodeKeyNormalized(m.maxKey)
+    var bound = Map.empty[String, TriEval.Binding]
+    var i = 0
+    var pinned = true
+    while (i < keys.length && pinned) {
+      val dt = codec.keyFields(i).dataType
+      val cmp = TriEval.comparator(dt)
+      bound += keys(i) -> TriEval.Binding(dt,
+        TriEval.ValueRange(Some(mins(i)), loInc = true, Some(maxs(i)), hiInc = true))
+      pinned = cmp(mins(i), maxs(i)) == 0
+      i += 1
+    }
+    bound
+  }
+
+  // value-column zone maps (V4 sidecars): bind each recorded [min,max]
+  // so residual predicates can prove a segment false — the parquet
+  // row-group-stats analog; unbound columns stay Unknown, so the prune
+  // is conservative by construction. Bind only when the CURRENT schema
+  // still has the column at the recorded type — after a
+  // drop-and-recreate type change the compatProjector reads such
+  // columns as null, so a stale stat would wrongly prove IsNull(col)
+  // false (or feed a mistyped value into the comparator); mirroring
+  // compatProjector's name+type rule keeps pruning and projection
+  // consistent.
+  private def zoneBindings(m: SegmentFile.Meta): Map[String, graft.pruning.TriEval.Binding] = {
+    import graft.pruning.TriEval
+    var bound = Map.empty[String, TriEval.Binding]
+    m.zoneStats.foreach { z =>
+      if (schema.fields.exists(f => f.name == z.name && f.dataType == z.dataType))
+        bound += z.name -> TriEval.Binding(z.dataType,
+          TriEval.ValueRange(Some(TriEval.normalize(z.dataType, z.min)),
+            loInc = true,
+            Some(TriEval.normalize(z.dataType, z.max)), hiInc = true))
+    }
+    bound
+  }
+
+  /** KEY-dimension pruning only. Generation-safe by itself: every
+    * generation of a composite key shares that key, so a key-range (or
+    * key-dim Bloom) prune that drops one generation's segment would
+    * have excluded the other generations' rows too — last-write-wins
+    * merge-on-read can never be asked to resurrect a superseded row.
+    * VALUE-column zone pruning is NOT generation-safe per segment (two
+    * generations of one key hold different values, so the superseding
+    * segment can be zone-pruned while the stale one survives) and is
+    * applied per overlap COMPONENT below. */
   lazy val survivors: Seq[SegmentFile.Meta] = {
     import graft.pruning.TriEval
     val segs = baseSegs
@@ -795,39 +845,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       segs.filter { m =>
         leadRanges.intersects(
           codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
-        bloomSurvives(m) && {
-        val mins = codec.decodeKeyNormalized(m.minKey)
-        val maxs = codec.decodeKeyNormalized(m.maxKey)
-        var bound = Map.empty[String, TriEval.Binding]
-        var i = 0
-        var pinned = true
-        while (i < keys.length && pinned) {
-          val dt = codec.keyFields(i).dataType
-          val cmp = TriEval.comparator(dt)
-          bound += keys(i) -> TriEval.Binding(dt,
-            TriEval.ValueRange(Some(mins(i)), loInc = true, Some(maxs(i)), hiInc = true))
-          pinned = cmp(mins(i), maxs(i)) == 0
-          i += 1
-        }
-        // value-column zone maps (V4 sidecars): bind each recorded
-        // [min,max] so residual predicates can prove a segment false —
-        // the parquet row-group-stats analog; unbound columns stay
-        // Unknown, so the prune is conservative by construction.
-        // Bind only when the CURRENT schema still has the column at the
-        // recorded type — after a drop-and-recreate type change the
-        // compatProjector reads such columns as null, so a stale stat
-        // would wrongly prove IsNull(col) false (or feed a mistyped
-        // value into the comparator); mirroring compatProjector's
-        // name+type rule keeps pruning and projection consistent.
-        m.zoneStats.foreach { z =>
-          if (schema.fields.exists(f => f.name == z.name && f.dataType == z.dataType))
-            bound += z.name -> TriEval.Binding(z.dataType,
-              TriEval.ValueRange(Some(TriEval.normalize(z.dataType, z.min)),
-                loInc = true,
-                Some(TriEval.normalize(z.dataType, z.max)), hiInc = true))
-        }
-        TriEval.eval(conj, bound) != TriEval.False
-        }
+        bloomSurvives(m) &&
+        TriEval.eval(conj, keyBindings(m)) != TriEval.False
       }
     }
   }
@@ -854,7 +873,22 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
             if (codec.compareKeys(s.maxKey, c.maxKey) > 0) s.maxKey else c.maxKey)
         } else out += GraftKvScan.SegComp(Vector(s), s.maxKey)
       }
-      out.toSeq
+      // value-zone pruning, per COMPONENT: a component is dropped only
+      // when EVERY member proves the predicate false over its own key
+      // bounds + zone maps. Dropping single members would be unsound —
+      // a key's superseding generation could sit in the zone-pruned
+      // member while a stale generation's member survives, and the
+      // merge would resurrect the stale row. An all-false component
+      // emits only predicate-false rows whichever generation wins, so
+      // dropping it whole is safe; the common disjoint table is all
+      // singleton components, where this IS per-segment pruning.
+      if (filters.isEmpty) out.toSeq
+      else {
+        import graft.pruning.TriEval
+        val conj = filters.reduce(org.apache.spark.sql.sources.And(_, _))
+        out.toSeq.filter(_.members.exists(m =>
+          TriEval.eval(conj, keyBindings(m) ++ zoneBindings(m)) != TriEval.False))
+      }
     }
   }
 
@@ -1136,8 +1170,11 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     val total = allSegs.length
+    // comps members = segments actually read (key pruning + the
+    // component-level value-zone prune)
     Array(GraftKvMetrics.task("segmentsTotal", total),
-      GraftKvMetrics.task("segmentsPruned", total - active.survivors.length))
+      GraftKvMetrics.task("segmentsPruned",
+        total - active.comps.map(_.members.length).sum))
   }
 
   /** Streaming read (readStream on a kv table): each micro-batch covers
@@ -1187,7 +1224,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     // surviving segments is not modeled — the estimate is an upper
     // bound, so it can only miss a broadcast, never choose one that
     // doesn't fit.
-    val segs = static.survivors
+    val segs = static.comps.flatMap(_.members)
     // superseded versions under overlap are still counted (estimates
     // only), but tombstones are pure deletions — subtract them
     val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)

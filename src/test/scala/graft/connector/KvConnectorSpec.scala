@@ -786,6 +786,41 @@ class KvConnectorSpec extends AnyFunSuite {
     assert(aggU.head().getLong(0) == 10L, "superseded duplicates must not be summed")
   }
 
+  test("value-zone pruning never resurrects superseded generations") {
+    val path = tmpTable()
+    // several small segments so zone pruning has something to drop
+    spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "4096").mode("overwrite").save(path)
+    // upsert k=500: its value moves OUT of the queried range, into a
+    // new overlapping segment whose zone map is [0,0]
+    KvCommands.append(
+      spark.range(1).select(lit(500L).as("k"), lit(0L).as("v")), path)
+    val t = KvCommands.table(spark, path)
+    // zone maps would prove the NEW segment false for v >= 400; pruning
+    // it per-segment would resurrect the stale (500, 500) row from the
+    // original segment — the component-level prune must keep both
+    val hi = t.filter(col("v") >= 400).select("k", "v").collect()
+    assert(!hi.exists(_.getLong(0) == 500L),
+      "superseded generation resurrected by value-zone pruning")
+    assert(hi.length == 599) // 400..999 minus the moved k=500
+    val zero = t.filter(col("v") === 0).orderBy("k").collect()
+    assert(zero.map(_.getLong(0)).toSeq == Seq(0L, 500L))
+    // and zone pruning still fires where it is sound: after compaction
+    // (disjoint singleton components) the same filter plans fewer
+    // segments than the table holds
+    KvCommands.compact(spark, path, maxSegBytes = Some(4096L))
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("v", 900L)), -1,
+      meta.encoding)
+    val all = SegmentFile.listSegments(path).length
+    assert(all > 3, s"expected several segments, got $all")
+    assert(scan.planInputPartitions().length < all,
+      "value-zone pruning stopped firing on a disjoint table")
+  }
+
   test("kv MIN/MAX of value columns is answered from exact zone metadata") {
     val path = tmpTable()
     val df = spark.range(5000).select(col("id").as("k"),
