@@ -145,6 +145,7 @@ object KvCommands {
     if (idx.isDirectory) KvIndex.deleteRecursively(idx)
     val mv = new java.io.File(d, "_mv")
     if (mv.isDirectory) KvIndex.deleteRecursively(mv)
+    KvIndex.invalidate(path)
     d.delete()
   }
 

@@ -86,6 +86,40 @@ object KvIndex {
   def get(base: String, name: String): Option[KvIndexDef] =
     readIndexMeta(indexPath(base, name), name)
 
+  // Plan-time listing cache for the rewrite rule, keyed on the base
+  // manifest version: the rule runs inside a fixpoint optimizer batch
+  // for EVERY filtered kv query, and re-listing the _index directory
+  // (plus one meta read per index) each iteration is avoidable I/O —
+  // index definitions can only usefully change alongside a base commit
+  // (a refresh re-watermarks to the CURRENT version, create/drop in
+  // this process invalidate explicitly). A cross-process create/drop
+  // is seen at the next base commit: staleness can only delay an
+  // OPTIMIZATION, never affect results — the rewrite re-validates
+  // inSync against the live version either way.
+  private val listCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[KvIndexDef])]()
+
+  private[graft] def invalidate(base: String): Unit =
+    listCache.remove(java.nio.file.Paths.get(base)
+      .toAbsolutePath.normalize.toString)
+
+  /** `list` + per-def `inSync` pre-filter, memoized per (table, base
+    * manifest version). Only in-sync definitions are returned. A hit
+    * still re-stats the _index root: a DROP TABLE + recreate restarts
+    * version numbers, and serving the dead table's definitions would
+    * make the rewrite reference index tables that no longer exist. */
+  def usableForPlanning(base: String): Seq[KvIndexDef] = {
+    val v = SegmentFile.currentVersion(base).getOrElse(return Nil)
+    val key = java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString
+    val hit = listCache.get(key)
+    if (hit != null && hit._1 == v &&
+      (hit._2.isEmpty || Files.isDirectory(Paths.get(indexRoot(base)))))
+      return hit._2
+    val defs = list(base).filter(_.baseVersion == v)
+    listCache.put(key, (v, defs))
+    defs
+  }
+
   /** Is the index exactly as fresh as the base table? The rewrite uses
     * an index ONLY when this holds, so index content is never trusted
     * beyond the snapshot it provably reflects. */
@@ -123,6 +157,7 @@ object KvIndex {
       .where(cols.map(col(_).isNotNull).reduce(_ && _))
     KvCommands.createTable(entries, idxPath, cols ++ m.keys, m.encoding)
     writeIndexMeta(idxPath, cols, v)
+    invalidate(base)
     KvIndexDef(name, cols, v)
   }
 
@@ -178,12 +213,14 @@ object KvIndex {
     // amplification crosses the policy line (metadata-only check)
     KvCommands.autoCompact(spark, idxPath)
     writeIndexMeta(idxPath, d.cols, vNow)
+    invalidate(base)
     KvIndexDef(name, d.cols, vNow)
   }
 
   def drop(base: String, name: String): Unit = {
     val p = Paths.get(indexPath(base, name))
     if (Files.exists(p)) deleteRecursively(p.toFile)
+    invalidate(base)
   }
 
   private[connector] def deleteRecursively(f: java.io.File): Unit = {

@@ -25,20 +25,29 @@ final case class KvMatViewDef(name: String, groupCols: Seq[String],
   * row contributes (-1, -old values) at its old group, each
   * added/updated row (+1, +new values) at its new group; the folded
   * deltas join the current view rows (only the AFFECTED groups) and
-  * land as Put-upserts, with emptied groups (count 0) tombstoned out.
-  * Refresh cost scales with the delta, never with the table, and falls
-  * back to a full rebuild when the watermark snapshot was compacted
-  * away. Sums are integral-only by design: Long arithmetic is exact,
-  * so an incrementally-maintained value is bit-identical to a full
+  * land as ONE Put-upsert commit — emptied groups are stored as
+  * `__cnt = 0` rows that `read` filters out, precisely so the whole
+  * delta is a single atomic manifest commit (a tombstone pass would be
+  * a second commit, and a reader or crash between the two would see a
+  * state no base snapshot ever produced). Because the folded deltas
+  * are RELATIVE, a half-applied refresh must never be re-applied: an
+  * intent marker written before the data commit forces the next
+  * refresh onto the absolute REBUILD path if the previous one did not
+  * complete (rebuild also covers a watermark snapshot compacted away).
+  * Refresh cost scales with the delta, never with the table. Sums are
+  * integral-only by design: Long arithmetic is exact, so an
+  * incrementally-maintained value is bit-identical to a full
   * recompute — float sums would drift under reordering and are
   * refused at create.
   *
   * Group columns are key columns of the view, so NULL group values are
-  * not representable; `create` refuses a base whose group columns can
-  * be NULL (the honest contract, checked loudly, not silently
-  * dropped). At 100 TB the payoff: a dashboard-style aggregate over an
-  * append-heavy fact table reads a tiny pre-folded view and each
-  * refresh costs one CDC diff, not a full-table re-aggregation. */
+  * not representable: rows whose group columns hold NULL are EXCLUDED
+  * from the view by contract (the same rule the secondary index
+  * applies to NULL indexed values; COALESCE the group expression in
+  * the base table to aggregate them). At 100 TB the payoff: a
+  * dashboard-style aggregate over an append-heavy fact table reads a
+  * tiny pre-folded view and each refresh costs one CDC diff, not a
+  * full-table re-aggregation. */
 object KvMatView {
 
   private val NamePat = "[A-Za-z0-9_]+"
@@ -99,10 +108,12 @@ object KvMatView {
     }
   }
 
-  /** Stored-row aggregation of `rows` (already filtered/typed): one row
-    * per group with __cnt / __sum_c / __nn_c. */
+  /** Stored-row aggregation of `rows`: one row per (non-NULL) group
+    * with __cnt / __sum_c / __nn_c. NULL-group rows are excluded by
+    * the view contract (they have no representable key). */
   private def fold(rows: DataFrame, d: KvMatViewDef): DataFrame =
-    rows.groupBy(d.groupCols.map(col): _*)
+    rows.where(d.groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(d.groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
         d.sumCols.flatMap(c => Seq(
           coalesce(sum(col(c)), lit(0L)).as(s"__sum_$c"),
@@ -122,11 +133,6 @@ object KvMatView {
     require(get(base, name).isEmpty, s"view '$name' already exists on $base")
     val v = currentOrFail(base)
     val snap = KvCommands.tableAsOf(spark, base, v)
-    groupCols.foreach { c =>
-      require(snap.schema(c).nullable == false ||
-        snap.filter(col(c).isNull).isEmpty,
-        s"group column '$c' holds NULLs — view keys cannot represent them")
-    }
     val d = KvMatViewDef(name, groupCols, sumCols, v)
     KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
       m.encoding)
@@ -141,6 +147,9 @@ object KvMatView {
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no materialized view '$name' on $base"))
     val t = KvCommands.table(spark, mvPath(base, name))
+      // groups a refresh emptied persist as __cnt = 0 rows (keeping the
+      // whole delta a single atomic commit) and are not view rows
+      .filter(col("__cnt") > 0)
     t.select(d.groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
       d.sumCols.flatMap(c => Seq(
         when(col(s"__nn_$c") > 0, col(s"__sum_$c")).as(s"sum_$c"),
@@ -148,75 +157,93 @@ object KvMatView {
           col(s"__sum_$c") / col(s"__nn_$c")).as(s"avg_$c"))): _*)
   }
 
+  /** A crashed refresh must not leave RELATIVE deltas half-trusted:
+    * the marker is written before the incremental data commit and
+    * cleared only after the watermark advanced, so any refresh that
+    * finds it takes the absolute rebuild path (idempotent, overwrite). */
+  private def intentMarker(p: String) = Paths.get(p, "._graft_mv_refreshing")
+
   /** Advance to the current base snapshot by folding the CDC delta into
     * the stored groups. No-op in sync; full rebuild when the watermark
-    * snapshot is gone (same contract as [[KvIndex.refresh]]). */
+    * snapshot is gone or a previous refresh died mid-flight. */
   def refresh(spark: SparkSession, base: String, name: String): KvMatViewDef = {
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no materialized view '$name' on $base"))
     val vNow = currentOrFail(base)
-    if (vNow == d.baseVersion) return d
-    val m = baseMeta(base)
     val p = mvPath(base, name)
-    val incremental =
-      try {
+    if (vNow == d.baseVersion) {
+      // a refresh that advanced the watermark but died before clearing
+      // its marker is complete — reclaim the marker so the next real
+      // refresh doesn't rebuild needlessly
+      Files.deleteIfExists(intentMarker(p))
+      return d
+    }
+    val m = baseMeta(base)
+    val incremental = !Files.exists(intentMarker(p)) &&
+      (try {
         val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
-        // each diff row contributes its OLD side negatively and its NEW
-        // side positively; 'added'/'removed' rows just lack one side.
-        // Base KEY columns keep their plain names in the diff (a key
-        // cannot change); value columns carry old_/new_ prefixes.
-        def sided(tag: String, c: String): Column =
-          if (m.keys.contains(c)) col(c) else col(s"${tag}_$c")
-        def side(tag: String, sign: Int) = diff
-          .filter(if (tag == "old") col("change").isin("removed", "updated")
-            else col("change").isin("added", "updated"))
-          .select(d.groupCols.map(c => sided(tag, c).as(c)) ++
-            Seq(lit(sign.toLong).as("__dcnt")) ++
-            d.sumCols.flatMap(c => Seq(
-              (coalesce(sided(tag, c).cast("long"), lit(0L)) * sign)
-                .as(s"__dsum_$c"),
-              when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
-                .as(s"__dnn_$c"))): _*)
-        val deltas = side("old", -1).unionAll(side("new", 1))
-          .groupBy(d.groupCols.map(col): _*)
-          .agg(sum(col("__dcnt")).as("__dcnt"),
-            d.sumCols.flatMap(c => Seq(
-              sum(col(s"__dsum_$c")).as(s"__dsum_$c"),
-              sum(col(s"__dnn_$c")).as(s"__dnn_$c"))): _*)
-          .filter(col("__dcnt") =!= 0 ||
-            d.sumCols.map(c => col(s"__dsum_$c") =!= 0 ||
-              col(s"__dnn_$c") =!= 0).foldLeft(lit(false))(_ || _))
-        if (!deltas.isEmpty) {
-          // only the affected groups' current rows join in
-          val current = KvCommands.table(spark, p)
-          val merged = deltas.join(current, d.groupCols, "left")
-            .select(d.groupCols.map(col) ++
-              Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
-                .as("__cnt")) ++
+          .persist() // one delta computation feeds probe + merge
+        try {
+          // each diff row contributes its OLD side negatively and its
+          // NEW side positively; 'added'/'removed' rows just lack one
+          // side. Base KEY columns keep their plain names in the diff
+          // (a key cannot change); value columns carry old_/new_
+          // prefixes. NULL-group contributions drop out — those rows
+          // are outside the view by contract.
+          def sided(tag: String, c: String): Column =
+            if (m.keys.contains(c)) col(c) else col(s"${tag}_$c")
+          def side(tag: String, sign: Int) = diff
+            .filter((if (tag == "old")
+              col("change").isin("removed", "updated")
+            else col("change").isin("added", "updated")) &&
+              d.groupCols.map(c => sided(tag, c).isNotNull).reduce(_ && _))
+            .select(d.groupCols.map(c => sided(tag, c).as(c)) ++
+              Seq(lit(sign.toLong).as("__dcnt")) ++
               d.sumCols.flatMap(c => Seq(
-                (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
-                  .as(s"__sum_$c"),
-                (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
-                  .as(s"__nn_$c"))): _*)
-            .persist()
-          try {
-            // emptied groups leave the view; the rest upsert in place
-            val gone = merged.filter(col("__cnt") <= 0)
-              .select(d.groupCols.map(col): _*)
-            gone.write.format("graftkv").option("tombstone", "true")
-              .mode("append").save(p)
-            KvCommands.append(merged.filter(col("__cnt") > 0), p)
-          } finally merged.unpersist()
-        }
-        true
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (!incremental)
+                (coalesce(sided(tag, c).cast("long"), lit(0L)) * sign)
+                  .as(s"__dsum_$c"),
+                when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
+                  .as(s"__dnn_$c"))): _*)
+          val deltas = side("old", -1).unionAll(side("new", 1))
+            .groupBy(d.groupCols.map(col): _*)
+            .agg(sum(col("__dcnt")).as("__dcnt"),
+              d.sumCols.flatMap(c => Seq(
+                sum(col(s"__dsum_$c")).as(s"__dsum_$c"),
+                sum(col(s"__dnn_$c")).as(s"__dnn_$c"))): _*)
+            .filter(col("__dcnt") =!= 0 ||
+              d.sumCols.map(c => col(s"__dsum_$c") =!= 0 ||
+                col(s"__dnn_$c") =!= 0).foldLeft(lit(false))(_ || _))
+          if (!deltas.isEmpty) {
+            // only the affected groups' current rows join in; emptied
+            // groups become __cnt = 0 puts so the WHOLE delta is one
+            // atomic commit (read filters them; no tombstone pass)
+            val current = KvCommands.table(spark, p)
+            val merged = deltas.join(current, d.groupCols, "left")
+              .select(d.groupCols.map(col) ++
+                Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
+                  .as("__cnt")) ++
+                d.sumCols.flatMap(c => Seq(
+                  (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
+                    .as(s"__sum_$c"),
+                  (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
+                    .as(s"__nn_$c"))): _*)
+            Files.writeString(intentMarker(p), vNow.toString)
+            KvCommands.append(merged, p)
+          }
+          true
+        } finally diff.unpersist()
+      } catch { case scala.util.control.NonFatal(_) => false })
+    if (!incremental) {
+      Files.deleteIfExists(intentMarker(p))
+      Files.writeString(intentMarker(p), vNow.toString)
       KvCommands.createTable(
         fold(KvCommands.tableAsOf(spark, base, vNow), d), p, d.groupCols,
         m.encoding)
+    }
     KvCommands.autoCompact(spark, p)
     val nd = d.copy(baseVersion = vNow)
     writeMvMeta(p, nd)
+    Files.deleteIfExists(intentMarker(p))
     nd
   }
 

@@ -33,7 +33,8 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * accepted predicate shape is null-rejecting, so rows missing from
   * the index (NULL indexed value) could not have matched anyway.
   * Disable with `spark.graft.index.rewrite=false`. */
-case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get("spark.graft.index.rewrite", "true") != "true") return plan
@@ -78,11 +79,11 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!eligible(r)) return None
     val tbl = r.table.asInstanceOf[GraftKvTable]
     val base = tbl.kvPath
-    val defs = KvIndex.list(base)
+    val defs = KvIndex.usableForPlanning(base)
     if (defs.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(cond)
     val candidates = for {
-      d <- defs if d.cols.lengthCompare(1) == 0 && KvIndex.inSync(base, d)
+      d <- defs if d.cols.lengthCompare(1) == 0
       attr <- r.output.find(_.name == d.cols.head).toSeq
       // the index omits NULL-c rows, so the predicate must reject them
       if conjuncts.exists(KvIndexRule.indexable(_, attr))
@@ -113,11 +114,11 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val tbl = r.table.asInstanceOf[GraftKvTable]
     if (!eligible(r)) return None
     val base = tbl.kvPath
-    val defs = KvIndex.list(base)
+    val defs = KvIndex.usableForPlanning(base)
     if (defs.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(cond)
     val candidates = for {
-      d <- defs if KvIndex.inSync(base, d)
+      d <- defs
       attr <- r.output.find(_.name == d.cols.head).toSeq
       usable = conjuncts.filter(KvIndexRule.indexable(_, attr))
       if usable.nonEmpty
@@ -173,12 +174,6 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
-    e match {
-      case And(l, r) =>
-        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
 }
 
 object KvIndexRule {

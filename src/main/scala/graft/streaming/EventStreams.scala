@@ -35,7 +35,12 @@ object EventStreams {
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(dir)
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // an empty source directory (producers arrive later — the normal
+    // file-stream bootstrap) has no footer to probe; assume the current
+    // corpus encoding (µs TIMESTAMP) rather than failing construction
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampType }
     val reader = spark.readStream.schema(rawSchema(tsType))
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)

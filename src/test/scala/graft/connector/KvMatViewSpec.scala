@@ -116,21 +116,64 @@ class KvMatViewSpec extends AnyFunSuite {
     }
   }
 
-  test("float sums and nullable group columns are refused loudly") {
+  test("float sums are refused; NULL-group rows are excluded by contract") {
     val path = tmpDir("guards")
     KvCommands.createTable(
       spark.range(100).select(col("id").as("k"),
-        when(col("id") === 5, lit(null)).otherwise(col("id") % 3).as("g"),
+        when(col("id") % 10 === 5, lit(null)).otherwise(col("id") % 3).as("g"),
         (col("id").cast("double") * 1.5).as("d"),
         col("id").as("x")),
       path, Seq("k"))
     intercept[IllegalArgumentException] {
       KvMatView.create(spark, path, "mvf", Seq("x"), Seq("d"))
     }
-    intercept[IllegalArgumentException] {
-      KvMatView.create(spark, path, "mvn", Seq("g"), Seq("x"))
-    }
     assert(KvMatView.list(path).isEmpty)
+
+    // NULL group values have no representable view key: those rows sit
+    // outside the view (the index's NULL rule), at create AND refresh
+    KvMatView.create(spark, path, "mvn", Seq("g"), Seq("x"))
+    def expectedNonNull() = KvCommands.table(spark, path)
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    def got() = KvMatView.read(spark, path, "mvn")
+      .select(col("g"), col("cnt"), col("sum_x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(got() == expectedNonNull())
+    // refresh with a mixed delta: null-group rows appear and a row
+    // MOVES from a null group to a real one (and vice versa)
+    KvCommands.append(spark.range(20).select((col("id") + 200).as("k"),
+      when(col("id") % 2 === 0, lit(null)).otherwise(lit(7L)).as("g"),
+      col("id").as("x")), path)
+    KvCommands.append(spark.range(1).select(lit(5L).as("k"),
+      lit(2L).as("g"), lit(5L).as("x")), path)   // null -> real group
+    KvCommands.append(spark.range(1).select(lit(6L).as("k"),
+      lit(null).cast("long").as("g"), lit(6L).as("x")), path) // real -> null
+    KvMatView.refresh(spark, path, "mvn")
+    assert(got() == expectedNonNull())
+  }
+
+  test("an interrupted refresh (intent marker) forces the rebuild path") {
+    val path = tmpDir("marker")
+    KvCommands.createTable(
+      spark.range(1000).select(col("id").as("k"), (col("id") % 5).as("g"),
+        col("id").as("x")), path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    KvCommands.append(spark.range(50).select((col("id") + 2000).as("k"),
+      lit(1L).as("g"), col("id").as("x")), path)
+    // a refresh that died after its data commit leaves the marker and
+    // an un-advanced watermark; the deltas were (partially) applied
+    val marker = java.nio.file.Paths.get(
+      KvMatView.mvPath(path, "mv"), "._graft_mv_refreshing")
+    java.nio.file.Files.writeString(marker, "999")
+    // worst case: the delta actually already landed once
+    KvCommands.append(spark.range(1).select(lit(3000L).as("k"),
+      lit(1L).as("g"), lit(0L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    assert(!java.nio.file.Files.exists(marker), "marker must clear")
+    assert(KvMatView.inSync(path, KvMatView.get(path, "mv").get))
+    assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")),
+      "rebuild path must produce the absolute truth, not re-fold deltas")
   }
 
   test("SQL: CREATE / SHOW / REFRESH / DROP MATERIALIZED VIEW through the catalog") {
