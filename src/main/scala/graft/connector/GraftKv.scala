@@ -786,7 +786,26 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     *  2. three-valued evaluation of the whole predicate over the
     *     segment's multi-dimensional key bounds (descends while leading
     *     dims are pinned to a point) must not prove False. */
+  // the pushed-filter conjunction, built once per planner (survivors
+  // and the component prune both evaluate it)
+  private lazy val conjOpt: Option[Filter] =
+    if (filters.isEmpty) None
+    else Some(filters.reduce(org.apache.spark.sql.sources.And(_, _)))
+
+  // survivors and the component-level zone prune evaluate the same
+  // per-segment key bindings; decode each segment's bounds once
+  private val kbCache =
+    new java.util.IdentityHashMap[SegmentFile.Meta, Map[String, graft.pruning.TriEval.Binding]]()
+
   private def keyBindings(m: SegmentFile.Meta): Map[String, graft.pruning.TriEval.Binding] = {
+    val hit = kbCache.get(m)
+    if (hit != null) return hit
+    val computed = computeKeyBindings(m)
+    kbCache.put(m, computed)
+    computed
+  }
+
+  private def computeKeyBindings(m: SegmentFile.Meta): Map[String, graft.pruning.TriEval.Binding] = {
     import graft.pruning.TriEval
     val mins = codec.decodeKeyNormalized(m.minKey)
     val maxs = codec.decodeKeyNormalized(m.maxKey)
@@ -839,15 +858,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   lazy val survivors: Seq[SegmentFile.Meta] = {
     import graft.pruning.TriEval
     val segs = baseSegs
-    if (filters.isEmpty) segs
-    else {
-      val conj = filters.reduce(org.apache.spark.sql.sources.And(_, _))
-      segs.filter { m =>
-        leadRanges.intersects(
-          codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
-        bloomSurvives(m) &&
-        TriEval.eval(conj, keyBindings(m)) != TriEval.False
-      }
+    conjOpt match {
+      case None => segs
+      case Some(conj) =>
+        segs.filter { m =>
+          leadRanges.intersects(
+            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
+          bloomSurvives(m) &&
+          TriEval.eval(conj, keyBindings(m)) != TriEval.False
+        }
     }
   }
 
@@ -882,12 +901,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // emits only predicate-false rows whichever generation wins, so
       // dropping it whole is safe; the common disjoint table is all
       // singleton components, where this IS per-segment pruning.
-      if (filters.isEmpty) out.toSeq
-      else {
-        import graft.pruning.TriEval
-        val conj = filters.reduce(org.apache.spark.sql.sources.And(_, _))
-        out.toSeq.filter(_.members.exists(m =>
-          TriEval.eval(conj, keyBindings(m) ++ zoneBindings(m)) != TriEval.False))
+      conjOpt match {
+        case None => out.toSeq
+        case Some(conj) =>
+          import graft.pruning.TriEval
+          out.toSeq.filter(_.members.exists(m =>
+            TriEval.eval(conj, keyBindings(m) ++ zoneBindings(m)) != TriEval.False))
       }
     }
   }

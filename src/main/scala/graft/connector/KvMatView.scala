@@ -179,7 +179,16 @@ object KvMatView {
       return d
     }
     val m = baseMeta(base)
+    // hidden __cnt=0 rows (groups a refresh emptied) are live puts no
+    // compaction reclaims; over a churning group domain they would
+    // accumulate as O(groups ever seen). When they rival the live rows,
+    // take the absolute rebuild path — it rewrites only live groups.
+    val hidden =
+      try KvCommands.table(spark, p).filter(col("__cnt") <= 0).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
     val incremental = !Files.exists(intentMarker(p)) &&
+      !(hidden > 64 && hidden * 2 >
+        SegmentFile.listSegments(p).map(s => s.count - 2 * s.tombstones).sum) &&
       (try {
         val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
           .persist() // one delta computation feeds probe + merge
@@ -234,7 +243,7 @@ object KvMatView {
         } finally diff.unpersist()
       } catch { case scala.util.control.NonFatal(_) => false })
     if (!incremental) {
-      Files.deleteIfExists(intentMarker(p))
+      // writeString truncates an existing marker in place
       Files.writeString(intentMarker(p), vNow.toString)
       KvCommands.createTable(
         fold(KvCommands.tableAsOf(spark, base, vNow), d), p, d.groupCols,

@@ -91,23 +91,37 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
       if (projList ++ conjuncts).forall(_.references.forall(a =>
         coveredNames.contains(a.name)))
     } yield d
-    candidates.headOption.map { d =>
-      val idxRel = spark.read.format("graftkv")
-        .option("path", KvIndex.indexPath(base, d.name))
-        .load().queryExecution.analyzed
-      val idxOut = idxRel.output.map(a => a.name -> a).toMap
-      def remap(e: Expression): Expression = e.transform {
-        case a: AttributeReference if idxOut.contains(a.name) => idxOut(a.name)
+    candidates.headOption.flatMap { d =>
+      indexRelation(base, d).map { idxRel =>
+        val idxOut = idxRel.output.map(a => a.name -> a).toMap
+        def remap(e: Expression): Expression = e.transform {
+          case a: AttributeReference if idxOut.contains(a.name) => idxOut(a.name)
+        }
+        // keep the ORIGINAL output attribute ids — parents reference them
+        val mapped = projList.map {
+          case a: AttributeReference =>
+            Alias(idxOut(a.name), a.name)(exprId = a.exprId)
+          case ne => remap(ne).asInstanceOf[NamedExpression]
+        }
+        Project(mapped, Filter(remap(cond), idxRel))
       }
-      // keep the ORIGINAL output attribute ids — parents reference them
-      val mapped = projList.map {
-        case a: AttributeReference =>
-          Alias(idxOut(a.name), a.name)(exprId = a.exprId)
-        case ne => remap(ne).asInstanceOf[NamedExpression]
-      }
-      Project(mapped, Filter(remap(cond), idxRel))
     }
   }
+
+  /** Resolve the index's relation, or None — invalidating the listing
+    * cache — when the index table cannot be opened (a cross-process
+    * DROP INDEX leaves this process's cache pointing at a dead path
+    * until the next base commit; staleness must stay an optimization
+    * gap, never a query failure). */
+  private def indexRelation(base: String, d: KvIndexDef): Option[LogicalPlan] =
+    try Some(spark.read.format("graftkv")
+      .option("path", KvIndex.indexPath(base, d.name))
+      .load().queryExecution.analyzed)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        KvIndex.invalidate(base)
+        None
+    }
 
   private def rewrite(f: Filter, cond: Expression,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
@@ -123,57 +137,60 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
       usable = conjuncts.filter(KvIndexRule.indexable(_, attr))
       if usable.nonEmpty
     } yield (d, attr, usable)
-    candidates.headOption.map { case (d, attr, usable) =>
-      def indexPlan(): (LogicalPlan, Map[String, Attribute]) = {
-        val rel = spark.read.format("graftkv")
-          .option("path", KvIndex.indexPath(base, d.name))
-          .load().queryExecution.analyzed
-        (rel, rel.output.map(a => a.name -> a).toMap)
-      }
+    candidates.headOption.flatMap { case (d, attr, usable) =>
       def onIndex(out: Map[String, Attribute]): Expression =
         usable.map(_.transform {
           case a: AttributeReference if a.exprId == attr.exprId =>
             out(d.cols.head)
         }).reduce(And)
-      val (idxRel, idxOut) = indexPlan()
-      val idxPred = onIndex(idxOut)
-      val baseOut = r.output.map(a => a.name -> a).toMap
-      val pkCond = tbl.kvKeys.map(k =>
-        EqualTo(baseOut(k), idxOut(k)): Expression).reduce(And)
-      val pks = Project(tbl.kvKeys.map(idxOut), Filter(idxPred, idxRel))
-      // The base scan's pruning cannot come from Spark's own
-      // PartitionPruning: the index side's predicate is consumed WHOLE
-      // by pushdown (it is the index's leading key), so by the time
-      // that rule looks for "a selective predicate on the other side"
-      // there is no Filter node left to find — and the rule would
-      // prune the wrong side. Inject the runtime subquery ourselves:
-      // base rows qualify only when their LEAD key appears among the
-      // index's matching primary keys, delivered to the scan as a
-      // runtime IN (SupportsRuntimeV2Filtering) that re-prunes
-      // segments and seek ranges. A separate relation instance keeps
-      // the subquery's expr ids disjoint from the semi-join's.
-      val (dppRel, dppOut) = indexPlan()
-      val lead = tbl.kvKeys.head
-      // pre-optimize the build side: AQE compiles a DynamicPruning
-      // subquery with the planner DIRECTLY (no optimizer pass), exactly
-      // as PartitionPruning hands it an already-optimized plan — a raw
-      // DataSourceV2Relation here fails "No plan for RelationV2". The
-      // nested execute is the OptimizeSubqueries pattern; pushdown
-      // keeps the output attribute ids, so buildKeys stay valid.
-      val buildQuery = spark.sessionState.optimizer.execute(
-        Project(Seq(dppOut(lead)), Filter(onIndex(dppOut), dppRel)))
-      val dpp = DynamicPruningSubquery(baseOut(lead), buildQuery,
-        buildKeys = Seq(dppOut(lead)), broadcastKeyIndices = Seq(0),
-        onlyInBroadcast = false)
-      // tag the RELATION: predicate pushdown re-derives Filter-over-
-      // relation shapes inside the fixpoint, and an untagged node would
-      // re-trigger the rewrite every iteration
-      r.setTagValue(KvIndexRule.Applied, true)
-      Filter(cond,
-        Join(Filter(dpp, r), pks, LeftSemi, Some(pkCond), JoinHint.NONE))
+      indexRelation(base, d).zip(indexRelation(base, d)).map {
+        case (idxRel, dppRel) => buildRewrite(cond, r, tbl, d, onIndex,
+          idxRel, dppRel)
+      }
     }
   }
 
+  private def buildRewrite(cond: Expression, r: DataSourceV2Relation,
+      tbl: GraftKvTable, d: KvIndexDef,
+      onIndex: Map[String, Attribute] => Expression,
+      idxRel: LogicalPlan, dppRel: LogicalPlan): LogicalPlan = {
+    val idxOut = idxRel.output.map(a => a.name -> a).toMap
+    val idxPred = onIndex(idxOut)
+    val baseOut = r.output.map(a => a.name -> a).toMap
+    val pkCond = tbl.kvKeys.map(k =>
+      EqualTo(baseOut(k), idxOut(k)): Expression).reduce(And)
+    val pks = Project(tbl.kvKeys.map(idxOut), Filter(idxPred, idxRel))
+    // The base scan's pruning cannot come from Spark's own
+    // PartitionPruning: the index side's predicate is consumed WHOLE
+    // by pushdown (it is the index's leading key), so by the time
+    // that rule looks for "a selective predicate on the other side"
+    // there is no Filter node left to find — and the rule would
+    // prune the wrong side. Inject the runtime subquery ourselves:
+    // base rows qualify only when their LEAD key appears among the
+    // index's matching primary keys, delivered to the scan as a
+    // runtime IN (SupportsRuntimeV2Filtering) that re-prunes
+    // segments and seek ranges. A separate relation instance (dppRel)
+    // keeps the subquery's expr ids disjoint from the semi-join's.
+    val dppOut = dppRel.output.map(a => a.name -> a).toMap
+    val lead = tbl.kvKeys.head
+    // pre-optimize the build side: AQE compiles a DynamicPruning
+    // subquery with the planner DIRECTLY (no optimizer pass), exactly
+    // as PartitionPruning hands it an already-optimized plan — a raw
+    // DataSourceV2Relation here fails "No plan for RelationV2". The
+    // nested execute is the OptimizeSubqueries pattern; pushdown
+    // keeps the output attribute ids, so buildKeys stay valid.
+    val buildQuery = spark.sessionState.optimizer.execute(
+      Project(Seq(dppOut(lead)), Filter(onIndex(dppOut), dppRel)))
+    val dpp = DynamicPruningSubquery(baseOut(lead), buildQuery,
+      buildKeys = Seq(dppOut(lead)), broadcastKeyIndices = Seq(0),
+      onlyInBroadcast = false)
+    // tag the RELATION: predicate pushdown re-derives Filter-over-
+    // relation shapes inside the fixpoint, and an untagged node would
+    // re-trigger the rewrite every iteration
+    r.setTagValue(KvIndexRule.Applied, true)
+    Filter(cond,
+      Join(Filter(dpp, r), pks, LeftSemi, Some(pkCond), JoinHint.NONE))
+  }
 }
 
 object KvIndexRule {

@@ -37,10 +37,13 @@ object EventStreams {
     val f = new java.io.File(dir)
     // an empty source directory (producers arrive later — the normal
     // file-stream bootstrap) has no footer to probe; assume the current
-    // corpus encoding (µs TIMESTAMP) rather than failing construction
+    // corpus encoding (µs TIMESTAMP) rather than failing construction.
+    // ONLY the cannot-infer-schema case falls back — a corrupt footer
+    // or permission error must surface here, not resurface mid-stream
+    // as a misdecoded batch.
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case scala.util.control.NonFatal(_) => TimestampType }
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val reader = spark.readStream.schema(rawSchema(tsType))
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)

@@ -282,6 +282,22 @@ class KvIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a cross-process DROP INDEX degrades to no-rewrite, never a failure") {
+    val path = tmpDir("xdrop")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+    assert(usesIndex(t.filter(col("v") === 3).select("k"))) // warm the cache
+    // another process drops the index: files vanish, THIS process's
+    // listing cache still holds the definition (no invalidate ran)
+    KvIndex.deleteRecursively(
+      new java.io.File(KvIndex.indexPath(path, "iv")))
+    val q = t.filter(col("v") === 3).select("k").orderBy("k")
+    val rows = q.collect() // must not throw
+    assert(rows.length == 1980)
+    assert(!usesIndex(q), "dead index must not be referenced")
+  }
+
   test("a string-column index orders, seeks, and refreshes correctly") {
     val path = tmpDir("str")
     val statuses = Seq("ACTIVE", "DELETED", "PENDING", "ZOMBIE")
