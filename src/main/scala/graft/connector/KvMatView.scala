@@ -6,9 +6,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One materialized aggregate view: COUNT(*) plus exact Long SUMs of
-  * `sumCols`, grouped by `groupCols`, as of base version `baseVersion`. */
+  * `sumCols`, grouped by `groupCols`, as of base version `baseVersion`.
+  * `nullRowsByGroup` counts, PER group column (aligned with
+  * `groupCols`), the base rows holding NULL there — together they cover
+  * every row the view EXCLUDES (NULL group values are unrepresentable
+  * as view keys). Maintained by the same delta fold as the aggregates,
+  * so the query rewrite ([[graft.sql.KvMatViewRule]]) can prove "the
+  * view covers every base row this query sees" column by column without
+  * trusting schema nullability (kv value columns are always
+  * schema-nullable — NULL is an absent cell — yet usually hold no
+  * NULLs). Empty means unknown (a pre-counter view): the rewrite then
+  * falls back to schema nullability / query filters until the next
+  * refresh recomputes the counts. */
 final case class KvMatViewDef(name: String, groupCols: Seq[String],
-    sumCols: Seq[String], baseVersion: Long)
+    sumCols: Seq[String], baseVersion: Long,
+    nullRowsByGroup: Seq[Long] = Nil)
 
 /** Incrementally-maintained aggregate views over graftkv tables
   * (extension scope — the warehouse "incremental materialized view"
@@ -60,7 +72,8 @@ object KvMatView {
     val tmp = Paths.get(p,
       s"._graft_mv.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, d.groupCols.mkString(",") + "\n" +
-      d.sumCols.mkString(",") + "\n" + d.baseVersion)
+      d.sumCols.mkString(",") + "\n" + d.baseVersion + "\n" +
+      d.nullRowsByGroup.mkString(","))
     Files.move(tmp, metaFile(p),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -72,7 +85,14 @@ object KvMatView {
     val lines = Files.readString(f).split('\n')
     if (lines.length < 3) return None
     def cols(s: String) = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    Some(KvMatViewDef(name, cols(lines(0)), cols(lines(1)), lines(2).trim.toLong))
+    val groupCols = cols(lines(0))
+    val nullRows =
+      if (lines.length >= 4) {
+        val ns = cols(lines(3)).flatMap(s => s.toLongOption)
+        if (ns.length == groupCols.length) ns else Nil
+      } else Nil
+    Some(KvMatViewDef(name, groupCols, cols(lines(1)), lines(2).trim.toLong,
+      nullRows))
   }
 
   def list(base: String): Seq[KvMatViewDef] = {
@@ -89,6 +109,33 @@ object KvMatView {
 
   def inSync(base: String, d: KvMatViewDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion)
+
+  // Plan-time listing cache for the aggregate rewrite, keyed on the base
+  // manifest version — the KvIndex.usableForPlanning rationale verbatim:
+  // definitions only usefully change alongside a base commit, staleness
+  // can only delay an optimization (the rewrite re-validates against the
+  // live version either way), and create/drop in this process invalidate
+  // explicitly.
+  private val listCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[KvMatViewDef])]()
+
+  private[graft] def invalidate(base: String): Unit =
+    listCache.remove(Paths.get(base).toAbsolutePath.normalize.toString)
+
+  /** In-sync view definitions, memoized per (table, manifest version).
+    * A hit re-stats the _mv root so a DROP TABLE + recreate (version
+    * numbers restart) cannot serve the dead table's definitions. */
+  def usableForPlanning(base: String): Seq[KvMatViewDef] = {
+    val v = SegmentFile.currentVersion(base).getOrElse(return Nil)
+    val key = Paths.get(base).toAbsolutePath.normalize.toString
+    val hit = listCache.get(key)
+    if (hit != null && hit._1 == v &&
+      (hit._2.isEmpty || Files.isDirectory(Paths.get(mvRoot(base)))))
+      return hit._2
+    val defs = list(base).filter(_.baseVersion == v)
+    listCache.put(key, (v, defs))
+    defs
+  }
 
   private def baseMeta(base: String): KvTableMeta =
     GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
@@ -133,11 +180,31 @@ object KvMatView {
     require(get(base, name).isEmpty, s"view '$name' already exists on $base")
     val v = currentOrFail(base)
     val snap = KvCommands.tableAsOf(spark, base, v)
-    val d = KvMatViewDef(name, groupCols, sumCols, v)
+    val d = KvMatViewDef(name, groupCols, sumCols, v,
+      nullRowsByGroup = perColNullCounts(snap, m, groupCols))
     KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
       m.encoding)
     writeMvMeta(mvPath(base, name), d)
+    invalidate(base)
     d
+  }
+
+  /** Per group column: base rows the view cannot hold because that
+    * column is NULL. Free when the schema already proves a column
+    * non-nullable; otherwise one aggregate over the same snapshot the
+    * absolute fold scans anyway. */
+  private def perColNullCounts(snap: DataFrame, m: KvTableMeta,
+      groupCols: Seq[String]): Seq[Long] = {
+    val nullable = groupCols.filter(c => m.schema(c).nullable)
+    if (nullable.isEmpty) groupCols.map(_ => 0L)
+    else {
+      val row = snap.select(nullable.map(c =>
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(c)): _*).first()
+      val byName = nullable.zipWithIndex
+        .map { case (c, i) => c -> row.getLong(i) }.toMap
+      groupCols.map(c => byName.getOrElse(c, 0L))
+    }
   }
 
   /** The view's logical face: group columns, `cnt`, and per summed
@@ -176,7 +243,14 @@ object KvMatView {
       // its marker is complete — reclaim the marker so the next real
       // refresh doesn't rebuild needlessly
       Files.deleteIfExists(intentMarker(p))
-      return d
+      if (d.nullRowsByGroup.nonEmpty) return d
+      // one-time upgrade of an in-sync pre-counter view: compute the
+      // per-column NULL counts so the aggregate rewrite can fire
+      val upgraded = d.copy(nullRowsByGroup = perColNullCounts(
+        KvCommands.tableAsOf(spark, base, vNow), baseMeta(base), d.groupCols))
+      writeMvMeta(p, upgraded)
+      invalidate(base)
+      return upgraded
     }
     val m = baseMeta(base)
     // hidden __cnt=0 rows (groups a refresh emptied) are live puts no
@@ -186,6 +260,12 @@ object KvMatView {
     val hidden =
       try KvCommands.table(spark, p).filter(col("__cnt") <= 0).count()
       catch { case scala.util.control.NonFatal(_) => 0L }
+    // excluded-row counter maintenance (rewrite soundness; see
+    // KvMatViewDef.nullRowsByGroup). The incremental path folds the
+    // diff's NULL-group contributions; the rebuild path recomputes
+    // absolutely.
+    var nullRowsNow: Seq[Long] = Nil
+    val nullableG = d.groupCols.filter(c => m.schema(c).nullable)
     val incremental = !Files.exists(intentMarker(p)) &&
       !(hidden > 64 && hidden * 2 >
         SegmentFile.listSegments(p).map(s => s.count - 2 * s.tombstones).sum) &&
@@ -239,26 +319,48 @@ object KvMatView {
             Files.writeString(intentMarker(p), vNow.toString)
             KvCommands.append(merged, p)
           }
+          nullRowsNow =
+            if (nullableG.isEmpty) d.groupCols.map(_ => 0L)
+            else if (d.nullRowsByGroup.isEmpty)
+              // one-time upgrade of a pre-counter view: absolute counts
+              perColNullCounts(KvCommands.tableAsOf(spark, base, vNow),
+                m, d.groupCols)
+            else {
+              val row = diff.select(nullableG.map { c =>
+                (coalesce(sum(when(col("change").isin("added", "updated") &&
+                  sided("new", c).isNull, 1L).otherwise(0L)), lit(0L)) -
+                  coalesce(sum(when(col("change").isin("removed", "updated") &&
+                    sided("old", c).isNull, 1L).otherwise(0L)), lit(0L)))
+                  .as(c)
+              }: _*).first()
+              val delta = nullableG.zipWithIndex
+                .map { case (c, i) => c -> row.getLong(i) }.toMap
+              d.groupCols.zipWithIndex.map { case (c, i) =>
+                d.nullRowsByGroup(i) + delta.getOrElse(c, 0L)
+              }
+            }
           true
         } finally diff.unpersist()
       } catch { case scala.util.control.NonFatal(_) => false })
     if (!incremental) {
       // writeString truncates an existing marker in place
       Files.writeString(intentMarker(p), vNow.toString)
-      KvCommands.createTable(
-        fold(KvCommands.tableAsOf(spark, base, vNow), d), p, d.groupCols,
-        m.encoding)
+      val snapNow = KvCommands.tableAsOf(spark, base, vNow)
+      KvCommands.createTable(fold(snapNow, d), p, d.groupCols, m.encoding)
+      nullRowsNow = perColNullCounts(snapNow, m, d.groupCols)
     }
     KvCommands.autoCompact(spark, p)
-    val nd = d.copy(baseVersion = vNow)
+    val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)
     writeMvMeta(p, nd)
     Files.deleteIfExists(intentMarker(p))
+    invalidate(base)
     nd
   }
 
   def drop(base: String, name: String): Unit = {
     val p = Paths.get(mvPath(base, name))
     if (Files.exists(p)) KvIndex.deleteRecursively(p.toFile)
+    invalidate(base)
   }
 
   /** Inventory: (name, group cols, sum cols, watermark, in_sync). */
@@ -268,13 +370,17 @@ object KvMatView {
     import scala.jdk.CollectionConverters._
     val rows = list(base).map { d =>
       Row(d.name, d.groupCols.mkString(","), d.sumCols.mkString(","),
-        d.baseVersion, inSync(base, d))
+        d.baseVersion, inSync(base, d),
+        if (d.nullRowsByGroup.isEmpty) null else d.nullRowsByGroup.mkString(","))
     }.asJava
     spark.createDataFrame(rows, StructType(Seq(
       StructField("view_name", StringType),
       StructField("group_columns", StringType),
       StructField("sum_columns", StringType),
       StructField("base_version", LongType),
-      StructField("in_sync", BooleanType))))
+      StructField("in_sync", BooleanType),
+      // per group column: base rows the view excludes because that
+      // column is NULL; null = unknown (pre-counter view)
+      StructField("null_rows_by_group_col", StringType))))
   }
 }

@@ -614,6 +614,35 @@ object KvOps {
         .orderBy("o_orderstatus")
     },
 
+    // TRANSPARENT aggregate rewrite (KvMatViewRule): the same GROUP BY
+    // phrased against the BASE table answers from the in-sync view —
+    // the stored per-column NULL counters prove the (schema-nullable,
+    // actually NULL-free) group column safe. The oracle pins the values
+    // against the parquet truth, identical whether the rewrite fires or
+    // the plan falls back to the scan (KvMatViewRewriteSpec pins the
+    // plan shape itself).
+    QuerySpec.checked("kv31_matview_rewrite",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  sum(o_custkey) AS sum_cust, count(o_custkey) AS nn_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val path = ensure(s, d, "orders", Seq("o_orderkey"))
+      import graft.connector.KvMatView
+      KvMatView.get(path, "mv_status") match {
+        case None =>
+          KvMatView.create(s, path, "mv_status",
+            Seq("o_orderstatus"), Seq("o_custkey"))
+        case Some(v) if !KvMatView.inSync(path, v) ||
+            v.nullRowsByGroup.isEmpty =>
+          KvMatView.refresh(s, path, "mv_status")
+        case _ => ()
+      }
+      KvCommands.table(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_custkey").as("sum_cust"),
+          count(col("o_custkey")).as("nn_cust"))
+        .orderBy("o_orderstatus")
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range

@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LOAD DATA INPATH ... INTO TABLE ... (reference parser statement,
     // HBaseSQLParser.scala:213-222) — everything else delegates
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // materialized-view rewrite FIRST: an aggregate a view answers never
+    // needs the index semi-join underneath it (rules run in injection
+    // order within the optimization batch, and the index rewrite's
+    // restructured Filter would hide the Aggregate-over-scan shape)
+    e.injectOptimizerRule(s => KvMatViewRule(s))
     // secondary-index rewrite: Filter on an in-sync indexed column →
     // semi-join against the index's primary keys (runs in the operator
     // optimization batch, before V2 pushdown sees the relation)

@@ -385,7 +385,8 @@ case class GraftShowMvsCommand(table: Seq[String])
     AttributeReference("group_columns", StringType, nullable = false)(),
     AttributeReference("sum_columns", StringType, nullable = false)(),
     AttributeReference("base_version", LongType, nullable = false)(),
-    AttributeReference("in_sync", BooleanType, nullable = false)())
+    AttributeReference("in_sync", BooleanType, nullable = false)(),
+    AttributeReference("null_rows_by_group_col", StringType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW MATERIALIZED VIEWS")

@@ -1,0 +1,208 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent aggregate rewrite over materialized views
+  * (KvMatViewRule): every rewritten query must be bit-identical to the
+  * direct plan, the rewrite must be version-gated, and NULL group
+  * values must gate it unless provably absent or filtered away. */
+class KvMatViewRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graftkv_mvr_$tag").toString + "/t"
+
+  private def kvScans(p: SparkPlan): Seq[GraftKvScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => kvScans(a.executedPlan)
+      case q: QueryStageExec => kvScans(q.plan)
+      case b: BatchScanExec =>
+        b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(kvScans) ++ p.subqueries.flatMap(kvScans)
+  }
+
+  private def usesView(df: DataFrame): Boolean =
+    kvScans(df.queryExecution.executedPlan)
+      .exists(_.description().contains("/_mv/"))
+
+  private def touchesBase(df: DataFrame): Boolean =
+    kvScans(df.queryExecution.executedPlan)
+      .exists(!_.description().contains("/_mv/"))
+
+  /** Collect sorted; compare against the same query with the rewrite
+    * disabled (always the direct base plan). */
+  private def checkEqual(mk: => DataFrame): Unit = {
+    val viaView = mk.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    spark.conf.set("spark.graft.matview.rewrite", "false")
+    val direct = try mk.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    finally spark.conf.set("spark.graft.matview.rewrite", "true")
+    assert(viaView == direct)
+  }
+
+  /** 12k rows; `g` has NULLs (every 97th), `h` never does, `x` has
+    * NULLs (every 50th). */
+  private def mkBase(path: String): Unit = {
+    val df = spark.range(12000).select(col("id").as("k"),
+      when(col("id") % 97 === 5, lit(null)).otherwise(col("id") % 8).as("g"),
+      (col("id") % 3).as("h"),
+      when(col("id") % 50 === 3, lit(null)).otherwise(col("id")).as("x"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+  }
+
+  test("aggregates a view can answer read the view, bit-identical") {
+    val path = tmpDir("basic")
+    mkBase(path)
+    KvMatView.create(spark, path, "mv", Seq("g", "h"), Seq("x"))
+    val t = KvCommands.table(spark, path)
+
+    // g is nullable and the base HAS null-g rows: un-filtered GROUP BY g
+    // must NOT rewrite (the view omits those rows)
+    val unfiltered = t.groupBy("g", "h").agg(count(lit(1)).as("c"))
+    assert(!usesView(unfiltered), "NULL-group rows present; rewrite unsound")
+    // per-column counters: g has nulls, h never does (despite being
+    // schema-nullable, as every kv value column is)
+    val counts = KvMatView.get(path, "mv").get.nullRowsByGroup
+    assert(counts.length == 2 && counts.head > 0 && counts(1) == 0L)
+
+    // a null-rejecting filter on every nullable group column restores it
+    def q = KvCommands.table(spark, path)
+      .filter(col("g").isNotNull)
+      .groupBy("g", "h")
+      .agg(count(lit(1)).as("c"), sum("x").as("s"), count(col("x")).as("nn"),
+        min("h").as("mh"), (sum("x") + count(lit(1))).as("mix"))
+    assert(usesView(q), "rewrite did not fire")
+    assert(!touchesBase(q), "rewritten plan still scans the base table")
+    checkEqual(q)
+  }
+
+  test("subset-group re-aggregation and group-column filters rewrite") {
+    val path = tmpDir("subset")
+    mkBase(path)
+    // delete the null-g rows so the un-filtered rewrite is provably
+    // sound; the maintained counter must reflect that after refresh
+    KvCommands.delete(spark, path, col("g").isNull)
+    KvMatView.create(spark, path, "mv", Seq("g", "h"), Seq("x"))
+    assert(KvMatView.get(path, "mv").get.nullRowsByGroup == Seq(0L, 0L))
+
+    def bySubset = KvCommands.table(spark, path)
+      .groupBy("g").agg(count(lit(1)).as("c"), sum("x").as("s"))
+    assert(usesView(bySubset), "subset grouping did not rewrite")
+    checkEqual(bySubset)
+
+    def filtered = KvCommands.table(spark, path)
+      .filter(col("h") === 1 && col("g") > 2)
+      .groupBy("g").agg(sum("x").as("s"), max("g").as("mg"))
+    assert(usesView(filtered), "group-column filter did not rewrite")
+    checkEqual(filtered)
+
+    def global = KvCommands.table(spark, path)
+      .agg(count(lit(1)).as("c"), sum("x").as("s"))
+    assert(usesView(global), "global aggregate did not rewrite")
+    checkEqual(global)
+  }
+
+  test("the counter tracks deletes and upserts of NULL-group rows") {
+    val path = tmpDir("counter")
+    mkBase(path)
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    val before = KvMatView.get(path, "mv").get.nullRowsByGroup.head
+    assert(before > 0)
+
+    // upsert two more null-g rows, delete one pre-existing (k=5)
+    KvCommands.append(spark.range(2).select((col("id") + 50000).as("k"),
+      lit(null).cast("long").as("g"), lit(1L).as("x")), path)
+    KvCommands.delete(spark, path, col("k") === 5)
+    KvMatView.refresh(spark, path, "mv")
+    assert(KvMatView.get(path, "mv").get.nullRowsByGroup == Seq(before + 1))
+
+    // remove every null-g row: the un-filtered rewrite becomes sound
+    KvCommands.delete(spark, path, col("g").isNull)
+    KvMatView.refresh(spark, path, "mv")
+    assert(KvMatView.get(path, "mv").get.nullRowsByGroup == Seq(0L))
+    def q = KvCommands.table(spark, path)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    assert(usesView(q))
+    checkEqual(q)
+  }
+
+  test("staleness gates the rewrite until refresh") {
+    val path = tmpDir("stale")
+    mkBase(path)
+    KvCommands.delete(spark, path, col("g").isNull)
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    def q = KvCommands.table(spark, path)
+      .groupBy("g").agg(sum("x").as("s"))
+    assert(usesView(q))
+
+    KvCommands.append(spark.range(10).select((col("id") + 90000).as("k"),
+      (col("id") % 8).as("g"), col("id").as("x")), path)
+    assert(!usesView(q), "stale view must not answer")
+    checkEqual(q) // direct plan both ways, still correct
+
+    KvMatView.refresh(spark, path, "mv")
+    assert(usesView(q), "refreshed view must answer again")
+    checkEqual(q)
+  }
+
+  test("shapes the view cannot answer refuse and stay correct") {
+    val path = tmpDir("refuse")
+    mkBase(path)
+    KvCommands.delete(spark, path, col("g").isNull)
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    val t = KvCommands.table(spark, path)
+
+    val refusals = Seq(
+      // avg is not translated (double vs exact-Long accumulation)
+      t.groupBy("g").agg(avg("x").as("a")),
+      // sum of an undeclared column
+      t.groupBy("g").agg(sum("k").as("s")),
+      // min/max of a non-group column
+      t.groupBy("g").agg(max("x").as("m")),
+      // distinct aggregate
+      t.groupBy("g").agg(countDistinct("x").as("cd")),
+      // filter referencing a non-group column
+      t.filter(col("x") > 100).groupBy("g").agg(count(lit(1)).as("c")),
+      // grouping by a non-view column
+      t.groupBy("h").agg(count(lit(1)).as("c")),
+      // grouping by an expression
+      t.groupBy((col("g") + 1).as("g1")).agg(count(lit(1)).as("c")))
+    refusals.foreach { q =>
+      assert(!usesView(q), s"must not rewrite: ${q.queryExecution.logical}")
+      assert(q.collect().nonEmpty)
+    }
+
+    // snapshot reads never rewrite (historical by definition)
+    val v = graft.store.SegmentFile.currentVersion(path).get
+    val snap = KvCommands.tableAsOf(spark, path, v)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    assert(!usesView(snap), "snapshot read must not rewrite")
+  }
+
+  test("SQL through the catalog rewrites") {
+    val root = Files.createTempDirectory("graftkv_mvr_cat").toString
+    val cat = s"gmvr${math.abs(root.hashCode() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, g BIGINT, x BIGINT) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 5, id FROM range(4000)")
+    spark.sql(s"CREATE MATERIALIZED VIEW mv ON TABLE $cat.db.t GROUP BY g SUM (x)")
+
+    def q = spark.sql(
+      s"SELECT g, count(*) AS c, sum(x) AS s FROM $cat.db.t GROUP BY g")
+    assert(usesView(q), "SQL aggregate did not rewrite")
+    checkEqual(q)
+    spark.sql(s"DROP TABLE $cat.db.t")
+  }
+}
