@@ -10,6 +10,7 @@ object Bench {
     * toward the scans/joins/aggs that dominate 100 TB workloads. */
   val headline: Seq[String] = Seq(
     "a8_tpch_q1",            // wide aggregation over the fact table
+    "a17_tpch_q5",           // 6-way star join (TPC-H Q5 shape)
     "a1_groupby_count",      // high-cardinality groupBy
     "j1_inner_equi",         // fact×dim shuffle join
     "j9_fact_dim_broadcast", // broadcast join

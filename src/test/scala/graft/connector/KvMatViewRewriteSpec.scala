@@ -2,7 +2,7 @@ package graft.connector
 
 import graft.TestSpark
 import java.nio.file.Files
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -187,6 +187,67 @@ class KvMatViewRewriteSpec extends AnyFunSuite {
     val snap = KvCommands.tableAsOf(spark, path, v)
       .groupBy("g").agg(count(lit(1)).as("c"))
     assert(!usesView(snap), "snapshot read must not rewrite")
+  }
+
+  test("fuzz: random aggregate shapes are bit-identical with and without the rewrite") {
+    val rnd = new scala.util.Random(4242)
+    val path = tmpDir("fuzz")
+    // two group columns (one with NULLs), two summable columns (one
+    // with NULLs), through a few commits so the view is CDC-refreshed
+    // state rather than a fresh fold
+    val df = spark.range(8000).select(col("id").as("k"),
+      when(col("id") % 53 === 9, lit(null)).otherwise(col("id") % 6).as("g"),
+      (col("id") % 4).as("h"),
+      when(col("id") % 31 === 2, lit(null)).otherwise(col("id") % 1000).as("x"),
+      (col("id") % 7).as("y"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    KvMatView.create(spark, path, "mv", Seq("g", "h"), Seq("x", "y"))
+    KvCommands.append(spark.range(500).select((col("id") * 11).as("k"),
+      (col("id") % 6).as("g"), (col("id") % 4).as("h"),
+      lit(null).cast("long").as("x"), (col("id") % 7).as("y")), path)
+    KvCommands.delete(spark, path, col("k") % 17 === 3)
+    KvMatView.refresh(spark, path, "mv")
+
+    val aggPool: Seq[() => Column] = Seq(
+      () => count(lit(1)).as(s"c${rnd.nextInt(100)}"),
+      () => sum("x").as("sx"), () => sum("y").as("sy"),
+      () => count(col("x")).as("nx"), () => count(col("y")).as("ny"),
+      () => min("g").as("mg"), () => max("h").as("xh"),
+      () => (sum("x") + count(lit(1))).as("mix"),
+      () => (max("g") * lit(2)).as("g2"))
+    val filterPool: Seq[() => Column] = Seq(
+      () => col("g").isNotNull, () => col("g") > rnd.nextInt(4),
+      () => col("h") === rnd.nextInt(4), () => col("h").isin(0, 1, 2),
+      () => col("g").isNotNull && col("h") < 3)
+    var fired = 0
+    for (round <- 1 to 25) {
+      val groups = rnd.nextInt(3) match {
+        case 0 => Seq("g", "h")
+        case 1 => Seq(Seq("g", "h")(rnd.nextInt(2)))
+        case 2 => Seq.empty // global
+      }
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3)).map(_.apply())
+      val withFilter = rnd.nextBoolean()
+      val filter = filterPool(rnd.nextInt(filterPool.length))()
+      def q = {
+        val base = KvCommands.table(spark, path)
+        val f = if (withFilter) base.filter(filter) else base
+        if (groups.isEmpty) f.agg(aggs.head, aggs.tail: _*)
+        else f.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+      if (usesView(q)) fired += 1
+      val viaView = q.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      spark.conf.set("spark.graft.matview.rewrite", "false")
+      val direct = try q.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      finally spark.conf.set("spark.graft.matview.rewrite", "true")
+      assert(viaView == direct,
+        s"round $round groups=$groups filter=$withFilter aggs=$aggs")
+    }
+    // the fuzz must actually exercise the rewrite, not just refusals
+    // (g nullable with NULL rows present: fires only under a
+    // null-rejecting filter; h fires via its zero counter)
+    assert(fired >= 5, s"rewrite fired only $fired/25 times")
   }
 
   test("SQL through the catalog rewrites") {
