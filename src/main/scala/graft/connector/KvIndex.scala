@@ -126,6 +126,87 @@ object KvIndex {
   def inSync(base: String, d: KvIndexDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion)
 
+  /** Estimated fraction of index rows a leading-key predicate can
+    * match, from the packed per-segment planning stats alone (no data
+    * access, O(1) file reads — the listing is the scan's own cached
+    * pack). The predicate's qualified lead ranges (the scan's own
+    * critical-point algebra) intersect each segment's decoded
+    * leading-key interval; for NUMERIC leads the covered interval
+    * length interpolates WITHIN the segment (uniform-density
+    * assumption), so even a single-segment index distinguishes a point
+    * lookup from a 90% range; non-numeric leads fall back to
+    * whole-segment counting, which only has resolution on multi-segment
+    * indexes — with fewer than 4 segments that falls to None.
+    * None = undecidable; the caller decides its own default. */
+  def estimateLeadMatchFraction(idxPath: String,
+      pred: org.apache.spark.sql.sources.Filter): Option[Double] = {
+    import graft.pruning.{CriticalPoints, TriEval}
+    try {
+      val m = GraftKvMeta.read(idxPath).getOrElse(return None)
+      val segs = SegmentFile.listSegments(idxPath)
+      if (segs.isEmpty) return Some(0.0)
+      val codec = graft.store.RowCodec(m.schema, m.keys, m.encoding)
+      val lead = m.keys.head
+      val dt = m.schema(lead).dataType
+      val qualified = CriticalPoints.qualifiedRanges(Seq(pred), lead, dt)
+      def num(v: Any): Option[Double] = v match {
+        case l: Long => Some(l.toDouble)
+        case i: Int => Some(i.toDouble)
+        case s: Short => Some(s.toDouble)
+        case b: Byte => Some(b.toDouble)
+        case d: Double => Some(d)
+        case f: Float => Some(f.toDouble)
+        case _ => None
+      }
+      val integral = dt match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      // covered length of [lo, hi] ∩ r, in "rows of a closed interval":
+      // integral intervals count integers (+1), continuous ones measure
+      // width (a point ⇒ ~0 — exactly what an equality on a continuous
+      // domain should estimate)
+      def covered(lo: Double, hi: Double, r: TriEval.ValueRange): Double = {
+        val rl = r.lo.flatMap(num).getOrElse(lo)
+        val rh = r.hi.flatMap(num).getOrElse(hi)
+        val a = math.max(lo, if (!integral || r.loInc || r.lo.isEmpty) rl else rl + 1)
+        val b = math.min(hi, if (!integral || r.hiInc || r.hi.isEmpty) rh else rh - 1)
+        if (b < a) 0.0 else (b - a) + (if (integral) 1.0 else 0.0)
+      }
+      var total = 0.0
+      var matched = 0.0
+      var interpolated = true
+      segs.foreach { s =>
+        val n = math.max(s.count - 2 * s.tombstones, 0L).toDouble
+        total += n
+        val loV = codec.decodeKeyNormalized(s.minKey)(0)
+        val hiV = codec.decodeKeyNormalized(s.maxKey)(0)
+        (num(loV), num(hiV)) match {
+          case (Some(lo), Some(hi)) =>
+            val span = (hi - lo) + (if (integral) 1.0 else 0.0)
+            val cov = qualified.map(covered(lo, hi, _)).sum
+            matched += n * (if (span <= 0.0) {
+              // zero-width segment: binary membership
+              if (TriEval.eval(pred, Map(lead -> TriEval.Binding(dt,
+                TriEval.ValueRange(Some(loV), loInc = true,
+                  Some(loV), hiInc = true)))) != TriEval.False) 1.0 else 0.0
+            } else math.min(1.0, cov / span))
+          case _ =>
+            interpolated = false
+            val b = Map(lead -> TriEval.Binding(dt, TriEval.ValueRange(
+              Some(loV), loInc = true, Some(hiV), hiInc = true)))
+            if (TriEval.eval(pred, b) != TriEval.False) matched += n
+        }
+      }
+      if (!interpolated && segs.length < 4) None // no resolution
+      else if (total <= 0.0) Some(0.0)
+      else Some(matched / total)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def baseMeta(base: String): KvTableMeta =
     GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
       s"no graftkv table at $base"))

@@ -897,6 +897,36 @@ object Relational {
         .limit(20)
     },
 
+    // TPC-H Q18 shape (large-volume customer): aggregate-HAVING
+    // subquery as a semi-join — the scalable form: one grouped pass
+    // over lineitem finds qualifying orders, a semi-join restricts the
+    // fact, and only then do the dimension joins and final grouping
+    // run. Quantity sums route through DECIMAL(38,6) on BOTH sides so
+    // the HAVING boundary cannot flip on float accumulation order.
+    QuerySpec.checked("a19_tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""") { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 300).select("l_orderkey")
+      li.join(big, Seq("l_orderkey"), "left_semi")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
     // Rank-fraction window functions: the divisions are the same two
     // IEEE-exact operations in both engines ((rank-1)/(n-1), rank/n), and
     // o_orderkey is unique so the ordering is total.

@@ -131,11 +131,23 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     val defs = KvIndex.usableForPlanning(base)
     if (defs.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(cond)
+    // selectivity gate: an unselective predicate (say `c >= epoch_start`
+    // matching most of the table) would turn the rewrite into a near-
+    // full index scan + a semi-join carrying most primary keys — worse
+    // than the plain scan it replaces, catastrophically so at 100 TB.
+    // Estimate the matching fraction from the index's packed per-segment
+    // leading-key bounds (metadata only; upper bound by construction)
+    // and skip the rewrite past the threshold.
+    val maxSel = spark.conf
+      .get("spark.graft.index.rewrite.maxSelectivity", "0.5").toDouble
     val candidates = for {
       d <- defs
       attr <- r.output.find(_.name == d.cols.head).toSeq
       usable = conjuncts.filter(KvIndexRule.indexable(_, attr))
       if usable.nonEmpty
+      if KvIndexRule.toV1(usable, d.cols.head).forall(p =>
+        KvIndex.estimateLeadMatchFraction(KvIndex.indexPath(base, d.name), p)
+          .forall(_ <= maxSel)) // no estimate ⇒ don't block
     } yield (d, attr, usable)
     candidates.headOption.flatMap { case (d, attr, usable) =>
       def onIndex(out: Map[String, Attribute]): Expression =
@@ -199,6 +211,40 @@ object KvIndexRule {
   private def nonNullLit(e: Expression): Boolean = e match {
     case l: Literal => l.value != null
     case _ => false
+  }
+
+  /** Catalyst → v1 translation of the `indexable` shapes (total over
+    * them by construction), for the selectivity estimate — the same
+    * filter form the scan's own segment pruning consumes. Values go
+    * through convertToScala so UTF8String literals compare as the
+    * external strings TriEval normalizes. */
+  private[sql] def toV1(conjuncts: Seq[Expression],
+      name: String): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.{sources => v1}
+    def ext(l: Expression): Any = {
+      val lit = l.asInstanceOf[Literal]
+      CatalystTypeConverters.convertToScala(lit.value, lit.dataType)
+    }
+    def one(e: Expression): Option[v1.Filter] = e match {
+      case EqualTo(_: AttributeReference, l) => Some(v1.EqualTo(name, ext(l)))
+      case EqualTo(l, _: AttributeReference) => Some(v1.EqualTo(name, ext(l)))
+      case GreaterThan(_: AttributeReference, l) => Some(v1.GreaterThan(name, ext(l)))
+      case GreaterThan(l, _: AttributeReference) => Some(v1.LessThan(name, ext(l)))
+      case GreaterThanOrEqual(_: AttributeReference, l) => Some(v1.GreaterThanOrEqual(name, ext(l)))
+      case GreaterThanOrEqual(l, _: AttributeReference) => Some(v1.LessThanOrEqual(name, ext(l)))
+      case LessThan(_: AttributeReference, l) => Some(v1.LessThan(name, ext(l)))
+      case LessThan(l, _: AttributeReference) => Some(v1.GreaterThan(name, ext(l)))
+      case LessThanOrEqual(_: AttributeReference, l) => Some(v1.LessThanOrEqual(name, ext(l)))
+      case LessThanOrEqual(l, _: AttributeReference) => Some(v1.GreaterThanOrEqual(name, ext(l)))
+      case In(_: AttributeReference, vs) => Some(v1.In(name, vs.map(ext).toArray))
+      case Or(a, b) => for { x <- one(a); y <- one(b) } yield v1.Or(x, y)
+      case _ => None
+    }
+    conjuncts.foldLeft(Option.empty[v1.Filter]) {
+      case (None, e) => one(e)
+      case (Some(acc), e) => one(e).map(v1.And(acc, _))
+    }
   }
 
   /** Predicate shapes the index can answer: null-rejecting comparisons

@@ -99,6 +99,30 @@ class KvIndexSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("an unselective predicate skips the rewrite (selectivity gate)") {
+    val path = tmpDir("seltest")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val t = KvCommands.table(spark, path)
+
+    // v >= 1 matches ~90% of rows: a semi-join carrying 90% of the
+    // primary keys is strictly worse than the scan it replaces — the
+    // metadata estimate must block the rewrite
+    val wide = t.filter(col("v") >= 1)
+    assert(!hasSemiJoin(wide), "unselective predicate must not rewrite")
+    // ...while a selective one on the same index still does
+    assert(hasSemiJoin(t.filter(col("v") === 3)))
+    // the gate is an estimate, never a correctness lever: values match
+    val got = wide.agg(count(lit(1))).head().getLong(0)
+    val exp = (0L until 20000L).count(i => i % 100 != 7 && i / 2000 >= 1)
+    assert(got == exp)
+
+    // threshold is a knob: raising it restores the rewrite
+    spark.conf.set("spark.graft.index.rewrite.maxSelectivity", "1.0")
+    try assert(hasSemiJoin(t.filter(col("v") >= 1)))
+    finally spark.conf.unset("spark.graft.index.rewrite.maxSelectivity")
+  }
+
   test("a base commit makes the index invisible until REFRESH catches up") {
     val path = tmpDir("stale")
     mkBase(path)
