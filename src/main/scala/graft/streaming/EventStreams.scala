@@ -105,7 +105,8 @@ object EventStreams {
     * disjointness (same contract as batch appends). */
   def streamIntoKv(events: DataFrame, kvPath: String, keys: Seq[String],
       checkpoint: String,
-      autoCompactDepth: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      autoCompactDepth: Int = 0,
+      maintainDerived: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -120,6 +121,24 @@ object EventStreams {
           graft.connector.KvCommands.autoCompact(batch.sparkSession, kvPath,
             autoCompactDepth)
           ()
+        }
+        // the dashboard pipeline: each ingested micro-batch re-
+        // watermarks the table's secondary indexes and materialized
+        // views via their CDC-incremental refresh — cost scales with
+        // the batch's delta, never the table, so derived state stays
+        // query-fresh at ingest rate (failures degrade to staleness:
+        // an unrefreshed index/view is simply invisible to the
+        // rewrites until the next successful refresh)
+        if (maintainDerived) {
+          val s = batch.sparkSession
+          graft.connector.KvIndex.list(kvPath).foreach { d =>
+            try graft.connector.KvIndex.refresh(s, kvPath, d.name)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          graft.connector.KvMatView.list(kvPath).foreach { d =>
+            try graft.connector.KvMatView.refresh(s, kvPath, d.name)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
       }
       .start()

@@ -104,6 +104,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(depth <= 3, s"auto-compaction should bound read amplification, got $depth")
   }
 
+  test("maintainDerived keeps indexes and matviews query-fresh per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("kv_stream_md")
+    val kvPath = s"$dir/t"
+    // seed the table + derived state before streaming
+    spark.range(200).selectExpr("id AS k", "id % 5 AS g", "id AS x")
+      .write.format("graftkv").option("key", "k").mode("overwrite").save(kvPath)
+    graft.connector.KvIndex.create(spark, kvPath, "ig", Seq("g"))
+    graft.connector.KvMatView.create(spark, kvPath, "mv", Seq("g"), Seq("x"))
+    val q = EventStreams.streamIntoKv(
+      input.toDF().toDF("k", "g", "x"), kvPath, Seq("k"), s"$dir/ckpt",
+      maintainDerived = true)
+    for (b <- 1 to 3) {
+      input.addData((0L until 40L).map(i => (1000L * b + i, i % 5, i)): _*)
+      q.processAllAvailable()
+      // every batch commit re-watermarks BOTH derived structures
+      assert(graft.connector.KvIndex.get(kvPath, "ig")
+        .exists(graft.connector.KvIndex.inSync(kvPath, _)), s"index stale after batch $b")
+      assert(graft.connector.KvMatView.get(kvPath, "mv")
+        .exists(graft.connector.KvMatView.inSync(kvPath, _)), s"view stale after batch $b")
+    }
+    q.stop()
+    // and the maintained view matches a recompute over the final table
+    val t = graft.connector.KvCommands.table(spark, kvPath)
+    val recomputed = t.groupBy("g").agg(count(lit(1)).as("cnt"),
+      sum("x").as("sum_x")).orderBy("g").collect().toSeq
+    val stored = graft.connector.KvMatView.read(spark, kvPath, "mv")
+      .select(col("g"), col("cnt"), col("sum_x")).orderBy("g").collect().toSeq
+    assert(stored == recomputed)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val src = s"${TestSpark.sf}/events.parquet"
     val clicks = EventStreams.eventStream(spark, src)
