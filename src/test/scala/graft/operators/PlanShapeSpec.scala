@@ -67,6 +67,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
+  test("TPC-H join shapes broadcast their dims and never plan cartesian (a16-a19)") {
+    for (q <- Seq("a16_tpch_q3", "a17_tpch_q5", "a18_tpch_q10", "a19_tpch_q18")) {
+      val plan = planOf(q)
+      // every equi-join must stay hash-based: a nested-loop or cartesian
+      // product here would be quadratic at scale
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      // at least one dimension side should broadcast (nation/region/
+      // customer at this SF are far under the broadcast threshold)
+      assert(plan.contains("BroadcastHashJoin"), s"$q broadcasts no dim side")
+      // filters on the fact side reach the parquet scan
+      assert(plan.contains("PushedFilters: ["), s"$q pushes no filters")
+    }
+  }
+
   test("ORDER BY + LIMIT plans as top-k, not global sort (t2)") {
     assert(planOf("t2_sort_multi_dir").contains("TakeOrderedAndProject"))
   }
