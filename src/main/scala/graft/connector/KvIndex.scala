@@ -86,39 +86,17 @@ object KvIndex {
   def get(base: String, name: String): Option[KvIndexDef] =
     readIndexMeta(indexPath(base, name), name)
 
-  // Plan-time listing cache for the rewrite rule, keyed on the base
-  // manifest version: the rule runs inside a fixpoint optimizer batch
-  // for EVERY filtered kv query, and re-listing the _index directory
-  // (plus one meta read per index) each iteration is avoidable I/O —
-  // index definitions can only usefully change alongside a base commit
-  // (a refresh re-watermarks to the CURRENT version, create/drop in
-  // this process invalidate explicitly). A cross-process create/drop
-  // is seen at the next base commit: staleness can only delay an
-  // OPTIMIZATION, never affect results — the rewrite re-validates
-  // inSync against the live version either way.
+  // shared plan-time listing cache (see DerivedDefCache scaladoc)
   private val listCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[KvIndexDef])]()
+    new DerivedDefCache[KvIndexDef](indexRoot, list, _.baseVersion)
 
   private[graft] def invalidate(base: String): Unit =
-    listCache.remove(java.nio.file.Paths.get(base)
-      .toAbsolutePath.normalize.toString)
+    listCache.invalidate(base)
 
   /** `list` + per-def `inSync` pre-filter, memoized per (table, base
-    * manifest version). Only in-sync definitions are returned. A hit
-    * still re-stats the _index root: a DROP TABLE + recreate restarts
-    * version numbers, and serving the dead table's definitions would
-    * make the rewrite reference index tables that no longer exist. */
-  def usableForPlanning(base: String): Seq[KvIndexDef] = {
-    val v = SegmentFile.currentVersion(base).getOrElse(return Nil)
-    val key = java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString
-    val hit = listCache.get(key)
-    if (hit != null && hit._1 == v &&
-      (hit._2.isEmpty || Files.isDirectory(Paths.get(indexRoot(base)))))
-      return hit._2
-    val defs = list(base).filter(_.baseVersion == v)
-    listCache.put(key, (v, defs))
-    defs
-  }
+    * manifest version). Only in-sync definitions are returned. */
+  def usableForPlanning(base: String): Seq[KvIndexDef] =
+    listCache.usable(base)
 
   /** Is the index exactly as fresh as the base table? The rewrite uses
     * an index ONLY when this holds, so index content is never trusted
@@ -138,7 +116,31 @@ object KvIndex {
     * whole-segment counting, which only has resolution on multi-segment
     * indexes — with fewer than 4 segments that falls to None.
     * None = undecidable; the caller decides its own default. */
+  // a BLOCKED rewrite leaves the relation untagged, so the optimizer
+  // fixpoint re-evaluates the estimate on every iteration of every
+  // compile of that query shape — memoize per (index, manifest
+  // version, predicate) so repeated evaluations cost one map lookup
+  // plus the O(1) version probe
+  private val fracCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Option[Double]]()
+
   def estimateLeadMatchFraction(idxPath: String,
+      pred: org.apache.spark.sql.sources.Filter): Option[Double] = {
+    val cacheKey = SegmentFile.currentVersion(idxPath).map(v =>
+      (Paths.get(idxPath).toAbsolutePath.normalize.toString, v, pred.toString))
+    cacheKey.flatMap(k => Option(fracCache.get(k))) match {
+      case Some(hit) => hit
+      case None =>
+        val computed = computeLeadMatchFraction(idxPath, pred)
+        cacheKey.foreach { k =>
+          if (fracCache.size > 4096) fracCache.clear() // bounded, rebuilt on demand
+          fracCache.put(k, computed)
+        }
+        computed
+    }
+  }
+
+  private def computeLeadMatchFraction(idxPath: String,
       pred: org.apache.spark.sql.sources.Filter): Option[Double] = {
     import graft.pruning.{CriticalPoints, TriEval}
     try {

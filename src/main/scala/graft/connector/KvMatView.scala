@@ -110,32 +110,16 @@ object KvMatView {
   def inSync(base: String, d: KvMatViewDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion)
 
-  // Plan-time listing cache for the aggregate rewrite, keyed on the base
-  // manifest version — the KvIndex.usableForPlanning rationale verbatim:
-  // definitions only usefully change alongside a base commit, staleness
-  // can only delay an optimization (the rewrite re-validates against the
-  // live version either way), and create/drop in this process invalidate
-  // explicitly.
+  // shared plan-time listing cache (see DerivedDefCache scaladoc)
   private val listCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[KvMatViewDef])]()
+    new DerivedDefCache[KvMatViewDef](mvRoot, list, _.baseVersion)
 
   private[graft] def invalidate(base: String): Unit =
-    listCache.remove(Paths.get(base).toAbsolutePath.normalize.toString)
+    listCache.invalidate(base)
 
-  /** In-sync view definitions, memoized per (table, manifest version).
-    * A hit re-stats the _mv root so a DROP TABLE + recreate (version
-    * numbers restart) cannot serve the dead table's definitions. */
-  def usableForPlanning(base: String): Seq[KvMatViewDef] = {
-    val v = SegmentFile.currentVersion(base).getOrElse(return Nil)
-    val key = Paths.get(base).toAbsolutePath.normalize.toString
-    val hit = listCache.get(key)
-    if (hit != null && hit._1 == v &&
-      (hit._2.isEmpty || Files.isDirectory(Paths.get(mvRoot(base)))))
-      return hit._2
-    val defs = list(base).filter(_.baseVersion == v)
-    listCache.put(key, (v, defs))
-    defs
-  }
+  /** In-sync view definitions, memoized per (table, manifest version). */
+  def usableForPlanning(base: String): Seq[KvMatViewDef] =
+    listCache.usable(base)
 
   private def baseMeta(base: String): KvTableMeta =
     GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
@@ -179,14 +163,18 @@ object KvMatView {
         "float sums would drift under reordering"))
     require(get(base, name).isEmpty, s"view '$name' already exists on $base")
     val v = currentOrFail(base)
-    val snap = KvCommands.tableAsOf(spark, base, v)
-    val d = KvMatViewDef(name, groupCols, sumCols, v,
-      nullRowsByGroup = perColNullCounts(snap, m, groupCols))
-    KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
-      m.encoding)
-    writeMvMeta(mvPath(base, name), d)
-    invalidate(base)
-    d
+    // the fold and the counter are two actions over the same snapshot —
+    // cache it so the base scans once
+    val snap = KvCommands.tableAsOf(spark, base, v).persist()
+    try {
+      val d = KvMatViewDef(name, groupCols, sumCols, v,
+        nullRowsByGroup = perColNullCounts(snap, m, groupCols))
+      KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
+        m.encoding)
+      writeMvMeta(mvPath(base, name), d)
+      invalidate(base)
+      d
+    } finally snap.unpersist()
   }
 
   /** Per group column: base rows the view cannot hold because that
@@ -345,9 +333,11 @@ object KvMatView {
     if (!incremental) {
       // writeString truncates an existing marker in place
       Files.writeString(intentMarker(p), vNow.toString)
-      val snapNow = KvCommands.tableAsOf(spark, base, vNow)
-      KvCommands.createTable(fold(snapNow, d), p, d.groupCols, m.encoding)
-      nullRowsNow = perColNullCounts(snapNow, m, d.groupCols)
+      val snapNow = KvCommands.tableAsOf(spark, base, vNow).persist()
+      try {
+        KvCommands.createTable(fold(snapNow, d), p, d.groupCols, m.encoding)
+        nullRowsNow = perColNullCounts(snapNow, m, d.groupCols)
+      } finally snapNow.unpersist()
     }
     KvCommands.autoCompact(spark, p)
     val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)

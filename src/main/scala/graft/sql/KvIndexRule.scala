@@ -56,17 +56,8 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Whole-table read semantics only: a snapshot (VERSION AS OF) read
-    * predates the index watermark's version by definition, and
-    * file-restricted (compaction-group) or paced streaming reads are
-    * partial by design — none of them may touch an index. */
-  private def eligible(r: DataSourceV2Relation): Boolean = {
-    val tbl = r.table.asInstanceOf[GraftKvTable]
-    !tbl.isSnapshotView &&
-      !r.options.containsKey("snapshot.version") &&
-      !r.options.containsKey("files") &&
-      !r.options.containsKey("maxFilesPerTrigger")
-  }
+  private def eligible(r: DataSourceV2Relation): Boolean =
+    KvRewrites.wholeTableRead(r)
 
   /** Answer the whole Project+Filter from the index when every
     * referenced column is stored there (single-column index: the
@@ -108,20 +99,9 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Resolve the index's relation, or None — invalidating the listing
-    * cache — when the index table cannot be opened (a cross-process
-    * DROP INDEX leaves this process's cache pointing at a dead path
-    * until the next base commit; staleness must stay an optimization
-    * gap, never a query failure). */
   private def indexRelation(base: String, d: KvIndexDef): Option[LogicalPlan] =
-    try Some(spark.read.format("graftkv")
-      .option("path", KvIndex.indexPath(base, d.name))
-      .load().queryExecution.analyzed)
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        KvIndex.invalidate(base)
-        None
-    }
+    KvRewrites.resolveRelation(spark, KvIndex.indexPath(base, d.name))(
+      KvIndex.invalidate(base))
 
   private def rewrite(f: Filter, cond: Expression,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
@@ -138,8 +118,11 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     // Estimate the matching fraction from the index's packed per-segment
     // leading-key bounds (metadata only; upper bound by construction)
     // and skip the rewrite past the threshold.
+    // malformed values fall back to the default — the gate must never
+    // turn into a planning failure
     val maxSel = spark.conf
-      .get("spark.graft.index.rewrite.maxSelectivity", "0.5").toDouble
+      .get("spark.graft.index.rewrite.maxSelectivity", "0.5")
+      .toDoubleOption.getOrElse(0.5)
     val candidates = for {
       d <- defs
       attr <- r.output.find(_.name == d.cols.head).toSeq

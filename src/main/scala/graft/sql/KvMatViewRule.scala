@@ -54,16 +54,8 @@ case class KvMatViewRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Whole-table read semantics only (the KvIndexRule rule verbatim):
-    * snapshot, file-restricted, and paced streaming reads are partial
-    * or historical by design and may never answer from a view. */
-  private def eligible(r: DataSourceV2Relation): Boolean = {
-    val tbl = r.table.asInstanceOf[GraftKvTable]
-    !tbl.isSnapshotView &&
-      !r.options.containsKey("snapshot.version") &&
-      !r.options.containsKey("files") &&
-      !r.options.containsKey("maxFilesPerTrigger")
-  }
+  private def eligible(r: DataSourceV2Relation): Boolean =
+    KvRewrites.wholeTableRead(r)
 
   private def tryRewrite(a: Aggregate): Option[LogicalPlan] = a.child match {
     case PhysicalOperation(projects, filters, r: DataSourceV2Relation)
@@ -207,18 +199,9 @@ case class KvMatViewRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Resolve the view's relation, or None — invalidating the listing
-    * cache — when it cannot be opened (cross-process drop; staleness
-    * must stay an optimization gap, never a query failure). */
   private def viewRelation(base: String, d: KvMatViewDef): Option[LogicalPlan] =
-    try Some(spark.read.format("graftkv")
-      .option("path", KvMatView.mvPath(base, d.name))
-      .load().queryExecution.analyzed)
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        KvMatView.invalidate(base)
-        None
-    }
+    KvRewrites.resolveRelation(spark, KvMatView.mvPath(base, d.name))(
+      KvMatView.invalidate(base))
 
   /** p guarantees attr is not NULL on every accepted row (the shapes
     * KvIndexRule accepts, plus IS NOT NULL; `<=>` is deliberately

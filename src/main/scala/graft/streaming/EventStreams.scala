@@ -131,13 +131,23 @@ object EventStreams {
         // rewrites until the next successful refresh)
         if (maintainDerived) {
           val s = batch.sparkSession
+          // degrade-to-staleness must stay OBSERVABLE: a permanently
+          // failing refresh otherwise serves an ever-staler fallback
+          // with no trace of why the rewrites stopped firing
+          def logged(kind: String, name: String)(body: => Unit): Unit =
+            try body catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"maintainDerived: $kind '$name' on $kvPath failed to " +
+                    s"refresh (stays stale until the next success): $e")
+            }
           graft.connector.KvIndex.list(kvPath).foreach { d =>
-            try graft.connector.KvIndex.refresh(s, kvPath, d.name)
-            catch { case scala.util.control.NonFatal(_) => () }
+            logged("index", d.name)(
+              graft.connector.KvIndex.refresh(s, kvPath, d.name))
           }
           graft.connector.KvMatView.list(kvPath).foreach { d =>
-            try graft.connector.KvMatView.refresh(s, kvPath, d.name)
-            catch { case scala.util.control.NonFatal(_) => () }
+            logged("materialized view", d.name)(
+              graft.connector.KvMatView.refresh(s, kvPath, d.name))
           }
         }
       }

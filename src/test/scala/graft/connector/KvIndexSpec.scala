@@ -30,18 +30,8 @@ class KvIndexSpec extends AnyFunSuite {
       .mode("overwrite").save(path)
   }
 
-  private def kvScans(p: SparkPlan): Seq[GraftKvScan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    val here = p match {
-      case a: AdaptiveSparkPlanExec => kvScans(a.executedPlan)
-      case q: QueryStageExec => kvScans(q.plan)
-      case b: BatchScanExec =>
-        b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
-      case _ => Seq.empty
-    }
-    here ++ p.children.flatMap(kvScans) ++ p.subqueries.flatMap(kvScans)
-  }
+  private def kvScans(p: SparkPlan): Seq[GraftKvScan] =
+    graft.PlanTestUtils.kvScans(p)
 
   private def hasSemiJoin(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collect {

@@ -17,25 +17,12 @@ class KvMatViewRewriteSpec extends AnyFunSuite {
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"graftkv_mvr_$tag").toString + "/t"
 
-  private def kvScans(p: SparkPlan): Seq[GraftKvScan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    val here = p match {
-      case a: AdaptiveSparkPlanExec => kvScans(a.executedPlan)
-      case q: QueryStageExec => kvScans(q.plan)
-      case b: BatchScanExec =>
-        b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
-      case _ => Seq.empty
-    }
-    here ++ p.children.flatMap(kvScans) ++ p.subqueries.flatMap(kvScans)
-  }
-
   private def usesView(df: DataFrame): Boolean =
-    kvScans(df.queryExecution.executedPlan)
+    graft.PlanTestUtils.kvScans(df)
       .exists(_.description().contains("/_mv/"))
 
   private def touchesBase(df: DataFrame): Boolean =
-    kvScans(df.queryExecution.executedPlan)
+    graft.PlanTestUtils.kvScans(df)
       .exists(!_.description().contains("/_mv/"))
 
   /** Collect sorted; compare against the same query with the rewrite

@@ -68,7 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("TPC-H join shapes broadcast their dims and never plan cartesian (a16-a19)") {
-    for (q <- Seq("a16_tpch_q3", "a17_tpch_q5", "a18_tpch_q10", "a19_tpch_q18")) {
+    // one representative filter per query that MUST appear in the
+    // parquet scan's pushed list — `PushedFilters: [` alone also
+    // matches an empty list
+    val pushed = Map(
+      "a16_tpch_q3" -> "EqualTo(c_mktsegment,BUILDING)",
+      "a17_tpch_q5" -> "EqualTo(r_name,ASIA)",
+      "a18_tpch_q10" -> "EqualTo(l_returnflag,R)",
+      "a19_tpch_q18" -> "IsNotNull(l_orderkey)")
+    for ((q, f) <- pushed) {
       val plan = planOf(q)
       // every equi-join must stay hash-based: a nested-loop or cartesian
       // product here would be quadratic at scale
@@ -77,8 +85,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // at least one dimension side should broadcast (nation/region/
       // customer at this SF are far under the broadcast threshold)
       assert(plan.contains("BroadcastHashJoin"), s"$q broadcasts no dim side")
-      // filters on the fact side reach the parquet scan
-      assert(plan.contains("PushedFilters: ["), s"$q pushes no filters")
+      // the representative filter reaches the parquet scan
+      assert(plan.contains(f), s"$q does not push $f")
     }
   }
 
