@@ -11,6 +11,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "a8_tpch_q1",            // wide aggregation over the fact table
     "a17_tpch_q5",           // 6-way star join (TPC-H Q5 shape)
+    "h08_tpch_q8",           // 8-table market-share join (widest in the suite)
+    "h13_tpch_q13",          // outer-join distribution (two-level count)
+    "h21_tpch_q21",          // EXISTS/NOT-EXISTS as per-order supplier stats
     "a1_groupby_count",      // high-cardinality groupBy
     "j1_inner_equi",         // fact×dim shuffle join
     "j9_fact_dim_broadcast", // broadcast join

@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All implemented operators, one QuerySpec each (SURVEY.md §2). */
   def specs: Seq[QuerySpec] =
-    operators.Relational.specs ++ operators.TemporalJoins.specs ++
+    operators.Relational.specs ++ operators.TpcH.specs ++
+      operators.TemporalJoins.specs ++
       operators.PipelineOps.specs ++ operators.KvOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

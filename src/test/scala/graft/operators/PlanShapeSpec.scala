@@ -90,6 +90,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  // untruncated pushed-filter inventory across every parquet scan in the
+  // plan (the rendered plan string truncates PushedFilters at ~100 chars)
+  private def pushedFiltersOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in
+    // AdaptiveSparkPlanExec whose inner plan is a field, not a child,
+    // so collect() would see no scans at all
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+  }
+
+  test("extended TPC-H suite broadcasts dims, pushes filters, no cartesian (h-suite)") {
+    // representative pushed filter per query (must reach a parquet scan)
+    val pushed = Map(
+      "h04_tpch_q4" -> "GreaterThanOrEqual(o_orderdate",
+      "h07_tpch_q7" -> "GreaterThanOrEqual(l_shipdate",
+      "h08_tpch_q8" -> "EqualTo(p_type,PROMO)",
+      "h09_tpch_q9" -> "StringContains(p_name,red)",
+      "h12_tpch_q12" -> "GreaterThanOrEqual(l_shipdate",
+      "h13_tpch_q13" -> "Not(EqualTo(o_orderpriority,1-URGENT))",
+      "h14_tpch_q14" -> "GreaterThanOrEqual(l_shipdate",
+      "h15_tpch_q15" -> "GreaterThanOrEqual(l_shipdate",
+      "h17_tpch_q17" -> "EqualTo(p_brand,Brand#23)",
+      // the property Q19 tests: the per-side OR disjunction is DERIVED
+      // from the cross-side predicate and pushed to the lineitem scan
+      "h19_tpch_q19" -> "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)",
+      "h21_tpch_q21" -> "EqualTo(o_orderstatus,F)")
+    for ((q, f) <- pushed) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      // every join in these queries is equi — a nested-loop would be
+      // quadratic at scale (h22, excluded, broadcasts a 1-row scalar
+      // gate through a BNLJ by design)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      assert(plan.contains("BroadcastHashJoin"), s"$q broadcasts no dim side")
+      val pf = pushedFiltersOf(q)
+      assert(pf.contains(f), s"$q does not push $f (pushed: $pf)")
+    }
+    // h06 is the pure scan query: all three predicates reach the scan
+    val h06 = pushedFiltersOf("h06_tpch_q6")
+    assert(h06.contains("GreaterThanOrEqual(l_shipdate"), h06)
+    assert(h06.contains("LessThan(l_quantity,24.0)"), h06)
+    // h22's only joins are the broadcast scalar gate and the anti-join —
+    // never a cartesian
+    val h22 = planOf("h22_tpch_q22")
+    assert(!h22.contains("CartesianProduct"), h22.take(2000))
+  }
+
   test("ORDER BY + LIMIT plans as top-k, not global sort (t2)") {
     assert(planOf("t2_sort_multi_dir").contains("TakeOrderedAndProject"))
   }
