@@ -34,6 +34,19 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * n-gram OCCURRENCES that repeat an earlier occurrence —
+    * (total − distinct) / total, 0.0 for a document with no repeats.
+    * A sub-n-token document has exactly one whole-document shingle
+    * (the wordShingles convention), so its fraction is 0. Map-only:
+    * one codegen'd token pass + the native ShingleHashes kernel. */
+  def duplicateShingleFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = when(size(toks) < n, 1).otherwise(size(toks) - n + 1)
+    val distinct = size(graft.functions.ShingleHashes.shingle_hashes(toks, n))
+    (total - distinct).cast("double") / total
+  }
+
   /** Normalized text: lowercased, whitespace collapsed, trimmed. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -358,6 +358,102 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition quality signal: fraction of bigram
+    // occurrences that repeat an earlier one in the same document.
+    // Map-only (token pass + native shingle kernel); the division is
+    // one IEEE op over the same two integers in both engines.
+    QuerySpec.checked("tx8_repetition_ratio",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 2 THEN 1 ELSE len(w) - 1 END AS total,
+        |    CASE WHEN len(w) < 2 THEN 1
+        |         ELSE len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1]))) END AS dst
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(total - dst AS DOUBLE) / total AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.duplicateShingleFraction(col("text"), 2)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ── decontamination (train/eval n-gram overlap) ──────────────────────
+    // The benchmark side is the doc_id % 20 == 0 slice of the corpus
+    // (which contains planted duplicates, so contamination exists by
+    // construction); the train side is everything else. The engine
+    // overlaps DISTINCT shingle-HASH sets (one-pass native kernel,
+    // hash equi-join); the oracle restates with n-gram STRINGS — the
+    // same hash≡string equivalence the dd6 Jaccard oracle rests on.
+    QuerySpec.checked("dc1_decontam_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 20 <> 0),
+        |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 20 = 0),
+        |ov AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_grams,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN len(sh.s) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh.s) END
+        |    AS overlap_ratio
+        |FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+        |WHERE sh.doc_id % 20 <> 0
+        |ORDER BY sh.doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.pipeline.Decontaminate.overlapStats(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+        .orderBy("doc_id")
+    },
+
+    // the surviving train corpus at maxRatio 0.2 (drop-if-above —
+    // quoted benchmark lines in long documents survive, verbatim
+    // inclusions are dropped)
+    QuerySpec.checked("dc2_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 20 <> 0),
+        |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 20 = 0),
+        |ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+        |       FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.doc_id)
+        |SELECT sh.doc_id FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+        |WHERE sh.doc_id % 20 <> 0
+        |  AND CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh.s) <= 0.2
+        |ORDER BY sh.doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.pipeline.Decontaminate.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), maxRatio = 0.2)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ── similarity search ────────────────────────────────────────────────
     // Exact brute-force cosine top-k (vs vec_id 0's embedding). The
     // cosine arithmetic is an IEEE-mirrorable left fold (float→double

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-corpus decontamination: remove training documents that overlap
+  * an evaluation/benchmark corpus by word n-gram collision — the
+  * standard leakage guard run before LLM training (extension scope; the
+  * reference has no text pipeline).
+  *
+  * Scale shape (the 100 TB side is `train`; `eval` is benchmarks —
+  * orders of magnitude smaller): both sides reduce to DISTINCT
+  * shingle-hash sets via the one-pass native kernel
+  * ([[graft.functions.ShingleHashes]], codegen'd — no shingle strings
+  * ever materialize), the eval side collapses to one deduplicated gram
+  * column, and the overlap is a hash equi-join on (gram) of the
+  * EXPLODED train sets — near-linear in corpus token count, the same
+  * shuffle shape as the LSH banding in [[Dedup]]. Catalyst/AQE
+  * broadcast the eval gram set when it fits (the common case: a
+  * benchmark suite is MBs against a 100 TB train corpus); nothing
+  * collects to the driver at any size. Counting needs no
+  * count-distinct: shingle sets are distinct by construction, so the
+  * post-join row count per doc IS the distinct overlapping-gram count.
+  */
+object Decontaminate {
+
+  /** Per-train-document benchmark overlap: the document's distinct
+    * n-gram count, how many of those n-grams appear anywhere in `eval`,
+    * and the contamination ratio (overlap / distinct grams; 0.0 for
+    * gram-less docs). Hash-gram equality stands in for string-gram
+    * equality (64-bit xxhash collisions are negligible at corpus scale
+    * — the same equivalence the Jaccard verifier rests on). */
+  def overlapStats(train: DataFrame, eval: DataFrame, shingle: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trainSets = Dedup.shingleHashSets(train, shingle, textCol, idCol)
+    val evalGrams = Dedup.shingleHashSets(eval, shingle, textCol, idCol)
+      .select(explode(col("shset")).as("gram")).distinct()
+    val overlap = trainSets
+      .select(col(idCol), explode(col("shset")).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    trainSets.select(col(idCol), size(col("shset")).cast("long").as("n_grams"))
+      .join(overlap, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("overlap_ratio",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(col("n_overlap").cast("double") / col("n_grams")))
+  }
+
+  /** Training rows surviving decontamination: documents whose
+    * contamination ratio exceeds `maxRatio` are dropped (ratio, not
+    * absolute count, so long documents aren't over-penalized for one
+    * quoted benchmark line). Keeps every train column. */
+  def decontaminate(train: DataFrame, eval: DataFrame, shingle: Int = 3,
+      maxRatio: Double = 0.2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dirty = overlapStats(train, eval, shingle, textCol, idCol)
+      .filter(col("overlap_ratio") > maxRatio)
+      .select(col(idCol))
+    train.join(dirty, Seq(idCol), "left_anti")
+  }
+}
