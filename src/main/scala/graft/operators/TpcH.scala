@@ -351,25 +351,29 @@ object TpcH {
         |                    AND l3.l_shipdate > o_orderdate)
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""") { (s, d) =>
+      // ONE lineitem pass: fold to per-(order, supplier) late-line
+      // counts, then per-order supplier statistics — no countDistinct
+      // Expand, no second join back to the fact. A row of l1 qualifies
+      // iff its order has >1 supplier and exactly one late supplier
+      // (which must be l1's own, since l1 is late), so numwait is the
+      // sum of the qualifying groups' late-line counts.
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
-      // per F-order: distinct suppliers and distinct late suppliers
-      // (late = shipped after the order date, the corpus lateness proxy)
-      val lo = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .withColumn("__late", col("l_shipdate") > col("o_orderdate"))
-      val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("__late"), col("l_suppkey"))).as("nlate"))
-      lo.filter(col("__late"))
+      val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_shipdate") > col("o_orderdate"), 1L)
+          .otherwise(0L)).as("late_lines"))
+      val perOrder = perSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(count(lit(1)).as("nsupp"),
+          sum(when(col("late_lines") > 0, 1).otherwise(0)).as("nlate"))
+      perSupp.filter(col("late_lines") > 0)
         .join(perOrder, col("l_orderkey") === col("po_orderkey"))
-        // another supplier exists on the order; no OTHER supplier is late
-        // (this row's supplier is late, so late-set == {this supplier})
         .filter(col("nsupp") > 1 && col("nlate") === 1)
         .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, d, "nation").filter(col("n_name") === "NATION_5"),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("late_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },
