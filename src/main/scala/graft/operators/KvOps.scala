@@ -643,6 +643,41 @@ object KvOps {
         .orderBy("o_orderstatus")
     },
 
+    // TPC-H Q3 executed END-TO-END on the engine's own storage: all
+    // three tables live as kv tables (customer keyed c_custkey, orders
+    // o_orderkey, lineitem composite), the segment filter pushes to the
+    // customer scan, the dims broadcast off post-pruning size estimates,
+    // and the result must equal the DuckDB truth over the original
+    // parquet — the "a user could switch storage" proof for a real
+    // analytical join, not just per-table round-trips.
+    QuerySpec.checked("kv32_tpch_q3_on_kv",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""") { (s, d) =>
+      val cutoff = to_timestamp(lit("1998-06-01"))
+      val cust = KvCommands.table(s,
+        ensure(s, d, "customer", Seq("c_custkey")))
+      cust.filter(col("c_mktsegment") === "BUILDING")
+        .join(ordersKv(s, d).filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitemKv(s, d).filter(col("l_shipdate") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(graft.QuerySpec.dsum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range

@@ -140,6 +140,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!h22.contains("CartesianProduct"), h22.take(2000))
   }
 
+  test("TPC-H Q3 on kv storage broadcasts dims and stays hash-joined (kv32)") {
+    val plan = planOf("kv32_tpch_q3_on_kv")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the final ordering is a bounded top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("ORDER BY + LIMIT plans as top-k, not global sort (t2)") {
     assert(planOf("t2_sort_multi_dir").contains("TakeOrderedAndProject"))
   }
