@@ -650,32 +650,14 @@ object KvOps {
     // and the result must equal the DuckDB truth over the original
     // parquet — the "a user could switch storage" proof for a real
     // analytical join, not just per-table round-trips.
-    QuerySpec.checked("kv32_tpch_q3_on_kv",
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-06-01'
-        |  AND l_shipdate > TIMESTAMP '1998-06-01'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""") { (s, d) =>
-      val cutoff = to_timestamp(lit("1998-06-01"))
-      val cust = KvCommands.table(s,
-        ensure(s, d, "customer", Seq("c_custkey")))
-      cust.filter(col("c_mktsegment") === "BUILDING")
-        .join(ordersKv(s, d).filter(col("o_orderdate") < cutoff),
-          col("c_custkey") === col("o_custkey"))
-        .join(lineitemKv(s, d).filter(col("l_shipdate") > cutoff),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(graft.QuerySpec.dsum(col("l_extendedprice") *
-          (lit(1) - col("l_discount"))).as("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
-        .limit(10)
+    QuerySpec.checked("kv32_tpch_q3_on_kv", TpcH.q3OracleSql) { (s, d) =>
+      TpcH.q3 {
+        case "customer" =>
+          KvCommands.table(s, ensure(s, d, "customer", Seq("c_custkey")))
+        case "orders" => ordersKv(s, d)
+        case "lineitem" => lineitemKv(s, d)
+        case other => Tables.table(s, d, other)
+      }
     },
 
     // Z-ORDER clustered table (multi-dim box queries on the sorted

@@ -809,30 +809,8 @@ object Relational {
     // 3-way join → grouped revenue → top-k. Revenue routes through
     // DECIMAL(38,6) (cross-engine exact) and the ORDER BY carries a
     // unique tiebreak (l_orderkey), so the LIMIT is deterministic.
-    QuerySpec.checked("a16_tpch_q3",
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-06-01'
-        |  AND l_shipdate > TIMESTAMP '1998-06-01'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""") { (s, d) =>
-      val cutoff = to_timestamp(lit("1998-06-01"))
-      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
-          col("c_custkey") === col("o_custkey"))
-        .join(t(s, d, "lineitem").filter(col("l_shipdate") > cutoff),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
-        .limit(10)
+    QuerySpec.checked("a16_tpch_q3", TpcH.q3OracleSql) { (s, d) =>
+      TpcH.q3(t(s, d, _))
     },
 
     // TPC-H Q5 shape (local supplier volume): 6-way star with the

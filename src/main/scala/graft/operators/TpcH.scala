@@ -37,6 +37,39 @@ object TpcH {
 
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
 
+  /** Q3 (shipping priority) over ANY table source — shared by the
+    * parquet gate (`a16_tpch_q3`, Relational.scala) and the kv-storage
+    * gate (`kv32_tpch_q3_on_kv`, KvOps.scala) so the two can never
+    * drift: both run THIS plan against the SAME oracle, differing only
+    * in where the tables live. */
+  val q3OracleSql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def q3(table: String => DataFrame): DataFrame = {
+    val cutoff = ts("1998-06-01")
+    table("customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(table("orders").filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(table("lineitem").filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Q4 — order priority checking. EXISTS(lineitem shipped after the

@@ -32,16 +32,20 @@ object Decontaminate {
     * — the same equivalence the Jaccard verifier rests on). */
   def overlapStats(train: DataFrame, eval: DataFrame, shingle: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val trainSets = Dedup.shingleHashSets(train, shingle, textCol, idCol)
     val evalGrams = Dedup.shingleHashSets(eval, shingle, textCol, idCol)
       .select(explode(col("shset")).as("gram")).distinct()
-    val overlap = trainSets
-      .select(col(idCol), explode(col("shset")).as("gram"))
-      .join(evalGrams, "gram")
-      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
-    trainSets.select(col(idCol), size(col("shset")).cast("long").as("n_grams"))
-      .join(overlap, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("__hit", lit(1))
+    // ONE train pass: the doc's gram count rides along the exploded
+    // rows, a LEFT join marks eval hits, and one grouping folds both
+    // numbers back. Every doc has ≥1 shingle (sub-n docs get the
+    // whole-document shingle), so no doc drops out of the explode.
+    Dedup.shingleHashSets(train, shingle, textCol, idCol)
+      .select(col(idCol), size(col("shset")).cast("long").as("n_grams"),
+        explode(col("shset")).as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(col("__hit")).as("n_overlap"))
       .withColumn("overlap_ratio",
         when(col("n_grams") === 0, 0.0)
           .otherwise(col("n_overlap").cast("double") / col("n_grams")))

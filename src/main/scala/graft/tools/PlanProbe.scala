@@ -14,8 +14,12 @@ object PlanProbe {
     df.collect()
     println(f"exec ${(System.nanoTime-t0)/1e9}%.3f s")
     val p = df.queryExecution.executedPlan.toString
+    // "Exchange hashpartitioning/SinglePartition/range..." is a real
+    // shuffle node; a bare "Exchange " substring would also match inside
+    // BroadcastExchange/ReusedExchange and overcount
     println("reusedExchange=" + "ReusedExchange".r.findAllIn(p).size +
-      " exchange=" + "Exchange ".r.findAllIn(p).size +
+      " shuffle=" + "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(p).size +
+      " broadcastExchange=" + "BroadcastExchange".r.findAllIn(p).size +
       " fileScan=" + "FileScan".r.findAllIn(p).size +
       " expand=" + "Expand".r.findAllIn(p).size)
     if (args.length > 2) println(p.take(12000))
