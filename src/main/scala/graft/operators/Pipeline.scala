@@ -454,6 +454,57 @@ object PipelineOps {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // STREAMING decontamination: the train slice as a REAL bounded file
+    // stream filtered ingest-time against the static benchmark gram set
+    // — stateless (one broadcast gram array + map-side array_intersect;
+    // no state store, no shuffle on the stream side). Same oracle as
+    // dc2: the stream must keep exactly the batch survivors.
+    QuerySpec.checked("dc3_streaming_decontam",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 20 <> 0),
+        |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 20 = 0),
+        |ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+        |       FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.doc_id)
+        |SELECT sh.doc_id FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+        |WHERE sh.doc_id % 20 <> 0
+        |  AND CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh.s) <= 0.2
+        |ORDER BY sh.doc_id""") { (s, d) =>
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val srcDir = java.nio.file.Paths.get("/tmp",
+        s"graft_dc3_src_${math.abs(d.hashCode)}")
+      java.nio.file.Files.createDirectories(srcDir)
+      val link = srcDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(path))
+      val evalDocs = s.read.parquet(path).filter(col("doc_id") % 20 === 0)
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .filter(col("doc_id") % 20 =!= 0)
+      val out = graft.pipeline.Decontaminate
+        .decontaminateStream(stream, evalDocs, maxRatio = 0.2)
+        .select("doc_id")
+      val sink = "dc3_sink"
+      s.catalog.dropTempView(sink)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    },
+
     // ── similarity search ────────────────────────────────────────────────
     // Exact brute-force cosine top-k (vs vec_id 0's embedding). The
     // cosine arithmetic is an IEEE-mirrorable left fold (float→double

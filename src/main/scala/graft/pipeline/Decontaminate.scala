@@ -51,6 +51,34 @@ object Decontaminate {
           .otherwise(col("n_overlap").cast("double") / col("n_grams")))
   }
 
+  /** Ingest-time decontamination for UNBOUNDED document streams —
+    * completely stateless: the benchmark gram set folds into ONE array
+    * row on the static side (executor-side collect_set, never a driver
+    * collect), a stream-static cross join broadcasts it to every task,
+    * and each streamed document computes its overlap map-side via
+    * array_intersect. No state store, no shuffle, append-mode —
+    * the right shape for filtering a firehose against a benchmark
+    * suite (MBs of grams vs an unbounded stream). Overlap counts are
+    * identical to [[overlapStats]]: shingle sets are distinct, so
+    * |array_intersect| is the batch join's per-doc hit count. */
+  def decontaminateStream(stream: DataFrame, eval: DataFrame,
+      shingle: Int = 3, maxRatio: Double = 0.2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val evalSet = Dedup.shingleHashSets(eval, shingle, textCol, idCol)
+      .select(explode(col("shset")).as("gram")).distinct()
+      .agg(collect_set(col("gram")).as("__eval_set"))
+    stream
+      .withColumn("__shset", graft.functions.ShingleHashes.shingle_hashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle))
+      .crossJoin(broadcast(evalSet))
+      .withColumn("__ratio",
+        when(size(col("__shset")) === 0, 0.0)
+          .otherwise(size(array_intersect(col("__shset"), col("__eval_set")))
+            .cast("double") / size(col("__shset"))))
+      .filter(col("__ratio") <= maxRatio)
+      .drop("__shset", "__eval_set", "__ratio")
+  }
+
   /** Training rows surviving decontamination: documents whose
     * contamination ratio exceeds `maxRatio` are dropped (ratio, not
     * absolute count, so long documents aren't over-penalized for one

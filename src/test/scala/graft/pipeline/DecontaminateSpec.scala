@@ -48,6 +48,28 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(2L, 3L, 4L)))
   }
 
+  test("streaming decontamination equals batch and runs stateless") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData(train.as[(Long, String)].collect().toSeq: _*)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = Decontaminate.decontaminateStream(stream, evalDocs,
+      shingle = 3, maxRatio = 0.5).select("doc_id")
+    spark.catalog.dropTempView("dc_spec_sink")
+    val q = out.writeStream.format("memory").queryName("dc_spec_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dc_spec_sink").as[Long].collect().sorted
+    val batch = Decontaminate.decontaminate(train, evalDocs, shingle = 3,
+      maxRatio = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(streamed.sameElements(batch))
+    // stateless by construction: zero stateful operators reported
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      Option(q.lastProgress).map(_.json).getOrElse(""))
+  }
+
   test("empty eval side keeps everything with zero overlap") {
     val kept = Decontaminate.decontaminate(train,
       evalDocs.filter(lit(false)), shingle = 3, maxRatio = 0.0)
