@@ -566,9 +566,45 @@ object PipelineOps {
       annInvariants(s, emb, q, res, k = 10)
     },
 
-    QuerySpec.rowsOnly("ann3_embedding_neardup") { (s, d) =>
-      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), dim = 64,
-        threshold = 0.5, nPlanes = 64, bands = 4, probeBits = 1)
+    // Embedding near-dup with a FULL oracle: the synthetic corpus has no
+    // true near-dups (max pairwise cosine ≈ 0.51), so the gate derives
+    // planted twins IN-QUERY — every 5th vector re-enters scaled by
+    // exactly 2.0f (power of two: float-exact; direction unchanged, so
+    // hyperplane signs are bit-identical and LSH recall on the twin
+    // pairs is exactly 1, never probabilistic). The exhaustive all-pairs
+    // cosine restatement then matches the engine's LSH+verify output
+    // bit-for-bit (same IEEE fold as ann1); non-twin pairs sit far
+    // below the 0.95 threshold. Graded nearness recall (cos < 1) stays
+    // pinned by SimilaritySpec's seeded test.
+    QuerySpec.checked("ann3_embedding_neardup",
+      """WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nb
+        |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |FROM sc
+        |WHERE CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END >= 0.95
+        |ORDER BY vec_a, vec_b""") { (s, d) =>
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.embeddingNearDupPairs(emb.union(twins), dim = 64,
+        threshold = 0.95, nPlanes = 64, bands = 4, probeBits = 1)
         .orderBy("vec_a", "vec_b")
     },
 
