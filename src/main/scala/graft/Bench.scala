@@ -211,7 +211,20 @@ object Bench {
       }
       idxOnce(5001L) // warmup
       val viaIndex = idxOnce(7777L)
-      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"index_sec":${fmt(viaIndex)}}"""
+      // pushed TopN: "latest k by key" on the 10k-segment table must
+      // plan only the tail segments (SupportsPushDownTopN selection),
+      // i.e. stay point-lookup-flat at any table size
+      def topkOnce(): Double = {
+        val t0 = System.nanoTime()
+        val rows = spark.read.format("graftkv").load(dir)
+          .orderBy(col("k").desc).limit(5).collect()
+        require(rows.length == 5 && rows.head.getLong(0) == (nSegs - 1) * 10L + 2,
+          s"plan10k topk probe got ${rows.length} rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      topkOnce() // warmup
+      val topk = topkOnce()
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
       ""

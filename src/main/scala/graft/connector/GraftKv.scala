@@ -269,11 +269,13 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     snapshotVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[(Int, Boolean)] = None // (k, descending)
   private var aggPushed: Option[Seq[KvAgg]] = None
   // the EXACT listing pushAggregation validated (disjoint, tombstone-free):
   // the agg scan must plan over this set, not a fresh listing — a commit
@@ -299,6 +301,40 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     required = requiredSchema
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  /** ORDER BY a key prefix + LIMIT: accepted (partially) when the sort
+    * is a uniform-direction prefix of the composite key — the scan then
+    * plans ONLY the boundary-covered head (asc) or tail (desc) of the
+    * sorted segment chain (metadata selection, sound on disjoint
+    * tombstone-free tables; see Planner.topNSelect), and ascending
+    * readers early-stop at k rows per partition. Spark keeps its global
+    * TakeOrdered on top (isPartiallyPushed), so returning extra rows is
+    * always safe; the win is "latest/first k by key" reading a couple
+    * of segments instead of the table. Key columns are non-null by
+    * construction, so any NULLS FIRST/LAST choice is vacuously met. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (restrictFiles.nonEmpty || l <= 0 || orders.isEmpty) return false
+    val fields = orders.map { o =>
+      o.expression() match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames().length == 1 =>
+          Some((nr.fieldNames()(0), o.direction()))
+        case _ => None
+      }
+    }
+    if (fields.exists(_.isEmpty)) return false
+    val fs = fields.flatten
+    if (fs.map(_._2).distinct.length != 1) return false
+    if (!fs.map(_._1).sameElements(keys.take(fs.length))) return false
+    val desc = fs.head._2 == SortDirection.DESCENDING
+    topN = Some((l, desc))
+    // ascending partitions emit in key order: the first k rows per
+    // partition ARE its local top-k. Descending needs the tail — no
+    // early stop, segment selection alone carries the win.
+    if (!desc) limit = l
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregation (the reference's coprocessor-parity path,
     * AddCoprocessor.scala → SupportsPushDownAggregates per SURVEY R11):
@@ -392,7 +428,7 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         aggSegs)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
-        restrictFiles, maxFilesPerTrigger, snapshotVersion)
+        restrictFiles, maxFilesPerTrigger, snapshotVersion, topN)
   }
 }
 
@@ -639,7 +675,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     restrictFiles: Option[Set[String]] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    snapshotVersion: Option[Long] = None)
+    snapshotVersion: Option[Long] = None,
+    topN: Option[(Int, Boolean)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
@@ -659,7 +696,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   // carried by BatchScanExec's runtimeFilters parameter, which Spark
   // compares separately in canonicalization.
   private def cfg = (path, required, pushed.toSeq, limit, encoding,
-    restrictFiles, maxFilesPerTrigger, snapshotVersion)
+    restrictFiles, maxFilesPerTrigger, snapshotVersion, topN)
   override def equals(other: Any): Boolean = other match {
     case o: GraftKvScan => o.cfg == cfg
     case _ => false
@@ -702,7 +739,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * claim, so partition-key arity stays consistent with what the
     * planner already captured. */
   private final class Planner(filters: Array[Filter],
-      baseSegs: => Seq[SegmentFile.Meta], claimOverride: Option[Option[Int]]) {
+      baseSegs: => Seq[SegmentFile.Meta], claimOverride: Option[Option[Int]],
+      applyTopN: Boolean = false) {
 
   /** Box → z-range cover for a z-clustered table: the pushed conjuncts'
     * per-dim bounds become a box over truncated dim codes, and the box's
@@ -901,15 +939,52 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // emits only predicate-false rows whichever generation wins, so
       // dropping it whole is safe; the common disjoint table is all
       // singleton components, where this IS per-segment pruning.
-      conjOpt match {
+      val zonePruned = conjOpt match {
         case None => out.toSeq
         case Some(conj) =>
           import graft.pruning.TriEval
           out.toSeq.filter(_.members.exists(m =>
             TriEval.eval(conj, keyBindings(m) ++ zoneBindings(m)) != TriEval.False))
       }
+      topNSelect(zonePruned)
     }
   }
+
+  /** Pushed-TopN segment selection: keep only the head (asc) / tail
+    * (desc) of the key-sorted component chain that provably contains
+    * the global top-k. Components are disjoint key intervals, so every
+    * row of an excluded later (asc) component compares greater than
+    * every row of the selected ones; selection stops once the selected
+    * set provably EMITS ≥ k rows. Soundness needs exact live-row
+    * counts, so it applies only when every component is one
+    * tombstone-free segment (disjoint, compacted/bulk-loaded — the
+    * same regime as metadata aggregates); with enforced lead filters,
+    * a segment counts toward k only when the qualified ranges cover
+    * its whole lead span (partially-covered segments emit an unknown
+    * subset — included in the scan, counted as zero). The runtime
+    * planner never applies this: extra rows are always safe
+    * (isPartiallyPushed), missing rows never. */
+  private def topNSelect(cs: Seq[GraftKvScan.SegComp]): Seq[GraftKvScan.SegComp] =
+    topN match {
+      case Some((k, desc)) if applyTopN && cs.length > 1 &&
+          cs.forall(c => c.members.length == 1 && c.members.head.tombstones == 0L) =>
+        val ordered = if (desc) cs.reverse else cs
+        val sel = scala.collection.mutable.ArrayBuffer.empty[GraftKvScan.SegComp]
+        var cum = 0L
+        val it = ordered.iterator
+        while (it.hasNext && cum < k) {
+          val c = it.next()
+          sel += c
+          val m = c.members.head
+          val fullyEmitted = conjOpt.isEmpty || leadRanges.coversInterval(
+            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey))
+          if (fullyEmitted) cum += m.count
+        }
+        if (cum < k) cs // ran out of provable coverage — scan everything
+        else if (desc) sel.reverse.toSeq
+        else sel.toSeq
+      case _ => cs
+    }
 
   /** Shortest key prefix length p such that scan partitions (overlap
     * components) are STRICTLY disjoint on the first p dimensions (prefix
@@ -1119,7 +1194,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   }
   } // Planner
 
-  private lazy val static = new Planner(pushed, allSegs, None)
+  private lazy val static = new Planner(pushed, allSegs, None,
+    applyTopN = true)
 
   /** Runtime re-plan, set by `filter` between planning and execution.
     * Volatile: Spark plans on the driver but may hand the scan between

@@ -660,6 +660,16 @@ object KvOps {
       }
     },
 
+    // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
+    // plans only the tail segments (KvTopNSpec pins the partition
+    // count); the values must still match the parquet truth exactly
+    QuerySpec.checked("kv33_topk_by_key",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 10""") { (s, d) =>
+      ordersKv(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey").desc).limit(10)
+    },
+
     // Z-ORDER clustered table (multi-dim box queries on the sorted
     // store): orders keyed by the (o_custkey, o_orderkey) Morton
     // interleave; the box predicate prunes via the quadtree z-range
