@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** Run a streaming gate: the corpus documents file as a bounded file
+    * stream through `build`, drained via a memory sink (AvailableNow);
+    * returns the sink table. The parquet file streams via a scratch dir
+    * holding one symlink, and the link is re-pointed whenever it is
+    * dangling or aimed at another corpus (NOFOLLOW existence check — a
+    * stale or hash-colliding link must never stream the wrong data). */
+  private def streamedDocuments(s: SparkSession, d: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, LinkOption, Paths}
+    val path = s"$d/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val srcDir = Paths.get("/tmp", s"graft_${tag}_src_${math.abs(d.hashCode)}")
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("documents.parquet")
+    val target = Paths.get(path)
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+        (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != target))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
+    val out = build(s.readStream.schema(schema).parquet(srcDir.toString))
+    val sink = s"${tag}_sink"
+    s.catalog.dropTempView(sink) // re-runs in one session start clean
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
@@ -226,28 +257,8 @@ object PipelineOps {
         |)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY doc_a, doc_b""") { (s, d) =>
-      val path = s"$d/documents.parquet"
-      val schema = s.read.parquet(path).schema
-      // the file source wants a directory of files, not one file: stream
-      // a scratch dir holding a symlink to the corpus file (deterministic
-      // per corpus dir, so repeat runs reuse it)
-      val srcDir = java.nio.file.Paths.get("/tmp",
-        s"graft_dd8_src_${math.abs(d.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(path))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-      val out = Dedup.streamingNearDupPairs(stream)
-      val sink = "dd8_sink"
-      s.catalog.dropTempView(sink) // re-runs in one session start clean
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).orderBy("doc_a", "doc_b")
+      streamedDocuments(s, d, "dd8")(Dedup.streamingNearDupPairs(_))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ── text analysis ────────────────────────────────────────────────────
@@ -480,29 +491,13 @@ object PipelineOps {
         |WHERE sh.doc_id % 20 <> 0
         |  AND CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / len(sh.s) <= 0.2
         |ORDER BY sh.doc_id""") { (s, d) =>
-      val path = s"$d/documents.parquet"
-      val schema = s.read.parquet(path).schema
-      val srcDir = java.nio.file.Paths.get("/tmp",
-        s"graft_dc3_src_${math.abs(d.hashCode)}")
-      java.nio.file.Files.createDirectories(srcDir)
-      val link = srcDir.resolve("documents.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(path))
-      val evalDocs = s.read.parquet(path).filter(col("doc_id") % 20 === 0)
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-        .filter(col("doc_id") % 20 =!= 0)
-      val out = graft.pipeline.Decontaminate
-        .decontaminateStream(stream, evalDocs, maxRatio = 0.2)
-        .select("doc_id")
-      val sink = "dc3_sink"
-      s.catalog.dropTempView(sink)
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).orderBy("doc_id")
+      val evalDocs = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 20 === 0)
+      streamedDocuments(s, d, "dc3") { stream =>
+        graft.pipeline.Decontaminate.decontaminateStream(
+          stream.filter(col("doc_id") % 20 =!= 0), evalDocs, maxRatio = 0.2)
+          .select("doc_id")
+      }.orderBy("doc_id")
     },
 
     // ── similarity search ────────────────────────────────────────────────

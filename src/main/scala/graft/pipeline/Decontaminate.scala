@@ -64,15 +64,19 @@ object Decontaminate {
   def decontaminateStream(stream: DataFrame, eval: DataFrame,
       shingle: Int = 3, maxRatio: Double = 0.2, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // collect_set deduplicates on its own (map-side too) — no distinct()
     val evalSet = Dedup.shingleHashSets(eval, shingle, textCol, idCol)
-      .select(explode(col("shset")).as("gram")).distinct()
+      .select(explode(col("shset")).as("gram"))
       .agg(collect_set(col("gram")).as("__eval_set"))
     stream
       .withColumn("__shset", graft.functions.ShingleHashes.shingle_hashes(
         graft.functions.TextFunctions.tokens(col(textCol)), shingle))
       .crossJoin(broadcast(evalSet))
+      // NULL text ⇒ null shset ⇒ ratio must be 0.0, matching the batch
+      // path (a null-text doc contributes no grams, is never dirty,
+      // and survives the anti-join there)
       .withColumn("__ratio",
-        when(size(col("__shset")) === 0, 0.0)
+        when(col("__shset").isNull || size(col("__shset")) === 0, 0.0)
           .otherwise(size(array_intersect(col("__shset"), col("__eval_set")))
             .cast("double") / size(col("__shset"))))
       .filter(col("__ratio") <= maxRatio)

@@ -53,6 +53,7 @@ class DecontaminateSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     mem.addData(train.as[(Long, String)].collect().toSeq: _*)
+    mem.addData((5L, null: String)) // null text must survive, like batch
     val stream = mem.toDF().toDF("doc_id", "text")
     val out = Decontaminate.decontaminateStream(stream, evalDocs,
       shingle = 3, maxRatio = 0.5).select("doc_id")
@@ -61,13 +62,16 @@ class DecontaminateSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val streamed = spark.table("dc_spec_sink").as[Long].collect().sorted
-    val batch = Decontaminate.decontaminate(train, evalDocs, shingle = 3,
-      maxRatio = 0.5).select("doc_id").as[Long].collect().sorted
+    val nullTrain = Seq((5L, null: String)).toDF("doc_id", "text")
+    val batch = Decontaminate.decontaminate(train.union(nullTrain), evalDocs,
+      shingle = 3, maxRatio = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(batch.contains(5L), "batch must keep the null-text doc")
     assert(streamed.sameElements(batch))
-    // stateless by construction: zero stateful operators reported
-    assert(q.lastProgress == null ||
-      q.lastProgress.stateOperators.isEmpty,
-      Option(q.lastProgress).map(_.json).getOrElse(""))
+    // stateless by construction: zero stateful operators in EVERY batch
+    // (recentProgress must be non-empty or the claim is untested)
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      q.recentProgress.map(_.json).mkString("\n"))
   }
 
   test("empty eval side keeps everything with zero overlap") {
