@@ -141,6 +141,59 @@ class KvFuzzSpec extends AnyFunSuite {
     assert(KvCommands.overlapDepth(path) == 1)
   }
 
+  test("random topN queries match parquet on disjoint AND overlapping layouts") {
+    // many-segment disjoint fixture + an overlapping-append variant (the
+    // selection must apply on the first and fall back on the second,
+    // with identical results either way)
+    val base = spark.range(20000).coalesce(1)
+      .select(col("id").as("k1"), (col("id") % 7).cast("int").as("k2"),
+        (col("id") % 997).as("v"))
+    val disjoint = Files.createTempDirectory("kv_topn_fz_d").toString + "/t"
+    KvCommands.createTable(base, disjoint, Seq("k1", "k2"),
+      maxSegBytes = Some(16384L))
+    val overlapping = Files.createTempDirectory("kv_topn_fz_o").toString + "/t"
+    KvCommands.createTable(base, overlapping, Seq("k1", "k2"),
+      maxSegBytes = Some(16384L))
+    // overlapping generations: rewrite two key stripes (last-write-wins)
+    spark.range(300).coalesce(1)
+      .select((col("id") * 61).as("k1"), (col("id") % 7).cast("int").as("k2"),
+        lit(-1L).as("v"))
+      .write.format("graftkv").option("key", "k1,k2").mode("append")
+      .save(overlapping)
+    val overRef = base.alias("b")
+      .join(spark.range(300).select((col("id") * 61).as("k1"),
+        (col("id") % 7).cast("int").as("k2")).alias("o"),
+        Seq("k1", "k2"), "left_anti")
+      .union(spark.range(300).select((col("id") * 61).as("k1"),
+        (col("id") % 7).cast("int").as("k2"), lit(-1L).as("v"))
+        .filter(col("k1") < 20000))
+    val rnd = new scala.util.Random(11)
+    for (round <- 0 until 25) {
+      val k = rnd.nextInt(60) + 1
+      val desc = rnd.nextBoolean()
+      val depth = rnd.nextInt(2) + 1 // prefix length 1 or 2
+      val filt: Option[Column] = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(col("k1") >= rnd.nextLong(22000))
+        case 2 => Some(col("k1").between(rnd.nextLong(22000), rnd.nextLong(22000)))
+      }
+      val order = Seq("k1", "k2").take(depth)
+        .map(c => if (desc) col(c).desc else col(c).asc)
+      def run(df: DataFrame): Seq[Seq[Any]] = {
+        val f = filt.map(df.filter).getOrElse(df)
+        // compare the sorted prefix-value lists: deterministic under
+        // boundary ties, which full-row top-k is not
+        f.orderBy(order: _*).limit(k)
+          .select(Seq("k1", "k2").take(depth).map(col): _*)
+          .collect().toSeq.map(_.toSeq)
+      }
+      assert(run(KvCommands.table(spark, disjoint)) == run(base),
+        s"round $round (k=$k desc=$desc depth=$depth filt=$filt) disjoint")
+      assert(run(KvCommands.table(spark, overlapping)) == run(overRef),
+        s"round $round (k=$k desc=$desc depth=$depth filt=$filt) overlapping")
+    }
+  }
+
   test("random predicates: kv scans equal parquet under both codecs") {
     val maxKey = parquet.agg(max("l_orderkey")).head().getLong(0)
     val rnd = new scala.util.Random(42)
