@@ -74,10 +74,18 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (defs.isEmpty) return None
     val conjuncts = splitConjunctivePredicates(cond)
     val candidates = for {
-      d <- defs if d.cols.lengthCompare(1) == 0
-      attr <- r.output.find(_.name == d.cols.head).toSeq
-      // the index omits NULL-c rows, so the predicate must reject them
-      if conjuncts.exists(KvIndexRule.indexable(_, attr))
+      d <- defs
+      attrs = d.cols.map(c => r.output.find(_.name == c))
+      if attrs.forall(_.isDefined)
+      colAttrs = d.cols.zip(attrs.flatten)
+      // the index omits a row when ANY indexed column is NULL, so the
+      // predicate must reject NULLs on the lead (an indexable shape)
+      // AND on every trailing indexed column
+      if conjuncts.exists(KvIndexRule.indexable(_, colAttrs.head._2))
+      if colAttrs.tail.forall { case (_, a) =>
+        conjuncts.exists(c => KvIndexRule.indexable(c, a) ||
+          KvIndexRule.isNotNullOn(c, a))
+      }
       coveredNames = (d.cols ++ tbl.kvKeys).toSet
       if (projList ++ conjuncts).forall(_.references.forall(a =>
         coveredNames.contains(a.name)))
@@ -125,18 +133,35 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
       .toDoubleOption.getOrElse(0.5)
     val candidates = for {
       d <- defs
-      attr <- r.output.find(_.name == d.cols.head).toSeq
-      usable = conjuncts.filter(KvIndexRule.indexable(_, attr))
-      if usable.nonEmpty
-      if KvIndexRule.toV1(usable, d.cols.head).forall(p =>
+      attrs = d.cols.map(c => r.output.find(_.name == c))
+      if attrs.forall(_.isDefined)
+      colAttrs = d.cols.zip(attrs.flatten)
+      usableLead = conjuncts.filter(KvIndexRule.indexable(_, colAttrs.head._2))
+      if usableLead.nonEmpty
+      // EXACTNESS on a multi-column index: a base row is absent from it
+      // whenever ANY indexed column is NULL — the semi-join may only
+      // remove rows the original predicate rejects, so every trailing
+      // indexed column needs a null-rejecting conjunct too
+      if colAttrs.tail.forall { case (_, a) =>
+        conjuncts.exists(c => KvIndexRule.indexable(c, a) ||
+          KvIndexRule.isNotNullOn(c, a))
+      }
+      // trailing-column comparisons forward to the index scan (its own
+      // non-lead pruning/blooms consume them); the selectivity gate
+      // estimates from the LEAD predicate, the index's seek dimension
+      usable = usableLead ++ colAttrs.tail.flatMap { case (_, a) =>
+        conjuncts.filter(KvIndexRule.indexable(_, a))
+      }
+      if KvIndexRule.toV1(usableLead, d.cols.head).forall(p =>
         KvIndex.estimateLeadMatchFraction(KvIndex.indexPath(base, d.name), p)
           .forall(_ <= maxSel)) // no estimate ⇒ don't block
-    } yield (d, attr, usable)
-    candidates.headOption.flatMap { case (d, attr, usable) =>
+    } yield (d, colAttrs, usable)
+    candidates.headOption.flatMap { case (d, colAttrs, usable) =>
+      val byId = colAttrs.map { case (n, a) => a.exprId -> n }.toMap
       def onIndex(out: Map[String, Attribute]): Expression =
         usable.map(_.transform {
-          case a: AttributeReference if a.exprId == attr.exprId =>
-            out(d.cols.head)
+          case a: AttributeReference if byId.contains(a.exprId) =>
+            out(byId(a.exprId))
         }).reduce(And)
       indexRelation(base, d).zip(indexRelation(base, d)).map {
         case (idxRel, dppRel) => buildRewrite(cond, r, tbl, d, onIndex,
@@ -229,6 +254,15 @@ object KvIndexRule {
       case (Some(acc), e) => one(e).map(v1.And(acc, _))
     }
   }
+
+  /** Explicit IS NOT NULL on the attribute — enough to restore
+    * exactness for a trailing indexed column (see the multi-column
+    * candidates guard), though it prunes nothing on the index side. */
+  private[sql] def isNotNullOn(e: Expression, attr: Attribute): Boolean =
+    e match {
+      case IsNotNull(a: AttributeReference) => a.exprId == attr.exprId
+      case _ => false
+    }
 
   /** Predicate shapes the index can answer: null-rejecting comparisons
     * of the indexed attribute against literals (and OR-combinations of
