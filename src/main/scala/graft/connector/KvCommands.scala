@@ -374,7 +374,8 @@ object KvCommands {
         .getOrElse(Array.empty[String])
         .filter(n => (n.startsWith("._graft_segments.tmp-") ||
           n.startsWith("._graft_meta.tmp-") ||
-          n.startsWith("._graft_stats.tmp-")) &&
+          n.startsWith("._graft_stats.tmp-") ||
+          n.startsWith("._graft_maint_lease.tmp-")) &&
           new java.io.File(path, n).lastModified() <= cutoff)
         .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
       swept.length

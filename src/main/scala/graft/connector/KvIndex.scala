@@ -94,15 +94,21 @@ object KvIndex {
     listCache.invalidate(base)
 
   /** `list` + per-def `inSync` pre-filter, memoized per (table, base
-    * manifest version). Only in-sync definitions are returned. */
+    * manifest version). Only in-sync definitions are returned. The
+    * intent check runs OUTSIDE the memo: an intent can appear without a
+    * base commit (a zombie refresh detected itself), and a cached
+    * listing must not keep serving the suspect index. */
   def usableForPlanning(base: String): Seq[KvIndexDef] =
     listCache.usable(base)
+      .filterNot(d => Files.exists(intentMarker(indexPath(base, d.name))))
 
-  /** Is the index exactly as fresh as the base table? The rewrite uses
-    * an index ONLY when this holds, so index content is never trusted
+  /** Is the index exactly as fresh as the base table — and free of an
+    * in-flight/suspect refresh (intent marker)? The rewrite uses an
+    * index ONLY when this holds, so index content is never trusted
     * beyond the snapshot it provably reflects. */
   def inSync(base: String, d: KvIndexDef): Boolean =
-    SegmentFile.currentVersion(base).contains(d.baseVersion)
+    SegmentFile.currentVersion(base).contains(d.baseVersion) &&
+      !Files.exists(intentMarker(indexPath(base, d.name)))
 
   /** Estimated fraction of index rows a leading-key predicate can
     * match, from the packed per-segment planning stats alone (no data
@@ -254,16 +260,47 @@ object KvIndex {
     * refresh falls back to a FULL REBUILD from the current snapshot
     * (the same cost as CREATE INDEX; a half-applied incremental leaves
     * the watermark untouched, so the index just stays invisible to the
-    * rewrite until the rebuild lands). */
+    * rewrite until the rebuild lands).
+    *
+    * CONCURRENCY: refreshes serialize on the artifact's maintenance
+    * lease (KvMaintenance) — two interleaved refreshes with different
+    * watermark bases could strand GHOST entries (an entry for a value a
+    * later diff no longer knows to tombstone) behind an in-sync
+    * watermark. A caller that loses the lease returns the current def
+    * unchanged (staleness, never corruption). If a lease EXPIRY let a
+    * zombie write anyway, the pre-publish meta re-check routes it to an
+    * intent marker instead of a meta write: the index drops out of
+    * planning until the next refresh, which sees the intent and takes
+    * the absolute-rebuild path (erasing any ghosts). */
   def refresh(spark: SparkSession, base: String, name: String): KvIndexDef = {
+    val d0 = get(base, name).getOrElse(throw new IllegalArgumentException(
+      s"no index '$name' on $base"))
+    val path0 = indexPath(base, name)
+    if (currentOrFail(base) == d0.baseVersion &&
+      !Files.exists(intentMarker(path0))) return d0
+    KvMaintenance.acquire(path0) match {
+      case None => d0 // live refresh elsewhere — stay (safely) stale
+      case Some(lease) =>
+        try refreshLocked(spark, base, name)
+        finally KvMaintenance.release(lease)
+    }
+  }
+
+  private[connector] def intentMarker(idxPath: String): java.nio.file.Path =
+    Paths.get(idxPath, "._graft_idx_refreshing")
+
+  private def refreshLocked(spark: SparkSession, base: String,
+      name: String): KvIndexDef = {
+    // re-read under the lease: a queued-behind refresh may find a
+    // predecessor already advanced the watermark
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no index '$name' on $base"))
     val m = baseMeta(base)
     val vNow = currentOrFail(base)
-    if (vNow == d.baseVersion) return d
     val idxPath = indexPath(base, name)
-    val incremental =
-      try {
+    if (vNow == d.baseVersion && !Files.exists(intentMarker(idxPath))) return d
+    val incremental = !Files.exists(intentMarker(idxPath)) &&
+      (try {
         val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
           .persist() // one delta computation feeds both the drops and adds
         try {
@@ -285,7 +322,7 @@ object KvIndex {
           KvCommands.append(adds, idxPath)
           true
         } finally diff.unpersist()
-      } catch { case scala.util.control.NonFatal(_) => false }
+      } catch { case scala.util.control.NonFatal(_) => false })
     if (!incremental) {
       val entries = KvCommands.tableAsOf(spark, base, vNow)
         .select((d.cols ++ m.keys).map(col): _*)
@@ -295,9 +332,21 @@ object KvIndex {
     // refresh-driven tombstones accumulate → reclaim when read
     // amplification crosses the policy line (metadata-only check)
     KvCommands.autoCompact(spark, idxPath)
-    writeIndexMeta(idxPath, d.cols, vNow)
-    invalidate(base)
-    KvIndexDef(name, d.cols, vNow)
+    // zombie check (lease-expiry race): if ANOTHER refresh advanced the
+    // meta while we ran, our writes may be ghosts against its watermark
+    // — publish an intent instead of a meta write, so the index stays
+    // out of planning until the next refresh rebuilds it
+    val latest = get(base, name)
+    if (latest.exists(_.baseVersion != d.baseVersion)) {
+      Files.writeString(intentMarker(idxPath), vNow.toString)
+      invalidate(base)
+      latest.get
+    } else {
+      writeIndexMeta(idxPath, d.cols, vNow)
+      Files.deleteIfExists(intentMarker(idxPath))
+      invalidate(base)
+      KvIndexDef(name, d.cols, vNow)
+    }
   }
 
   def drop(base: String, name: String): Unit = {

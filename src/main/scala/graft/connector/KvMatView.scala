@@ -107,8 +107,12 @@ object KvMatView {
   def get(base: String, name: String): Option[KvMatViewDef] =
     readMvMeta(mvPath(base, name), name)
 
+  /** In sync = watermark matches the base AND no in-flight/suspect
+    * refresh (intent marker) — a mid-apply or zombie-touched view must
+    * never answer queries. */
   def inSync(base: String, d: KvMatViewDef): Boolean =
-    SegmentFile.currentVersion(base).contains(d.baseVersion)
+    SegmentFile.currentVersion(base).contains(d.baseVersion) &&
+      !Files.exists(intentMarker(mvPath(base, d.name)))
 
   // shared plan-time listing cache (see DerivedDefCache scaladoc)
   private val listCache =
@@ -117,9 +121,12 @@ object KvMatView {
   private[graft] def invalidate(base: String): Unit =
     listCache.invalidate(base)
 
-  /** In-sync view definitions, memoized per (table, manifest version). */
+  /** In-sync view definitions, memoized per (table, manifest version);
+    * the intent check runs OUTSIDE the memo (an intent can appear
+    * without a base commit). */
   def usableForPlanning(base: String): Seq[KvMatViewDef] =
     listCache.usable(base)
+      .filterNot(d => Files.exists(intentMarker(mvPath(base, d.name))))
 
   private def baseMeta(base: String): KvTableMeta =
     GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
@@ -218,15 +225,52 @@ object KvMatView {
     * finds it takes the absolute rebuild path (idempotent, overwrite). */
   private def intentMarker(p: String) = Paths.get(p, "._graft_mv_refreshing")
 
+  /** Marker content distinguishing a zombie-detected refresh (content
+    * may be corrupt at a MATCHING watermark) from an ordinary crash
+    * (marker + matching watermark = completed, safe to reclaim). */
+  private val Suspect = "suspect"
+
   /** Advance to the current base snapshot by folding the CDC delta into
     * the stored groups. No-op in sync; full rebuild when the watermark
-    * snapshot is gone or a previous refresh died mid-flight. */
+    * snapshot is gone or a previous refresh died mid-flight.
+    *
+    * CONCURRENCY: refreshes serialize on the maintenance lease
+    * (KvMaintenance) — the deltas are RELATIVE, so two interleaved
+    * refreshes from the same watermark would double-apply them. A
+    * caller that loses the lease returns the current def unchanged
+    * (staleness, never corruption); a zombie that outlived a stolen
+    * lease is caught by the pre-publish meta re-check and leaves an
+    * intent marker (next refresh rebuilds absolutely) instead of
+    * publishing over the thief's watermark. */
   def refresh(spark: SparkSession, base: String, name: String): KvMatViewDef = {
+    val d0 = get(base, name).getOrElse(throw new IllegalArgumentException(
+      s"no materialized view '$name' on $base"))
+    if (currentOrFail(base) == d0.baseVersion && d0.nullRowsByGroup.nonEmpty &&
+      !Files.exists(intentMarker(mvPath(base, name)))) return d0
+    KvMaintenance.acquire(mvPath(base, name)) match {
+      case None => d0 // live refresh elsewhere — stay (safely) stale
+      case Some(lease) =>
+        try refreshLocked(spark, base, name)
+        finally KvMaintenance.release(lease)
+    }
+  }
+
+  private def refreshLocked(spark: SparkSession, base: String,
+      name: String): KvMatViewDef = {
+    // re-read under the lease: a queued-behind refresh may find a
+    // predecessor already advanced the watermark
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no materialized view '$name' on $base"))
     val vNow = currentOrFail(base)
     val p = mvPath(base, name)
-    if (vNow == d.baseVersion) {
+    // a SUSPECT marker (zombie refresh detected itself post-hoc) means
+    // the content may be corrupt even though the watermark matches —
+    // never reclaim it; fall through to the rebuild path instead
+    val suspectMarker =
+      try Files.exists(intentMarker(p)) &&
+        Files.readString(intentMarker(p)).trim == Suspect
+      catch { case _: Exception => true } // unreadable marker: rebuild
+    if (vNow == d.baseVersion && !suspectMarker) {
       // a refresh that advanced the watermark but died before clearing
       // its marker is complete — reclaim the marker so the next real
       // refresh doesn't rebuild needlessly
@@ -340,6 +384,16 @@ object KvMatView {
       } finally snapNow.unpersist()
     }
     KvCommands.autoCompact(spark, p)
+    // zombie check (lease-expiry race): another refresh advancing the
+    // meta while we ran means our relative delta composed with its
+    // writes — leave the intent standing (next refresh rebuilds) and
+    // never publish over the thief's watermark
+    val latest = get(base, name)
+    if (latest.exists(_.baseVersion != d.baseVersion)) {
+      Files.writeString(intentMarker(p), Suspect)
+      invalidate(base)
+      return latest.get
+    }
     val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)
     writeMvMeta(p, nd)
     Files.deleteIfExists(intentMarker(p))

@@ -1,0 +1,101 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Maintenance-lease protocol: concurrent refreshes serialize (one
+  * holder, losers stay safely stale), stale leases are stolen, and
+  * suspect intent markers force a rebuild instead of being reclaimed. */
+class KvMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lease: exclusive acquire, release, stale steal") {
+    val dir = Files.createTempDirectory("kv_lease").toString
+    val l1 = KvMaintenance.acquire(dir)
+    assert(l1.isDefined)
+    assert(KvMaintenance.acquire(dir).isEmpty, "second acquire must fail")
+    KvMaintenance.release(l1.get)
+    val l2 = KvMaintenance.acquire(dir)
+    assert(l2.isDefined, "released lease must be reacquirable")
+    // stale steal: with a zero lease window the live lease is stealable
+    val l3 = KvMaintenance.acquire(dir, leaseMs = 0L)
+    assert(l3.isDefined, "stale lease must be stolen")
+    // the original holder's late release must NOT delete the thief's lease
+    KvMaintenance.release(l2.get)
+    assert(KvMaintenance.acquire(dir).isEmpty, "thief's lease must survive")
+    KvMaintenance.release(l3.get)
+  }
+
+  private def baseFixture(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix).toString + "/t"
+    KvCommands.createTable(
+      spark.range(2000).select(col("id").as("pk"), (col("id") % 50).as("c"),
+        (col("id") % 7).as("grp")),
+      p, Seq("pk"))
+    p
+  }
+
+  test("concurrent index refreshes: one wins, none corrupt") {
+    val p = baseFixture("kv_lease_idx")
+    KvIndex.create(spark, p, "ic", Seq("c"))
+    // two base commits, then two racing refreshes
+    KvCommands.append(spark.range(2000, 2400)
+      .select(col("id").as("pk"), (col("id") % 50).as("c"),
+        (col("id") % 7).as("grp")), p)
+    KvCommands.update(spark, p, col("pk") < 100, Map("c" -> lit(999L)))
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => { KvIndex.refresh(spark, p, "ic"); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // whoever won, a final (serial) refresh must land in-sync and exact
+    KvIndex.refresh(spark, p, "ic")
+    assert(KvIndex.get(p, "ic").exists(KvIndex.inSync(p, _)))
+    val viaIndex = KvCommands.table(spark, p).filter(col("c") === 999L)
+      .select("pk").as[Long].collect().sorted
+    assert(viaIndex.sameElements(Array.range(0, 100).map(_.toLong)))
+  }
+
+  test("concurrent matview refreshes never double-apply the delta") {
+    val p = baseFixture("kv_lease_mv")
+    KvMatView.create(spark, p, "mv", Seq("grp"), Seq("c"))
+    KvCommands.append(spark.range(2000, 2500)
+      .select(col("id").as("pk"), (col("id") % 50).as("c"),
+        (col("id") % 7).as("grp")), p)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => { KvMatView.refresh(spark, p, "mv"); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    KvMatView.refresh(spark, p, "mv") // a loser's skip catches up here
+    val stored = KvMatView.read(spark, p, "mv")
+      .select("grp", "cnt", "sum_c").as[(Long, Long, Long)].collect().toSet
+    val expect = KvCommands.table(spark, p).groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("c").as("sum_c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored == expect, s"stored=$stored expect=$expect")
+  }
+
+  test("suspect intent marker blocks planning and forces a healing rebuild") {
+    val p = baseFixture("kv_lease_suspect")
+    KvMatView.create(spark, p, "mv", Seq("grp"), Seq("c"))
+    val mvDir = KvMatView.mvPath(p, "mv")
+    // simulate a zombie's parting shot: suspect marker at a MATCHING
+    // watermark (content possibly corrupt)
+    Files.writeString(Paths.get(mvDir, "._graft_mv_refreshing"), "suspect")
+    assert(KvMatView.get(p, "mv").exists(d => !KvMatView.inSync(p, d)))
+    assert(KvMatView.usableForPlanning(p).isEmpty)
+    // refresh must REBUILD (not reclaim the marker), then be usable
+    KvMatView.refresh(spark, p, "mv")
+    assert(KvMatView.get(p, "mv").exists(KvMatView.inSync(p, _)))
+    assert(!Files.exists(Paths.get(mvDir, "._graft_mv_refreshing")))
+    // index analog
+    KvIndex.create(spark, p, "ic", Seq("c"))
+    Files.writeString(
+      KvIndex.intentMarker(KvIndex.indexPath(p, "ic")), "suspect")
+    assert(KvIndex.usableForPlanning(p).isEmpty)
+    KvIndex.refresh(spark, p, "ic")
+    assert(KvIndex.get(p, "ic").exists(KvIndex.inSync(p, _)))
+  }
+}
