@@ -29,6 +29,28 @@ class KvMaintenanceSpec extends AnyFunSuite {
     KvMaintenance.release(l3.get)
   }
 
+  test("the lease excludes across OS processes") {
+    val dir = Files.createTempDirectory("kv_lease_x").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val child = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.connector.KvLeaseHoldMain", dir, "4000")
+      .redirectErrorStream(true).start()
+    // wait for the child to actually hold the lease
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Files.exists(Paths.get(dir, "._graft_maint_lease")) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Files.exists(Paths.get(dir, "._graft_maint_lease")),
+      "child never acquired the lease")
+    assert(KvMaintenance.acquire(dir).isEmpty,
+      "a foreign process's live lease must exclude this one")
+    assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(child.exitValue() == 0)
+    val after = KvMaintenance.acquire(dir)
+    assert(after.isDefined, "released lease must be reacquirable")
+    KvMaintenance.release(after.get)
+  }
+
   private def baseFixture(prefix: String): String = {
     val p = Files.createTempDirectory(prefix).toString + "/t"
     KvCommands.createTable(
