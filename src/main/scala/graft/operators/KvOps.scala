@@ -660,6 +660,21 @@ object KvOps {
       }
     },
 
+    // TPC-H Q18 on kv storage: the HAVING subquery's GROUP BY
+    // l_orderkey runs SHUFFLE-FREE off the lineitem scan's
+    // KeyGroupedPartitioning (l_orderkey is the kv table's leading key
+    // — the reference's shuffle-free coprocessor aggregation, composed
+    // into a full TPC-H query); same shared builder + oracle as a19.
+    QuerySpec.checked("kv34_tpch_q18_on_kv", TpcH.q18OracleSql) { (s, d) =>
+      TpcH.q18 {
+        case "lineitem" => lineitemKv(s, d)
+        case "orders" => ordersKv(s, d)
+        case "customer" =>
+          KvCommands.table(s, ensure(s, d, "customer", Seq("c_custkey")))
+        case other => Tables.table(s, d, other)
+      }
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly

@@ -881,28 +881,8 @@ object Relational {
     // fact, and only then do the dimension joins and final grouping
     // run. Quantity sums route through DECIMAL(38,6) on BOTH sides so
     // the HAVING boundary cannot flip on float accumulation order.
-    QuerySpec.checked("a19_tpch_q18",
-      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
-        |FROM customer, orders, lineitem
-        |WHERE o_orderkey IN (
-        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300)
-        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""") { (s, d) =>
-      val li = t(s, d, "lineitem")
-      val big = li.groupBy("l_orderkey")
-        .agg(dsum(col("l_quantity")).as("__q"))
-        .filter(col("__q") > 300).select("l_orderkey")
-      li.join(big, Seq("l_orderkey"), "left_semi")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(dsum(col("l_quantity")).as("total_qty"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(20)
+    QuerySpec.checked("a19_tpch_q18", TpcH.q18OracleSql) { (s, d) =>
+      TpcH.q18(t(s, d, _))
     },
 
     // Rank-fraction window functions: the divisions are the same two

@@ -70,6 +70,37 @@ object TpcH {
       .limit(10)
   }
 
+  /** Q18 (large-volume customer) over ANY table source — shared by the
+    * parquet gate (`a19_tpch_q18`) and the kv-storage gate
+    * (`kv34_tpch_q18_on_kv`); on a kv lineitem keyed by l_orderkey the
+    * HAVING subquery's GROUP BY runs shuffle-free off the scan's
+    * KeyGroupedPartitioning. */
+  val q18OracleSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  def q18(table: String => DataFrame): DataFrame = {
+    val li = table("lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > 300).select("l_orderkey")
+    li.join(big, Seq("l_orderkey"), "left_semi")
+      .join(table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Q4 — order priority checking. EXISTS(lineitem shipped after the

@@ -149,6 +149,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("Q18 on kv needs fewer shuffles than on parquet (key-grouped HAVING agg)") {
+    def shuffles(name: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(planOf(name)).size
+    val kv = shuffles("kv34_tpch_q18_on_kv")
+    val pq = shuffles("a19_tpch_q18")
+    // the HAVING subquery's GROUP BY l_orderkey rides the kv scan's
+    // KeyGroupedPartitioning instead of shuffling the fact table
+    assert(kv < pq, s"kv34 shuffles=$kv, a19 shuffles=$pq")
+  }
+
   test("ORDER BY + LIMIT plans as top-k, not global sort (t2)") {
     assert(planOf("t2_sort_multi_dir").contains("TakeOrderedAndProject"))
   }
