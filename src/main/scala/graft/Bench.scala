@@ -44,7 +44,9 @@ object Bench {
     "h06_tpch_q6", "h07_tpch_q7", "h08_tpch_q8", "h09_tpch_q9",
     "a18_tpch_q10", "h12_tpch_q12", "h13_tpch_q13", "h14_tpch_q14",
     "h15_tpch_q15", "h17_tpch_q17", "a19_tpch_q18", "h19_tpch_q19",
-    "h21_tpch_q21", "h22_tpch_q22")
+    "h21_tpch_q21", "h22_tpch_q22",
+    // the same queries on the engine's own storage (fixtures warm)
+    "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv")
 
   /** Queries of the previous round's bench (newest BENCH_r*.json in the
     * repo root), for in-run regression deltas. Extracted with a regex —
@@ -111,6 +113,7 @@ object Bench {
     // would otherwise fold into the timed number)
     Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
       "kv26_metadata_sum", "kv29_index_lookup", "kv30_matview_agg",
+      "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv",
       "ann2_lsh_topk", "dd1_exact_dedup",
       "dd3_minhash_lsh_neardup").foreach { w =>
       try queries(w)(spark, sfDir).count()
