@@ -281,7 +281,7 @@ object KvIndex {
     KvMaintenance.acquire(path0) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
       case Some(lease) =>
-        try refreshLocked(spark, base, name)
+        try refreshLocked(spark, base, name, lease)
         finally KvMaintenance.release(lease)
     }
   }
@@ -290,7 +290,7 @@ object KvIndex {
     Paths.get(idxPath, "._graft_idx_refreshing")
 
   private def refreshLocked(spark: SparkSession, base: String,
-      name: String): KvIndexDef = {
+      name: String, lease: KvMaintenance.Lease): KvIndexDef = {
     // re-read under the lease: a queued-behind refresh may find a
     // predecessor already advanced the watermark
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
@@ -298,8 +298,13 @@ object KvIndex {
     val m = baseMeta(base)
     val vNow = currentOrFail(base)
     val idxPath = indexPath(base, name)
-    if (vNow == d.baseVersion && !Files.exists(intentMarker(idxPath))) return d
-    val incremental = !Files.exists(intentMarker(idxPath)) &&
+    val markerAtStart: Option[String] =
+      try {
+        if (!Files.exists(intentMarker(idxPath))) None
+        else Some(Files.readString(intentMarker(idxPath)).trim)
+      } catch { case _: Exception => Some("suspect") }
+    if (vNow == d.baseVersion && markerAtStart.isEmpty) return d
+    val incremental = markerAtStart.isEmpty &&
       (try {
         val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
           .persist() // one delta computation feeds both the drops and adds
@@ -337,13 +342,22 @@ object KvIndex {
     // — publish an intent instead of a meta write, so the index stays
     // out of planning until the next refresh rebuilds it
     val latest = get(base, name)
-    if (latest.exists(_.baseVersion != d.baseVersion)) {
-      Files.writeString(intentMarker(idxPath), vNow.toString)
+    if (latest.exists(_.baseVersion != d.baseVersion) ||
+        !KvMaintenance.stillHeld(lease)) {
+      Files.writeString(intentMarker(idxPath),
+        s"suspect-${java.util.UUID.randomUUID().toString.take(8)}")
       invalidate(base)
-      latest.get
+      latest.getOrElse(d)
     } else {
       writeIndexMeta(idxPath, d.cols, vNow)
-      Files.deleteIfExists(intentMarker(idxPath))
+      // clear only the marker we observed at start (our rebuild healed
+      // it); a concurrent zombie's FRESH marker — different content —
+      // must survive this publish
+      val markerOurs =
+        try !Files.exists(intentMarker(idxPath)) ||
+          markerAtStart.contains(Files.readString(intentMarker(idxPath)).trim)
+        catch { case _: Exception => false }
+      if (markerOurs) Files.deleteIfExists(intentMarker(idxPath))
       invalidate(base)
       KvIndexDef(name, d.cols, vNow)
     }

@@ -54,7 +54,10 @@ object KvMaintenance {
   }
 
   /** Acquire the artifact's maintenance lease, or None when a live
-    * holder exists. A stale lease (older than `leaseMs`) is stolen. */
+    * holder exists. A stale lease (older than `leaseMs`) is stolen via
+    * an ATOMIC RENAME — of two concurrent stealers exactly one wins
+    * the move (the loser's move throws), so a delete-then-create race
+    * can never hand the lease to both. */
   def acquire(artifactDir: String,
       leaseMs: Long = DefaultLeaseMs): Option[Lease] = {
     val p = leasePath(artifactDir)
@@ -66,17 +69,46 @@ object KvMaintenance {
         try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
         catch { case _: Exception => -1L } // vanished — retry the create
       if (age >= 0 && age < leaseMs) return None // live holder
-      try Files.deleteIfExists(p) catch { case _: Exception => () }
+      // atomic steal: only the single successful mover may retry the
+      // create; a failed move means another stealer (or the create
+      // loop) got there first — loop and re-evaluate
+      try Files.move(p,
+        p.resolveSibling(s"._graft_maint_lease.stolen-${token.take(8)}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => () }
+      try Files.deleteIfExists(
+        p.resolveSibling(s"._graft_maint_lease.stolen-${token.take(8)}"))
+      catch { case _: Exception => () }
       attempts += 1
     }
     None
   }
 
-  /** Release — deletes only OUR lease (a thief's newer lease, written
-    * after ours expired, must survive our late release). */
+  /** Does `l` still name the CURRENT lease? A holder must re-check this
+    * immediately before publishing anything irreversible — a stolen
+    * lease means a successor may have run, and the holder's writes are
+    * suspect (the refresh implementations quarantine instead). */
+  def stillHeld(l: Lease): Boolean =
+    try Files.exists(l.path) && Files.readString(l.path) == l.token
+    catch { case _: Exception => false }
+
+  /** Release — removes only OUR lease, atomically: the lease file is
+    * MOVED to a private name first (single winner), its content
+    * verified, and a foreign lease (a thief's, stolen after ours
+    * expired) is moved back if the slot is still free. A thief whose
+    * lease was transiently displaced fails its own pre-publish
+    * `stillHeld` check — the backstop for the unrestorable corner. */
   def release(l: Lease): Unit =
     try {
-      if (Files.exists(l.path) && Files.readString(l.path) == l.token)
-        Files.delete(l.path)
+      val trash = l.path.resolveSibling(
+        s"._graft_maint_lease.rel-${l.token.take(8)}")
+      Files.move(l.path, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (Files.readString(trash) == l.token) Files.delete(trash)
+      else {
+        // we displaced a thief's live lease — put it back if possible
+        try Files.move(trash, l.path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception => Files.deleteIfExists(trash) }
+      }
     } catch { case _: Exception => () }
 }

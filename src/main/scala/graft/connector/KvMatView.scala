@@ -250,13 +250,13 @@ object KvMatView {
     KvMaintenance.acquire(mvPath(base, name)) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
       case Some(lease) =>
-        try refreshLocked(spark, base, name)
+        try refreshLocked(spark, base, name, lease)
         finally KvMaintenance.release(lease)
     }
   }
 
   private def refreshLocked(spark: SparkSession, base: String,
-      name: String): KvMatViewDef = {
+      name: String, lease: KvMaintenance.Lease): KvMatViewDef = {
     // re-read under the lease: a queued-behind refresh may find a
     // predecessor already advanced the watermark
     val d = get(base, name).getOrElse(throw new IllegalArgumentException(
@@ -266,10 +266,15 @@ object KvMatView {
     // a SUSPECT marker (zombie refresh detected itself post-hoc) means
     // the content may be corrupt even though the watermark matches —
     // never reclaim it; fall through to the rebuild path instead
-    val suspectMarker =
-      try Files.exists(intentMarker(p)) &&
-        Files.readString(intentMarker(p)).trim == Suspect
-      catch { case _: Exception => true } // unreadable marker: rebuild
+    // capture the start-of-refresh marker CONTENT: the publish tail may
+    // clear exactly the marker it observed (and healed) — a zombie's
+    // fresh marker, even another suspect one, has different content
+    val markerAtStart: Option[String] =
+      try {
+        if (!Files.exists(intentMarker(p))) None
+        else Some(Files.readString(intentMarker(p)).trim)
+      } catch { case _: Exception => Some(Suspect) } // unreadable: rebuild
+    val suspectMarker = markerAtStart.exists(_.startsWith(Suspect))
     if (vNow == d.baseVersion && !suspectMarker) {
       // a refresh that advanced the watermark but died before clearing
       // its marker is complete — reclaim the marker so the next real
@@ -348,7 +353,10 @@ object KvMatView {
                     .as(s"__sum_$c"),
                   (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
                     .as(s"__nn_$c"))): _*)
-            Files.writeString(intentMarker(p), vNow.toString)
+            // marker content = OUR lease token (the publish tail only
+            // clears a marker it owns; "suspect" markers never carry a
+            // token, so they are never mistaken for ours)
+            Files.writeString(intentMarker(p), lease.token)
             KvCommands.append(merged, p)
           }
           nullRowsNow =
@@ -375,8 +383,12 @@ object KvMatView {
         } finally diff.unpersist()
       } catch { case scala.util.control.NonFatal(_) => false })
     if (!incremental) {
-      // writeString truncates an existing marker in place
-      Files.writeString(intentMarker(p), vNow.toString)
+      // a SUSPECT marker must stay suspect until the healing rebuild
+      // PUBLISHES — overwriting it here and crashing mid-rebuild would
+      // let the next refresh's reclaim shortcut erase the corruption
+      // signal while the data is still corrupt
+      if (!suspectMarker)
+        Files.writeString(intentMarker(p), lease.token)
       val snapNow = KvCommands.tableAsOf(spark, base, vNow).persist()
       try {
         KvCommands.createTable(fold(snapNow, d), p, d.groupCols, m.encoding)
@@ -384,19 +396,30 @@ object KvMatView {
       } finally snapNow.unpersist()
     }
     KvCommands.autoCompact(spark, p)
-    // zombie check (lease-expiry race): another refresh advancing the
-    // meta while we ran means our relative delta composed with its
-    // writes — leave the intent standing (next refresh rebuilds) and
-    // never publish over the thief's watermark
+    // zombie checks (lease-expiry race): if another refresh advanced
+    // the meta while we ran, OR our lease was stolen (a successor may
+    // be mid-flight right now), our relative delta may have composed
+    // with foreign writes — quarantine behind a suspect marker and
+    // never publish
     val latest = get(base, name)
-    if (latest.exists(_.baseVersion != d.baseVersion)) {
-      Files.writeString(intentMarker(p), Suspect)
+    if (latest.exists(_.baseVersion != d.baseVersion) ||
+        !KvMaintenance.stillHeld(lease)) {
+      Files.writeString(intentMarker(p),
+        s"$Suspect-${java.util.UUID.randomUUID().toString.take(8)}")
       invalidate(base)
-      return latest.get
+      return latest.getOrElse(d)
     }
     val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)
     writeMvMeta(p, nd)
-    Files.deleteIfExists(intentMarker(p))
+    // clear only a marker WE own (our token, or the suspect marker our
+    // rebuild just healed) — a concurrent zombie's fresh suspect marker
+    // must survive this publish
+    val markerOurs =
+      try !Files.exists(intentMarker(p)) || {
+        val c = Files.readString(intentMarker(p)).trim
+        c == lease.token || markerAtStart.contains(c)
+      } catch { case _: Exception => false }
+    if (markerOurs) Files.deleteIfExists(intentMarker(p))
     invalidate(base)
     nd
   }

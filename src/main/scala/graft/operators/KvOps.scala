@@ -66,6 +66,9 @@ object KvOps {
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
 
+  private def customerKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensure(s, d, "customer", Seq("c_custkey")))
+
   /** Orders with a secondary index on o_custkey (created on first use,
     * refreshed if another fixture writer advanced the table — the gate
     * must exercise the in-sync rewrite, not the stale fallback). */
@@ -652,8 +655,7 @@ object KvOps {
     // analytical join, not just per-table round-trips.
     QuerySpec.checked("kv32_tpch_q3_on_kv", TpcH.q3OracleSql) { (s, d) =>
       TpcH.q3 {
-        case "customer" =>
-          KvCommands.table(s, ensure(s, d, "customer", Seq("c_custkey")))
+        case "customer" => customerKv(s, d)
         case "orders" => ordersKv(s, d)
         case "lineitem" => lineitemKv(s, d)
         case other => Tables.table(s, d, other)
@@ -669,8 +671,7 @@ object KvOps {
       TpcH.q18 {
         case "lineitem" => lineitemKv(s, d)
         case "orders" => ordersKv(s, d)
-        case "customer" =>
-          KvCommands.table(s, ensure(s, d, "customer", Seq("c_custkey")))
+        case "customer" => customerKv(s, d)
         case other => Tables.table(s, d, other)
       }
     },
