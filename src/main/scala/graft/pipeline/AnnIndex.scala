@@ -103,6 +103,26 @@ object AnnIndex {
       cents.map(_.mkString(",")).mkString("\n"))
   }
 
+  /** Append new vectors to an EXISTING index without re-clustering —
+    * the maintenance path for a growing corpus: signatures compute
+    * exactly as at build, cells assign against the PERSISTED centroids
+    * (cells only gain members, so probe semantics are unchanged), and
+    * the new rows land as additional parquet files inside their cell
+    * partitions. Probes stay EXACT over whichever cells they read at
+    * any staleness — centroid drift can only erode which cells a query
+    * probes (recall), never the ranking of what it reads; rebuild when
+    * the corpus has grown far past the clustering. */
+  def append(newVectors: DataFrame, path: String, dim: Int,
+      nPlanes: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val cents = loadCentroids(path)
+    newVectors.select(col(idCol), col(vecCol),
+        Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
+        nearestCell(cents, col(vecCol)).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   def loadCentroids(path: String): Array[Array[Double]] =
     Files.readString(centroidFile(path)).split("\n")
       .map(_.split(",").map(_.toDouble))

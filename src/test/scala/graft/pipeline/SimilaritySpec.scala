@@ -137,6 +137,43 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("AnnIndex.append grows the index in place with unchanged probe semantics") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(200).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("annidx_app").toString + "/idx"
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val extra = emb.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.build(base, dir, dim = dim, nPlanes = 16, nCentroids = 8)
+    AnnIndex.append(extra, dir, dim = dim, nPlanes = 16)
+    val idx = spark.read.parquet(dir).cache()
+    // every vector present exactly once
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // routing invariant: every stored cell equals the nearest-centroid
+    // assignment under the PERSISTED centroids (append never re-clusters)
+    val cents = AnnIndex.loadCentroids(dir)
+    val misrouted = idx.filter(
+      AnnIndex.nearestCell(cents, col("embedding")) =!= col("cell")).count()
+    assert(misrouted == 0)
+    // an appended vector is findable: its own top-1 is itself at sim≈1
+    val probes = extra.limit(3).collect()
+    probes.foreach { r =>
+      val q = r.getSeq[Float](1)
+      val top = AnnIndex.ivfTopK(spark, dir, q, k = 1, nProbe = 8).head()
+      assert(top.getAs[Long]("vec_id") == r.getLong(0))
+      assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+    // full-probe IVF over the appended index equals brute force over ALL
+    val q0 = emb.filter($"vec_id" === 1).select("embedding").head().getSeq[Float](0)
+    val bf = Similarity.bruteForceTopK(emb, q0, k = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = AnnIndex.ivfTopK(spark, dir, q0, k = 5, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf == bf)
+    idx.unpersist(); emb.unpersist()
+  }
+
   test("matches corpus embeddings against an in-test oracle") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
     val rows = emb.collect().map(r =>
