@@ -151,6 +151,12 @@ class KvFuzzSpec extends AnyFunSuite {
     val disjoint = Files.createTempDirectory("kv_topn_fz_d").toString + "/t"
     KvCommands.createTable(base, disjoint, Seq("k1", "k2"),
       maxSegBytes = Some(16384L))
+    // stringformat variant: selection boundaries compare through the
+    // TYPED key comparators, not byte order
+    val strFmt = Files.createTempDirectory("kv_topn_fz_s").toString + "/t"
+    KvCommands.createTable(base, strFmt, Seq("k1", "k2"),
+      encoding = graft.store.RowCodec.StringFormat,
+      maxSegBytes = Some(16384L))
     val overlapping = Files.createTempDirectory("kv_topn_fz_o").toString + "/t"
     KvCommands.createTable(base, overlapping, Seq("k1", "k2"),
       maxSegBytes = Some(16384L))
@@ -189,6 +195,8 @@ class KvFuzzSpec extends AnyFunSuite {
       }
       assert(run(KvCommands.table(spark, disjoint)) == run(base),
         s"round $round (k=$k desc=$desc depth=$depth filt=$filt) disjoint")
+      assert(run(KvCommands.table(spark, strFmt)) == run(base),
+        s"round $round (k=$k desc=$desc depth=$depth filt=$filt) stringformat")
       assert(run(KvCommands.table(spark, overlapping)) == run(overRef),
         s"round $round (k=$k desc=$desc depth=$depth filt=$filt) overlapping")
     }
