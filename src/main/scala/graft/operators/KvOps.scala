@@ -676,6 +676,19 @@ object KvOps {
       }
     },
 
+    // The LLM-pipeline operators COMPOSE with the engine's own storage:
+    // exact dedup (shuffle on the 16-byte text hash) over a kv-stored
+    // documents table, against the same oracle as parquet dd1 — a
+    // curation pipeline can run where the corpus lives.
+    QuerySpec.checked("kv35_dedup_on_kv",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  min(doc_id) AS keep_id, count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""") { (s, d) =>
+      graft.pipeline.Dedup.exactDedup(
+        KvCommands.table(s, ensure(s, d, "documents", Seq("doc_id"))))
+        .orderBy("keep_id")
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly
