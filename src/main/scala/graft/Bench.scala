@@ -330,7 +330,17 @@ object Bench {
         .orElse(Option("/root/repo/tmp/sf1")
           .filter(p => new java.io.File(p, "documents.parquet").exists()))
         .map(d => s""","sf1":${dedupStats(d)}""").getOrElse("")
-      s""","dedup":{"primary":$primary$atSf1}"""
+      // decontamination at the primary SF: one batch pass (train =
+      // doc_id%20≠0 vs the %20=0 benchmark slice), wall + survivors
+      val decontam = try {
+        val t0 = System.nanoTime()
+        val survivors = queries("dc2_decontaminate")(spark, sfDir).count()
+        s""","decontam_sec":${fmt((System.nanoTime() - t0) / 1e9)},"decontam_survivors":$survivors"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] decontam failed: ${e.getMessage}")
+        ""
+      }
+      s""","dedup":{"primary":$primary$atSf1$decontam}"""
     }
 
     // streaming near-dup end-to-end (bounded stream of the primary-SF
