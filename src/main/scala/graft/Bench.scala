@@ -115,7 +115,7 @@ object Bench {
       "kv26_metadata_sum", "kv29_index_lookup", "kv30_matview_agg",
       "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv",
       "ann2_lsh_topk", "dd1_exact_dedup",
-      "dd3_minhash_lsh_neardup").foreach { w =>
+      "dd3_minhash_lsh_neardup", "dc2_decontaminate").foreach { w =>
       try queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")

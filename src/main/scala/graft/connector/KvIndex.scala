@@ -100,7 +100,7 @@ object KvIndex {
     * listing must not keep serving the suspect index. */
   def usableForPlanning(base: String): Seq[KvIndexDef] =
     listCache.usable(base)
-      .filterNot(d => Files.exists(intentMarker(indexPath(base, d.name))))
+      .filterNot(d => KvMaintenance.markerExists(indexPath(base, d.name)))
 
   /** Is the index exactly as fresh as the base table — and free of an
     * in-flight/suspect refresh (intent marker)? The rewrite uses an
@@ -108,7 +108,7 @@ object KvIndex {
     * beyond the snapshot it provably reflects. */
   def inSync(base: String, d: KvIndexDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion) &&
-      !Files.exists(intentMarker(indexPath(base, d.name)))
+      !KvMaintenance.markerExists(indexPath(base, d.name))
 
   /** Estimated fraction of index rows a leading-key predicate can
     * match, from the packed per-segment planning stats alone (no data
@@ -277,7 +277,7 @@ object KvIndex {
       s"no index '$name' on $base"))
     val path0 = indexPath(base, name)
     if (currentOrFail(base) == d0.baseVersion &&
-      !Files.exists(intentMarker(path0))) return d0
+      !KvMaintenance.markerExists(path0)) return d0
     KvMaintenance.acquire(path0) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
       case Some(lease) =>
@@ -285,9 +285,6 @@ object KvIndex {
         finally KvMaintenance.release(lease)
     }
   }
-
-  private[connector] def intentMarker(idxPath: String): java.nio.file.Path =
-    Paths.get(idxPath, "._graft_idx_refreshing")
 
   private def refreshLocked(spark: SparkSession, base: String,
       name: String, lease: KvMaintenance.Lease): KvIndexDef = {
@@ -298,11 +295,7 @@ object KvIndex {
     val m = baseMeta(base)
     val vNow = currentOrFail(base)
     val idxPath = indexPath(base, name)
-    val markerAtStart: Option[String] =
-      try {
-        if (!Files.exists(intentMarker(idxPath))) None
-        else Some(Files.readString(intentMarker(idxPath)).trim)
-      } catch { case _: Exception => Some("suspect") }
+    val markerAtStart = KvMaintenance.readMarker(idxPath)
     if (vNow == d.baseVersion && markerAtStart.isEmpty) return d
     val incremental = markerAtStart.isEmpty &&
       (try {
@@ -344,20 +337,14 @@ object KvIndex {
     val latest = get(base, name)
     if (latest.exists(_.baseVersion != d.baseVersion) ||
         !KvMaintenance.stillHeld(lease)) {
-      Files.writeString(intentMarker(idxPath),
-        s"suspect-${java.util.UUID.randomUUID().toString.take(8)}")
+      KvMaintenance.quarantine(idxPath)
       invalidate(base)
       latest.getOrElse(d)
     } else {
       writeIndexMeta(idxPath, d.cols, vNow)
-      // clear only the marker we observed at start (our rebuild healed
-      // it); a concurrent zombie's FRESH marker — different content —
-      // must survive this publish
-      val markerOurs =
-        try !Files.exists(intentMarker(idxPath)) ||
-          markerAtStart.contains(Files.readString(intentMarker(idxPath)).trim)
-        catch { case _: Exception => false }
-      if (markerOurs) Files.deleteIfExists(intentMarker(idxPath))
+      // a concurrent zombie's FRESH marker — never our token nor the
+      // content we observed — survives this publish
+      KvMaintenance.clearIfOwned(idxPath, lease, markerAtStart)
       invalidate(base)
       KvIndexDef(name, d.cols, vNow)
     }

@@ -2,27 +2,41 @@ package graft.connector
 
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
-/** Cross-process SINGLE-WRITER LEASE for derived-artifact maintenance
-  * (secondary-index / materialized-view refresh).
+/** Cross-process SINGLE-WRITER LEASE + intent-marker protocol for
+  * derived-artifact maintenance (secondary-index / materialized-view
+  * refresh).
   *
   * Why: a refresh applies a CDC delta computed against the watermark it
   * READ — two refreshes interleaved with base commits can each apply a
   * correct-in-isolation delta whose COMPOSITION is wrong (the matview's
   * relative counts double-apply; the index strands ghost entries whose
   * tombstones nobody will ever write) while the last meta write claims
-  * the artifact in sync. Refreshes are therefore serialized per
-  * artifact: one holder at a time, everyone else SKIPS (staleness — the
-  * rewrite simply keeps not using the artifact — is the documented
-  * degradation; wrong answers are not).
+  * the artifact in sync. Refreshes therefore serialize per artifact:
+  * one holder at a time, everyone else SKIPS (staleness — the rewrite
+  * simply keeps not using the artifact — is the documented degradation;
+  * wrong answers are not).
   *
   * Mechanics: create-if-absent of `._graft_maint_lease` (hard-link CAS
   * with an exclusive-create fallback, the manifest-commit primitive). A
   * fresh lease blocks acquisition; a lease older than `leaseMs` is a
-  * crashed/stalled holder and is STOLEN (delete + retry once). A holder
-  * that lost its lease to a thief and kept writing is the ZOMBIE case:
-  * refreshers re-check their meta just before publishing and route to a
-  * rebuild instead (see the refresh implementations) — the lease bounds
-  * normal concurrency, the meta re-check bounds expiry races.
+  * crashed/stalled holder and is STOLEN by an atomic rename whose
+  * moved content is VERIFIED against what the stealer observed — a
+  * rename that turns out to have displaced a different (fresh) lease
+  * is restored, so concurrent stealers cannot both win. A holder that
+  * lost its lease and kept writing is the ZOMBIE case: refreshers
+  * re-check `stillHeld` just before publishing and QUARANTINE (suspect
+  * marker) instead.
+  *
+  * RESIDUAL WINDOW (documented, not closed): the lease has no fencing
+  * token on the artifact's data/meta files themselves, so a zombie
+  * that passes its `stillHeld` check and then stalls can still publish
+  * stale meta over a successor's (or append data a successor's
+  * incremental read composes with) — this requires a lease EXPIRY
+  * (≥ 30 min stall) plus a precise interleaving, and the suspect
+  * quarantine catches every case where either party survives to its
+  * publish tail. Full closure would need per-artifact fenced commits;
+  * the practical guidance is the default lease being far above any
+  * sane refresh duration.
   */
 object KvMaintenance {
 
@@ -55,9 +69,9 @@ object KvMaintenance {
 
   /** Acquire the artifact's maintenance lease, or None when a live
     * holder exists. A stale lease (older than `leaseMs`) is stolen via
-    * an ATOMIC RENAME — of two concurrent stealers exactly one wins
-    * the move (the loser's move throws), so a delete-then-create race
-    * can never hand the lease to both. */
+    * an atomic rename, and the MOVED CONTENT is verified against the
+    * stale content observed — a steal that displaced someone else's
+    * fresh lease (the observe-to-move race) restores it and retries. */
   def acquire(artifactDir: String,
       leaseMs: Long = DefaultLeaseMs): Option[Lease] = {
     val p = leasePath(artifactDir)
@@ -65,20 +79,36 @@ object KvMaintenance {
     var attempts = 0
     while (attempts < 3) {
       if (tryCreate(p, token)) return Some(Lease(p, token))
-      val age =
-        try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
-        catch { case _: Exception => -1L } // vanished — retry the create
-      if (age >= 0 && age < leaseMs) return None // live holder
-      // atomic steal: only the single successful mover may retry the
-      // create; a failed move means another stealer (or the create
-      // loop) got there first — loop and re-evaluate
-      try Files.move(p,
-        p.resolveSibling(s"._graft_maint_lease.stolen-${token.take(8)}"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Exception => () }
-      try Files.deleteIfExists(
-        p.resolveSibling(s"._graft_maint_lease.stolen-${token.take(8)}"))
-      catch { case _: Exception => () }
+      val observed =
+        try {
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis
+          if (age < leaseMs) return None // live holder
+          Some(Files.readString(p))
+        } catch { case _: Exception => None } // vanished — retry create
+      observed match {
+        case None => ()
+        case Some(staleContent) =>
+          val moved = p.resolveSibling(
+            s"._graft_maint_lease.stolen-${token.take(8)}")
+          try {
+            Files.move(p, moved, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // verify we moved the lease we OBSERVED as stale — losing
+            // this check would let two stealers both acquire (one by
+            // displacing the other's fresh lease)
+            if (Files.readString(moved) == staleContent)
+              Files.deleteIfExists(moved)
+            else {
+              // displaced a fresh lease — put it back if the slot is
+              // still free; otherwise leave the file for the sweeper
+              // (its holder's stillHeld check fails safe)
+              try Files.move(moved, p,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: Exception => () }
+              return None
+            }
+          } catch { case _: Exception => () } // lost the move race — loop
+      }
       attempts += 1
     }
     None
@@ -95,9 +125,10 @@ object KvMaintenance {
   /** Release — removes only OUR lease, atomically: the lease file is
     * MOVED to a private name first (single winner), its content
     * verified, and a foreign lease (a thief's, stolen after ours
-    * expired) is moved back if the slot is still free. A thief whose
-    * lease was transiently displaced fails its own pre-publish
-    * `stillHeld` check — the backstop for the unrestorable corner. */
+    * expired) is moved back if the slot is still free. When the slot
+    * was re-taken the displaced lease file is LEFT ON DISK (aged tmp
+    * sweep reclaims it) — its holder's `stillHeld` check fails safe;
+    * deleting it would tell us nothing and lose the record. */
   def release(l: Lease): Unit =
     try {
       val trash = l.path.resolveSibling(
@@ -105,10 +136,61 @@ object KvMaintenance {
       Files.move(l.path, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       if (Files.readString(trash) == l.token) Files.delete(trash)
       else {
-        // we displaced a thief's live lease — put it back if possible
         try Files.move(trash, l.path,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Exception => Files.deleteIfExists(trash) }
+        catch { case _: Exception => () } // leave for the sweep
       }
     } catch { case _: Exception => () }
+
+  // ── intent markers (shared by index and matview refresh) ──────────────
+  // One marker file per artifact. Content semantics:
+  //  - a lease TOKEN: an incremental apply is (or was) in flight under
+  //    that lease — plus watermark-in-sync it means "completed but died
+  //    before the clear" (reclaimable);
+  //  - "suspect-<id>": a zombie detected its own writes may be corrupt —
+  //    NEVER reclaimable; the next refresh must rebuild absolutely.
+
+  private val SuspectPrefix = "suspect"
+
+  def markerPath(artifactDir: String): Path =
+    Paths.get(artifactDir, "._graft_maint_intent")
+
+  def markerExists(artifactDir: String): Boolean =
+    Files.exists(markerPath(artifactDir))
+
+  /** Marker content at refresh start (None = absent; unreadable reads
+    * as a fresh suspect so the caller rebuilds). */
+  def readMarker(artifactDir: String): Option[String] =
+    try {
+      if (!Files.exists(markerPath(artifactDir))) None
+      else Some(Files.readString(markerPath(artifactDir)).trim)
+    } catch { case _: Exception => Some(s"$SuspectPrefix-unreadable") }
+
+  def isSuspect(content: Option[String]): Boolean =
+    content.exists(_.startsWith(SuspectPrefix))
+
+  /** Write the in-flight marker for an incremental apply (content = the
+    * holder's lease token, so only this holder's publish clears it). */
+  def markInFlight(artifactDir: String, l: Lease): Unit =
+    Files.writeString(markerPath(artifactDir), l.token)
+
+  /** Quarantine: unique suspect content — never equal to any token or
+    * to a previously-observed marker, so no publish tail clears it. */
+  def quarantine(artifactDir: String): Unit =
+    Files.writeString(markerPath(artifactDir),
+      s"$SuspectPrefix-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Clear the marker iff its CURRENT content is ours to clear: our
+    * lease token, or exactly the content we observed at start (our
+    * rebuild healed it). A concurrent zombie's fresh marker — different
+    * content by construction — survives. */
+  def clearIfOwned(artifactDir: String, l: Lease,
+      observedAtStart: Option[String]): Unit = {
+    val ours =
+      try !Files.exists(markerPath(artifactDir)) || {
+        val c = Files.readString(markerPath(artifactDir)).trim
+        c == l.token || observedAtStart.contains(c)
+      } catch { case _: Exception => false }
+    if (ours) Files.deleteIfExists(markerPath(artifactDir))
+  }
 }

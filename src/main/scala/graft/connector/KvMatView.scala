@@ -112,7 +112,7 @@ object KvMatView {
     * never answer queries. */
   def inSync(base: String, d: KvMatViewDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion) &&
-      !Files.exists(intentMarker(mvPath(base, d.name)))
+      !KvMaintenance.markerExists(mvPath(base, d.name))
 
   // shared plan-time listing cache (see DerivedDefCache scaladoc)
   private val listCache =
@@ -126,7 +126,7 @@ object KvMatView {
     * without a base commit). */
   def usableForPlanning(base: String): Seq[KvMatViewDef] =
     listCache.usable(base)
-      .filterNot(d => Files.exists(intentMarker(mvPath(base, d.name))))
+      .filterNot(d => KvMaintenance.markerExists(mvPath(base, d.name)))
 
   private def baseMeta(base: String): KvTableMeta =
     GraftKvMeta.read(base).getOrElse(throw new IllegalArgumentException(
@@ -223,12 +223,6 @@ object KvMatView {
     * the marker is written before the incremental data commit and
     * cleared only after the watermark advanced, so any refresh that
     * finds it takes the absolute rebuild path (idempotent, overwrite). */
-  private def intentMarker(p: String) = Paths.get(p, "._graft_mv_refreshing")
-
-  /** Marker content distinguishing a zombie-detected refresh (content
-    * may be corrupt at a MATCHING watermark) from an ordinary crash
-    * (marker + matching watermark = completed, safe to reclaim). */
-  private val Suspect = "suspect"
 
   /** Advance to the current base snapshot by folding the CDC delta into
     * the stored groups. No-op in sync; full rebuild when the watermark
@@ -246,7 +240,7 @@ object KvMatView {
     val d0 = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no materialized view '$name' on $base"))
     if (currentOrFail(base) == d0.baseVersion && d0.nullRowsByGroup.nonEmpty &&
-      !Files.exists(intentMarker(mvPath(base, name)))) return d0
+      !KvMaintenance.markerExists(mvPath(base, name))) return d0
     KvMaintenance.acquire(mvPath(base, name)) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
       case Some(lease) =>
@@ -269,17 +263,14 @@ object KvMatView {
     // capture the start-of-refresh marker CONTENT: the publish tail may
     // clear exactly the marker it observed (and healed) — a zombie's
     // fresh marker, even another suspect one, has different content
-    val markerAtStart: Option[String] =
-      try {
-        if (!Files.exists(intentMarker(p))) None
-        else Some(Files.readString(intentMarker(p)).trim)
-      } catch { case _: Exception => Some(Suspect) } // unreadable: rebuild
-    val suspectMarker = markerAtStart.exists(_.startsWith(Suspect))
+    val markerAtStart = KvMaintenance.readMarker(p)
+    val suspectMarker = KvMaintenance.isSuspect(markerAtStart)
     if (vNow == d.baseVersion && !suspectMarker) {
       // a refresh that advanced the watermark but died before clearing
-      // its marker is complete — reclaim the marker so the next real
-      // refresh doesn't rebuild needlessly
-      Files.deleteIfExists(intentMarker(p))
+      // its marker is complete — reclaim it, but only the marker we
+      // OBSERVED: a zombie's suspect marker landing in this window is a
+      // live corruption signal the reclaim must not erase
+      KvMaintenance.clearIfOwned(p, lease, markerAtStart)
       if (d.nullRowsByGroup.nonEmpty) return d
       // one-time upgrade of an in-sync pre-counter view: compute the
       // per-column NULL counts so the aggregate rewrite can fire
@@ -303,7 +294,7 @@ object KvMatView {
     // absolutely.
     var nullRowsNow: Seq[Long] = Nil
     val nullableG = d.groupCols.filter(c => m.schema(c).nullable)
-    val incremental = !Files.exists(intentMarker(p)) &&
+    val incremental = !KvMaintenance.markerExists(p) &&
       !(hidden > 64 && hidden * 2 >
         SegmentFile.listSegments(p).map(s => s.count - 2 * s.tombstones).sum) &&
       (try {
@@ -354,9 +345,9 @@ object KvMatView {
                   (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
                     .as(s"__nn_$c"))): _*)
             // marker content = OUR lease token (the publish tail only
-            // clears a marker it owns; "suspect" markers never carry a
+            // clears a marker it owns; suspect markers never carry a
             // token, so they are never mistaken for ours)
-            Files.writeString(intentMarker(p), lease.token)
+            KvMaintenance.markInFlight(p, lease)
             KvCommands.append(merged, p)
           }
           nullRowsNow =
@@ -387,8 +378,7 @@ object KvMatView {
       // PUBLISHES — overwriting it here and crashing mid-rebuild would
       // let the next refresh's reclaim shortcut erase the corruption
       // signal while the data is still corrupt
-      if (!suspectMarker)
-        Files.writeString(intentMarker(p), lease.token)
+      if (!suspectMarker) KvMaintenance.markInFlight(p, lease)
       val snapNow = KvCommands.tableAsOf(spark, base, vNow).persist()
       try {
         KvCommands.createTable(fold(snapNow, d), p, d.groupCols, m.encoding)
@@ -404,22 +394,16 @@ object KvMatView {
     val latest = get(base, name)
     if (latest.exists(_.baseVersion != d.baseVersion) ||
         !KvMaintenance.stillHeld(lease)) {
-      Files.writeString(intentMarker(p),
-        s"$Suspect-${java.util.UUID.randomUUID().toString.take(8)}")
+      KvMaintenance.quarantine(p)
       invalidate(base)
       return latest.getOrElse(d)
     }
     val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)
     writeMvMeta(p, nd)
-    // clear only a marker WE own (our token, or the suspect marker our
-    // rebuild just healed) — a concurrent zombie's fresh suspect marker
-    // must survive this publish
-    val markerOurs =
-      try !Files.exists(intentMarker(p)) || {
-        val c = Files.readString(intentMarker(p)).trim
-        c == lease.token || markerAtStart.contains(c)
-      } catch { case _: Exception => false }
-    if (markerOurs) Files.deleteIfExists(intentMarker(p))
+    // clear only a marker WE own (our token, or the marker our rebuild
+    // just healed) — a concurrent zombie's fresh suspect marker must
+    // survive this publish
+    KvMaintenance.clearIfOwned(p, lease, markerAtStart)
     invalidate(base)
     nd
   }

@@ -24,9 +24,10 @@ object AnnIndex {
   /** Bump when the signature / centroid / layout scheme changes: callers
     * key cached index paths on it, so an index materialized by an older
     * scheme is rebuilt instead of probed with mismatched signatures. */
-  val FormatVersion = 2
+  val FormatVersion = 3 // v3: + _params.txt (dim/nPlanes persisted)
 
   private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
+  private def paramsFile(path: String) = Paths.get(path, "_params.txt")
 
   // ── centroid selection (sampled k-means, cosine metric) ────────────────
 
@@ -101,6 +102,17 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     Files.writeString(centroidFile(path),
       cents.map(_.mkString(",")).mkString("\n"))
+    // the signature scheme is part of the index: append/probe must use
+    // the SAME plane count or Hamming filters compare garbage
+    Files.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
+  }
+
+  /** (dim, nPlanes) persisted at build. */
+  def loadParams(path: String): (Int, Int) = {
+    val kv = Files.readString(paramsFile(path)).split('\n')
+      .map(_.split('=')).collect { case Array(k, v) => k -> v.trim.toInt }
+      .toMap
+    (kv("dim"), kv("nPlanes"))
   }
 
   /** Append new vectors to an EXISTING index without re-clustering —
@@ -112,10 +124,13 @@ object AnnIndex {
     * any staleness — centroid drift can only erode which cells a query
     * probes (recall), never the ranking of what it reads; rebuild when
     * the corpus has grown far past the clustering. */
-  def append(newVectors: DataFrame, path: String, dim: Int,
-      nPlanes: Int = 16,
+  def append(newVectors: DataFrame, path: String,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val cents = loadCentroids(path)
+    // dim/nPlanes come from the index itself — caller-supplied values
+    // could silently write signatures from a DIFFERENT hyperplane set,
+    // and the Hamming filter would misrank every appended vector
+    val (dim, nPlanes) = loadParams(path)
     newVectors.select(col(idCol), col(vecCol),
         Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
         nearestCell(cents, col(vecCol)).as("cell"))

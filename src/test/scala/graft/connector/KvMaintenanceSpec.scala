@@ -105,17 +105,16 @@ class KvMaintenanceSpec extends AnyFunSuite {
     val mvDir = KvMatView.mvPath(p, "mv")
     // simulate a zombie's parting shot: suspect marker at a MATCHING
     // watermark (content possibly corrupt)
-    Files.writeString(Paths.get(mvDir, "._graft_mv_refreshing"), "suspect")
+    KvMaintenance.quarantine(mvDir)
     assert(KvMatView.get(p, "mv").exists(d => !KvMatView.inSync(p, d)))
     assert(KvMatView.usableForPlanning(p).isEmpty)
     // refresh must REBUILD (not reclaim the marker), then be usable
     KvMatView.refresh(spark, p, "mv")
     assert(KvMatView.get(p, "mv").exists(KvMatView.inSync(p, _)))
-    assert(!Files.exists(Paths.get(mvDir, "._graft_mv_refreshing")))
+    assert(!KvMaintenance.markerExists(mvDir))
     // index analog
     KvIndex.create(spark, p, "ic", Seq("c"))
-    Files.writeString(
-      KvIndex.intentMarker(KvIndex.indexPath(p, "ic")), "suspect")
+    KvMaintenance.quarantine(KvIndex.indexPath(p, "ic"))
     assert(KvIndex.usableForPlanning(p).isEmpty)
     KvIndex.refresh(spark, p, "ic")
     assert(KvIndex.get(p, "ic").exists(KvIndex.inSync(p, _)))

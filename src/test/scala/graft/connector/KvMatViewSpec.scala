@@ -163,8 +163,7 @@ class KvMatViewSpec extends AnyFunSuite {
       lit(1L).as("g"), col("id").as("x")), path)
     // a refresh that died after its data commit leaves the marker and
     // an un-advanced watermark; the deltas were (partially) applied
-    val marker = java.nio.file.Paths.get(
-      KvMatView.mvPath(path, "mv"), "._graft_mv_refreshing")
+    val marker = KvMaintenance.markerPath(KvMatView.mvPath(path, "mv"))
     java.nio.file.Files.writeString(marker, "999")
     // worst case: the delta actually already landed once
     KvCommands.append(spark.range(1).select(lit(3000L).as("k"),

@@ -145,7 +145,7 @@ class SimilaritySpec extends AnyFunSuite {
     val base = emb.filter($"vec_id" % 2 === 0)
     val extra = emb.filter($"vec_id" % 2 =!= 0)
     AnnIndex.build(base, dir, dim = dim, nPlanes = 16, nCentroids = 8)
-    AnnIndex.append(extra, dir, dim = dim, nPlanes = 16)
+    AnnIndex.append(extra, dir) // dim/nPlanes come from the index itself
     val idx = spark.read.parquet(dir).cache()
     // every vector present exactly once
     assert(idx.count() == emb.count())
