@@ -3,7 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
-  * SPARK_GRAFT_SF_DIR at local[N], prints ONE JSON line. */
+  * SPARK_GRAFT_SF_DIR at local[N], prints ONE compact JSON line as the
+  * very last stdout of the process.
+  *
+  * Reporting contract (round-7 hardening): the driver records only the
+  * last ~2 KB of combined output, so the printed line carries the
+  * headline medians + section totals ONLY and must stay well under that
+  * window; the full per-section breakdown (TPC-H per-query, sf1
+  * per-query, plan probes, dedup diagnostics, prev-round deltas) goes to
+  * `tmp/bench_detail.json`. Every timed number is the MEDIAN OF 3 runs
+  * and the line carries `calibration_sec` (a fixed pure-JVM workload) so
+  * a load-distorted run is recognizable from the artifact alone. */
 object Bench {
 
   /** Headline set: one representative per operator family, weighted
@@ -23,6 +33,7 @@ object Bench {
     "kv26_metadata_sum",     // COUNT + exact SUM from segment metadata
     "kv29_index_lookup",     // secondary-index seek + runtime-IN base prune
     "kv30_matview_agg",      // incrementally-maintained aggregate view read
+    "kv36_window_on_kv",     // shuffle-free + sort-free window on the key order
     "j12_asof_join",         // as-of join (union + single window pass)
     "j13_range_join",        // interval join (bucketed equi-join + residual)
     "t2_sort_multi_dir",     // top-k
@@ -37,48 +48,63 @@ object Bench {
     "ev1_tumbling_window")   // event-time windowed agg
 
   /** The full TPC-H suite over the corpus schema (Q1/Q3/Q5/Q10/Q18 under
-    * their original a-names + the round-6 h-completions), timed as its
-    * OWN section so the headline total stays comparable across rounds. */
+    * their original a-names + the h-completions), timed as its OWN
+    * section so the headline total stays comparable across rounds. */
   val tpchSuite: Seq[String] = Seq(
-    "a8_tpch_q1", "a16_tpch_q3", "h04_tpch_q4", "a17_tpch_q5",
-    "h06_tpch_q6", "h07_tpch_q7", "h08_tpch_q8", "h09_tpch_q9",
-    "a18_tpch_q10", "h12_tpch_q12", "h13_tpch_q13", "h14_tpch_q14",
-    "h15_tpch_q15", "h17_tpch_q17", "a19_tpch_q18", "h19_tpch_q19",
+    "a8_tpch_q1", "h02_tpch_q2", "a16_tpch_q3", "h04_tpch_q4",
+    "a17_tpch_q5", "h06_tpch_q6", "h07_tpch_q7", "h08_tpch_q8",
+    "h09_tpch_q9", "a18_tpch_q10", "h11_tpch_q11", "h12_tpch_q12",
+    "h13_tpch_q13", "h14_tpch_q14", "h15_tpch_q15", "h16_tpch_q16",
+    "h17_tpch_q17", "a19_tpch_q18", "h19_tpch_q19", "h20_tpch_q20",
     "h21_tpch_q21", "h22_tpch_q22",
     // the same queries on the engine's own storage (fixtures warm)
     "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv")
 
-  /** Queries of the previous round's bench (newest BENCH_r*.json in the
-    * repo root), for in-run regression deltas. Extracted with a regex —
-    * the file embeds the bench line inside a driver wrapper object. */
+  /** Primary-SF per-query timings of the newest PARSEABLE previous
+    * round's bench artifact. The driver wraps the bench line in a JSON
+    * object (`{"n":…,"tail":"…","parsed":…}`) whose `tail` keeps only
+    * the last ~2 KB of output — so this walks rounds newest-first, tries
+    * the wrapper's `parsed` field, then a strict JSON parse of the
+    * `{"metric":"total"…}` line found inside `tail` (or the raw file),
+    * and SKIPS any file where nothing parses (a truncated tail must not
+    * anchor deltas mid-artifact). */
   private def prevRound(): Option[(Int, Map[String, Double])] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    def queriesOf(node: JsonNode): Option[Map[String, Double]] =
+      Option(node.get("queries")).filter(_.isObject).map { q =>
+        val it = q.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    // strict parse of the FIRST line starting at the last bench marker
+    def fromText(text: String): Option[Map[String, Double]] = {
+      val i = text.lastIndexOf("{\"metric\":\"total\"")
+      if (i < 0) None
+      else {
+        val line = text.substring(i).takeWhile(_ != '\n')
+        try queriesOf(mapper.readTree(line)) catch { case _: Exception => None }
+      }
+    }
     val dir = new java.io.File("/root/repo")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-    if (files.isEmpty) return None
-    val newest = files.maxBy(f =>
-      f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
-    val round = newest.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt
-    val content = try new String(
-      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
-    catch { case _: Exception => return None }
-    // The bench line may carry several "queries" blocks (the primary-SF
-    // one, then an optional "sf1" scale-stress section). Anchor at the
-    // final bench line's "metric":"total" marker and take the FIRST
-    // queries block after it — the primary-SF timings; taking the last
-    // block in the file would compare this round's primary times against
-    // last round's 10× corpus times (every delta a bogus improvement).
-    val anchor = content.lastIndexOf("\"metric\\\":\\\"total\"") match {
-      case -1 => math.max(content.lastIndexOf("\"metric\":\"total\""), 0)
-      case i => i
-    }
-    val block = "\\\\?\"queries\\\\?\":\\{([^}]*)\\}".r
-      .findFirstMatchIn(content.substring(anchor)).map(_.group(1))
-    block.map { b =>
-      round -> "\\\\?\"([a-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
-        .findAllMatchIn(b)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    files.iterator.flatMap { f =>
+      val round = f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+      val content = try new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      catch { case _: Exception => "" }
+      val viaWrapper = try {
+        val root = mapper.readTree(content)
+        Option(root.get("parsed")).filter(p => p != null && p.isObject)
+          .flatMap(queriesOf)
+          .orElse(Option(root.get("tail")).filter(_.isTextual)
+            .flatMap(t => fromText(t.asText())))
+      } catch { case _: Exception => None }
+      viaWrapper.orElse(fromText(content)).map(round -> _)
+    }.nextOption()
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,6 +127,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
+
+    // calibration: a fixed single-thread pure-JVM workload (xorshift64*
+    // over 2^28 steps). Machine-load-independent work, so its wall time
+    // scales with contention: a quiet run lands ~0.3-0.5 s and a loaded
+    // driver run inflates proportionally — the artifact self-reports
+    // whether its numbers are trustworthy.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 88172645463325252L; var acc = 0L; var i = 0
+      while (i < (1 << 28)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      if (acc == 42L) System.err.println("") // keep `acc` live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(f: () => Double): Double = {
+      val rs = Seq(f(), f(), f()).sorted; rs(1)
+    }
+    val calibration = median3(calibrateOnce _)
+
     // untimed warmup: JIT/codegen + parquet footer caches + one-time KV
     // fixture and ANN index builds, so timed queries measure query cost
     // only (the index is built once and reused — the scale contract).
@@ -113,7 +159,7 @@ object Bench {
     // would otherwise fold into the timed number)
     Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
       "kv26_metadata_sum", "kv29_index_lookup", "kv30_matview_agg",
-      "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv",
+      "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv", "h02_tpch_q2",
       "ann2_lsh_topk", "dd1_exact_dedup",
       "dd3_minhash_lsh_neardup", "dc2_decontaminate").foreach { w =>
       try queries(w)(spark, sfDir).count()
@@ -121,35 +167,51 @@ object Bench {
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
       }
     }
-    def timed(dir: String, names: Seq[String] = headline): Seq[(String, Double)] =
+
+    // median of 3 per query; -1 marks a failed query so a crash can't
+    // read as a fast run. (min, max) go to the detail file.
+    final case class Timing(name: String, med: Double, min: Double, max: Double)
+    def timed(dir: String, names: Seq[String] = headline): Seq[Timing] =
       names.filter(queries.contains).map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { queries(name)(spark, dir).count(); true }
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { queries(name)(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            -1.0
           }
-        // -1 marks a failed query so a crash can't read as a fast run
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        if (runs.exists(_ < 0)) Timing(name, -1.0, -1.0, -1.0)
+        else Timing(name, runs.sorted.apply(1), runs.min, runs.max)
       }
-    val results = timed(sfDir)
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit comma decimals and break the JSON contract
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def objT(rs: Seq[Timing]): String = obj(rs.map(t => t.name -> t.med))
+    def totalOf(rs: Seq[Timing]): Double = rs.map(_.med).filter(_ >= 0).sum
+
+    val results = timed(sfDir)
+    val total = totalOf(results)
 
     // in-run regression tracking: per-query delta vs the previous round's
     // bench (positive = slower this round), so creep is visible without
-    // diffing round files by hand
+    // diffing round files by hand. Detail file only; the main line keeps
+    // the single total delta over shared queries.
     val prev = prevRound()
-    val deltaJson = prev.map { case (round, pq) =>
-      val deltas = results.collect {
-        case (k, v) if v >= 0 && pq.get(k).exists(_ >= 0) => k -> (v - pq(k))
+    val prevDeltas: Seq[(String, Double)] = prev.toSeq.flatMap { case (_, pq) =>
+      results.collect {
+        case t if t.med >= 0 && pq.get(t.name).exists(_ >= 0) =>
+          t.name -> (t.med - pq(t.name))
       }
-      s""","prev_round":$round,"prev_delta":${obj(deltas)}"""
+    }
+    val prevDetail = prev.map { case (round, _) =>
+      s""","prev_round":$round,"prev_delta":${obj(prevDeltas)}"""
+    }.getOrElse("")
+    val prevLine = prev.map { case (round, _) =>
+      s""","prev_round":$round,"prev_total_delta":${fmt(prevDeltas.map(_._2).sum)}"""
     }.getOrElse("")
 
     // plan-time scaling probe: a synthetic 10,000-segment kv table (the
@@ -158,6 +220,7 @@ object Bench {
     // stats read + parse), warm = version-cached (zero metadata reads).
     // Guards the 100-TB driver bottleneck the packed manifest stats
     // exist for; query cost itself is one pruned point lookup.
+    var plan10kCold = -1.0; var plan10kWarm = -1.0
     val plan10kJson = try {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       import org.apache.spark.sql.functions.col
@@ -191,9 +254,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       planOnce(50001L) // JIT/codegen warmup (cache cleared below)
-      graft.store.SegmentFile.clearPlanningCache()
-      val cold = planOnce(10001L)
-      val warm = planOnce(20002L)
+      plan10kCold = median3 { () =>
+        graft.store.SegmentFile.clearPlanningCache()
+        planOnce(10001L)
+      }
+      plan10kWarm = median3(() => planOnce(20002L))
       // secondary-index lookup at the same scale: `v` identifies one
       // segment, so an indexed equality on this 10,000-segment table
       // must stay point-lookup-flat (the (v, k)-only shape takes the
@@ -213,7 +278,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       idxOnce(5001L) // warmup
-      val viaIndex = idxOnce(7777L)
+      val viaIndex = median3(() => idxOnce(7777L))
       // pushed TopN: "latest k by key" on the 10k-segment table must
       // plan only the tail segments (SupportsPushDownTopN selection),
       // i.e. stay point-lookup-flat at any table size
@@ -226,8 +291,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       topkOnce() // warmup
-      val topk = topkOnce()
-      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(cold)},"warm_sec":${fmt(warm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)}}"""
+      val topk = median3(topkOnce _)
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
       ""
@@ -242,7 +307,6 @@ object Bench {
     val zScaleJson = try {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val nSegs = 1024
-      val bits = graft.codec.ZOrder.bitsPerDim(2) // 31
       val dir = "/root/repo/tmp/zscale"
       val schema = StructType(Seq(
         StructField("_z", LongType, nullable = false),
@@ -333,9 +397,13 @@ object Bench {
       // decontamination at the primary SF: one batch pass (train =
       // doc_id%20≠0 vs the %20=0 benchmark slice), wall + survivors
       val decontam = try {
-        val t0 = System.nanoTime()
-        val survivors = queries("dc2_decontaminate")(spark, sfDir).count()
-        s""","decontam_sec":${fmt((System.nanoTime() - t0) / 1e9)},"decontam_survivors":$survivors"""
+        var survivors = 0L
+        val sec = median3 { () =>
+          val t0 = System.nanoTime()
+          survivors = queries("dc2_decontaminate")(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s""","decontam_sec":${fmt(sec)},"decontam_survivors":$survivors"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] decontam failed: ${e.getMessage}")
         ""
@@ -348,9 +416,12 @@ object Bench {
     // seconds INCLUDE streaming-query startup/teardown — reported
     // separately from the batch headline, not summed into the total
     val streamingJson = try {
-      val t0 = System.nanoTime()
-      val pairs = queries("dd8_streaming_neardup")(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      var pairs = 0L
+      val sec = median3 { () =>
+        val t0 = System.nanoTime()
+        pairs = queries("dd8_streaming_neardup")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       s""","streaming":{"dd8_wall_sec":${fmt(sec)},"pairs":$pairs}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming dd8 failed: ${e.getMessage}")
@@ -360,11 +431,10 @@ object Bench {
     // full TPC-H suite (own total so the headline stays round-comparable);
     // the three join-heaviest completions re-run on the sf1 corpus below
     // for direct 10× scaling evidence
-    val tpchJson = {
-      val rs = timed(sfDir, tpchSuite)
-      val t = rs.map(_._2).filter(_ >= 0).sum
-      s""","tpch":{"total":${fmt(t)},"queries":${obj(rs)}}"""
-    }
+    val tpchResults = timed(sfDir, tpchSuite)
+    val tpchTotal = totalOf(tpchResults)
+    val tpchJson =
+      s""","tpch":{"total":${fmt(tpchTotal)},"queries":${objT(tpchResults)}}"""
 
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
@@ -373,6 +443,7 @@ object Bench {
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
       .orElse(Option("/root/repo/tmp/sf1")
         .filter(p => new java.io.File(p, "lineitem.parquet").exists()))
+    var sf1Total = -1.0
     val sf1Json = sf1Dir.map { dir =>
       Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
         "kv26_metadata_sum", "ann2_lsh_topk", "dd1_exact_dedup",
@@ -383,14 +454,40 @@ object Bench {
         }
       }
       val rs = timed(dir)
-      val t = rs.map(_._2).filter(_ >= 0).sum
+      sf1Total = totalOf(rs)
       // the three join-heaviest TPC-H completions at 10× data, separate
       // from the round-comparable sf1 headline total
       val hs = timed(dir, Seq("h08_tpch_q8", "h13_tpch_q13", "h21_tpch_q21"))
-      s""","sf1":{"dir":"$dir","total":${fmt(t)},"queries":${obj(rs)},"tpch_queries":${obj(hs)}}"""
+      s""","sf1":{"dir":"$dir","total":${fmt(sf1Total)},"queries":${objT(rs)},"tpch_queries":${objT(hs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$deltaJson$plan10kJson$zScaleJson$dedupJson$tpchJson$streamingJson$sf1Json}""")
+    // full breakdown → detail file (per-query medians AND min/max spread)
+    val detailPath = "tmp/bench_detail.json"
+    val spreadJson = {
+      def spread(rs: Seq[Timing]): String = rs.map { t =>
+        "\"" + t.name + "\":[" + fmt(t.min) + "," + fmt(t.max) + "]"
+      }.mkString("{", ",", "}")
+      s""","spread":${spread(results)},"tpch_spread":${spread(tpchResults)}"""
+    }
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$streamingJson$sf1Json}"""
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+
+    // compact driver line: headline medians + section totals only, well
+    // under the driver's ~2 KB tail window
+    val sf1Line = if (sf1Total >= 0) s""","sf1_total":${fmt(sf1Total)}""" else ""
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"queries":${objT(results)},"sf":"$sfDir"$prevLine,"tpch_total":${fmt(tpchTotal)}$sf1Line,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
+    // stop FIRST so executor-shutdown warnings cannot land after the
+    // line inside the driver's tail capture; the line is the process's
+    // final stdout
     spark.stop()
+    println(line)
   }
 }

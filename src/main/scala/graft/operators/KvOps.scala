@@ -600,7 +600,7 @@ object KvOps {
     // bit-identical because the stored sums are exact Long arithmetic
     QuerySpec.checked("kv30_matview_agg",
       """SELECT o_orderstatus, count(*) AS cnt,
-        |  sum(o_custkey) AS sum_o_custkey
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
         |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
       val path = ensure(s, d, "orders", Seq("o_orderkey"))
       import graft.connector.KvMatView
@@ -626,7 +626,8 @@ object KvOps {
     // plan shape itself).
     QuerySpec.checked("kv31_matview_rewrite",
       """SELECT o_orderstatus, count(*) AS cnt,
-        |  sum(o_custkey) AS sum_cust, count(o_custkey) AS nn_cust
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  count(o_custkey) AS nn_cust
         |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
       val path = ensure(s, d, "orders", Seq("o_orderkey"))
       import graft.connector.KvMatView
