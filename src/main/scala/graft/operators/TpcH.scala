@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * HBaseTpcMiniTestSuite.scala); Q1/Q3/Q5/Q10/Q18 shapes already gate in
   * Relational.scala (a8/a16-a19). This file completes the suite with
   * every remaining query expressible over the corpus schema: Q4, Q6, Q7,
-  * Q8, Q9, Q12, Q13, Q14, Q15, Q17, Q19, Q21, Q22. Q2/Q11/Q16/Q20 need
-  * the partsupp table, which the corpus does not ship — out of scope.
+  * Q8, Q9, Q12, Q13, Q14, Q15, Q17, Q19, Q21, Q22 — and, since round 7,
+  * Q2/Q11/Q16/Q20 over the deterministically synthesized partsupp table
+  * ([[PartSupp]]; the corpus does not ship one), making the suite
+  * 22/22 complete.
   *
   * Adaptations (the corpus is TPC-H-ISH — no commitdate/receiptdate/
   * shipmode/phone columns): "late delivery" predicates restate as
@@ -475,6 +477,167 @@ object TpcH {
         .groupBy("cntrycode")
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("cntrycode")
+    },
+
+    // partsupp generation gate: the MATERIALIZED parquet file's full
+    // contents against DuckDB's independent re-derivation of the same
+    // formulas from part × supplier — pins both the generator and the
+    // file before any query builds on them. (ps_partkey, ps_suppkey) is
+    // unique by construction (the 4 per-part rank offsets are distinct
+    // mod S), so the ordering is total.
+    QuerySpec.checked("ps1_partsupp_gen",
+      PartSupp.oracleCte +
+        """SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost
+          |FROM partsupp ORDER BY ps_partkey, ps_suppkey""".stripMargin) { (s, d) =>
+      PartSupp.table(s, d).orderBy("ps_partkey", "ps_suppkey")
+    },
+
+    // Q2 — minimum-cost supplier: the correlated per-part MIN over the
+    // region's suppliers re-expressed as a grouped aggregate joined
+    // back on (part, cost) — the scalable form. Cost equality is exact
+    // (selection of an untouched 2-decimal double, no arithmetic).
+    // p_mfgr/s_address/s_phone/s_comment don't exist in the corpus;
+    // p_brand stands in for the manufacturer and ps_suppkey joins the
+    // output to keep the order total.
+    QuerySpec.checked("h02_tpch_q2",
+      PartSupp.oracleCte +
+        """, pse AS (
+          |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+          |  FROM partsupp, supplier, nation, region
+          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_suppkey
+          |FROM part, pse
+          |WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'PROMO'
+          |  AND ps_supplycost = (SELECT min(ps_supplycost) FROM pse p2
+          |                       WHERE p2.ps_partkey = pse.ps_partkey)
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val pse = PartSupp.table(s, d)
+        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+          "s_name", "s_acctbal", "n_name")
+      val minCost = pse.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min("ps_supplycost").as("mc_cost"))
+      t(s, d, "part").filter(col("p_size") === 15 && col("p_type") === "PROMO")
+        .join(pse, col("p_partkey") === col("ps_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("mc_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+          "ps_suppkey")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q11 — important stock: per-part value vs a scalar gate. TPC-H's
+    // 0.0001/SF threshold hard-codes the scale factor; restated
+    // SF-independently as 1.5× the mean per-part value (same plan
+    // shape: grouped agg + broadcast single-row cross join). The gate
+    // compares doubles produced by identical IEEE expressions on both
+    // sides.
+    QuerySpec.checked("h11_tpch_q11",
+      PartSupp.oracleCte +
+        """, ps_n AS (
+          |  SELECT ps_partkey, ps_supplycost, ps_availqty
+          |  FROM partsupp, supplier, nation
+          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_name = 'NATION_7')
+          |SELECT ps_partkey,
+          |  CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+          |FROM ps_n GROUP BY ps_partkey
+          |HAVING CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) > (
+          |  SELECT 1.5 * CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE)
+          |         / count(DISTINCT ps_partkey) FROM ps_n)
+          |ORDER BY part_value DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val psn = PartSupp.table(s, d)
+        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("ps_partkey", "ps_supplycost", "ps_availqty")
+      val grouped = psn.groupBy("ps_partkey")
+        .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("part_value"))
+      val cut = psn.agg((lit(1.5) *
+        dsum(col("ps_supplycost") * col("ps_availqty")) /
+        countDistinct(col("ps_partkey"))).as("__cut"))
+      grouped.join(cut, col("part_value") > col("__cut"))
+        .select("ps_partkey", "part_value")
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    },
+
+    // Q16 — parts/supplier relationship: NOT IN over a non-null key →
+    // LEFT ANTI join; count(DISTINCT supplier) per part attribute
+    // triple. The original excludes comment-matching suppliers — the
+    // corpus has no s_comment, so negative account balance stands in
+    // (same shape: an uncorrelated exclusion subquery).
+    QuerySpec.checked("h16_tpch_q16",
+      PartSupp.oracleCte +
+        """SELECT p_brand, p_type, p_size,
+          |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM partsupp, part
+          |WHERE p_partkey = ps_partkey
+          |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      PartSupp.table(s, d)
+        .join(t(s, d, "supplier").filter(col("s_acctbal") < 0.0)
+          .select("s_suppkey"),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part").filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("p_partkey") === col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // Q20 — potential part promotion: the nested IN chain re-expressed
+    // as semi-joins, and the correlated half-of-shipped-quantity gate
+    // as a grouped aggregate equi-joined on (part, supplier) — INNER,
+    // matching the SQL semantics where an empty correlated sum yields
+    // NULL and the comparison excludes the row. s_address doesn't
+    // exist; s_suppkey makes the order total.
+    QuerySpec.checked("h20_tpch_q20",
+      PartSupp.oracleCte +
+        """SELECT s_name, s_suppkey
+          |FROM supplier, nation
+          |WHERE s_suppkey IN (
+          |    SELECT ps_suppkey FROM partsupp
+          |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+          |                         WHERE p_name LIKE 'small%')
+          |      AND ps_availqty > (
+          |        SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+          |        FROM lineitem
+          |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          |          AND l_shipdate < TIMESTAMP '1998-01-01'))
+          |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          |ORDER BY s_name, s_suppkey""".stripMargin) { (s, d) =>
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((lit(0.5) * dsum(col("l_quantity"))).as("__half_qty"))
+      val qualifying = PartSupp.table(s, d)
+        .join(t(s, d, "part").filter(col("p_name").like("small%"))
+          .select("p_partkey"),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("__half_qty"))
+        .select("ps_suppkey")
+      t(s, d, "supplier")
+        .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(t(s, d, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
     }
   )
 }
