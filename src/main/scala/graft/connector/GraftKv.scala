@@ -314,6 +314,13 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     * construction, so any NULLS FIRST/LAST choice is vacuously met. */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (restrictFiles.nonEmpty || l <= 0 || orders.isEmpty) return false
+    // topNSelect's row counting and the ascending early stop are only
+    // sound when the reader enforces every pushed filter EXACTLY. Spark
+    // happens to push TopN only when no post-scan filter remains, but
+    // that is an external invariant — guard it here like
+    // pushAggregation does rather than rely on it silently.
+    if (!pushed.forall(GraftKvScanBuilder.leadOnlyExact(_, keys.head)))
+      return false
     val fields = orders.map { o =>
       o.expression() match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference

@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions.col
 
 /** One secondary index: `cols` are the indexed value columns (the
   * index table's leading key dimensions), `baseVersion` the base-table
-  * snapshot the index reflects exactly. */
-final case class KvIndexDef(name: String, cols: Seq[String], baseVersion: Long)
+  * snapshot the index reflects exactly, `dataVersion` the INDEX
+  * table's own manifest version when the meta was published — any
+  * later append to the index table (a fenced-out zombie's late write)
+  * bumps it and the index self-invalidates out of planning. -1 marks
+  * a legacy (pre-fencing) meta: trusted, refreshed on next use. */
+final case class KvIndexDef(name: String, cols: Seq[String],
+    baseVersion: Long, dataVersion: Long = -1L)
 
 /** Secondary indexes over graftkv tables (the Phoenix-style global
   * index restated for this engine — the reference itself has none; this
@@ -50,26 +55,41 @@ object KvIndex {
 
   def indexRoot(base: String): String = s"$base/_index"
   def indexPath(base: String, name: String): String = s"${indexRoot(base)}/$name"
-  private def metaFile(idxPath: String) =
-    Paths.get(idxPath, "_graft_index")
+  private val MetaName = "_graft_index"
 
-  private def writeIndexMeta(idxPath: String, cols: Seq[String], v: Long): Unit = {
-    val tmp = Paths.get(idxPath,
-      s"._graft_index.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, cols.mkString(",") + "\n" + v)
-    Files.move(tmp, metaFile(idxPath),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def metaContent(cols: Seq[String], v: Long, dataV: Long): String =
+    cols.mkString(",") + "\n" + v + "\n" + dataV
 
-  private def readIndexMeta(idxPath: String, name: String): Option[KvIndexDef] = {
-    val f = metaFile(idxPath)
-    if (!Files.exists(f)) return None
-    val lines = Files.readString(f).split('\n')
+  private def parseMeta(name: String, content: String): Option[KvIndexDef] = {
+    val lines = content.split('\n')
     if (lines.length < 2) return None
-    Some(KvIndexDef(name, lines(0).split(',').map(_.trim).toSeq,
-      lines(1).trim.toLong))
+    val dataV =
+      if (lines.length >= 3) lines(2).trim.toLongOption.getOrElse(-1L)
+      else -1L
+    for (v <- lines(1).trim.toLongOption)
+      yield KvIndexDef(name, lines(0).split(',').map(_.trim).toSeq, v, dataV)
   }
+
+  /** Fenced meta publish: wins only while the CURRENT meta still names
+    * `expectBaseVersion` as its watermark (None = creating) — the CAS
+    * that makes a zombie's stale publish lose deterministically (see
+    * KvMaintenance's fenced-publish section). */
+  private def publishIndexMeta(idxPath: String, cols: Seq[String], v: Long,
+      expectBaseVersion: Option[Long]): Boolean = {
+    val dataV = SegmentFile.currentVersion(idxPath).getOrElse(-1L)
+    KvMaintenance.casPublishMeta(idxPath, MetaName,
+      metaContent(cols, v, dataV)) { cur =>
+      (cur.flatMap(parseMeta("_", _)).map(_.baseVersion), expectBaseVersion) match {
+        case (None, None) => true // creating a fresh index
+        case (Some(curV), Some(expV)) => curV == expV
+        case _ => false
+      }
+    }
+  }
+
+  private def readIndexMeta(idxPath: String, name: String): Option[KvIndexDef] =
+    KvMaintenance.readVersionedMeta(idxPath, MetaName)
+      .flatMap(parseMeta(name, _))
 
   /** All indexes of `base` (empty for the common no-index table after
     * one directory-existence check — plan-time cost is negligible). */
@@ -100,14 +120,26 @@ object KvIndex {
     * listing must not keep serving the suspect index. */
   def usableForPlanning(base: String): Seq[KvIndexDef] =
     listCache.usable(base)
+      .filter(d => dataCurrent(base, d))
       .filterNot(d => KvMaintenance.markerExists(indexPath(base, d.name)))
 
-  /** Is the index exactly as fresh as the base table — and free of an
-    * in-flight/suspect refresh (intent marker)? The rewrite uses an
-    * index ONLY when this holds, so index content is never trusted
-    * beyond the snapshot it provably reflects. */
+  /** Has the index TABLE itself moved past the version the meta was
+    * published against (a fenced-out zombie's late data append)? Runs
+    * outside the listing memo — base commits don't accompany such
+    * appends. Legacy metas (-1) predate the fence and stay trusted. */
+  private def dataCurrent(base: String, d: KvIndexDef): Boolean =
+    d.dataVersion < 0 ||
+      SegmentFile.currentVersion(indexPath(base, d.name))
+        .contains(d.dataVersion)
+
+  /** Is the index exactly as fresh as the base table — its own data
+    * unmoved since publish — and free of an in-flight/suspect refresh
+    * (intent marker)? The rewrite uses an index ONLY when this holds,
+    * so index content is never trusted beyond the snapshot it provably
+    * reflects. */
   def inSync(base: String, d: KvIndexDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion) &&
+      dataCurrent(base, d) &&
       !KvMaintenance.markerExists(indexPath(base, d.name))
 
   /** Estimated fraction of index rows a leading-key predicate can
@@ -245,9 +277,10 @@ object KvIndex {
       .select((cols ++ m.keys).map(col): _*)
       .where(cols.map(col(_).isNotNull).reduce(_ && _))
     KvCommands.createTable(entries, idxPath, cols ++ m.keys, m.encoding)
-    writeIndexMeta(idxPath, cols, v)
+    require(publishIndexMeta(idxPath, cols, v, expectBaseVersion = None),
+      s"index '$name' concurrently created on $base")
     invalidate(base)
-    KvIndexDef(name, cols, v)
+    get(base, name).getOrElse(KvIndexDef(name, cols, v))
   }
 
   /** Advance `name` to the current base snapshot by applying the CDC
@@ -276,7 +309,7 @@ object KvIndex {
     val d0 = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no index '$name' on $base"))
     val path0 = indexPath(base, name)
-    if (currentOrFail(base) == d0.baseVersion &&
+    if (currentOrFail(base) == d0.baseVersion && dataCurrent(base, d0) &&
       !KvMaintenance.markerExists(path0)) return d0
     KvMaintenance.acquire(path0) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
@@ -296,8 +329,12 @@ object KvIndex {
     val vNow = currentOrFail(base)
     val idxPath = indexPath(base, name)
     val markerAtStart = KvMaintenance.readMarker(idxPath)
-    if (vNow == d.baseVersion && markerAtStart.isEmpty) return d
-    val incremental = markerAtStart.isEmpty &&
+    if (vNow == d.baseVersion && dataCurrent(base, d) &&
+      markerAtStart.isEmpty) return d
+    // an index table that moved past its published dataVersion carries
+    // a fenced-out zombie's late append — possible ghosts; never diff
+    // on top, rebuild absolutely
+    val incremental = markerAtStart.isEmpty && dataCurrent(base, d) &&
       (try {
         val diff = KvCommands.snapshotDiff(spark, base, d.baseVersion, vNow)
           .persist() // one delta computation feeds both the drops and adds
@@ -330,23 +367,27 @@ object KvIndex {
     // refresh-driven tombstones accumulate → reclaim when read
     // amplification crosses the policy line (metadata-only check)
     KvCommands.autoCompact(spark, idxPath)
-    // zombie check (lease-expiry race): if ANOTHER refresh advanced the
-    // meta while we ran, our writes may be ghosts against its watermark
-    // — publish an intent instead of a meta write, so the index stays
-    // out of planning until the next refresh rebuilds it
-    val latest = get(base, name)
-    if (latest.exists(_.baseVersion != d.baseVersion) ||
-        !KvMaintenance.stillHeld(lease)) {
+    // fenced publish (lease-expiry race): the CAS accepts only while
+    // the CURRENT meta still names the watermark this refresh diffed
+    // from — if ANOTHER refresh advanced it while we ran (we are the
+    // zombie), the publish loses DETERMINISTICALLY and we quarantine
+    // instead, so the index stays out of planning until the next
+    // refresh rebuilds it. stillHeld is re-checked inside the same
+    // guard as a cheap early detector; the CAS is what closes the
+    // check-then-publish window it leaves open.
+    val publishOk = KvMaintenance.stillHeld(lease) &&
+      publishIndexMeta(idxPath, d.cols, vNow,
+        expectBaseVersion = Some(d.baseVersion))
+    if (!publishOk) {
       KvMaintenance.quarantine(idxPath)
       invalidate(base)
-      latest.getOrElse(d)
+      get(base, name).getOrElse(d)
     } else {
-      writeIndexMeta(idxPath, d.cols, vNow)
       // a concurrent zombie's FRESH marker — never our token nor the
       // content we observed — survives this publish
       KvMaintenance.clearIfOwned(idxPath, lease, markerAtStart)
       invalidate(base)
-      KvIndexDef(name, d.cols, vNow)
+      get(base, name).getOrElse(KvIndexDef(name, d.cols, vNow))
     }
   }
 

@@ -27,16 +27,20 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * re-check `stillHeld` just before publishing and QUARANTINE (suspect
   * marker) instead.
   *
-  * RESIDUAL WINDOW (documented, not closed): the lease has no fencing
-  * token on the artifact's data/meta files themselves, so a zombie
-  * that passes its `stillHeld` check and then stalls can still publish
-  * stale meta over a successor's (or append data a successor's
-  * incremental read composes with) — this requires a lease EXPIRY
-  * (≥ 30 min stall) plus a precise interleaving, and the suspect
-  * quarantine catches every case where either party survives to its
-  * publish tail. Full closure would need per-artifact fenced commits;
-  * the practical guidance is the default lease being far above any
-  * sane refresh duration.
+  * ZOMBIE PUBLISHES ARE FENCED (round 7; closes the residual window
+  * rounds 5-6 documented): artifact meta no longer publishes by
+  * replace-rename but through [[casPublishMeta]] — a versioned CAS
+  * keyed on the meta content the holder read under its lease, with an
+  * exclusive-create of the next version file as the linearization
+  * point. A zombie that passed `stillHeld`, stalled past expiry, and
+  * woke after a successor published now loses the create (or fails
+  * the re-read expectation) DETERMINISTICALLY and quarantines. The
+  * other half — a zombie's late DATA append composing into a
+  * successor's published artifact — is closed by the meta recording
+  * the artifact table's own manifest version at publish
+  * (`dataVersion`): any append after that bumps the version and the
+  * artifact self-invalidates out of planning until the next refresh
+  * rebuilds (KvIndex.inSync / KvMatView.inSync check it O(1)).
   */
 object KvMaintenance {
 
@@ -49,10 +53,13 @@ object KvMaintenance {
   private def leasePath(artifactDir: String): Path =
     Paths.get(artifactDir, "._graft_maint_lease")
 
-  private def tryCreate(p: Path, token: String): Boolean = {
+  /** Atomic exclusive create of `p` with `content`: hard-link from a
+    * private temp (atomic even where CREATE_NEW isn't), falling back to
+    * CREATE_NEW. False = the path already existed (someone else won). */
+  private def createExclusive(p: Path, content: String): Boolean = {
     val tmp = p.resolveSibling(
-      s"._graft_maint_lease.tmp-${token.take(8)}")
-    Files.writeString(tmp, token)
+      s".${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, content)
     try {
       Files.createLink(p, tmp)
       true
@@ -60,18 +67,31 @@ object KvMaintenance {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
         try {
-          Files.write(p, token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          Files.write(p, content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
 
+  private def tryCreate(p: Path, token: String): Boolean =
+    createExclusive(p, token)
+
   /** Acquire the artifact's maintenance lease, or None when a live
     * holder exists. A stale lease (older than `leaseMs`) is stolen via
     * an atomic rename, and the MOVED CONTENT is verified against the
     * stale content observed — a steal that displaced someone else's
-    * fresh lease (the observe-to-move race) restores it and retries. */
+    * fresh lease (the observe-to-move race) restores it and retries.
+    *
+    * CLOCK ASSUMPTION: staleness compares this process's clock against
+    * the lease file's mtime, which a shared/network filesystem stamps
+    * with the WRITER's (or the server's) clock — the age is only
+    * meaningful when writers share a clock domain to within a skew far
+    * smaller than `leaseMs` (30 min default dwarfs NTP-grade skew; an
+    * unsynchronized fleet must raise `leaseMs` accordingly). A
+    * skew-induced wrong steal degrades to the ordinary two-holders
+    * case: publishes go through the versioned CAS (`casPublish`), so
+    * the loser's meta write fails cleanly rather than corrupting. */
   def acquire(artifactDir: String,
       leaseMs: Long = DefaultLeaseMs): Option[Lease] = {
     val p = leasePath(artifactDir)
@@ -192,5 +212,71 @@ object KvMaintenance {
         c == l.token || observedAtStart.contains(c)
       } catch { case _: Exception => false }
     if (ours) Files.deleteIfExists(markerPath(artifactDir))
+  }
+
+  // ── fenced meta publish (versioned CAS) ───────────────────────────────
+  // Small artifact-meta files (index/matview definitions) publish as
+  // `<name>.v%020d` with monotonically increasing versions; the newest
+  // parseable version is current. Publishing EXCLUSIVELY CREATES the
+  // next version file after an expectation over the current content —
+  // the create is the linearization point (same discipline as
+  // SegmentFile.commitManifest), so a publisher holding a stale view
+  // loses the race deterministically instead of replace-renaming over a
+  // successor. A plain `<name>` file is the pre-round-7 legacy form,
+  // read as version 0 and retired on the first CAS publish.
+
+  private def versionedMetaFile(dir: String, name: String, v: Long): Path =
+    Paths.get(dir, f"$name%s.v$v%020d")
+
+  private def metaVersions(dir: String, name: String): Seq[Long] =
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .toSeq
+      .filter(_.startsWith(name + ".v"))
+      .flatMap(f => f.substring(name.length + 2).toLongOption)
+      .sorted
+
+  /** Current meta content: the newest readable version, else the legacy
+    * single file, else None. Readers never block publishers. */
+  def readVersionedMeta(dir: String, name: String): Option[String] = {
+    val fromVersions = metaVersions(dir, name).reverseIterator
+      .map { v =>
+        try Some(Files.readString(versionedMetaFile(dir, name, v)))
+        catch { case _: Exception => None } // pruned mid-read — try older
+      }
+      .collectFirst { case Some(c) => c }
+    fromVersions.orElse {
+      try {
+        val legacy = Paths.get(dir, name)
+        if (Files.exists(legacy)) Some(Files.readString(legacy)) else None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Publish `content` as the next meta version IFF `expect` accepts
+    * the CURRENT content (None = no meta yet). Retries version-number
+    * collisions (a concurrent publish that does not change what
+    * `expect` sees); returns false as soon as the expectation fails —
+    * the stale-publisher (zombie) outcome. The caller's `expect` must
+    * encode its fencing condition, e.g. "the watermark is still the one
+    * I read under my lease". */
+  def casPublishMeta(dir: String, name: String, content: String)(
+      expect: Option[String] => Boolean): Boolean = {
+    var attempts = 0
+    while (attempts < 100) {
+      val versions = metaVersions(dir, name)
+      if (!expect(readVersionedMeta(dir, name))) return false
+      val next = versions.lastOption.getOrElse(0L) + 1L
+      if (createExclusive(versionedMetaFile(dir, name, next), content)) {
+        // keep a couple of predecessors for slow readers; retire legacy
+        versions.dropRight(2).foreach(v =>
+          try Files.deleteIfExists(versionedMetaFile(dir, name, v))
+          catch { case _: Exception => () })
+        try Files.deleteIfExists(Paths.get(dir, name))
+        catch { case _: Exception => () }
+        return true
+      }
+      attempts += 1 // lost the create — re-read, re-check, re-try
+    }
+    false
   }
 }

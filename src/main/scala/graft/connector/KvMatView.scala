@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * refresh recomputes the counts. */
 final case class KvMatViewDef(name: String, groupCols: Seq[String],
     sumCols: Seq[String], baseVersion: Long,
-    nullRowsByGroup: Seq[Long] = Nil)
+    nullRowsByGroup: Seq[Long] = Nil,
+    // the VIEW table's own manifest version at meta publish: a later
+    // append (a fenced-out zombie's late write) bumps it and the view
+    // self-invalidates out of planning. -1 = legacy pre-fencing meta.
+    dataVersion: Long = -1L)
 
 /** Incrementally-maintained aggregate views over graftkv tables
   * (extension scope — the warehouse "incremental materialized view"
@@ -66,23 +70,15 @@ object KvMatView {
 
   def mvRoot(base: String): String = s"$base/_mv"
   def mvPath(base: String, name: String): String = s"${mvRoot(base)}/$name"
-  private def metaFile(p: String) = Paths.get(p, "_graft_mv")
+  private val MetaName = "_graft_mv"
 
-  private def writeMvMeta(p: String, d: KvMatViewDef): Unit = {
-    val tmp = Paths.get(p,
-      s"._graft_mv.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, d.groupCols.mkString(",") + "\n" +
+  private def metaContent(d: KvMatViewDef): String =
+    d.groupCols.mkString(",") + "\n" +
       d.sumCols.mkString(",") + "\n" + d.baseVersion + "\n" +
-      d.nullRowsByGroup.mkString(","))
-    Files.move(tmp, metaFile(p),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      d.nullRowsByGroup.mkString(",") + "\n" + d.dataVersion
 
-  private def readMvMeta(p: String, name: String): Option[KvMatViewDef] = {
-    val f = metaFile(p)
-    if (!Files.exists(f)) return None
-    val lines = Files.readString(f).split('\n')
+  private def parseMeta(name: String, content: String): Option[KvMatViewDef] = {
+    val lines = content.split('\n')
     if (lines.length < 3) return None
     def cols(s: String) = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val groupCols = cols(lines(0))
@@ -91,9 +87,34 @@ object KvMatView {
         val ns = cols(lines(3)).flatMap(s => s.toLongOption)
         if (ns.length == groupCols.length) ns else Nil
       } else Nil
-    Some(KvMatViewDef(name, groupCols, cols(lines(1)), lines(2).trim.toLong,
-      nullRows))
+    val dataV =
+      if (lines.length >= 5) lines(4).trim.toLongOption.getOrElse(-1L)
+      else -1L
+    for (v <- lines(2).trim.toLongOption)
+      yield KvMatViewDef(name, groupCols, cols(lines(1)), v, nullRows, dataV)
   }
+
+  /** Fenced meta publish: wins only while the CURRENT meta still names
+    * `expectBaseVersion` as its watermark (None = creating) — the CAS
+    * that makes a zombie's stale publish lose deterministically (see
+    * KvMaintenance's fenced-publish section). `d.dataVersion` is
+    * stamped here from the view table's manifest head. */
+  private def publishMvMeta(p: String, d: KvMatViewDef,
+      expectBaseVersion: Option[Long]): Option[KvMatViewDef] = {
+    val nd = d.copy(dataVersion =
+      SegmentFile.currentVersion(p).getOrElse(-1L))
+    val ok = KvMaintenance.casPublishMeta(p, MetaName, metaContent(nd)) { cur =>
+      (cur.flatMap(parseMeta("_", _)).map(_.baseVersion), expectBaseVersion) match {
+        case (None, None) => true // creating a fresh view
+        case (Some(curV), Some(expV)) => curV == expV
+        case _ => false
+      }
+    }
+    if (ok) Some(nd) else None
+  }
+
+  private def readMvMeta(p: String, name: String): Option[KvMatViewDef] =
+    KvMaintenance.readVersionedMeta(p, MetaName).flatMap(parseMeta(name, _))
 
   def list(base: String): Seq[KvMatViewDef] = {
     val root = Paths.get(mvRoot(base))
@@ -107,11 +128,20 @@ object KvMatView {
   def get(base: String, name: String): Option[KvMatViewDef] =
     readMvMeta(mvPath(base, name), name)
 
-  /** In sync = watermark matches the base AND no in-flight/suspect
-    * refresh (intent marker) — a mid-apply or zombie-touched view must
-    * never answer queries. */
+  /** Has the view TABLE itself moved past the version the meta was
+    * published against (a fenced-out zombie's late data append)?
+    * Legacy metas (-1) predate the fence and stay trusted. */
+  private def dataCurrent(base: String, d: KvMatViewDef): Boolean =
+    d.dataVersion < 0 ||
+      SegmentFile.currentVersion(mvPath(base, d.name))
+        .contains(d.dataVersion)
+
+  /** In sync = watermark matches the base, the view's own data unmoved
+    * since publish, AND no in-flight/suspect refresh (intent marker) —
+    * a mid-apply or zombie-touched view must never answer queries. */
   def inSync(base: String, d: KvMatViewDef): Boolean =
     SegmentFile.currentVersion(base).contains(d.baseVersion) &&
+      dataCurrent(base, d) &&
       !KvMaintenance.markerExists(mvPath(base, d.name))
 
   // shared plan-time listing cache (see DerivedDefCache scaladoc)
@@ -126,6 +156,7 @@ object KvMatView {
     * without a base commit). */
   def usableForPlanning(base: String): Seq[KvMatViewDef] =
     listCache.usable(base)
+      .filter(d => dataCurrent(base, d))
       .filterNot(d => KvMaintenance.markerExists(mvPath(base, d.name)))
 
   private def baseMeta(base: String): KvTableMeta =
@@ -178,9 +209,11 @@ object KvMatView {
         nullRowsByGroup = perColNullCounts(snap, m, groupCols))
       KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
         m.encoding)
-      writeMvMeta(mvPath(base, name), d)
+      val published = publishMvMeta(mvPath(base, name), d,
+        expectBaseVersion = None).getOrElse(throw new IllegalStateException(
+        s"view '$name' concurrently created on $base"))
       invalidate(base)
-      d
+      published
     } finally snap.unpersist()
   }
 
@@ -240,6 +273,7 @@ object KvMatView {
     val d0 = get(base, name).getOrElse(throw new IllegalArgumentException(
       s"no materialized view '$name' on $base"))
     if (currentOrFail(base) == d0.baseVersion && d0.nullRowsByGroup.nonEmpty &&
+      dataCurrent(base, d0) &&
       !KvMaintenance.markerExists(mvPath(base, name))) return d0
     KvMaintenance.acquire(mvPath(base, name)) match {
       case None => d0 // live refresh elsewhere — stay (safely) stale
@@ -265,7 +299,7 @@ object KvMatView {
     // fresh marker, even another suspect one, has different content
     val markerAtStart = KvMaintenance.readMarker(p)
     val suspectMarker = KvMaintenance.isSuspect(markerAtStart)
-    if (vNow == d.baseVersion && !suspectMarker) {
+    if (vNow == d.baseVersion && dataCurrent(base, d) && !suspectMarker) {
       // a refresh that advanced the watermark but died before clearing
       // its marker is complete — reclaim it, but only the marker we
       // OBSERVED: a zombie's suspect marker landing in this window is a
@@ -276,9 +310,10 @@ object KvMatView {
       // per-column NULL counts so the aggregate rewrite can fire
       val upgraded = d.copy(nullRowsByGroup = perColNullCounts(
         KvCommands.tableAsOf(spark, base, vNow), baseMeta(base), d.groupCols))
-      writeMvMeta(p, upgraded)
+      val published = publishMvMeta(p, upgraded,
+        expectBaseVersion = Some(d.baseVersion))
       invalidate(base)
-      return upgraded
+      return published.getOrElse(get(base, name).getOrElse(d))
     }
     val m = baseMeta(base)
     // hidden __cnt=0 rows (groups a refresh emptied) are live puts no
@@ -294,7 +329,10 @@ object KvMatView {
     // absolutely.
     var nullRowsNow: Seq[Long] = Nil
     val nullableG = d.groupCols.filter(c => m.schema(c).nullable)
+    // a view table that moved past its published dataVersion carries a
+    // fenced-out zombie's late write — never fold a delta on top of it
     val incremental = !KvMaintenance.markerExists(p) &&
+      dataCurrent(base, d) &&
       !(hidden > 64 && hidden * 2 >
         SegmentFile.listSegments(p).map(s => s.count - 2 * s.tombstones).sum) &&
       (try {
@@ -386,26 +424,31 @@ object KvMatView {
       } finally snapNow.unpersist()
     }
     KvCommands.autoCompact(spark, p)
-    // zombie checks (lease-expiry race): if another refresh advanced
-    // the meta while we ran, OR our lease was stolen (a successor may
-    // be mid-flight right now), our relative delta may have composed
-    // with foreign writes — quarantine behind a suspect marker and
-    // never publish
-    val latest = get(base, name)
-    if (latest.exists(_.baseVersion != d.baseVersion) ||
-        !KvMaintenance.stillHeld(lease)) {
-      KvMaintenance.quarantine(p)
-      invalidate(base)
-      return latest.getOrElse(d)
-    }
+    // fenced publish (lease-expiry race): the CAS accepts only while
+    // the CURRENT meta still names the watermark this refresh folded
+    // from — if another refresh advanced it while we ran (we are the
+    // zombie), the publish loses DETERMINISTICALLY and we quarantine,
+    // so the view never answers queries from delta-composed-with-
+    // foreign-writes content. stillHeld stays as a cheap early
+    // detector; the CAS closes the check-then-publish window.
     val nd = d.copy(baseVersion = vNow, nullRowsByGroup = nullRowsNow)
-    writeMvMeta(p, nd)
-    // clear only a marker WE own (our token, or the marker our rebuild
-    // just healed) — a concurrent zombie's fresh suspect marker must
-    // survive this publish
-    KvMaintenance.clearIfOwned(p, lease, markerAtStart)
-    invalidate(base)
-    nd
+    val published =
+      if (KvMaintenance.stillHeld(lease))
+        publishMvMeta(p, nd, expectBaseVersion = Some(d.baseVersion))
+      else None
+    published match {
+      case None =>
+        KvMaintenance.quarantine(p)
+        invalidate(base)
+        get(base, name).getOrElse(d)
+      case Some(pub) =>
+        // clear only a marker WE own (our token, or the marker our
+        // rebuild just healed) — a concurrent zombie's fresh suspect
+        // marker must survive this publish
+        KvMaintenance.clearIfOwned(p, lease, markerAtStart)
+        invalidate(base)
+        pub
+    }
   }
 
   def drop(base: String, name: String): Unit = {

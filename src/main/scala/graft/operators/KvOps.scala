@@ -690,6 +690,30 @@ object KvOps {
         .orderBy("keep_id")
     },
 
+    // SHUFFLE-FREE, SORT-FREE window on the key order (the window
+    // analog of the reference's R8/R9 sort-elision strategies,
+    // HBaseStrategies.scala:42-60): PARTITION BY the disjoint lead key
+    // rides the scan's KeyGroupedPartitioning (no Exchange) and ORDER
+    // BY the next key column rides its reported ordering (no Sort) —
+    // PlanShapeSpec pins both; this gate pins the VALUES against the
+    // parquet truth, identical whether the elision fires or not.
+    QuerySpec.checked("kv36_window_on_kv",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitemKv(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(38, 6))).over(w)
+            .cast(DoubleType).as("run_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly

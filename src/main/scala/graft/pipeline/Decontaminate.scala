@@ -37,11 +37,15 @@ object Decontaminate {
       .withColumn("__hit", lit(1))
     // ONE train pass: the doc's gram count rides along the exploded
     // rows, a LEFT join marks eval hits, and one grouping folds both
-    // numbers back. Every doc has ≥1 shingle (sub-n docs get the
-    // whole-document shingle), so no doc drops out of the explode.
+    // numbers back. Non-null sub-n docs get the whole-document shingle,
+    // but a NULL text yields a NULL shset — explode_outer (plus the
+    // coalesced count) keeps such docs in the stats with n_grams = 0
+    // instead of silently dropping them; their NULL gram never matches
+    // an eval gram.
     Dedup.shingleHashSets(train, shingle, textCol, idCol)
-      .select(col(idCol), size(col("shset")).cast("long").as("n_grams"),
-        explode(col("shset")).as("gram"))
+      .select(col(idCol),
+        coalesce(size(col("shset")), lit(0)).cast("long").as("n_grams"),
+        explode_outer(col("shset")).as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(idCol)
       .agg(max(col("n_grams")).as("n_grams"),

@@ -16,9 +16,12 @@ object PlanProbe {
     val p = df.queryExecution.executedPlan.toString
     // "Exchange hashpartitioning/SinglePartition/range..." is a real
     // shuffle node; a bare "Exchange " substring would also match inside
-    // BroadcastExchange/ReusedExchange and overcount
+    // BroadcastExchange/ReusedExchange and overcount. Count by the
+    // partitioning kind so Exchange nodes carried under ':' tree
+    // continuation prefixes (non-last join children) aren't missed.
     println("reusedExchange=" + "ReusedExchange".r.findAllIn(p).size +
-      " shuffle=" + "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(p).size +
+      " shuffle=" + "\\bExchange (hash|range)partitioning|\\bExchange SinglePartition"
+        .r.findAllIn(p).size +
       " broadcastExchange=" + "BroadcastExchange".r.findAllIn(p).size +
       " fileScan=" + "FileScan".r.findAllIn(p).size +
       " expand=" + "Expand".r.findAllIn(p).size)

@@ -99,6 +99,66 @@ class KvMaintenanceSpec extends AnyFunSuite {
     assert(stored == expect, s"stored=$stored expect=$expect")
   }
 
+  test("zombie publish loses the meta CAS deterministically") {
+    val dir = Files.createTempDirectory("kv_cas").toString
+    // initial publish (create)
+    assert(KvMaintenance.casPublishMeta(dir, "_m", "w=1")(_.isEmpty))
+    // the zombie reads the meta under its lease, then stalls
+    val zombieRead = KvMaintenance.readVersionedMeta(dir, "_m")
+    assert(zombieRead.contains("w=1"))
+    // meanwhile its lease expires and a successor publishes, fenced on
+    // the same observed content — it wins
+    assert(KvMaintenance.casPublishMeta(dir, "_m", "w=2")(_ == zombieRead))
+    // the zombie wakes and publishes keyed on what IT read: it must
+    // lose, and the successor's meta must survive untouched
+    assert(!KvMaintenance.casPublishMeta(dir, "_m", "w=zombie")(_ == zombieRead))
+    assert(KvMaintenance.readVersionedMeta(dir, "_m").contains("w=2"))
+    // N racers fenced on the same observed content: exactly one wins
+    val start = KvMaintenance.readVersionedMeta(dir, "_m")
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val ts = (0 until 8).map(i => new Thread(() => {
+      if (KvMaintenance.casPublishMeta(dir, "_m", s"racer-$i")(_ == start))
+        wins.incrementAndGet()
+      ()
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(wins.get == 1, s"${wins.get} racers won the same CAS slot")
+  }
+
+  test("a late data append after publish self-invalidates the artifact") {
+    val p = baseFixture("kv_fence_data")
+    KvIndex.create(spark, p, "ic", Seq("c"))
+    assert(KvIndex.get(p, "ic").exists(KvIndex.inSync(p, _)))
+    // simulate a fenced-out zombie's parting data write landing AFTER
+    // the successor's publish: any commit bumps the index table's own
+    // manifest past the published dataVersion
+    KvCommands.append(
+      spark.range(1).select(lit(999L).as("c"), lit(999999L).as("pk")),
+      KvIndex.indexPath(p, "ic"))
+    assert(KvIndex.get(p, "ic").exists(d => !KvIndex.inSync(p, d)),
+      "ghost-bearing index must drop out of sync")
+    assert(KvIndex.usableForPlanning(p).isEmpty,
+      "ghost-bearing index must drop out of planning")
+    // refresh heals by absolute rebuild (never a diff on ghost data)
+    KvIndex.refresh(spark, p, "ic")
+    assert(KvIndex.get(p, "ic").exists(KvIndex.inSync(p, _)))
+    val viaIndex = KvCommands.table(spark, p).filter(col("c") === 999L)
+    assert(viaIndex.count() == 0, "the ghost entry must not resurface")
+    // matview analog
+    KvMatView.create(spark, p, "mv", Seq("grp"), Seq("c"))
+    KvCommands.append(
+      spark.range(1).select(lit(77L).as("grp"), lit(1L).as("__cnt"),
+        lit(0L).as("__sum_c"), lit(0L).as("__nn_c")),
+      KvMatView.mvPath(p, "mv"))
+    assert(KvMatView.get(p, "mv").exists(d => !KvMatView.inSync(p, d)))
+    assert(KvMatView.usableForPlanning(p).isEmpty)
+    KvMatView.refresh(spark, p, "mv")
+    assert(KvMatView.get(p, "mv").exists(KvMatView.inSync(p, _)))
+    assert(KvMatView.read(spark, p, "mv")
+      .filter(col("grp") === 77L).count() == 0,
+      "the ghost group must not resurface")
+  }
+
   test("suspect intent marker blocks planning and forces a healing rebuild") {
     val p = baseFixture("kv_lease_suspect")
     KvMatView.create(spark, p, "mv", Seq("grp"), Seq("c"))

@@ -238,6 +238,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("window on the kv key order needs no Exchange and no Sort") {
+    // the window analog of the shuffle-free GROUP BY (reference R8/R9
+    // sort elision, HBaseStrategies.scala:42-60): PARTITION BY the
+    // disjoint lead key rides KeyGroupedPartitioning, ORDER BY the next
+    // key column rides the scan's reported ordering — WindowExec runs
+    // directly on the scan output
+    SparkEntry.queries("kv1_scan_count")(spark, sf).collect() // fixture
+    val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
+      sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
+    import org.apache.spark.sql.functions.{col, sum}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val df = graft.connector.KvCommands.table(spark, kvPath)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum("l_quantity").over(w).as("run_qty"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2500))
+    assert(!"(?m)^[\\s:+|-]*Sort ".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
+    // the elided plan's values must equal the shuffled+sorted plan's
+    val expected = graft.connector.KvCommands.table(spark, kvPath)
+      .repartition(4)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum("l_quantity").over(w).as("run_qty"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sorted.toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == expected)
+  }
+
   test("kv self-join on the lead key is storage-partitioned (no shuffle)") {
     // the reference's co-located HBase-HBase join (two region scans with
     // matching boundaries zip partition-wise); here two scans of the
