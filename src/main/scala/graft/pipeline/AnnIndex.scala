@@ -24,10 +24,11 @@ object AnnIndex {
   /** Bump when the signature / centroid / layout scheme changes: callers
     * key cached index paths on it, so an index materialized by an older
     * scheme is rebuilt instead of probed with mismatched signatures. */
-  val FormatVersion = 3 // v3: + _params.txt (dim/nPlanes persisted)
+  val FormatVersion = 4 // v4: + _drift.txt (assignment-fit accounting)
 
   private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
   private def paramsFile(path: String) = Paths.get(path, "_params.txt")
+  private def driftFile(path: String) = Paths.get(path, "_drift.txt")
 
   // ── centroid selection (sampled k-means, cosine metric) ────────────────
 
@@ -83,6 +84,75 @@ object AnnIndex {
     }
   }
 
+  /** Cosine of a vector to its assigned (nearest) centroid — the
+    * per-row "how well does the clustering fit this vector" signal the
+    * drift accounting aggregates. */
+  def assignCos(centroids: Array[Array[Double]], v: Column): Column =
+    greatest(centroids.map(c =>
+      Similarity.cosine(v, array(c.map(x => lit(x)): _*))): _*)
+
+  // ── drift accounting ───────────────────────────────────────────────────
+  // `append` never re-clusters, so probe RECALL erodes as the corpus
+  // drifts from the build-time centroids: a query near a new mode
+  // probes cells whose centroids don't face it. The index therefore
+  // keeps a sidecar ledger of assignment fit — rows and
+  // sum-of-assigned-cosines at build, and the same accumulated over
+  // every appended batch (one cheap aggregate over data each op scans
+  // anyway; no corpus rescan at read time). [[driftStats]] folds the
+  // ledger into the two erosion signals, and [[appendAndMaintain]]
+  // auto-rebuilds past the threshold.
+
+  final case class AnnDriftStats(buildRows: Long, buildMeanCos: Double,
+      appendedRows: Long, appendMeanCos: Double) {
+    /** Appended volume relative to the clustered base (1.0 = the corpus
+      * doubled since clustering). */
+    def growth: Double =
+      if (buildRows == 0) Double.PositiveInfinity
+      else appendedRows.toDouble / buildRows
+    /** How much worse appended vectors fit their assigned cells than
+      * the build-time corpus fit its own (positive = drifting away). */
+    def cosErosion: Double =
+      if (appendedRows == 0) 0.0 else buildMeanCos - appendMeanCos
+    /** Rebuild when the un-clustered volume rivals the clustered base,
+      * or when appended vectors visibly stopped fitting the cells. */
+    def needsRebuild(maxGrowth: Double = 1.0,
+        maxCosErosion: Double = 0.05): Boolean =
+      appendedRows > 0 && (growth >= maxGrowth || cosErosion >= maxCosErosion)
+  }
+
+  private def writeDrift(path: String, buildRows: Long, buildCosSum: Double,
+      appendRows: Long, appendCosSum: Double): Unit =
+    Files.writeString(driftFile(path),
+      s"build_rows=$buildRows\nbuild_cos_sum=$buildCosSum\n" +
+        s"append_rows=$appendRows\nappend_cos_sum=$appendCosSum")
+
+  private def readDrift(path: String): (Long, Double, Long, Double) = {
+    val kv = Files.readString(driftFile(path)).split('\n')
+      .map(_.split('=')).collect { case Array(k, v) => k -> v.trim }.toMap
+    (kv("build_rows").toLong, kv("build_cos_sum").toDouble,
+      kv("append_rows").toLong, kv("append_cos_sum").toDouble)
+  }
+
+  /** The index's drift ledger, folded — a sidecar read, no data scan.
+    * A legacy (pre-v4) index reports zero drift; rebuild it to start
+    * the accounting. */
+  def driftStats(path: String): AnnDriftStats = {
+    if (!Files.exists(driftFile(path)))
+      return AnnDriftStats(0L, 0.0, 0L, 0.0)
+    val (br, bcs, ar, acs) = readDrift(path)
+    AnnDriftStats(br, if (br == 0) 0.0 else bcs / br,
+      ar, if (ar == 0) 0.0 else acs / ar)
+  }
+
+  /** (rows, sum of assigned-centroid cosines) of `df` — one aggregate
+    * over a pass the caller is already paying for. */
+  private def fitOf(df: DataFrame, cents: Array[Array[Double]],
+      vecCol: String): (Long, Double) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(assignCos(cents, col(vecCol))), lit(0.0)).as("s")).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
   // ── build ──────────────────────────────────────────────────────────────
 
   /** One pass over the corpus: signature + cell per vector, written as a
@@ -105,6 +175,11 @@ object AnnIndex {
     // the signature scheme is part of the index: append/probe must use
     // the SAME plane count or Hamming filters compare garbage
     Files.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
+    // seed the drift ledger with the build-time assignment fit (one
+    // aggregate over the just-written, cell-pruned index)
+    val (n, cosSum) = fitOf(
+      embeddings.sparkSession.read.parquet(path), cents, vecCol)
+    writeDrift(path, n, cosSum, 0L, 0.0)
   }
 
   /** (dim, nPlanes) persisted at build. */
@@ -136,6 +211,58 @@ object AnnIndex {
         nearestCell(cents, col(vecCol)).as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+    // fold this batch's assignment fit into the drift ledger (one
+    // aggregate over the batch only — never a corpus rescan). Appends
+    // are maintenance ops: like the parquet append itself, the ledger
+    // update assumes one maintainer at a time (serialize via
+    // KvMaintenance.acquire when that isn't structural).
+    if (Files.exists(driftFile(path))) {
+      val (br, bcs, ar, acs) = readDrift(path)
+      val (n, cosSum) = fitOf(newVectors, cents, vecCol)
+      writeDrift(path, br, bcs, ar + n, acs + cosSum)
+    }
+  }
+
+  /** Append + drift-triggered re-cluster: the growing-corpus
+    * maintenance loop in one call. Appends the batch, reads the drift
+    * ledger, and when the index has grown past `maxGrowth`× its
+    * clustered base (or appended vectors stopped fitting the cells by
+    * `maxCosErosion`), REBUILDS in place from the index's own stored
+    * vectors — fresh centroids over the full current corpus, so probe
+    * recall recovers. Returns true when a rebuild ran. */
+  def appendAndMaintain(spark: SparkSession, newVectors: DataFrame,
+      path: String, maxGrowth: Double = 1.0, maxCosErosion: Double = 0.05,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Boolean = {
+    append(newVectors, path, vecCol, idCol)
+    if (driftStats(path).needsRebuild(maxGrowth, maxCosErosion)) {
+      rebuildInPlace(spark, path, vecCol, idCol)
+      true
+    } else false
+  }
+
+  /** Re-cluster an existing index from its own stored vectors: build a
+    * fresh index (new sampled-k-means centroids over the FULL current
+    * corpus, same dim/nPlanes/cell-count) beside it, then swap
+    * directories. The index parquet stores the full vectors, so no
+    * source table is needed. */
+  def rebuildInPlace(spark: SparkSession, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val (dim, nPlanes) = loadParams(path)
+    val nCentroids = loadCentroids(path).length
+    val all = spark.read.parquet(path).select(col(idCol), col(vecCol))
+    val tmp = path + "__rebuild"
+    build(all, tmp, dim, nPlanes, nCentroids, vecCol, idCol)
+    // `build` is an action — `all` is fully consumed before the swap
+    val old = Paths.get(path + "__old")
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(tmp), Paths.get(path))
+    deleteRecursively(old.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete()
   }
 
   def loadCentroids(path: String): Array[Array[Double]] =

@@ -174,6 +174,68 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist(); emb.unpersist()
   }
 
+  test("drift ledger detects 2x drifted growth; the rebuild trigger restores probe recall") {
+    // base corpus: two modes (e0, e1); drifted growth: four NEW modes
+    // (e2..e5) the build-time centroids never saw. Fixed seed.
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def mode(axis: Int, id0: Long, n: Int): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)
+        v(axis) = (1.0 + rnd.nextGaussian() * 0.05).toFloat
+        (id0 + i, v.toSeq)
+      }
+    val base = (mode(0, 0, 100) ++ mode(1, 100, 100)).toDF("vec_id", "embedding")
+    val drifted = (2 to 5).flatMap(a => mode(a, 1000 + a * 100, 100))
+      .toDF("vec_id", "embedding")
+    val all = base.union(drifted).cache()
+
+    def recallAt(dir: String, k: Int, nProbe: Int): Double = {
+      val qs = Seq(2, 3, 4).map { axis =>
+        val q = Array.fill(dim)(0f); q(axis) = 1f; q.toSeq
+      }
+      qs.map { q =>
+        val truth = Similarity.bruteForceTopK(all, q, k).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        val got = AnnIndex.ivfTopK(spark, dir, q, k, nProbe).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        (truth & got).size.toDouble / k
+      }.sum / qs.size
+    }
+
+    // WITHOUT the trigger: plain append — the ledger reports the drift
+    // and recall under a partial probe is eroded
+    val dirA = java.nio.file.Files.createTempDirectory("ann_drift_a")
+      .toString + "/idx"
+    AnnIndex.build(base, dirA, dim = dim, nPlanes = 16, nCentroids = 8)
+    AnnIndex.append(drifted, dirA)
+    val stats = AnnIndex.driftStats(dirA)
+    assert(stats.buildRows == 200 && stats.appendedRows == 400)
+    assert(math.abs(stats.growth - 2.0) < 1e-9)
+    assert(stats.cosErosion > 0.0,
+      s"drifted vectors must fit the old cells worse: $stats")
+    assert(stats.needsRebuild(), s"2x drifted growth must trip the trigger: $stats")
+    val recallStale = recallAt(dirA, k = 10, nProbe = 2)
+
+    // WITH the trigger: appendAndMaintain rebuilds (fresh centroids over
+    // the full corpus) and the same partial probe recovers recall
+    val dirB = java.nio.file.Files.createTempDirectory("ann_drift_b")
+      .toString + "/idx"
+    AnnIndex.build(base, dirB, dim = dim, nPlanes = 16, nCentroids = 8)
+    val rebuilt = AnnIndex.appendAndMaintain(spark, drifted, dirB)
+    assert(rebuilt, "the drift trigger must fire on 2x drifted growth")
+    val recallFresh = recallAt(dirB, k = 10, nProbe = 2)
+    assert(recallFresh >= 0.8, s"post-rebuild recall $recallFresh < 0.8")
+    assert(recallFresh > recallStale,
+      s"rebuild must beat the stale clustering: $recallFresh <= $recallStale")
+    // the rebuild reset the ledger: accounting starts over
+    val statsB = AnnIndex.driftStats(dirB)
+    assert(statsB.buildRows == 600 && statsB.appendedRows == 0)
+    // nothing lost in the swap
+    assert(spark.read.parquet(dirB).count() == 600)
+    all.unpersist()
+  }
+
   test("matches corpus embeddings against an in-test oracle") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
     val rows = emb.collect().map(r =>
