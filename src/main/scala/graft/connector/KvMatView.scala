@@ -24,7 +24,12 @@ final case class KvMatViewDef(name: String, groupCols: Seq[String],
     // the VIEW table's own manifest version at meta publish: a later
     // append (a fenced-out zombie's late write) bumps it and the view
     // self-invalidates out of planning. -1 = legacy pre-fencing meta.
-    dataVersion: Long = -1L)
+    dataVersion: Long = -1L,
+    // value columns with maintained per-group MIN/MAX (__min_c/__max_c).
+    // Inserts fold incrementally (an extreme only tightens); a removal
+    // or update that TOUCHES a group's stored extreme triggers a rescan
+    // of that group alone — see refresh.
+    minMaxCols: Seq[String] = Nil)
 
 /** Incrementally-maintained aggregate views over graftkv tables
   * (extension scope — the warehouse "incremental materialized view"
@@ -56,6 +61,19 @@ final case class KvMatViewDef(name: String, groupCols: Seq[String],
   * recompute — float sums would drift under reordering and are
   * refused at create.
   *
+  * Declared `minMaxCols` additionally store `__min_c`/`__max_c` per
+  * group (any totally-ordered atomic type — min/max select a stored
+  * value, they never synthesize one, so floats are exact here).
+  * MIN/MAX are not self-inverting under deletion the way SUM/COUNT
+  * are, so the fold splits: inserts only TIGHTEN an extreme
+  * (least/greatest against the stored value — still pure delta cost,
+  * the append-only dashboard path), while a removed or changed value
+  * that could TIE a group's stored extreme re-derives that group's
+  * extremes from the new snapshot restricted to exactly the affected
+  * groups (a semi-join the kv scan prunes by when the group columns
+  * are key columns). Cost is delta + touched-extreme groups, never
+  * the table.
+  *
   * Group columns are key columns of the view, so NULL group values are
   * not representable: rows whose group columns hold NULL are EXCLUDED
   * from the view by contract (the same rule the secondary index
@@ -75,7 +93,8 @@ object KvMatView {
   private def metaContent(d: KvMatViewDef): String =
     d.groupCols.mkString(",") + "\n" +
       d.sumCols.mkString(",") + "\n" + d.baseVersion + "\n" +
-      d.nullRowsByGroup.mkString(",") + "\n" + d.dataVersion
+      d.nullRowsByGroup.mkString(",") + "\n" + d.dataVersion + "\n" +
+      d.minMaxCols.mkString(",")
 
   private def parseMeta(name: String, content: String): Option[KvMatViewDef] = {
     val lines = content.split('\n')
@@ -90,8 +109,10 @@ object KvMatView {
     val dataV =
       if (lines.length >= 5) lines(4).trim.toLongOption.getOrElse(-1L)
       else -1L
+    val mmCols = if (lines.length >= 6) cols(lines(5)) else Nil
     for (v <- lines(2).trim.toLongOption)
-      yield KvMatViewDef(name, groupCols, cols(lines(1)), v, nullRows, dataV)
+      yield KvMatViewDef(name, groupCols, cols(lines(1)), v, nullRows, dataV,
+        mmCols)
   }
 
   /** Fenced meta publish: wins only while the CURRENT meta still names
@@ -177,28 +198,51 @@ object KvMatView {
     }
   }
 
+  /** MIN/MAX-maintainable: any totally-ordered atomic type. Unlike
+    * SUM, min/max never synthesize a value — they select one the base
+    * holds — so floats and decimals are exact here. */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+          BooleanType => true
+      case _ => false
+    }
+  }
+
   /** Stored-row aggregation of `rows`: one row per (non-NULL) group
-    * with __cnt / __sum_c / __nn_c. NULL-group rows are excluded by
-    * the view contract (they have no representable key). */
+    * with __cnt / __sum_c / __nn_c / __min_c / __max_c. NULL-group rows
+    * are excluded by the view contract (no representable key). */
   private def fold(rows: DataFrame, d: KvMatViewDef): DataFrame =
     rows.where(d.groupCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(d.groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
         d.sumCols.flatMap(c => Seq(
           coalesce(sum(col(c)), lit(0L)).as(s"__sum_$c"),
-          count(col(c)).as(s"__nn_$c"))): _*)
+          count(col(c)).as(s"__nn_$c"))) ++
+          d.minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"__min_$c"),
+            max(col(c)).as(s"__max_$c"))): _*)
 
   def create(spark: SparkSession, base: String, name: String,
-      groupCols: Seq[String], sumCols: Seq[String] = Nil): KvMatViewDef = {
+      groupCols: Seq[String], sumCols: Seq[String] = Nil,
+      minMaxCols: Seq[String] = Nil): KvMatViewDef = {
     require(name.matches(NamePat), s"view name must match $NamePat: $name")
     require(groupCols.nonEmpty, "materialized view needs group columns")
     val m = baseMeta(base)
-    (groupCols ++ sumCols).foreach(c =>
+    (groupCols ++ sumCols ++ minMaxCols).foreach(c =>
       require(m.schema.fieldNames.contains(c), s"no column '$c'"))
     sumCols.foreach(c => require(integral(m.schema(c).dataType),
       s"SUM($c): only integral columns — Long arithmetic is exact, so " +
         "incremental maintenance matches a full recompute bit-for-bit; " +
         "float sums would drift under reordering"))
+    minMaxCols.foreach { c =>
+      require(orderable(m.schema(c).dataType),
+        s"MINMAX($c): needs a totally-ordered atomic type")
+      require(!groupCols.contains(c),
+        s"MINMAX($c): group columns already carry their value set — " +
+          "min/max of a group column rewrites without being declared")
+    }
     require(get(base, name).isEmpty, s"view '$name' already exists on $base")
     val v = currentOrFail(base)
     // the fold and the counter are two actions over the same snapshot —
@@ -206,7 +250,8 @@ object KvMatView {
     val snap = KvCommands.tableAsOf(spark, base, v).persist()
     try {
       val d = KvMatViewDef(name, groupCols, sumCols, v,
-        nullRowsByGroup = perColNullCounts(snap, m, groupCols))
+        nullRowsByGroup = perColNullCounts(snap, m, groupCols),
+        minMaxCols = minMaxCols)
       KvCommands.createTable(fold(snap, d), mvPath(base, name), groupCols,
         m.encoding)
       val published = publishMvMeta(mvPath(base, name), d,
@@ -249,7 +294,11 @@ object KvMatView {
       d.sumCols.flatMap(c => Seq(
         when(col(s"__nn_$c") > 0, col(s"__sum_$c")).as(s"sum_$c"),
         when(col(s"__nn_$c") > 0,
-          col(s"__sum_$c") / col(s"__nn_$c")).as(s"avg_$c"))): _*)
+          col(s"__sum_$c") / col(s"__nn_$c")).as(s"avg_$c"))) ++
+      // stored NULL = the group holds no non-null value (SQL MIN/MAX)
+      d.minMaxCols.flatMap(c => Seq(
+        col(s"__min_$c").as(s"min_$c"),
+        col(s"__max_$c").as(s"max_$c"))): _*)
   }
 
   /** A crashed refresh must not leave RELATIVE deltas half-trusted:
@@ -347,6 +396,13 @@ object KvMatView {
           // are outside the view by contract.
           def sided(tag: String, c: String): Column =
             if (m.keys.contains(c)) col(c) else col(s"${tag}_$c")
+          // did an 'updated' row actually change c? (keys cannot change
+          // within an update — the diff joins on the primary key)
+          def changedFor(c: String): Column =
+            if (m.keys.contains(c)) lit(false)
+            else !(col(s"old_$c") <=> col(s"new_$c"))
+          def mmNull(c: String): Column =
+            lit(null).cast(m.schema(c).dataType)
           def side(tag: String, sign: Int) = diff
             .filter((if (tag == "old")
               col("change").isin("removed", "updated")
@@ -358,35 +414,111 @@ object KvMatView {
                 (coalesce(sided(tag, c).cast("long"), lit(0L)) * sign)
                   .as(s"__dsum_$c"),
                 when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
-                  .as(s"__dnn_$c"))): _*)
+                  .as(s"__dnn_$c"))) ++
+              // per minmax col: the value this row ADDS to / REMOVES
+              // from its group; an update that left c untouched
+              // contributes nothing (no spurious rescans)
+              d.minMaxCols.flatMap { c =>
+                val active = col("change") ===
+                  (if (tag == "old") "removed" else "added") ||
+                  (col("change") === "updated" && changedFor(c))
+                if (tag == "old")
+                  Seq(mmNull(c).as(s"__add_$c"),
+                    when(active, sided(tag, c)).as(s"__rem_$c"))
+                else
+                  Seq(when(active, sided(tag, c)).as(s"__add_$c"),
+                    mmNull(c).as(s"__rem_$c"))
+              }: _*)
           val deltas = side("old", -1).unionAll(side("new", 1))
             .groupBy(d.groupCols.map(col): _*)
             .agg(sum(col("__dcnt")).as("__dcnt"),
               d.sumCols.flatMap(c => Seq(
                 sum(col(s"__dsum_$c")).as(s"__dsum_$c"),
-                sum(col(s"__dnn_$c")).as(s"__dnn_$c"))): _*)
+                sum(col(s"__dnn_$c")).as(s"__dnn_$c"))) ++
+              d.minMaxCols.flatMap(c => Seq(
+                min(col(s"__add_$c")).as(s"__addmin_$c"),
+                max(col(s"__add_$c")).as(s"__addmax_$c"),
+                min(col(s"__rem_$c")).as(s"__remmin_$c"),
+                max(col(s"__rem_$c")).as(s"__remmax_$c"))): _*)
             .filter(col("__dcnt") =!= 0 ||
-              d.sumCols.map(c => col(s"__dsum_$c") =!= 0 ||
-                col(s"__dnn_$c") =!= 0).foldLeft(lit(false))(_ || _))
+              (d.sumCols.map(c => col(s"__dsum_$c") =!= 0 ||
+                col(s"__dnn_$c") =!= 0) ++
+                d.minMaxCols.map(c => col(s"__addmin_$c").isNotNull ||
+                  col(s"__remmin_$c").isNotNull))
+                .foldLeft(lit(false))(_ || _))
           if (!deltas.isEmpty) {
             // only the affected groups' current rows join in; emptied
             // groups become __cnt = 0 puts so the WHOLE delta is one
             // atomic commit (read filters them; no tombstone pass)
             val current = KvCommands.table(spark, p)
-            val merged = deltas.join(current, d.groupCols, "left")
-              .select(d.groupCols.map(col) ++
-                Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
-                  .as("__cnt")) ++
-                d.sumCols.flatMap(c => Seq(
-                  (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
-                    .as(s"__sum_$c"),
-                  (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
-                    .as(s"__nn_$c"))): _*)
+            val mergedBase = deltas.join(current, d.groupCols, "left")
+            val mergedCols = d.groupCols.map(col) ++
+              Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
+                .as("__cnt")) ++
+              d.sumCols.flatMap(c => Seq(
+                (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
+                  .as(s"__sum_$c"),
+                (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
+                  .as(s"__nn_$c")))
             // marker content = OUR lease token (the publish tail only
             // clears a marker it owns; suspect markers never carry a
             // token, so they are never mistaken for ours)
-            KvMaintenance.markInFlight(p, lease)
-            KvCommands.append(merged, p)
+            if (d.minMaxCols.isEmpty) {
+              KvMaintenance.markInFlight(p, lease)
+              KvCommands.append(mergedBase.select(mergedCols: _*), p)
+            } else {
+              // extremes: inserts only TIGHTEN (least/greatest fold);
+              // a removal that could TIE a stored extreme makes the new
+              // extreme any surviving row — rescan exactly those groups
+              // from the new snapshot. Append-only refreshes (the
+              // dashboard ingest pattern) never take this branch, and
+              // the rescan scan is group-restricted: when the group
+              // columns are key columns the semi-join prunes the base
+              // scan through the runtime-IN machinery.
+              val merged = mergedBase.select(mergedCols ++
+                d.minMaxCols.flatMap(c => Seq(
+                  least(col(s"__min_$c"), col(s"__addmin_$c"))
+                    .as(s"__min_$c"),
+                  greatest(col(s"__max_$c"), col(s"__addmax_$c"))
+                    .as(s"__max_$c"))) ++
+                Seq(d.minMaxCols.map { c =>
+                  col(s"__remmin_$c").isNotNull &&
+                    (col(s"__min_$c").isNull ||
+                      col(s"__remmin_$c") <= col(s"__min_$c") ||
+                      col(s"__remmax_$c") >= col(s"__max_$c"))
+                }.reduce(_ || _).as("__rescan")): _*)
+                .persist()
+              try {
+                val needs = merged.filter(col("__rescan"))
+                val out =
+                  if (needs.isEmpty) merged.drop("__rescan")
+                  else {
+                    val mmAggs = d.minMaxCols.flatMap(c => Seq(
+                      min(col(c)).as(s"__rs_min_$c"),
+                      max(col(c)).as(s"__rs_max_$c")))
+                    val exact = KvCommands.tableAsOf(spark, base, vNow)
+                      .join(needs.select(d.groupCols.map(col): _*),
+                        d.groupCols, "leftsemi")
+                      .groupBy(d.groupCols.map(col): _*)
+                      .agg(mmAggs.head, mmAggs.tail: _*)
+                    // left join: a group emptied by the delta has no
+                    // surviving rows — its extremes rescan to NULL
+                    needs.drop("__rescan" +: d.minMaxCols.flatMap(c =>
+                        Seq(s"__min_$c", s"__max_$c")): _*)
+                      .join(exact, d.groupCols, "left")
+                      .select(d.groupCols.map(col) ++ Seq(col("__cnt")) ++
+                        d.sumCols.flatMap(c =>
+                          Seq(col(s"__sum_$c"), col(s"__nn_$c"))) ++
+                        d.minMaxCols.flatMap(c => Seq(
+                          col(s"__rs_min_$c").as(s"__min_$c"),
+                          col(s"__rs_max_$c").as(s"__max_$c"))): _*)
+                      .unionByName(
+                        merged.filter(!col("__rescan")).drop("__rescan"))
+                  }
+                KvMaintenance.markInFlight(p, lease)
+                KvCommands.append(out, p)
+              } finally merged.unpersist()
+            }
           }
           nullRowsNow =
             if (nullableG.isEmpty) d.groupCols.map(_ => 0L)
@@ -465,7 +597,8 @@ object KvMatView {
     val rows = list(base).map { d =>
       Row(d.name, d.groupCols.mkString(","), d.sumCols.mkString(","),
         d.baseVersion, inSync(base, d),
-        if (d.nullRowsByGroup.isEmpty) null else d.nullRowsByGroup.mkString(","))
+        if (d.nullRowsByGroup.isEmpty) null else d.nullRowsByGroup.mkString(","),
+        d.minMaxCols.mkString(","))
     }.asJava
     spark.createDataFrame(rows, StructType(Seq(
       StructField("view_name", StringType),
@@ -475,6 +608,7 @@ object KvMatView {
       StructField("in_sync", BooleanType),
       // per group column: base rows the view excludes because that
       // column is NULL; null = unknown (pre-counter view)
-      StructField("null_rows_by_group_col", StringType))))
+      StructField("null_rows_by_group_col", StringType),
+      StructField("minmax_columns", StringType))))
   }
 }

@@ -714,6 +714,40 @@ object KvOps {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Materialized MIN/MAX of VALUE columns (KvMatView minMaxCols):
+    // stored per-group extremes — inserts tighten incrementally,
+    // extreme-touching removals rescan only the affected groups — and
+    // the transparent rewrite answers MIN/MAX from the view. The
+    // query is phrased against the BASE table so the rewrite can fire;
+    // the oracle pins the values against the parquet truth, identical
+    // whether it fires or the plan falls back to the scan
+    // (KvMatViewRewriteSpec pins the plan shape itself).
+    QuerySpec.checked("kv37_matview_minmax",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(min(o_custkey) AS BIGINT) AS min_cust,
+        |  CAST(max(o_custkey) AS BIGINT) AS max_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val path = ensure(s, d, "orders", Seq("o_orderkey"))
+      import graft.connector.KvMatView
+      KvMatView.get(path, "mv_status_mm") match {
+        case None =>
+          KvMatView.create(s, path, "mv_status_mm", Seq("o_orderstatus"),
+            Nil, Seq("o_totalprice", "o_custkey"))
+        case Some(v) if !KvMatView.inSync(path, v) =>
+          KvMatView.refresh(s, path, "mv_status_mm")
+        case _ => ()
+      }
+      KvCommands.table(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          min("o_custkey").as("min_cust"),
+          max("o_custkey").as("max_cust"))
+        .orderBy("o_orderstatus")
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly

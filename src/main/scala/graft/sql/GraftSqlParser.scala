@@ -46,13 +46,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
       GraftShowIndexesCommand(table.replace("`", "").split('.').toSeq)
-    case GraftSqlParser.CreateMvStmt(view, table, groupCols, sumCols)
+    case GraftSqlParser.CreateMvStmt(view, table, groupCols, sumCols, mmCols)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
+      def parse(s: String) = Option(s)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       GraftCreateMvCommand(view, table.replace("`", "").split('.').toSeq,
         groupCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-        Option(sumCols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil))
+        parse(sumCols), parse(mmCols))
     case GraftSqlParser.RefreshMvStmt(view, table)
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
@@ -143,11 +144,13 @@ object GraftSqlParser {
   private[sql] val ShowIndexesStmt =
     """(?is)\s*SHOW\s+INDEXES\s+(?:FOR|IN)\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
 
-  /** CREATE MATERIALIZED VIEW v ON [TABLE] t GROUP BY c,.. [SUM (c,..)] —
-    * an incrementally-maintained COUNT/SUM aggregate (KvMatView). */
+  /** CREATE MATERIALIZED VIEW v ON [TABLE] t GROUP BY c,..
+    * [SUM (c,..)] [MINMAX (c,..)] — an incrementally-maintained
+    * COUNT/SUM/MIN/MAX aggregate (KvMatView). */
   private[sql] val CreateMvStmt =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
-      """\s+GROUP\s+BY\s+([\w\s,]+?)(?:\s+SUM\s*\(([\w\s,]+)\))?\s*;?\s*""").r
+      """\s+GROUP\s+BY\s+([\w\s,]+?)(?:\s+SUM\s*\(([\w\s,]+)\))?""" +
+      """(?:\s+MINMAX\s*\(([\w\s,]+)\))?\s*;?\s*""").r
 
   /** REFRESH MATERIALIZED VIEW v ON [TABLE] t — fold the CDC delta. */
   private[sql] val RefreshMvStmt =
@@ -198,7 +201,7 @@ object GraftSqlParser {
       "SHOW", "SNAPSHOTS", "FOR", "IN", "COMPACT", "MAJOR",
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
-      "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS",
+      "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
       "GROUP", "SUM")
     val sparkKw =
       try {
@@ -348,13 +351,15 @@ case class GraftShowIndexesCommand(table: Seq[String])
   }
 }
 
-/** CREATE MATERIALIZED VIEW v ON t GROUP BY ... [SUM (...)]. */
+/** CREATE MATERIALIZED VIEW v ON t GROUP BY ... [SUM (...)] [MINMAX (...)]. */
 case class GraftCreateMvCommand(view: String, table: Seq[String],
-    groupCols: Seq[String], sumCols: Seq[String])
+    groupCols: Seq[String], sumCols: Seq[String],
+    minMaxCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalogPaths.tableDir(spark, table, "CREATE MATERIALIZED VIEW")
-    graft.connector.KvMatView.create(spark, dir, view, groupCols, sumCols)
+    graft.connector.KvMatView.create(spark, dir, view, groupCols, sumCols,
+      minMaxCols)
     Nil
   }
 }
@@ -386,7 +391,8 @@ case class GraftShowMvsCommand(table: Seq[String])
     AttributeReference("sum_columns", StringType, nullable = false)(),
     AttributeReference("base_version", LongType, nullable = false)(),
     AttributeReference("in_sync", BooleanType, nullable = false)(),
-    AttributeReference("null_rows_by_group_col", StringType)())
+    AttributeReference("null_rows_by_group_col", StringType)(),
+    AttributeReference("minmax_columns", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalogPaths.tableDir(spark, table, "SHOW MATERIALIZED VIEWS")

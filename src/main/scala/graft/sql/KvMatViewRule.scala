@@ -195,6 +195,16 @@ case class KvMatViewRule(spark: SparkSession) extends Rule[LogicalPlan]
         Some(Min(viewOut(att.name)).toAggregateExpression())
       case Max(att: AttributeReference) if groupNames.contains(att.name) =>
         Some(Max(viewOut(att.name)).toAggregateExpression())
+      // min/max of a DECLARED minmax value column: re-aggregate the
+      // stored per-group extremes (min of mins / max of maxes; stored
+      // NULL = group had no non-null value, which MIN/MAX skip — the
+      // same NULL semantics the base aggregate has)
+      case Min(att: AttributeReference) if d.minMaxCols.contains(att.name) &&
+          viewOut.contains(s"__min_${att.name}") =>
+        Some(Min(viewOut(s"__min_${att.name}")).toAggregateExpression())
+      case Max(att: AttributeReference) if d.minMaxCols.contains(att.name) &&
+          viewOut.contains(s"__max_${att.name}") =>
+        Some(Max(viewOut(s"__max_${att.name}")).toAggregateExpression())
       case _ => None
     }
   }

@@ -142,6 +142,40 @@ class KvMatViewRewriteSpec extends AnyFunSuite {
     checkEqual(q)
   }
 
+  test("MIN/MAX of declared minmax value columns rewrite, bit-identical") {
+    val path = tmpDir("minmax")
+    mkBase(path)
+    KvCommands.delete(spark, path, col("g").isNull)
+    KvMatView.create(spark, path, "mv", Seq("g", "h"), Seq("x"), Seq("x"))
+    val t = KvCommands.table(spark, path)
+
+    def full = t.groupBy("g", "h")
+      .agg(min("x").as("mn"), max("x").as("mx"), sum("x").as("s"))
+    assert(usesView(full), "declared minmax did not rewrite")
+    assert(!touchesBase(full))
+    checkEqual(full)
+
+    // subset grouping re-aggregates stored extremes (min of mins)
+    def subset = t.groupBy("g")
+      .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("c"))
+    assert(usesView(subset))
+    checkEqual(subset)
+
+    // global extremes + group-column filter
+    def filtered = t.filter(col("h") === 2)
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    assert(usesView(filtered))
+    checkEqual(filtered)
+
+    // staying correct THROUGH maintenance: remove a stored maximum
+    // (rescan path), refresh, rewrite fires again on exact extremes
+    KvCommands.delete(spark, path, col("x") >= 11900)
+    assert(!usesView(full), "stale view must not answer")
+    KvMatView.refresh(spark, path, "mv")
+    assert(usesView(full))
+    checkEqual(full)
+  }
+
   test("shapes the view cannot answer refuse and stay correct") {
     val path = tmpDir("refuse")
     mkBase(path)
@@ -154,7 +188,7 @@ class KvMatViewRewriteSpec extends AnyFunSuite {
       t.groupBy("g").agg(avg("x").as("a")),
       // sum of an undeclared column
       t.groupBy("g").agg(sum("k").as("s")),
-      // min/max of a non-group column
+      // min/max of a value column NOT declared MINMAX at create
       t.groupBy("g").agg(max("x").as("m")),
       // distinct aggregate
       t.groupBy("g").agg(countDistinct("x").as("cd")),

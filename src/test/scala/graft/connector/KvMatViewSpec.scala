@@ -69,6 +69,77 @@ class KvMatViewSpec extends AnyFunSuite {
     assert(KvMatView.refresh(spark, path, "mv") == d1)
   }
 
+  test("min/max value columns: tighten on insert, rescan on extreme removal") {
+    val path = tmpDir("minmax")
+    KvCommands.createTable(
+      spark.range(3000).select(col("id").as("k"), (col("id") % 6).as("g"),
+        when(col("id") % 40 === 7, lit(null))
+          .otherwise(col("id") * 3 % 997).as("x"),
+        (col("id").cast("double") * 1.25).as("y")),
+      path, Seq("k"))
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"), Seq("x", "y"))
+    def exp() = KvCommands.table(spark, path).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"), avg("x").as("avg_x"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    def got() = KvMatView.read(spark, path, "mv")
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    def refreshed(): Unit = {
+      KvMatView.refresh(spark, path, "mv")
+      assert(got() == exp())
+    }
+    assert(got() == exp())
+
+    // pure inserts extending extremes both directions — the
+    // incremental (tighten-only) path
+    KvCommands.append(spark.range(60).select((col("id") + 10000).as("k"),
+      (col("id") % 6).as("g"),
+      when(col("id") % 2 === 0, col("id") * 100 + 1000)
+        .otherwise(-col("id")).as("x"),
+      (col("id").cast("double") - 500.5).as("y")), path)
+    refreshed()
+
+    // inserts strictly INSIDE the current extremes (still incremental)
+    KvCommands.append(spark.range(20).select((col("id") + 20000).as("k"),
+      (col("id") % 6).as("g"), lit(500L).as("x"), lit(100.0).as("y")), path)
+    refreshed()
+
+    // delete rows holding several groups' maxima — the rescan path
+    KvCommands.delete(spark, path, col("x") > 900)
+    refreshed()
+
+    // row-level update pulling a minimum up (old extreme value leaves)
+    KvCommands.update(spark, path, col("x") < 0,
+      Map("x" -> lit(7L)))
+    refreshed()
+
+    // update of an UNRELATED column: no minmax contribution at all
+    KvCommands.update(spark, path, col("k") % 5 === 0,
+      Map("y" -> (col("y") + 0.5)))
+    refreshed()
+
+    // a group emptied entirely leaves the view
+    KvCommands.delete(spark, path, col("g") === 3)
+    refreshed()
+    assert(!got().exists(_.head == 3L))
+
+    // all-null column values in a fresh group: NULL extremes stored
+    KvCommands.append(spark.range(3).select((col("id") + 30000).as("k"),
+      lit(42L).as("g"), lit(null).cast("long").as("x"),
+      (col("id").cast("double")).as("y")), path)
+    refreshed()
+    val g42 = got().find(_.head == 42L).get
+    assert(g42(4) == null && g42(5) == null, "all-null x => NULL min/max")
+
+    // rebuild fallback (major compaction drops the watermark snapshot)
+    KvCommands.append(spark.range(10).select((col("id") + 40000).as("k"),
+      (col("id") % 6).as("g"), col("id").as("x"),
+      col("id").cast("double").as("y")), path)
+    KvCommands.compact(spark, path)
+    refreshed()
+  }
+
   test("refresh survives a major compaction via the rebuild fallback") {
     val path = tmpDir("compact")
     KvCommands.createTable(
@@ -101,7 +172,13 @@ class KvMatViewSpec extends AnyFunSuite {
         scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), schema)
     }
     KvCommands.createTable(randomDf(400), path, Seq("k"))
-    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"))
+    // minmax on the SAME nullable column the sums fold: every random
+    // upsert/delete exercises the tighten-vs-rescan split too
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("x"), Seq("x"))
+    def exp() = KvCommands.table(spark, path).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"), avg("x").as("avg_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
     for (round <- 1 to 8) {
       rnd.nextInt(3) match {
         case 0 | 1 => KvCommands.append(randomDf(1 + rnd.nextInt(150)), path)
@@ -111,8 +188,7 @@ class KvMatViewSpec extends AnyFunSuite {
       }
       if (round % 3 == 0) KvCommands.compactMinor(spark, path)
       KvMatView.refresh(spark, path, "mv")
-      assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")),
-        s"round $round")
+      assert(actual(path, "mv", Seq("g")) == exp(), s"round $round")
     }
   }
 
@@ -198,6 +274,21 @@ class KvMatViewSpec extends AnyFunSuite {
     val tdir = s"$root/db/t"
     val got = actual(tdir, "mv", Seq("g"))
     assert(got == expected(tdir, Seq("g"), Seq("x")))
+
+    // the MINMAX clause parses through the same statement
+    spark.sql(s"CREATE MATERIALIZED VIEW mvm ON TABLE $cat.db.t " +
+      "GROUP BY g SUM (x) MINMAX (x)")
+    assert(KvMatView.get(tdir, "mvm").get.minMaxCols == Seq("x"))
+    val mmShown = spark.sql(s"SHOW MATERIALIZED VIEWS FOR $cat.db.t")
+      .collect().find(_.getString(0) == "mvm").get
+    assert(mmShown.getString(6) == "x")
+    val mmGot = actual(tdir, "mvm", Seq("g"))
+    val mmExp = KvCommands.table(spark, tdir).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"), avg("x").as("avg_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(mmGot == mmExp)
+    spark.sql(s"DROP MATERIALIZED VIEW mvm ON $cat.db.t")
 
     spark.sql(s"DROP MATERIALIZED VIEW mv ON $cat.db.t")
     assert(spark.sql(s"SHOW MATERIALIZED VIEWS FOR $cat.db.t")
