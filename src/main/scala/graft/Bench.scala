@@ -228,19 +228,37 @@ object Bench {
       val dir = "/root/repo/tmp/plan10k"
       val schema = StructType(Seq(StructField("k", LongType, nullable = false),
         StructField("v", LongType, nullable = false)))
+      // rebuild a fixture from a pre-V9 round: the NDV probe needs
+      // every segment to carry sketches
+      if (new java.io.File(dir, "_graft_meta.json").exists() &&
+        !graft.store.SegmentFile.ndvSketches(dir).values.headOption
+          .exists(_.exists(_.name == "v"))) {
+        graft.connector.KvCommands.dropTable(dir)
+      }
       if (!new java.io.File(dir, "_graft_meta.json").exists()) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         val codec = graft.store.RowCodec(schema, Seq("k"))
+        val hll = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
+          graft.store.SegmentFile.NdvRsd)
         val names = (0 until nSegs).map { i =>
           val name = f"segment-$i%05d-000000-bench000"
           val w = new graft.store.SegmentFile.Writer(dir, name,
             cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
+          val bufs = Array.fill(2)(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array.fill[Any](hll.numWords)(0L)))
           (0 until 3).foreach { j =>
             val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](i * 10L + j, i.toLong))
             w.write(codec.encodeKey(row), codec.encodeValue(row))
+            hll.update(bufs(0), 0, i * 10L + j, LongType)
+            hll.update(bufs(1), 0, i.toLong, LongType)
           }
-          w.close()
+          def words(b: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
+            Array.tabulate(hll.numWords)(b.getLong)
+          w.close(Seq.empty, Seq(
+            graft.store.SegmentFile.NdvSketch("k", words(bufs(0))),
+            graft.store.SegmentFile.NdvSketch("v", words(bufs(1)))))
           s"$name.kv"
         }
         graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
@@ -292,7 +310,21 @@ object Bench {
       }
       topkOnce() // warmup
       val topk = median3(topkOnce _)
-      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)}}"""
+      // metadata NDV at the same scale: approx_count_distinct over the
+      // 10k-segment table answers from merged V9 sketches (KvNdvRule) —
+      // zero data bytes, so it must stay metadata-flat like the plan
+      def ndvOnce(): Double = {
+        val t0 = System.nanoTime()
+        val est = spark.read.format("graftkv").load(dir)
+          .agg(org.apache.spark.sql.functions
+            .approx_count_distinct("v").as("ndv")).head().getLong(0)
+        require(math.abs(est - nSegs) <= nSegs * 0.15,
+          s"plan10k ndv probe estimated $est for $nSegs distinct")
+        (System.nanoTime() - t0) / 1e9
+      }
+      ndvOnce() // warmup (builds the _graft_ndv pack once)
+      val ndv = median3(ndvOnce _)
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)},"ndv_sec":${fmt(ndv)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
       ""

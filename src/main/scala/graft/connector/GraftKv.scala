@@ -143,6 +143,7 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
   // plan-time accessors for the secondary-index rewrite (KvIndexRule)
   private[graft] def kvPath: String = path
   private[graft] def kvKeys: Seq[String] = keys
+  private[graft] def kvEncoding: String = encoding
   private[graft] def isSnapshotView: Boolean = snapshot.isDefined
 
   // ── SupportsIndex: stock `CREATE INDEX i ON TABLE t (c)` / `DROP
@@ -2120,6 +2121,18 @@ object GraftKvDataWriter {
     * prefix or Unknown) but never produces an unboundedly large
     * segment. */
   val ForceRotateFactor = 4L
+
+  /** Columns the writer NDV-sketches: the atomic types
+    * XxHash64Function hashes (what Spark's HLL++ itself accepts). */
+  def ndvSketchable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | StringType | DateType | TimestampType |
+          TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+  }
 }
 
 /** Receives rows already range-partitioned and key-sorted (the Write's
@@ -2188,6 +2201,41 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private val pendingVal = new Array[Any](statFields.length)
   private val pendingNull = new Array[Boolean](statFields.length)
 
+  // per-column NDV sketches (V9 sidecar): HLL++ registers built with
+  // Spark's own helper so a union of per-segment sketches is register-
+  // identical to the single-pass sketch approx_count_distinct would
+  // build over the same rows (KvNdvRule answers from metadata).
+  // Winners-only: contributions stage with the buffered record and fold
+  // at flush, like the zone stats. Tombstone writers skip sketching
+  // (key-only rows; tombstoned tables never answer from metadata).
+  private val ndvFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
+    if (tombstone) Array.empty
+    else schema.fields.filter(f => GraftKvDataWriter.ndvSketchable(f.dataType))
+      .map(f => schema.fieldIndex(f.name) -> f)
+  private val ndvHelper =
+    new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
+      SegmentFile.NdvRsd)
+  private def freshNdvBuf() =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array.fill[Any](ndvHelper.numWords)(0L))
+  private val ndvBufs = Array.fill(ndvFields.length)(freshNdvBuf())
+  private val ndvPending = new Array[Any](ndvFields.length)
+  private val ndvPendingNull = new Array[Boolean](ndvFields.length)
+
+  private def segNdvSketches(): Seq[SegmentFile.NdvSketch] = {
+    val out = Seq.newBuilder[SegmentFile.NdvSketch]
+    var i = 0
+    while (i < ndvFields.length) {
+      val words = new Array[Long](ndvHelper.numWords)
+      var w = 0
+      while (w < words.length) { words(w) = ndvBufs(i).getLong(w); w += 1 }
+      out += SegmentFile.NdvSketch(ndvFields(i)._2.name, words)
+      ndvBufs(i) = freshNdvBuf()
+      i += 1
+    }
+    out.result()
+  }
+
   private def segZoneStats(): Seq[SegmentFile.ZoneStat] = {
     val out = Seq.newBuilder[SegmentFile.ZoneStat]
     var i = 0
@@ -2216,7 +2264,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
 
   private def rotate(): Unit = {
-    val meta = writer.close(segZoneStats())
+    val meta = writer.close(segZoneStats(), segNdvSketches())
     if (meta != null) committed ::= meta.file
     writer = newWriter()
   }
@@ -2241,6 +2289,12 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private def flushBuffered(): Unit = if (bufKey != null) {
     writer.write(bufKey, bufValue, bufBlooms)
     bufKey = null
+    var ni = 0
+    while (ni < ndvFields.length) {
+      if (!ndvPendingNull(ni))
+        ndvHelper.update(ndvBufs(ni), 0, ndvPending(ni), ndvFields(ni)._2.dataType)
+      ni += 1
+    }
     var si = 0
     while (si < statFields.length) {
       if (pendingNull(si)) statNulls(si) = true
@@ -2278,6 +2332,22 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       }
       si += 1
     }
+    var ni = 0
+    while (ni < ndvFields.length) {
+      val (ord, f) = ndvFields(ni)
+      if (row.isNullAt(ord)) { ndvPendingNull(ni) = true; ndvPending(ni) = null }
+      else {
+        ndvPendingNull(ni) = false
+        ndvPending(ni) = row.get(ord, f.dataType) match {
+          // an UnsafeRow's UTF8String is a VIEW into a buffer the
+          // iterator reuses — the stage lives until the NEXT record
+          // arrives, so copy
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case v => v
+        }
+      }
+      ni += 1
+    }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -2312,7 +2382,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
 
   override def commit(): WriterCommitMessage = {
     flushBuffered()
-    val meta = writer.close(segZoneStats())
+    val meta = writer.close(segZoneStats(), segNdvSketches())
     if (meta != null) committed ::= meta.file
     GraftKvCommit(committed.reverse)
   }

@@ -748,6 +748,32 @@ object KvOps {
         .orderBy("o_orderstatus")
     },
 
+    // Metadata NDV (KvNdvRule + V9 HLL++ sketches): whole-table
+    // approx_count_distinct answers from merged per-segment registers —
+    // zero data bytes at any table size. The kv-side estimate must be
+    // BIT-IDENTICAL to the parquet scan's estimate (same helper, same
+    // rsd, register merge is per-register max), which the gate checks
+    // in-band; the exact distinct count is the DuckDB-checkable column,
+    // with an accuracy band on the estimate like a10.
+    QuerySpec.checked("kv38_metadata_ndv",
+      """SELECT count(DISTINCT o_custkey) AS exact_nd,
+        |  true AS meta_matches_scan, true AS approx_ok
+        |FROM orders""") { (s, d) =>
+      val kvT = KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+      val pqT = Tables.table(s, d, "orders")
+      val exact = pqT.agg(
+        countDistinct(col("o_custkey")).as("exact_nd"))
+      val scanEst = pqT.agg(
+        approx_count_distinct(col("o_custkey")).as("se"))
+      val metaEst = kvT.agg(
+        approx_count_distinct(col("o_custkey")).as("me"))
+      exact.crossJoin(scanEst).crossJoin(metaEst)
+        .select(col("exact_nd"),
+          (col("me") === col("se")).as("meta_matches_scan"),
+          (abs(col("me") - col("exact_nd")).cast("double") / col("exact_nd")
+            <= 0.15).as("approx_ok"))
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly

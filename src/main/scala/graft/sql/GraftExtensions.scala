@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // semi-join against the index's primary keys (runs in the operator
     // optimization batch, before V2 pushdown sees the relation)
     e.injectOptimizerRule(s => KvIndexRule(s))
+    // whole-table approx_count_distinct from V9 NDV sketch metadata
+    e.injectOptimizerRule(s => KvNdvRule(s))
   }
 }
 

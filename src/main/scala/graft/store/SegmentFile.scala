@@ -126,6 +126,16 @@ object SegmentFile {
   // aggregate path; pre-V8 sidecars stay pruning-sound but never
   // answer a MIN/MAX from metadata.
   private val FormatV8 = -8
+  // V9 appends per-column NDV SKETCHES (HyperLogLog++ register words,
+  // built with Spark's own HyperLogLogPlusPlusHelper at the default
+  // rsd) after the zone maps: register merge is an elementwise max —
+  // associative and commutative — so the union of per-segment sketches
+  // over a key-disjoint table is REGISTER-IDENTICAL to the single-pass
+  // sketch a scan would build, and approx_count_distinct can answer
+  // from metadata with the exact same estimate (KvNdvRule). Winners-
+  // only folding (like V8 zones) keeps each sketch exact over the
+  // segment's physical rows. planning readMeta skips the section.
+  private val FormatV9 = -9
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
@@ -133,6 +143,17 @@ object SegmentFile {
     * integral columns whose exact Long sum the writer tracked. */
   final case class ZoneStat(name: String, dataType: org.apache.spark.sql.types.DataType,
       min: Any, max: Any, sum: Option[Long] = None)
+
+  /** One column's HLL++ register words over a segment's physical rows
+    * (V9 sidecar). `words` is the aggregate buffer of Spark's
+    * HyperLogLogPlusPlusHelper at [[NdvRsd]] — mergeable by elementwise
+    * max, queryable for the same estimate a scan-side
+    * approx_count_distinct would produce. */
+  final case class NdvSketch(name: String, words: Array[Long])
+
+  /** The rsd every writer sketches at — Spark's approx_count_distinct
+    * default, so the common query form answers from metadata. */
+  val NdvRsd: Double = 0.05
 
   private val zoneTags: Seq[(Byte, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
@@ -235,7 +256,8 @@ object SegmentFile {
       * the segment is empty — caller should drop such segments).
       * `zoneStats` are the caller-tracked value-column min/max for THIS
       * segment (the writer is codec-agnostic and never decodes values). */
-    def close(zoneStats: Seq[ZoneStat] = Seq.empty): Meta = {
+    def close(zoneStats: Seq[ZoneStat] = Seq.empty,
+        ndvSketches: Seq[NdvSketch] = Seq.empty): Meta = {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
@@ -243,7 +265,7 @@ object SegmentFile {
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
         gen, tombstoneCount, exactZones = true)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV8)
+      mo.writeInt(FormatV9)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -272,6 +294,16 @@ object SegmentFile {
         mo.writeBoolean(z.sum.isDefined)
         z.sum.foreach(mo.writeLong)
       }
+      // NDV sketches (V9) sit between zones and the index: planning
+      // reads stop after the zones; only the NDV read path and the
+      // index load step over them
+      mo.writeInt(ndvSketches.length)
+      ndvSketches.foreach { s =>
+        val nb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        mo.writeInt(nb.length); mo.write(nb)
+        mo.writeInt(s.words.length)
+        s.words.foreach(mo.writeLong)
+      }
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
         mo.writeInt(k.length); mo.write(k); mo.writeLong(off)
@@ -297,7 +329,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v8 = first == FormatV8
+      val v9 = first == FormatV9
+      val v8 = v9 || first == FormatV8
       val v7 = v8 || first == FormatV7
       val v6 = v7 || first == FormatV6
       val v5 = v6 || first == FormatV5
@@ -339,6 +372,14 @@ object SegmentFile {
         }
       // sparse index (absent in pre-index sidecars → seekless reads)
       val idx = if (!withIndex) IndexedSeq.empty else try {
+        if (v9) { // step over the NDV sketch section
+          var s = in.readInt()
+          while (s > 0) {
+            in.skipNBytes(in.readInt().toLong) // column name
+            in.skipNBytes(in.readInt().toLong * 8L) // register words
+            s -= 1
+          }
+        }
         val n = in.readInt()
         (0 until n).map { _ =>
           val k = new Array[Byte](in.readInt()); in.readFully(k)
@@ -440,6 +481,7 @@ object SegmentFile {
               versions.dropRight(MaxRetainedManifests - 1).foreach { old =>
                 versionedManifestPath(dir, old).toFile.delete()
                 statsPath(dir, old).toFile.delete()
+                ndvPath(dir, old).toFile.delete()
               }
               return Some(next)
             }
@@ -538,6 +580,7 @@ object SegmentFile {
       if (f.lastModified() <= cutoffMillis) {
         f.delete()
         statsPath(dir, v).toFile.delete()
+        ndvPath(dir, v).toFile.delete()
       }
     }
   }
@@ -702,6 +745,7 @@ object SegmentFile {
     * process would start). */
   private[graft] def clearPlanningCache(): Unit = {
     statsLock.synchronized(statsCache.clear())
+    ndvLock.synchronized(ndvCache.clear())
     versionHints.clear()
   }
 
@@ -771,6 +815,157 @@ object SegmentFile {
         pool.getOrElse(s"$n.kv", readMeta(dir, n, withIndex = false)))
       writePackedStats(dir, v, metas)
     } catch { case _: Exception => () }
+
+  // ── NDV sketch pack ────────────────────────────────────────────────────
+  // Per-segment HLL++ sketches (V9 sidecars) answer whole-table
+  // approx_count_distinct from metadata (KvNdvRule). They are NOT part
+  // of the planning pack — every plan reads that, and ~400 B × columns ×
+  // segments of registers would bloat it for queries that never ask for
+  // NDV. Instead a dedicated `_graft_ndv.vN` pack is built LAZILY on the
+  // first NDV query per version (incrementally from the previous
+  // version's pack — segments are immutable — so steady-state cost is
+  // O(commit delta), and only the first build on a legacy/pack-less
+  // table sweeps sidecars), cached exactly like the planning stats.
+
+  private val NdvPackV1 = -201
+
+  private def ndvPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"_graft_ndv.v$v")
+
+  /** Extract just the V9 NDV section from one sidecar (empty for pre-V9
+    * segments — the caller's all-segments gate then refuses). A
+    * dedicated parser rather than a readMeta flag so the planning-path
+    * instrumentation (metaOpens) stays a pure planning signal. */
+  private def readNdvSidecar(dir: String, name: String): Seq[NdvSketch] = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(metaPath(dir, name)), 1 << 16))
+    try {
+      if (in.readInt() != FormatV9) return Seq.empty
+      in.skipNBytes(16) // gen + tombstones
+      val sj = in.readInt(); if (sj > 0) in.skipNBytes(sj.toLong)
+      in.skipNBytes(in.readInt().toLong) // minKey
+      in.skipNBytes(in.readInt().toLong) // maxKey
+      in.skipNBytes(16) // count + sizeBytes
+      var nb = in.readInt() // blooms
+      while (nb > 0) { in.skipNBytes(in.readInt().toLong * 8L); nb -= 1 }
+      var nz = in.readInt() // zone stats
+      while (nz > 0) {
+        in.skipNBytes(in.readInt().toLong) // column name
+        val dt = typeOf(in.readByte())
+        readZoneValue(in, dt); readZoneValue(in, dt)
+        if (in.readBoolean()) in.readLong()
+        nz -= 1
+      }
+      (0 until in.readInt()).map { _ =>
+        val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+        val words = new Array[Long](in.readInt())
+        var i = 0
+        while (i < words.length) { words(i) = in.readLong(); i += 1 }
+        NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+          words)
+      }
+    } finally in.close()
+  }
+
+  private def writeNdvPack(dir: String, v: Long,
+      entries: Seq[(String, Seq[NdvSketch])]): Unit = {
+    val tmp = Paths.get(dir,
+      s"._graft_ndv.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp), 1 << 16))
+    try {
+      out.writeInt(NdvPackV1)
+      out.writeInt(entries.length)
+      entries.foreach { case (file, sketches) =>
+        val fb = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(fb.length); out.write(fb)
+        out.writeInt(sketches.length)
+        sketches.foreach { s =>
+          val cb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(cb.length); out.write(cb)
+          out.writeInt(s.words.length)
+          s.words.foreach(out.writeLong)
+        }
+      }
+    } finally out.close()
+    try Files.move(tmp, ndvPath(dir, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: Exception => Files.deleteIfExists(tmp) }
+  }
+
+  private def readNdvPack(dir: String, v: Long): Option[Seq[(String, Seq[NdvSketch])]] = {
+    val p = ndvPath(dir, v)
+    if (!Files.exists(p)) return None
+    try {
+      val in = new DataInputStream(new BufferedInputStream(
+        Files.newInputStream(p), 1 << 16))
+      try {
+        if (in.readInt() != NdvPackV1) return None
+        Some((0 until in.readInt()).map { _ =>
+          val fb = new Array[Byte](in.readInt()); in.readFully(fb)
+          val file = new String(fb, java.nio.charset.StandardCharsets.UTF_8)
+          val sketches = (0 until in.readInt()).map { _ =>
+            val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+            val words = new Array[Long](in.readInt())
+            var i = 0
+            while (i < words.length) { words(i) = in.readLong(); i += 1 }
+            NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+              words)
+          }
+          file -> (sketches: Seq[NdvSketch])
+        })
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  private val ndvLock = new Object
+  private val ndvCache =
+    new java.util.LinkedHashMap[StatsKey, Map[String, Seq[NdvSketch]]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[StatsKey, Map[String, Seq[NdvSketch]]]): Boolean =
+        size() > 16
+    }
+
+  /** Live segments' NDV sketches (file → sketches) as of the CURRENT
+    * manifest version: cache → pack → incremental build from the
+    * previous version's pack + sidecars. Legacy (manifest-less) tables
+    * sweep sidecars uncached. */
+  def ndvSketches(dir: String): Map[String, Seq[NdvSketch]] =
+    currentVersion(dir) match {
+      case None => // legacy table: directory listing is the authority
+        listSegments(dir).map(m =>
+          m.file -> readNdvSidecar(dir, m.file.stripSuffix(".kv"))).toMap
+      case Some(v) =>
+        val mp = versionedManifestPath(dir, v)
+        val attrs =
+          try Files.readAttributes(mp,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          catch { case _: Exception => return Map.empty }
+        val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
+          attrs.size, attrs.lastModifiedTime.toMillis)
+        ndvLock.synchronized(Option(ndvCache.get(key))) match {
+          case Some(hit) => return hit
+          case None =>
+        }
+        val live = readManifestVersion(dir, v).getOrElse(return Map.empty)
+        val entries = readNdvPack(dir, v)
+          .filter(_.iterator.map(_._1).toSet == live)
+          .getOrElse {
+            val pool = new scala.collection.mutable.HashMap[String, Seq[NdvSketch]]
+            manifestVersions(dir).filter(_ < v).lastOption
+              .flatMap(readNdvPack(dir, _))
+              .foreach(_.foreach { case (f, s) => pool(f) = s })
+            val built = live.toSeq.sorted.map(f => f -> pool.getOrElse(f,
+              readNdvSidecar(dir, f.stripSuffix(".kv"))))
+            try writeNdvPack(dir, v, built) catch { case _: Exception => () }
+            built
+          }
+        val m = entries.toMap
+        ndvLock.synchronized(ndvCache.put(key, m))
+        m
+    }
 
   /** The LIVE segment set as of snapshot `version`. Replaced files keep
     * their data and sidecars on disk through the retention window, so a

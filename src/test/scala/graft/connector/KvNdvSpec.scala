@@ -1,0 +1,143 @@
+package graft.connector
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata NDV (KvNdvRule + V9 sketches): whole-table
+  * approx_count_distinct answered from merged per-segment HLL++
+  * registers must be BIT-IDENTICAL to the scan-side estimate (same
+  * helper, same rsd, register merge is per-register max — order
+  * insensitive), and every unsound shape must refuse and stay correct. */
+class KvNdvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graftkv_ndv_$tag").toString + "/t"
+
+  private def answersFromMetadata(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => ()
+    }.isDefined
+
+  /** Collect with the rule on, compare bit-exactly against the rule
+    * off (always the scan plan). */
+  private def checkEqual(mk: => DataFrame): Unit = {
+    val viaMeta = mk.collect().toSeq.map(_.toSeq)
+    spark.conf.set("spark.graft.ndv.metadata", "false")
+    val direct = try mk.collect().toSeq.map(_.toSeq)
+    finally spark.conf.set("spark.graft.ndv.metadata", "true")
+    assert(viaMeta == direct, "metadata estimate must equal the scan estimate")
+  }
+
+  private def mkBase(path: String): Unit = {
+    // several segments (small maxBytes), nulls in x, strings, doubles
+    val df = spark.range(20000).select(col("id").as("k"),
+      when(col("id") % 50 === 3, lit(null)).otherwise(col("id") % 977).as("x"),
+      concat(lit("u"), (col("id") % 431).cast("string")).as("s"),
+      (col("id") % 211).cast("double").as("d"))
+    df.write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+  }
+
+  test("whole-table approx_count_distinct answers from metadata, bit-identical") {
+    val path = tmpDir("basic")
+    mkBase(path)
+    def q = KvCommands.table(spark, path)
+      .agg(approx_count_distinct("x").as("ndv_x"),
+        approx_count_distinct("s").as("ndv_s"),
+        approx_count_distinct("d").as("ndv_d"),
+        approx_count_distinct("k").as("ndv_k"),
+        count(lit(1)).as("cnt"))
+    assert(answersFromMetadata(q), "rule did not fire")
+    checkEqual(q)
+    // sanity: the estimate is actually close to the truth
+    val r = q.first()
+    assert(math.abs(r.getLong(0) - 977) <= 977 * 0.15)
+    assert(r.getLong(4) == 20000L)
+    // the lazily-built pack exists after the first answer
+    assert(graft.store.SegmentFile.manifestVersions(path).lastOption.exists(
+      v => Files.exists(java.nio.file.Paths.get(path, s"_graft_ndv.v$v"))))
+  }
+
+  test("winners-only: upsert duplicates within a write sketch only the kept row") {
+    val path = tmpDir("upsert")
+    // k collides heavily within ONE write: the writer collapses dup
+    // groups and must sketch only each group's winner (the physical row)
+    val df = spark.range(6000).select((col("id") % 1500).as("k"),
+      (col("id") % 97).as("x"))
+    df.write.format("graftkv").option("key", "k")
+      .mode("overwrite").save(path)
+    def q = KvCommands.table(spark, path)
+      .agg(approx_count_distinct("x").as("ndv"), count(lit(1)).as("cnt"))
+    assert(answersFromMetadata(q))
+    checkEqual(q)
+    assert(q.first().getLong(1) == 1500L)
+  }
+
+  test("overlap refuses until compaction restores the path") {
+    val path = tmpDir("overlap")
+    mkBase(path)
+    KvCommands.append(spark.range(50).select(col("id").as("k"),
+      col("id").as("x"), lit("z").as("s"), lit(1.0).as("d")), path)
+    def q = KvCommands.table(spark, path)
+      .agg(approx_count_distinct("x").as("ndv"))
+    assert(!answersFromMetadata(q),
+      "overlapping generations must refuse (sketch union counts superseded rows)")
+    checkEqual(q) // scan both ways, still equal
+    KvCommands.compact(spark, path)
+    assert(answersFromMetadata(q), "compaction must restore the metadata path")
+    checkEqual(q)
+  }
+
+  test("tombstones, filters, grouping, non-default rsd, and snapshots refuse") {
+    val path = tmpDir("refuse")
+    mkBase(path)
+    val t = KvCommands.table(spark, path)
+
+    val filtered = t.filter(col("k") > 100)
+      .agg(approx_count_distinct("x").as("ndv"))
+    assert(!answersFromMetadata(filtered))
+    checkEqual(filtered)
+
+    val grouped = t.groupBy(col("k") % 2)
+      .agg(approx_count_distinct("x").as("ndv"))
+    assert(!answersFromMetadata(grouped))
+
+    val oddRsd = t.agg(approx_count_distinct(col("x"), 0.1).as("ndv"))
+    assert(!answersFromMetadata(oddRsd),
+      "writer sketches exist only at the default rsd")
+    checkEqual(oddRsd)
+
+    val v = graft.store.SegmentFile.currentVersion(path).get
+    val snap = KvCommands.tableAsOf(spark, path, v)
+      .agg(approx_count_distinct("x").as("ndv"))
+    assert(!answersFromMetadata(snap), "snapshot reads must not rewrite")
+
+    KvCommands.delete(spark, path, col("k") === 7)
+    val afterDelete = t.agg(approx_count_distinct("x").as("ndv"))
+    assert(!answersFromMetadata(afterDelete),
+      "tombstoned tables must refuse (sketches count deleted rows)")
+    checkEqual(afterDelete)
+  }
+
+  test("sketches survive the full maintenance cycle (append, delete, compact)") {
+    val path = tmpDir("cycle")
+    mkBase(path)
+    KvCommands.append(spark.range(300).select((col("id") + 50000).as("k"),
+      col("id").as("x"), lit("n").as("s"), lit(2.5).as("d")), path)
+    KvCommands.delete(spark, path, col("k") % 13 === 1)
+    KvCommands.compact(spark, path) // physical rows = live rows again
+    def q = KvCommands.table(spark, path)
+      .agg(approx_count_distinct("x").as("ndv"),
+        approx_count_distinct("s").as("ndv_s"), count(lit(1)).as("cnt"))
+    assert(answersFromMetadata(q))
+    checkEqual(q)
+    assert(q.first().getLong(2) ==
+      KvCommands.table(spark, path).count())
+  }
+}
