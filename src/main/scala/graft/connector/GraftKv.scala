@@ -1333,9 +1333,81 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)
     // rough decoded-size estimate so the planner can make broadcast calls
     val bytes = segs.map(_.sizeBytes).sum
+    // COLUMN statistics for the cost-based optimizer, only when the user
+    // turned it on (spark.sql.cbo.enabled, default off — the default
+    // planning path must not pay for stats it never reads): distinct
+    // counts from the V9 NDV sketches (merged over the SURVIVING
+    // segments — post-pushdown, per the DSv2 stats contract) and
+    // min/max from the zone maps. Spark's transformV2Stats folds these
+    // into attributeStats, so join reordering and selectivity estimates
+    // at 100 TB run on real numbers instead of heuristics. Restricted
+    // to the scan's REQUIRED columns, and the sketch pack is
+    // version-cached, so the per-plan cost is a map lookup.
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled ||
+        segs.isEmpty) java.util.Collections.emptyMap()
+      else try {
+        import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+        val helper = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
+          graft.store.SegmentFile.NdvRsd)
+        val sketches = graft.store.SegmentFile.ndvSketches(path)
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics]()
+        required.fields.foreach { f =>
+          // distinct count: every surviving segment must carry the sketch
+          val perSeg = segs.map(m => sketches.getOrElse(m.file, Seq.empty)
+            .find(s => s.name == f.name && s.words.length == helper.numWords))
+          val distinct: java.util.OptionalLong =
+            if (perSeg.isEmpty || perSeg.exists(_.isEmpty))
+              java.util.OptionalLong.empty()
+            else {
+              val merged = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array.fill[Any](helper.numWords)(0L))
+              perSeg.foreach(s => helper.merge(merged,
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(s.get.words.map(w => w: Any)), 0, 0))
+              java.util.OptionalLong.of(helper.query(merged, 0))
+            }
+          // bounds: zone-map fold over segments that publish the entry at
+          // the current type; a segment without it may hold anything, so
+          // bounds are only claimed when every segment reports
+          val zones = segs.map(_.zoneStats.find(z =>
+            z.name == f.name && z.dataType == f.dataType))
+          val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
+            if (zones.isEmpty || zones.exists(_.isEmpty))
+              (java.util.Optional.empty(), java.util.Optional.empty())
+            else {
+              val cmp = graft.pruning.TriEval.comparator(f.dataType)
+              val mins = zones.map(_.get.min)
+              val maxs = zones.map(_.get.max)
+              (java.util.Optional.of(mins.minBy(identity)(
+                Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0))
+                .asInstanceOf[Object]),
+                java.util.Optional.of(maxs.maxBy(identity)(
+                  Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0))
+                  .asInstanceOf[Object]))
+            }
+          if (distinct.isPresent || mn.isPresent)
+            out.put(org.apache.spark.sql.connector.expressions
+              .Expressions.column(f.name), new ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong = distinct
+              override def min(): java.util.Optional[Object] = mn
+              override def max(): java.util.Optional[Object] = mx
+            })
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.util.Collections.emptyMap()
+      }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }

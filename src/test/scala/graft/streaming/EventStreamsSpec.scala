@@ -113,7 +113,8 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.range(200).selectExpr("id AS k", "id % 5 AS g", "id AS x")
       .write.format("graftkv").option("key", "k").mode("overwrite").save(kvPath)
     graft.connector.KvIndex.create(spark, kvPath, "ig", Seq("g"))
-    graft.connector.KvMatView.create(spark, kvPath, "mv", Seq("g"), Seq("x"))
+    graft.connector.KvMatView.create(spark, kvPath, "mv", Seq("g"), Seq("x"),
+      minMaxCols = Seq("x")) // append-only ingest: the pure tighten path
     val q = EventStreams.streamIntoKv(
       input.toDF().toDF("k", "g", "x"), kvPath, Seq("k"), s"$dir/ckpt",
       maintainDerived = true)
@@ -130,9 +131,11 @@ class EventStreamsSpec extends AnyFunSuite {
     // and the maintained view matches a recompute over the final table
     val t = graft.connector.KvCommands.table(spark, kvPath)
     val recomputed = t.groupBy("g").agg(count(lit(1)).as("cnt"),
-      sum("x").as("sum_x")).orderBy("g").collect().toSeq
+      sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("g").collect().toSeq
     val stored = graft.connector.KvMatView.read(spark, kvPath, "mv")
-      .select(col("g"), col("cnt"), col("sum_x")).orderBy("g").collect().toSeq
+      .select(col("g"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+      .orderBy("g").collect().toSeq
     assert(stored == recomputed)
   }
 
