@@ -134,13 +134,15 @@ class GraftSession:
 
     @staticmethod
     def create_materialized_view(spark, table, view, group_cols,
-                                 sum_cols=()):
-        """Incrementally-maintained COUNT/SUM aggregate over `table`
-        (sums are integral-only: Long arithmetic keeps the maintained
-        value bit-identical to a full recompute)."""
+                                 sum_cols=(), minmax_cols=()):
+        """Incrementally-maintained COUNT/SUM/MIN/MAX aggregate over
+        `table` (sums are integral-only: Long arithmetic keeps the
+        maintained value bit-identical to a full recompute; min/max
+        accept any ordered atomic type — they select stored values)."""
         sums = " SUM (%s)" % ", ".join(sum_cols) if sum_cols else ""
-        spark.sql("CREATE MATERIALIZED VIEW %s ON TABLE %s GROUP BY %s%s"
-                  % (view, table, ", ".join(group_cols), sums))
+        mms = " MINMAX (%s)" % ", ".join(minmax_cols) if minmax_cols else ""
+        spark.sql("CREATE MATERIALIZED VIEW %s ON TABLE %s GROUP BY %s%s%s"
+                  % (view, table, ", ".join(group_cols), sums, mms))
 
     @staticmethod
     def refresh_materialized_view(spark, table, view):
