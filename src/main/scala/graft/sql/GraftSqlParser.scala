@@ -71,6 +71,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           table.replace("`", "").split('.').toSeq) =>
       GraftCompactCommand(table.replace("`", "").split('.').toSeq,
         major != null)
+    case GraftSqlParser.AnalyzeStmt(table, cols)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftAnalyzeCommand(table.replace("`", "").split('.').toSeq,
+        Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
     case GraftSqlParser.CloneStmt(src, dst, v)
         if GraftSqlParser.targetsGraftCatalog(
           src.replace("`", "").split('.').toSeq) &&
@@ -182,6 +188,14 @@ object GraftSqlParser {
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
+  /** ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c,..] — build /
+    * refresh the NDV sketch pack and report table rows plus per-column
+    * distinct estimates and zone-map bounds (metadata-only; the same
+    * numbers the CBO column statistics serve). */
+  private[sql] val AnalyzeStmt =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*;?\s*""").r
+
   /** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — reclaim replaced /
     * orphaned segment files and expired snapshot manifests older than
     * the retention window (default: the compaction grace window). */
@@ -202,7 +216,7 @@ object GraftSqlParser {
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
       "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
-      "GROUP", "SUM")
+      "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -266,6 +280,78 @@ case class GraftCompactCommand(table: Seq[String], major: Boolean)
         before
       } else graft.connector.KvCommands.compactMinor(spark, dir)
     Seq(Row(n))
+  }
+}
+
+/** ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c,..] — metadata-only
+  * statistics report: live rows/bytes/segments on the table row, and per
+  * column the NDV estimate (merged V9 sketches — building/refreshing
+  * the `_graft_ndv.vN` pack as a side effect, so the first CBO-enabled
+  * query pays nothing) plus zone-map bounds. A NULL statistic means the
+  * metadata cannot claim it (overlapping generations, tombstones, a
+  * pre-sketch segment) — never a wrong number. */
+case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("distinct_count", LongType)(),
+    AttributeReference("min", StringType)(),
+    AttributeReference("max", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.SegmentFile
+    val dir = GraftCatalogPaths.tableDir(spark, table, "ANALYZE TABLE")
+    val m = graft.connector.GraftKvMeta.read(dir).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $dir"))
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"no column '$c'"))
+    val segs = SegmentFile.listSegments(dir)
+    val rows = math.max(segs.map(s => s.count - 2 * s.tombstones).sum, 0L)
+    val bytes = segs.map(_.sizeBytes).sum
+    // NDV soundness = the metadata-aggregate gate: disjoint + no
+    // tombstones (a sketch union over overlapping generations would
+    // count superseded values)
+    val gateOk = segs.forall(_.tombstones == 0) &&
+      graft.connector.KvCommands.overlapDepth(dir) <= 1
+    val helper = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
+      SegmentFile.NdvRsd)
+    val sketches = if (gateOk) SegmentFile.ndvSketches(dir)
+      else Map.empty[String, Seq[SegmentFile.NdvSketch]]
+    val targets =
+      if (cols.nonEmpty) cols
+      else m.schema.fieldNames.toSeq.filter(c =>
+        graft.connector.GraftKvDataWriter.ndvSketchable(m.schema(c).dataType))
+    val colRows = targets.map { c =>
+      val perSeg = segs.map(s => sketches.getOrElse(s.file, Seq.empty)
+        .find(x => x.name == c && x.words.length == helper.numWords))
+      val ndv: Any =
+        if (!gateOk || segs.isEmpty || perSeg.exists(_.isEmpty)) null
+        else {
+          val merged = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array.fill[Any](helper.numWords)(0L))
+          perSeg.foreach(s => helper.merge(merged,
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(s.get.words.map(w => w: Any)), 0, 0))
+          helper.query(merged, 0)
+        }
+      val zones = segs.map(_.zoneStats.find(z =>
+        z.name == c && z.dataType == m.schema(c).dataType))
+      val (mn, mx): (Any, Any) =
+        if (segs.isEmpty || zones.exists(_.isEmpty)) (null, null)
+        else {
+          val cmp = graft.pruning.TriEval.comparator(m.schema(c).dataType)
+          val lt = Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0)
+          (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
+        }
+      Row(c, null, null, ndv,
+        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull)
+    }
+    Row("(table)", rows, bytes, null, null, null) +: colRows
   }
 }
 

@@ -125,6 +125,34 @@ class KvNdvSpec extends AnyFunSuite {
     checkEqual(afterDelete)
   }
 
+  test("SQL: ANALYZE TABLE reports rows, NDV estimates, and bounds") {
+    val root = Files.createTempDirectory("graftkv_ndv_cat").toString
+    val cat = s"gndv${math.abs(root.hashCode() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, x BIGINT) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 37 + 5 FROM range(4000)")
+
+    val all = spark.sql(s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS").collect()
+    val tRow = all.find(_.getString(0) == "(table)").get
+    assert(tRow.getLong(1) == 4000L)
+    val xRow = all.find(_.getString(0) == "x").get
+    assert(math.abs(xRow.getLong(3) - 37L) <= 3, s"ndv: $xRow")
+    assert(xRow.getString(4) == "5" && xRow.getString(5) == "41")
+
+    val one = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("(table)", "x"))
+
+    // tombstones null the NDV claim (never a wrong number)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k = 17")
+    val after = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
+    assert(after.find(_.getString(0) == "x").get.isNullAt(3))
+    spark.sql(s"DROP TABLE $cat.db.t")
+  }
+
   test("sketches survive the full maintenance cycle (append, delete, compact)") {
     val path = tmpDir("cycle")
     mkBase(path)
