@@ -364,24 +364,15 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
       limit >= 0 || agg.groupByExpressions().nonEmpty) return false
     // Overlapping segments can hold several GENERATIONS of the same key
     // (Put-upsert appends): sidecar counts include superseded versions
-    // the merge-on-read path suppresses, so metadata-only aggregation is
-    // only sound over a fully key-disjoint (bulk-loaded or compacted)
-    // table. Metadata-only check; compaction restores pushdown.
+    // the merge-on-read path suppresses, and tombstones are records the
+    // sidecar counts but the table does not contain — so metadata-only
+    // aggregation is only sound over a fully key-disjoint (bulk-loaded
+    // or compacted), tombstone-free table (the shared gate every
+    // metadata-claim consumer applies). Compaction restores pushdown.
     val cmp = graft.store.RowCodec(schema, keys, encoding).compareKeys _
     val segs = SegmentFile.listSegments(path)
       .sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
-    // tombstones (DELETEs awaiting compaction) are records the sidecar
-    // counts but the table does not contain
-    if (segs.exists(_.tombstones > 0)) return false
-    if (segs.length > 1) {
-      var prevMax = segs.head.maxKey
-      var i = 1
-      while (i < segs.length) {
-        if (cmp(segs(i).minKey, prevMax) <= 0) return false
-        if (cmp(segs(i).maxKey, prevMax) > 0) prevMax = segs(i).maxKey
-        i += 1
-      }
-    }
+    if (!SegmentFile.disjointTombstoneFree(segs, cmp)) return false
     def leadName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
@@ -1350,26 +1341,27 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         segs.isEmpty) java.util.Collections.emptyMap()
       else try {
         import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
-        val helper = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
-          graft.store.SegmentFile.NdvRsd)
-        val sketches = graft.store.SegmentFile.ndvSketches(path)
+        // distinct claims need the metadata-aggregate gate: a sketch
+        // union over overlapping generations or tombstoned keys counts
+        // rows the merge-on-read path suppresses. Bounds below survive
+        // either way — zone maps cover every PHYSICAL row, a superset
+        // of the live rows, so they stay valid (possibly loose) bounds.
+        val ndvOk = graft.store.SegmentFile.disjointTombstoneFree(segs,
+          graft.store.RowCodec(schema, keys, encoding).compareKeys)
+        val sketches =
+          if (ndvOk) graft.store.SegmentFile.ndvSketches(path)
+          else Map.empty[String, Seq[graft.store.SegmentFile.NdvSketch]]
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           ColumnStatistics]()
         required.fields.foreach { f =>
           // distinct count: every surviving segment must carry the sketch
-          val perSeg = segs.map(m => sketches.getOrElse(m.file, Seq.empty)
-            .find(s => s.name == f.name && s.words.length == helper.numWords))
           val distinct: java.util.OptionalLong =
-            if (perSeg.isEmpty || perSeg.exists(_.isEmpty))
-              java.util.OptionalLong.empty()
-            else {
-              val merged = new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(Array.fill[Any](helper.numWords)(0L))
-              perSeg.foreach(s => helper.merge(merged,
-                new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(s.get.words.map(w => w: Any)), 0, 0))
-              java.util.OptionalLong.of(helper.query(merged, 0))
+            if (!ndvOk) java.util.OptionalLong.empty()
+            else graft.store.SegmentFile.mergedNdvEstimate(segs, sketches,
+              f.name) match {
+              case Some(e) => java.util.OptionalLong.of(e)
+              case None => java.util.OptionalLong.empty()
             }
           // bounds: zone-map fold over segments that publish the entry at
           // the current type; a segment without it may hold anything, so

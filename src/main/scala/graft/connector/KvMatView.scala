@@ -401,6 +401,13 @@ object KvMatView {
           def changedFor(c: String): Column =
             if (m.keys.contains(c)) lit(false)
             else !(col(s"old_$c") <=> col(s"new_$c"))
+          // did an 'updated' row MOVE between groups? Its minmax value —
+          // even an unchanged one — then leaves the old group and enters
+          // the new, so both sides must contribute (null-safe: a
+          // NULL↔non-NULL group transition is a view exit/entry and
+          // counts as moved; the side filters drop the null-group side)
+          val groupMoved: Column = d.groupCols.map(changedFor)
+            .foldLeft(lit(false))(_ || _)
           def mmNull(c: String): Column =
             lit(null).cast(m.schema(c).dataType)
           def side(tag: String, sign: Int) = diff
@@ -421,7 +428,8 @@ object KvMatView {
               d.minMaxCols.flatMap { c =>
                 val active = col("change") ===
                   (if (tag == "old") "removed" else "added") ||
-                  (col("change") === "updated" && changedFor(c))
+                  (col("change") === "updated" &&
+                    (changedFor(c) || groupMoved))
                 if (tag == "old")
                   Seq(mmNull(c).as(s"__add_$c"),
                     when(active, sided(tag, c)).as(s"__rem_$c"))

@@ -313,39 +313,33 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
     val segs = SegmentFile.listSegments(dir)
     val rows = math.max(segs.map(s => s.count - 2 * s.tombstones).sum, 0L)
     val bytes = segs.map(_.sizeBytes).sum
-    // NDV soundness = the metadata-aggregate gate: disjoint + no
-    // tombstones (a sketch union over overlapping generations would
-    // count superseded values)
-    val gateOk = segs.forall(_.tombstones == 0) &&
-      graft.connector.KvCommands.overlapDepth(dir) <= 1
-    val helper = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
-      SegmentFile.NdvRsd)
-    val sketches = if (gateOk) SegmentFile.ndvSketches(dir)
-      else Map.empty[String, Seq[SegmentFile.NdvSketch]]
+    // NDV soundness = the shared metadata-aggregate gate (a sketch union
+    // over overlapping generations counts superseded values). Everything
+    // metadata-derived degrades to NULL — torn sidecars from a crashed
+    // writer included, never a wrong number or a failed statement.
+    val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
+    val gateOk = SegmentFile.disjointTombstoneFree(segs, cmp)
+    val sketches =
+      try { if (gateOk) SegmentFile.ndvSketches(dir)
+        else Map.empty[String, Seq[SegmentFile.NdvSketch]] }
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Seq[SegmentFile.NdvSketch]] }
     val targets =
       if (cols.nonEmpty) cols
       else m.schema.fieldNames.toSeq.filter(c =>
         graft.connector.GraftKvDataWriter.ndvSketchable(m.schema(c).dataType))
     val colRows = targets.map { c =>
-      val perSeg = segs.map(s => sketches.getOrElse(s.file, Seq.empty)
-        .find(x => x.name == c && x.words.length == helper.numWords))
       val ndv: Any =
-        if (!gateOk || segs.isEmpty || perSeg.exists(_.isEmpty)) null
-        else {
-          val merged = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array.fill[Any](helper.numWords)(0L))
-          perSeg.foreach(s => helper.merge(merged,
-            new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(s.get.words.map(w => w: Any)), 0, 0))
-          helper.query(merged, 0)
-        }
+        if (!gateOk) null
+        else SegmentFile.mergedNdvEstimate(segs, sketches, c)
+          .map(Long.box).orNull
       val zones = segs.map(_.zoneStats.find(z =>
         z.name == c && z.dataType == m.schema(c).dataType))
       val (mn, mx): (Any, Any) =
         if (segs.isEmpty || zones.exists(_.isEmpty)) (null, null)
         else {
-          val cmp = graft.pruning.TriEval.comparator(m.schema(c).dataType)
-          val lt = Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0)
+          val zcmp = graft.pruning.TriEval.comparator(m.schema(c).dataType)
+          val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)
           (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
         }
       Row(c, null, null, ndv,

@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Whole-table `approx_count_distinct` from NDV sketch metadata:
@@ -98,37 +97,13 @@ case class KvNdvRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cmp = graft.store.RowCodec(tbl.schema(), tbl.kvKeys,
       tbl.kvEncoding).compareKeys _
     val segs = SegmentFile.listSegments(path)
-      .sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
-    if (segs.exists(_.tombstones > 0)) return None
-    if (segs.length > 1) {
-      var prevMax = segs.head.maxKey
-      var i = 1
-      while (i < segs.length) {
-        if (cmp(segs(i).minKey, prevMax) <= 0) return None
-        if (cmp(segs(i).maxKey, prevMax) > 0) prevMax = segs(i).maxKey
-        i += 1
-      }
-    }
-    val helper = new HyperLogLogPlusPlusHelper(SegmentFile.NdvRsd)
+    if (!SegmentFile.disjointTombstoneFree(segs, cmp)) return None
     val sketches = SegmentFile.ndvSketches(path)
     // every live segment must carry a correctly-sized sketch per column
-    val byCol: Map[String, Seq[Array[Long]]] = cols.map { c =>
-      val per = segs.map { m =>
-        sketches.getOrElse(m.file, Seq.empty)
-          .find(s => s.name == c && s.words.length == helper.numWords)
-      }
-      if (per.exists(_.isEmpty)) return None
-      c -> per.map(_.get.words)
+    val estimates = cols.map { c =>
+      c -> (SegmentFile.mergedNdvEstimate(segs, sketches, c)
+        .getOrElse(return None))
     }.toMap
-    val estimates = byCol.map { case (c, wordSets) =>
-      val merged = new GenericInternalRow(
-        Array.fill[Any](helper.numWords)(0L))
-      wordSets.foreach { ws =>
-        helper.merge(merged, new GenericInternalRow(
-          ws.map(w => w: Any)), 0, 0)
-      }
-      c -> helper.query(merged, 0)
-    }
     Some((segs.map(_.count).sum, estimates))
   } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -919,6 +919,46 @@ object SegmentFile {
     } catch { case _: Exception => None }
   }
 
+  /** The metadata-aggregate soundness gate, shared by every consumer
+    * that turns per-segment physical metadata (counts, sums, extremes,
+    * sketches) into claims about live rows: sound only when segments
+    * are fully key-disjoint (overlaps hold superseded generations the
+    * merge-on-read path suppresses) and tombstone-free (deletes the
+    * sidecars still count). */
+  def disjointTombstoneFree(segs: Seq[Meta],
+      cmp: (Array[Byte], Array[Byte]) => Int): Boolean = {
+    if (segs.exists(_.tombstones > 0)) return false
+    if (segs.length <= 1) return true
+    val sorted = segs.sortWith((a, b) => cmp(a.minKey, b.minKey) < 0)
+    var prevMax = sorted.head.maxKey
+    var i = 1
+    while (i < sorted.length) {
+      if (cmp(sorted(i).minKey, prevMax) <= 0) return false
+      if (cmp(sorted(i).maxKey, prevMax) > 0) prevMax = sorted(i).maxKey
+      i += 1
+    }
+    true
+  }
+
+  /** Merge one column's per-segment HLL++ registers and query the
+    * estimate — None when any live segment lacks a correctly-sized
+    * sketch (pre-V9 writer). The caller guards soundness with
+    * [[disjointTombstoneFree]]. */
+  def mergedNdvEstimate(segs: Seq[Meta],
+      sketches: Map[String, Seq[NdvSketch]], col: String): Option[Long] = {
+    val helper =
+      new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(NdvRsd)
+    val perSeg = segs.map(m => sketches.getOrElse(m.file, Seq.empty)
+      .find(s => s.name == col && s.words.length == helper.numWords))
+    if (segs.isEmpty || perSeg.exists(_.isEmpty)) return None
+    val merged = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array.fill[Any](helper.numWords)(0L))
+    perSeg.foreach(s => helper.merge(merged,
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(s.get.words.map(w => w: Any)), 0, 0))
+    Some(helper.query(merged, 0))
+  }
+
   private val ndvLock = new Object
   private val ndvCache =
     new java.util.LinkedHashMap[StatsKey, Map[String, Seq[NdvSketch]]](
@@ -953,9 +993,14 @@ object SegmentFile {
         val entries = readNdvPack(dir, v)
           .filter(_.iterator.map(_._1).toSet == live)
           .getOrElse {
+            // seed from the NEWEST retained pack, whatever version wrote
+            // it — segments are immutable, so any older pack's entries
+            // stay valid for the files both versions share; only the
+            // commits since then read their sidecars
             val pool = new scala.collection.mutable.HashMap[String, Seq[NdvSketch]]
-            manifestVersions(dir).filter(_ < v).lastOption
-              .flatMap(readNdvPack(dir, _))
+            manifestVersions(dir).filter(_ < v).sorted.reverseIterator
+              .map(readNdvPack(dir, _))
+              .collectFirst { case Some(entries) => entries }
               .foreach(_.foreach { case (f, s) => pool(f) = s })
             val built = live.toSeq.sorted.map(f => f -> pool.getOrElse(f,
               readNdvSidecar(dir, f.stripSuffix(".kv"))))

@@ -140,6 +140,57 @@ class KvMatViewSpec extends AnyFunSuite {
     refreshed()
   }
 
+  test("a group-moving upsert with UNCHANGED minmax value folds both sides") {
+    // regression: the update-activity gate once keyed only on the value
+    // column changing, so a row that moved between groups while keeping
+    // its value contributed neither the removal (old group's extreme
+    // silently stale) nor the insert (new group's extreme not tightened)
+    val path = tmpDir("groupmove")
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), (col("id") % 4).as("g"),
+        (col("id") % 50).as("x")), path, Seq("k"))
+    // k=49 holds x=49, the strict max of group g=1
+    KvMatView.create(spark, path, "mv", Seq("g"), Nil, Seq("x"))
+    // the truth must come from the BASE scan: count/min/max of declared
+    // columns is exactly the shape KvMatViewRule rewrites onto the view,
+    // and a view-answered "expected" would compare corruption to itself
+    def exp() = {
+      spark.conf.set("spark.graft.matview.rewrite", "false")
+      try KvCommands.table(spark, path)
+        .filter(col("g").isNotNull) // NULL groups sit outside the view
+        .groupBy("g")
+        .agg(count(lit(1)).as("cnt"), min("x").as("min_x"), max("x").as("max_x"))
+        .orderBy("g").collect().toSeq.map(_.toSeq)
+      finally spark.conf.set("spark.graft.matview.rewrite", "true")
+    }
+    def got() = KvMatView.read(spark, path, "mv")
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(got() == exp())
+
+    // move the extreme holder to another group, SAME x (upsert on k=49)
+    KvCommands.append(spark.range(1).select(lit(49L).as("k"),
+      lit(2L).as("g"), lit(49L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    assert(got() == exp(),
+      "old group must drop the moved extreme; new group must adopt it")
+
+    // and a move INTO the view from a NULL group, value unchanged
+    KvCommands.append(spark.range(1).select(lit(500L).as("k"),
+      lit(null).cast("long").as("g"), lit(999L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    KvCommands.append(spark.range(1).select(lit(500L).as("k"),
+      lit(3L).as("g"), lit(999L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    assert(got() == exp(), "NULL->real group entry must tighten the extreme")
+
+    // and OUT of the view (real -> NULL group), value unchanged: the
+    // departed group's extreme must rescan away
+    KvCommands.append(spark.range(1).select(lit(500L).as("k"),
+      lit(null).cast("long").as("g"), lit(999L).as("x")), path)
+    KvMatView.refresh(spark, path, "mv")
+    assert(got() == exp(), "real->NULL group exit must drop the extreme")
+  }
+
   test("refresh survives a major compaction via the rebuild fallback") {
     val path = tmpDir("compact")
     KvCommands.createTable(
