@@ -215,9 +215,12 @@ class KvMatViewSpec extends AnyFunSuite {
       StructField("g", LongType, nullable = false),
       StructField("x", LongType, nullable = true)))
     def randomDf(n: Int) = {
+      // x domain deliberately SMALL: upserts that move a row between
+      // groups while keeping x unchanged then occur naturally, which is
+      // the minmax fold's hardest case (the group-move regression)
       val rs = (0 until n).map { _ =>
         Row(rnd.nextInt(2000).toLong, rnd.nextInt(10).toLong,
-          if (rnd.nextInt(8) == 0) null else rnd.nextLong(1000))
+          if (rnd.nextInt(8) == 0) null else rnd.nextLong(25))
       }
       spark.createDataFrame(new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), schema)
