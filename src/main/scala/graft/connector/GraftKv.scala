@@ -271,12 +271,14 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownTableSample
     with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var topN: Option[(Int, Boolean)] = None // (k, descending)
+  private var sample: Option[(Double, Long)] = None // (fraction, seed)
   private var aggPushed: Option[Seq[KvAgg]] = None
   // the EXACT listing pushAggregation validated (disjoint, tombstone-free):
   // the agg scan must plan over this set, not a fresh listing — a commit
@@ -303,6 +305,25 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
 
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
+  /** TABLESAMPLE / df.sample pushdown: the reader applies a
+    * deterministic per-KEY Bernoulli(fraction) — keep iff
+    * xxhash64(encoded composite key, seed) maps below the fraction —
+    * BEFORE decoding values or materializing rows. Hashing the key (not
+    * a per-row RNG stream) is what makes sampling correct on a
+    * merge-on-read store: every generation of a key, tombstones
+    * included, draws the same verdict, so last-write-wins resolves
+    * identically on the sampled subset and compaction never changes a
+    * sample. At 100 TB: a 0.1% quality-estimation pass decodes 0.1% of
+    * the rows. Exact-fraction semantics replace Spark's own sampler
+    * (that is the pushdown contract; both are Bernoulli(fraction)). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || lowerBound != 0.0 ||
+      upperBound < 0.0 || upperBound > 1.0) return false
+    sample = Some((upperBound, seed))
+    true
+  }
+
   /** ORDER BY a key prefix + LIMIT: accepted (partially) when the sort
     * is a uniform-direction prefix of the composite key — the scan then
     * plans ONLY the boundary-covered head (asc) or tail (desc) of the
@@ -315,6 +336,10 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     * construction, so any NULLS FIRST/LAST choice is vacuously met. */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
     if (restrictFiles.nonEmpty || l <= 0 || orders.isEmpty) return false
+    // a pushed sample invalidates topNSelect's row counting (a segment
+    // with >= k raw rows may yield < k SAMPLED rows, so the metadata
+    // head/tail selection could drop rows the global TopN needed)
+    if (sample.isDefined) return false
     // topNSelect's row counting and the ascending early stop are only
     // sound when the reader enforces every pushed filter EXACTLY. Spark
     // happens to push TopN only when no post-scan filter remains, but
@@ -354,14 +379,15 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     * answer from metadata, boundary segments scan just their own
     * records. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     // a file-restricted read (compaction's group scan) must not answer
     // aggregates from whole-table metadata; a snapshot read's metadata
     // checks would run against the LIVE listing — stay conservative
     if (restrictFiles.nonEmpty || snapshotVersion.nonEmpty) return false
     if (!pushed.forall(GraftKvScanBuilder.leadOnlyExact(_, keys.head)) ||
-      limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+      limit >= 0 || sample.isDefined ||
+      agg.groupByExpressions().nonEmpty) return false
     // Overlapping segments can hold several GENERATIONS of the same key
     // (Put-upsert appends): sidecar counts include superseded versions
     // the merge-on-read path suppresses, and tombstones are records the
@@ -427,7 +453,7 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         aggSegs)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
-        restrictFiles, maxFilesPerTrigger, snapshotVersion, topN)
+        restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample)
   }
 }
 
@@ -675,7 +701,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     restrictFiles: Option[Set[String]] = None,
     maxFilesPerTrigger: Option[Int] = None,
     snapshotVersion: Option[Long] = None,
-    topN: Option[(Int, Boolean)] = None)
+    topN: Option[(Int, Boolean)] = None,
+    sample: Option[(Double, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
@@ -683,7 +710,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")})"
+    s"GraftKvScan(path=$path, pushed=${pushed.mkString(",")}" +
+      sample.map { case (f, sd) => s", sample=$f seed=$sd" }.getOrElse("") + ")"
 
   // Value equality on the IMMUTABLE scan configuration (what Spark's
   // built-in scans do): `sameResult` — and with it broadcast/exchange
@@ -695,7 +723,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   // carried by BatchScanExec's runtimeFilters parameter, which Spark
   // compares separately in canonicalization.
   private def cfg = (path, required, pushed.toSeq, limit, encoding,
-    restrictFiles, maxFilesPerTrigger, snapshotVersion, topN)
+    restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample)
   override def equals(other: Any): Boolean = other match {
     case o: GraftKvScan => o.cfg == cfg
     case _ => false
@@ -1295,7 +1323,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * here. */
   private[connector] def rowReaderFactory: PartitionReaderFactory =
     new GraftKvReaderFactory(schema, keys, required.fieldNames.toSeq,
-      static.leadRanges, limit, encoding, static.deepSeek, columnar = false)
+      static.leadRanges, limit, encoding, static.deepSeek, columnar = false,
+      sample = sample)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // static state throughout: Spark materializes the factory during
@@ -1305,7 +1334,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       limit, encoding, static.deepSeek,
       // Spark requires all partitions of a scan to agree on columnar vs
       // row output, so one merge partition makes the whole scan row-based
-      columnar = static.comps.forall(_.members.length == 1))
+      columnar = static.comps.forall(_.members.length == 1),
+      sample = sample)
 
   override def estimateStatistics(): Statistics = {
     // POST-pushdown estimate (the DSv2 contract: statistics reflect the
@@ -1321,9 +1351,11 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     val segs = static.comps.flatMap(_.members)
     // superseded versions under overlap are still counted (estimates
     // only), but tombstones are pure deletions — subtract them
-    val rows = math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)
+    val frac = sample.map(_._1).getOrElse(1.0)
+    val rows = (math.max(segs.map(m => m.count - 2 * m.tombstones).sum, 0L)
+      * frac).toLong
     // rough decoded-size estimate so the planner can make broadcast calls
-    val bytes = segs.map(_.sizeBytes).sum
+    val bytes = (segs.map(_.sizeBytes).sum * frac).toLong
     // COLUMN statistics for the cost-based optimizer, only when the user
     // turned it on (spark.sql.cbo.enabled, default off — the default
     // planning path must not pay for stats it never reads): distinct
@@ -1659,17 +1691,18 @@ final case class GraftKvDeepSeek(seekKey: Array[Byte], stopValues: Array[Any],
 class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
     projection: Seq[String], ranges: graft.pruning.CriticalPoints.MultiRange,
     limit: Int, encoding: String = graft.store.RowCodec.Binary,
-    deepSeek: Option[GraftKvDeepSeek] = None, columnar: Boolean = true)
+    deepSeek: Option[GraftKvDeepSeek] = None, columnar: Boolean = true,
+    sample: Option[(Double, Long)] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftKvMergePartition =>
         new GraftKvMergingReader(p, schema, keys, projection, ranges, limit,
-          encoding, deepSeek)
+          encoding, deepSeek, sample)
       case p: GraftKvInputPartition =>
         new GraftKvPartitionReader(p, schema, keys, projection, ranges, limit,
-          encoding, deepSeek)
+          encoding, deepSeek, sample)
     }
 
   /** Fully-disjoint scans read as ColumnarBatch (the row reader stays
@@ -1687,7 +1720,7 @@ class GraftKvReaderFactory(schema: StructType, keys: Seq[String],
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftKvInputPartition]
     new GraftKvColumnarReader(p, schema, keys, projection, ranges, limit,
-      encoding, deepSeek)
+      encoding, deepSeek, sample)
   }
 }
 
@@ -1709,7 +1742,13 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     // reads: the cursor seeks to fromKey's floor and stops at untilKey.
     // null = unbounded. Compared with the table's key order, so every
     // key's versions land in exactly one shard.
-    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null) {
+    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null,
+    // Pushed TABLESAMPLE (fraction, seed): deterministic per-KEY
+    // Bernoulli on the encoded composite key, applied before value
+    // decode. Keyed on the key bytes so every generation of a key —
+    // tombstones included — draws the same verdict: last-write-wins
+    // merges and compaction are sample-invariant.
+    sample: Option[(Double, Long)] = None) {
 
   private val codec = RowCodec(schema, keys, encoding)
   // segment-specialized ranges when the planner shipped them (fewer
@@ -1785,6 +1824,17 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
   def key: Array[Byte] = curKey
   def value: Array[Byte] = curValue
 
+  private val sampleFrac: Double = sample.map(_._1).getOrElse(1.0)
+  private val sampleSeed: Long = sample.map(_._2).getOrElse(0L)
+  private val sampled: Boolean = sample.isDefined
+  private def sampleKeep(k: Array[Byte]): Boolean = !sampled || {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      k, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, k.length,
+      sampleSeed)
+    // top 53 bits -> uniform [0, 1), the nextDouble construction
+    (h >>> 11) * 1.1102230246251565e-16 < sampleFrac
+  }
+
   /** Advance to the next QUALIFIED record; false at scan end. */
   def next(): Boolean = {
     if (done) return false
@@ -1803,11 +1853,12 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
         done = true; reader.close(); return false // dimension-descent early stop
       }
       if (effRanges.contains(lead)) {
-        if (v != null || includeTombstones) {
+        if ((v != null || includeTombstones) && sampleKeep(k)) {
           curKey = k; curValue = v
           return true
         }
-        // tombstone outside a merge: the key is deleted — skip on
+        // tombstone outside a merge (the key is deleted) or a row the
+        // pushed sample rejected: skip on
       } else {
         // Disqualified gap: jump to the floor of the next qualified
         // range instead of decoding through the gap (reference per-gap
@@ -1838,10 +1889,12 @@ class GraftKvPartitionReader(p: GraftKvInputPartition, schema: StructType,
     keys: Seq[String], projection: Seq[String],
     ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
     encoding: String = graft.store.RowCodec.Binary,
-    deepSeek: Option[GraftKvDeepSeek] = None)
+    deepSeek: Option[GraftKvDeepSeek] = None,
+    sample: Option[(Double, Long)] = None)
     extends PartitionReader[InternalRow] {
 
-  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding, deepSeek)
+  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding,
+    deepSeek, sample = sample)
   private val project = cursor.segCodec.compatProjector(projection.map(schema(_)))
   private var current: InternalRow = _
   private var emitted = 0L
@@ -1880,7 +1933,8 @@ class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
     keys: Seq[String], projection: Seq[String],
     ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
     encoding: String = graft.store.RowCodec.Binary,
-    deepSeek: Option[GraftKvDeepSeek] = None)
+    deepSeek: Option[GraftKvDeepSeek] = None,
+    sample: Option[(Double, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   private val codec = RowCodec(schema, keys, encoding)
@@ -1891,7 +1945,7 @@ class GraftKvMergingReader(p: GraftKvMergePartition, schema: StructType,
     val cursor = new KvRecordCursor(
       GraftKvInputPartition(p.dir, file, 0L, Array.empty, p.partitionRanges),
       schema, keys, ranges, encoding, deepSeek, includeTombstones = true,
-      fromKey = p.fromKey, untilKey = p.untilKey)
+      fromKey = p.fromKey, untilKey = p.untilKey, sample = sample)
     // per-member projector: members may carry different write-time
     // schemas (V3 self-describing sidecars, ALTER TABLE history)
     val project = cursor.segCodec.compatProjector(projection.map(schema(_)))
@@ -1963,10 +2017,12 @@ class GraftKvColumnarReader(p: GraftKvInputPartition, schema: StructType,
     ranges: graft.pruning.CriticalPoints.MultiRange, limit: Int,
     encoding: String = graft.store.RowCodec.Binary,
     deepSeek: Option[GraftKvDeepSeek] = None,
+    sample: Option[(Double, Long)] = None,
     batchSize: Int = 4096)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding, deepSeek)
+  private val cursor = new KvRecordCursor(p, schema, keys, ranges, encoding,
+    deepSeek, sample = sample)
   private val fields = projection.map(schema(_))
   private val vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
     fields.map(f =>

@@ -774,6 +774,32 @@ object KvOps {
             <= 0.15).as("approx_ok"))
     },
 
+    // Pushed TABLESAMPLE (SupportsPushDownTableSample): deterministic
+    // per-key Bernoulli applied in the cursor before value decode —
+    // generation-consistent on the merge-on-read store, so the 100-TB
+    // quality-estimation pass decodes only its fraction. The sample
+    // itself is engine-defined randomness, so the oracle is invariant:
+    // the exact base count (DuckDB-checked) with in-band verdicts that
+    // the fraction holds (binomial band) and the sample is a true
+    // subset (anti-join empty), both deterministic given the seed.
+    QuerySpec.checked("kv39_sample_pushdown",
+      """SELECT count(*) AS total, true AS frac_ok, true AS subset_ok
+        |FROM orders""") { (s, d) =>
+      val kvT = KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+      val sampled = kvT.sample(0.2, 77L)
+      val total = Tables.table(s, d, "orders")
+        .agg(count(lit(1)).as("total"))
+      val cnt = sampled.agg(count(lit(1)).as("c"))
+      val leak = sampled.select("o_orderkey")
+        .join(Tables.table(s, d, "orders"), Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("leaked"))
+      total.crossJoin(cnt).crossJoin(leak)
+        .select(col("total"),
+          (abs(col("c") - col("total") * 0.2) / col("total") <= 0.02)
+            .as("frac_ok"),
+          (col("leaked") === 0).as("subset_ok"))
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly
