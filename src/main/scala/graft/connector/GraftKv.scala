@@ -429,8 +429,20 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         segs.nonEmpty && segs.forall(m => m.exactZones &&
         m.zoneStats.exists(z =>
           z.name == name && z.dataType == schema(name).dataType))
+    // COUNT(col) = rows - nulls from the V10 exact null counts; pushes
+    // only when EVERY live segment carries the column's claim (a
+    // pre-V10 sidecar suppresses it and the aggregate scans)
+    def countable(name: String): Boolean =
+      schema.fieldNames.contains(name) && segs.nonEmpty &&
+        segs.forall(_.nullCounts.exists(_._1 == name))
     val specs: Seq[Option[KvAgg]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(KvAgg.Count)
+      // key columns are never null (codec contract): COUNT(key) = COUNT(*)
+      case c: Count if !c.isDistinct &&
+        leadName(c.column()).exists(keys.contains) => Some(KvAgg.Count)
+      case c: Count if !c.isDistinct &&
+        leadName(c.column()).exists(countable) =>
+        Some(KvAgg.CountCol(leadName(c.column()).get))
       case m: Min if leadName(m.column()).contains(keys.head) => Some(KvAgg.MinLead)
       case m: Max if leadName(m.column()).contains(keys.head) => Some(KvAgg.MaxLead)
       case m: Min if leadName(m.column()).exists(minMaxable) =>
@@ -499,6 +511,9 @@ object KvAgg {
     * contain. */
   final case class MinCol(name: String) extends KvAgg
   final case class MaxCol(name: String) extends KvAgg
+  /** COUNT(col) — non-null rows of a value column, from the V10 exact
+    * per-segment null counts (rows minus nulls). */
+  final case class CountCol(name: String) extends KvAgg
 }
 
 /** Scan that answers pushed aggregates from segment sidecars: one
@@ -516,6 +531,7 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
 
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (KvAgg.Count, i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    case (KvAgg.CountCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
     case (KvAgg.SumCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = true)
     case (KvAgg.MinCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
     case (KvAgg.MaxCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
@@ -547,6 +563,9 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
         m.zoneStats.find(_.name == n).map(_.min).orNull
       case KvAgg.MaxCol(n) =>
         m.zoneStats.find(_.name == n).map(_.max).orNull
+      case KvAgg.CountCol(n) =>
+        // presence validated at push time over this exact listing
+        m.count - m.nullCounts.find(_._1 == n).get._2
     }.toArray[Any]
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -587,6 +606,7 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
               case KvAgg.SumCol(n) => n
               case KvAgg.MinCol(n) => n
               case KvAgg.MaxCol(n) => n
+              case KvAgg.CountCol(n) => n
             }.distinct
             val inner = new GraftKvPartitionReader(
               GraftKvInputPartition(p.dir, p.file, 0L),
@@ -599,6 +619,7 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
             val sumSeen = new Array[Boolean](valCols.length)
             val mins = new Array[Any](valCols.length)
             val maxs = new Array[Any](valCols.length)
+            val nonNull = new Array[Long](valCols.length)
             val cmps: Array[(Any, Any) => Int] = valCols.map(c =>
               graft.pruning.TriEval.comparator(schema(c).dataType)).toArray
             try {
@@ -611,6 +632,7 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
                 var j = 0
                 while (j < valCols.length) {
                   if (!row.isNullAt(1 + j)) {
+                    nonNull(j) += 1
                     val cdt = schema(valCols(j)).dataType
                     val x = row.get(1 + j, cdt)
                     if (mins(j) == null || cmps(j)(x, mins(j)) < 0) mins(j) = x
@@ -636,6 +658,7 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
                 if (sumSeen(j)) sums(j) else null
               case KvAgg.MinCol(n) => mins(valCols.indexOf(n))
               case KvAgg.MaxCol(n) => maxs(valCols.indexOf(n))
+              case KvAgg.CountCol(n) => nonNull(valCols.indexOf(n))
             }.toArray[Any]
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
@@ -1414,12 +1437,22 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
                   Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0))
                   .asInstanceOf[Object]))
             }
-          if (distinct.isPresent || mn.isPresent)
+          // null counts: exact V10 claims under the same gate; key
+          // columns are never null by the codec contract
+          val nulls: java.util.OptionalLong =
+            if (keys.contains(f.name)) java.util.OptionalLong.of(0L)
+            else if (!ndvOk || segs.isEmpty ||
+              segs.exists(!_.nullCounts.exists(_._1 == f.name)))
+              java.util.OptionalLong.empty()
+            else java.util.OptionalLong.of(
+              segs.map(_.nullCounts.find(_._1 == f.name).get._2).sum)
+          if (distinct.isPresent || mn.isPresent || nulls.isPresent)
             out.put(org.apache.spark.sql.connector.expressions
               .Expressions.column(f.name), new ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong = distinct
               override def min(): java.util.Optional[Object] = mn
               override def max(): java.util.Optional[Object] = mx
+              override def nullCount(): java.util.OptionalLong = nulls
             })
         }
         out
@@ -2341,6 +2374,22 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private val ndvBufs = Array.fill(ndvFields.length)(freshNdvBuf())
   private val ndvPending = new Array[Any](ndvFields.length)
   private val ndvPendingNull = new Array[Boolean](ndvFields.length)
+  // exact per-VALUE-column null counts (V10 sidecar; winners-only like
+  // everything staged). Key columns are never null by codec contract.
+  private val ndvIsKey: Array[Boolean] =
+    ndvFields.map { case (_, f) => keys.contains(f.name) }
+  private val nullCnt = new Array[Long](ndvFields.length)
+
+  private def segNullCounts(): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    var i = 0
+    while (i < ndvFields.length) {
+      if (!ndvIsKey(i)) out += ndvFields(i)._2.name -> nullCnt(i)
+      nullCnt(i) = 0L
+      i += 1
+    }
+    out.result()
+  }
 
   private def segNdvSketches(): Seq[SegmentFile.NdvSketch] = {
     val out = Seq.newBuilder[SegmentFile.NdvSketch]
@@ -2384,7 +2433,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
 
   private def rotate(): Unit = {
-    val meta = writer.close(segZoneStats(), segNdvSketches())
+    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts())
     if (meta != null) committed ::= meta.file
     writer = newWriter()
   }
@@ -2413,6 +2462,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     while (ni < ndvFields.length) {
       if (!ndvPendingNull(ni))
         ndvHelper.update(ndvBufs(ni), 0, ndvPending(ni), ndvFields(ni)._2.dataType)
+      else if (!ndvIsKey(ni)) nullCnt(ni) += 1
       ni += 1
     }
     var si = 0
@@ -2502,7 +2552,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
 
   override def commit(): WriterCommitMessage = {
     flushBuffered()
-    val meta = writer.close(segZoneStats(), segNdvSketches())
+    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts())
     if (meta != null) committed ::= meta.file
     GraftKvCommit(committed.reverse)
   }

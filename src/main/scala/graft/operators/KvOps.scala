@@ -800,6 +800,20 @@ object KvOps {
           (col("leaked") === 0).as("subset_ok"))
     },
 
+    // COUNT(col) from metadata (V10 exact per-segment null counts):
+    // rows minus nulls, zero data bytes on a disjoint tombstone-free
+    // table — COUNT joins SUM/MIN/MAX on the coprocessor-analog path.
+    // Hash-checkable: counts are exact, not estimates.
+    QuerySpec.checked("kv40_metadata_count_col",
+      """SELECT count(*) AS cnt_all, count(o_custkey) AS cnt_cust,
+        |  count(o_orderstatus) AS cnt_status
+        |FROM orders""") { (s, d) =>
+      KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+        .agg(count(lit(1)).as("cnt_all"),
+          count(col("o_custkey")).as("cnt_cust"),
+          count(col("o_orderstatus")).as("cnt_status"))
+    },
+
     // Pushed TopN: ORDER BY the key + LIMIT on a bulk-loaded kv table
     // plans only the tail segments (KvTopNSpec pins the partition
     // count); the values must still match the parquet truth exactly

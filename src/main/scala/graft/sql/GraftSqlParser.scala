@@ -301,7 +301,8 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
     AttributeReference("size_bytes", LongType)(),
     AttributeReference("distinct_count", LongType)(),
     AttributeReference("min", StringType)(),
-    AttributeReference("max", StringType)())
+    AttributeReference("max", StringType)(),
+    AttributeReference("null_count", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.SegmentFile
@@ -342,10 +343,16 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
           val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)
           (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
         }
+      val nulls: Any =
+        if (m.keys.contains(c)) Long.box(0L) // keys are never null
+        else if (!gateOk || segs.isEmpty ||
+          segs.exists(!_.nullCounts.exists(_._1 == c))) null
+        else Long.box(segs.map(_.nullCounts.find(_._1 == c).get._2).sum)
       Row(c, null, null, ndv,
-        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull)
+        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull,
+        nulls)
     }
-    Row("(table)", rows, bytes, null, null, null) +: colRows
+    Row("(table)", rows, bytes, null, null, null, null) +: colRows
   }
 }
 

@@ -30,7 +30,10 @@ object SegmentFile {
       zoneStats: Seq[ZoneStat] = Seq.empty,
       gen: Long = 0L,
       tombstones: Long = 0L,
-      exactZones: Boolean = false)
+      exactZones: Boolean = false,
+      // exact per-value-column null counts (V10; empty = pre-V10 writer,
+      // no claim). Keys are never null by the codec contract.
+      nullCounts: Seq[(String, Long)] = Seq.empty)
 
   /** Tiny blocked Bloom filter: 4096 bits, two probes per value, keyed
     * by the 64-bit hash of the encoded field bytes. ~0.5 KB per tracked
@@ -136,6 +139,14 @@ object SegmentFile {
   // only folding (like V8 zones) keeps each sketch exact over the
   // segment's physical rows. planning readMeta skips the section.
   private val FormatV9 = -9
+  // V10 adds exact per-VALUE-column NULL COUNTS (winners-only, all
+  // atomic columns — strings included, beyond the numeric zone maps)
+  // between the zones and the NDV section: COUNT(col) joins the
+  // metadata-only aggregate path as rows - nulls, and the CBO column
+  // statistics gain nullCount. Unlike the zone maps (whose ENTRY
+  // ABSENCE signals "saw a null"), the count is present for every
+  // eligible column, zero or not.
+  private val FormatV10 = -10
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
@@ -257,15 +268,16 @@ object SegmentFile {
       * `zoneStats` are the caller-tracked value-column min/max for THIS
       * segment (the writer is codec-agnostic and never decodes values). */
     def close(zoneStats: Seq[ZoneStat] = Seq.empty,
-        ndvSketches: Seq[NdvSketch] = Seq.empty): Meta = {
+        ndvSketches: Seq[NdvSketch] = Seq.empty,
+        nullCounts: Seq[(String, Long)] = Seq.empty): Meta = {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
-        gen, tombstoneCount, exactZones = true)
+        gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV9)
+      mo.writeInt(FormatV10)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -294,9 +306,16 @@ object SegmentFile {
         mo.writeBoolean(z.sum.isDefined)
         z.sum.foreach(mo.writeLong)
       }
-      // NDV sketches (V9) sit between zones and the index: planning
-      // reads stop after the zones; only the NDV read path and the
-      // index load step over them
+      // null counts (V10) ride between the zones and the NDV section —
+      // planning reads them (claims, not register payloads)
+      mo.writeInt(m.nullCounts.length)
+      m.nullCounts.foreach { case (n, c) =>
+        val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        mo.writeInt(nb.length); mo.write(nb)
+        mo.writeLong(c)
+      }
+      // NDV sketches (V9) sit after: planning reads stop before them;
+      // only the NDV read path and the index load step over them
       mo.writeInt(ndvSketches.length)
       ndvSketches.foreach { s =>
         val nb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -329,7 +348,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v9 = first == FormatV9
+      val v10 = first == FormatV10
+      val v9 = v10 || first == FormatV9
       val v8 = v9 || first == FormatV8
       val v7 = v8 || first == FormatV7
       val v6 = v7 || first == FormatV6
@@ -370,6 +390,13 @@ object SegmentFile {
           ZoneStat(new String(nb, java.nio.charset.StandardCharsets.UTF_8),
             dt, mn, mx, sum)
         }
+      val nullCnts =
+        if (!v10) Seq.empty[(String, Long)]
+        else (0 until in.readInt()).map { _ =>
+          val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+          (new String(nb, java.nio.charset.StandardCharsets.UTF_8),
+            in.readLong())
+        }
       // sparse index (absent in pre-index sidecars → seekless reads)
       val idx = if (!withIndex) IndexedSeq.empty else try {
         if (v9) { // step over the NDV sketch section
@@ -387,7 +414,7 @@ object SegmentFile {
         }
       } catch { case _: EOFException => IndexedSeq.empty }
       Meta(s"$name.kv", min, max, count, size, blooms, idx, schemaJson, stats,
-        gen, tombstones, exactZones = v8)
+        gen, tombstones, exactZones = v8, nullCounts = nullCnts)
     } finally in.close()
   }
 
@@ -611,6 +638,10 @@ object SegmentFile {
   // still read — their entries conservatively report exactZones=false,
   // so metadata MIN/MAX just stays off until the next commit repacks.
   private val PackedStatsV3 = -102
+  // V4 carries the per-value-column null counts (sidecar V10). Older
+  // packs read with no counts — COUNT(col) pushdown and nullCount
+  // stats stay off until the next commit repacks.
+  private val PackedStatsV4 = -103
 
   private def statsPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_stats.v$v")
@@ -648,9 +679,16 @@ object SegmentFile {
       out.writeBoolean(z.sum.isDefined)
       z.sum.foreach(out.writeLong)
     }
+    out.writeInt(m.nullCounts.length)
+    m.nullCounts.foreach { case (n, c) =>
+      val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(nb.length); out.write(nb)
+      out.writeLong(c)
+    }
   }
 
-  private def readPackedEntry(in: DataInputStream, v3: Boolean): Meta = {
+  private def readPackedEntry(in: DataInputStream, v3: Boolean,
+      v4: Boolean): Meta = {
     val nb = new Array[Byte](in.readInt()); in.readFully(nb)
     val file = new String(nb, java.nio.charset.StandardCharsets.UTF_8)
     val exactZones = if (v3) in.readBoolean() else false
@@ -678,8 +716,15 @@ object SegmentFile {
       ZoneStat(new String(zb, java.nio.charset.StandardCharsets.UTF_8),
         dt, mn, mx, sum)
     }
+    val nullCnts =
+      if (!v4) Seq.empty[(String, Long)]
+      else (0 until in.readInt()).map { _ =>
+        val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+        (new String(nb, java.nio.charset.StandardCharsets.UTF_8),
+          in.readLong())
+      }
     Meta(file, min, max, count, size, blooms, IndexedSeq.empty, schemaJson,
-      stats, gen, tombstones, exactZones)
+      stats, gen, tombstones, exactZones, nullCounts = nullCnts)
   }
 
   /** Write the packed planning stats for snapshot `v`. Only the CAS
@@ -692,7 +737,7 @@ object SegmentFile {
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp), 1 << 16))
     try {
-      out.writeInt(PackedStatsV3)
+      out.writeInt(PackedStatsV4)
       out.writeInt(metas.length)
       metas.foreach(writePackedEntry(out, _))
     } finally out.close()
@@ -712,9 +757,11 @@ object SegmentFile {
         Files.newInputStream(p), 1 << 16))
       try {
         in.readInt() match {
-          case v if v == PackedStatsV2 || v == PackedStatsV3 =>
+          case v if v == PackedStatsV2 || v == PackedStatsV3 ||
+              v == PackedStatsV4 =>
             Some((0 until in.readInt()).map(_ =>
-              readPackedEntry(in, v3 = v == PackedStatsV3)))
+              readPackedEntry(in, v3 = v != PackedStatsV2,
+                v4 = v == PackedStatsV4)))
           case _ => None
         }
       } finally in.close()
@@ -840,7 +887,8 @@ object SegmentFile {
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name)), 1 << 16))
     try {
-      if (in.readInt() != FormatV9) return Seq.empty
+      val ver = in.readInt()
+      if (ver != FormatV9 && ver != FormatV10) return Seq.empty
       in.skipNBytes(16) // gen + tombstones
       val sj = in.readInt(); if (sj > 0) in.skipNBytes(sj.toLong)
       in.skipNBytes(in.readInt().toLong) // minKey
@@ -855,6 +903,14 @@ object SegmentFile {
         readZoneValue(in, dt); readZoneValue(in, dt)
         if (in.readBoolean()) in.readLong()
         nz -= 1
+      }
+      if (ver == FormatV10) { // step over the null-count section
+        var nn = in.readInt()
+        while (nn > 0) {
+          in.skipNBytes(in.readInt().toLong)
+          in.skipNBytes(8)
+          nn -= 1
+        }
       }
       (0 until in.readInt()).map { _ =>
         val cb = new Array[Byte](in.readInt()); in.readFully(cb)

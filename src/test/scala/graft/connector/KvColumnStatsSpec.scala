@@ -51,6 +51,7 @@ class KvColumnStatsSpec extends AnyFunSuite {
       assert(xs.distinctCount.exists(dc =>
         math.abs(dc.toLong - 321L) <= 321 * 0.15), s"ndv off: $xs")
       assert(xs.min.contains(7L) && xs.max.contains(327L), s"bounds: $xs")
+      assert(xs.nullCount.exists(_.toLong == 0L), s"nulls: $xs")
       val ds = byName("d")
       assert(ds.distinctCount.exists(dc => math.abs(dc.toLong - 13L) <= 2))
       assert(ds.min.contains(0.0) && ds.max.contains(12.0))

@@ -125,6 +125,40 @@ class KvNdvSpec extends AnyFunSuite {
     checkEqual(afterDelete)
   }
 
+  test("COUNT(col) answers from metadata null counts (V10)") {
+    val path = tmpDir("countcol")
+    mkBase(path) // x NULL every 50th row; s,d never null
+    val t = KvCommands.table(spark, path)
+
+    def aggPlan(df: DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // whole table: count(*) + count(x) + count(s) from pure metadata
+    val q = t.agg(count(lit(1)).as("all"), count(col("x")).as("nx"),
+      count(col("s")).as("ns"), count(col("k")).as("nk"))
+    assert(aggPlan(q).contains("GraftKvAggScan"), "did not push")
+    val r = q.first()
+    assert(r.getLong(0) == 20000L)
+    assert(r.getLong(1) == 20000L - 400L) // every 50th x is NULL
+    assert(r.getLong(2) == 20000L)
+    assert(r.getLong(3) == 20000L) // key column: COUNT(key) = COUNT(*)
+
+    // lead-range filter: covered segments answer from metadata,
+    // boundary segments count their own non-null values
+    val f = t.filter(col("k") >= 3000 && col("k") < 17000)
+      .agg(count(lit(1)).as("all"), count(col("x")).as("nx"))
+    assert(aggPlan(f).contains("GraftKvAggScan"))
+    val fr = f.first()
+    assert(fr.getLong(0) == 14000L)
+    assert(fr.getLong(1) ==
+      (3000L until 17000L).count(i => i % 50 != 3))
+
+    // tombstones suppress the claim; the scan fallback stays correct
+    KvCommands.delete(spark, path, col("k") === 104)
+    val after = t.agg(count(col("x")).as("nx"))
+    assert(!aggPlan(after).contains("GraftKvAggScan"))
+    assert(after.first().getLong(0) == 20000L - 400L - 1L) // k=104: x non-null
+  }
+
   test("SQL: ANALYZE TABLE reports rows, NDV estimates, and bounds") {
     val root = Files.createTempDirectory("graftkv_ndv_cat").toString
     val cat = s"gndv${math.abs(root.hashCode() % 100000)}"
@@ -140,6 +174,7 @@ class KvNdvSpec extends AnyFunSuite {
     val xRow = all.find(_.getString(0) == "x").get
     assert(math.abs(xRow.getLong(3) - 37L) <= 3, s"ndv: $xRow")
     assert(xRow.getString(4) == "5" && xRow.getString(5) == "41")
+    assert(xRow.getLong(6) == 0L, "x holds no NULLs")
 
     val one = spark.sql(
       s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
