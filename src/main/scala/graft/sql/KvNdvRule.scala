@@ -98,7 +98,11 @@ case class KvNdvRule(spark: SparkSession) extends Rule[LogicalPlan] {
       tbl.kvEncoding).compareKeys _
     val segs = SegmentFile.listSegments(path)
     if (!SegmentFile.disjointTombstoneFree(segs, cmp)) return None
-    val sketches = SegmentFile.ndvSketches(path)
+    // a COUNT-only aggregate (no HLL) needs no sketches — don't make a
+    // plain global count(*) build the NDV pack
+    val sketches =
+      if (cols.isEmpty) Map.empty[String, Seq[SegmentFile.NdvSketch]]
+      else SegmentFile.ndvSketches(path)
     // every live segment must carry a correctly-sized sketch per column
     val estimates = cols.map { c =>
       c -> (SegmentFile.mergedNdvEstimate(segs, sketches, c)
