@@ -433,8 +433,8 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     // only when EVERY live segment carries the column's claim (a
     // pre-V10 sidecar suppresses it and the aggregate scans)
     def countable(name: String): Boolean =
-      schema.fieldNames.contains(name) && segs.nonEmpty &&
-        segs.forall(_.nullCounts.exists(_._1 == name))
+      schema.fieldNames.contains(name) &&
+        SegmentFile.mergedNullCount(segs, name).isDefined
     val specs: Seq[Option[KvAgg]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(KvAgg.Count)
       // key columns are never null (codec contract): COUNT(key) = COUNT(*)
@@ -1396,13 +1396,18 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         segs.isEmpty) java.util.Collections.emptyMap()
       else try {
         import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
-        // distinct claims need the metadata-aggregate gate: a sketch
-        // union over overlapping generations or tombstoned keys counts
-        // rows the merge-on-read path suppresses. Bounds below survive
-        // either way — zone maps cover every PHYSICAL row, a superset
-        // of the live rows, so they stay valid (possibly loose) bounds.
-        val ndvOk = graft.store.SegmentFile.disjointTombstoneFree(segs,
-          graft.store.RowCodec(schema, keys, encoding).compareKeys)
+        // distinct/null claims need the metadata-aggregate gate: a
+        // sketch union over overlapping generations or tombstoned keys
+        // counts rows the merge-on-read path suppresses — and a pushed
+        // SAMPLE shrinks numRows below the full-table claims (a
+        // nullCount above rowCount drives Spark's IsNotNull selectivity
+        // negative), so sampled scans claim neither. Bounds below
+        // survive everything — zone maps cover every PHYSICAL row, a
+        // superset of the live (and of any sampled) rows, so they stay
+        // valid (possibly loose) bounds.
+        val ndvOk = sample.isEmpty &&
+          graft.store.SegmentFile.disjointTombstoneFree(segs,
+            graft.store.RowCodec(schema, keys, encoding).compareKeys)
         val sketches =
           if (ndvOk) graft.store.SegmentFile.ndvSketches(path)
           else Map.empty[String, Seq[graft.store.SegmentFile.NdvSketch]]
@@ -1440,12 +1445,12 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           // null counts: exact V10 claims under the same gate; key
           // columns are never null by the codec contract
           val nulls: java.util.OptionalLong =
-            if (keys.contains(f.name)) java.util.OptionalLong.of(0L)
-            else if (!ndvOk || segs.isEmpty ||
-              segs.exists(!_.nullCounts.exists(_._1 == f.name)))
-              java.util.OptionalLong.empty()
-            else java.util.OptionalLong.of(
-              segs.map(_.nullCounts.find(_._1 == f.name).get._2).sum)
+            if (!ndvOk) java.util.OptionalLong.empty()
+            else if (keys.contains(f.name)) java.util.OptionalLong.of(0L)
+            else graft.store.SegmentFile.mergedNullCount(segs, f.name) match {
+              case Some(n) => java.util.OptionalLong.of(n)
+              case None => java.util.OptionalLong.empty()
+            }
           if (distinct.isPresent || mn.isPresent || nulls.isPresent)
             out.put(org.apache.spark.sql.connector.expressions
               .Expressions.column(f.name), new ColumnStatistics {

@@ -344,10 +344,9 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
           (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
         }
       val nulls: Any =
-        if (m.keys.contains(c)) Long.box(0L) // keys are never null
-        else if (!gateOk || segs.isEmpty ||
-          segs.exists(!_.nullCounts.exists(_._1 == c))) null
-        else Long.box(segs.map(_.nullCounts.find(_._1 == c).get._2).sum)
+        if (!gateOk) null
+        else if (m.keys.contains(c)) Long.box(0L) // keys are never null
+        else SegmentFile.mergedNullCount(segs, c).map(Long.box).orNull
       Row(c, null, null, ndv,
         Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull,
         nulls)

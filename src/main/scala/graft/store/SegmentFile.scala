@@ -996,6 +996,17 @@ object SegmentFile {
     true
   }
 
+  /** Exact null count of one value column over `segs` — None when any
+    * segment lacks the V10 claim. Key columns are handled by CALLERS
+    * (never null by the codec contract, so they answer 0 without a
+    * claim). The caller guards soundness with [[disjointTombstoneFree]]
+    * (a superseded generation's nulls are not live nulls). */
+  def mergedNullCount(segs: Seq[Meta], col: String): Option[Long] = {
+    if (segs.isEmpty) return None
+    val per = segs.map(_.nullCounts.find(_._1 == col))
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get._2).sum)
+  }
+
   /** Merge one column's per-segment HLL++ registers and query the
     * estimate — None when any live segment lacks a correctly-sized
     * sketch (pre-V9 writer). The caller guards soundness with

@@ -89,6 +89,26 @@ class KvColumnStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a pushed sample suppresses distinct/null claims; bounds and scaled rows stay consistent") {
+    val path = tmpDir("sampled")
+    spark.range(10000).select(col("id").as("k"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id") % 100).as("x"))
+      .write.format("graftkv").option("key", "k").mode("overwrite").save(path)
+    withCbo(on = true) {
+      val st = scanStats(KvCommands.table(spark, path).sample(0.01, 1L)
+        .select("k", "x"))
+      // rows scale by the fraction; full-table nullCount/distinctCount
+      // would exceed them and drive IsNotNull selectivity negative —
+      // both must be absent. Zone bounds stay (a sampled subset's
+      // values still lie within them).
+      assert(st.rowCount.exists(_.toLong <= 200),
+        s"rows not scaled: ${st.rowCount}")
+      val xs = st.attributeStats.find(_._1.name == "x").map(_._2)
+      assert(xs.forall(s => s.distinctCount.isEmpty && s.nullCount.isEmpty),
+        s"claims must be suppressed under a sample: $xs")
+    }
+  }
+
   test("a pre-sketch segment suppresses the distinct claim, bounds survive") {
     val path = tmpDir("legacy")
     spark.range(2000).select(col("id").as("k"), (col("id") % 50 + 1).as("x"))
