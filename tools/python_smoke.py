@@ -91,7 +91,7 @@ def main():
             spark, "graft.py.t").collect() == []
         # materialized view lifecycle over the same table
         GraftSession.create_materialized_view(
-            spark, "graft.py.t", "mv", ["v"], ["k"])
+            spark, "graft.py.t", "mv", ["v"], ["k"], minmax_cols=["k"])
         mvs = GraftSession.show_materialized_views(
             spark, "graft.py.t").collect()
         assert [r.view_name for r in mvs] == ["mv"] and mvs[0].in_sync, mvs
@@ -106,7 +106,20 @@ def main():
                    .selectExpr("v", "__cnt AS cnt", "__sum_k AS sum_k")
                    .collect()}
         assert mv_rows == agg, (mv_rows, agg)
+        mm = {r.v: (r.min_k, r.max_k) for r in spark.read.format("graftkv")
+              .load(os.path.join(tdir, "_mv", "mv"))
+              .selectExpr("v", "__min_k AS min_k", "__max_k AS max_k")
+              .collect()}
+        mm_truth = {r.v: (r.mn, r.mx) for r in spark.sql(
+            "SELECT v, min(k) AS mn, max(k) AS mx "
+            "FROM graft.py.t GROUP BY v").collect()}
+        assert mm == mm_truth, (mm, mm_truth)
         GraftSession.drop_materialized_view(spark, "graft.py.t", "mv")
+        # metadata statistics statement
+        stats = spark.sql(
+            "ANALYZE TABLE graft.py.t COMPUTE STATISTICS FOR COLUMNS k"
+        ).collect()
+        assert stats[0].name == "(table)" and stats[0].rows > 0, stats
         print("python smoke: OK")
     finally:
         spark.stop()
