@@ -795,7 +795,11 @@ object KvOps {
         .agg(count(lit(1)).as("leaked"))
       total.crossJoin(cnt).crossJoin(leak)
         .select(col("total"),
-          (abs(col("c") - col("total") * 0.2) / col("total") <= 0.02)
+          // adaptive band: 2% of N or 5 binomial sd, whichever is
+          // wider — a regenerated small corpus must not flip the gate
+          (abs(col("c") - col("total") * 0.2) <=
+            greatest(col("total") * 0.02,
+              sqrt(col("total") * 0.2 * 0.8) * 5.0))
             .as("frac_ok"),
           (col("leaked") === 0).as("subset_ok"))
     },
