@@ -106,6 +106,55 @@ class KvSampleSpec extends AnyFunSuite {
     assert(topk.sameElements(truth))
   }
 
+  test("fuzz: the sampled read IS the hash predicate through random histories") {
+    // the pushed sample's contract, pinned independently: keep iff
+    // xxhash64(encoded composite key, seed) maps below the fraction.
+    // Re-derive that predicate HERE (test-side, from the codec) and
+    // check the sampled read equals the full read filtered by it after
+    // every random upsert/delete/compaction — determinism is what makes
+    // sampling reproducible across job retries at 100 TB.
+    val rnd = new scala.util.Random(2024)
+    val path = tmpDir("fuzz")
+    val seed = 31L
+    val frac = 0.3
+    spark.range(2000).select(col("id").as("k"), col("id").as("x"))
+      .write.format("graftkv").option("key", "k").mode("overwrite").save(path)
+    val m = GraftKvMeta.read(path).get
+    val codec = graft.store.RowCodec(m.schema, m.keys, m.encoding)
+    def keepKey(k: Long): Boolean = {
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](k, 0L))
+      val kb = codec.encodeKey(row)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        kb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, kb.length, seed)
+      (h >>> 11) * 1.1102230246251565e-16 < frac
+    }
+    def check(round: Int): Unit = {
+      val full = KvCommands.table(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val sampled = KvCommands.table(spark, path).sample(frac, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(sampled == full.filter { case (k, _) => keepKey(k) },
+        s"round $round")
+    }
+    check(0)
+    for (round <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 | 1 => KvCommands.append(
+          spark.range(1 + rnd.nextInt(300)).select(
+            (col("id") * (1 + rnd.nextInt(7))).as("k"),
+            (col("id") + round * 10000).as("x")), path)
+        case 2 =>
+          val mdl = 2 + rnd.nextInt(5)
+          KvCommands.delete(spark, path, col("k") % mdl === rnd.nextInt(mdl))
+      }
+      if (round % 2 == 0) KvCommands.compactMinor(spark, path)
+      check(round)
+    }
+    KvCommands.compact(spark, path)
+    check(99)
+  }
+
   test("metadata aggregates refuse under a sample; plain count stays in band") {
     val path = tmpDir("agg")
     spark.range(30000).select(col("id").as("k"), (col("id") % 9).as("x"))
