@@ -24,12 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftKvMetadataTable {
 
   /** Metadata-table names resolvable under a base table identifier. */
-  val Names: Set[String] = Set("snapshots", "segments")
+  val Names: Set[String] = Set("snapshots", "segments", "columns")
 
   def forName(dir: String, meta: KvTableMeta, metaName: String): Option[Table] =
     metaName.toLowerCase match {
       case "snapshots" => Some(snapshots(dir))
       case "segments" => Some(segments(dir, meta))
+      case "columns" => Some(columns(dir, meta))
       case _ => None
     }
 
@@ -71,6 +72,55 @@ object GraftKvMetadataTable {
         String.valueOf(codec.decodeKey(s.maxKey)(0)))
     }
     new GraftKvMetadataTable(s"$dir#segments", schema, rows.toArray)
+  }
+
+  /** `t.columns` — per-column statistics as a queryable relation (the
+    * ANALYZE TABLE report, composable with the whole SQL surface):
+    * distinct estimates from the V9 NDV sketches, exact null counts
+    * from the V10 claims, zone-map bounds. A NULL statistic means the
+    * metadata cannot claim it (overlap, tombstones, a pre-claim
+    * segment) — never a wrong number. */
+  private def columns(dir: String, m: KvTableMeta): Table = {
+    val schema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("data_type", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false), // key | value
+      StructField("distinct_count", LongType, nullable = true),
+      StructField("null_count", LongType, nullable = true),
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true)))
+    val segs = SegmentFile.listSegments(dir)
+    val cmp = RowCodec(m.schema, m.keys, m.encoding).compareKeys _
+    val gateOk = SegmentFile.disjointTombstoneFree(segs, cmp)
+    val sketches =
+      try { if (gateOk) SegmentFile.ndvSketches(dir)
+        else Map.empty[String, Seq[SegmentFile.NdvSketch]] }
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Seq[SegmentFile.NdvSketch]] }
+    val rows = m.schema.fields.map { f =>
+      val isKey = m.keys.contains(f.name)
+      val ndv: Any =
+        if (!gateOk) null
+        else SegmentFile.mergedNdvEstimate(segs, sketches, f.name)
+          .map(Long.box).orNull
+      val nulls: Any =
+        if (!gateOk) null
+        else if (isKey) Long.box(0L)
+        else SegmentFile.mergedNullCount(segs, f.name).map(Long.box).orNull
+      val zones = segs.map(_.zoneStats.find(z =>
+        z.name == f.name && z.dataType == f.dataType))
+      val (mn, mx): (Any, Any) =
+        if (segs.isEmpty || zones.exists(_.isEmpty)) (null, null)
+        else {
+          val zcmp = graft.pruning.TriEval.comparator(f.dataType)
+          val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)
+          (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
+        }
+      Array[Any](f.name, f.dataType.simpleString,
+        if (isKey) "key" else "value", ndv, nulls,
+        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull)
+    }
+    new GraftKvMetadataTable(s"$dir#columns", schema, rows.toArray)
   }
 }
 

@@ -27,19 +27,32 @@ object KvOps {
     ensureDf(spark, sfDir, Option(fixture).getOrElse(table),
       Tables.table(spark, sfDir, table), keys, encoding)
 
+  /** Bump when the SEGMENT FORMAT gains claims the gates rely on
+    * (zone sums, NDV sketches, null counts, …): cached fixtures written
+    * by an older writer would silently lack them — correctness gates
+    * still pass via the scan fallback, but metadata-claim gates (kv41)
+    * would read NULL where the current writer publishes a number. */
+  private val FixtureFormat = "v10"
+
   /** Idempotently materialize `df` as a KV table. A cached fixture whose
     * declared keys or codec differ from the request (stale layout from
-    * an earlier code version) is dropped and rebuilt — fixtures must
-    * reflect the CURRENT key design or parity results silently drift. */
+    * an earlier code version), or whose segments were written by an
+    * older sidecar format, is dropped and rebuilt — fixtures must
+    * reflect the CURRENT storage design or parity results silently
+    * drift. */
   private def ensureDf(spark: SparkSession, sfDir: String, fixture: String,
       df: => DataFrame, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary): String = lock.synchronized {
     val path = s"${kvRoot(sfDir)}/$fixture"
+    val marker = java.nio.file.Paths.get(path, "_fixture_format")
     val current = graft.connector.GraftKvMeta.read(path)
-      .exists(m => m.keys == keys && m.encoding == encoding)
+        .exists(m => m.keys == keys && m.encoding == encoding) &&
+      java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == FixtureFormat
     if (!current) {
       KvCommands.dropTable(path)
       KvCommands.createTable(df, path, keys, encoding)
+      java.nio.file.Files.writeString(marker, FixtureFormat)
     }
     path
   }
@@ -802,6 +815,31 @@ object KvOps {
               sqrt(col("total") * 0.2 * 0.8) * 5.0))
             .as("frac_ok"),
           (col("leaked") === 0).as("subset_ok"))
+    },
+
+    // the columns METADATA TABLE (`t.columns` — per-column statistics
+    // as a queryable relation): exact V10 null counts and zone-map
+    // bounds hash-check against the parquet truth (integral bounds
+    // render identically cross-engine; string columns have no zone
+    // claim and report NULL bounds, which the oracle states literally)
+    QuerySpec.checked("kv41_columns_metadata_table",
+      """SELECT 'o_custkey' AS column_name,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS null_count,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_v,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus',
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT), NULL, NULL
+        |FROM orders
+        |ORDER BY column_name""") { (s, d) =>
+      ensure(s, d, "orders", Seq("o_orderkey"))
+      val cat = fixtureCatalog(s, d)
+      s.sql(
+        s"""SELECT column_name, null_count, min AS min_v, max AS max_v
+           |FROM $cat.orders.columns
+           |WHERE column_name IN ('o_custkey', 'o_orderstatus')
+           |ORDER BY column_name""".stripMargin)
     },
 
     // COUNT(col) from metadata (V10 exact per-segment null counts):

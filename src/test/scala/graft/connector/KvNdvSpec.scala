@@ -180,11 +180,30 @@ class KvNdvSpec extends AnyFunSuite {
       s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
     assert(one.map(_.getString(0)).toSeq == Seq("(table)", "x"))
 
+    // the same statistics as a queryable METADATA TABLE (t.columns)
+    val cols = spark.sql(s"SELECT * FROM $cat.db.t.columns ORDER BY column_name")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(cols("k")._1 == "key" && cols("x")._1 == "value")
+    assert(math.abs(cols("x")._2 - 37L) <= 3)
+    assert(cols("x")._3 == 0L && cols("k")._3 == 0L)
+    // it composes like any relation (join with the base table's agg)
+    val joined = spark.sql(
+      s"""SELECT c.column_name FROM $cat.db.t.columns c
+         |WHERE c.null_count = 0 ORDER BY 1""".stripMargin).collect()
+    assert(joined.map(_.getString(0)).toSeq == Seq("k", "x"))
+
     // tombstones null the NDV claim (never a wrong number)
     spark.sql(s"DELETE FROM $cat.db.t WHERE k = 17")
     val after = spark.sql(
       s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
     assert(after.find(_.getString(0) == "x").get.isNullAt(3))
+    // and the metadata table degrades the same way
+    val colsAfter = spark.sql(
+      s"SELECT distinct_count FROM $cat.db.t.columns WHERE column_name = 'x'")
+      .collect()
+    assert(colsAfter.head.isNullAt(0))
     spark.sql(s"DROP TABLE $cat.db.t")
   }
 
