@@ -1411,6 +1411,51 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         val sketches =
           if (ndvOk) graft.store.SegmentFile.ndvSketches(path)
           else Map.empty[String, Seq[graft.store.SegmentFile.NdvSketch]]
+        // Pushed lead-range filters prune SEGMENTS, but a selective
+        // range inside a surviving (boundary) segment still reads as the
+        // whole segment in its sketches — so distinct/null claims from
+        // whole-segment metadata can sit far above the scan's actual
+        // post-pushdown output. Estimate each boundary segment's covered
+        // fraction by linear interpolation of the qualified lead ranges
+        // over its decoded lead span (a numeric lead only — strings keep
+        // fraction 1), then SHRINK the claims with it: null counts scale
+        // in expectation, distinct counts cap at the interpolated row
+        // estimate (the Selinger bound — subset distinct never exceeds
+        // subset rows). Claims only ever shrink, so the nullCount ≤
+        // numRows invariant Spark's IsNotNull selectivity needs is
+        // preserved; numRows/sizeInBytes themselves stay the documented
+        // upper bound (interpolation under skew could undershoot, and an
+        // undershot size claim could pick a broadcast that doesn't fit).
+        def asD(v: Any): Option[Double] = v match {
+          case n: java.lang.Number => Some(n.doubleValue())
+          case _ => None
+        }
+        def leadFrac(m: graft.store.SegmentFile.Meta): Double = {
+          val a = codec.leadingKeyValue(m.minKey)
+          val b = codec.leadingKeyValue(m.maxKey)
+          val lr = static.leadRanges
+          if (lr.ranges.isEmpty || lr.coversInterval(a, b)) 1.0
+          else (asD(a), asD(b)) match {
+            case (Some(lo), Some(hi)) if hi > lo =>
+              val width = hi - lo
+              val rowWidth = width / math.max(m.count, 1L).toDouble
+              val covered = lr.intersecting(a, b).map { r =>
+                val rl = r.lo.flatMap(asD).getOrElse(lo).max(lo)
+                val rh = r.hi.flatMap(asD).getOrElse(hi).min(hi)
+                // a point range (equality/IN value) still selects rows:
+                // count it as one row's worth of the span
+                math.max(rh - rl, rowWidth)
+              }.sum
+              math.max(math.min(covered / width, 1.0), rowWidth / width)
+            case _ => 1.0
+          }
+        }
+        val liveRows = math.max(segs.map(_.count).sum, 1L)
+        val leadScale: Double =
+          if (pushed.isEmpty || !ndvOk) 1.0
+          else math.min(1.0,
+            segs.map(m => math.max(m.count, 1L) * leadFrac(m)).sum / liveRows)
+        val scaledRows = math.max((liveRows * leadScale).ceil.toLong, 1L)
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           ColumnStatistics]()
@@ -1420,7 +1465,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
             if (!ndvOk) java.util.OptionalLong.empty()
             else graft.store.SegmentFile.mergedNdvEstimate(segs, sketches,
               f.name) match {
-              case Some(e) => java.util.OptionalLong.of(e)
+              case Some(e) => java.util.OptionalLong.of(math.min(e, scaledRows))
               case None => java.util.OptionalLong.empty()
             }
           // bounds: zone-map fold over segments that publish the entry at
@@ -1448,7 +1493,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
             if (!ndvOk) java.util.OptionalLong.empty()
             else if (keys.contains(f.name)) java.util.OptionalLong.of(0L)
             else graft.store.SegmentFile.mergedNullCount(segs, f.name) match {
-              case Some(n) => java.util.OptionalLong.of(n)
+              case Some(n) =>
+                java.util.OptionalLong.of((n * leadScale).ceil.toLong)
               case None => java.util.OptionalLong.empty()
             }
           if (distinct.isPresent || mn.isPresent || nulls.isPresent)

@@ -312,14 +312,20 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
     cols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"no column '$c'"))
     val segs = SegmentFile.listSegments(dir)
-    val rows = math.max(segs.map(s => s.count - 2 * s.tombstones).sum, 0L)
-    val bytes = segs.map(_.sizeBytes).sum
-    // NDV soundness = the shared metadata-aggregate gate (a sketch union
-    // over overlapping generations counts superseded values). Everything
-    // metadata-derived degrades to NULL — torn sidecars from a crashed
-    // writer included, never a wrong number or a failed statement.
+    // Everything metadata-derived degrades to NULL — torn sidecars from a
+    // crashed writer included, never a wrong number or a failed
+    // statement. The shared metadata-aggregate gate guards ALL of it:
+    // NDV (a sketch union over overlapping generations counts superseded
+    // values), null counts, and the table row count itself — on an
+    // uncompacted upserted or tombstoned table, count − 2·tombstones is
+    // a heuristic (a tombstone without a live predecessor, or an upsert
+    // chain, breaks the arithmetic), so the rows cell honors the same
+    // "NULL, never a wrong number" contract as every column statistic.
     val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
     val gateOk = SegmentFile.disjointTombstoneFree(segs, cmp)
+    val rows: Any =
+      if (gateOk) Long.box(segs.map(_.count).sum) else null
+    val bytes = segs.map(_.sizeBytes).sum
     val sketches =
       try { if (gateOk) SegmentFile.ndvSketches(dir)
         else Map.empty[String, Seq[SegmentFile.NdvSketch]] }

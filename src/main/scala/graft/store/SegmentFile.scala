@@ -793,6 +793,7 @@ object SegmentFile {
   private[graft] def clearPlanningCache(): Unit = {
     statsLock.synchronized(statsCache.clear())
     ndvLock.synchronized(ndvCache.clear())
+    legacyNdvLock.synchronized(legacyNdvCache.clear())
     versionHints.clear()
   }
 
@@ -883,7 +884,13 @@ object SegmentFile {
     * segments — the caller's all-segments gate then refuses). A
     * dedicated parser rather than a readMeta flag so the planning-path
     * instrumentation (metaOpens) stays a pure planning signal. */
+  /** Sidecar opens on the NDV path (test instrumentation, mirrors
+    * metaOpens): the legacy-sweep cache and the pack's incremental build
+    * are pinned on this never growing in the steady state. */
+  private[graft] val ndvSidecarOpens = new java.util.concurrent.atomic.AtomicLong()
+
   private def readNdvSidecar(dir: String, name: String): Seq[NdvSketch] = {
+    ndvSidecarOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name)), 1 << 16))
     try {
@@ -1035,15 +1042,39 @@ object SegmentFile {
         size() > 16
     }
 
+  private val legacyNdvLock = new Object
+  private val legacyNdvCache =
+    new java.util.LinkedHashMap[(String, Seq[String]),
+        Map[String, Seq[NdvSketch]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]),
+            Map[String, Seq[NdvSketch]]]): Boolean = size() > 16
+    }
+
   /** Live segments' NDV sketches (file → sketches) as of the CURRENT
     * manifest version: cache → pack → incremental build from the
     * previous version's pack + sidecars. Legacy (manifest-less) tables
-    * sweep sidecars uncached. */
+    * have no version to key a pack on, so their sweep is cached on the
+    * directory listing itself — segments are immutable once written, so
+    * the sorted live file set fully determines every sidecar's content,
+    * and a changed listing (append/compact) misses into a fresh sweep.
+    * Without this, spark.sql.cbo.enabled would pay O(segments)
+    * driver-side sidecar opens on EVERY plan's estimateStatistics,
+    * violating the planning-scalability contract the packed-stats path
+    * exists to protect. */
   def ndvSketches(dir: String): Map[String, Seq[NdvSketch]] =
     currentVersion(dir) match {
       case None => // legacy table: directory listing is the authority
-        listSegments(dir).map(m =>
-          m.file -> readNdvSidecar(dir, m.file.stripSuffix(".kv"))).toMap
+        val live = listSegments(dir).map(_.file).sorted
+        val key = (dirKey(dir), live)
+        legacyNdvLock.synchronized(Option(legacyNdvCache.get(key))) match {
+          case Some(hit) => hit
+          case None =>
+            val built = live.map(f =>
+              f -> readNdvSidecar(dir, f.stripSuffix(".kv"))).toMap
+            legacyNdvLock.synchronized(legacyNdvCache.put(key, built))
+            built
+        }
       case Some(v) =>
         val mp = versionedManifestPath(dir, v)
         val attrs =

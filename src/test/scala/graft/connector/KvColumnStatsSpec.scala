@@ -109,6 +109,36 @@ class KvColumnStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a selective lead range inside ONE segment shrinks distinct/null claims") {
+    val path = tmpDir("leadfrac")
+    spark.range(10000).select(col("id").as("k"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id") % 100).as("x"))
+      .write.format("graftkv").option("key", "k").mode("overwrite").save(path)
+    withCbo(on = true) {
+      val whole = scanStats(KvCommands.table(spark, path).select("k", "x"))
+      val narrow = scanStats(KvCommands.table(spark, path)
+        .filter(col("k") < 100).select("k", "x"))
+      // the single segment survives pruning either way — the shrink is
+      // the INTERPOLATED lead-range coverage of the boundary segment,
+      // not segment pruning (which the post-prune test above pins)
+      val dcW = whole.attributeStats.find(_._1.name == "k").get._2
+        .distinctCount.get.toLong
+      val dcN = narrow.attributeStats.find(_._1.name == "k").get._2
+        .distinctCount.get.toLong
+      assert(dcN <= 150 && dcN * 10 < dcW,
+        s"distinct claim not capped by the lead coverage: $dcN vs $dcW")
+      val nW = whole.attributeStats.find(_._1.name == "x").get._2
+        .nullCount.get.toLong
+      val nN = narrow.attributeStats.find(_._1.name == "x").get._2
+        .nullCount.get.toLong
+      assert(nW == 2500L, s"whole-table null claim: $nW")
+      assert(nN >= 1 && nN <= 100, s"null claim not scaled: $nN")
+      // (no bounds assertion: x holds NULLs, and a zone-map entry's
+      // ABSENCE is the null signal — x legitimately has no claimed
+      // bounds whole-table either; the basic test pins bounds survival)
+    }
+  }
+
   test("a pre-sketch segment suppresses the distinct claim, bounds survive") {
     val path = tmpDir("legacy")
     spark.range(2000).select(col("id").as("k"), (col("id") % 50 + 1).as("x"))

@@ -199,11 +199,20 @@ class KvNdvSpec extends AnyFunSuite {
     val after = spark.sql(
       s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
     assert(after.find(_.getString(0) == "x").get.isNullAt(3))
+    // ... and the (table) rows figure degrades under the SAME gate: on a
+    // tombstoned (uncompacted) table count − 2·tombstones is a heuristic,
+    // so ANALYZE reports NULL rather than an overcount
+    assert(after.find(_.getString(0) == "(table)").get.isNullAt(1))
     // and the metadata table degrades the same way
     val colsAfter = spark.sql(
       s"SELECT distinct_count FROM $cat.db.t.columns WHERE column_name = 'x'")
       .collect()
     assert(colsAfter.head.isNullAt(0))
+    // compaction clears the tombstone and restores the exact rows claim
+    KvCommands.compact(spark, root + "/db/t")
+    val compacted = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS x").collect()
+    assert(compacted.find(_.getString(0) == "(table)").get.getLong(1) == 3999L)
     spark.sql(s"DROP TABLE $cat.db.t")
   }
 

@@ -117,6 +117,35 @@ class PlanningStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy (manifest-less) NDV sweep is cached on the directory listing") {
+    val path = tmpTable()
+    mkTable(path)
+    // strip every manifest + pack: the pre-manifest on-disk layout, where
+    // the directory listing is the authority and there is no version to
+    // key an NDV pack on
+    Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("_graft_segments") ||
+        n.startsWith("_graft_stats") || n.startsWith("_graft_ndv"))
+      .foreach(n => Files.delete(Paths.get(path, n)))
+    SegmentFile.clearPlanningCache()
+    assert(SegmentFile.currentVersion(path).isEmpty)
+    val nSegs = SegmentFile.listSegments(path).length
+    assert(nSegs >= 2)
+    val before = SegmentFile.ndvSidecarOpens.get()
+    val first = SegmentFile.ndvSketches(path)
+    assert(first.size == nSegs)
+    assert(SegmentFile.ndvSidecarOpens.get() - before == nSegs,
+      "first legacy NDV read must sweep each sidecar exactly once")
+    // every later call (each CBO plan's estimateStatistics) serves the
+    // cache: segments are immutable, so the unchanged listing fully
+    // determines the sweep — zero sidecar opens
+    val before2 = SegmentFile.ndvSidecarOpens.get()
+    assert(SegmentFile.ndvSketches(path) eq first)
+    assert(SegmentFile.ndvSketches(path) eq first)
+    assert(SegmentFile.ndvSidecarOpens.get() - before2 == 0,
+      "cached legacy NDV sweep re-opened sidecars")
+  }
+
   test("stale pack from a dead table at the same path is never trusted") {
     val path = tmpTable()
     mkTable(path, appends = 1)
