@@ -228,11 +228,13 @@ object Bench {
       val dir = "/root/repo/tmp/plan10k"
       val schema = StructType(Seq(StructField("k", LongType, nullable = false),
         StructField("v", LongType, nullable = false)))
-      // rebuild a fixture from a pre-V9 round: the NDV probe needs
-      // every segment to carry sketches
+      // rebuild a fixture from a pre-V9/pre-V11 round: the NDV and
+      // percentile probes need every segment to carry sketches
       if (new java.io.File(dir, "_graft_meta.json").exists() &&
-        !graft.store.SegmentFile.ndvSketches(dir).values.headOption
-          .exists(_.exists(_.name == "v"))) {
+        (!graft.store.SegmentFile.ndvSketches(dir).values.headOption
+          .exists(_.exists(_.name == "v")) ||
+          !graft.store.SegmentFile.qsSketches(dir).values.headOption
+            .exists(_.exists(_.name == "v")))) {
         graft.connector.KvCommands.dropTable(dir)
       }
       if (!new java.io.File(dir, "_graft_meta.json").exists()) {
@@ -247,18 +249,29 @@ object Bench {
           val bufs = Array.fill(2)(
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array.fill[Any](hll.numWords)(0L)))
+          var qsK = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+            org.apache.spark.sql.catalyst.util.QuantileSummaries
+              .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
+          var qsV = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+            org.apache.spark.sql.catalyst.util.QuantileSummaries
+              .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
           (0 until 3).foreach { j =>
             val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](i * 10L + j, i.toLong))
             w.write(codec.encodeKey(row), codec.encodeValue(row))
             hll.update(bufs(0), 0, i * 10L + j, LongType)
             hll.update(bufs(1), 0, i.toLong, LongType)
+            qsK = qsK.insert((i * 10L + j).toDouble)
+            qsV = qsV.insert(i.toDouble)
           }
           def words(b: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
             Array.tabulate(hll.numWords)(b.getLong)
           w.close(Seq.empty, Seq(
             graft.store.SegmentFile.NdvSketch("k", words(bufs(0))),
-            graft.store.SegmentFile.NdvSketch("v", words(bufs(1)))))
+            graft.store.SegmentFile.NdvSketch("v", words(bufs(1)))),
+            Seq.empty,
+            Seq(graft.store.SegmentFile.QuantileSketch.fromSummaries("k", qsK),
+              graft.store.SegmentFile.QuantileSketch.fromSummaries("v", qsV)))
           s"$name.kv"
         }
         graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
@@ -324,7 +337,24 @@ object Bench {
       }
       ndvOnce() // warmup (builds the _graft_ndv pack once)
       val ndv = median3(ndvOnce _)
-      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)},"ndv_sec":${fmt(ndv)}}"""
+      // metadata approx_percentile at the same scale: the 10k-segment
+      // median answers from merged V11 summaries (KvPercentileRule) —
+      // metadata-flat like NDV; v is uniform 0..nSegs-1, so p50 must
+      // land near the middle (the ε-rank contract at 3 rows/segment)
+      def pctOnce(): Double = {
+        val t0 = System.nanoTime()
+        val est = spark.read.format("graftkv").load(dir)
+          .agg(org.apache.spark.sql.functions.percentile_approx(
+            col("v"), org.apache.spark.sql.functions.lit(0.5),
+            org.apache.spark.sql.functions.lit(10000)).as("p"))
+          .head().getLong(0)
+        require(math.abs(est - nSegs / 2) <= nSegs * 0.01 + 2,
+          s"plan10k pct probe got $est for ${nSegs / 2} expected")
+        (System.nanoTime() - t0) / 1e9
+      }
+      pctOnce() // warmup (builds the _graft_qs pack once)
+      val pct = median3(pctOnce _)
+      s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)},"ndv_sec":${fmt(ndv)},"pct_sec":${fmt(pct)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
       ""

@@ -1456,6 +1456,20 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           else math.min(1.0,
             segs.map(m => math.max(m.count, 1L) * leadFrac(m)).sum / liveRows)
         val scaledRows = math.max((liveRows * leadScale).ceil.toLong, 1L)
+        // Equi-height histograms from the V11 quantile summaries (only
+        // when the user asked for them — the stock CBO path must not
+        // read the summary pack): bin boundaries are the merged
+        // summary's quantiles at i/numBins, so range-selectivity
+        // estimation at 100 TB runs on the actual value distribution
+        // instead of a uniform [min,max] assumption — the difference
+        // between broadcasting and shuffling a skew-filtered fact side.
+        val histEnabled =
+          org.apache.spark.sql.internal.SQLConf.get.histogramEnabled
+        val histBins =
+          org.apache.spark.sql.internal.SQLConf.get.histogramNumBins
+        val qss =
+          if (ndvOk && histEnabled) graft.store.SegmentFile.qsSketches(path)
+          else Map.empty[String, Seq[graft.store.SegmentFile.QuantileSketch]]
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           ColumnStatistics]()
@@ -1497,13 +1511,52 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
                 java.util.OptionalLong.of((n * leadScale).ceil.toLong)
               case None => java.util.OptionalLong.empty()
             }
-          if (distinct.isPresent || mn.isPresent || nulls.isPresent)
+          val hist: java.util.Optional[
+            org.apache.spark.sql.connector.read.colstats.Histogram] =
+            if (qss.isEmpty || !graft.store.SegmentFile.zoneMappable(f.dataType))
+              java.util.Optional.empty()
+            else graft.store.SegmentFile.mergedQuantileSummaries(
+              segs, qss, f.name) match {
+              case Some(sum) if sum.count > 0 =>
+                val bounds = (0 to histBins).map(i =>
+                  sum.query(i.toDouble / histBins))
+                if (bounds.exists(_.isEmpty)) java.util.Optional.empty()
+                else {
+                  // equi-height bins: ~count/numBins rows each (scaled
+                  // like the other claims); per-bin ndv is the uniform
+                  // share of the global estimate — an estimate, exactly
+                  // what Spark's own ANALYZE-built histograms store
+                  val ndvShare = math.max(1L,
+                    (if (distinct.isPresent) distinct.getAsLong
+                    else math.min(sum.count, scaledRows)) / histBins)
+                  val binArr = Array.tabulate(histBins) { i =>
+                    new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                      override def lo(): Double = bounds(i).get
+                      override def hi(): Double = bounds(i + 1).get
+                      override def ndv(): Long = ndvShare
+                    }
+                  }
+                  val h = math.max(sum.count * leadScale / histBins, 1e-9)
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        binArr
+                    })
+                }
+              case _ => java.util.Optional.empty()
+            }
+          if (distinct.isPresent || mn.isPresent || nulls.isPresent ||
+            hist.isPresent)
             out.put(org.apache.spark.sql.connector.expressions
               .Expressions.column(f.name), new ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong = distinct
               override def min(): java.util.Optional[Object] = mn
               override def max(): java.util.Optional[Object] = mx
               override def nullCount(): java.util.OptionalLong = nulls
+              override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] = hist
             })
         }
         out
@@ -2431,6 +2484,37 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     ndvFields.map { case (_, f) => keys.contains(f.name) }
   private val nullCnt = new Array[Long](ndvFields.length)
 
+  // per-column quantile summaries (V11 sidecar): Spark's own
+  // Greenwald-Khanna QuantileSummaries at approx_percentile's default
+  // accuracy, over every column the pruner can order (keys included).
+  // Values convert to double exactly the way ApproximatePercentile
+  // ingests them (integral → toDouble, date → days, timestamp →
+  // micros), so a merged metadata answer converts back the same way.
+  // Winners-only: contributions stage and fold at flush like the rest.
+  private val qsFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
+    if (tombstone) Array.empty
+    else schema.fields.filter(f => SegmentFile.zoneMappable(f.dataType))
+      .map(f => schema.fieldIndex(f.name) -> f)
+  private def freshQs() =
+    new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+      org.apache.spark.sql.catalyst.util.QuantileSummaries
+        .defaultCompressThreshold, SegmentFile.QsRelativeError)
+  private val qsBufs = Array.fill(qsFields.length)(freshQs())
+  private val qsPending = new Array[Double](qsFields.length)
+  private val qsPendingNull = new Array[Boolean](qsFields.length)
+
+  private def segQsSketches(): Seq[SegmentFile.QuantileSketch] = {
+    val out = Seq.newBuilder[SegmentFile.QuantileSketch]
+    var i = 0
+    while (i < qsFields.length) {
+      out += SegmentFile.QuantileSketch.fromSummaries(
+        qsFields(i)._2.name, qsBufs(i))
+      qsBufs(i) = freshQs()
+      i += 1
+    }
+    out.result()
+  }
+
   private def segNullCounts(): Seq[(String, Long)] = {
     val out = Seq.newBuilder[(String, Long)]
     var i = 0
@@ -2484,7 +2568,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   }
 
   private def rotate(): Unit = {
-    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts())
+    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts(),
+      segQsSketches())
     if (meta != null) committed ::= meta.file
     writer = newWriter()
   }
@@ -2515,6 +2600,11 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
         ndvHelper.update(ndvBufs(ni), 0, ndvPending(ni), ndvFields(ni)._2.dataType)
       else if (!ndvIsKey(ni)) nullCnt(ni) += 1
       ni += 1
+    }
+    var qi = 0
+    while (qi < qsFields.length) {
+      if (!qsPendingNull(qi)) qsBufs(qi) = qsBufs(qi).insert(qsPending(qi))
+      qi += 1
     }
     var si = 0
     while (si < statFields.length) {
@@ -2569,6 +2659,19 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       }
       ni += 1
     }
+    var qi = 0
+    while (qi < qsFields.length) {
+      val (ord, f) = qsFields(qi)
+      if (row.isNullAt(ord)) qsPendingNull(qi) = true
+      else {
+        qsPendingNull(qi) = false
+        qsPending(qi) = row.get(ord, f.dataType) match {
+          case n: java.lang.Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+      }
+      qi += 1
+    }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -2603,7 +2706,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
 
   override def commit(): WriterCommitMessage = {
     flushBuffered()
-    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts())
+    val meta = writer.close(segZoneStats(), segNdvSketches(), segNullCounts(),
+      segQsSketches())
     if (meta != null) committed ::= meta.file
     GraftKvCommit(committed.reverse)
   }

@@ -77,9 +77,11 @@ object GraftKvMetadataTable {
   /** `t.columns` — per-column statistics as a queryable relation (the
     * ANALYZE TABLE report, composable with the whole SQL surface):
     * distinct estimates from the V9 NDV sketches, exact null counts
-    * from the V10 claims, zone-map bounds. A NULL statistic means the
-    * metadata cannot claim it (overlap, tombstones, a pre-claim
-    * segment) — never a wrong number. */
+    * from the V10 claims, zone-map bounds, and quartiles (p25/p50/p75,
+    * as doubles in the column's ingestion encoding) from the V11
+    * quantile summaries. A NULL statistic means the metadata cannot
+    * claim it (overlap, tombstones, a pre-claim segment) — never a
+    * wrong number. */
   private def columns(dir: String, m: KvTableMeta): Table = {
     val schema = StructType(Seq(
       StructField("column_name", StringType, nullable = false),
@@ -88,7 +90,10 @@ object GraftKvMetadataTable {
       StructField("distinct_count", LongType, nullable = true),
       StructField("null_count", LongType, nullable = true),
       StructField("min", StringType, nullable = true),
-      StructField("max", StringType, nullable = true)))
+      StructField("max", StringType, nullable = true),
+      StructField("p25", DoubleType, nullable = true),
+      StructField("p50", DoubleType, nullable = true),
+      StructField("p75", DoubleType, nullable = true)))
     val segs = SegmentFile.listSegments(dir)
     val cmp = RowCodec(m.schema, m.keys, m.encoding).compareKeys _
     val gateOk = SegmentFile.disjointTombstoneFree(segs, cmp)
@@ -97,6 +102,11 @@ object GraftKvMetadataTable {
         else Map.empty[String, Seq[SegmentFile.NdvSketch]] }
       catch { case scala.util.control.NonFatal(_) =>
         Map.empty[String, Seq[SegmentFile.NdvSketch]] }
+    val qsketches =
+      try { if (gateOk) SegmentFile.qsSketches(dir)
+        else Map.empty[String, Seq[SegmentFile.QuantileSketch]] }
+      catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Seq[SegmentFile.QuantileSketch]] }
     val rows = m.schema.fields.map { f =>
       val isKey = m.keys.contains(f.name)
       val ndv: Any =
@@ -116,9 +126,18 @@ object GraftKvMetadataTable {
           val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)
           (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
         }
+      val quartiles: Seq[Any] =
+        if (!gateOk || !SegmentFile.zoneMappable(f.dataType)) Seq(null, null, null)
+        else SegmentFile.mergedQuantileSummaries(segs, qsketches, f.name) match {
+          case Some(sum) if sum.count > 0 =>
+            Seq(0.25, 0.5, 0.75).map(p =>
+              sum.query(p).map(Double.box).orNull)
+          case _ => Seq(null, null, null)
+        }
       Array[Any](f.name, f.dataType.simpleString,
         if (isKey) "key" else "value", ndv, nulls,
-        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull)
+        Option(mn).map(_.toString).orNull, Option(mx).map(_.toString).orNull,
+        quartiles(0), quartiles(1), quartiles(2))
     }
     new GraftKvMetadataTable(s"$dir#columns", schema, rows.toArray)
   }
@@ -163,6 +182,7 @@ final class KvMetadataReaderFactory(schema: StructType)
           case (v, f) => f.dataType match {
             case StringType => UTF8String.fromString(v.toString)
             case LongType | TimestampType => v.asInstanceOf[java.lang.Long].longValue
+            case DoubleType => v.asInstanceOf[java.lang.Double].doubleValue
             case other => throw new IllegalStateException(
               s"unsupported metadata column type $other")
           }

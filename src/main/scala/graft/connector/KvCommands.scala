@@ -129,9 +129,11 @@ object KvCommands {
         // recreated table must not inherit the dead table's history
         n.startsWith("_graft_stats.v") || // packed planning stats die too
         n.startsWith("_graft_ndv.v") || // NDV sketch packs die too
+        n.startsWith("_graft_qs.v") || // quantile-summary packs die too
         n.startsWith("._graft_segments.tmp-") ||
         n.startsWith("._graft_stats.tmp-") ||
         n.startsWith("._graft_ndv.tmp-") ||
+        n.startsWith("._graft_qs.tmp-") ||
         n.startsWith("._graft_meta.tmp-") ||
         n.startsWith("._graft_epoch-")) // streaming markers die with the table
       .foreach(n => new java.io.File(d, n).delete())
@@ -378,6 +380,7 @@ object KvCommands {
           n.startsWith("._graft_meta.tmp-") ||
           n.startsWith("._graft_stats.tmp-") ||
           n.startsWith("._graft_ndv.tmp-") ||
+          n.startsWith("._graft_qs.tmp-") ||
           n.startsWith("._graft_maint_lease.tmp-")) &&
           new java.io.File(path, n).lastModified() <= cutoff)
         .foreach(n => Files.deleteIfExists(Paths.get(path, n)))

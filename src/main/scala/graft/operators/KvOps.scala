@@ -32,7 +32,7 @@ object KvOps {
     * by an older writer would silently lack them — correctness gates
     * still pass via the scan fallback, but metadata-claim gates (kv41)
     * would read NULL where the current writer publishes a number. */
-  private val FixtureFormat = "v10"
+  private val FixtureFormat = "v11"
 
   /** Idempotently materialize `df` as a KV table. A cached fixture whose
     * declared keys or codec differ from the request (stale layout from
@@ -785,6 +785,41 @@ object KvOps {
           (col("me") === col("se")).as("meta_matches_scan"),
           (abs(col("me") - col("exact_nd")).cast("double") / col("exact_nd")
             <= 0.15).as("approx_ok"))
+    },
+
+    // Metadata percentiles (KvPercentileRule + V11 Greenwald-Khanna
+    // summaries): whole-table approx_percentile answers from merged
+    // per-segment summaries — zero data bytes at any table size. The
+    // answered VALUE is merge-order-dependent (scan-side answers are
+    // too), so the invariant the gate checks in-band is the ε-rank
+    // CONTRACT itself: rank(answer) within ε·N (+1 floor slack) of p·N
+    // over the parquet truth, for a double column at p50 and a long
+    // column at p90. The exact non-null count is the DuckDB-checkable
+    // column.
+    QuerySpec.checked("kv42_metadata_percentile",
+      """SELECT count(o_totalprice) AS n_price,
+        |  true AS p50_price_ok, true AS p90_cust_ok
+        |FROM orders""") { (s, d) =>
+      val eps = graft.store.SegmentFile.QsRelativeError
+      val kvT = KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+      val pq = Tables.table(s, d, "orders")
+      val m = kvT.agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("mp"),
+        percentile_approx(col("o_custkey"), lit(0.9), lit(10000)).as("mc"))
+      pq.crossJoin(m).agg(
+        count(col("o_totalprice")).as("n_price"),
+        count(when(col("o_totalprice") < col("mp"), 1)).as("lt_p"),
+        count(when(col("o_totalprice") <= col("mp"), 1)).as("le_p"),
+        count(col("o_custkey")).as("n_c"),
+        count(when(col("o_custkey") < col("mc"), 1)).as("lt_c"),
+        count(when(col("o_custkey") <= col("mc"), 1)).as("le_c"))
+        .select(col("n_price"),
+          (col("lt_p") <= col("n_price") * 0.5 + col("n_price") * eps + 1 &&
+            col("le_p") >= col("n_price") * 0.5 - col("n_price") * eps - 1)
+            .as("p50_price_ok"),
+          (col("lt_c") <= col("n_c") * 0.9 + col("n_c") * eps + 1 &&
+            col("le_c") >= col("n_c") * 0.9 - col("n_c") * eps - 1)
+            .as("p90_cust_ok"))
     },
 
     // Pushed TABLESAMPLE (SupportsPushDownTableSample): deterministic

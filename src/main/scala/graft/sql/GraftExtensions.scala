@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => KvIndexRule(s))
     // whole-table approx_count_distinct from V9 NDV sketch metadata
     e.injectOptimizerRule(s => KvNdvRule(s))
+    // whole-table approx_percentile from V11 quantile-summary metadata
+    e.injectOptimizerRule(s => KvPercentileRule(s))
   }
 }
 

@@ -147,6 +147,18 @@ object SegmentFile {
   // ABSENCE signals "saw a null"), the count is present for every
   // eligible column, zero or not.
   private val FormatV10 = -10
+  // V11 appends per-column QUANTILE SKETCHES (the compressed
+  // Greenwald-Khanna summaries of Spark's own QuantileSummaries, at
+  // approx_percentile's default accuracy) after the NDV section:
+  // GK summaries merge associatively within the same relative-error
+  // bound, so the union of per-segment summaries over a key-disjoint
+  // table answers whole-table approx_percentile from metadata
+  // (KvPercentileRule) within the SAME ε-rank contract the scan-side
+  // aggregate promises — and seeds CBO equi-height histograms for
+  // range-selectivity estimation. Winners-only staging like V8-V10.
+  // Planning readMeta stops before the section; the QS read path and
+  // the index load step over it.
+  private val FormatV11 = -11
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
@@ -165,6 +177,44 @@ object SegmentFile {
   /** The rsd every writer sketches at — Spark's approx_count_distinct
     * default, so the common query form answers from metadata. */
   val NdvRsd: Double = 0.05
+
+  /** One column's compressed Greenwald-Khanna quantile summary over a
+    * segment's physical non-null rows (V11 sidecar) — the serialized
+    * state of Spark's [[org.apache.spark.sql.catalyst.util.QuantileSummaries]]
+    * at [[QsRelativeError]]. Values are stored as doubles exactly the
+    * way ApproximatePercentile converts its input (integral → toDouble,
+    * date → days, timestamp → micros), so a merged answer converts back
+    * bit-compatibly. Parallel arrays hold the (value, g, delta)
+    * triples of the compressed sample. */
+  final case class QuantileSketch(name: String, relativeError: Double,
+      count: Long, values: Array[Double], gs: Array[Long],
+      deltas: Array[Long]) {
+    def toSummaries: org.apache.spark.sql.catalyst.util.QuantileSummaries = {
+      val stats = Array.tabulate(values.length)(i =>
+        new org.apache.spark.sql.catalyst.util.QuantileSummaries.Stats(
+          values(i), gs(i), deltas(i)))
+      new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+        org.apache.spark.sql.catalyst.util.QuantileSummaries
+          .defaultCompressThreshold,
+        relativeError, stats, count, true)
+    }
+  }
+
+  object QuantileSketch {
+    def fromSummaries(name: String,
+        s: org.apache.spark.sql.catalyst.util.QuantileSummaries): QuantileSketch = {
+      val c = s.compress()
+      QuantileSketch(name, c.relativeError, c.count,
+        c.sampled.map(_.value), c.sampled.map(_.g), c.sampled.map(_.delta))
+    }
+  }
+
+  /** The relative error every writer's quantile summaries carry —
+    * approx_percentile's DEFAULT accuracy (1/10000), so the common query
+    * form answers from metadata within its own promised bound. */
+  val QsRelativeError: Double =
+    1.0 / org.apache.spark.sql.catalyst.expressions.aggregate
+      .ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY
 
   private val zoneTags: Seq[(Byte, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
@@ -269,7 +319,8 @@ object SegmentFile {
       * segment (the writer is codec-agnostic and never decodes values). */
     def close(zoneStats: Seq[ZoneStat] = Seq.empty,
         ndvSketches: Seq[NdvSketch] = Seq.empty,
-        nullCounts: Seq[(String, Long)] = Seq.empty): Meta = {
+        nullCounts: Seq[(String, Long)] = Seq.empty,
+        qsSketches: Seq[QuantileSketch] = Seq.empty): Meta = {
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
@@ -277,7 +328,7 @@ object SegmentFile {
         Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
         gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV10)
+      mo.writeInt(FormatV11)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -323,6 +374,22 @@ object SegmentFile {
         mo.writeInt(s.words.length)
         s.words.foreach(mo.writeLong)
       }
+      // quantile summaries (V11) after the NDV registers: same
+      // step-over discipline as the NDV section
+      mo.writeInt(qsSketches.length)
+      qsSketches.foreach { q =>
+        val nb = q.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        mo.writeInt(nb.length); mo.write(nb)
+        mo.writeDouble(q.relativeError)
+        mo.writeLong(q.count)
+        mo.writeInt(q.values.length)
+        var i = 0
+        while (i < q.values.length) {
+          mo.writeDouble(q.values(i)); mo.writeLong(q.gs(i))
+          mo.writeLong(q.deltas(i))
+          i += 1
+        }
+      }
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
         mo.writeInt(k.length); mo.write(k); mo.writeLong(off)
@@ -348,7 +415,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v10 = first == FormatV10
+      val v11 = first == FormatV11
+      val v10 = v11 || first == FormatV10
       val v9 = v10 || first == FormatV9
       val v8 = v9 || first == FormatV8
       val v7 = v8 || first == FormatV7
@@ -404,6 +472,15 @@ object SegmentFile {
           while (s > 0) {
             in.skipNBytes(in.readInt().toLong) // column name
             in.skipNBytes(in.readInt().toLong * 8L) // register words
+            s -= 1
+          }
+        }
+        if (v11) { // step over the quantile-summary section
+          var s = in.readInt()
+          while (s > 0) {
+            in.skipNBytes(in.readInt().toLong) // column name
+            in.skipNBytes(16) // relativeError + count
+            in.skipNBytes(in.readInt().toLong * 24L) // (value, g, delta)
             s -= 1
           }
         }
@@ -608,6 +685,7 @@ object SegmentFile {
         f.delete()
         statsPath(dir, v).toFile.delete()
         ndvPath(dir, v).toFile.delete()
+        qsPath(dir, v).toFile.delete()
       }
     }
   }
@@ -792,8 +870,8 @@ object SegmentFile {
     * process would start). */
   private[graft] def clearPlanningCache(): Unit = {
     statsLock.synchronized(statsCache.clear())
-    ndvLock.synchronized(ndvCache.clear())
-    legacyNdvLock.synchronized(legacyNdvCache.clear())
+    ndvPacks.clear()
+    qsPacks.clear()
     versionHints.clear()
   }
 
@@ -879,6 +957,8 @@ object SegmentFile {
 
   private def ndvPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_ndv.v$v")
+  private def qsPath(dir: String, v: Long): Path =
+    Paths.get(dir, s"_graft_qs.v$v")
 
   /** Extract just the V9 NDV section from one sidecar (empty for pre-V9
     * segments — the caller's all-segments gate then refuses). A
@@ -889,36 +969,44 @@ object SegmentFile {
     * are pinned on this never growing in the steady state. */
   private[graft] val ndvSidecarOpens = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Skip from just after the format int to the start of the NDV
+    * section (shared by the NDV and quantile sidecar parsers). Returns
+    * false when the format has no NDV section at all. */
+  private def skipToNdvSection(in: DataInputStream, ver: Int): Boolean = {
+    if (ver != FormatV9 && ver != FormatV10 && ver != FormatV11) return false
+    in.skipNBytes(16) // gen + tombstones
+    val sj = in.readInt(); if (sj > 0) in.skipNBytes(sj.toLong)
+    in.skipNBytes(in.readInt().toLong) // minKey
+    in.skipNBytes(in.readInt().toLong) // maxKey
+    in.skipNBytes(16) // count + sizeBytes
+    var nb = in.readInt() // blooms
+    while (nb > 0) { in.skipNBytes(in.readInt().toLong * 8L); nb -= 1 }
+    var nz = in.readInt() // zone stats
+    while (nz > 0) {
+      in.skipNBytes(in.readInt().toLong) // column name
+      val dt = typeOf(in.readByte())
+      readZoneValue(in, dt); readZoneValue(in, dt)
+      if (in.readBoolean()) in.readLong()
+      nz -= 1
+    }
+    if (ver == FormatV10 || ver == FormatV11) { // null-count section
+      var nn = in.readInt()
+      while (nn > 0) {
+        in.skipNBytes(in.readInt().toLong)
+        in.skipNBytes(8)
+        nn -= 1
+      }
+    }
+    true
+  }
+
   private def readNdvSidecar(dir: String, name: String): Seq[NdvSketch] = {
     ndvSidecarOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(metaPath(dir, name)), 1 << 16))
     try {
       val ver = in.readInt()
-      if (ver != FormatV9 && ver != FormatV10) return Seq.empty
-      in.skipNBytes(16) // gen + tombstones
-      val sj = in.readInt(); if (sj > 0) in.skipNBytes(sj.toLong)
-      in.skipNBytes(in.readInt().toLong) // minKey
-      in.skipNBytes(in.readInt().toLong) // maxKey
-      in.skipNBytes(16) // count + sizeBytes
-      var nb = in.readInt() // blooms
-      while (nb > 0) { in.skipNBytes(in.readInt().toLong * 8L); nb -= 1 }
-      var nz = in.readInt() // zone stats
-      while (nz > 0) {
-        in.skipNBytes(in.readInt().toLong) // column name
-        val dt = typeOf(in.readByte())
-        readZoneValue(in, dt); readZoneValue(in, dt)
-        if (in.readBoolean()) in.readLong()
-        nz -= 1
-      }
-      if (ver == FormatV10) { // step over the null-count section
-        var nn = in.readInt()
-        while (nn > 0) {
-          in.skipNBytes(in.readInt().toLong)
-          in.skipNBytes(8)
-          nn -= 1
-        }
-      }
+      if (!skipToNdvSection(in, ver)) return Seq.empty
       (0 until in.readInt()).map { _ =>
         val cb = new Array[Byte](in.readInt()); in.readFully(cb)
         val words = new Array[Long](in.readInt())
@@ -930,57 +1018,230 @@ object SegmentFile {
     } finally in.close()
   }
 
-  private def writeNdvPack(dir: String, v: Long,
-      entries: Seq[(String, Seq[NdvSketch])]): Unit = {
-    val tmp = Paths.get(dir,
-      s"._graft_ndv.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = new DataOutputStream(new BufferedOutputStream(
-      Files.newOutputStream(tmp), 1 << 16))
+  /** Extract the V11 quantile-summary section from one sidecar (empty
+    * for pre-V11 segments — the caller's all-segments gate refuses). */
+  private def readQsSidecar(dir: String, name: String): Seq[QuantileSketch] = {
+    qsSidecarOpens.incrementAndGet()
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(metaPath(dir, name)), 1 << 16))
     try {
-      out.writeInt(NdvPackV1)
-      out.writeInt(entries.length)
-      entries.foreach { case (file, sketches) =>
-        val fb = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.writeInt(fb.length); out.write(fb)
-        out.writeInt(sketches.length)
-        sketches.foreach { s =>
-          val cb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          out.writeInt(cb.length); out.write(cb)
-          out.writeInt(s.words.length)
-          s.words.foreach(out.writeLong)
-        }
+      val ver = in.readInt()
+      if (ver != FormatV11) return Seq.empty
+      if (!skipToNdvSection(in, ver)) return Seq.empty
+      var s = in.readInt() // step over the NDV registers
+      while (s > 0) {
+        in.skipNBytes(in.readInt().toLong)
+        in.skipNBytes(in.readInt().toLong * 8L)
+        s -= 1
       }
-    } finally out.close()
-    try Files.move(tmp, ndvPath(dir, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: Exception => Files.deleteIfExists(tmp) }
+      (0 until in.readInt()).map { _ =>
+        val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+        val relErr = in.readDouble()
+        val count = in.readLong()
+        val n = in.readInt()
+        val values = new Array[Double](n)
+        val gs = new Array[Long](n)
+        val deltas = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          values(i) = in.readDouble(); gs(i) = in.readLong()
+          deltas(i) = in.readLong()
+          i += 1
+        }
+        QuantileSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+          relErr, count, values, gs, deltas)
+      }
+    } finally in.close()
   }
 
-  private def readNdvPack(dir: String, v: Long): Option[Seq[(String, Seq[NdvSketch])]] = {
-    val p = ndvPath(dir, v)
-    if (!Files.exists(p)) return None
-    try {
-      val in = new DataInputStream(new BufferedInputStream(
-        Files.newInputStream(p), 1 << 16))
+  private[graft] val qsSidecarOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Versioned store of LAZILY-packed sidecar-derived artifacts (NDV
+    * registers, quantile summaries): `get(dir)` serves the live
+    * segments' payloads as of the current manifest version via
+    * cache → `_<prefix>.vN` pack → incremental build from the newest
+    * older pack + only the delta's sidecars. Legacy (manifest-less)
+    * tables cache their full sweep on the directory listing itself
+    * (segments are immutable, so the sorted live file set fully
+    * determines every payload). Either way the steady-state cost per
+    * plan is a map lookup — never O(segments) sidecar opens. */
+  private final class ArtifactPacks[T](prefix: String, marker: Int,
+      readSidecar: (String, String) => T,
+      writePayload: (DataOutputStream, T) => Unit,
+      readPayload: DataInputStream => T) {
+
+    def packPath(dir: String, v: Long): Path =
+      Paths.get(dir, s"$prefix.v$v")
+
+    private val lock = new Object
+    private val cache =
+      new java.util.LinkedHashMap[StatsKey, Map[String, T]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[StatsKey, Map[String, T]]): Boolean =
+          size() > 16
+      }
+    private val legacyLock = new Object
+    private val legacyCache =
+      new java.util.LinkedHashMap[(String, Seq[String]), Map[String, T]](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[String]), Map[String, T]]): Boolean =
+          size() > 16
+      }
+
+    def clear(): Unit = {
+      lock.synchronized(cache.clear())
+      legacyLock.synchronized(legacyCache.clear())
+    }
+
+    private def writePack(dir: String, v: Long,
+        entries: Seq[(String, T)]): Unit = {
+      val tmp = Paths.get(dir,
+        s".$prefix.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = new DataOutputStream(new BufferedOutputStream(
+        Files.newOutputStream(tmp), 1 << 16))
       try {
-        if (in.readInt() != NdvPackV1) return None
-        Some((0 until in.readInt()).map { _ =>
-          val fb = new Array[Byte](in.readInt()); in.readFully(fb)
-          val file = new String(fb, java.nio.charset.StandardCharsets.UTF_8)
-          val sketches = (0 until in.readInt()).map { _ =>
-            val cb = new Array[Byte](in.readInt()); in.readFully(cb)
-            val words = new Array[Long](in.readInt())
-            var i = 0
-            while (i < words.length) { words(i) = in.readLong(); i += 1 }
-            NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
-              words)
+        out.writeInt(marker)
+        out.writeInt(entries.length)
+        entries.foreach { case (file, payload) =>
+          val fb = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(fb.length); out.write(fb)
+          writePayload(out, payload)
+        }
+      } finally out.close()
+      try Files.move(tmp, packPath(dir, v),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception => Files.deleteIfExists(tmp) }
+    }
+
+    private def readPack(dir: String, v: Long): Option[Seq[(String, T)]] = {
+      val p = packPath(dir, v)
+      if (!Files.exists(p)) return None
+      try {
+        val in = new DataInputStream(new BufferedInputStream(
+          Files.newInputStream(p), 1 << 16))
+        try {
+          if (in.readInt() != marker) return None
+          Some((0 until in.readInt()).map { _ =>
+            val fb = new Array[Byte](in.readInt()); in.readFully(fb)
+            val file = new String(fb, java.nio.charset.StandardCharsets.UTF_8)
+            file -> readPayload(in)
+          })
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    def get(dir: String): Map[String, T] =
+      currentVersion(dir) match {
+        case None => // legacy table: directory listing is the authority
+          val live = listSegments(dir).map(_.file).sorted
+          val key = (dirKey(dir), live)
+          legacyLock.synchronized(Option(legacyCache.get(key))) match {
+            case Some(hit) => hit
+            case None =>
+              val built = live.map(f =>
+                f -> readSidecar(dir, f.stripSuffix(".kv"))).toMap
+              legacyLock.synchronized(legacyCache.put(key, built))
+              built
           }
-          file -> (sketches: Seq[NdvSketch])
-        })
-      } finally in.close()
-    } catch { case _: Exception => None }
+        case Some(v) =>
+          val mp = versionedManifestPath(dir, v)
+          val attrs =
+            try Files.readAttributes(mp,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            catch { case _: Exception => return Map.empty }
+          val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
+            attrs.size, attrs.lastModifiedTime.toMillis)
+          lock.synchronized(Option(cache.get(key))) match {
+            case Some(hit) => return hit
+            case None =>
+          }
+          val live = readManifestVersion(dir, v).getOrElse(return Map.empty)
+          // a pack is authoritative only when it lists EXACTLY the
+          // manifest's set (guards torn/mismatched packs)
+          val entries = readPack(dir, v)
+            .filter(_.iterator.map(_._1).toSet == live)
+            .getOrElse {
+              // seed from the NEWEST retained pack, whatever version
+              // wrote it — segments are immutable, so an older pack's
+              // entries stay valid for the files both versions share;
+              // only the commits since then read their sidecars
+              val pool = new scala.collection.mutable.HashMap[String, T]
+              manifestVersions(dir).filter(_ < v).sorted.reverseIterator
+                .map(readPack(dir, _))
+                .collectFirst { case Some(entries) => entries }
+                .foreach(_.foreach { case (f, s) => pool(f) = s })
+              val built = live.toSeq.sorted.map(f => f -> pool.getOrElse(f,
+                readSidecar(dir, f.stripSuffix(".kv"))))
+              try writePack(dir, v, built) catch { case _: Exception => () }
+              built
+            }
+          val m = entries.toMap
+          lock.synchronized(cache.put(key, m))
+          m
+      }
   }
+
+  private val ndvPacks = new ArtifactPacks[Seq[NdvSketch]](
+    "_graft_ndv", NdvPackV1,
+    readNdvSidecar,
+    (out, sketches) => {
+      out.writeInt(sketches.length)
+      sketches.foreach { s =>
+        val cb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(cb.length); out.write(cb)
+        out.writeInt(s.words.length)
+        s.words.foreach(out.writeLong)
+      }
+    },
+    in => (0 until in.readInt()).map { _ =>
+      val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+      val words = new Array[Long](in.readInt())
+      var i = 0
+      while (i < words.length) { words(i) = in.readLong(); i += 1 }
+      NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+        words)
+    })
+
+  private val QsPackV1 = -202
+
+  private val qsPacks = new ArtifactPacks[Seq[QuantileSketch]](
+    "_graft_qs", QsPackV1,
+    readQsSidecar,
+    (out, sketches) => {
+      out.writeInt(sketches.length)
+      sketches.foreach { q =>
+        val cb = q.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(cb.length); out.write(cb)
+        out.writeDouble(q.relativeError)
+        out.writeLong(q.count)
+        out.writeInt(q.values.length)
+        var i = 0
+        while (i < q.values.length) {
+          out.writeDouble(q.values(i)); out.writeLong(q.gs(i))
+          out.writeLong(q.deltas(i))
+          i += 1
+        }
+      }
+    },
+    in => (0 until in.readInt()).map { _ =>
+      val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+      val relErr = in.readDouble()
+      val count = in.readLong()
+      val n = in.readInt()
+      val values = new Array[Double](n)
+      val gs = new Array[Long](n)
+      val deltas = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        values(i) = in.readDouble(); gs(i) = in.readLong()
+        deltas(i) = in.readLong()
+        i += 1
+      }
+      QuantileSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+        relErr, count, values, gs, deltas)
+    })
 
   /** The metadata-aggregate soundness gate, shared by every consumer
     * that turns per-segment physical metadata (counts, sums, extremes,
@@ -1033,82 +1294,39 @@ object SegmentFile {
     Some(helper.query(merged, 0))
   }
 
-  private val ndvLock = new Object
-  private val ndvCache =
-    new java.util.LinkedHashMap[StatsKey, Map[String, Seq[NdvSketch]]](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[StatsKey, Map[String, Seq[NdvSketch]]]): Boolean =
-        size() > 16
-    }
-
-  private val legacyNdvLock = new Object
-  private val legacyNdvCache =
-    new java.util.LinkedHashMap[(String, Seq[String]),
-        Map[String, Seq[NdvSketch]]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[String]),
-            Map[String, Seq[NdvSketch]]]): Boolean = size() > 16
-    }
-
   /** Live segments' NDV sketches (file → sketches) as of the CURRENT
-    * manifest version: cache → pack → incremental build from the
-    * previous version's pack + sidecars. Legacy (manifest-less) tables
-    * have no version to key a pack on, so their sweep is cached on the
-    * directory listing itself — segments are immutable once written, so
-    * the sorted live file set fully determines every sidecar's content,
-    * and a changed listing (append/compact) misses into a fresh sweep.
-    * Without this, spark.sql.cbo.enabled would pay O(segments)
-    * driver-side sidecar opens on EVERY plan's estimateStatistics,
-    * violating the planning-scalability contract the packed-stats path
-    * exists to protect. */
+    * manifest version — served through [[ArtifactPacks]] (cache → pack
+    * → incremental build; legacy tables cache on the listing), so the
+    * steady-state planning cost is a map lookup. */
   def ndvSketches(dir: String): Map[String, Seq[NdvSketch]] =
-    currentVersion(dir) match {
-      case None => // legacy table: directory listing is the authority
-        val live = listSegments(dir).map(_.file).sorted
-        val key = (dirKey(dir), live)
-        legacyNdvLock.synchronized(Option(legacyNdvCache.get(key))) match {
-          case Some(hit) => hit
-          case None =>
-            val built = live.map(f =>
-              f -> readNdvSidecar(dir, f.stripSuffix(".kv"))).toMap
-            legacyNdvLock.synchronized(legacyNdvCache.put(key, built))
-            built
-        }
-      case Some(v) =>
-        val mp = versionedManifestPath(dir, v)
-        val attrs =
-          try Files.readAttributes(mp,
-            classOf[java.nio.file.attribute.BasicFileAttributes])
-          catch { case _: Exception => return Map.empty }
-        val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
-          attrs.size, attrs.lastModifiedTime.toMillis)
-        ndvLock.synchronized(Option(ndvCache.get(key))) match {
-          case Some(hit) => return hit
-          case None =>
-        }
-        val live = readManifestVersion(dir, v).getOrElse(return Map.empty)
-        val entries = readNdvPack(dir, v)
-          .filter(_.iterator.map(_._1).toSet == live)
-          .getOrElse {
-            // seed from the NEWEST retained pack, whatever version wrote
-            // it — segments are immutable, so any older pack's entries
-            // stay valid for the files both versions share; only the
-            // commits since then read their sidecars
-            val pool = new scala.collection.mutable.HashMap[String, Seq[NdvSketch]]
-            manifestVersions(dir).filter(_ < v).sorted.reverseIterator
-              .map(readNdvPack(dir, _))
-              .collectFirst { case Some(entries) => entries }
-              .foreach(_.foreach { case (f, s) => pool(f) = s })
-            val built = live.toSeq.sorted.map(f => f -> pool.getOrElse(f,
-              readNdvSidecar(dir, f.stripSuffix(".kv"))))
-            try writeNdvPack(dir, v, built) catch { case _: Exception => () }
-            built
-          }
-        val m = entries.toMap
-        ndvLock.synchronized(ndvCache.put(key, m))
-        m
-    }
+    ndvPacks.get(dir)
+
+  /** Live segments' quantile summaries (file → sketches), same serving
+    * discipline as [[ndvSketches]] via the `_graft_qs.vN` pack. */
+  def qsSketches(dir: String): Map[String, Seq[QuantileSketch]] =
+    qsPacks.get(dir)
+
+  /** Merge one column's per-segment quantile summaries — None when any
+    * live segment lacks a summary at the writer's relative error
+    * (pre-V11 segment). GK merge keeps the ε-rank bound, so the merged
+    * summary answers approx_percentile within the same contract the
+    * scan-side aggregate promises. The caller guards soundness with
+    * [[disjointTombstoneFree]] (a superseded generation's values must
+    * not be ranked). */
+  def mergedQuantileSummaries(segs: Seq[Meta],
+      sketches: Map[String, Seq[QuantileSketch]], col: String)
+      : Option[org.apache.spark.sql.catalyst.util.QuantileSummaries] = {
+    if (segs.isEmpty) return None
+    val perSeg = segs.map(m => sketches.getOrElse(m.file, Seq.empty)
+      .find(s => s.name == col && s.relativeError == QsRelativeError))
+    if (perSeg.exists(_.isEmpty)) return None
+    val nonEmpty = perSeg.map(_.get).filter(_.count > 0)
+    if (nonEmpty.isEmpty) // all segments empty in this column
+      return Some(new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+        org.apache.spark.sql.catalyst.util.QuantileSummaries
+          .defaultCompressThreshold, QsRelativeError))
+    Some(nonEmpty.map(_.toSummaries).reduce(_.merge(_)))
+  }
 
   /** The LIVE segment set as of snapshot `version`. Replaced files keep
     * their data and sidecars on disk through the retention window, so a

@@ -139,6 +139,48 @@ class KvColumnStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-height histograms from V11 summaries flow into attributeStats") {
+    val path = tmpDir("hist")
+    // heavily SKEWED distribution: 90% of rows in [0,10), tail to 10000 —
+    // exactly where a uniform [min,max] assumption misestimates ranges
+    spark.range(10000).select(col("id").as("k"),
+      when(col("id") % 10 < 9, col("id") % 10)
+        .otherwise(col("id")).as("x"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    val prevH = spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try withCbo(on = true) {
+      val st = scanStats(KvCommands.table(spark, path).select("k", "x")
+        .filter(col("x") >= 0))
+      val xs = st.attributeStats.find(_._1.name == "x").map(_._2)
+        .getOrElse(fail("no column stats for x"))
+      val h = xs.histogram.getOrElse(fail(s"no histogram: $xs"))
+      val nb = spark.sessionState.conf.histogramNumBins
+      assert(h.bins.length == nb)
+      // boundaries are monotone and span the data
+      h.bins.sliding(2).foreach { case Array(a, b) =>
+        assert(a.hi >= a.lo && b.lo >= a.lo)
+        case _ => ()
+      }
+      assert(h.bins.head.lo <= 1.0 && h.bins.last.hi >= 9000.0,
+        s"histogram span: ${h.bins.head.lo}..${h.bins.last.hi}")
+      // equi-height: the skewed mass shows — at least 80% of bin
+      // boundaries sit inside [0,10)
+      val inHead = h.bins.count(_.hi < 10.0)
+      assert(inHead >= (nb * 0.8).toInt,
+        s"only $inHead of $nb bins in the 90% mass region")
+      assert(h.height > 0)
+    } finally
+      spark.conf.set("spark.sql.statistics.histogram.enabled", prevH)
+    // off by default: no summary-pack work, no histogram claim
+    withCbo(on = true) {
+      val st = scanStats(KvCommands.table(spark, path).select("x"))
+      assert(st.attributeStats.find(_._1.name == "x")
+        .forall(_._2.histogram.isEmpty))
+    }
+  }
+
   test("a pre-sketch segment suppresses the distinct claim, bounds survive") {
     val path = tmpDir("legacy")
     spark.range(2000).select(col("id").as("k"), (col("id") % 50 + 1).as("x"))

@@ -193,6 +193,13 @@ class KvNdvSpec extends AnyFunSuite {
       s"""SELECT c.column_name FROM $cat.db.t.columns c
          |WHERE c.null_count = 0 ORDER BY 1""".stripMargin).collect()
     assert(joined.map(_.getString(0)).toSeq == Seq("k", "x"))
+    // V11 quartiles: x = id % 37 + 5 is uniform on [5, 41] → p50 ≈ 23,
+    // ordered p25 ≤ p50 ≤ p75
+    val q = spark.sql(
+      s"SELECT p25, p50, p75 FROM $cat.db.t.columns WHERE column_name = 'x'")
+      .first()
+    assert(q.getDouble(1) >= 20 && q.getDouble(1) <= 26, s"p50: $q")
+    assert(q.getDouble(0) <= q.getDouble(1) && q.getDouble(1) <= q.getDouble(2))
 
     // tombstones null the NDV claim (never a wrong number)
     spark.sql(s"DELETE FROM $cat.db.t WHERE k = 17")
@@ -203,11 +210,12 @@ class KvNdvSpec extends AnyFunSuite {
     // tombstoned (uncompacted) table count − 2·tombstones is a heuristic,
     // so ANALYZE reports NULL rather than an overcount
     assert(after.find(_.getString(0) == "(table)").get.isNullAt(1))
-    // and the metadata table degrades the same way
+    // and the metadata table degrades the same way (quartiles included)
     val colsAfter = spark.sql(
-      s"SELECT distinct_count FROM $cat.db.t.columns WHERE column_name = 'x'")
+      s"SELECT distinct_count, p50 FROM $cat.db.t.columns WHERE column_name = 'x'")
       .collect()
     assert(colsAfter.head.isNullAt(0))
+    assert(colsAfter.head.isNullAt(1))
     // compaction clears the tombstone and restores the exact rows claim
     KvCommands.compact(spark, root + "/db/t")
     val compacted = spark.sql(
