@@ -561,6 +561,44 @@ object PipelineOps {
       annInvariants(s, emb, q, res, k = 10)
     },
 
+    // int8 scalar-quantized top-k (asymmetric distance): the corpus
+    // scans 1 byte/dim instead of 4 — the 100-TB memory/IO claim — and
+    // the quantization error (~1/254 per dim against the stored exact
+    // norm) must not disturb the ranking. The quantized candidate
+    // ordering is representation-dependent (not ANSI-expressible), so
+    // the oracle pins the invariants: k rows, the query itself at rank
+    // 1 within quantization error, recall@10 ≥ 0.8 vs the exact
+    // brute-force top-k, and every returned sim within 0.02 of the
+    // independently recomputed exact cosine.
+    QuerySpec.checked("ann5_quantized_topk",
+      """SELECT CAST(10 AS INTEGER) AS n_returned, true AS self_hit,
+        |  true AS recall_ok, true AS sims_close""") { (s, d) =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val scales = Similarity.quantizationScales(emb, q.length)
+      val res = Similarity.quantizedTopK(
+        Similarity.quantize(emb, scales), scales, q, k = 10)
+        .collect()
+        .map(r => (r.getAs[Number]("vec_id").longValue(), r.getDouble(1)))
+      val exactTop = Similarity.bruteForceTopK(emb, q, 10).collect()
+        .map(_.getAs[Number]("vec_id").longValue()).toSet
+      val qArr = array(q.map(v => lit(v)): _*)
+      val xsim = emb
+        .filter(col("vec_id").isin(res.map(p => Long.box(p._1)): _*))
+        .select(col("vec_id").cast("long"),
+          Similarity.cosine(col("embedding"), qArr).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val selfHit = res.headOption.exists { case (id, sim) =>
+        id == 0L && math.abs(sim - 1.0) < 0.01 }
+      val recall = res.count(p => exactTop.contains(p._1)).toDouble / 10.0
+      val simsClose = res.forall { case (id, sim) =>
+        xsim.get(id).exists(x => math.abs(x - sim) <= 0.02) }
+      Seq((res.length, selfHit, recall >= 0.8, simsClose))
+        .toDF("n_returned", "self_hit", "recall_ok", "sims_close")
+    },
+
     // Embedding near-dup with a FULL oracle: the synthetic corpus has no
     // true near-dups (max pairwise cosine ≈ 0.51), so the gate derives
     // planted twins IN-QUERY — every 5th vector re-enters scaled by

@@ -68,6 +68,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.forall(_ >= 0.9))
   }
 
+  test("int8 quantized top-k: high recall, bounded cosine error, zero-dim safe") {
+    // seeded random corpus + a planted twin of the query: quantized
+    // ranking must keep recall high and every quantized cosine within
+    // the analytic error bound of the exact one
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val base = (0L until 200L).map { i =>
+      // dim 7 is zero EVERYWHERE → scale 0 → quantizes to 0, no NaNs
+      (i, Array.tabulate(dim)(j =>
+        if (j == 7) 0f else rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val q = base.head._2.map(_.toFloat)
+    val scales = Similarity.quantizationScales(df, dim)
+    assert(scales(7) == 0.0)
+    val qdf = Similarity.quantize(df, scales)
+    // the compact corpus carries only (id, qvec tinyint[], vnorm)
+    assert(qdf.schema.fieldNames.toSeq == Seq("vec_id", "qvec", "vnorm"))
+    assert(qdf.schema("qvec").dataType.simpleString == "array<tinyint>")
+    val res = Similarity.quantizedTopK(qdf, scales, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(res.length == 10)
+    assert(res.head._1 == 0L && math.abs(res.head._2 - 1.0) < 0.01,
+      s"self not at rank 1: ${res.head}")
+    val exact = Similarity.bruteForceTopK(df, q, 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(res.count(p => exact.contains(p._1)) >= 8,
+      s"recall too low: ${res.map(_._1).toSeq} vs $exact")
+    // per-returned-id error bound: quantization perturbs each dim by
+    // ≤ scale/2, so |cos_q − cos| ≤ Σ|q_i|·s_i/2 / (||q||·||v||); the
+    // corpus is ~unit-norm gaussian, 0.02 is generous
+    val byId = base.toMap
+    res.foreach { case (id, sim) =>
+      assert(math.abs(sim - cosineRef(q, byId(id))) <= 0.02,
+        s"vec $id: quantized $sim vs exact ${cosineRef(q, byId(id))}")
+    }
+  }
+
   test("hyperplane signature: colinear vectors share it, opposite vectors differ") {
     val sigs = vecs.select($"vec_id",
       Similarity.hyperplaneSignature($"embedding", dim = 4, nPlanes = 16).as("sig"))
