@@ -1266,15 +1266,29 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * seeks. Only key columns are offered: runtime values on them reach
     * the critical-point ranges (lead dim: per-partition seeks) and the
     * per-dimension Blooms (non-lead dims: segment prune). */
+  /** Columns a runtime filter can PRUNE by: every key column (lead
+    * ranges, deeper-dim TriEval descent, non-lead Blooms) plus every
+    * zone-mapped VALUE column — the per-component zone evaluation is
+    * generation-safe, so a broadcast join on a non-key column (a
+    * matview rescan's group semi-join, a star join on a clustered
+    * attribute) still skips segments whose recorded [min,max] excludes
+    * every surviving join-key value. Pruning only — a segment without
+    * the zone entry stays Unknown and survives. */
+  private lazy val runtimePrunable: Set[String] =
+    keys.toSet ++ schema.fields.iterator
+      .filter(f => graft.store.SegmentFile.zoneMappable(f.dataType))
+      .map(_.name)
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // only key columns that survived column pruning: Spark resolves these
+    // only columns that survived column pruning: Spark resolves these
     // against the scan OUTPUT and throws on absent ones (a join key is
     // always in the output, so this never loses a real pruning chance)
-    keys.filter(required.fieldNames.contains).map(k => Expressions.column(k)).toArray
+    runtimePrunable.toSeq.sorted.filter(required.fieldNames.contains)
+      .map(k => Expressions.column(k)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val dtOf = schema.fields.map(f => f.name -> f.dataType).toMap
-    val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, keys.toSet, dtOf))
+    val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, runtimePrunable, dtOf))
     if (translated.nonEmpty)
       // prune the static survivors further (never a fresh listing — a
       // concurrent commit must not surface new segments mid-query) and
@@ -1626,7 +1640,7 @@ object GraftKvScan {
   private val MaxRuntimeInValues = 1024
 
   def runtimeToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
-      keyCols: Set[String],
+      prunableCols: Set[String],
       dtOf: Map[String, org.apache.spark.sql.types.DataType]): Option[Filter] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -1642,7 +1656,7 @@ object GraftKvScan {
         val ch = p.children()
         for {
           col <- ch.headOption.flatMap(colName)
-          if keyCols.contains(col) && ch.length > 1 &&
+          if prunableCols.contains(col) && ch.length > 1 &&
             ch.tail.forall(_.isInstanceOf[V2Literal[_]])
           f <- {
             val vals = ch.tail.map(c => toScala(c.asInstanceOf[V2Literal[_]]))
@@ -1664,9 +1678,9 @@ object GraftKvScan {
       case "=" =>
         p.children() match {
           case Array(r, l: V2Literal[_]) =>
-            colName(r).filter(keyCols.contains).map(EqualTo(_, toScala(l)))
+            colName(r).filter(prunableCols.contains).map(EqualTo(_, toScala(l)))
           case Array(l: V2Literal[_], r) =>
-            colName(r).filter(keyCols.contains).map(EqualTo(_, toScala(l)))
+            colName(r).filter(prunableCols.contains).map(EqualTo(_, toScala(l)))
           case _ => None
         }
       case _ => None

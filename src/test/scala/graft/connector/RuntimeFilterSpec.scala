@@ -92,15 +92,57 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"collapsed range pruned nothing: $before -> ${after.length}")
   }
 
-  test("non-key runtime predicates are ignored (optimization, never semantics)") {
-    val path = tmpDir("nonkey") + "/t"
-    KvCommands.createTable(
-      spark.range(100).select(col("id").as("k"), col("id").as("v")), path, Seq("k"))
+  test("a runtime IN on a zone-mapped VALUE column prunes segments, component-safely") {
+    val path = tmpDir("valzone") + "/t"
+    // v correlates with the key order (v = k / 5000): each lead-disjoint
+    // segment covers a narrow v zone, so a runtime IN on v can skip
+    // segments the way a clustered-attribute star join needs — and a
+    // matview rescan's group semi-join rides the same path
+    spark.range(20000).select(col("id").as("k"), (col("id") / 5000).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
     val meta = GraftKvMeta.read(path).get
     val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
       Array.empty, -1, meta.encoding)
     val before = scan.planInputPartitions().length
-    scan.filter(Array(v2In("v", 1L, 2L))) // v is not a key column
+    assert(before >= 3, s"expected several segments, got $before")
+    scan.filter(Array(v2In("v", 0L))) // only the first quarter's zones hold 0
+    val after = scan.planInputPartitions().length
+    assert(after < before,
+      s"value-zone runtime filter pruned nothing: $before -> $after")
+    assert(scan.runtimePartitionCount.contains(after))
+    // never semantics: the surviving partitions still return every
+    // matching row (the join re-applies the predicate anyway)
+    // — and an UNCORRELATED value is pruning-neutral, not row-dropping
+    val flat = tmpDir("valflat") + "/t"
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v")),
+      flat, Seq("k"))
+    val m2 = GraftKvMeta.read(flat).get
+    val scan2 = new GraftKvScan(flat, m2.schema, m2.keys, m2.schema,
+      Array.empty, -1, m2.encoding)
+    val b2 = scan2.planInputPartitions().length
+    scan2.filter(Array(v2In("v", 1L, 2L))) // every zone holds 1 and 2
+    assert(scan2.planInputPartitions().length == b2,
+      "uncorrelated value zones must not prune (nothing is provably false)")
+  }
+
+  test("runtime predicates on non-zone-mapped columns are ignored") {
+    val path = tmpDir("nonzone") + "/t"
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"),
+        col("id").cast("string").as("s")), path, Seq("k"))
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array.empty, -1, meta.encoding)
+    val before = scan.planInputPartitions().length
+    // strings carry no zone maps: the predicate is untranslatable and
+    // must be dropped (optimization, never semantics)
+    scan.filter(Array(new Predicate("=",
+      Array(Expressions.column("s"),
+        graftbridge.v2Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString("7"), org.apache.spark.sql.types.StringType)))))
     assert(scan.planInputPartitions().length == before)
     assert(scan.runtimePartitionCount.isEmpty)
   }
