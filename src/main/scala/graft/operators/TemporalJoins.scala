@@ -129,6 +129,48 @@ object TemporalJoins {
       .agg(count(col("__bt")).as(countName))
   }
 
+  /** Time-series resample with forward fill (gap-fill): one row per
+    * `every` tick on each key's own [trunc(min ts), max ts] lattice,
+    * carrying the value of the key's most recent observation at-or-
+    * before the tick (NULL before the first observation — the lattice
+    * starts at the truncated minimum, which can precede it).
+    *
+    * Shape: per-key bounds (one agg), `sequence`-exploded ticks, then
+    * the as-of union trick — observations and ticks union into one
+    * stream, a per-key window runs `last(value) IGNORE NULLS` over a
+    * growing frame, and ticks keep the fill. One shuffle on the key,
+    * no tick×observation join ever materializes, and tick counts are
+    * bounded by each key's own time span — the operator distributes by
+    * key at any corpus size. Same-instant observations are collapsed
+    * (max) first so the fill is deterministic. */
+  def resampleForwardFill(events: DataFrame, every: String = "1 hour",
+      truncUnit: String = "hour", keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val ev = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valCol)).as(valCol))
+    val ticks = ev.groupBy(col(keyCol))
+      .agg(date_trunc(truncUnit, min(col(tsCol))).as("__t0"),
+        max(col(tsCol)).as("__t1"))
+      .select(col(keyCol),
+        explode(sequence(col("__t0"), col("__t1"),
+          expr(s"INTERVAL $every"))).as("__tick"))
+    // observations sort before ticks at an equal instant (__side 0 < 1):
+    // a tick exactly on an observation carries that observation's value
+    val tagged = ev.select(col(keyCol), col(tsCol).as("__t"),
+        col(valCol).cast("double").as("__v"), lit(0).as("__side"))
+      .unionByName(ticks.select(col(keyCol), col("__tick").as("__t"),
+        lit(null).cast("double").as("__v"), lit(1).as("__side")))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__ff", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col(keyCol), col("__t").as("tick"), col("__ff").as(valCol))
+  }
+
   // ── declared queries ──────────────────────────────────────────────────
 
   private def events(s: SparkSession, dir: String, kind: String): DataFrame =
@@ -173,6 +215,34 @@ object TemporalJoins {
         buildKey = "user_id", buildTime = "ts",
         windowSec = 3600L, probeId = "event_id", countName = "n_prior_views")
         .orderBy("event_id")
+    },
+
+    // Time-series resample + forward fill on each user's purchase
+    // stream (6-hour lattice from the truncated first observation).
+    // The oracle restates the same semantics with generate_series +
+    // ASOF LEFT JOIN; the filled value is an exact stored double (no
+    // arithmetic), so it hash-matches. Same-instant observations
+    // collapse to max() on BOTH sides before filling.
+    QuerySpec.checked("j14_resample_gapfill",
+      """WITH e AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        |  FROM e GROUP BY 1
+        |),
+        |ticks AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS tick
+        |  FROM b
+        |)
+        |SELECT t.user_id, t.tick, e.value
+        |FROM ticks t ASOF LEFT JOIN e
+        |  ON t.user_id = e.user_id AND t.tick >= e.ts
+        |ORDER BY t.user_id, t.tick""") { (s, d) =>
+      resampleForwardFill(events(s, d, "purchase"), every = "6 hours",
+        truncUnit = "hour")
+        .orderBy("user_id", "tick")
     }
   )
 }

@@ -143,6 +143,52 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(ivlGot == ivlWant)
   }
 
+  test("resampleForwardFill: lattice, fill, leading nulls, tick-on-event") {
+    // key 1: events at 00:30 (v=1), 07:15 (v=2) → lattice from
+    //   trunc(00:30) = 00:00 stepping 6h, capped at t1 = 07:15 →
+    //   ticks {00:00, 06:00}; 00:00 precedes the first observation
+    //   (null), 06:00 fills from 00:30 (1.0)
+    // key 2: one event exactly on its own truncation point → tick AT
+    //   the event carries its value (observation sorts before tick)
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0, 30), 1.0), (1L, t(7, 15), 2.0),
+      (2L, t(6, 0), 9.0),
+      (2L, t(6, 0), 4.0) // same-instant duplicate → max collapses to 9.0
+    ).toDF("user_id", "ts", "value")
+    val got = TemporalJoins.resampleForwardFill(ev, every = "6 hours",
+      truncUnit = "hour")
+      .orderBy("user_id", "tick").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, t(0, 0), null), // lattice starts before the first observation
+      (1L, t(6, 0), 1.0),
+      (2L, t(6, 0), 9.0))) // tick exactly on the (collapsed) observation
+  }
+
+  test("corpus query j14 matches a brute-force per-tick lookup") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val got = TemporalJoins.resampleForwardFill(
+      graft.Tables.table(spark, dir, "events")
+        .where(col("event_type") === "purchase"), every = "6 hours")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, tick, v) =>
+      val atOrBefore = ev(u).filter(!_._2.after(tick))
+      val want =
+        if (atOrBefore.isEmpty) null
+        else atOrBefore.maxBy(_._2.getTime)._3
+      assert(v == want, s"user $u tick $tick: got $v want $want")
+    }
+  }
+
   test("corpus query j12 matches the brute-force inequality join") {
     val d = TestSpark.sf
     val fast = graft.SparkEntry.queries("j12_asof_join")(spark, d).collect()
