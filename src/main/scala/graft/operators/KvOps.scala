@@ -822,6 +822,18 @@ object KvOps {
             .as("p90_cust_ok"))
     },
 
+    // COUNT(DISTINCT <full key>) is EXACT from metadata: duplicate keys
+    // collapse at write and the gate guarantees key-disjoint segments,
+    // so the distinct count IS the live row count — zero data bytes,
+    // hash-checkable (not an estimate).
+    QuerySpec.checked("kv43_count_distinct_key",
+      """SELECT count(DISTINCT o_orderkey) AS dk, count(*) AS cnt
+        |FROM orders""") { (s, d) =>
+      KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+        .agg(countDistinct(col("o_orderkey")).as("dk"),
+          count(lit(1)).as("cnt"))
+    },
+
     // Pushed TABLESAMPLE (SupportsPushDownTableSample): deterministic
     // per-key Bernoulli applied in the cursor before value decode —
     // generation-consistent on the merge-on-read store, so the 100-TB

@@ -74,6 +74,20 @@ case class KvNdvRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Count(Seq(Literal(v, _))), Complete, false, None, _), _)
               if v != null =>
             Some(scala.Right(()))
+          // COUNT(DISTINCT <the full key set>) is EXACT from metadata:
+          // the writer collapses duplicate keys within a segment and the
+          // gate guarantees key-disjoint segments, so every live
+          // physical row carries a unique composite key (and keys are
+          // never null by the codec contract) — the distinct count IS
+          // the row count. A key-subset or value-column distinct has no
+          // such identity and refuses to the scan.
+          case Alias(AggregateExpression(
+              Count(cs), Complete, true, None, _), _)
+              if cs.nonEmpty &&
+                cs.forall(_.isInstanceOf[AttributeReference]) &&
+                cs.map(_.asInstanceOf[AttributeReference].name).toSet ==
+                  tbl.kvKeys.toSet =>
+            Some(scala.Right(()))
           case _ => None
         }
       if (shapes.isEmpty || shapes.exists(_.isEmpty)) return None

@@ -79,6 +79,36 @@ class KvNdvSpec extends AnyFunSuite {
     assert(q.first().getLong(1) == 1500L)
   }
 
+  test("COUNT(DISTINCT full key) is exact from metadata; subsets refuse") {
+    val path = tmpDir("cntdk")
+    mkBase(path)
+    def q = KvCommands.table(spark, path)
+      .agg(countDistinct(col("k")).as("dk"), count(lit(1)).as("cnt"))
+    assert(answersFromMetadata(q), "full-key distinct must answer from metadata")
+    val r = q.first()
+    assert(r.getLong(0) == 20000L && r.getLong(1) == 20000L)
+    checkEqual(q)
+    // a value-column distinct is not key-unique — refuse to the scan
+    val dv = KvCommands.table(spark, path)
+      .agg(countDistinct(col("x")).as("dx"))
+    assert(!answersFromMetadata(dv))
+    checkEqual(dv)
+    // composite key: the FULL set answers (any order), a prefix refuses
+    val path2 = tmpDir("cntdk2")
+    spark.range(5000).select((col("id") / 100).as("a"), (col("id") % 100).as("b"),
+      col("id").as("v"))
+      .write.format("graftkv").option("key", "a,b").mode("overwrite").save(path2)
+    def q2 = KvCommands.table(spark, path2)
+      .agg(countDistinct(col("b"), col("a")).as("dab"))
+    assert(answersFromMetadata(q2))
+    assert(q2.first().getLong(0) == 5000L)
+    checkEqual(q2)
+    val prefix = KvCommands.table(spark, path2)
+      .agg(countDistinct(col("a")).as("da"))
+    assert(!answersFromMetadata(prefix), "key-prefix distinct must scan")
+    checkEqual(prefix)
+  }
+
   test("overlap refuses until compaction restores the path") {
     val path = tmpDir("overlap")
     mkBase(path)
