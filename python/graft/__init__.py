@@ -160,6 +160,24 @@ class GraftSession:
         spark.sql("DROP MATERIALIZED VIEW %s ON %s" % (view, table))
 
     @staticmethod
+    def analyze(spark, table, columns=()):
+        """ANALYZE TABLE — metadata-only statistics (rows/bytes, NDV
+        estimates, bounds, exact null counts). A NULL cell means the
+        metadata cannot claim it; never a wrong number."""
+        cols = " FOR COLUMNS %s" % ", ".join(columns) if columns else ""
+        return spark.sql("ANALYZE TABLE %s COMPUTE STATISTICS%s"
+                         % (table, cols))
+
+    @staticmethod
+    def columns_stats(spark, table):
+        """The `t.columns` metadata table: per-column statistics as a
+        queryable relation — NDV estimate, exact null count, zone-map
+        bounds, and p25/p50/p75 quartiles from the V11 quantile
+        summaries. Composes with the whole SQL surface (joins,
+        filters, aggregates)."""
+        return spark.sql("SELECT * FROM %s.columns" % table)
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

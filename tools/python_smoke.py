@@ -115,11 +115,24 @@ def main():
             "FROM graft.py.t GROUP BY v").collect()}
         assert mm == mm_truth, (mm, mm_truth)
         GraftSession.drop_materialized_view(spark, "graft.py.t", "mv")
-        # metadata statistics statement
-        stats = spark.sql(
-            "ANALYZE TABLE graft.py.t COMPUTE STATISTICS FOR COLUMNS k"
-        ).collect()
-        assert stats[0].name == "(table)" and stats[0].rows > 0, stats
+        # metadata statistics statement: the table carries tombstones
+        # from the DELETE above, so the rows claim degrades to NULL
+        # ("NULL, never a wrong number") until compaction clears them
+        stats = GraftSession.analyze(spark, "graft.py.t",
+                                     columns=["k"]).collect()
+        assert stats[0].name == "(table)" and stats[0].rows is None, stats
+        spark.sql("COMPACT TABLE graft.py.t MAJOR")
+        live = spark.sql("SELECT count(*) AS c FROM graft.py.t").collect()[0].c
+        stats = GraftSession.analyze(spark, "graft.py.t",
+                                     columns=["k"]).collect()
+        assert stats[0].rows == live, (stats, live)
+        # t.columns metadata relation: exact null counts + V11 quartiles
+        cols = {r.column_name: r for r in
+                GraftSession.columns_stats(spark, "graft.py.t").collect()}
+        assert cols["k"].null_count == 0, cols
+        assert cols["k"].p25 is not None and \
+            cols["k"].p25 <= cols["k"].p50 <= cols["k"].p75, cols
+        assert cols["v"].p50 is None, cols  # strings carry no quantiles
         print("python smoke: OK")
     finally:
         spark.stop()
