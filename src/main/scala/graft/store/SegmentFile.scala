@@ -1325,7 +1325,21 @@ object SegmentFile {
       return Some(new org.apache.spark.sql.catalyst.util.QuantileSummaries(
         org.apache.spark.sql.catalyst.util.QuantileSummaries
           .defaultCompressThreshold, QsRelativeError))
-    Some(nonEmpty.map(_.toSummaries).reduce(_.merge(_)))
+    // TREE reduction, not a sequential fold: each merge costs O(sum of
+    // the two sample arrays), and a left fold re-walks the growing
+    // accumulator once per segment — O(K²·s) over 10k segments (seconds
+    // at plan time). Halving rounds keep every level's total work at
+    // O(total samples), so the union is O(S·log K) — metadata-flat like
+    // the NDV register merge. (GK merge is associative within the ε
+    // bound, so the tree shape only changes WHICH valid ε-approximation
+    // comes out, never its contract.)
+    var layer = nonEmpty.map(_.toSummaries)
+    while (layer.length > 1)
+      layer = layer.grouped(2).map {
+        case scala.collection.Seq(a, b) => a.merge(b)
+        case scala.collection.Seq(a) => a
+      }.toSeq
+    Some(layer.head)
   }
 
   /** The LIVE segment set as of snapshot `version`. Replaced files keep

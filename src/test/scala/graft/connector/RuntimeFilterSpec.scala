@@ -147,6 +147,39 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(scan.runtimePartitionCount.isEmpty)
   }
 
+  test("END-TO-END: a broadcast join on a VALUE column injects and prunes") {
+    val path = tmpDir("valjoin") + "/t"
+    // g correlates with key order (g = k div 4000, INTEGRAL — a double
+    // join key arrives wrapped in NaN-normalization and is ignored):
+    // lead-disjoint segments cover narrow g zones — the matview-rescan /
+    // clustered-star shape
+    spark.range(40000).select(col("id").as("k"), expr("id div 4000").as("g"),
+      (col("id") % 7).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+    val dimPath = tmpDir("valdim")
+    spark.range(3).select(col("id").as("dg"), (col("id") % 2).as("cat"))
+      .write.mode("overwrite").parquet(dimPath)
+    val kv = KvCommands.table(spark, path)
+    val dim = spark.read.parquet(dimPath).filter(col("cat") === 0)
+    val joined = kv.join(dim, kv("g") === dim("dg"))
+    // collect() (not count()) so the inspected queryExecution is the one
+    // that actually ran — count() derives a new Dataset with its own plan
+    val n = joined.collect().length
+    assert(n == 8000, s"join returned $n rows") // g ∈ {0, 2}
+    val scans = kvScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "kv scan not found in executed plan")
+    val filtered = scans.flatMap(s => s.runtimePartitionCount.map((s, _)))
+    assert(filtered.nonEmpty,
+      "runtime filter on the value column never reached the kv scan")
+    filtered.foreach { case (s, after) =>
+      assert(after < s.staticPartitionCount,
+        s"value-zone runtime join filter pruned nothing: " +
+          s"${s.staticPartitionCount} -> $after")
+    }
+  }
+
   test("star join: the dim side's join keys prune the kv fact scan at runtime") {
     val path = tmpDir("join") + "/t"
     val fact = spark.range(40000).select(
