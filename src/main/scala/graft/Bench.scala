@@ -58,7 +58,8 @@ object Bench {
     "h17_tpch_q17", "a19_tpch_q18", "h19_tpch_q19", "h20_tpch_q20",
     "h21_tpch_q21", "h22_tpch_q22",
     // the same queries on the engine's own storage (fixtures warm)
-    "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv")
+    "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv",
+    "kv44_tpch_q1_on_kv", "kv45_tpch_q6_on_kv")
 
   /** Primary-SF per-query timings of the newest PARSEABLE previous
     * round's bench artifact. The driver wraps the bench line in a JSON

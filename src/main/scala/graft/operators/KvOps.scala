@@ -690,6 +690,26 @@ object KvOps {
       }
     },
 
+    // TPC-H Q1 on kv storage: the full-table scan-and-aggregate shape
+    // through the columnar kv reader + pushed shipdate filter — the
+    // exact same plan and oracle as the parquet a8 gate.
+    QuerySpec.checked("kv44_tpch_q1_on_kv", TpcH.q1OracleSql) { (s, d) =>
+      TpcH.q1 {
+        case "lineitem" => lineitemKv(s, d)
+        case other => Tables.table(s, d, other)
+      }
+    },
+
+    // TPC-H Q6 on kv storage: the pure filter-and-aggregate shape —
+    // the shipdate/discount/quantity conjunction pushes into the kv
+    // scan's zone pruning + residual codegen.
+    QuerySpec.checked("kv45_tpch_q6_on_kv", TpcH.q6OracleSql) { (s, d) =>
+      TpcH.q6 {
+        case "lineitem" => lineitemKv(s, d)
+        case other => Tables.table(s, d, other)
+      }
+    },
+
     // The LLM-pipeline operators COMPOSE with the engine's own storage:
     // exact dedup (shuffle on the 16-byte text hash) over a kv-stored
     // documents table, against the same oracle as parquet dd1 — a

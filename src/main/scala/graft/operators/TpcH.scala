@@ -39,6 +39,52 @@ object TpcH {
 
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
 
+  /** Q1 (pricing summary) over ANY table source — shared by the
+    * parquet gate (`a8_tpch_q1`, Relational.scala) and the kv-storage
+    * gate (`kv44_tpch_q1_on_kv`, KvOps.scala): the full-table
+    * scan-and-aggregate shape, on kv driven by the columnar reader +
+    * pushed shipdate filter. */
+  val q1OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q1(table: String => DataFrame): DataFrame =
+    table("lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q6 (forecast revenue) over ANY table source — the pure
+    * filter-and-aggregate shape; on kv the shipdate/discount/quantity
+    * conjunction pushes into zone pruning + residual codegen. */
+  val q6OracleSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  def q6(table: String => DataFrame): DataFrame =
+    table("lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
   /** Q3 (shipping priority) over ANY table source — shared by the
     * parquet gate (`a16_tpch_q3`, Relational.scala) and the kv-storage
     * gate (`kv32_tpch_q3_on_kv`, KvOps.scala) so the two can never
@@ -129,17 +175,8 @@ object TpcH {
     // Q6 — forecasting revenue change: the pure scan-side query (all
     // three predicates push to the parquet scan; no join, no shuffle
     // beyond the final single-row agg).
-    QuerySpec.checked("h06_tpch_q6",
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""") { (s, d) =>
-      t(s, d, "lineitem")
-        .filter(col("l_shipdate") >= ts("1997-01-01") &&
-          col("l_shipdate") < ts("1998-01-01") &&
-          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    QuerySpec.checked("h06_tpch_q6", q6OracleSql) { (s, d) =>
+      q6(name => t(s, d, name))
     },
 
     // Q7 — volume shipping between two nations: the nation table joins

@@ -174,6 +174,27 @@ class KvQuantileSpec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.percentile.metadata", "true")
   }
 
+  test("a corrupt or truncated _graft_qs pack degrades to sidecars, never wrong") {
+    val path = tmpDir("torn")
+    mkBase(path)
+    def q = KvCommands.table(spark, path)
+      .agg(percentile_approx(col("x"), lit(0.5), lit(10000)).as("p"))
+    assert(answersFromMetadata(q))
+    val v = graft.store.SegmentFile.currentVersion(path).get
+    val pack = java.nio.file.Paths.get(path, s"_graft_qs.v$v")
+    assert(Files.exists(pack), "first answer must have built the pack")
+    // torn write from a crashed builder: garbage bytes at the pack path
+    Files.write(pack, Array.fill[Byte](37)(0x5a))
+    graft.store.SegmentFile.clearPlanningCache()
+    val r = q.first()
+    assert(answersFromMetadata(q),
+      "sidecar fallback must still answer from metadata")
+    assertInBand(path, "x", 0.5, r.getLong(0).toDouble)
+    // ... and the fallback REBUILDS a valid pack over the garbage
+    graft.store.SegmentFile.clearPlanningCache()
+    assert(answersFromMetadata(q))
+  }
+
   test("summaries survive the append-compact maintenance cycle; index intact") {
     val path = tmpDir("cycle")
     mkBase(path)
