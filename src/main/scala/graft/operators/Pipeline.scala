@@ -561,6 +561,39 @@ object PipelineOps {
       annInvariants(s, emb, q, res, k = 10)
     },
 
+    // Quantized IVF probe on the MATERIALIZED index: same cell pruning
+    // as ann4, but the probe projects only (id, qvec, vnorm) — parquet
+    // column pruning skips the float vectors, ~4× fewer vector bytes
+    // per probed cell. Invariants: k rows, self at rank 1 within
+    // quantization error, descending, and every sim within 0.02 of the
+    // recomputed exact cosine.
+    QuerySpec.checked("ann6_quantized_ivf",
+      """SELECT CAST(10 AS INTEGER) AS n_returned, true AS self_hit,
+        |  true AS sims_descending, true AS sims_close""") { (s, d) =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val res = graft.pipeline.AnnIndex.ivfTopKQuantized(
+        s, ensureAnnIndex(s, d, q.length), q, k = 10, nProbe = 4)
+        .collect()
+        .map(r => (r.getAs[Number]("vec_id").longValue(), r.getDouble(1)))
+      val qArr = array(q.map(v => lit(v)): _*)
+      val xsim = emb
+        .filter(col("vec_id").isin(res.map(p => Long.box(p._1)): _*))
+        .select(col("vec_id").cast("long"),
+          Similarity.cosine(col("embedding"), qArr).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val selfHit = res.headOption.exists { case (id, sim) =>
+        id == 0L && math.abs(sim - 1.0) < 0.01 }
+      val sims = res.map(_._2)
+      val descending = sims.zip(sims.drop(1)).forall { case (a, b) => a >= b }
+      val simsClose = res.forall { case (id, sim) =>
+        xsim.get(id).exists(x => math.abs(x - sim) <= 0.02) }
+      Seq((res.length, selfHit, descending, simsClose))
+        .toDF("n_returned", "self_hit", "sims_descending", "sims_close")
+    },
+
     // int8 scalar-quantized top-k (asymmetric distance): the corpus
     // scans 1 byte/dim instead of 4 — the 100-TB memory/IO claim — and
     // the quantization error (~1/254 per dim against the stored exact

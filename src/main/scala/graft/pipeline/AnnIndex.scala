@@ -24,11 +24,12 @@ object AnnIndex {
   /** Bump when the signature / centroid / layout scheme changes: callers
     * key cached index paths on it, so an index materialized by an older
     * scheme is rebuilt instead of probed with mismatched signatures. */
-  val FormatVersion = 4 // v4: + _drift.txt (assignment-fit accounting)
+  val FormatVersion = 5 // v5: + int8 quantized vectors (_scales.txt)
 
   private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
   private def paramsFile(path: String) = Paths.get(path, "_params.txt")
   private def driftFile(path: String) = Paths.get(path, "_drift.txt")
+  private def scalesFile(path: String) = Paths.get(path, "_scales.txt")
 
   // ── centroid selection (sampled k-means, cosine metric) ────────────────
 
@@ -162,9 +163,17 @@ object AnnIndex {
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val cents = sampleCentroids(embeddings, nCentroids,
       vecCol = vecCol, idCol = idCol)
+    // int8 quantized form alongside the float vectors (1 byte/dim +
+    // exact norm): a quantized probe projects ONLY (id, qvec, vnorm) —
+    // parquet column pruning skips the float column, so the probe reads
+    // ~4× fewer vector bytes per cell. Scales persist with the index
+    // (appends must quantize on the SAME grid or sims are garbage).
+    val scales = Similarity.quantizationScales(embeddings, dim, vecCol)
     embeddings.select(col(idCol), col(vecCol),
         Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
-        nearestCell(cents, col(vecCol)).as("cell"))
+        nearestCell(cents, col(vecCol)).as("cell"),
+        Similarity.quantizeExpr(scales, col(vecCol)).as("qvec"),
+        Similarity.norm(col(vecCol)).as("vnorm"))
       // cluster by cell before the partitioned write: one file per cell
       // directory instead of (#tasks × #cells) shards — probes then open
       // nProbe files, not hundreds
@@ -175,6 +184,7 @@ object AnnIndex {
     // the signature scheme is part of the index: append/probe must use
     // the SAME plane count or Hamming filters compare garbage
     Files.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
+    Files.writeString(scalesFile(path), scales.mkString(","))
     // seed the drift ledger with the build-time assignment fit (one
     // aggregate over the just-written, cell-pruned index)
     val (n, cosSum) = fitOf(
@@ -202,13 +212,19 @@ object AnnIndex {
   def append(newVectors: DataFrame, path: String,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val cents = loadCentroids(path)
-    // dim/nPlanes come from the index itself — caller-supplied values
-    // could silently write signatures from a DIFFERENT hyperplane set,
-    // and the Hamming filter would misrank every appended vector
+    // dim/nPlanes/scales come from the index itself — caller-supplied
+    // values could silently write signatures from a DIFFERENT
+    // hyperplane set (Hamming garbage) or quantize on a different grid
+    // (sim garbage). Appended values beyond the build-time grid clamp
+    // at ±127 — a fidelity loss the drift ledger's cosErosion surfaces
+    // and rebuildInPlace repairs with fresh scales.
     val (dim, nPlanes) = loadParams(path)
+    val scales = loadScales(path)
     newVectors.select(col(idCol), col(vecCol),
         Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
-        nearestCell(cents, col(vecCol)).as("cell"))
+        nearestCell(cents, col(vecCol)).as("cell"),
+        Similarity.quantizeExpr(scales, col(vecCol)).as("qvec"),
+        Similarity.norm(col(vecCol)).as("vnorm"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     // fold this batch's assignment fit into the drift ledger (one
@@ -269,6 +285,9 @@ object AnnIndex {
     Files.readString(centroidFile(path)).split("\n")
       .map(_.split(",").map(_.toDouble))
 
+  def loadScales(path: String): Array[Double] =
+    Files.readString(scalesFile(path)).split(",").map(_.toDouble)
+
   // ── probes ─────────────────────────────────────────────────────────────
 
   /** LSH top-k against the index: Hamming-filter the PRECOMPUTED
@@ -302,5 +321,26 @@ object AnnIndex {
       .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** IVF top-k over the QUANTIZED vectors: same cell pruning, but the
+    * probe projects only (id, qvec, vnorm) — parquet column pruning
+    * skips the float vector column, so each probed cell reads ~4× fewer
+    * vector bytes. Ranking is the asymmetric dequantized cosine
+    * ([[Similarity.quantizedTopK]]'s arithmetic): within int8
+    * quantization error of the exact ranking, which is what the gates
+    * pin. */
+  def ivfTopKQuantized(spark: SparkSession, path: String,
+      query: Seq[Float], k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = loadCentroids(path)
+    val scales = loadScales(path)
+    val q = query.map(_.toDouble).toArray
+    val probeCells = cents.indices.sortBy(i => -cosLocal(q, cents(i)))
+      .take(nProbe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), col("qvec"), col("vnorm"))
+    Similarity.quantizedTopK(pruned, scales, query, k, idCol)
   }
 }

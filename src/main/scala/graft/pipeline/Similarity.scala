@@ -128,21 +128,26 @@ object Similarity {
     Array.tabulate(dim)(i => maxes.getOrElse(i, 0.0) / 127.0)
   }
 
-  /** Quantize the vector column to `array<tinyint>` + keep the exact
-    * float norm. The original vector column is DROPPED — the result is
-    * the compact corpus a 100 TB probe scans. */
-  def quantize(embeddings: DataFrame, scales: Array[Double],
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  /** The int8 quantization of a vector column on a fixed per-dim grid
+    * (values beyond the grid clamp at ±127). */
+  def quantizeExpr(scales: Array[Double], vec: Column): Column = {
     val sArr = array(scales.map(lit): _*)
-    val q = transform(col(vecCol), (x, i) => {
+    transform(vec, (x, i) => {
       val s = element_at(sArr, (i + lit(1)).cast("int"))
       when(s === 0.0, lit(0.toByte))
         .otherwise(greatest(lit(-127.0), least(lit(127.0),
           round(x.cast("double") / s))).cast("byte"))
     })
-    embeddings.select(col(idCol), q.as("qvec"),
-      norm(col(vecCol)).as("vnorm"))
   }
+
+  /** Quantize the vector column to `array<tinyint>` + keep the exact
+    * float norm. The original vector column is DROPPED — the result is
+    * the compact corpus a 100 TB probe scans. */
+  def quantize(embeddings: DataFrame, scales: Array[Double],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    embeddings.select(col(idCol),
+      quantizeExpr(scales, col(vecCol)).as("qvec"),
+      norm(col(vecCol)).as("vnorm"))
 
   /** Exact-rank top-k over the QUANTIZED corpus: dequantized dot
     * against the full-precision query (the per-dim weight `q(i)·s(i)`

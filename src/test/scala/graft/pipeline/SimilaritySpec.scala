@@ -175,6 +175,39 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("AnnIndex quantized IVF probe matches the float probe within int8 error") {
+    val rnd = new scala.util.Random(29)
+    val dim = 12
+    val base = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val df = base.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("ann_quant").toString + "/idx"
+    AnnIndex.build(df, path, dim, nCentroids = 8)
+    val q = base.head._2.map(_.toFloat)
+    val floatTop = AnnIndex.ivfTopK(spark, path, q, k = 10, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val quantTop = AnnIndex.ivfTopKQuantized(spark, path, q, k = 10, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(quantTop.length == 10)
+    assert(quantTop.head._1 == 0L && math.abs(quantTop.head._2 - 1.0) < 0.01)
+    val floatIds = floatTop.map(_._1).toSet
+    assert(quantTop.count(p => floatIds.contains(p._1)) >= 8,
+      s"quantized recall too low: ${quantTop.map(_._1).toSeq} vs $floatIds")
+    val exactById = floatTop.toMap
+    quantTop.foreach { case (id, sim) =>
+      exactById.get(id).foreach(x => assert(math.abs(sim - x) <= 0.02,
+        s"vec $id: quantized $sim vs float $x"))
+    }
+    // appends quantize on the PERSISTED grid (values beyond it clamp) —
+    // the appended twin of the query must surface at rank 1 or 2
+    val twin = Seq((9999L, q.map(v => v * 1.5f).toSeq)).toDF("vec_id", "embedding")
+    AnnIndex.append(twin, path)
+    val after = AnnIndex.ivfTopKQuantized(spark, path, q, k = 2, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(0L, 9999L), s"appended twin not surfaced: $after")
+  }
+
   test("AnnIndex.append grows the index in place with unchanged probe semantics") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
       .limit(200).cache()
