@@ -178,6 +178,18 @@ class GraftSession:
         return spark.sql("SELECT * FROM %s.columns" % table)
 
     @staticmethod
+    def pruning_report(df):
+        """Pruning evidence for a kv query, as a DataFrame: one row per
+        kv scan — live segments, segments read, static/runtime
+        partition counts, pushed filters. Call on the SAME DataFrame an
+        action already ran on (runtime-filter state lives in its
+        executed plan)."""
+        from pyspark.sql import DataFrame
+        jdf = df.sparkSession._jvm.graft.connector.KvCommands \
+            .pruningReport(df._jdf)
+        return DataFrame(jdf, df.sparkSession)
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

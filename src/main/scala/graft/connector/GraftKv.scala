@@ -1336,6 +1336,17 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
         total - active.comps.map(_.members.length).sum))
   }
 
+  /** One row of pruning evidence for [[KvCommands.pruningReport]]:
+    * (path, live segments, segments read, static partitions, runtime
+    * partitions if a runtime filter re-planned, pushed-filter text). */
+  private[connector] def pruningEvidence
+      : (String, Long, Long, Long, Option[Long], String) =
+    (path, allSegs.length.toLong,
+      active.comps.map(_.members.length).sum.toLong,
+      static.plannedPartitions.length.toLong,
+      runtimePartitionCount.map(_.toLong),
+      pushed.mkString(", "))
+
   /** Streaming read (readStream on a kv table): each micro-batch covers
     * the segments COMMITTED since the last one, keyed on the per-commit
     * generation number — a change feed of upserted rows (tombstone

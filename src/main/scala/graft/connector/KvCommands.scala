@@ -93,6 +93,37 @@ object KvCommands {
   def table(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graftkv").load(path)
 
+  /** Pruning evidence for a kv query, as a relation: one row per kv
+    * scan in the plan — live segments, segments actually read (key +
+    * zone pruning), statically planned partitions, runtime-filtered
+    * partitions (NULL when no runtime filter re-planned the scan), and
+    * the pushed-filter summary. The Spark-UI custom metrics report the
+    * same numbers per query; this is the programmatic form for
+    * notebooks/ops. Call it on the SAME Dataset an action already ran
+    * on — runtime-filter state lives in the executed plan's scan
+    * instances, and a derived Dataset (e.g. `.count()`) re-plans. */
+  def pruningReport(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[GraftKvScan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case b: BatchScanExec =>
+          b.scan match { case s: GraftKvScan => Seq(s); case _ => Seq.empty }
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    scans(df.queryExecution.executedPlan).map(_.pruningEvidence)
+      .toDF("table_path", "segments_live", "segments_read",
+        "partitions_static", "partitions_runtime", "pushed_filters")
+  }
+
   /** O8: LOAD DATA INPATH — CSV with an explicit schema goes through the
     * same range-shuffle + sort + segment pipeline as any insert. */
   def bulkLoadCsv(spark: SparkSession, csvPath: String, schemaDdl: String,

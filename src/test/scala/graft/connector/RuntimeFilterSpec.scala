@@ -178,6 +178,14 @@ class RuntimeFilterSpec extends AnyFunSuite {
         s"value-zone runtime join filter pruned nothing: " +
           s"${s.staticPartitionCount} -> $after")
     }
+    // the programmatic pruning report tells the same story
+    val report = KvCommands.pruningReport(joined).collect()
+    assert(report.length == 1, report.toSeq)
+    val r = report.head
+    assert(r.getAs[Long]("segments_read") < r.getAs[Long]("segments_live"),
+      s"report shows no segment pruning: $r")
+    assert(!r.isNullAt(r.fieldIndex("partitions_runtime")), s"no runtime col: $r")
+    assert(r.getAs[Long]("partitions_runtime") < r.getAs[Long]("partitions_static"))
   }
 
   test("star join: the dim side's join keys prune the kv fact scan at runtime") {

@@ -133,6 +133,12 @@ def main():
         assert cols["k"].p25 is not None and \
             cols["k"].p25 <= cols["k"].p50 <= cols["k"].p75, cols
         assert cols["v"].p50 is None, cols  # strings carry no quantiles
+        # pruning report over a point lookup (1 live segment post-compact)
+        q = spark.sql("SELECT v FROM graft.py.t WHERE k = 10")
+        q.collect()
+        rep = GraftSession.pruning_report(q).collect()
+        assert len(rep) == 1 and rep[0].segments_read <= rep[0].segments_live
+        assert "k" in rep[0].pushed_filters, rep
         print("python smoke: OK")
     finally:
         spark.stop()
