@@ -174,6 +174,45 @@ class KvQuantileSpec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.percentile.metadata", "true")
   }
 
+  test("fuzz: metadata percentiles stay in-band through random histories") {
+    val rnd = new scala.util.Random(91)
+    val path = tmpDir("fuzz")
+    def mkBatch(base: Long, n: Int) =
+      spark.range(n).select((col("id") + base).as("k"),
+        ((col("id") * 37 + base) % 1000).as("x"))
+    mkBatch(0, 3000).write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "16384").mode("overwrite").save(path)
+    var hi = 3000L
+    var fired = 0
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // disjoint append (fresh key range)
+          KvCommands.append(mkBatch(hi, 500 + rnd.nextInt(500)), path)
+          hi += 1000
+        case 1 => // overlapping append (rewrites live keys' x)
+          KvCommands.append(mkBatch(rnd.nextLong(math.max(hi - 500, 1)), 300), path)
+        case 2 => // delete a key slice (tombstones until compaction)
+          val lo = rnd.nextLong(hi)
+          KvCommands.delete(spark, path,
+            col("k") >= lo && col("k") < lo + 200)
+      }
+      if (rnd.nextBoolean()) KvCommands.compact(spark, path)
+      val p = math.rint(rnd.nextDouble() * 100) / 100.0
+      val q = KvCommands.table(spark, path)
+        .agg(percentile_approx(col("x"), lit(p), lit(10000)).as("v"))
+      if (answersFromMetadata(q)) fired += 1
+      val r = q.first()
+      // whichever path answered, the ε-rank contract must hold over
+      // the LIVE rows (metadata ranking a superseded or deleted row
+      // would land far outside the band — x is remapped on overlap)
+      if (!r.isNullAt(0))
+        assertInBand(path, "x", p, r.getLong(0).toDouble)
+      else assert(KvCommands.table(spark, path)
+        .filter(col("x").isNotNull).isEmpty, s"step $step: null on data")
+    }
+    assert(fired >= 3, s"metadata path fired only $fired/12 — fuzz too weak")
+  }
+
   test("a corrupt or truncated _graft_qs pack degrades to sidecars, never wrong") {
     val path = tmpDir("torn")
     mkBase(path)
