@@ -428,7 +428,10 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         SegmentFile.zoneMappable(f.dataType)) &&
         segs.nonEmpty && segs.forall(m => m.exactZones &&
         m.zoneStats.exists(z =>
-          z.name == name && z.dataType == schema(name).dataType))
+          z.name == name && z.dataType == schema(name).dataType &&
+            // a truncated string claim covers the values but may BE no
+            // value — sound for pruning, never for a MIN/MAX answer
+            z.exact))
     // COUNT(col) = rows - nulls from the V10 exact null counts; pushes
     // only when EVERY live segment carries the column's claim (a
     // pre-V10 sidecar suppresses it and the aggregate scans)
@@ -549,6 +552,13 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
       pushed, keys.head, codec.keyFields.head.dataType),
     codec.keyFields.head.dataType)
 
+  /** Zone values store externally-typed (java String for V12 string
+    * zones, for the byte-order comparator); agg rows are InternalRows. */
+  private def toInternal(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other
+  }
+
   /** The agg row a fully-covered segment answers from pure metadata. */
   private def metadataValues(m: SegmentFile.Meta): Array[Any] =
     aggs.map {
@@ -560,9 +570,9 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
         m.zoneStats.find(_.name == n).flatMap(_.sum)
           .map(Long.box).orNull
       case KvAgg.MinCol(n) =>
-        m.zoneStats.find(_.name == n).map(_.min).orNull
+        m.zoneStats.find(_.name == n).map(z => toInternal(z.min)).orNull
       case KvAgg.MaxCol(n) =>
-        m.zoneStats.find(_.name == n).map(_.max).orNull
+        m.zoneStats.find(_.name == n).map(z => toInternal(z.max)).orNull
       case KvAgg.CountCol(n) =>
         // presence validated at push time over this exact listing
         m.count - m.nullCounts.find(_._1 == n).get._2
@@ -1513,7 +1523,11 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           val zones = segs.map(_.zoneStats.find(z =>
             z.name == f.name && z.dataType == f.dataType))
           val (mn, mx): (java.util.Optional[Object], java.util.Optional[Object]) =
-            if (zones.isEmpty || zones.exists(_.isEmpty))
+            // no string bounds in CBO claims: Spark's own ColumnStat
+            // never carries string min/max (V12 string zones serve
+            // pruning/ANALYZE/t.columns instead)
+            if (f.dataType == org.apache.spark.sql.types.StringType ||
+              zones.isEmpty || zones.exists(_.isEmpty))
               (java.util.Optional.empty(), java.util.Optional.empty())
             else {
               val cmp = graft.pruning.TriEval.comparator(f.dataType)
@@ -1538,7 +1552,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
             }
           val hist: java.util.Optional[
             org.apache.spark.sql.connector.read.colstats.Histogram] =
-            if (qss.isEmpty || !graft.store.SegmentFile.zoneMappable(f.dataType))
+            if (qss.isEmpty ||
+              !graft.store.SegmentFile.quantileSketchable(f.dataType))
               java.util.Optional.empty()
             else graft.store.SegmentFile.mergedQuantileSummaries(
               segs, qss, f.name) match {
@@ -2518,7 +2533,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // Winners-only: contributions stage and fold at flush like the rest.
   private val qsFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
     if (tombstone) Array.empty
-    else schema.fields.filter(f => SegmentFile.zoneMappable(f.dataType))
+    else schema.fields.filter(f => SegmentFile.quantileSketchable(f.dataType))
       .map(f => schema.fieldIndex(f.name) -> f)
   private def freshQs() =
     new org.apache.spark.sql.catalyst.util.QuantileSummaries(
@@ -2569,10 +2584,22 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     val out = Seq.newBuilder[SegmentFile.ZoneStat]
     var i = 0
     while (i < statFields.length) {
-      if (statMin(i) != null && !statNulls(i))
-        out += SegmentFile.ZoneStat(statFields(i)._2.name,
-          statFields(i)._2.dataType, statMin(i), statMax(i),
-          if (sumable(i) && sumOk(i)) Some(statSum(i)) else None)
+      if (statMin(i) != null && !statNulls(i)) {
+        val (name, dt) = (statFields(i)._2.name, statFields(i)._2.dataType)
+        val sum = if (sumable(i) && sumOk(i)) Some(statSum(i)) else None
+        if (dt == org.apache.spark.sql.types.StringType) {
+          // long string bounds truncate to claim form (prefix lower /
+          // incremented-prefix upper, V12): still a covering interval,
+          // marked inexact so metadata MIN/MAX never serves it
+          val (lo, loEx) = SegmentFile.StringZone
+            .lowerBound(statMin(i).asInstanceOf[String])
+          SegmentFile.StringZone.upperBound(statMax(i).asInstanceOf[String])
+            .foreach { case (hi, hiEx) =>
+              out += SegmentFile.ZoneStat(name, dt, lo, hi, None,
+                exact = loEx && hiEx)
+            }
+        } else out += SegmentFile.ZoneStat(name, dt, statMin(i), statMax(i), sum)
+      }
       statMin(i) = null; statMax(i) = null; statNulls(i) = false
       statSum(i) = 0L; sumOk(i) = sumable(i)
       i += 1
@@ -2664,7 +2691,13 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       if (row.isNullAt(ord)) { pendingNull(si) = true; pendingVal(si) = null }
       else {
         pendingNull(si) = false
-        pendingVal(si) = row.get(ord, f.dataType)
+        pendingVal(si) = row.get(ord, f.dataType) match {
+          // string zone bounds stage as java Strings: an UnsafeRow's
+          // UTF8String is a reused-buffer VIEW, and the fold compares
+          // in UTF-8 byte order via the String form anyway
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
       }
       si += 1
     }

@@ -127,7 +127,7 @@ object GraftKvMetadataTable {
           (zones.map(_.get.min).min(lt), zones.map(_.get.max).max(lt))
         }
       val quartiles: Seq[Any] =
-        if (!gateOk || !SegmentFile.zoneMappable(f.dataType)) Seq(null, null, null)
+        if (!gateOk || !SegmentFile.quantileSketchable(f.dataType)) Seq(null, null, null)
         else SegmentFile.mergedQuantileSummaries(segs, qsketches, f.name) match {
           case Some(sum) if sum.count > 0 =>
             Seq(0.25, 0.5, 0.75).map(p =>

@@ -32,7 +32,7 @@ object KvOps {
     * by an older writer would silently lack them — correctness gates
     * still pass via the scan fallback, but metadata-claim gates (kv41)
     * would read NULL where the current writer publishes a number. */
-  private val FixtureFormat = "v11"
+  private val FixtureFormat = "v12"
 
   /** Idempotently materialize `df` as a KV table. A cached fixture whose
     * declared keys or codec differ from the request (stale layout from
@@ -886,9 +886,10 @@ object KvOps {
 
     // the columns METADATA TABLE (`t.columns` — per-column statistics
     // as a queryable relation): exact V10 null counts and zone-map
-    // bounds hash-check against the parquet truth (integral bounds
-    // render identically cross-engine; string columns have no zone
-    // claim and report NULL bounds, which the oracle states literally)
+    // bounds hash-check against the parquet truth — integral bounds
+    // render identically cross-engine, and since V12 STRING columns
+    // carry byte-order zone bounds too (short values, so the claims
+    // are exact and equal the true min/max)
     QuerySpec.checked("kv41_columns_metadata_table",
       """SELECT 'o_custkey' AS column_name,
         |  CAST(count(*) - count(o_custkey) AS BIGINT) AS null_count,
@@ -897,7 +898,8 @@ object KvOps {
         |FROM orders
         |UNION ALL
         |SELECT 'o_orderstatus',
-        |  CAST(count(*) - count(o_orderstatus) AS BIGINT), NULL, NULL
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  min(o_orderstatus), max(o_orderstatus)
         |FROM orders
         |ORDER BY column_name""") { (s, d) =>
       ensure(s, d, "orders", Seq("o_orderkey"))

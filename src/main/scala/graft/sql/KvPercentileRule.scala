@@ -118,7 +118,7 @@ case class KvPercentileRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The sketchable ordered types the V11 writer summarizes. */
-  private def supported(dt: DataType): Boolean = SegmentFile.zoneMappable(dt)
+  private def supported(dt: DataType): Boolean = SegmentFile.quantileSketchable(dt)
 
   /** Query the merged summary and convert back to the column's type the
     * way ApproximatePercentile does (the summary ingested the same

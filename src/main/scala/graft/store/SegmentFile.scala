@@ -162,10 +162,57 @@ object SegmentFile {
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
-    * the 3-valued pruner can compare; `sum` is present only for
-    * integral columns whose exact Long sum the writer tracked. */
+    * the 3-valued pruner can compare, plus (since V12) STRINGS in
+    * UTF-8 byte order; `sum` is present only for integral columns
+    * whose exact Long sum the writer tracked. `exact` is false when a
+    * long string bound was TRUNCATED to its claim form (prefix lower
+    * bound / incremented-prefix upper bound): still sound for pruning
+    * — the claimed interval covers every value — but never served as a
+    * metadata MIN/MAX answer (the claim may be a value the table does
+    * not contain). Numeric bounds are always exact. */
   final case class ZoneStat(name: String, dataType: org.apache.spark.sql.types.DataType,
-      min: Any, max: Any, sum: Option[Long] = None)
+      min: Any, max: Any, sum: Option[Long] = None, exact: Boolean = true)
+
+  /** UTF-8-byte-order-safe truncation claims for string zone bounds
+    * (the Iceberg truncate-and-increment pattern): bounds cap at
+    * [[MaxChars]] codepoints so a pathological long string can't bloat
+    * every sidecar and the planning pack. */
+  private[graft] object StringZone {
+    val MaxChars = 64
+
+    /** Lower-bound claim ≤ value: a codepoint prefix (UTF-8 encodes
+      * codepoints independently, so a codepoint prefix is a byte
+      * prefix, and a byte prefix sorts ≤ the full string). */
+    def lowerBound(s: String): (String, Boolean) =
+      if (s.codePointCount(0, s.length) <= MaxChars) (s, true)
+      else (s.substring(0, s.offsetByCodePoints(0, MaxChars)), false)
+
+    /** Upper-bound claim ≥ value: truncate to [[MaxChars]] codepoints,
+      * then increment the last incrementable codepoint and drop the
+      * rest (UTF-8 preserves codepoint order, so the incremented
+      * prefix sorts above every string sharing the original prefix).
+      * None when nothing is incrementable (all U+10FFFF). */
+    def upperBound(s: String): Option[(String, Boolean)] = {
+      if (s.codePointCount(0, s.length) <= MaxChars) return Some((s, true))
+      val cut = s.substring(0, s.offsetByCodePoints(0, MaxChars))
+      val cps = cut.codePoints().toArray
+      var i = cps.length - 1
+      while (i >= 0) {
+        val next = nextCodePoint(cps(i))
+        if (next >= 0)
+          return Some((new String(cps, 0, i) +
+            new String(Character.toChars(next)), false))
+        i -= 1
+      }
+      None
+    }
+
+    private def nextCodePoint(cp: Int): Int = {
+      var n = cp + 1
+      if (n >= 0xD800 && n <= 0xDFFF) n = 0xE000 // skip surrogate range
+      if (n > 0x10FFFF) -1 else n
+    }
+  }
 
   /** One column's HLL++ register words over a segment's physical rows
     * (V9 sidecar). `words` is the aggregate buffer of Spark's
@@ -221,7 +268,11 @@ object SegmentFile {
     Seq[(Byte, DataType)](1.toByte -> LongType, 2.toByte -> IntegerType,
       3.toByte -> ShortType, 4.toByte -> ByteType, 5.toByte -> DoubleType,
       6.toByte -> FloatType, 7.toByte -> TimestampType,
-      8.toByte -> TimestampNTZType, 9.toByte -> DateType)
+      8.toByte -> TimestampNTZType, 9.toByte -> DateType,
+      // V12: string zones in UTF-8 byte order (len-prefixed bytes +
+      // a per-entry exactness flag for truncated claims). Pre-V12
+      // sidecars simply lack the tag — nothing to version-gate.
+      10.toByte -> StringType)
   }
   private val tagOf = zoneTags.map(_.swap).toMap
   private val typeOf = zoneTags.toMap
@@ -229,6 +280,12 @@ object SegmentFile {
   /** Can this value column carry a zone map? */
   def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean =
     tagOf.contains(dt)
+
+  /** Can this column carry a V11 quantile summary? The zone-mappable
+    * NUMERICS (summaries ingest doubles) — strings zone-map since V12
+    * but have no quantile form. */
+  def quantileSketchable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    zoneMappable(dt) && dt != org.apache.spark.sql.types.StringType
 
   private def writeZoneValue(out: DataOutputStream,
       dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
@@ -241,6 +298,10 @@ object SegmentFile {
       case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
       case DoubleType => out.writeDouble(v.asInstanceOf[Double])
       case FloatType => out.writeFloat(v.asInstanceOf[Float])
+      case _: StringType =>
+        val b = v.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
@@ -255,9 +316,22 @@ object SegmentFile {
       case ByteType => in.readByte()
       case DoubleType => in.readDouble()
       case FloatType => in.readFloat()
+      case _: StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
+
+  /** The per-entry exactness flag rides only on STRING entries (the
+    * tag gates the layout — numeric entries never wrote one and stay
+    * byte-identical to pre-V12 files). */
+  private def writeZoneExact(out: DataOutputStream,
+      dt: org.apache.spark.sql.types.DataType, exact: Boolean): Unit =
+    if (dt == org.apache.spark.sql.types.StringType) out.writeBoolean(exact)
+  private def readZoneExact(in: DataInputStream,
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    if (dt == org.apache.spark.sql.types.StringType) in.readBoolean() else true
 
   def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
   private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
@@ -354,6 +428,7 @@ object SegmentFile {
         mo.writeByte(tagOf(z.dataType).toInt)
         writeZoneValue(mo, z.dataType, z.min)
         writeZoneValue(mo, z.dataType, z.max)
+        writeZoneExact(mo, z.dataType, z.exact)
         mo.writeBoolean(z.sum.isDefined)
         z.sum.foreach(mo.writeLong)
       }
@@ -453,10 +528,11 @@ object SegmentFile {
           val nb = new Array[Byte](in.readInt()); in.readFully(nb)
           val dt = typeOf(in.readByte())
           val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
+          val exact = readZoneExact(in, dt)
           val sum =
             if (v7 && in.readBoolean()) Some(in.readLong()) else None
           ZoneStat(new String(nb, java.nio.charset.StandardCharsets.UTF_8),
-            dt, mn, mx, sum)
+            dt, mn, mx, sum, exact)
         }
       val nullCnts =
         if (!v10) Seq.empty[(String, Long)]
@@ -720,6 +796,11 @@ object SegmentFile {
   // packs read with no counts — COUNT(col) pushdown and nullCount
   // stats stay off until the next commit repacks.
   private val PackedStatsV4 = -103
+  // V5 entries may carry STRING zone entries (tag 10, with a per-entry
+  // exactness flag — sidecar V12). V4 packs predate string zones, so
+  // they read unchanged; a V5 pack read by the V4 parser would
+  // misalign, hence the bump.
+  private val PackedStatsV5 = -104
 
   private def statsPath(dir: String, v: Long): Path =
     Paths.get(dir, s"_graft_stats.v$v")
@@ -754,6 +835,7 @@ object SegmentFile {
       out.writeByte(tagOf(z.dataType).toInt)
       writeZoneValue(out, z.dataType, z.min)
       writeZoneValue(out, z.dataType, z.max)
+      writeZoneExact(out, z.dataType, z.exact)
       out.writeBoolean(z.sum.isDefined)
       z.sum.foreach(out.writeLong)
     }
@@ -790,9 +872,10 @@ object SegmentFile {
       val zb = new Array[Byte](in.readInt()); in.readFully(zb)
       val dt = typeOf(in.readByte())
       val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
+      val exact = readZoneExact(in, dt)
       val sum = if (in.readBoolean()) Some(in.readLong()) else None
       ZoneStat(new String(zb, java.nio.charset.StandardCharsets.UTF_8),
-        dt, mn, mx, sum)
+        dt, mn, mx, sum, exact)
     }
     val nullCnts =
       if (!v4) Seq.empty[(String, Long)]
@@ -815,7 +898,7 @@ object SegmentFile {
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp), 1 << 16))
     try {
-      out.writeInt(PackedStatsV4)
+      out.writeInt(PackedStatsV5)
       out.writeInt(metas.length)
       metas.foreach(writePackedEntry(out, _))
     } finally out.close()
@@ -836,10 +919,10 @@ object SegmentFile {
       try {
         in.readInt() match {
           case v if v == PackedStatsV2 || v == PackedStatsV3 ||
-              v == PackedStatsV4 =>
+              v == PackedStatsV4 || v == PackedStatsV5 =>
             Some((0 until in.readInt()).map(_ =>
               readPackedEntry(in, v3 = v != PackedStatsV2,
-                v4 = v == PackedStatsV4)))
+                v4 = v == PackedStatsV4 || v == PackedStatsV5)))
           case _ => None
         }
       } finally in.close()
@@ -986,6 +1069,7 @@ object SegmentFile {
       in.skipNBytes(in.readInt().toLong) // column name
       val dt = typeOf(in.readByte())
       readZoneValue(in, dt); readZoneValue(in, dt)
+      readZoneExact(in, dt)
       if (in.readBoolean()) in.readLong()
       nz -= 1
     }

@@ -132,17 +132,17 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val path = tmpDir("nonzone") + "/t"
     KvCommands.createTable(
       spark.range(100).select(col("id").as("k"),
-        col("id").cast("string").as("s")), path, Seq("k"))
+        (col("id") % 2 === 0).as("b")), path, Seq("k"))
     val meta = GraftKvMeta.read(path).get
     val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
       Array.empty, -1, meta.encoding)
     val before = scan.planInputPartitions().length
-    // strings carry no zone maps: the predicate is untranslatable and
-    // must be dropped (optimization, never semantics)
+    // booleans carry no zone maps: the predicate is untranslatable and
+    // must be dropped (optimization, never semantics). (Strings used to
+    // be the example here — V12 string zones made them prunable.)
     scan.filter(Array(new Predicate("=",
-      Array(Expressions.column("s"),
-        graftbridge.v2Literal(org.apache.spark.unsafe.types.UTF8String
-          .fromString("7"), org.apache.spark.sql.types.StringType)))))
+      Array(Expressions.column("b"),
+        graftbridge.v2Literal(true, org.apache.spark.sql.types.BooleanType)))))
     assert(scan.planInputPartitions().length == before)
     assert(scan.runtimePartitionCount.isEmpty)
   }
