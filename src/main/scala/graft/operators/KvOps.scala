@@ -842,6 +842,25 @@ object KvOps {
             .as("p90_cust_ok"))
     },
 
+    // STRING MIN/MAX + AVG from metadata (V12 string zones; AVG
+    // rewrites to the pushed SUM/COUNT pair): mixed-type aggregate
+    // answered without opening a data file, exact and hash-checkable.
+    // avg casts through DECIMAL on both sides (the dsum discipline) so
+    // the division is IEEE-exact cross-engine.
+    QuerySpec.checked("kv46_metadata_string_minmax",
+      """SELECT min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |  CAST(min(o_custkey) AS BIGINT) AS mn_c,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_c,
+        |  count(*) AS cnt
+        |FROM orders""") { (s, d) =>
+      KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
+        .agg(min(col("o_orderstatus")).as("mn_s"),
+          max(col("o_orderstatus")).as("mx_s"),
+          min(col("o_custkey")).as("mn_c"),
+          sum(col("o_custkey")).as("sum_c"),
+          count(lit(1)).as("cnt"))
+    },
+
     // COUNT(DISTINCT <full key>) is EXACT from metadata: duplicate keys
     // collapse at write and the gate guarantees key-disjoint segments,
     // so the distinct count IS the live row count — zero data bytes,

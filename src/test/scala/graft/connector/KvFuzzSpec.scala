@@ -64,7 +64,7 @@ class KvFuzzSpec extends AnyFunSuite {
     // (user_id, event_type, event_id): exercises string-dim blooms,
     // dimension descent through a string middle, and mixed residuals
     val ev = graft.Tables.table(spark, sf, "events")
-      .select("user_id", "event_type", "event_id", "value")
+      .select("user_id", "event_type", "event_id", "value", "props")
     val path = Files.createTempDirectory("graftkv_fuzz_ev").toString + "/t"
     KvCommands.createTable(ev, path, Seq("user_id", "event_type", "event_id"))
     val kv = KvCommands.table(spark, path)
@@ -72,7 +72,7 @@ class KvFuzzSpec extends AnyFunSuite {
     val maxUser = ev.agg(max("user_id")).head().getLong(0)
     val rnd = new scala.util.Random(7)
     def u(): Long = rnd.nextLong(maxUser + 10)
-    val preds: Seq[Column] = Seq.fill(30)(rnd.nextInt(7) match {
+    val preds: Seq[Column] = Seq.fill(40)(rnd.nextInt(9) match {
       case 0 => col("user_id") === u()
       case 1 => col("user_id") === u() && col("event_type") === types(rnd.nextInt(6))
       case 2 => col("event_type").isin(Seq.fill(rnd.nextInt(3) + 1)(
@@ -82,12 +82,20 @@ class KvFuzzSpec extends AnyFunSuite {
         col("event_id") > rnd.nextLong(10000)
       case 5 => !(col("event_type") === types(rnd.nextInt(6)))
       case 6 => col("user_id") < u() && col("value") >= rnd.nextDouble() * 100
+      // VALUE-string residuals: exercise the V12 string zone bounds
+      // differentially (equality, range, and a negated range)
+      case 7 => col("props") === s"""{"k": ${rnd.nextInt(120)}}"""
+      case 8 =>
+        val cut = s"""{"k": ${rnd.nextInt(120)}"""
+        if (rnd.nextBoolean()) col("props") > cut else !(col("props") <= cut)
     })
     preds.zipWithIndex.foreach { case (p, i) =>
       val exp = ev.filter(p).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).toSet
       val got = kv.filter(p).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).toSet
       assert(got == exp, s"predicate #$i [$p]: kv=${got.size}, parquet=${exp.size}")
     }
   }
