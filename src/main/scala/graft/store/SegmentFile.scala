@@ -158,6 +158,11 @@ object SegmentFile {
   // range-selectivity estimation. Winners-only staging like V8-V10.
   // Planning readMeta stops before the section; the QS read path and
   // the index load step over it.
+  //
+  // "V12" (string zone maps) is TAG-versioned, not format-int-versioned:
+  // zone entries carry a type tag, and the string tag (10) gates its own
+  // layout (len-prefixed bytes + exactness flag), so files still open
+  // with the V11 marker — older files simply never contain the tag.
   private val FormatV11 = -11
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
