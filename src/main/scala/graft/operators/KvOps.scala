@@ -842,11 +842,12 @@ object KvOps {
             .as("p90_cust_ok"))
     },
 
-    // STRING MIN/MAX + AVG from metadata (V12 string zones; AVG
-    // rewrites to the pushed SUM/COUNT pair): mixed-type aggregate
-    // answered without opening a data file, exact and hash-checkable.
-    // avg casts through DECIMAL on both sides (the dsum discipline) so
-    // the division is IEEE-exact cross-engine.
+    // STRING MIN/MAX from metadata (V12 string zones), alongside the
+    // numeric MIN/SUM/COUNT claims: a mixed-type aggregate answered
+    // without opening a data file, exact and hash-checkable. (AVG
+    // rides the same path — Spark rewrites it into the pushed
+    // SUM/COUNT pair — but stays out of the gate: its division is a
+    // derived double, and the gate hashes only exact values.)
     QuerySpec.checked("kv46_metadata_string_minmax",
       """SELECT min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
         |  CAST(min(o_custkey) AS BIGINT) AS mn_c,

@@ -112,6 +112,25 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(after < before,
       s"value-zone runtime filter pruned nothing: $before -> $after")
     assert(scan.runtimePartitionCount.contains(after))
+    // STRING value columns prune the same way (V12 zones): the same
+    // correlated-layout shape with a string group label
+    val spath = tmpDir("valstr") + "/t"
+    spark.range(20000).select(col("id").as("k"),
+      concat(lit("g"), expr("id div 5000").cast("string")).as("s"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(spath)
+    val sm = GraftKvMeta.read(spath).get
+    val sscan = new GraftKvScan(spath, sm.schema, sm.keys, sm.schema,
+      Array.empty, -1, sm.encoding)
+    val sBefore = sscan.planInputPartitions().length
+    assert(sBefore >= 3)
+    sscan.filter(Array(new Predicate("=",
+      Array(Expressions.column("s"),
+        graftbridge.v2Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString("g0"), org.apache.spark.sql.types.StringType)))))
+    assert(sscan.planInputPartitions().length < sBefore,
+      "string value zones did not prune the runtime equality")
+
     // never semantics: the surviving partitions still return every
     // matching row (the join re-applies the predicate anyway)
     // — and an UNCORRELATED value is pruning-neutral, not row-dropping
