@@ -178,6 +178,14 @@ class GraftSession:
         return spark.sql("SELECT * FROM %s.columns" % table)
 
     @staticmethod
+    def describe_detail(spark, table):
+        """One-row table-health summary: layout (keys/codec/z-dims),
+        physical totals, overlap depth (point-lookup read
+        amplification), history, and derived-artifact counts.
+        live_rows is NULL whenever the metadata cannot claim it."""
+        return spark.sql("DESCRIBE DETAIL %s" % table)
+
+    @staticmethod
     def pruning_report(df):
         """Pruning evidence for a kv query, as a DataFrame: one row per
         kv scan — live segments, segments read, static/runtime

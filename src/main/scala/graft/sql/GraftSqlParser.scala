@@ -77,6 +77,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftAnalyzeCommand(table.replace("`", "").split('.').toSeq,
         Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
+    case GraftSqlParser.DescribeDetailStmt(table)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftDescribeDetailCommand(table.replace("`", "").split('.').toSeq)
     case GraftSqlParser.CloneStmt(src, dst, v)
         if GraftSqlParser.targetsGraftCatalog(
           src.replace("`", "").split('.').toSeq) &&
@@ -199,6 +203,12 @@ object GraftSqlParser {
   /** VACUUM [TABLE] t [RETAIN n MINUTES|HOURS|DAYS] — reclaim replaced /
     * orphaned segment files and expired snapshot manifests older than
     * the retention window (default: the compaction grace window). */
+  /** DESCRIBE DETAIL t — one-row table-health summary (the Delta-style
+    * statement): storage layout, physical totals, maintenance signals,
+    * and derived-artifact counts. */
+  private[sql] val DescribeDetailStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
+
   private[sql] val VacuumStmt =
     ("""(?is)\s*VACUUM\s+(?:TABLE\s+)?([\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?))?\s*;?\s*""").r
@@ -216,7 +226,8 @@ object GraftSqlParser {
       "VACUUM", "RETAIN", "MINUTES", "HOURS", "DAYS",
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
       "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
-      "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS")
+      "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS",
+      "DESCRIBE", "DETAIL")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -358,6 +369,60 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
         nulls)
     }
     Row("(table)", rows, bytes, null, null, null, null) +: colRows
+  }
+}
+
+/** DESCRIBE DETAIL t — one-row table-health summary: layout (keys,
+  * codec, z-dims), physical totals (segments/rows/bytes/tombstones),
+  * maintenance signals (overlap depth = point-lookup read
+  * amplification; tombstones and overlap both gate the metadata-only
+  * aggregate paths), history (current version, retained snapshots),
+  * and derived artifacts (secondary indexes, materialized views).
+  * `live_rows` honors the shared "NULL, never a wrong number" gate —
+  * on an uncompacted upserted/tombstoned table the physical counts
+  * are not the live count. */
+case class GraftDescribeDetailCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("encoding", StringType, nullable = false)(),
+    AttributeReference("key_columns", StringType, nullable = false)(),
+    AttributeReference("zorder_dims", StringType)(),
+    AttributeReference("num_segments", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType)(),
+    AttributeReference("tombstones", LongType, nullable = false)(),
+    AttributeReference("overlap_depth", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("current_version", LongType)(),
+    AttributeReference("num_snapshots", LongType, nullable = false)(),
+    AttributeReference("num_indexes", LongType, nullable = false)(),
+    AttributeReference("num_mat_views", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.SegmentFile
+    val dir = GraftCatalogPaths.tableDir(spark, table, "DESCRIBE DETAIL")
+    val m = graft.connector.GraftKvMeta.read(dir).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $dir"))
+    val segs = SegmentFile.listSegments(dir)
+    val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
+    val gateOk = SegmentFile.disjointTombstoneFree(segs, cmp)
+    Seq(Row(
+      dir,
+      m.encoding,
+      m.keys.mkString(", "),
+      if (m.zorder.isEmpty) null else m.zorder.map(_.name).mkString(", "),
+      segs.length.toLong,
+      if (gateOk) Long.box(segs.map(_.count).sum) else null,
+      segs.map(_.tombstones).sum,
+      graft.connector.KvCommands.overlapDepth(dir),
+      segs.map(_.sizeBytes).sum,
+      SegmentFile.currentVersion(dir).map(Long.box).orNull,
+      SegmentFile.manifestVersions(dir).length.toLong,
+      graft.connector.KvIndex.list(dir).length.toLong,
+      graft.connector.KvMatView.list(dir).length.toLong))
   }
 }
 

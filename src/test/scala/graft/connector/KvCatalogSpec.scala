@@ -221,4 +221,38 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dbm.snapshots")
     spark.sql("DROP TABLE graft.dbm.t")
   }
+
+  test("DESCRIBE DETAIL: one-row health summary honoring the rows gate") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
+    spark.sql(
+      "CREATE TABLE graft.dd.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.dd.t SELECT id, 'a' FROM range(1000)")
+    // an overlapping upsert: physical counts stop being the live count
+    spark.sql("INSERT INTO graft.dd.t SELECT id, 'b' FROM range(10)")
+    val d1 = spark.sql("DESCRIBE DETAIL graft.dd.t").head()
+    assert(d1.getString(d1.fieldIndex("encoding")) == "binary")
+    assert(d1.getString(d1.fieldIndex("key_columns")) == "k")
+    assert(d1.isNullAt(d1.fieldIndex("zorder_dims")))
+    assert(d1.getLong(d1.fieldIndex("num_segments")) >= 2)
+    assert(d1.isNullAt(d1.fieldIndex("live_rows")),
+      "overlapping generations must gate the live-rows claim to NULL")
+    assert(d1.getInt(d1.fieldIndex("overlap_depth")) >= 2)
+    assert(d1.getLong(d1.fieldIndex("num_snapshots")) >= 2)
+    // compaction restores the exact claim and flattens the overlap
+    spark.sql("COMPACT TABLE graft.dd.t MAJOR")
+    val d2 = spark.sql("DESC DETAIL graft.dd.t").head()
+    assert(d2.getLong(d2.fieldIndex("live_rows")) == 1000L)
+    assert(d2.getInt(d2.fieldIndex("overlap_depth")) <= 1)
+    assert(d2.getLong(d2.fieldIndex("tombstones")) == 0L)
+    assert(d2.getLong(d2.fieldIndex("size_bytes")) > 0L)
+    // derived artifacts count
+    spark.sql("CREATE INDEX iv ON TABLE graft.dd.t (v)")
+    spark.sql("CREATE MATERIALIZED VIEW mv ON TABLE graft.dd.t GROUP BY v")
+    val d3 = spark.sql("DESCRIBE DETAIL graft.dd.t").head()
+    assert(d3.getLong(d3.fieldIndex("num_indexes")) == 1L)
+    assert(d3.getLong(d3.fieldIndex("num_mat_views")) == 1L)
+    // Spark's own DESCRIBE statements are untouched by the interceptor
+    assert(spark.sql("DESCRIBE TABLE graft.dd.t").collect().nonEmpty)
+    spark.sql("DROP TABLE graft.dd.t")
+  }
 }

@@ -139,6 +139,10 @@ def main():
         rep = GraftSession.pruning_report(q).collect()
         assert len(rep) == 1 and rep[0].segments_read <= rep[0].segments_live
         assert "k" in rep[0].pushed_filters, rep
+        # one-row health summary (post-compaction: exact live rows)
+        det = GraftSession.describe_detail(spark, "graft.py.t").collect()[0]
+        assert det.live_rows == live and det.tombstones == 0, det
+        assert det.key_columns == "k" and det.overlap_depth <= 1, det
         print("python smoke: OK")
     finally:
         spark.stop()
