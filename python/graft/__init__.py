@@ -178,6 +178,15 @@ class GraftSession:
         return spark.sql("SELECT * FROM %s.columns" % table)
 
     @staticmethod
+    def optimize(spark, table, zorder_by=()):
+        """OPTIMIZE — plain form runs MAJOR compaction; zorder_by
+        re-clusters the table by those dimensions (the physical key
+        becomes the Morton interleave; drop indexes/views first).
+        Returns (action, rows)."""
+        z = " ZORDER BY (%s)" % ", ".join(zorder_by) if zorder_by else ""
+        return spark.sql("OPTIMIZE %s%s" % (table, z)).collect()[0]
+
+    @staticmethod
     def describe_detail(spark, table):
         """One-row table-health summary: layout (keys/codec/z-dims),
         physical totals, overlap depth (point-lookup read

@@ -93,6 +93,50 @@ object KvCommands {
   def table(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graftkv").load(path)
 
+  /** Re-cluster an EXISTING table z-ordered by `dims` (the
+    * `OPTIMIZE t ZORDER BY (…)` statement): builds the z-clustered
+    * form beside the table (full rewrite through the range-shuffled
+    * sorted write — the data never round-trips the driver), then swaps
+    * directories. Returns the row count of the rebuilt table.
+    *
+    * SEMANTICS CHANGE, deliberately loud: the physical key becomes
+    * `(_z, dims…)`, so Put-upsert identity follows the dims — exactly
+    * what CREATE-time z-clustering declares. Secondary indexes and
+    * materialized views key on the old layout and must be dropped
+    * first (the call refuses otherwise); snapshot history does not
+    * carry across the rewrite (the converted table starts a fresh
+    * commit log, like CREATE would).
+    *
+    * Crash window: offline maintenance — a crash between the two
+    * directory moves leaves `<path>.zold` (complete old table) and/or
+    * `<path>.zconvert` (complete new table) beside an absent `path`;
+    * recovery is renaming whichever is wanted back into place. The
+    * build phase itself is crash-safe (the original serves reads until
+    * the swap). */
+  def convertToZOrder(spark: SparkSession, path: String,
+      dims: Seq[String]): Long = {
+    import java.nio.file.{Files, Paths}
+    val m = GraftKvMeta.read(path).getOrElse(
+      throw new IllegalArgumentException(s"no graftkv table at $path"))
+    dims.foreach(d => require(m.schema.fieldNames.contains(d),
+      s"no column '$d' to z-order by"))
+    require(KvIndex.list(path).isEmpty && KvMatView.list(path).isEmpty,
+      "re-clustering changes the key layout: drop secondary indexes and " +
+        "materialized views first")
+    val src = table(spark, path)
+    val data = if (src.columns.contains("_z")) src.drop("_z") else src
+    val tmp = path + ".zconvert"
+    dropTable(tmp) // a stale leftover from a crashed prior attempt
+    createZOrderTable(data, tmp, dims, m.encoding)
+    val rows = graft.store.SegmentFile.listSegments(tmp).map(_.count).sum
+    val old = Paths.get(path + ".zold")
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(tmp), Paths.get(path))
+    KvIndex.deleteRecursively(old.toFile)
+    KvIndex.invalidate(path)
+    rows
+  }
+
   /** Pruning evidence for a kv query, as a relation: one row per kv
     * scan in the plan — live segments, segments actually read (key +
     * zone pruning), statically planned partitions, runtime-filtered

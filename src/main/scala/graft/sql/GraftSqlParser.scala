@@ -81,6 +81,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if GraftSqlParser.targetsGraftCatalog(
           table.replace("`", "").split('.').toSeq) =>
       GraftDescribeDetailCommand(table.replace("`", "").split('.').toSeq)
+    case GraftSqlParser.OptimizeStmt(table, dims)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftOptimizeCommand(table.replace("`", "").split('.').toSeq,
+        Option(dims).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
     case GraftSqlParser.CloneStmt(src, dst, v)
         if GraftSqlParser.targetsGraftCatalog(
           src.replace("`", "").split('.').toSeq) &&
@@ -209,6 +215,12 @@ object GraftSqlParser {
   private[sql] val DescribeDetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
 
+  /** OPTIMIZE t [ZORDER BY (a, b, …)] — the Delta-style maintenance
+    * statement: plain form runs MAJOR compaction; the ZORDER form
+    * re-clusters the table (KvCommands.convertToZOrder). */
+  private[sql] val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+
   private[sql] val VacuumStmt =
     ("""(?is)\s*VACUUM\s+(?:TABLE\s+)?([\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?))?\s*;?\s*""").r
@@ -227,7 +239,7 @@ object GraftSqlParser {
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
       "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
       "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS",
-      "DESCRIBE", "DETAIL")
+      "DESCRIBE", "DETAIL", "OPTIMIZE", "ZORDER")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -423,6 +435,34 @@ case class GraftDescribeDetailCommand(table: Seq[String])
       SegmentFile.manifestVersions(dir).length.toLong,
       graft.connector.KvIndex.list(dir).length.toLong,
       graft.connector.KvMatView.list(dir).length.toLong))
+  }
+}
+
+/** OPTIMIZE t [ZORDER BY (a, b, …)] — maintenance statement: the plain
+  * form is MAJOR compaction (rewrite to one disjoint tombstone-free
+  * run, restoring every metadata-claim path); the ZORDER form
+  * re-clusters the table by the named dimensions (physical key becomes
+  * the Morton interleave — see KvCommands.convertToZOrder for the
+  * semantics and the offline-maintenance crash note). */
+case class GraftOptimizeCommand(table: Seq[String], dims: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalogPaths.tableDir(spark, table, "OPTIMIZE")
+    if (dims.isEmpty) {
+      graft.connector.KvCommands.compact(spark, dir)
+      val rows = graft.store.SegmentFile.listSegments(dir).map(_.count).sum
+      Seq(Row("compacted", rows))
+    } else {
+      val rows = graft.connector.KvCommands.convertToZOrder(spark, dir, dims)
+      Seq(Row(s"zordered(${dims.mkString(",")})", rows))
+    }
   }
 }
 

@@ -222,6 +222,45 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dbm.t")
   }
 
+  test("OPTIMIZE: plain form compacts; ZORDER BY re-clusters in place") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.zo")
+    spark.sql(
+      "CREATE TABLE graft.zo.t (k BIGINT, a BIGINT, b BIGINT, v STRING) " +
+        "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.zo.t " +
+      "SELECT id, id div 100, id % 100, concat('r', id) FROM range(10000)")
+    spark.sql("INSERT INTO graft.zo.t " + // overlap → something to compact
+      "SELECT id, id div 100, id % 100, 'upd' FROM range(50)")
+    val c = spark.sql("OPTIMIZE graft.zo.t").head()
+    assert(c.getString(0) == "compacted" && c.getLong(1) == 10000L)
+
+    val truth = spark.sql(
+      "SELECT k, a, b, v FROM graft.zo.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val z = spark.sql("OPTIMIZE graft.zo.t ZORDER BY (a, b)").head()
+    assert(z.getString(0) == "zordered(a,b)" && z.getLong(1) == 10000L)
+    // every row survives the re-cluster; _z joined the schema
+    val after = spark.sql("SELECT k, a, b, v FROM graft.zo.t ORDER BY k")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(after.toSeq == truth.toSeq)
+    assert(spark.table("graft.zo.t").columns.contains("_z"))
+    // the box predicate now drives z pruning + exact residual semantics
+    val box = spark.sql(
+      "SELECT count(*) FROM graft.zo.t WHERE a BETWEEN 3 AND 5 AND b < 10")
+    assert(box.head().getLong(0) == 30L)
+    // the health summary reflects the new clustering
+    val dd = spark.sql("DESCRIBE DETAIL graft.zo.t").head()
+    assert(dd.getString(dd.fieldIndex("zorder_dims")) == "a, b")
+    // derived artifacts key on the old layout: conversion refuses
+    spark.sql("CREATE INDEX ia ON TABLE graft.zo.t (v)")
+    val err = intercept[Exception](
+      spark.sql("OPTIMIZE graft.zo.t ZORDER BY (b, a)"))
+    assert(err.getMessage.contains("drop secondary indexes"))
+    spark.sql("DROP INDEX ia ON graft.zo.t")
+    spark.sql("DROP TABLE graft.zo.t")
+  }
+
   test("DESCRIBE DETAIL: one-row health summary honoring the rows gate") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
     spark.sql(
