@@ -36,6 +36,9 @@ object Bench {
     "kv36_window_on_kv",     // shuffle-free + sort-free window on the key order
     "j12_asof_join",         // as-of join (union + single window pass)
     "j13_range_join",        // interval join (bucketed equi-join + residual)
+    "j14_resample_gapfill",  // time-series resample + forward fill
+    "kv42_metadata_percentile", // whole-table percentile from GK summaries
+    "kv46_metadata_string_minmax", // string MIN/MAX + SUM/COUNT from metadata
     "t2_sort_multi_dir",     // top-k
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group
@@ -45,6 +48,7 @@ object Bench {
     "tx3_quality_score",     // text scoring scan
     "ann1_bruteforce_topk",  // similarity search (exact baseline)
     "ann2_lsh_topk",         // similarity search (materialized-index probe)
+    "ann6_quantized_ivf",    // int8 quantized IVF probe (4× fewer bytes)
     "ev1_tumbling_window")   // event-time windowed agg
 
   /** The full TPC-H suite over the corpus schema (Q1/Q3/Q5/Q10/Q18 under
