@@ -176,6 +176,100 @@ object EventStreams {
       AND r_ts < l_ts"""))
   }
 
+  final case class GapObs(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class GapTick(user_id: Long, tick: java.sql.Timestamp,
+      value: Option[Double])
+  /** Per-key gap-fill state: the lattice origin, the next tick to
+    * finalize, the fill value carried across ticks, the key's max
+    * observed event time (the lattice cap, matching the batch
+    * operator's per-key [t0, t1]), and the not-yet-finalized
+    * observations. Buffer size is bounded by the key's events inside
+    * the watermark horizon — never stream history. */
+  private[streaming] final case class GapFillState(originMicros: Long,
+      nextTickMicros: Long, lastValue: Option[Double],
+      maxSeenMicros: Long, buffer: List[(Long, Double)])
+
+  /** STREAMING gap-fill — the streaming form of
+    * [[graft.operators.TemporalJoins.resampleForwardFill]]: one row per
+    * `everySeconds` tick on each key's own [trunc(first ts, hour),
+    * max ts] lattice, carrying the most recent observation
+    * at-or-before the tick (None before the first). A tick emits only
+    * once the WATERMARK passes it — every on-time observation ≤ the
+    * tick has then arrived, so the fill is final (Append output; late
+    * data beyond `lateness` is dropped, the standard watermark
+    * contract). Event-time timeouts advance quiet keys: a key with no
+    * new events still emits its remaining ticks as the global
+    * watermark sweeps past them. State per key is O(1) fields + the
+    * in-horizon observation buffer, so the operator runs forever at
+    * any rate; EventStreamsSpec pins streaming ≡ batch over the
+    * finalized prefix. */
+  def resampleStream(events: Dataset[GapObs], everySeconds: Long = 21600L,
+      lateness: String = "2 hours"): Dataset[GapTick] = {
+    import events.sparkSession.implicits._
+    val step = everySeconds * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    def truncHour(m: Long): Long = m - math.floorMod(m, 3600000000L)
+    def toTs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(m, 1000L))
+      t.setNanos((math.floorMod(m, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapFillState, GapTick](OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[GapObs], state: GroupState[GapFillState]) =>
+          val obs = batch.map(e => micros(e.ts) -> e.value).toList
+          var st = state.getOption.getOrElse(
+            GapFillState(0L, Long.MinValue, None, Long.MinValue, Nil))
+          if (obs.nonEmpty) {
+            val mn = obs.iterator.map(_._1).min
+            val mx = obs.iterator.map(_._1).max
+            if (st.maxSeenMicros == Long.MinValue) {
+              val o = truncHour(mn)
+              st = GapFillState(o, o, None, mx, obs)
+            } else {
+              // the origin may still move DOWN while nothing finalized
+              // (an earlier on-time observation arrived out of order);
+              // once a tick emitted, anything before it is late data
+              var o = st.originMicros
+              var nt = st.nextTickMicros
+              if (nt == o && truncHour(mn) < o) { o = truncHour(mn); nt = o }
+              st = st.copy(originMicros = o, nextTickMicros = nt,
+                maxSeenMicros = math.max(st.maxSeenMicros, mx),
+                buffer = st.buffer ++ obs)
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapTick]
+          if (st.maxSeenMicros != Long.MinValue) {
+            val wm = state.getCurrentWatermarkMs() * 1000L
+            // same-instant observations collapse to max (the batch
+            // operator's determinism rule); sort once per invocation
+            var buf = st.buffer.groupBy(_._1)
+              .map { case (t, vs) => t -> vs.iterator.map(_._2).max }
+              .toList.sortBy(_._1)
+            var nt = st.nextTickMicros
+            var lastV = st.lastValue
+            while (nt <= wm && nt <= st.maxSeenMicros) {
+              val (ready, rest) = buf.partition(_._1 <= nt)
+              if (ready.nonEmpty) lastV = Some(ready.last._2)
+              buf = rest
+              out += GapTick(user, toTs(nt), lastV)
+              nt += step
+            }
+            st = st.copy(nextTickMicros = nt, lastValue = lastV, buffer = buf)
+            state.update(st)
+            // wake this key when the watermark passes its next tick,
+            // even if no further events arrive for it
+            if (nt <= st.maxSeenMicros)
+              state.setTimeoutTimestamp(math.floorDiv(nt, 1000L))
+          } else state.update(st)
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

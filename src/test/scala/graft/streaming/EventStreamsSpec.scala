@@ -235,6 +235,59 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == "new", s"cross-chunk last-write-wins broken: got $got")
   }
 
+  test("streaming gap-fill equals the batch resample over the finalized prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: three observations spanning two 6h ticks + one exactly ON
+    // a tick; user 2: a single observation AFTER its truncated origin
+    // (leading None fill); user 99 is a far-future flush that advances
+    // the watermark past every real tick WITHOUT emitting its own
+    val u1 = Seq(
+      EventStreams.GapObs(1L, ts("2024-01-01 01:00:00"), 1.0),
+      EventStreams.GapObs(1L, ts("2024-01-01 03:30:00"), 2.0),
+      EventStreams.GapObs(1L, ts("2024-01-01 13:00:00"), 3.0))
+    val u2 = Seq(EventStreams.GapObs(2L, ts("2024-01-01 00:30:00"), 9.0))
+    val flush = EventStreams.GapObs(99L, ts("2024-01-04 00:00:00"), 0.0)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.GapObs]
+    val q = EventStreams.resampleStream(input.toDS(), everySeconds = 21600L)
+      .writeStream.outputMode("append").format("memory").queryName("t_gapfill")
+      .start()
+    try {
+      input.addData(u1.head, u2.head) // first lattice points
+      q.processAllAvailable()
+      input.addData(u1(1), u1(2)) // later observations, wm still behind
+      q.processAllAvailable()
+      input.addData(flush) // watermark sweeps past every real tick
+      q.processAllAvailable()
+      // timeouts fire on the NEXT trigger after the watermark advances
+      input.addData(EventStreams.GapObs(99L, ts("2024-01-04 01:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("t_gapfill").as[EventStreams.GapTick].collect()
+      .filter(_.user_id != 99L)
+      .map(t => (t.user_id, t.tick, t.value)).sortBy(x => (x._1, x._2.getTime))
+    // the batch operator over the same observations (flush excluded) —
+    // the watermark passed every real tick, so streaming must equal the
+    // FULL batch result
+    val batch = graft.operators.TemporalJoins.resampleForwardFill(
+      (u1 ++ u2).toDF(), every = "6 hours")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(got.toSeq == batch.toSeq,
+      s"streaming ${got.toSeq} != batch ${batch.toSeq}")
+    // spot-check the semantics the fixture plants
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(1.0)),
+      (1L, ts("2024-01-01 07:00:00"), Some(2.0)),
+      (1L, ts("2024-01-01 13:00:00"), Some(3.0)),
+      (2L, ts("2024-01-01 00:00:00"), None)))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val events = Seq(
       EventStreams.UserEvent(1L, "click", 1.0),
