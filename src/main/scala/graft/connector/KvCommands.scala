@@ -123,18 +123,33 @@ object KvCommands {
     require(KvIndex.list(path).isEmpty && KvMatView.list(path).isEmpty,
       "re-clustering changes the key layout: drop secondary indexes and " +
         "materialized views first")
-    val src = table(spark, path)
-    val data = if (src.columns.contains("_z")) src.drop("_z") else src
-    val tmp = path + ".zconvert"
-    dropTable(tmp) // a stale leftover from a crashed prior attempt
-    createZOrderTable(data, tmp, dims, m.encoding)
-    val rows = graft.store.SegmentFile.listSegments(tmp).map(_.count).sum
-    val old = Paths.get(path + ".zold")
-    Files.move(Paths.get(path), old)
-    Files.move(Paths.get(tmp), Paths.get(path))
-    KvIndex.deleteRecursively(old.toFile)
-    KvIndex.invalidate(path)
-    rows
+    // one converter at a time: the cross-process maintenance lease
+    // serializes concurrent OPTIMIZE ZORDER calls (the second refuses
+    // instead of both racing the directory swap)
+    val lease = KvMaintenance.acquire(path).getOrElse(
+      throw new IllegalStateException(
+        s"another maintenance operation holds the lease on $path"))
+    try {
+      val src = table(spark, path)
+      val data = if (src.columns.contains("_z")) src.drop("_z") else src
+      val tmp = path + ".zconvert"
+      dropTable(tmp) // a stale leftover from a crashed prior attempt
+      createZOrderTable(data, tmp, dims, m.encoding)
+      val rows = graft.store.SegmentFile.listSegments(tmp).map(_.count).sum
+      // a stolen lease means a successor may already be rewriting —
+      // abandon our build rather than swap over theirs
+      if (!KvMaintenance.stillHeld(lease)) {
+        dropTable(tmp)
+        throw new IllegalStateException(
+          s"maintenance lease on $path was stolen mid-conversion; aborted")
+      }
+      val old = Paths.get(path + ".zold")
+      Files.move(Paths.get(path), old)
+      Files.move(Paths.get(tmp), Paths.get(path))
+      KvIndex.deleteRecursively(old.toFile)
+      KvIndex.invalidate(path)
+      rows
+    } finally KvMaintenance.release(lease)
   }
 
   /** Pruning evidence for a kv query, as a relation: one row per kv

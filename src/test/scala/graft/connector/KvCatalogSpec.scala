@@ -252,6 +252,14 @@ class KvCatalogSpec extends AnyFunSuite {
     // the health summary reflects the new clustering
     val dd = spark.sql("DESCRIBE DETAIL graft.zo.t").head()
     assert(dd.getString(dd.fieldIndex("zorder_dims")) == "a, b")
+    // one converter at a time: a held maintenance lease refuses a second
+    val loc = dd.getString(dd.fieldIndex("location"))
+    val lease = KvMaintenance.acquire(loc).get
+    try {
+      val eLease = intercept[Exception](
+        spark.sql("OPTIMIZE graft.zo.t ZORDER BY (b, a)"))
+      assert(eLease.getMessage.contains("lease"), eLease.getMessage)
+    } finally KvMaintenance.release(lease)
     // derived artifacts key on the old layout: conversion refuses
     spark.sql("CREATE INDEX ia ON TABLE graft.zo.t (v)")
     val err = intercept[Exception](
