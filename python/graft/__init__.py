@@ -178,6 +178,19 @@ class GraftSession:
         return spark.sql("SELECT * FROM %s.columns" % table)
 
     @staticmethod
+    def resample_forward_fill(df, every="1 hour", trunc_unit="hour",
+                              key_col="user_id", ts_col="ts",
+                              val_col="value"):
+        """Time-series gap-fill: one row per `every` tick on each key's
+        own lattice, carrying the most recent observation at-or-before
+        the tick (NULL before the first)."""
+        from pyspark.sql import DataFrame
+        jdf = df.sparkSession._jvm.graft.operators.TemporalJoins \
+            .resampleForwardFill(df._jdf, every, trunc_unit,
+                                 key_col, ts_col, val_col)
+        return DataFrame(jdf, df.sparkSession)
+
+    @staticmethod
     def optimize(spark, table, zorder_by=()):
         """OPTIMIZE — plain form runs MAJOR compaction; zorder_by
         re-clusters the table by those dimensions (the physical key

@@ -143,6 +143,14 @@ def main():
         det = GraftSession.describe_detail(spark, "graft.py.t").collect()[0]
         assert det.live_rows == live and det.tombstones == 0, det
         assert det.key_columns == "k" and det.overlap_depth <= 1, det
+        # gap-fill resample through the shim (tick exactly on the obs)
+        obs = spark.sql(
+            "SELECT CAST(1 AS BIGINT) AS user_id, "
+            "TIMESTAMP '2024-01-01 02:00:00' AS ts, 5.0 AS value "
+            "UNION ALL SELECT 1, TIMESTAMP '2024-01-01 03:30:00', 7.0")
+        ticks = GraftSession.resample_forward_fill(obs).collect()
+        assert [(t.tick.hour, t.value) for t in ticks] == \
+            [(2, 5.0), (3, 5.0)], ticks
         print("python smoke: OK")
     finally:
         spark.stop()
