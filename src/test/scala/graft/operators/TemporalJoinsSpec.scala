@@ -76,6 +76,12 @@ class TemporalJoinsSpec extends AnyFunSuite {
     }
     // the as-of is join-free by construction: one shuffle, one window
     assert(!asof.queryExecution.executedPlan.toString.contains("Join"))
+    // so is the gap-fill resample (union + window — never a
+    // tick×observation join, which is what makes it scale)
+    val rs = TemporalJoins.resampleForwardFill(
+      probes.select($"key".as("user_id"), $"t".as("ts"),
+        $"pid".cast("double").as("value")))
+    assert(!rs.queryExecution.executedPlan.toString.contains("Join"))
   }
 
   test("SQL null semantics: null keys/times never match, probes survive") {
