@@ -119,8 +119,14 @@ object GraftKvMetadataTable {
         else SegmentFile.mergedNullCount(segs, f.name).map(Long.box).orNull
       val zones = segs.map(_.zoneStats.find(z =>
         z.name == f.name && z.dataType == f.dataType))
+      // exactness gate: a truncated string zone (V12, >cap codepoints)
+      // bounds the column with a prefix CLAIM — a value the table may
+      // not contain. min/max here report VALUES, so any inexact entry
+      // degrades the cell to NULL (the "never a wrong number" contract;
+      // the agg-pushdown path applies the same gate)
       val (mn, mx): (Any, Any) =
-        if (segs.isEmpty || zones.exists(_.isEmpty)) (null, null)
+        if (segs.isEmpty || zones.exists(_.isEmpty) ||
+          zones.exists(z => !z.get.exact)) (null, null)
         else {
           val zcmp = graft.pruning.TriEval.comparator(f.dataType)
           val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)

@@ -157,18 +157,24 @@ object TemporalJoins {
         explode(sequence(col("__t0"), col("__t1"),
           expr(s"INTERVAL $every"))).as("__tick"))
     // observations sort before ticks at an equal instant (__side 0 < 1):
-    // a tick exactly on an observation carries that observation's value
+    // a tick exactly on an observation carries that observation's value.
+    // The value rides in a STRUCT (non-null for every observation row,
+    // null for tick rows) so `last IGNORE NULLS` tracks the most recent
+    // OBSERVATION, not the most recent non-null value — a genuinely-NULL
+    // observation resets the fill to NULL, exactly as the ASOF-join
+    // restatement (the oracle) yields NULL for that tick.
     val tagged = ev.select(col(keyCol), col(tsCol).as("__t"),
-        col(valCol).cast("double").as("__v"), lit(0).as("__side"))
+        struct(col(valCol).cast("double").as("v")).as("__o"), lit(0).as("__side"))
       .unionByName(ticks.select(col(keyCol), col("__tick").as("__t"),
-        lit(null).cast("double").as("__v"), lit(1).as("__side")))
+        lit(null).cast("struct<v:double>").as("__o"), lit(1).as("__side")))
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("__ff", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__ff", last(col("__o"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col(keyCol), col("__t").as("tick"), col("__ff").as(valCol))
+      .select(col(keyCol), col("__t").as("tick"),
+        col("__ff").getField("v").as(valCol))
   }
 
   // ── declared queries ──────────────────────────────────────────────────

@@ -32,6 +32,16 @@ object Dedup {
   private[pipeline] val probeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Long]()
 
+  /** Persist-if-absent: repeated pipeline runs over the same corpus
+    * re-derive the same canonical plans, and re-persisting an
+    * already-cached plan makes the CacheManager log a warning per call
+    * (noise that drowned a real bench signal in round 8). The public
+    * `storageLevel` accessor is the same canonical-plan lookup the
+    * CacheManager itself does, so this is exact, not heuristic. */
+  private def diskPersist(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // ── exact ───────────────────────────────────────────────────────────────
 
   /** One surviving id per distinct normalized text + multiplicity. */
@@ -158,8 +168,7 @@ object Dedup {
     // 1.0. Only the unavoidable output materialization stays
     // clique-quadratic; all similarity computation is per-distinct-text.
     def lshVerifiedPairs(base: DataFrame): (DataFrame, DataFrame) = {
-      val sets = shingleHashSets(base, shingle, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = diskPersist(shingleHashSets(base, shingle, textCol, idCol))
       val sigs = sets.select(col(idCol),
         graft.functions.MinHashSignature.minhash_signature_hashed(col("shset"), k)
           .as("sig"))
@@ -191,9 +200,8 @@ object Dedup {
     val knownDups = if (minCollapseDups > 0L) Option(probeCache.get(probeKey))
       else None
     if (knownDups.exists(_ < minCollapseDups)) return lshVerifiedPairs(docs)._2
-    val hashed = docs.select(col(idCol).as("__mid"),
-        md5(col(textCol)).as("__th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = diskPersist(docs.select(col(idCol).as("__mid"),
+      md5(col(textCol)).as("__th")))
     if (minCollapseDups > 0L && knownDups.isEmpty) {
       val probe = hashed.agg(count(lit(1)), count_distinct(col("__th"))).head()
       val dups = probe.getLong(0) - probe.getLong(1)
@@ -206,10 +214,9 @@ object Dedup {
       }
     }
 
-    val members = hashed
+    val members = diskPersist(hashed
       .join(hashed.groupBy("__th").agg(min(col("__mid")).as("__rep")), "__th")
-      .select(col("__mid"), col("__rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("__mid"), col("__rep")))
     val reps = docs.join(
       members.filter(col("__mid") === col("__rep"))
         .select(col("__mid").as(idCol)), Seq(idCol), "left_semi")
@@ -249,21 +256,19 @@ object Dedup {
     * corpus size; `maxIters` bounds the pathological long-chain case. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
       idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = diskPersist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = diskPersist(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val next = diskPersist(labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
       labels.unpersist()

@@ -365,8 +365,12 @@ case class GraftAnalyzeCommand(table: Seq[String], cols: Seq[String])
           .map(Long.box).orNull
       val zones = segs.map(_.zoneStats.find(z =>
         z.name == c && z.dataType == m.schema(c).dataType))
+      // truncated string zones (exact=false) carry prefix CLAIMS, not
+      // stored values — min/max report values, so they degrade to NULL
+      // (same exactness gate as the metadata agg pushdown)
       val (mn, mx): (Any, Any) =
-        if (segs.isEmpty || zones.exists(_.isEmpty)) (null, null)
+        if (segs.isEmpty || zones.exists(_.isEmpty) ||
+          zones.exists(z => !z.get.exact)) (null, null)
         else {
           val zcmp = graft.pruning.TriEval.comparator(m.schema(c).dataType)
           val lt = Ordering.fromLessThan[Any]((a, b) => zcmp(a, b) < 0)

@@ -1171,10 +1171,10 @@ object SegmentFile {
       }
     private val legacyLock = new Object
     private val legacyCache =
-      new java.util.LinkedHashMap[(String, Seq[String]), Map[String, T]](
+      new java.util.LinkedHashMap[(String, Seq[(String, String)]), Map[String, T]](
         64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Seq[String]), Map[String, T]]): Boolean =
+            e: java.util.Map.Entry[(String, Seq[(String, String)]), Map[String, T]]): Boolean =
           size() > 16
       }
 
@@ -1223,9 +1223,21 @@ object SegmentFile {
 
     def get(dir: String): Map[String, T] =
       currentVersion(dir) match {
-        case None => // legacy table: directory listing is the authority
+        case None => // legacy table: directory listing is the authority.
+          // The key carries each live file's (size, mtime, fileKey), not
+          // just its name — a legacy table recreated in place with
+          // identical segment names must MISS, never serve the dead
+          // table's sketches (the versioned path gets the same guard
+          // from the manifest file's attributes)
           val live = listSegments(dir).map(_.file).sorted
-          val key = (dirKey(dir), live)
+          val key = (dirKey(dir), live.map { f =>
+            val attrs = try {
+              val a = Files.readAttributes(Paths.get(dir, f),
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+              s"${a.size}:${a.lastModifiedTime.toMillis}:${a.fileKey}"
+            } catch { case _: Exception => "?" }
+            (f, attrs)
+          })
           legacyLock.synchronized(Option(legacyCache.get(key))) match {
             case Some(hit) => hit
             case None =>

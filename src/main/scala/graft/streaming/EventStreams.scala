@@ -252,7 +252,11 @@ object EventStreams {
               .toList.sortBy(_._1)
             var nt = st.nextTickMicros
             var lastV = st.lastValue
-            while (nt <= wm && nt <= st.maxSeenMicros) {
+            // STRICTLY-passed ticks only: an on-time observation with
+            // ts == nt is not droppable while nt == wm (the watermark
+            // admits ts >= wm), so emitting that tick now could miss an
+            // observation a later batch still delivers
+            while (nt < wm && nt <= st.maxSeenMicros) {
               val (ready, rest) = buf.partition(_._1 <= nt)
               if (ready.nonEmpty) lastV = Some(ready.last._2)
               buf = rest

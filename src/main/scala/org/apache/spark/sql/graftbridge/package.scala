@@ -19,6 +19,13 @@ package object graftbridge {
     connector.expressions.LiteralValue(
       org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value), dt)
 
+  /** True when the session's CacheManager holds no cached plans — the
+    * bench's section-boundary assertion (explicit cache lifecycle: no
+    * cached plan may survive a section sweep; CacheManager is
+    * `private[sql]`, hence this bridge). */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Resolve the catalog a multipart table name targets, mirroring
     * Spark's own LookupCatalog rule: a first part naming a registered
     * catalog wins, anything else lands in the session's current catalog.

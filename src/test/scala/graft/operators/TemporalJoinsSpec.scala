@@ -173,6 +173,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (2L, t(6, 0), 9.0))) // tick exactly on the (collapsed) observation
   }
 
+  test("resampleForwardFill: a NULL observation resets the fill to NULL") {
+    // ASOF semantics (the j14 oracle's): the tick carries the most
+    // recent OBSERVATION, so a genuinely-NULL value must surface as
+    // NULL — not be skipped in favor of the prior non-null value.
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (3L, t(0, 30), Some(1.0)),
+      (3L, t(5, 0), None: Option[Double]), // most recent at tick 06:00
+      (3L, t(11, 0), Some(3.0))
+    ).toDF("user_id", "ts", "value")
+    val got = TemporalJoins.resampleForwardFill(ev, every = "6 hours",
+      truncUnit = "hour")
+      .orderBy("user_id", "tick").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (3L, t(0, 0), null),  // before the first observation
+      (3L, t(6, 0), null))) // 05:00's NULL observation, NOT 00:30's 1.0
+  }
+
   test("corpus query j14 matches a brute-force per-tick lookup") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.table(spark, dir, "events")

@@ -146,6 +146,53 @@ class PlanningStatsSpec extends AnyFunSuite {
       "cached legacy NDV sweep re-opened sidecars")
   }
 
+  test("legacy sweep cache keys on file attributes, not just names") {
+    // a legacy table recreated IN PLACE with identical segment file
+    // names must MISS the sweep cache (the key carries each file's
+    // size/mtime/fileKey) — serving the dead table's sketches would be
+    // a silently-wrong NDV
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graftkv_legacy_attr").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val name = "segment-00000-000000-legacy00"
+    def write(vals: Seq[Long]): Unit = {
+      val codec = RowCodec(schema, Seq("k"))
+      val hll = new HyperLogLogPlusPlusHelper(SegmentFile.NdvRsd)
+      val buf = new GenericInternalRow(Array.fill[Any](hll.numWords)(0L))
+      val w = new SegmentFile.Writer(dir, name,
+        cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
+      vals.foreach { x =>
+        val row = new GenericInternalRow(Array[Any](x, x % 997))
+        w.write(codec.encodeKey(row), codec.encodeValue(row))
+        hll.update(buf, 0, x % 997, LongType)
+      }
+      w.close(Seq.empty,
+        Seq(SegmentFile.NdvSketch("v",
+          Array.tabulate(hll.numWords)(buf.getLong))),
+        Seq.empty, Seq.empty)
+      graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
+    }
+    write(0L until 10L)
+    assert(SegmentFile.currentVersion(dir).isEmpty, "must stay legacy")
+    val segs = SegmentFile.listSegments(dir)
+    val first = SegmentFile.mergedNdvEstimate(segs,
+      SegmentFile.ndvSketches(dir), "v")
+    assert(first.exists(n => math.abs(n - 10L) <= 2), s"ndv: $first")
+    // recreate in place: same directory, same segment file name
+    Files.delete(Paths.get(dir, s"$name.kv"))
+    Files.delete(Paths.get(dir, s"$name.kvmeta"))
+    write(0L until 3000L) // 997 distinct v values now
+    val segs2 = SegmentFile.listSegments(dir)
+    val second = SegmentFile.mergedNdvEstimate(segs2,
+      SegmentFile.ndvSketches(dir), "v")
+    assert(second.exists(n => math.abs(n - 997L) <= 997 * 0.1),
+      s"stale legacy sweep served: $second (want ≈997, stale ≈10)")
+  }
+
   test("stale pack from a dead table at the same path is never trusted") {
     val path = tmpTable()
     mkTable(path, appends = 1)

@@ -129,6 +129,41 @@ class StringZoneSpec extends AnyFunSuite {
     assert(t.filter(col("s") === "p" * 70 + "02").count() == 2000L)
   }
 
+  test("truncated claims degrade t.columns and ANALYZE min/max to NULL") {
+    // the zone CLAIM for a >64-codepoint string is a truncated prefix /
+    // incremented prefix — a value the table may not contain. The stats
+    // surfaces report VALUES, so both must answer NULL, exactly like
+    // the agg-pushdown refusal above ("never a wrong number").
+    val root = Files.createTempDirectory("graftkv_szone_cat").toString
+    val cat = s"gsz${math.abs(root.hashCode() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t " +
+      s"SELECT id, concat('${"p" * 70}', cast(id as string)) FROM range(100)")
+    val colRow = spark.sql(
+      s"SELECT min, max FROM $cat.db.t.columns WHERE column_name = 's'").first()
+    assert(colRow.isNullAt(0) && colRow.isNullAt(1),
+      s"t.columns served a truncated claim as a value: $colRow")
+    val an = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS s").collect()
+      .find(_.getString(0) == "s").get
+    assert(an.isNullAt(4) && an.isNullAt(5),
+      s"ANALYZE served a truncated claim as a value: $an")
+    // short strings still answer exactly through the same surfaces
+    spark.sql(s"CREATE TABLE $cat.db.u (k BIGINT, s STRING) " +
+      "TBLPROPERTIES('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.u " +
+      "SELECT id, concat('v', lpad(cast(id as string), 3, '0')) FROM range(100)")
+    val uRow = spark.sql(
+      s"SELECT min, max FROM $cat.db.u.columns WHERE column_name = 's'").first()
+    assert(uRow.getString(0) == "v000" && uRow.getString(1) == "v099")
+    spark.sql(s"DROP TABLE $cat.db.t")
+    spark.sql(s"DROP TABLE $cat.db.u")
+  }
+
   test("a null in the string column suppresses the zone entry and the answer") {
     val path = tmpDir("nulls")
     spark.range(1000).select(col("id").as("k"),
