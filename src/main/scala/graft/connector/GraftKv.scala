@@ -80,36 +80,60 @@ object GraftKvDataSource {
 }
 
 /** Table-level metadata: key column list (+ codec encoding, optional
-  * z-order clustering dims) and schema json. Header line `k1,k2`
-  * (legacy, binary codec), `k1,k2|encoding`, or
+  * z-order clustering dims, optional table properties) and schema json.
+  * Header line `k1,k2` (legacy, binary codec), `k1,k2|encoding`,
   * `k1,k2|encoding|z1,z2` for a z-clustered table (whose physical
   * leading key `_z` is the dims' Morton interleave — see
-  * graft.codec.ZOrder). */
+  * graft.codec.ZOrder), or `k1,k2|encoding|z…|p1=v1;p2=v2` when table
+  * properties are set (older readers split on `|` and ignore trailing
+  * fields, so the format extends compatibly). */
 final case class KvTableMeta(schema: StructType, keys: Seq[String],
-    encoding: String, zorder: Seq[graft.codec.ZDim] = Nil)
+    encoding: String, zorder: Seq[graft.codec.ZDim] = Nil,
+    props: Map[String, String] = Map.empty)
 
 object GraftKvMeta {
   private def metaFile(dir: String) = Paths.get(dir, "_graft_meta.json")
 
+  /** Per-table string-zone truncation cap (codepoints): a corpus whose
+    * values share long prefixes (URLs, paths) gets useless bounds at
+    * the 64-cp default — raise it per table at CREATE. */
+  val StringZoneMaxCharsProp = "stringzone.maxchars"
+
   def write(dir: String, schema: StructType, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
-      zorder: Seq[graft.codec.ZDim] = Nil): Unit = {
+      zorder: Seq[graft.codec.ZDim] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir))
     // tmp + atomic rename: a concurrent committer's meta refresh must
     // never expose a half-written file to a racing read (the CAS commit
     // protocol makes concurrent committers the NORMAL case)
     val tmp = Paths.get(dir,
       s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    props.foreach { case (k, v) =>
+      require(!s"$k$v".exists(c => c == '|' || c == ';' || c == '=' || c == '\n'),
+        s"table property '$k'='$v' may not contain | ; = or newline")
+    }
     val zPart =
-      if (zorder.nonEmpty) "|" + graft.codec.ZDim.serialize(zorder) else ""
+      if (zorder.nonEmpty || props.nonEmpty)
+        "|" + graft.codec.ZDim.serialize(zorder)
+      else ""
+    val pPart =
+      if (props.nonEmpty)
+        "|" + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+      else ""
     Files.writeString(tmp,
-      keys.mkString(",") + "|" + encoding + zPart + "\n" + schema.json)
+      keys.mkString(",") + "|" + encoding + zPart + pPart + "\n" + schema.json)
     Files.move(tmp, metaFile(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def read(dir: String): Option[KvTableMeta] = {
+    // finish (or undo) a crashed z-order conversion before trusting the
+    // meta: the conversion's commit point is the manifest CAS, and the
+    // meta flip is completed read-side if the converter died after it
+    // (one Files.exists when no conversion ever touched this table)
+    ZConvert.repair(dir)
     val f = metaFile(dir)
     if (!Files.exists(f)) None
     else {
@@ -126,9 +150,14 @@ object GraftKvMeta {
           val k = parts(2).split(",").count(_.trim.nonEmpty)
           graft.codec.ZDim.parse(parts(2), graft.codec.ZOrder.bitsPerDim(k))
         } else Nil
+      val props =
+        if (parts.length > 3 && parts(3).nonEmpty)
+          parts(3).split(";").iterator.map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+        else Map.empty[String, String]
       val schema = org.apache.spark.sql.types.DataType.fromJson(
         lines.substring(sep + 1)).asInstanceOf[StructType]
-      Some(KvTableMeta(schema, keys, encoding, zorder))
+      Some(KvTableMeta(schema, keys, encoding, zorder, props))
     }
   }
 }
@@ -255,9 +284,19 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
       val k = s.split(",").count(_.trim.nonEmpty)
       graft.codec.ZDim.parse(s, graft.codec.ZOrder.bitsPerDim(k))
     }.getOrElse(Nil)
+    // table properties: a write option overrides, an existing table's
+    // persisted props otherwise govern (so appends honor the CREATE-time
+    // stringzone.maxchars without restating it)
+    val props: Map[String, String] = {
+      val persisted = GraftKvMeta.read(path).map(_.props).getOrElse(Map.empty)
+      val opt = Option(info.options.get(GraftKvMeta.StringZoneMaxCharsProp))
+        .map(v => GraftKvMeta.StringZoneMaxCharsProp -> v)
+      persisted ++ opt
+    }
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
       encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
-      genOverride = genOverride, queryId = info.queryId(), zorder = zorder)
+      genOverride = genOverride, queryId = info.queryId(), zorder = zorder,
+      tableProps = props)
   }
 }
 
@@ -2239,7 +2278,8 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     truncate: Boolean, encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
     tombstone: Boolean = false, genOverride: Option[Long] = None,
-    queryId: String = "", zorder: Seq[graft.codec.ZDim] = Nil)
+    queryId: String = "", zorder: Seq[graft.codec.ZDim] = Nil,
+    tableProps: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder = {
@@ -2252,8 +2292,12 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
         "overwrite would truncate the table — use mode(\"append\")")
     new GraftKvWriteBuilder(path, schema, keys, truncate = true, encoding,
       maxSegBytes, genOverride = genOverride, queryId = queryId,
-      zorder = zorder)
+      zorder = zorder, tableProps = tableProps)
   }
+
+  private def zoneMaxChars: Int =
+    tableProps.get(GraftKvMeta.StringZoneMaxCharsProp).map(_.toInt)
+      .getOrElse(SegmentFile.StringZone.MaxChars)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     // A z-clustered table's stream writes carry the LOGICAL schema (the
@@ -2317,7 +2361,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
             s"${keys.filterNot(schema.fieldNames.contains).mkString(", ")} — " +
             "for a z-clustered table use KvCommands.append, which derives _z")
         new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen,
-          tombstone)
+          tombstone, zoneMaxChars = zoneMaxChars)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2337,7 +2381,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
             .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
             .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
-          GraftKvMeta.write(path, schema, keys, encoding, zorder)
+          GraftKvMeta.write(path, schema, keys, encoding, zorder, tableProps)
         } else {
           // append: the shared protocol (see GraftKvCommitProtocol)
           GraftKvCommitProtocol.commitAppend(path, committed, schema, keys,
@@ -2381,9 +2425,10 @@ private[connector] object GraftKvCommitProtocol {
         .filter(_.endsWith(".kv")).toSet -- exclude)
     val prev = GraftKvMeta.read(path)
     val declared = prev.map(_.schema).getOrElse(writeSchema)
-    // appends preserve the table's z-clustering declaration
+    // appends preserve the table's z-clustering declaration + properties
     GraftKvMeta.write(path, declared, keys, encoding,
-      prev.map(_.zorder).getOrElse(Nil))
+      prev.map(_.zorder).getOrElse(Nil),
+      prev.map(_.props).getOrElse(Map.empty))
   }
 
   def abortFiles(path: String, messages: Array[WriterCommitMessage]): Unit =
@@ -2397,11 +2442,12 @@ private[connector] object GraftKvCommitProtocol {
 class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
-    gen: Long = 0L, tombstone: Boolean = false)
+    gen: Long = 0L, tombstone: Boolean = false,
+    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding,
-      maxSegBytes, gen, tombstone)
+      maxSegBytes, gen, tombstone, zoneMaxChars = zoneMaxChars)
 }
 
 object GraftKvDataWriter {
@@ -2446,7 +2492,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
     gen: Long = 0L, tombstone: Boolean = false,
-    segSeqStart: Int = 0)
+    segSeqStart: Int = 0,
+    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
@@ -2592,8 +2639,9 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
           // incremented-prefix upper, V12): still a covering interval,
           // marked inexact so metadata MIN/MAX never serves it
           val (lo, loEx) = SegmentFile.StringZone
-            .lowerBound(statMin(i).asInstanceOf[String])
-          SegmentFile.StringZone.upperBound(statMax(i).asInstanceOf[String])
+            .lowerBound(statMin(i).asInstanceOf[String], zoneMaxChars)
+          SegmentFile.StringZone
+            .upperBound(statMax(i).asInstanceOf[String], zoneMaxChars)
             .foreach { case (hi, hiEx) =>
               out += SegmentFile.ZoneStat(name, dt, lo, hi, None,
                 exact = loEx && hiEx)

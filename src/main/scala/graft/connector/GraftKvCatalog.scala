@@ -139,7 +139,17 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       .orElse(Option(properties.get("option.encoding")))
       .getOrElse(graft.store.RowCodec.Binary)
     graft.store.RowCodec(schema, keys, encoding) // validates encoding + types
-    GraftKvMeta.write(tableDir(ident), schema, keys, encoding)
+    // persisted table properties (currently: the string-zone truncation
+    // cap) — recognized TBLPROPERTIES ride into the meta so every later
+    // write honors them without restating
+    val persistedProps = Seq(GraftKvMeta.StringZoneMaxCharsProp).flatMap(p =>
+      Option(properties.get(p)).orElse(Option(properties.get(s"option.$p")))
+        .map(p -> _)).toMap
+    persistedProps.get(GraftKvMeta.StringZoneMaxCharsProp).foreach(v =>
+      require(v.toInt > 0, s"${GraftKvMeta.StringZoneMaxCharsProp} must be " +
+        s"a positive codepoint count, got '$v'"))
+    GraftKvMeta.write(tableDir(ident), schema, keys, encoding,
+      props = persistedProps)
     // seed an EMPTY manifest version: the table is manifest-governed
     // from birth, so even its very first commits CAS against a real
     // base — the directory-listing fallback (which could surface a
@@ -170,7 +180,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change $other")
     }
-    GraftKvMeta.write(dir, s, m.keys, m.encoding, m.zorder)
+    GraftKvMeta.write(dir, s, m.keys, m.encoding, m.zorder, m.props)
     new GraftKvTable(dir, s, m.keys, m.encoding)
   }
 

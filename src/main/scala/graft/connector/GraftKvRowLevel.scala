@@ -106,6 +106,14 @@ private[connector] final class KvSortedChunkBuffer(path: String,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes) {
 
   private val codec = RowCodec(schema, keys, encoding)
+  // honor the table's persisted string-zone cap (claims stay sound at
+  // any cap; this keeps DML-written segments' bounds as deep as the
+  // bulk-written ones)
+  private val zoneMaxChars: Int =
+    try GraftKvMeta.read(path)
+      .flatMap(_.props.get(GraftKvMeta.StringZoneMaxCharsProp)).map(_.toInt)
+      .getOrElse(graft.store.SegmentFile.StringZone.MaxChars)
+    catch { case _: Exception => graft.store.SegmentFile.StringZone.MaxChars }
   private[connector] val rows =
     new java.util.TreeMap[Array[Byte], InternalRow](
       new java.util.Comparator[Array[Byte]] {
@@ -139,7 +147,8 @@ private[connector] final class KvSortedChunkBuffer(path: String,
           "buffered chunks: segment-name sequence width would overflow")
     val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
       encoding, maxSegBytes, gen, tombstone,
-      segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride)
+      segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride,
+      zoneMaxChars = zoneMaxChars)
     chunk += 1
     rows.values().forEach(r => w.write(r))
     w.commit() match {

@@ -95,27 +95,36 @@ object KvCommands {
 
   /** Re-cluster an EXISTING table z-ordered by `dims` (the
     * `OPTIMIZE t ZORDER BY (…)` statement): builds the z-clustered
-    * form beside the table (full rewrite through the range-shuffled
-    * sorted write — the data never round-trips the driver), then swaps
-    * directories. Returns the row count of the rebuilt table.
+    * form in a hidden scratch subdirectory (full rewrite through the
+    * range-shuffled sorted write — the data never round-trips the
+    * driver), moves the new segments in unmanifested (invisible), and
+    * commits through the SAME versioned manifest-CAS protocol as
+    * compaction. Returns the row count of the rebuilt table.
     *
     * SEMANTICS CHANGE, deliberately loud: the physical key becomes
     * `(_z, dims…)`, so Put-upsert identity follows the dims — exactly
     * what CREATE-time z-clustering declares. Secondary indexes and
     * materialized views key on the old layout and must be dropped
     * first (the call refuses otherwise); snapshot history does not
-    * carry across the rewrite (the converted table starts a fresh
-    * commit log, like CREATE would).
+    * carry across the rewrite (older versions describe the OLD key
+    * layout, so they are pruned at the commit — VERSION AS OF across a
+    * re-clustering fails with "no snapshot", never a garbage decode).
     *
-    * Crash window: offline maintenance — a crash between the two
-    * directory moves leaves `<path>.zold` (complete old table) and/or
-    * `<path>.zconvert` (complete new table) beside an absent `path`;
-    * recovery is renaming whichever is wanted back into place. The
-    * build phase itself is crash-safe (the original serves reads until
-    * the swap). */
+    * Crash safety (no manual-repair window, unlike the pre-round-9
+    * directory swap): the commit point is one manifest CAS, fenced by
+    * an intent marker carrying the new segment set + new table meta.
+    * A crash BEFORE the CAS leaves the old table fully intact (the
+    * marker and stranded unmanifested segments are swept by the next
+    * reader once the lease expires); a crash AFTER the CAS but before
+    * the meta flip is finished by the next reader
+    * (GraftKvMeta.read → ZConvert.repair — the flip is idempotent). A
+    * concurrent commit (e.g. an append) between the source read and
+    * the CAS aborts the conversion instead of silently dropping the
+    * concurrent writer's rows. */
   def convertToZOrder(spark: SparkSession, path: String,
       dims: Seq[String]): Long = {
     import java.nio.file.{Files, Paths}
+    import graft.store.SegmentFile
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     dims.foreach(d => require(m.schema.fieldNames.contains(d),
@@ -125,28 +134,65 @@ object KvCommands {
         "materialized views first")
     // one converter at a time: the cross-process maintenance lease
     // serializes concurrent OPTIMIZE ZORDER calls (the second refuses
-    // instead of both racing the directory swap)
+    // instead of both racing the commit)
     val lease = KvMaintenance.acquire(path).getOrElse(
       throw new IllegalStateException(
         s"another maintenance operation holds the lease on $path"))
     try {
+      // a legacy table's reader authority is the directory listing, and
+      // the replacement segments move in below BEFORE the commit point —
+      // pin the live set into a manifest first (compactMinor's pattern)
+      if (SegmentFile.readManifest(path).isEmpty)
+        SegmentFile.writeManifest(path,
+          Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+            .filter(_.endsWith(".kv")).toSet)
+      val oldSet = SegmentFile.readManifest(path).get
       val src = table(spark, path)
       val data = if (src.columns.contains("_z")) src.drop("_z") else src
-      val tmp = path + ".zconvert"
-      dropTable(tmp) // a stale leftover from a crashed prior attempt
+      // hidden scratch SUBdirectory: invisible to segment listing,
+      // swept by dropTable if a crash strands it
+      val tmp = new java.io.File(path,
+        s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}").getPath
       createZOrderTable(data, tmp, dims, m.encoding)
-      val rows = graft.store.SegmentFile.listSegments(tmp).map(_.count).sum
+      val rows = SegmentFile.listSegments(tmp).map(_.count).sum
+      val newFiles = SegmentFile.listSegments(tmp).map(_.file)
+      val newMeta = Files.readString(Paths.get(tmp, "_graft_meta.json"))
+      newFiles.foreach { f =>
+        Files.move(Paths.get(tmp, f), Paths.get(path, f))
+        Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
+          Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      }
+      dropTable(tmp)
+      def dropMoved(): Unit = newFiles.foreach { f =>
+        Files.deleteIfExists(Paths.get(path, f))
+        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      }
       // a stolen lease means a successor may already be rewriting —
-      // abandon our build rather than swap over theirs
+      // abandon our build rather than commit over theirs
       if (!KvMaintenance.stillHeld(lease)) {
-        dropTable(tmp)
+        dropMoved()
         throw new IllegalStateException(
           s"maintenance lease on $path was stolen mid-conversion; aborted")
       }
-      val old = Paths.get(path + ".zold")
-      Files.move(Paths.get(path), old)
-      Files.move(Paths.get(tmp), Paths.get(path))
-      KvIndex.deleteRecursively(old.toFile)
+      // intent marker, then the single commit point: the manifest CAS.
+      // The CAS requires the live set to still be what the rewrite READ;
+      // any concurrent commit aborts the conversion (its rows would
+      // otherwise vanish from the converted table).
+      ZConvert.writeMarker(path, newFiles.toSet, newMeta)
+      val swapped = SegmentFile.commitManifest(path) { live =>
+        if (live == oldSet) Some(newFiles.toSet) else None
+      }
+      if (swapped.isEmpty) {
+        ZConvert.clearMarker(path)
+        dropMoved()
+        throw new IllegalStateException(
+          s"concurrent commit on $path during z-order conversion; aborted")
+      }
+      // post-commit completion — idempotent, re-run by ZConvert.repair
+      // from any reader if this process dies here
+      ZConvert.writeMetaContent(path, newMeta)
+      SegmentFile.pruneManifestVersions(path, Long.MaxValue)
+      ZConvert.clearMarker(path)
       KvIndex.invalidate(path)
       rows
     } finally KvMaintenance.release(lease)
@@ -225,11 +271,14 @@ object KvCommands {
         n.startsWith("._graft_ndv.tmp-") ||
         n.startsWith("._graft_qs.tmp-") ||
         n.startsWith("._graft_meta.tmp-") ||
+        n.startsWith("._graft_zconvert") || // conversion intent markers
         n.startsWith("._graft_epoch-")) // streaming markers die with the table
       .foreach(n => new java.io.File(d, n).delete())
-    // sweep scratch dirs stranded by a crashed minor compaction
+    // sweep scratch dirs stranded by a crashed minor compaction or
+    // z-order conversion
     Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(".compacting-"))
+      .filter(f => f.isDirectory && (f.getName.startsWith(".compacting-") ||
+        f.getName.startsWith(".zconvert-")))
       .foreach { sd =>
         Option(sd.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
         sd.delete()
@@ -246,7 +295,7 @@ object KvCommands {
   /** O5: DESCRIBE — one row per column: (name, type, KEY order / NONKEY),
     * plus per-segment region info if requested. */
   def describe(spark: SparkSession, path: String): DataFrame = {
-    val KvTableMeta(schema, keys, _, _) = GraftKvMeta.read(path).getOrElse(
+    val KvTableMeta(schema, keys, _, _, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     import scala.jdk.CollectionConverters._
     val rows = schema.fields.map { f =>
@@ -534,7 +583,7 @@ object KvCommands {
       share(f)
       share(f.stripSuffix(".kv") + ".kvmeta")
     }
-    GraftKvMeta.write(dst, m.schema, m.keys, m.encoding, m.zorder)
+    GraftKvMeta.write(dst, m.schema, m.keys, m.encoding, m.zorder, m.props)
     SegmentFile.writeManifest(dst, live)
   }
 
@@ -586,7 +635,7 @@ object KvCommands {
   def snapshotDiff(spark: SparkSession, path: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val KvTableMeta(schema, keys, _, _) = GraftKvMeta.read(path).getOrElse(
+    val KvTableMeta(schema, keys, _, _, _) = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     val vals = schema.fieldNames.toSeq.filterNot(keys.contains)
     // internal columns are __-prefixed so a user value column named
@@ -614,4 +663,88 @@ object KvCommands {
     * overlapping groups. Returns true if a compaction ran. */
   def autoCompact(spark: SparkSession, path: String, maxDepth: Int = 4): Boolean =
     overlapDepth(path) > maxDepth && compactMinor(spark, path) > 0
+}
+
+/** Crash-repair protocol for `OPTIMIZE … ZORDER BY` (see
+  * [[KvCommands.convertToZOrder]]): an intent marker written just
+  * before the manifest CAS carries the new segment set and the new
+  * table meta, so ANY later reader can tell which side of the commit
+  * point a crash landed on and finish (or undo) deterministically —
+  * the conversion has no manual-repair window.
+  *
+  * Marker format (written via tmp + atomic move, so never torn):
+  * {{{
+  *   <n>            — count of new segment files
+  *   <file_1..n>    — the new live set, sorted
+  *   <meta>         — the new _graft_meta.json content (2 lines)
+  * }}} */
+private[connector] object ZConvert {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import graft.store.SegmentFile
+
+  def markerPath(dir: String): java.nio.file.Path =
+    Paths.get(dir, "._graft_zconvert")
+
+  def writeMarker(dir: String, newFiles: Set[String], meta: String): Unit = {
+    val tmp = Paths.get(dir,
+      s"._graft_zconvert.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp,
+      (Seq(newFiles.size.toString) ++ newFiles.toSeq.sorted :+ meta)
+        .mkString("\n"))
+    Files.move(tmp, markerPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readMarker(dir: String): Option[(Set[String], String)] =
+    try {
+      if (!Files.exists(markerPath(dir))) None
+      else {
+        val lines = Files.readString(markerPath(dir)).split("\n", -1)
+        val n = lines(0).trim.toInt
+        Some((lines.slice(1, 1 + n).toSet,
+          lines.drop(1 + n).mkString("\n")))
+      }
+    } catch { case _: Exception => None }
+
+  def clearMarker(dir: String): Unit = Files.deleteIfExists(markerPath(dir))
+
+  /** Atomic meta publish from raw content (GraftKvMeta.write's rename
+    * discipline, without re-deriving the serialized form). */
+  def writeMetaContent(dir: String, content: String): Unit = {
+    val tmp = Paths.get(dir,
+      s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, Paths.get(dir, "_graft_meta.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read-side repair, called by GraftKvMeta.read before every meta
+    * read (one Files.exists on the hot path). Cases:
+    *  - manifest == marker's new set → the CAS committed: finish the
+    *    meta flip (idempotent — the live converter may be doing the
+    *    same), prune pre-conversion snapshots, clear the marker;
+    *  - manifest ≠ new set + a live maintenance lease → a converter is
+    *    mid-flight: old meta governs, leave everything alone;
+    *  - manifest ≠ new set + no live lease → crashed before the commit
+    *    point: the old table governs; drop the stranded unmanifested
+    *    replacement segments and the marker. */
+  def repair(dir: String): Unit = {
+    if (!Files.exists(markerPath(dir))) return
+    readMarker(dir).foreach { case (newSet, meta) =>
+      val live = try SegmentFile.readManifest(dir)
+        catch { case _: Exception => None }
+      if (live.contains(newSet)) {
+        writeMetaContent(dir, meta)
+        SegmentFile.pruneManifestVersions(dir, Long.MaxValue)
+        clearMarker(dir)
+        KvIndex.invalidate(dir)
+      } else if (!KvMaintenance.liveLeaseExists(dir)) {
+        newSet.filterNot(f => live.exists(_.contains(f))).foreach { f =>
+          Files.deleteIfExists(Paths.get(dir, f))
+          Files.deleteIfExists(Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
+        }
+        clearMarker(dir)
+      }
+    }
+  }
 }

@@ -134,6 +134,18 @@ object KvMaintenance {
     None
   }
 
+  /** Is SOME live (unexpired) lease present — whoever holds it? The
+    * z-order conversion's crash repair uses this to distinguish "a
+    * converter is mid-flight, leave its marker alone" from "the marker
+    * is a crash leftover, clean it up". */
+  def liveLeaseExists(artifactDir: String,
+      leaseMs: Long = DefaultLeaseMs): Boolean =
+    try {
+      val p = leasePath(artifactDir)
+      Files.exists(p) && (System.currentTimeMillis() -
+        Files.getLastModifiedTime(p).toMillis) < leaseMs
+    } catch { case _: Exception => false }
+
   /** Does `l` still name the CURRENT lease? A holder must re-check this
     * immediately before publishing anything irreversible — a stolen
     * lease means a successor may have run, and the holder's writes are

@@ -76,6 +76,30 @@ object KvOps {
       Seq("l_orderkey", "l_linenumber", "l_uid")))
   }
 
+  /** Lineitem with an EXACT DECIMAL(12,2) money column stored natively
+    * in the kv codec (sign-flipped scale-normalized unscaled integer —
+    * order-preserving, fixed width). The decimal is built from integer
+    * columns via string parse, not a double cast, so its value is
+    * engine-independent and the gate hashes exactly. The reference
+    * PARSES decimal DDL but cannot store it (HBaseSQLParser.scala:
+    * 234-249 vs HBaseCatalog.scala:425-446); this stores money exactly. */
+  private def lineitemDecKv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lazy val li = Tables.table(s, d, "lineitem")
+    lazy val orderCols = li.columns
+      .filterNot(c => c == "l_orderkey" || c == "l_linenumber").map(col).toSeq
+    lazy val keyed = li
+      .withColumn("l_uid",
+        row_number().over(Window.partitionBy("l_orderkey", "l_linenumber")
+          .orderBy(orderCols: _*)))
+      .withColumn("price_dec", expr(
+        "CAST(concat(cast(l_partkey as string), '.', " +
+          "lpad(cast(l_suppkey % 100 as string), 2, '0')) AS DECIMAL(12,2))"))
+      .select("l_orderkey", "l_linenumber", "l_uid", "l_returnflag", "price_dec")
+    KvCommands.table(s, ensureDf(s, d, "lineitem_dec", keyed,
+      Seq("l_orderkey", "l_linenumber", "l_uid")))
+  }
+
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
 
@@ -969,6 +993,32 @@ object KvOps {
           col("o_orderkey").between(1000, 30000))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // DECIMAL money columns stored NATIVELY in the kv codec: exact
+    // storage (no double round-trip), a pushed range filter on the
+    // decimal value column (no zone claims yet — claim-or-nothing, so
+    // the residual decides), and exact SUM/MIN/MAX aggregation over the
+    // decoded decimals, hash-matched against the parquet truth
+    QuerySpec.checked("kv47_decimal_money",
+      """SELECT l_returnflag,
+        |  sum(p) AS sum_price, min(p) AS min_price, max(p) AS max_price,
+        |  count(*) AS cnt
+        |FROM (SELECT l_returnflag,
+        |        CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)
+        |WHERE p > 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      lineitemDecKv(s, d)
+        .filter(col("price_dec") > 50)
+        .groupBy("l_returnflag")
+        .agg(sum(col("price_dec")).as("sum_price"),
+          min(col("price_dec")).as("min_price"),
+          max(col("price_dec")).as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
     },
 
     // 3-dim z-curve with a STRING middle dimension: numeric lead range ×

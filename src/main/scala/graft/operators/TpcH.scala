@@ -454,24 +454,32 @@ object TpcH {
         |                    AND l3.l_shipdate > o_orderdate)
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""") { (s, d) =>
-      // ONE lineitem pass: fold to per-(order, supplier) late-line
-      // counts, then per-order supplier statistics — no countDistinct
-      // Expand, no second join back to the fact. A row of l1 qualifies
-      // iff its order has >1 supplier and exactly one late supplier
-      // (which must be l1's own, since l1 is late), so numwait is the
-      // sum of the qualifying groups' late-line counts.
+      // ONE lineitem pass, ONE fact shuffle: the joined fact partitions
+      // by l_orderkey once; the per-(order, supplier) aggregation runs
+      // shuffle-free on it (partitioning by a PREFIX of the grouping
+      // keys satisfies the clustering requirement), and the per-order
+      // supplier statistics are WINDOWS over the same partitioning —
+      // no second aggregation, no join back (round 9; previously the
+      // perSupp→perOrder→join shape cost two more pair-level shuffles).
+      // A row of l1 qualifies iff its order has >1 supplier and exactly
+      // one late supplier (which must be l1's own, since l1 is late),
+      // so numwait is the sum of the qualifying groups' late-line
+      // counts. At cluster scale the one explicit repartition is the
+      // operation bucketing lineitem by orderkey would make free.
+      import org.apache.spark.sql.expressions.Window
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      val w = Window.partitionBy(col("l_orderkey"))
       val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(sum(when(col("l_shipdate") > col("o_orderdate"), 1L)
           .otherwise(0L)).as("late_lines"))
-      val perOrder = perSupp.groupBy(col("l_orderkey").as("po_orderkey"))
-        .agg(count(lit(1)).as("nsupp"),
-          sum(when(col("late_lines") > 0, 1).otherwise(0)).as("nlate"))
-      perSupp.filter(col("late_lines") > 0)
-        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
-        .filter(col("nsupp") > 1 && col("nlate") === 1)
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate",
+          sum(when(col("late_lines") > 0, 1).otherwise(0)).over(w))
+      perSupp.filter(col("late_lines") > 0 &&
+          col("nsupp") > 1 && col("nlate") === 1)
         .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, d, "nation").filter(col("n_name") === "NATION_5"),
           col("s_nationkey") === col("n_nationkey"))

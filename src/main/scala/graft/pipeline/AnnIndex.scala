@@ -104,7 +104,8 @@ object AnnIndex {
   // auto-rebuilds past the threshold.
 
   final case class AnnDriftStats(buildRows: Long, buildMeanCos: Double,
-      appendedRows: Long, appendMeanCos: Double) {
+      appendedRows: Long, appendMeanCos: Double,
+      appendComps: Long = 0L, appendClamped: Long = 0L) {
     /** Appended volume relative to the clustered base (1.0 = the corpus
       * doubled since clustering). */
     def growth: Double =
@@ -114,24 +115,41 @@ object AnnIndex {
       * the build-time corpus fit its own (positive = drifting away). */
     def cosErosion: Double =
       if (appendedRows == 0) 0.0 else buildMeanCos - appendMeanCos
+    /** Fraction of appended vector COMPONENTS that fell outside the
+      * build-time int8 grid (clamped at ±127, or a nonzero value in a
+      * dimension the build saw as all-zero). Distinct failure mode
+      * from cosErosion: a magnitude shift clamps heavily while cosine
+      * fit — scale-invariant — stays perfect, so quantized-sim
+      * fidelity erodes with NO centroid-fit signal. */
+    def gridErosion: Double =
+      if (appendComps == 0) 0.0 else appendClamped.toDouble / appendComps
     /** Rebuild when the un-clustered volume rivals the clustered base,
-      * or when appended vectors visibly stopped fitting the cells. */
+      * when appended vectors visibly stopped fitting the cells, or
+      * when the int8 grid is clamping enough appended components to
+      * erode quantized-similarity fidelity. */
     def needsRebuild(maxGrowth: Double = 1.0,
-        maxCosErosion: Double = 0.05): Boolean =
-      appendedRows > 0 && (growth >= maxGrowth || cosErosion >= maxCosErosion)
+        maxCosErosion: Double = 0.05,
+        maxGridErosion: Double = 0.05): Boolean =
+      appendedRows > 0 && (growth >= maxGrowth ||
+        cosErosion >= maxCosErosion || gridErosion >= maxGridErosion)
   }
 
   private def writeDrift(path: String, buildRows: Long, buildCosSum: Double,
-      appendRows: Long, appendCosSum: Double): Unit =
+      appendRows: Long, appendCosSum: Double,
+      appendComps: Long = 0L, appendClamped: Long = 0L): Unit =
     Files.writeString(driftFile(path),
       s"build_rows=$buildRows\nbuild_cos_sum=$buildCosSum\n" +
-        s"append_rows=$appendRows\nappend_cos_sum=$appendCosSum")
+        s"append_rows=$appendRows\nappend_cos_sum=$appendCosSum\n" +
+        s"append_comps=$appendComps\nappend_clamped=$appendClamped")
 
-  private def readDrift(path: String): (Long, Double, Long, Double) = {
+  private def readDrift(path: String): (Long, Double, Long, Double, Long, Long) = {
     val kv = Files.readString(driftFile(path)).split('\n')
       .map(_.split('=')).collect { case Array(k, v) => k -> v.trim }.toMap
     (kv("build_rows").toLong, kv("build_cos_sum").toDouble,
-      kv("append_rows").toLong, kv("append_cos_sum").toDouble)
+      kv("append_rows").toLong, kv("append_cos_sum").toDouble,
+      // pre-round-9 ledgers lack the grid counters — read as zero
+      kv.getOrElse("append_comps", "0").toLong,
+      kv.getOrElse("append_clamped", "0").toLong)
   }
 
   /** The index's drift ledger, folded — a sidecar read, no data scan.
@@ -140,9 +158,9 @@ object AnnIndex {
   def driftStats(path: String): AnnDriftStats = {
     if (!Files.exists(driftFile(path)))
       return AnnDriftStats(0L, 0.0, 0L, 0.0)
-    val (br, bcs, ar, acs) = readDrift(path)
+    val (br, bcs, ar, acs, ac, acl) = readDrift(path)
     AnnDriftStats(br, if (br == 0) 0.0 else bcs / br,
-      ar, if (ar == 0) 0.0 else acs / ar)
+      ar, if (ar == 0) 0.0 else acs / ar, ac, acl)
   }
 
   /** (rows, sum of assigned-centroid cosines) of `df` — one aggregate
@@ -233,9 +251,23 @@ object AnnIndex {
     // update assumes one maintainer at a time (serialize via
     // KvMaintenance.acquire when that isn't structural).
     if (Files.exists(driftFile(path))) {
-      val (br, bcs, ar, acs) = readDrift(path)
+      val (br, bcs, ar, acs, ac, acl) = readDrift(path)
       val (n, cosSum) = fitOf(newVectors, cents, vecCol)
-      writeDrift(path, br, bcs, ar + n, acs + cosSum)
+      // grid-fit of the batch: components the persisted scales CLAMP
+      // (|round(v/s)| > 127, or nonzero in an all-zero-at-build dim) —
+      // the int8-fidelity signal cosine fit cannot see
+      val sArr = array(scales.map(lit): _*)
+      val clampedPerRow = aggregate(
+        zip_with(col(vecCol), sArr, (x, s) =>
+          when(s === 0.0, when(x =!= 0.0f, 1L).otherwise(0L))
+            .otherwise(when(abs(round(x.cast("double") / s)) > 127.0, 1L)
+              .otherwise(0L))),
+        lit(0L), (acc, v) => acc + v)
+      val grid = newVectors.agg(
+        coalesce(sum(size(col(vecCol)).cast("long")), lit(0L)).as("comps"),
+        coalesce(sum(clampedPerRow), lit(0L)).as("clamped")).head()
+      writeDrift(path, br, bcs, ar + n, acs + cosSum,
+        ac + grid.getLong(0), acl + grid.getLong(1))
     }
   }
 
@@ -248,9 +280,11 @@ object AnnIndex {
     * recall recovers. Returns true when a rebuild ran. */
   def appendAndMaintain(spark: SparkSession, newVectors: DataFrame,
       path: String, maxGrowth: Double = 1.0, maxCosErosion: Double = 0.05,
+      maxGridErosion: Double = 0.05,
       vecCol: String = "embedding", idCol: String = "vec_id"): Boolean = {
     append(newVectors, path, vecCol, idCol)
-    if (driftStats(path).needsRebuild(maxGrowth, maxCosErosion)) {
+    if (driftStats(path)
+        .needsRebuild(maxGrowth, maxCosErosion, maxGridErosion)) {
       rebuildInPlace(spark, path, vecCol, idCol)
       true
     } else false

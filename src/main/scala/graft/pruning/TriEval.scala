@@ -70,6 +70,15 @@ object TriEval {
       dt0.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt0.getNano / 1000L
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+    // decimals normalize to catalyst Decimal (what decoded keys hold);
+    // BigDecimal.compareTo under Decimal.compare is scale-independent
+    case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) => d
+    case (_: DecimalType, d: java.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(d)
+    case (_: DecimalType, d: BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(d)
+    case (_: DecimalType, n: Number) =>
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(n.toString))
     case (_: StringType, s) => s.toString
     case (_, other) => other
   }
@@ -89,6 +98,9 @@ object TriEval {
       java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case BooleanType => (a, b) =>
       java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case _: DecimalType => (a, b) =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal])
     // strings must compare in UTF-8 byte order (the store's key order and
     // binary collation) — String.compareTo is UTF-16 code-unit order,
     // which disagrees for supplementary-plane codepoints

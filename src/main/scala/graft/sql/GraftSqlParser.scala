@@ -446,8 +446,8 @@ case class GraftDescribeDetailCommand(table: Seq[String])
   * form is MAJOR compaction (rewrite to one disjoint tombstone-free
   * run, restoring every metadata-claim path); the ZORDER form
   * re-clusters the table by the named dimensions (physical key becomes
-  * the Morton interleave — see KvCommands.convertToZOrder for the
-  * semantics and the offline-maintenance crash note). */
+  * the Morton interleave — see KvCommands.convertToZOrder; committed
+  * through the manifest-CAS protocol, crash-safe at every step). */
 case class GraftOptimizeCommand(table: Seq[String], dims: Seq[String])
     extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}

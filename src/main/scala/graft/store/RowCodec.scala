@@ -88,6 +88,54 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     case other => other
   }
 
+  // ── DECIMAL (binary encoding only) ─────────────────────────────────────
+  // All values of one DecimalType(p, s) column share scale s, so the
+  // UNSCALED integer's order is the value order. p ≤ 18 rides the
+  // sign-flipped long (8 bytes); wider precisions sign-extend the
+  // unscaled BigInteger's two's complement to 16 bytes and flip the
+  // sign bit — fixed width either way, so composite keys stay
+  // prefix-safe, and unsigned byte order == value order. (The reference
+  // PARSED decimal DDL but refused to store it, HBaseSQLParser.scala:
+  // 234-249 vs HBaseCatalog.scala:425-446 — this beats it. Metadata
+  // claims — zones/SUM/NDV/quantiles — are deliberately NOT published
+  // for decimal columns yet: claim-or-nothing.)
+
+  private def decimalWidth(dt: DecimalType): Int = if (dt.precision <= 18) 8 else 16
+
+  private def encodeDecimal(dt: DecimalType, dec: Decimal): Array[Byte] =
+    if (dt.precision <= 18) OrderedCodec.encodeLong(dec.toUnscaledLong)
+    else {
+      val bi = dec.toJavaBigDecimal.unscaledValue()
+      val out = new Array[Byte](16)
+      if (bi.signum() < 0) java.util.Arrays.fill(out, 0xff.toByte)
+      val tb = bi.toByteArray // minimal two's complement, big-endian
+      System.arraycopy(tb, 0, out, 16 - tb.length, tb.length)
+      out(0) = (out(0) ^ 0x80).toByte
+      out
+    }
+
+  private def decodeDecimal(dt: DecimalType, b: Array[Byte], off: Int): Decimal =
+    if (dt.precision <= 18)
+      Decimal.createUnsafe(OrderedCodec.decodeLong(b, off), dt.precision, dt.scale)
+    else {
+      val tmp = java.util.Arrays.copyOfRange(b, off, off + 16)
+      tmp(0) = (tmp(0) ^ 0x80).toByte
+      Decimal(new java.math.BigDecimal(new java.math.BigInteger(tmp), dt.scale),
+        dt.precision, dt.scale)
+    }
+
+  /** External/filter-domain value → Decimal at this column's type (key
+    * encode entry points may see catalyst Decimal, java BigDecimal from
+    * pushed filters, or a plain number from tests). */
+  private def toDecimal(dt: DecimalType, v: Any): Decimal = v match {
+    case d: Decimal => d
+    case d: java.math.BigDecimal => Decimal(d, dt.precision, dt.scale)
+    case d: BigDecimal => Decimal(d, dt.precision, dt.scale)
+    case n: Number => Decimal(new java.math.BigDecimal(n.toString), dt.precision, dt.scale)
+    case other => throw new IllegalArgumentException(
+      s"cannot encode $other as ${dt.simpleString}")
+  }
+
   private def encodeKeyField(dt: DataType, v0: Any): Array[Byte] = {
     val v = canonKey(v0)
     if (isString) {
@@ -107,6 +155,7 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
       case BooleanType => OrderedCodec.encodeBoolean(v.asInstanceOf[Boolean])
       case DoubleType => OrderedCodec.encodeDouble(v.asInstanceOf[Double])
       case FloatType => OrderedCodec.encodeFloat(v.asInstanceOf[Float])
+      case d: DecimalType => encodeDecimal(d, toDecimal(d, v))
       case _: StringType => OrderedCodec.encodeString(v.toString)
       case other => throw new IllegalArgumentException(s"unsupported key type $other")
     }
@@ -155,6 +204,8 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
         case BooleanType => out(i) = OrderedCodec.decodeBoolean(bytes, off); off += 1
         case DoubleType => out(i) = OrderedCodec.decodeDouble(bytes, off); off += 8
         case FloatType => out(i) = OrderedCodec.decodeFloat(bytes, off); off += 4
+        case d: DecimalType =>
+          out(i) = decodeDecimal(d, bytes, off); off += decimalWidth(d)
         case _: StringType =>
           val (s, n) = OrderedCodec.decodeString(bytes, off)
           out(i) = UTF8String.fromString(s); off += n
@@ -247,6 +298,9 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
           case BooleanType => out.writeBoolean(row.getBoolean(valueOrdinals(i)))
           case DoubleType => out.writeDouble(row.getDouble(valueOrdinals(i)))
           case FloatType => out.writeFloat(row.getFloat(valueOrdinals(i)))
+          case d: DecimalType =>
+            out.write(encodeDecimal(d,
+              row.getDecimal(valueOrdinals(i), d.precision, d.scale)))
           case _: StringType =>
             val b = row.getUTF8String(valueOrdinals(i)).getBytes
             out.writeInt(b.length); out.write(b)
@@ -306,6 +360,8 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
           out(i) = java.lang.Double.longBitsToDouble(beLong(bytes, off)); off += 8
         case FloatType =>
           out(i) = java.lang.Float.intBitsToFloat(beInt(bytes, off)); off += 4
+        case d: DecimalType =>
+          out(i) = decodeDecimal(d, bytes, off); off += decimalWidth(d)
         case _: StringType =>
           val n = beInt(bytes, off); off += 4
           out(i) = UTF8String.fromBytes(bytes, off, n); off += n
@@ -444,6 +500,10 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
           case FloatType =>
             if (tgt >= 0) vecs(tgt).putFloat(rowId, OrderedCodec.decodeFloat(key, off))
             off += 4
+          case d: DecimalType =>
+            if (tgt >= 0) vecs(tgt).putDecimal(rowId,
+              decodeDecimal(d, key, off), d.precision)
+            off += decimalWidth(d)
           case _: StringType =>
             // NUL-terminated UTF-8: the raw slice IS the string payload
             val end = nulEnd(key, off)
@@ -490,6 +550,10 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
             if (tgt >= 0) vecs(tgt).putFloat(rowId,
               java.lang.Float.intBitsToFloat(beInt(value, voff)))
             voff += 4
+          case d: DecimalType =>
+            if (tgt >= 0) vecs(tgt).putDecimal(rowId,
+              decodeDecimal(d, value, voff), d.precision)
+            voff += decimalWidth(d)
           case _: StringType =>
             val n = beInt(value, voff); voff += 4
             if (tgt >= 0) vecs(tgt).putByteArray(rowId, value, voff, n)

@@ -180,26 +180,28 @@ object SegmentFile {
 
   /** UTF-8-byte-order-safe truncation claims for string zone bounds
     * (the Iceberg truncate-and-increment pattern): bounds cap at
-    * [[MaxChars]] codepoints so a pathological long string can't bloat
-    * every sidecar and the planning pack. */
+    * `max` codepoints ([[MaxChars]] default; per-table override via
+    * the `stringzone.maxchars` table property — long shared URL/path
+    * prefixes need a deeper cap for useful bounds) so a pathological
+    * long string can't bloat every sidecar and the planning pack. */
   private[graft] object StringZone {
     val MaxChars = 64
 
     /** Lower-bound claim ≤ value: a codepoint prefix (UTF-8 encodes
       * codepoints independently, so a codepoint prefix is a byte
       * prefix, and a byte prefix sorts ≤ the full string). */
-    def lowerBound(s: String): (String, Boolean) =
-      if (s.codePointCount(0, s.length) <= MaxChars) (s, true)
-      else (s.substring(0, s.offsetByCodePoints(0, MaxChars)), false)
+    def lowerBound(s: String, max: Int = MaxChars): (String, Boolean) =
+      if (s.codePointCount(0, s.length) <= max) (s, true)
+      else (s.substring(0, s.offsetByCodePoints(0, max)), false)
 
-    /** Upper-bound claim ≥ value: truncate to [[MaxChars]] codepoints,
+    /** Upper-bound claim ≥ value: truncate to `max` codepoints,
       * then increment the last incrementable codepoint and drop the
       * rest (UTF-8 preserves codepoint order, so the incremented
       * prefix sorts above every string sharing the original prefix).
       * None when nothing is incrementable (all U+10FFFF). */
-    def upperBound(s: String): Option[(String, Boolean)] = {
-      if (s.codePointCount(0, s.length) <= MaxChars) return Some((s, true))
-      val cut = s.substring(0, s.offsetByCodePoints(0, MaxChars))
+    def upperBound(s: String, max: Int = MaxChars): Option[(String, Boolean)] = {
+      if (s.codePointCount(0, s.length) <= max) return Some((s, true))
+      val cut = s.substring(0, s.offsetByCodePoints(0, max))
       val cps = cut.codePoints().toArray
       var i = cps.length - 1
       while (i >= 0) {

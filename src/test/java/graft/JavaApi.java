@@ -32,4 +32,47 @@ public final class JavaApi {
         .head();
     return r.getLong(0);
   }
+
+  /**
+   * Full DDL/DML lifecycle through the catalog plugin from plain Java —
+   * the reference's JavaAPISuite flow (CREATE with a composite primary
+   * key, INSERT, SELECT) completed with UPDATE-by-upsert and DELETE.
+   * Returns the row count surviving at the end (expected: 2).
+   */
+  public static long catalogCrud(SparkSession spark, String catalogRoot) {
+    String cat = "gjava" + Math.abs(catalogRoot.hashCode() % 100000);
+    spark.conf().set("spark.sql.catalog." + cat,
+        "graft.connector.GraftKvCatalog");
+    spark.conf().set("spark.sql.catalog." + cat + ".root", catalogRoot);
+    String t = cat + ".db.java_t";
+    spark.sql("CREATE TABLE " + t
+        + " (region STRING, id BIGINT, payload STRING, amount DOUBLE)"
+        + " TBLPROPERTIES ('key'='region,id')");
+    spark.sql("INSERT INTO " + t + " VALUES"
+        + " ('eu', 1, 'a', 1.5), ('eu', 2, 'b', 2.5), ('us', 1, 'c', 3.5)");
+    // point SELECT through the pushed composite-key filter
+    Row row = spark.sql(
+        "SELECT payload FROM " + t + " WHERE region = 'eu' AND id = 2").head();
+    if (!row.getString(0).equals("b")) {
+      throw new IllegalStateException("point lookup returned " + row);
+    }
+    // Put-upsert: same key replaces the row
+    spark.sql("INSERT INTO " + t + " VALUES ('eu', 2, 'b2', 9.5)");
+    Row upd = spark.sql(
+        "SELECT payload, amount FROM " + t
+        + " WHERE region = 'eu' AND id = 2").head();
+    if (!upd.getString(0).equals("b2") || upd.getDouble(1) != 9.5) {
+      throw new IllegalStateException("upsert not applied: " + upd);
+    }
+    // DELETE routes through the tombstone write path
+    spark.sql("DELETE FROM " + t + " WHERE region = 'us'");
+    long n = spark.sql("SELECT * FROM " + t).count();
+    // graft statement extensions parse from Java sessions too
+    Row detail = spark.sql("DESCRIBE DETAIL " + t).head();
+    if (detail.getLong(detail.fieldIndex("tombstones")) < 1) {
+      throw new IllegalStateException("tombstone not recorded: " + detail);
+    }
+    spark.sql("DROP TABLE " + t);
+    return n;
+  }
 }

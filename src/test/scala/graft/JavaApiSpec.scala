@@ -13,4 +13,14 @@ class JavaApiSpec extends AnyFunSuite {
     assert(JavaApi.writeAndCount(spark, s"$dir/t") == 100L)
     assert(JavaApi.rollingHashFromSql(spark) != 0L)
   }
+
+  test("Java DDL/DML lifecycle: CREATE → INSERT → SELECT → upsert → DELETE") {
+    // the reference pins Java interop for its SQL surface
+    // (src/test/java/.../JavaAPISuite.java:34-80: CREATE with composite
+    // PK → INSERT → SELECT from a Java context); this drives the same
+    // flow through the catalog plugin + parser extension, plus the DML
+    // the reference lacked
+    val root = java.nio.file.Files.createTempDirectory("java_crud").toString
+    assert(JavaApi.catalogCrud(spark, root) == 2L)
+  }
 }

@@ -269,6 +269,70 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.zo.t")
   }
 
+  test("ZORDER conversion killed mid-publish: old table intact / flip finished") {
+    import graft.store.SegmentFile
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.zc")
+    spark.sql("CREATE TABLE graft.zc.t (k BIGINT, a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft.zc.t SELECT id, id div 50, id % 50 FROM range(2000)")
+    val dd = spark.sql("DESCRIBE DETAIL graft.zc.t").head()
+    val dir = dd.getString(dd.fieldIndex("location"))
+    val truth = spark.sql("SELECT k, a, b FROM graft.zc.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the converter's exact build phase, stopped at a chosen point —
+    // the commit protocol's own pieces, no scheduling luck involved
+    def buildReplacement(): (Set[String], String) = {
+      val src = spark.read.format("graftkv").load(dir)
+      val tmp = new java.io.File(dir,
+        s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}").getPath
+      KvCommands.createZOrderTable(src, tmp, Seq("a", "b"))
+      val files = SegmentFile.listSegments(tmp).map(_.file)
+      val meta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tmp, "_graft_meta.json"))
+      files.foreach { f =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp, f),
+          java.nio.file.Paths.get(dir, f))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
+          java.nio.file.Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
+      }
+      KvCommands.dropTable(tmp)
+      (files.toSet, meta)
+    }
+
+    // ── killed BEFORE the manifest CAS (marker + stranded segments on
+    // disk, nothing committed): the old table governs, the next read
+    // sweeps the leftovers
+    val oldSet = SegmentFile.readManifest(dir).get
+    val (new1, meta1) = buildReplacement()
+    ZConvert.writeMarker(dir, new1, meta1)
+    val back = spark.sql("SELECT k, a, b FROM graft.zc.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(back == truth, "pre-CAS crash must leave the old table intact")
+    assert(!spark.table("graft.zc.t").columns.contains("_z"))
+    assert(ZConvert.readMarker(dir).isEmpty, "abandoned marker must be swept")
+    assert(SegmentFile.readManifest(dir).get == oldSet)
+    new1.foreach(f => assert(!new java.io.File(dir, f).exists(),
+      s"stranded replacement segment survived: $f"))
+
+    // ── killed AFTER the CAS, before the meta flip: the commit point
+    // passed, so the next read FINISHES the conversion
+    val (new2, meta2) = buildReplacement()
+    ZConvert.writeMarker(dir, new2, meta2)
+    SegmentFile.commitManifest(dir)(_ => Some(new2))
+    val after = spark.sql("SELECT k, a, b FROM graft.zc.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after == truth, "post-CAS crash must finish with every row intact")
+    assert(spark.table("graft.zc.t").columns.contains("_z"),
+      "post-CAS repair must flip the table meta to the z layout")
+    assert(ZConvert.readMarker(dir).isEmpty)
+    // pre-conversion snapshots describe the OLD key layout: pruned, so
+    // time travel fails with "no snapshot" instead of a garbage decode
+    assert(SegmentFile.manifestVersions(dir).length == 1)
+    spark.sql("DROP TABLE graft.zc.t")
+  }
+
   test("DESCRIBE DETAIL: one-row health summary honoring the rows gate") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
     spark.sql(

@@ -140,6 +140,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!h22.contains("CartesianProduct"), h22.take(2000))
   }
 
+  test("h21 runs on ONE fact shuffle (prefix-partitioned agg + windows)") {
+    // the joined fact repartitions by l_orderkey once; the
+    // (l_orderkey, l_suppkey) aggregation and both per-order windows
+    // ride that partitioning, and dims broadcast — so the only hash
+    // exchanges are the fact repartition and the final tiny
+    // GROUP BY s_name. A third exchange means the shared shuffle
+    // regressed into separate ones.
+    val plan = planOf("h21_tpch_q21")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"h21 plans $shuffles hash exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("TPC-H Q3 on kv storage broadcasts dims and stays hash-joined (kv32)") {
     val plan = planOf("kv32_tpch_q3_on_kv")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
@@ -378,7 +391,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val kvPath = s"${System.getProperty("java.io.tmpdir")}/graft_kv/" +
       sf.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem"
-    val graft.connector.KvTableMeta(schema, keys, _, _) = graft.connector.GraftKvMeta.read(kvPath).get
+    val graft.connector.KvTableMeta(schema, keys, _, _, _) = graft.connector.GraftKvMeta.read(kvPath).get
     val all = new graft.connector.GraftKvScan(kvPath, schema, keys, schema,
       Array.empty, -1).planInputPartitions().length
     val pruned = new graft.connector.GraftKvScan(kvPath, schema, keys, schema,

@@ -307,6 +307,59 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("grid erosion alone trips the rebuild and refreshes the int8 scales") {
+    // appended vectors point along the SAME modes as the base (cosine
+    // is scale-invariant, so centroid fit is perfect and cosErosion ≈
+    // 0) but at 10× magnitude: the build-time int8 grid clamps nearly
+    // every component. Growth stays tiny. Only the gridErosion signal
+    // can see this failure mode — without it, quantized-sim fidelity
+    // would erode silently until the growth trigger fired much later.
+    val dim = 16
+    val rnd = new scala.util.Random(12)
+    def mode(axis: Int, id0: Long, n: Int, scale: Float): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)((rnd.nextGaussian() * 0.05 * scale).toFloat)
+        v(axis) = ((1.0 + rnd.nextGaussian() * 0.05) * scale).toFloat
+        (id0 + i, v.toSeq)
+      }
+    val base = (mode(0, 0, 100, 1f) ++ mode(1, 100, 100, 1f))
+      .toDF("vec_id", "embedding")
+    val big = (mode(0, 1000, 10, 10f) ++ mode(1, 1010, 10, 10f))
+      .toDF("vec_id", "embedding")
+
+    // signal shape: plain append, then read the ledger
+    val dirA = java.nio.file.Files.createTempDirectory("ann_grid_a")
+      .toString + "/idx"
+    AnnIndex.build(base, dirA, dim = dim, nPlanes = 16, nCentroids = 8)
+    AnnIndex.append(big, dirA)
+    val stats = AnnIndex.driftStats(dirA)
+    assert(stats.growth < 0.2, s"growth must stay under its trigger: $stats")
+    assert(stats.cosErosion < 0.05,
+      s"scaled-up same-direction vectors must fit the cells: $stats")
+    assert(stats.gridErosion > 0.5,
+      s"10× magnitude must clamp most components: $stats")
+    assert(stats.needsRebuild(maxGrowth = 1.0, maxCosErosion = 0.05),
+      s"grid erosion alone must trip the trigger: $stats")
+
+    // end-to-end: appendAndMaintain rebuilds on the grid signal only
+    // (growth/cos thresholds far out of reach) and refreshes the grid
+    val dirB = java.nio.file.Files.createTempDirectory("ann_grid_b")
+      .toString + "/idx"
+    AnnIndex.build(base, dirB, dim = dim, nPlanes = 16, nCentroids = 8)
+    val scalesBefore = AnnIndex.loadScales(dirB)
+    val rebuilt = AnnIndex.appendAndMaintain(spark, big, dirB,
+      maxGrowth = 5.0, maxCosErosion = 0.5)
+    assert(rebuilt, "grid erosion alone must drive the rebuild")
+    val scalesAfter = AnnIndex.loadScales(dirB)
+    assert(scalesAfter.max > scalesBefore.max * 5,
+      s"rebuild must refresh _scales.txt to the grown range: " +
+        s"${scalesBefore.max} -> ${scalesAfter.max}")
+    // fresh ledger, nothing lost
+    val statsB = AnnIndex.driftStats(dirB)
+    assert(statsB.buildRows == 220 && statsB.appendedRows == 0)
+    assert(spark.read.parquet(dirB).count() == 220)
+  }
+
   test("matches corpus embeddings against an in-test oracle") {
     val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(50).cache()
     val rows = emb.collect().map(r =>

@@ -129,6 +129,42 @@ class StringZoneSpec extends AnyFunSuite {
     assert(t.filter(col("s") === "p" * 70 + "02").count() == 2000L)
   }
 
+  test("stringzone.maxchars table property deepens the truncation cap") {
+    val path = tmpDir("cap")
+    val prefix = "https://example.com/very/long/shared/path/prefix/" +
+      "0123456789/0123456789/" // 72 codepoints — past the 64 default
+    spark.range(8000).select(col("id").as("k"),
+      concat(lit(prefix), lpad(expr("id div 2000").cast("string"), 2, "0"))
+        .as("s"))
+      .write.format("graftkv").option("key", "k")
+      .option("stringzone.maxchars", "100")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    // the property persists into the table meta (appends honor it
+    // without restating)
+    assert(graft.connector.GraftKvMeta.read(path).get
+      .props(graft.connector.GraftKvMeta.StringZoneMaxCharsProp) == "100")
+    // at the deeper cap the bounds are EXACT values, so metadata MIN/MAX
+    // answers (at the 64 default this corpus collapses to one shared
+    // truncated claim — useless bounds, see the test above)
+    val t = KvCommands.table(spark, path)
+    assert(SegmentFile.listSegments(path).forall(_.zoneStats.exists(z =>
+      z.name == "s" && z.exact)), "configured cap must make claims exact")
+    val q = t.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(aggPlan(q).contains("GraftKvAggScan"),
+      "exact deep-cap bounds must take the metadata MIN/MAX path")
+    val r = q.first()
+    assert(r.getString(0) == prefix + "00" && r.getString(1) == prefix + "03")
+    // and the deeper bounds prune a shared-prefix point predicate the
+    // default cap could not tell apart
+    val narrow = t.filter(col("s") === (prefix + "00"))
+    assert(narrow.count() == 2000L)
+    narrow.collect()
+    val report = KvCommands.pruningReport(narrow).head()
+    assert(report.getAs[Long]("segments_read") <
+      report.getAs[Long]("segments_live"),
+      s"deep-cap zones pruned nothing: $report")
+  }
+
   test("truncated claims degrade t.columns and ANALYZE min/max to NULL") {
     // the zone CLAIM for a >64-codepoint string is a truncated prefix /
     // incremented prefix — a value the table may not contain. The stats
