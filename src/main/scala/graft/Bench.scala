@@ -608,6 +608,13 @@ object Bench {
       s""","sf1":{"dir":"$dir","total":${fmt(sf1Total)},"queries":${objT(rs)},"tpch_queries":${objT(hs)}}"""
     }.getOrElse("")
 
+    // closing calibration bracket: the opening numbers only certify the
+    // run's FIRST minute — round 8's dd3 mystery was load arriving
+    // mid-run, invisible to a start-only probe. A big start→end drift
+    // (either flavor) marks the whole artifact as load-distorted.
+    val calibrationEnd = median3(calibrateOnce _)
+    val calibrationMtEnd = median3(calibrateMtOnce _)
+
     // full breakdown → detail file (per-query medians AND min/max spread)
     val detailPath = "tmp/bench_detail.json"
     val spreadJson = {
@@ -617,7 +624,7 @@ object Bench {
       s""","spread":${spread(results)},"tpch_spread":${spread(tpchResults)}"""
     }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$streamingJson$sf1Json}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$streamingJson$sf1Json}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -631,7 +638,7 @@ object Bench {
     val sf1Line = if (sf1Total >= 0) s""","sf1_total":${fmt(sf1Total)}""" else ""
     val bulkLine = if (bulkloadSec >= 0) s""","bulkload_sec":${fmt(bulkloadSec)}""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"queries":${objT(results)},"sf":"$sfDir"$prevLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
     // stop FIRST so executor-shutdown warnings cannot land after the
     // line inside the driver's tail capture; the line is the process's
     // final stdout
