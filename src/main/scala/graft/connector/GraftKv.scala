@@ -446,11 +446,14 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     // SUM pushes only when EVERY live segment carries the exact V7 sum
     // claim for the column at its CURRENT schema type (a null in any
     // segment, an overflow, a pre-V7 sidecar, or a type change all
-    // suppress the claim and the whole aggregate falls back to a scan)
+    // suppress the claim and the whole aggregate falls back to a scan).
+    // Narrow decimals (V13 zones) claim their UNSCALED sum — exact at
+    // the column's fixed scale.
     def summable(name: String): Boolean = {
       import org.apache.spark.sql.types._
       schema.fields.exists(f => f.name == name && (f.dataType match {
         case LongType | IntegerType | ShortType | ByteType => true
+        case d: DecimalType => d.precision <= 18
         case _ => false
       })) && segs.nonEmpty && segs.forall(_.zoneStats.exists(z =>
         z.name == name && z.dataType == schema(name).dataType && z.sum.isDefined))
@@ -574,7 +577,8 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (KvAgg.Count, i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
     case (KvAgg.CountCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
-    case (KvAgg.SumCol(_), i) => org.apache.spark.sql.types.StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = true)
+    case (KvAgg.SumCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i",
+      GraftKvAggScan.sumType(schema(n).dataType), nullable = true)
     case (KvAgg.MinCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
     case (KvAgg.MaxCol(n), i) => org.apache.spark.sql.types.StructField(s"agg_$i", schema(n).dataType, nullable = true)
     case (_, i) => org.apache.spark.sql.types.StructField(s"agg_$i", leadField.dataType, nullable = true)
@@ -607,7 +611,7 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
       case KvAgg.SumCol(n) =>
         // presence was validated at push time over this exact listing
         m.zoneStats.find(_.name == n).flatMap(_.sum)
-          .map(Long.box).orNull
+          .map(s => GraftKvAggScan.sumValue(schema(n).dataType, s)).orNull
       case KvAgg.MinCol(n) =>
         m.zoneStats.find(_.name == n).map(z => toInternal(z.min)).orNull
       case KvAgg.MaxCol(n) =>
@@ -631,6 +635,26 @@ class GraftKvAggScan(path: String, schema: StructType, keys: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvAggReaderFactory(schema, keys, aggs, leadRanges, encoding)
+}
+
+object GraftKvAggScan {
+  import org.apache.spark.sql.types._
+
+  /** Spark's partial-sum type for a pushed SUM: Long for integrals,
+    * the widened decimal (Sum's own result type) for decimal columns. */
+  def sumType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
+  }
+
+  /** Internal value for a claimed sum: decimal claims carry the
+    * UNSCALED sum (the column's scale is fixed, so this is exact). */
+  def sumValue(dt: DataType, unscaledOrLong: Long): Any = dt match {
+    case d: DecimalType =>
+      Decimal(java.math.BigDecimal.valueOf(unscaledOrLong, d.scale),
+        math.min(38, d.precision + 10), d.scale)
+    case _ => Long.box(unscaledOrLong)
+  }
 }
 
 class KvAggReaderFactory(schema: StructType, keys: Seq[String],
@@ -691,6 +715,11 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
                         sums(j) = Math.addExact(sums(j),
                           x.asInstanceOf[Number].longValue)
                         sumSeen(j) = true
+                      case d: DecimalType if d.precision <= 18 =>
+                        sums(j) = Math.addExact(sums(j),
+                          x.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                            .toUnscaledLong)
+                        sumSeen(j) = true
                       case _ => ()
                     }
                   }
@@ -704,7 +733,9 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
               case KvAgg.MaxLead => maxLead
               case KvAgg.SumCol(n) =>
                 val j = valCols.indexOf(n)
-                if (sumSeen(j)) sums(j) else null
+                if (sumSeen(j))
+                  GraftKvAggScan.sumValue(schema(n).dataType, sums(j))
+                else null
               case KvAgg.MinCol(n) => mins(valCols.indexOf(n))
               case KvAgg.MaxCol(n) => maxs(valCols.indexOf(n))
               case KvAgg.CountCol(n) => nonNull(valCols.indexOf(n))
@@ -2466,13 +2497,16 @@ object GraftKvDataWriter {
   val ForceRotateFactor = 4L
 
   /** Columns the writer NDV-sketches: the atomic types
-    * XxHash64Function hashes (what Spark's HLL++ itself accepts). */
+    * XxHash64Function hashes (what Spark's HLL++ itself accepts).
+    * Decimals hash like Spark's own scan-side HLL++ (unscaled long
+    * for p ≤ 18, unscaled bytes wider), so merged estimates stay
+    * register-identical. */
   def ndvSketchable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
           FloatType | StringType | DateType | TimestampType |
-          TimestampNTZType | BooleanType => true
+          TimestampNTZType | BooleanType | _: DecimalType => true
       case _ => false
     }
   }
@@ -2529,14 +2563,17 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // column that saw ANY null in the segment must not publish one
   private val statNulls = new Array[Boolean](statFields.length)
 
-  // per-segment exact column SUMS (integral columns only; V7 sidecar).
-  // Overflow of the exact Long arithmetic drops the claim (sumOk).
+  // per-segment exact column SUMS (integral + narrow-decimal columns;
+  // V7 sidecar — decimal sums store the UNSCALED value, exact at the
+  // column's fixed scale). Overflow of the exact Long arithmetic drops
+  // the claim (sumOk).
   private val sumable: Array[Boolean] = statFields.map { case (_, f) =>
     f.dataType match {
       case org.apache.spark.sql.types.LongType |
           org.apache.spark.sql.types.IntegerType |
           org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.ByteType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
       case _ => false
     }
   }
@@ -2719,6 +2756,9 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
             case i: java.lang.Integer => i.longValue
             case s: java.lang.Short => s.longValue
             case b: java.lang.Byte => b.longValue
+            // decimal sums accumulate the UNSCALED value (the column's
+            // scale is fixed, so the sum is exact in the value domain)
+            case d: org.apache.spark.sql.types.Decimal => d.toUnscaledLong
             case other => other.asInstanceOf[Number].longValue
           }
           try statSum(si) = Math.addExact(statSum(si), x)

@@ -32,7 +32,7 @@ object KvOps {
     * by an older writer would silently lack them — correctness gates
     * still pass via the scan fallback, but metadata-claim gates (kv41)
     * would read NULL where the current writer publishes a number. */
-  private val FixtureFormat = "v12"
+  private val FixtureFormat = "v13" // round 9: decimal zone/sum/NDV claims
 
   /** Idempotently materialize `df` as a KV table. A cached fixture whose
     * declared keys or codec differ from the request (stale layout from
@@ -1019,6 +1019,27 @@ object KvOps {
           max(col("price_dec")).as("max_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    },
+
+    // DECIMAL aggregation from pure METADATA (V13 zone claims): the
+    // null-free money column's unfiltered SUM/MIN/MAX/COUNT answer
+    // from merged per-segment claims — the unscaled sums make the
+    // decimal SUM exact, zero data bytes read (KvAggPushSpec-style
+    // plan pinning lives in DecimalCodecSpec; here the VALUES are
+    // hash-matched against the parquet truth)
+    QuerySpec.checked("kv48_decimal_metadata_agg",
+      """SELECT sum(p) AS sum_price, min(p) AS min_price,
+        |  max(p) AS max_price, count(p) AS cnt_p, count(*) AS cnt
+        |FROM (SELECT CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)""") { (s, d) =>
+      lineitemDecKv(s, d)
+        .agg(sum(col("price_dec")).as("sum_price"),
+          min(col("price_dec")).as("min_price"),
+          max(col("price_dec")).as("max_price"),
+          count(col("price_dec")).as("cnt_p"),
+          count(lit(1)).as("cnt"))
     },
 
     // 3-dim z-curve with a STRING middle dimension: numeric lead range ×

@@ -283,16 +283,52 @@ object SegmentFile {
   }
   private val tagOf = zoneTags.map(_.swap).toMap
   private val typeOf = zoneTags.toMap
+  // V13: NARROW DECIMAL zones (precision ≤ 18 — unscaled value fits a
+  // long). The tag is parameterized: the entry writes (precision,
+  // scale) after the tag byte, so the layout is self-describing and
+  // pre-V13 files (which never contain the tag) need no version gate.
+  // Wide decimals (p > 18) stay unmapped — claim-or-nothing.
+  private val DecimalTag: Byte = 11
+
+  private def zoneTag(dt: org.apache.spark.sql.types.DataType): Byte =
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+        DecimalTag
+      case other => tagOf(other)
+    }
+
+  private def writeZoneTag(out: DataOutputStream,
+      dt: org.apache.spark.sql.types.DataType): Unit = {
+    out.writeByte(zoneTag(dt).toInt)
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        out.writeByte(d.precision); out.writeByte(d.scale)
+      case _ => ()
+    }
+  }
+
+  private def readZoneTag(in: DataInputStream): org.apache.spark.sql.types.DataType = {
+    val tag = in.readByte()
+    if (tag == DecimalTag)
+      org.apache.spark.sql.types.DecimalType(in.readByte(), in.readByte())
+    else typeOf(tag)
+  }
 
   /** Can this value column carry a zone map? */
   def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean =
-    tagOf.contains(dt)
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case other => tagOf.contains(other)
+    }
 
   /** Can this column carry a V11 quantile summary? The zone-mappable
     * NUMERICS (summaries ingest doubles) — strings zone-map since V12
-    * but have no quantile form. */
+    * but have no quantile form, and decimal zones (V13) skip the
+    * summaries too: ApproximatePercentile's double conversion would
+    * make the metadata answer inexact in the value domain. */
   def quantileSketchable(dt: org.apache.spark.sql.types.DataType): Boolean =
-    zoneMappable(dt) && dt != org.apache.spark.sql.types.StringType
+    zoneMappable(dt) && dt != org.apache.spark.sql.types.StringType &&
+      !dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
   private def writeZoneValue(out: DataOutputStream,
       dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
@@ -309,6 +345,8 @@ object SegmentFile {
         val b = v.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out.writeInt(b.length); out.write(b)
+      case _: DecimalType =>
+        out.writeLong(v.asInstanceOf[Decimal].toUnscaledLong)
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
@@ -326,6 +364,8 @@ object SegmentFile {
       case _: StringType =>
         val b = new Array[Byte](in.readInt()); in.readFully(b)
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case d: DecimalType =>
+        Decimal.createUnsafe(in.readLong(), d.precision, d.scale)
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
@@ -406,7 +446,7 @@ object SegmentFile {
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
-        Option(schemaJson), zoneStats.filter(z => tagOf.contains(z.dataType)),
+        Option(schemaJson), zoneStats.filter(z => zoneMappable(z.dataType)),
         gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
       mo.writeInt(FormatV11)
@@ -432,7 +472,7 @@ object SegmentFile {
       m.zoneStats.foreach { z =>
         val nb = z.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         mo.writeInt(nb.length); mo.write(nb)
-        mo.writeByte(tagOf(z.dataType).toInt)
+        writeZoneTag(mo, z.dataType)
         writeZoneValue(mo, z.dataType, z.min)
         writeZoneValue(mo, z.dataType, z.max)
         writeZoneExact(mo, z.dataType, z.exact)
@@ -533,7 +573,7 @@ object SegmentFile {
         if (!v4) Seq.empty[ZoneStat]
         else (0 until in.readInt()).map { _ =>
           val nb = new Array[Byte](in.readInt()); in.readFully(nb)
-          val dt = typeOf(in.readByte())
+          val dt = readZoneTag(in)
           val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
           val exact = readZoneExact(in, dt)
           val sum =
@@ -839,7 +879,7 @@ object SegmentFile {
     m.zoneStats.foreach { z =>
       val zb = z.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       out.writeInt(zb.length); out.write(zb)
-      out.writeByte(tagOf(z.dataType).toInt)
+      writeZoneTag(out, z.dataType)
       writeZoneValue(out, z.dataType, z.min)
       writeZoneValue(out, z.dataType, z.max)
       writeZoneExact(out, z.dataType, z.exact)
@@ -877,7 +917,7 @@ object SegmentFile {
     }
     val stats = (0 until in.readInt()).map { _ =>
       val zb = new Array[Byte](in.readInt()); in.readFully(zb)
-      val dt = typeOf(in.readByte())
+      val dt = readZoneTag(in)
       val (mn, mx) = (readZoneValue(in, dt), readZoneValue(in, dt))
       val exact = readZoneExact(in, dt)
       val sum = if (in.readBoolean()) Some(in.readLong()) else None
@@ -1074,7 +1114,7 @@ object SegmentFile {
     var nz = in.readInt() // zone stats
     while (nz > 0) {
       in.skipNBytes(in.readInt().toLong) // column name
-      val dt = typeOf(in.readByte())
+      val dt = readZoneTag(in)
       readZoneValue(in, dt); readZoneValue(in, dt)
       readZoneExact(in, dt)
       if (in.readBoolean()) in.readLong()

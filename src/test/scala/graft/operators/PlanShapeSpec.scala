@@ -140,6 +140,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!h22.contains("CartesianProduct"), h22.take(2000))
   }
 
+  test("kv48 decimal aggregate answers from metadata (GraftKvAggScan)") {
+    // the null-free DECIMAL money column's SUM/MIN/MAX/COUNT push to
+    // the V13 zone claims: no data file opens at any table size
+    assert(planOf("kv48_decimal_metadata_agg").contains("GraftKvAggScan"))
+  }
+
   test("h21 runs on ONE fact shuffle (prefix-partitioned agg + windows)") {
     // the joined fact repartitions by l_orderkey once; the
     // (l_orderkey, l_suppkey) aggregation and both per-order windows

@@ -141,13 +141,82 @@ class DecimalCodecSpec extends AnyFunSuite {
     val upd = KvCommands.table(spark, path).filter(col("k") === 10).head()
     assert(upd.getDecimal(1).compareTo(new java.math.BigDecimal("42.125")) == 0)
     assert(upd.getDecimal(2).compareTo(new java.math.BigDecimal("1.25")) == 0)
-    // no metadata claims for decimal columns (claim-or-nothing): the
-    // aggregate must come from a scan, not a GraftKvAggScan
+    // narrow decimals carry V13 zone claims — after compaction restores
+    // the gate, MIN answers from metadata; WIDE decimals (p > 18) have
+    // no zone form and refuse to the scan (claim-or-nothing)
     KvCommands.compact(spark, path) // restore disjointness first
-    val q = KvCommands.table(spark, path).agg(min(col("small")).as("mn"))
-    assert(!q.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
-      "decimal MIN must not claim the metadata path (no zone entries exist)")
-    q.collect()
+    val qNarrow = KvCommands.table(spark, path).agg(min(col("small")).as("mn"))
+    assert(qNarrow.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      "narrow-decimal MIN must answer from V13 zone metadata")
+    assert(qNarrow.head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("0.00")) == 0) // id 0 → 0.00
+    val qWide = KvCommands.table(spark, path).agg(min(col("big")).as("mn"))
+    assert(!qWide.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      "wide-decimal MIN must refuse the metadata path (no zone form)")
+    qWide.collect()
     KvCommands.dropTable(path)
+  }
+
+  test("decimal metadata claims: exact SUM/MIN/MAX/COUNT + NDV, zero data bytes") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graftkv_dec_meta").toString + "/t"
+    // money = k/4 at scale 2, NULL every 10th row; 500 rows bulk-loaded
+    // (disjoint, tombstone-free: every claim gate holds)
+    val df = spark.range(500).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(expr("CAST(CAST(id AS DECIMAL(12,2)) / 4 AS DECIMAL(12,2))"))
+        .as("money"))
+    KvCommands.createTable(df, path, Seq("k"),
+      maxSegBytes = Some(4096L)) // several segments → a real merge
+    val t = KvCommands.table(spark, path)
+    // a null suppresses its segment's zone entry (a zone is a TOTAL
+    // claim), so SUM/MIN/MAX fall back to the scan here and must still
+    // be exact — the null-free corpus below asserts the metadata path
+    val q = t.agg(sum(col("money")).as("s"), min(col("money")).as("mn"),
+      max(col("money")).as("mx"), count(col("money")).as("c"))
+    val vals = q.head()
+    val expSum = (0 until 500).filter(_ % 10 != 0)
+      .map(i => java.math.BigDecimal.valueOf(i * 25L, 2))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    assert(vals.getDecimal(0).compareTo(expSum) == 0)
+    assert(vals.getLong(3) == 450L)
+    KvCommands.dropTable(path)
+
+    // null-free corpus: every claim publishes and the whole mixed
+    // aggregate answers from metadata — zero data bytes
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graftkv_dec_meta2").toString + "/t"
+    val df2 = spark.range(500).select(col("id").as("k"),
+      expr("CAST(CAST(id AS DECIMAL(12,2)) / 4 AS DECIMAL(12,2))").as("money"))
+    KvCommands.createTable(df2, path2, Seq("k"), maxSegBytes = Some(4096L))
+    assert(graft.store.SegmentFile.listSegments(path2).length > 1,
+      "need a multi-segment table for a real claim merge")
+    val t2 = KvCommands.table(spark, path2)
+    val q2 = t2.agg(sum(col("money")).as("s"), min(col("money")).as("mn"),
+      max(col("money")).as("mx"), count(col("money")).as("c"),
+      count(lit(1)).as("all"))
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      "null-free decimal SUM/MIN/MAX/COUNT must answer from metadata:\n" +
+        q2.queryExecution.executedPlan.toString.take(1500))
+    val r2 = q2.head()
+    val expSum2 = (0 until 500).map(i => java.math.BigDecimal.valueOf(i * 25L, 2))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    assert(r2.getDecimal(0).compareTo(expSum2) == 0, s"sum ${r2.getDecimal(0)}")
+    assert(r2.getDecimal(1).compareTo(new java.math.BigDecimal("0.00")) == 0)
+    assert(r2.getDecimal(2).compareTo(new java.math.BigDecimal("124.75")) == 0)
+    assert(r2.getLong(3) == 500L && r2.getLong(4) == 500L)
+    // NDV from merged V13 sketches (approx_count_distinct rewrite):
+    // 500 distinct money values, 5% rsd band
+    val ndv = t2.agg(approx_count_distinct(col("money")).as("n")).head().getLong(0)
+    assert(math.abs(ndv - 500L) <= 500 * 0.15, s"decimal ndv: $ndv")
+    // value-zone pruning: money correlates with the key, so a pushed
+    // decimal range should skip most segments
+    val narrow = t2.filter(col("money") > 100 && col("money") <= 110)
+    assert(narrow.count() == 40L)
+    narrow.collect()
+    val rep = KvCommands.pruningReport(narrow).head()
+    assert(rep.getAs[Long]("segments_read") < rep.getAs[Long]("segments_live"),
+      s"decimal zones pruned nothing: $rep")
+    KvCommands.dropTable(path2)
   }
 }
