@@ -198,6 +198,23 @@ object KvMatView {
     }
   }
 
+  /** SUM-maintainable: exact, order-independent addition. Integrals
+    * fold in Long; decimals (round 9 — money dashboards) fold in
+    * Spark's exact decimal arithmetic at Sum's own widened type
+    * (p + 10 capped at 38; p ≤ 28 keeps the headroom, so incremental
+    * maintenance matches a full recompute bit-for-bit). Floats stay
+    * refused: addition reorders under parallelism and drifts. */
+  private[connector] def exactSummable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case d: org.apache.spark.sql.types.DecimalType => d.precision <= 28
+    case other => integral(other)
+  }
+
+  /** The stored `__sum_c` type for a base column (Sum's result type). */
+  private[connector] def sumTypeOf(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    GraftKvAggScan.sumType(dt)
+
   /** MIN/MAX-maintainable: any totally-ordered atomic type. Unlike
     * SUM, min/max never synthesize a value — they select one the base
     * holds — so floats and decimals are exact here. */
@@ -217,9 +234,14 @@ object KvMatView {
     rows.where(d.groupCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(d.groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
-        d.sumCols.flatMap(c => Seq(
-          coalesce(sum(col(c)), lit(0L)).as(s"__sum_$c"),
-          count(col(c)).as(s"__nn_$c"))) ++
+        d.sumCols.flatMap { c =>
+          // stored sum type = Sum's own result type (Long for
+          // integrals, widened decimal for money columns) — exact in
+          // both, and the all-null group stores 0 with __nn = 0
+          val st = sumTypeOf(rows.schema(c).dataType)
+          Seq(coalesce(sum(col(c)).cast(st), lit(0).cast(st)).as(s"__sum_$c"),
+            count(col(c)).as(s"__nn_$c"))
+        } ++
           d.minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"__min_$c"),
             max(col(c)).as(s"__max_$c"))): _*)
@@ -232,10 +254,11 @@ object KvMatView {
     val m = baseMeta(base)
     (groupCols ++ sumCols ++ minMaxCols).foreach(c =>
       require(m.schema.fieldNames.contains(c), s"no column '$c'"))
-    sumCols.foreach(c => require(integral(m.schema(c).dataType),
-      s"SUM($c): only integral columns — Long arithmetic is exact, so " +
-        "incremental maintenance matches a full recompute bit-for-bit; " +
-        "float sums would drift under reordering"))
+    sumCols.foreach(c => require(exactSummable(m.schema(c).dataType),
+      s"SUM($c): only integral or decimal(p<=28) columns — their " +
+        "addition is exact and order-independent, so incremental " +
+        "maintenance matches a full recompute bit-for-bit; float sums " +
+        "would drift under reordering"))
     minMaxCols.foreach { c =>
       require(orderable(m.schema(c).dataType),
         s"MINMAX($c): needs a totally-ordered atomic type")
@@ -417,11 +440,15 @@ object KvMatView {
               d.groupCols.map(c => sided(tag, c).isNotNull).reduce(_ && _))
             .select(d.groupCols.map(c => sided(tag, c).as(c)) ++
               Seq(lit(sign.toLong).as("__dcnt")) ++
-              d.sumCols.flatMap(c => Seq(
-                (coalesce(sided(tag, c).cast("long"), lit(0L)) * sign)
-                  .as(s"__dsum_$c"),
-                when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
-                  .as(s"__dnn_$c"))) ++
+              d.sumCols.flatMap { c =>
+                // deltas fold in the stored sum type (Long / widened
+                // decimal) — both exact, both order-independent
+                val st = sumTypeOf(m.schema(c).dataType)
+                Seq((coalesce(sided(tag, c).cast(st), lit(0).cast(st)) * sign)
+                  .cast(st).as(s"__dsum_$c"),
+                  when(sided(tag, c).isNotNull, sign.toLong).otherwise(0L)
+                    .as(s"__dnn_$c"))
+              } ++
               // per minmax col: the value this row ADDS to / REMOVES
               // from its group; an update that left c untouched
               // contributes nothing (no spurious rescans)
@@ -463,11 +490,17 @@ object KvMatView {
             val mergedCols = d.groupCols.map(col) ++
               Seq((coalesce(col("__cnt"), lit(0L)) + col("__dcnt"))
                 .as("__cnt")) ++
-              d.sumCols.flatMap(c => Seq(
-                (coalesce(col(s"__sum_$c"), lit(0L)) + col(s"__dsum_$c"))
-                  .as(s"__sum_$c"),
-                (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
-                  .as(s"__nn_$c")))
+              d.sumCols.flatMap { c =>
+                // the add widens decimals one digit; the cast back to
+                // the stored type is exact (ANSI errors loudly on a
+                // genuine overflow — the same point the base aggregate
+                // itself would overflow)
+                val st = sumTypeOf(m.schema(c).dataType)
+                Seq((coalesce(col(s"__sum_$c"), lit(0).cast(st)) +
+                  col(s"__dsum_$c")).cast(st).as(s"__sum_$c"),
+                  (coalesce(col(s"__nn_$c"), lit(0L)) + col(s"__dnn_$c"))
+                    .as(s"__nn_$c"))
+              }
             // marker content = OUR lease token (the publish tail only
             // clears a marker it owns; suspect markers never carry a
             // token, so they are never mistaken for ours)

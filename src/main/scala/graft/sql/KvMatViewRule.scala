@@ -180,13 +180,19 @@ case class KvMatViewRule(spark: SparkSession) extends Rule[LogicalPlan]
         else None
       case s: Sum => s.child match {
         case att: AttributeReference if d.sumCols.contains(att.name) &&
-            s.dataType == LongType &&
+            (s.dataType == LongType ||
+              s.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) &&
             viewOut.contains(s"__sum_${att.name}") =>
           // SQL SUM: NULL when the (re-aggregated) group had no
-          // non-null input
+          // non-null input. Decimal sums-of-sums widen a digit; the
+          // cast back to Sum's own type is exact (ANSI errors on a
+          // genuine overflow, exactly where the base SUM would too).
+          val total: Expression =
+            if (s.dataType == LongType) sumOf(s"__sum_${att.name}")
+            else Cast(sumOf(s"__sum_${att.name}"), s.dataType)
           Some(If(GreaterThan(Coalesce(Seq(sumOf(s"__nn_${att.name}"),
             Literal(0L))), Literal(0L)),
-            sumOf(s"__sum_${att.name}"), Literal(null, LongType)))
+            total, Literal(null, s.dataType)))
         case _ => None
       }
       // min/max of a group column: the view's distinct group tuples

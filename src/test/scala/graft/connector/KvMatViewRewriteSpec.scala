@@ -99,6 +99,51 @@ class KvMatViewRewriteSpec extends AnyFunSuite {
     checkEqual(global)
   }
 
+  test("decimal SUM views: exact maintenance + rewrite (money dashboards)") {
+    val path = tmpDir("decimal")
+    def money(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id").as("k"), (col("id") % 8).as("g"),
+      expr("CAST(CAST(id AS DECIMAL(12,2)) / 4 AS DECIMAL(12,2))").as("m"))
+    money(spark.range(6000).toDF("id"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    KvMatView.create(spark, path, "mv", Seq("g"), Seq("m"))
+    def q = KvCommands.table(spark, path)
+      .groupBy("g").agg(sum("m").as("s"), count(col("m")).as("nn"),
+        count(lit(1)).as("c"))
+    assert(usesView(q), "decimal SUM did not rewrite")
+    assert(!touchesBase(q), "rewritten plan still scans the base")
+    checkEqual(q)
+    // the stored sum column is the widened decimal — stored natively
+    val mvT = KvCommands.table(spark, KvMatView.mvPath(path, "mv"))
+    assert(mvT.schema("__sum_m").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 2), mvT.schema.treeString)
+
+    // incremental refresh stays EXACT through append + delete + upsert
+    KvCommands.append(money(spark.range(6000, 6100).toDF("id")), path)
+    KvCommands.delete(spark, path, col("k") < 10)
+    KvCommands.append(spark.range(20, 25).select(col("id").as("k"),
+      (col("id") % 8).as("g"),
+      expr("CAST(999.99 AS DECIMAL(12,2))").as("m")), path) // upsert
+    KvMatView.refresh(spark, path, "mv")
+    assert(usesView(q), "refreshed decimal view did not rewrite")
+    checkEqual(q)
+    // global aggregate (sum-of-sums re-aggregation, cast back exact)
+    def global = KvCommands.table(spark, path)
+      .agg(sum("m").as("s"), count(lit(1)).as("c"))
+    assert(usesView(global))
+    checkEqual(global)
+
+    // wide decimals stay refused — no exact Long-headroom claim
+    val wPath = tmpDir("decimal_wide")
+    spark.range(10).select(col("id").as("k"), (col("id") % 2).as("g"),
+      expr("CAST(id AS DECIMAL(38,2))").as("w"))
+      .write.format("graftkv").option("key", "k").mode("overwrite").save(wPath)
+    val err = intercept[IllegalArgumentException](
+      KvMatView.create(spark, wPath, "mvw", Seq("g"), Seq("w")))
+    assert(err.getMessage.contains("decimal"), err.getMessage)
+  }
+
   test("the counter tracks deletes and upserts of NULL-group rows") {
     val path = tmpDir("counter")
     mkBase(path)
