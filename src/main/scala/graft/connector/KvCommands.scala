@@ -157,16 +157,21 @@ object KvCommands {
       val rows = SegmentFile.listSegments(tmp).map(_.count).sum
       val newFiles = SegmentFile.listSegments(tmp).map(_.file)
       val newMeta = Files.readString(Paths.get(tmp, "_graft_meta.json"))
+      ZConvert.checkpoint(1) // built, nothing moved yet
+      var moved = 0
       newFiles.foreach { f =>
         Files.move(Paths.get(tmp, f), Paths.get(path, f))
         Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
           Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        moved += 1
+        if (moved == 1) ZConvert.checkpoint(2) // mid-move
       }
       dropTable(tmp)
       def dropMoved(): Unit = newFiles.foreach { f =>
         Files.deleteIfExists(Paths.get(path, f))
         Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
+      ZConvert.checkpoint(3) // moved in (unmanifested), no marker yet
       // a stolen lease means a successor may already be rewriting —
       // abandon our build rather than commit over theirs
       if (!KvMaintenance.stillHeld(lease)) {
@@ -179,6 +184,7 @@ object KvCommands {
       // any concurrent commit aborts the conversion (its rows would
       // otherwise vanish from the converted table).
       ZConvert.writeMarker(path, newFiles.toSet, newMeta)
+      ZConvert.checkpoint(4) // marker down, CAS not attempted
       val swapped = SegmentFile.commitManifest(path) { live =>
         if (live == oldSet) Some(newFiles.toSet) else None
       }
@@ -188,10 +194,13 @@ object KvCommands {
         throw new IllegalStateException(
           s"concurrent commit on $path during z-order conversion; aborted")
       }
+      ZConvert.checkpoint(5) // committed; meta still the old layout
       // post-commit completion — idempotent, re-run by ZConvert.repair
       // from any reader if this process dies here
       ZConvert.writeMetaContent(path, newMeta)
+      ZConvert.checkpoint(6) // meta flipped, history not pruned
       SegmentFile.pruneManifestVersions(path, Long.MaxValue)
+      ZConvert.checkpoint(7) // pruned, marker still down
       ZConvert.clearMarker(path)
       KvIndex.invalidate(path)
       rows
@@ -681,6 +690,14 @@ object KvCommands {
 private[connector] object ZConvert {
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import graft.store.SegmentFile
+
+  /** Test-only fault injection: `convertToZOrder` calls
+    * `checkpoint(n)` between protocol steps and dies there when a spec
+    * armed this. Production value is -1 (never fires). */
+  @volatile private[connector] var testCrashPoint: Int = -1
+  private[connector] def checkpoint(step: Int): Unit =
+    if (testCrashPoint == step)
+      throw new RuntimeException(s"injected crash at zconvert step $step")
 
   def markerPath(dir: String): java.nio.file.Path =
     Paths.get(dir, "._graft_zconvert")

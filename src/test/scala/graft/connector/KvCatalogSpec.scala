@@ -2,6 +2,7 @@ package graft.connector
 
 import graft.TestSpark
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reference's SQL DDL/DML surface (SURVEY §2.8 O1-O7) through the
@@ -331,6 +332,55 @@ class KvCatalogSpec extends AnyFunSuite {
     // time travel fails with "no snapshot" instead of a garbage decode
     assert(SegmentFile.manifestVersions(dir).length == 1)
     spark.sql("DROP TABLE graft.zc.t")
+  }
+
+  test("conversion crash fuzz: death at every protocol step repairs clean") {
+    // fault injection at each of the 7 checkpoints of convertToZOrder:
+    // whatever side of the manifest-CAS commit point the death lands
+    // on, the next READ leaves an intact, exact table — old layout
+    // before the CAS (and a fresh conversion then completes), new
+    // layout finished read-side after it. Every row is re-verified.
+    import graft.store.SegmentFile
+    for (step <- 1 to 7) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"zcfuzz$step").toString + "/t"
+      val df = spark.range(500).select(col("id").as("k"),
+        expr("id div 25").as("a"), (col("id") % 25).as("b"))
+      KvCommands.createTable(df, dir, Seq("k"))
+      val truth = KvCommands.table(spark, dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      ZConvert.testCrashPoint = step
+      val died =
+        try { KvCommands.convertToZOrder(spark, dir, Seq("a", "b")); false }
+        catch {
+          case e: RuntimeException if e.getMessage.contains("injected") => true
+        } finally ZConvert.testCrashPoint = -1
+      assert(died, s"step $step: injected crash did not fire")
+      // the next read repairs (the crashed holder's lease was released
+      // by its unwinding — the post-expiry state a real crash reaches)
+      val m = GraftKvMeta.read(dir).get
+      val back = KvCommands.table(spark, dir)
+        .select("k", "a", "b").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(back == truth, s"step $step: rows diverged after repair")
+      assert(ZConvert.readMarker(dir).isEmpty, s"step $step: marker survived")
+      if (step <= 4) {
+        assert(m.keys == Seq("k"),
+          s"step $step: meta flipped before the commit point")
+        // recovery: a fresh conversion over the repaired table completes
+        assert(KvCommands.convertToZOrder(spark, dir, Seq("a", "b")) == 500L)
+      } else {
+        assert(m.keys.head == "_z",
+          s"step $step: post-commit flip was not finished read-side")
+        assert(SegmentFile.manifestVersions(dir).length == 1,
+          s"step $step: pre-conversion history survived")
+      }
+      // the (eventually-)converted table answers a box exactly
+      assert(KvCommands.table(spark, dir)
+        .filter(col("a") === 3 && col("b") < 10).count() == 10L,
+        s"step $step: box query wrong after conversion")
+      KvCommands.dropTable(dir)
+    }
   }
 
   test("DESCRIBE DETAIL: one-row health summary honoring the rows gate") {
