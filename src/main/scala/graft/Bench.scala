@@ -39,6 +39,7 @@ object Bench {
     "j14_resample_gapfill",  // time-series resample + forward fill
     "kv42_metadata_percentile", // whole-table percentile from GK summaries
     "kv46_metadata_string_minmax", // string MIN/MAX + SUM/COUNT from metadata
+    "kv48_decimal_metadata_agg", // exact DECIMAL SUM/MIN/MAX from V13 claims
     "t2_sort_multi_dir",     // top-k
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group
@@ -204,6 +205,7 @@ object Bench {
     Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",
       "kv26_metadata_sum", "kv29_index_lookup", "kv30_matview_agg",
       "kv32_tpch_q3_on_kv", "kv34_tpch_q18_on_kv", "h02_tpch_q2",
+      "kv48_decimal_metadata_agg", // first run builds the decimal fixture
       "ann2_lsh_topk", "dd1_exact_dedup",
       "dd3_minhash_lsh_neardup", "dc2_decontaminate").foreach { w =>
       try queries(w)(spark, sfDir).count()

@@ -131,6 +131,26 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(sscan.planInputPartitions().length < sBefore,
       "string value zones did not prune the runtime equality")
 
+    // DECIMAL value columns prune too (V13 zones): a money column
+    // correlated with the layout — the star-join-on-price shape
+    val dpath = tmpDir("valdec") + "/t"
+    spark.range(20000).select(col("id").as("k"),
+      expr("CAST(CAST(id div 5000 AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2))")
+        .as("m"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(dpath)
+    val dm = GraftKvMeta.read(dpath).get
+    val dscan = new GraftKvScan(dpath, dm.schema, dm.keys, dm.schema,
+      Array.empty, -1, dm.encoding)
+    val dBefore = dscan.planInputPartitions().length
+    assert(dBefore >= 3)
+    dscan.filter(Array(new Predicate("=",
+      Array(Expressions.column("m"),
+        graftbridge.v2Literal(new java.math.BigDecimal("0.25"),
+          org.apache.spark.sql.types.DecimalType(12, 2))))))
+    assert(dscan.planInputPartitions().length < dBefore,
+      "decimal value zones did not prune the runtime equality")
+
     // never semantics: the surviving partitions still return every
     // matching row (the join re-applies the predicate anyway)
     // — and an UNCORRELATED value is pruning-neutral, not row-dropping
