@@ -45,23 +45,25 @@ public final class JavaApi {
         "graft.connector.GraftKvCatalog");
     spark.conf().set("spark.sql.catalog." + cat + ".root", catalogRoot);
     String t = cat + ".db.java_t";
+    // DECIMAL money column: stored natively in the kv codec (round 9)
     spark.sql("CREATE TABLE " + t
-        + " (region STRING, id BIGINT, payload STRING, amount DOUBLE)"
+        + " (region STRING, id BIGINT, payload STRING, amount DECIMAL(12,2))"
         + " TBLPROPERTIES ('key'='region,id')");
     spark.sql("INSERT INTO " + t + " VALUES"
-        + " ('eu', 1, 'a', 1.5), ('eu', 2, 'b', 2.5), ('us', 1, 'c', 3.5)");
+        + " ('eu', 1, 'a', 1.50), ('eu', 2, 'b', 2.50), ('us', 1, 'c', 3.50)");
     // point SELECT through the pushed composite-key filter
     Row row = spark.sql(
         "SELECT payload FROM " + t + " WHERE region = 'eu' AND id = 2").head();
     if (!row.getString(0).equals("b")) {
       throw new IllegalStateException("point lookup returned " + row);
     }
-    // Put-upsert: same key replaces the row
-    spark.sql("INSERT INTO " + t + " VALUES ('eu', 2, 'b2', 9.5)");
+    // Put-upsert: same key replaces the row (exact decimal round-trip)
+    spark.sql("INSERT INTO " + t + " VALUES ('eu', 2, 'b2', 9.50)");
     Row upd = spark.sql(
         "SELECT payload, amount FROM " + t
         + " WHERE region = 'eu' AND id = 2").head();
-    if (!upd.getString(0).equals("b2") || upd.getDouble(1) != 9.5) {
+    if (!upd.getString(0).equals("b2")
+        || upd.getDecimal(1).compareTo(new java.math.BigDecimal("9.50")) != 0) {
       throw new IllegalStateException("upsert not applied: " + upd);
     }
     // DELETE routes through the tombstone write path
