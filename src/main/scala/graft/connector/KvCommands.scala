@@ -692,12 +692,17 @@ private[connector] object ZConvert {
   import graft.store.SegmentFile
 
   /** Test-only fault injection: `convertToZOrder` calls
-    * `checkpoint(n)` between protocol steps and dies there when a spec
-    * armed this. Production value is -1 (never fires). */
+    * `checkpoint(n)` between protocol steps; a spec can arm a crash at
+    * a step, or an arbitrary action (e.g. a concurrent append racing
+    * the CAS). Production values never fire. */
   @volatile private[connector] var testCrashPoint: Int = -1
-  private[connector] def checkpoint(step: Int): Unit =
+  @volatile private[connector] var testCheckpointAction: Int => Unit = null
+  private[connector] def checkpoint(step: Int): Unit = {
+    val a = testCheckpointAction
+    if (a != null) a(step)
     if (testCrashPoint == step)
       throw new RuntimeException(s"injected crash at zconvert step $step")
+  }
 
   def markerPath(dir: String): java.nio.file.Path =
     Paths.get(dir, "._graft_zconvert")

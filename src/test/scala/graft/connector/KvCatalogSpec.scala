@@ -383,6 +383,42 @@ class KvCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("a commit racing the conversion ABORTS it — no rows lost either way") {
+    // an append lands between the conversion's source read and its
+    // manifest CAS: the CAS expectation (live == the set the rewrite
+    // read) fails, the conversion aborts loudly, and the table keeps
+    // BOTH its original rows and the concurrent append — the lost-write
+    // the old directory swap could not rule out
+    import graft.store.SegmentFile
+    val dir = java.nio.file.Files
+      .createTempDirectory("zcrace").toString + "/t"
+    KvCommands.createTable(
+      spark.range(400).select(col("id").as("k"),
+        expr("id div 20").as("a"), (col("id") % 20).as("b")),
+      dir, Seq("k"))
+    ZConvert.testCheckpointAction = step =>
+      if (step == 4) { // marker down, CAS next — the racing commit wins
+        KvCommands.append(
+          spark.range(400, 410).select(col("id").as("k"),
+            expr("id div 20").as("a"), (col("id") % 20).as("b")), dir)
+      }
+    val err =
+      try intercept[IllegalStateException](
+        KvCommands.convertToZOrder(spark, dir, Seq("a", "b")))
+      finally ZConvert.testCheckpointAction = null
+    assert(err.getMessage.contains("concurrent commit"), err.getMessage)
+    // nothing lost, nothing half-converted
+    assert(ZConvert.readMarker(dir).isEmpty, "aborted conversion left its marker")
+    val m = GraftKvMeta.read(dir).get
+    assert(m.keys == Seq("k"), "aborted conversion flipped the meta")
+    assert(KvCommands.table(spark, dir).count() == 410L)
+    // and a clean retry over the merged table completes
+    assert(KvCommands.convertToZOrder(spark, dir, Seq("a", "b")) == 410L)
+    assert(KvCommands.table(spark, dir)
+      .filter(col("a") === 20).count() == 10L) // the raced-in rows
+    KvCommands.dropTable(dir)
+  }
+
   test("DESCRIBE DETAIL: one-row health summary honoring the rows gate") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dd")
     spark.sql(
