@@ -99,6 +99,16 @@ object GraftKvMeta {
     * the 64-cp default — raise it per table at CREATE. */
   val StringZoneMaxCharsProp = "stringzone.maxchars"
 
+  /** Per-table segment size (bytes): persisted at CREATE so APPENDS
+    * honor the declared region size without restating the write option
+    * (previously an un-restated append silently reverted to the 256 MB
+    * default, changing the table's scan parallelism). */
+  val SegmentMaxBytesProp = "segment.maxbytes"
+
+  /** The table-property names the meta persists. */
+  val PersistedProps: Seq[String] =
+    Seq(StringZoneMaxCharsProp, SegmentMaxBytesProp)
+
   def write(dir: String, schema: StructType, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
       zorder: Seq[graft.codec.ZDim] = Nil,
@@ -271,8 +281,6 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     snapshot.foreach(v => throw new IllegalArgumentException(
       s"cannot write to snapshot v$v of graftkv:$path — snapshots are read-only"))
-    val maxSegBytes = Option(info.options.get("segment.maxBytes"))
-      .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
     // tombstone writes (DELETE) append key-only records whose value is
     // the delete marker; the input schema is just the key columns
     val tombstone = Option(info.options.get("tombstone")).exists(_.toBoolean)
@@ -286,13 +294,15 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     }.getOrElse(Nil)
     // table properties: a write option overrides, an existing table's
     // persisted props otherwise govern (so appends honor the CREATE-time
-    // stringzone.maxchars without restating it)
+    // stringzone.maxchars / segment.maxbytes without restating them)
     val props: Map[String, String] = {
       val persisted = GraftKvMeta.read(path).map(_.props).getOrElse(Map.empty)
-      val opt = Option(info.options.get(GraftKvMeta.StringZoneMaxCharsProp))
-        .map(v => GraftKvMeta.StringZoneMaxCharsProp -> v)
-      persisted ++ opt
+      val opts = GraftKvMeta.PersistedProps.flatMap(p =>
+        Option(info.options.get(p)).map(p -> _))
+      persisted ++ opts
     }
+    val maxSegBytes = props.get(GraftKvMeta.SegmentMaxBytesProp)
+      .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
       encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
       genOverride = genOverride, queryId = info.queryId(), zorder = zorder,

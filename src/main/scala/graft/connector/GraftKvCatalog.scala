@@ -139,15 +139,18 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       .orElse(Option(properties.get("option.encoding")))
       .getOrElse(graft.store.RowCodec.Binary)
     graft.store.RowCodec(schema, keys, encoding) // validates encoding + types
-    // persisted table properties (currently: the string-zone truncation
-    // cap) — recognized TBLPROPERTIES ride into the meta so every later
-    // write honors them without restating
-    val persistedProps = Seq(GraftKvMeta.StringZoneMaxCharsProp).flatMap(p =>
+    // persisted table properties (string-zone truncation cap, segment
+    // size) — recognized TBLPROPERTIES ride into the meta so every
+    // later write honors them without restating
+    val persistedProps = GraftKvMeta.PersistedProps.flatMap(p =>
       Option(properties.get(p)).orElse(Option(properties.get(s"option.$p")))
         .map(p -> _)).toMap
     persistedProps.get(GraftKvMeta.StringZoneMaxCharsProp).foreach(v =>
       require(v.toInt > 0, s"${GraftKvMeta.StringZoneMaxCharsProp} must be " +
         s"a positive codepoint count, got '$v'"))
+    persistedProps.get(GraftKvMeta.SegmentMaxBytesProp).foreach(v =>
+      require(v.toLong > 0, s"${GraftKvMeta.SegmentMaxBytesProp} must be " +
+        s"a positive byte count, got '$v'"))
     GraftKvMeta.write(tableDir(ident), schema, keys, encoding,
       props = persistedProps)
     // seed an EMPTY manifest version: the table is manifest-governed

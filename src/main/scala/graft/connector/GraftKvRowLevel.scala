@@ -106,14 +106,20 @@ private[connector] final class KvSortedChunkBuffer(path: String,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes) {
 
   private val codec = RowCodec(schema, keys, encoding)
-  // honor the table's persisted string-zone cap (claims stay sound at
-  // any cap; this keeps DML-written segments' bounds as deep as the
-  // bulk-written ones)
+  // honor the table's persisted properties: the string-zone cap (claims
+  // stay sound at any cap; this keeps DML-written segments' bounds as
+  // deep as the bulk-written ones) and the declared segment size (an
+  // explicit caller override wins)
+  private val tableProps: Map[String, String] =
+    try GraftKvMeta.read(path).map(_.props).getOrElse(Map.empty)
+    catch { case _: Exception => Map.empty }
   private val zoneMaxChars: Int =
-    try GraftKvMeta.read(path)
-      .flatMap(_.props.get(GraftKvMeta.StringZoneMaxCharsProp)).map(_.toInt)
+    tableProps.get(GraftKvMeta.StringZoneMaxCharsProp).map(_.toInt)
       .getOrElse(graft.store.SegmentFile.StringZone.MaxChars)
-    catch { case _: Exception => graft.store.SegmentFile.StringZone.MaxChars }
+  private val segBytes: Long =
+    if (maxSegBytes != GraftKvDataWriter.DefaultMaxSegmentBytes) maxSegBytes
+    else tableProps.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong)
+      .getOrElse(maxSegBytes)
   private[connector] val rows =
     new java.util.TreeMap[Array[Byte], InternalRow](
       new java.util.Comparator[Array[Byte]] {
@@ -146,7 +152,7 @@ private[connector] final class KvSortedChunkBuffer(path: String,
         s"task exceeded ${1000000L / KvSortedChunkBuffer.ChunkSeqStride} " +
           "buffered chunks: segment-name sequence width would overflow")
     val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
-      encoding, maxSegBytes, gen, tombstone,
+      encoding, segBytes, gen, tombstone,
       segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride,
       zoneMaxChars = zoneMaxChars)
     chunk += 1

@@ -153,7 +153,14 @@ object KvCommands {
       // swept by dropTable if a crash strands it
       val tmp = new java.io.File(path,
         s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}").getPath
-      createZOrderTable(data, tmp, dims, m.encoding)
+      createZOrderTable(data, tmp, dims, m.encoding,
+        maxSegBytes = m.props.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong))
+      // table properties ride through the re-cluster: rewrite the
+      // scratch meta with them before it becomes the marker payload
+      val sm = GraftKvMeta.read(tmp).get
+      if (m.props.nonEmpty)
+        GraftKvMeta.write(tmp, sm.schema, sm.keys, sm.encoding, sm.zorder,
+          m.props)
       val rows = SegmentFile.listSegments(tmp).map(_.count).sum
       val newFiles = SegmentFile.listSegments(tmp).map(_.file)
       val newMeta = Files.readString(Paths.get(tmp, "_graft_meta.json"))

@@ -24,6 +24,33 @@ class KvConnectorSpec extends AnyFunSuite {
     (-4L, 9, "neg", Some(0.0), Some(""))
   ).toDF("k1", "k2", "s", "d", "v")
 
+  test("segment.maxBytes persists as a table property; appends honor it") {
+    val path = tmpTable()
+    def rows(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("k"), col("id").as("v"))
+    rows(0, 200000).write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    assert(GraftKvMeta.read(path).get
+      .props(GraftKvMeta.SegmentMaxBytesProp) == "65536")
+    assert(SegmentFile.listSegments(path).map(_.sizeBytes).max <= 65536L * 2)
+    // append WITHOUT restating the option: the persisted size governs
+    // (pre-round-9 an un-restated append reverted to the 256 MB
+    // default, silently changing the table's region size)
+    rows(200000, 400000).write.format("graftkv").mode("append").save(path)
+    assert(SegmentFile.listSegments(path).map(_.sizeBytes).max <= 65536L * 2,
+      "append ignored the persisted segment size")
+    // an explicit per-write override wins WITHOUT mutating the property
+    rows(400000, 600000).write.format("graftkv")
+      .option("segment.maxBytes", (256L << 20).toString)
+      .mode("append").save(path)
+    assert(SegmentFile.listSegments(path).map(_.sizeBytes).max > 65536L * 2,
+      "the per-write override did not apply")
+    assert(GraftKvMeta.read(path).get
+      .props(GraftKvMeta.SegmentMaxBytesProp) == "65536",
+      "a one-off write option must not rewrite the persisted property")
+    assert(KvCommands.table(spark, path).count() == 600000L)
+  }
+
   test("write → read round-trip is lossless (incl. nulls, negatives, empty strings)") {
     val path = tmpTable()
     KvCommands.createTable(sample, path, Seq("k1", "k2"))
