@@ -236,6 +236,21 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
 
   override def name(): String =
     s"graftkv:$path" + snapshot.map(v => s"@v$v").getOrElse("")
+
+  /** Table properties for `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED:
+    * the layout declaration plus every persisted property
+    * (stringzone.maxchars, segment.maxbytes, …). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("key", keys.mkString(","))
+    m.put("encoding", encoding)
+    try GraftKvMeta.read(path).foreach { meta =>
+      meta.props.foreach { case (k, v) => m.put(k, v) }
+      if (meta.zorder.nonEmpty)
+        m.put("zorder", meta.zorder.map(_.name).mkString(","))
+    } catch { case _: Exception => () }
+    m
+  }
   // key columns are NOT NULL by codec contract (RowCodec.encodeKey
   // rejects nulls) — reporting it lets Spark accept them as row IDs for
   // row-level operations and skip needless null branches in codegen

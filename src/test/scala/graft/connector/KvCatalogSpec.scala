@@ -334,6 +334,21 @@ class KvCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.zc.t")
   }
 
+  test("SHOW TBLPROPERTIES reports the layout + persisted properties") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.props")
+    spark.sql("CREATE TABLE graft.props.t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('key'='k', 'stringzone.maxchars'='100', " +
+      "'segment.maxbytes'='65536')")
+    spark.sql("INSERT INTO graft.props.t VALUES (1, 'a')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key") == "k", props)
+    assert(props("encoding") == "binary", props)
+    assert(props(GraftKvMeta.StringZoneMaxCharsProp) == "100", props)
+    assert(props(GraftKvMeta.SegmentMaxBytesProp) == "65536", props)
+    spark.sql("DROP TABLE graft.props.t")
+  }
+
   test("conversion crash fuzz: death at every protocol step repairs clean") {
     // fault injection at each of the 7 checkpoints of convertToZOrder:
     // whatever side of the manifest-CAS commit point the death lands
