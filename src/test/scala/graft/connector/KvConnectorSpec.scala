@@ -24,6 +24,36 @@ class KvConnectorSpec extends AnyFunSuite {
     (-4L, 9, "neg", Some(0.0), Some(""))
   ).toDF("k1", "k2", "s", "d", "v")
 
+  test("meta header round-trips every field combination (encoding × zorder × props)") {
+    import graft.codec.{ZDim, ZOrder}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType)))
+    val zd = Seq(ZDim("a", ZOrder.codeLong(0L), 2), ZDim("b", ZOrder.codeLong(5L), 0))
+    for {
+      enc <- Seq(graft.store.RowCodec.Binary, graft.store.RowCodec.StringFormat)
+      z <- Seq(Nil, zd)
+      p <- Seq(Map.empty[String, String],
+        Map(GraftKvMeta.StringZoneMaxCharsProp -> "100",
+          GraftKvMeta.SegmentMaxBytesProp -> "65536"))
+    } {
+      val dir = Files.createTempDirectory("graftkv_meta_rt").toString
+      GraftKvMeta.write(dir, schema, Seq("a"), enc, z, p)
+      val m = GraftKvMeta.read(dir).get
+      assert(m.schema == schema && m.keys == Seq("a") && m.encoding == enc,
+        s"enc=$enc z=$z p=$p: $m")
+      assert(m.zorder == z, s"zorder drift: ${m.zorder} vs $z")
+      assert(m.props == p, s"props drift: ${m.props} vs $p")
+    }
+    // separator characters in a property would tear the header: refused
+    val bad = Files.createTempDirectory("graftkv_meta_bad").toString
+    intercept[IllegalArgumentException](
+      GraftKvMeta.write(bad, schema, Seq("a"),
+        props = Map("x" -> "a|b")))
+  }
+
   test("segment.maxBytes persists as a table property; appends honor it") {
     val path = tmpTable()
     def rows(from: Long, until: Long) =
