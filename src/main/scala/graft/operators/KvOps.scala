@@ -4,6 +4,7 @@ import graft.{QuerySpec, Tables}
 import graft.connector.KvCommands
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Queries through the graftkv sorted-KV connector (the reference's own
   * scan/write layer, SURVEY §2.1/§2.2/§2.8). Each query loads the
@@ -997,12 +998,20 @@ object KvOps {
 
     // DECIMAL money columns stored NATIVELY in the kv codec: exact
     // storage (no double round-trip), a pushed range filter on the
-    // decimal value column (no zone claims yet — claim-or-nothing, so
-    // the residual decides), and exact SUM/MIN/MAX aggregation over the
-    // decoded decimals, hash-matched against the parquet truth
+    // decimal value column (V13 zone claims prune segments; the
+    // residual re-checks survivors), and exact SUM/MIN/MAX aggregation
+    // over the decoded decimals, hash-matched against the parquet
+    // truth. All decimal aggregate outputs are pinned to
+    // DECIMAL(38,2) on BOTH sides: Spark widens sum(DECIMAL(12,2)) to
+    // (22,2) while DuckDB widens to (38,2), and the driver hash is
+    // sensitive to the result type width even when values are exactly
+    // equal (same class as the kv30/kv31 BIGINT and a16–a19
+    // DECIMAL(38,6) pins).
     QuerySpec.checked("kv47_decimal_money",
       """SELECT l_returnflag,
-        |  sum(p) AS sum_price, min(p) AS min_price, max(p) AS max_price,
+        |  CAST(sum(p) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(min(p) AS DECIMAL(38,2)) AS min_price,
+        |  CAST(max(p) AS DECIMAL(38,2)) AS max_price,
         |  count(*) AS cnt
         |FROM (SELECT l_returnflag,
         |        CAST(concat(CAST(l_partkey AS VARCHAR), '.',
@@ -1014,9 +1023,9 @@ object KvOps {
       lineitemDecKv(s, d)
         .filter(col("price_dec") > 50)
         .groupBy("l_returnflag")
-        .agg(sum(col("price_dec")).as("sum_price"),
-          min(col("price_dec")).as("min_price"),
-          max(col("price_dec")).as("max_price"),
+        .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).as("sum_price"),
+          min(col("price_dec")).cast(DecimalType(38, 2)).as("min_price"),
+          max(col("price_dec")).cast(DecimalType(38, 2)).as("max_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     },
@@ -1028,16 +1037,18 @@ object KvOps {
     // plan pinning lives in DecimalCodecSpec; here the VALUES are
     // hash-matched against the parquet truth)
     QuerySpec.checked("kv48_decimal_metadata_agg",
-      """SELECT sum(p) AS sum_price, min(p) AS min_price,
-        |  max(p) AS max_price, count(p) AS cnt_p, count(*) AS cnt
+      """SELECT CAST(sum(p) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(min(p) AS DECIMAL(38,2)) AS min_price,
+        |  CAST(max(p) AS DECIMAL(38,2)) AS max_price,
+        |  count(p) AS cnt_p, count(*) AS cnt
         |FROM (SELECT CAST(concat(CAST(l_partkey AS VARCHAR), '.',
         |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
         |          AS DECIMAL(12,2)) AS p
         |      FROM lineitem)""") { (s, d) =>
       lineitemDecKv(s, d)
-        .agg(sum(col("price_dec")).as("sum_price"),
-          min(col("price_dec")).as("min_price"),
-          max(col("price_dec")).as("max_price"),
+        .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).as("sum_price"),
+          min(col("price_dec")).cast(DecimalType(38, 2)).as("min_price"),
+          max(col("price_dec")).cast(DecimalType(38, 2)).as("max_price"),
           count(col("price_dec")).as("cnt_p"),
           count(lit(1)).as("cnt"))
     },

@@ -152,7 +152,12 @@ object TpcH {
   val specs: Seq[QuerySpec] = Seq(
 
     // Q4 — order priority checking. EXISTS(lineitem shipped after the
-    // order date) → a LEFT SEMI join; the count groups by priority.
+    // order date) ⟺ max(l_shipdate) per l_orderkey > o_orderdate, so the
+    // semi-join build side is the PRE-AGGREGATED one-row-per-order
+    // relation (map-side-combinable max), not the raw fact projection:
+    // the raw-fact broadcast grows with fact size (600k rows at sf0.1,
+    // unbroadcastable at 100×), while the aggregate is bounded by the
+    // order count and stays broadcastable an order of magnitude longer.
     QuerySpec.checked("h04_tpch_q4",
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders
@@ -164,9 +169,12 @@ object TpcH {
       val o = t(s, d, "orders")
         .filter(col("o_orderdate") >= ts("1996-01-01") &&
           col("o_orderdate") < ts("1996-07-01"))
-      o.join(t(s, d, "lineitem"),
+      val maxShip = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max(col("l_shipdate")).as("__max_ship"))
+      o.join(maxShip,
           col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") > col("o_orderdate"), "left_semi")
+            col("__max_ship") > col("o_orderdate"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")

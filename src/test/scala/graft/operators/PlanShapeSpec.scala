@@ -140,6 +140,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!h22.contains("CartesianProduct"), h22.take(2000))
   }
 
+  test("h04 semi-join builds from the PRE-AGGREGATED per-order relation") {
+    // EXISTS(l_shipdate > o_orderdate) is answered against
+    // max(l_shipdate) per l_orderkey: the broadcast build side must be
+    // one row per ORDER (bounded by the order count), never the raw
+    // lineitem projection (which grows with the fact and stops being
+    // broadcastable at scale). Pin: the LeftSemi join's build subtree
+    // contains a HashAggregate over l_orderkey.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("h04_tpch_q4")(spark, sf)
+    val semi = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j.right
+      case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j.right
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => j.right
+    }
+    assert(semi.nonEmpty, "h04 plans no LeftSemi join:\n" +
+      df.queryExecution.sparkPlan.toString.take(3000))
+    def hasAgg(p: SparkPlan): Boolean = p.isInstanceOf[BaseAggregateExec] ||
+      p.children.exists(hasAgg)
+    assert(semi.forall(hasAgg),
+      "h04's semi-join build side is the raw fact, not the aggregate:\n" +
+        semi.head.toString.take(3000))
+  }
+
   test("kv48 decimal aggregate answers from metadata (GraftKvAggScan)") {
     // the null-free DECIMAL money column's SUM/MIN/MAX/COUNT push to
     // the V13 zone claims: no data file opens at any table size

@@ -12,8 +12,12 @@ import scala.util.Random
   * widths (p ≤ 18 → 8-byte sign-flipped unscaled long; wider → 16-byte
   * sign-extended two's complement), composite-prefix safety, and the
   * end-to-end storage paths (decimal values, decimal keys, row +
-  * columnar readers). Metadata claims are deliberately absent for
-  * decimal columns (claim-or-nothing), pinned here too. */
+  * columnar readers). Metadata claims follow the V13 narrow/wide
+  * split: narrow decimals (p ≤ 18) carry full zone/exact-SUM/NDV/
+  * null-count claims over the unscaled long (exact in the value
+  * domain); wide decimals (p > 18) carry min/max zone claims only —
+  * SUM stays claim-or-nothing there because a 128-bit overflow would
+  * silently wrap. Both halves are pinned below. */
 class DecimalCodecSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
