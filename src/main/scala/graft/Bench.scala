@@ -185,11 +185,39 @@ object Bench {
     // memory, so section boundaries sweep the CacheManager and ASSERT
     // nothing survived (pipeline persists are idempotent re-registrations
     // — see Dedup.diskPersist — so a sweep costs one rebuild, not a
-    // correctness risk)
+    // correctness risk).
+    //
+    // BROADCAST hygiene (round 10 — the r9 tpch-section h04/a17
+    // anomaly): clearCache() does NOT free broadcast blocks; they are
+    // reclaimed only when ContextCleaner sees the driver-side Broadcast
+    // objects GC'd, which an 8 GB heap may not do for a whole run. The
+    // sweep therefore forces a GC and gives the cleaner thread a short
+    // drain window, so each section starts with the dead build
+    // relations of earlier sections actually released — and records
+    // (heap, cumulative GC ms, broadcast blocks/bytes) before and after
+    // into the detail JSON, so any future in-run inflation is
+    // diagnosable from the artifact alone (the dd3 playbook).
+    val sectionDiag = Seq.newBuilder[String]
     def sweepCaches(where: String): Unit = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      def heapMb: Long = {
+        val r = Runtime.getRuntime
+        (r.totalMemory - r.freeMemory) >> 20
+      }
+      def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+      val (bc0, bb0) = org.apache.spark.sql.graftbridge.broadcastBlockStats(spark)
+      val (h0, g0) = (heapMb, gcMs)
       spark.catalog.clearCache()
       require(org.apache.spark.sql.graftbridge.cacheIsEmpty(spark),
         s"cached plans survived the $where section sweep")
+      System.gc()
+      Thread.sleep(300) // ContextCleaner drains its reference queue async
+      val (bc1, bb1) = org.apache.spark.sql.graftbridge.broadcastBlockStats(spark)
+      sectionDiag += s""""$where":{"heap_mb":$h0,"heap_mb_after":$heapMb,""" +
+        s""""gc_ms_total":$g0,"bcast_blocks":$bc0,"bcast_mb":${bb0 >> 20},""" +
+        s""""bcast_blocks_after":$bc1,"bcast_mb_after":${bb1 >> 20}}"""
     }
 
     // untimed warmup: JIT/codegen + parquet footer caches + one-time KV
@@ -543,8 +571,41 @@ object Bench {
     // for direct 10× scaling evidence
     val tpchResults = timed(sfDir, tpchSuite)
     val tpchTotal = totalOf(tpchResults)
+    // per-query prev-round deltas for the TPC-H section (the headline
+    // set has them via prevRound(); the tpch numbers never reach the
+    // compact BENCH_r{N} line, so they persist in a committed history
+    // file instead — r9's regression had to be reconstructed from
+    // spreads because only the section total carried across rounds)
+    val tpchHistPath = java.nio.file.Paths.get("BENCH_TPCH_HISTORY.json")
+    val tpchPrev: Option[(String, Map[String, Double])] = try {
+      import com.fasterxml.jackson.databind.ObjectMapper
+      if (!java.nio.file.Files.exists(tpchHistPath)) None
+      else {
+        val node = new ObjectMapper().readTree(
+          java.nio.file.Files.readString(tpchHistPath))
+        val q = node.get("queries")
+        val it = q.fields(); val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        Some((node.get("label").asText(), b.result()))
+      }
+    } catch { case _: Exception => None }
+    val tpchDeltaJson = tpchPrev.map { case (label, pq) =>
+      val ds = tpchResults.collect {
+        case t if t.med >= 0 && pq.get(t.name).exists(_ >= 0) =>
+          t.name -> (t.med - pq(t.name))
+      }
+      s""","prev":"$label","prev_delta":${obj(ds)}"""
+    }.getOrElse("")
     val tpchJson =
-      s""","tpch":{"total":${fmt(tpchTotal)},"queries":${objT(tpchResults)}}"""
+      s""","tpch":{"total":${fmt(tpchTotal)},"queries":${objT(tpchResults)}$tpchDeltaJson}"""
+    try {
+      val label = prev.map { case (r, _) => s"r${r + 1}" }.getOrElse("r?") +
+        "@" + java.net.InetAddress.getLocalHost.getHostName
+      java.nio.file.Files.writeString(tpchHistPath,
+        s"""{"label":"$label","queries":${objT(tpchResults)}}""")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] tpch history write failed: ${e.getMessage}")
+    }
     sweepCaches("tpch")
 
     // bulk load (BASELINE.md: "bulk load sf0.01 lineitem into KV store
@@ -625,8 +686,10 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","spread":${spread(results)},"tpch_spread":${spread(tpchResults)}"""
     }
+    val sectionsJson =
+      s""","sections":${sectionDiag.result().mkString("{", ",", "}")}"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$streamingJson$sf1Json}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$streamingJson$sf1Json$sectionsJson}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

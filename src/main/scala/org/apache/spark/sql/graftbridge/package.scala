@@ -26,6 +26,22 @@ package object graftbridge {
   def cacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 
+  /** (count, bytes mem+disk) of BROADCAST blocks currently held by this
+    * process's BlockManager. `spark.catalog.clearCache()` does NOT free
+    * broadcast blocks — they are reclaimed only when ContextCleaner sees
+    * the driver-side Broadcast objects garbage-collected — so a long
+    * multi-section benchmark run can accumulate hundreds of dead build
+    * relations that pin storage memory and slow every later broadcast
+    * build. The bench reads this at section boundaries (before/after a
+    * forced GC) to make that pressure measurable from the artifact
+    * alone. (BlockManager is `private[spark]`, hence this bridge.) */
+  def broadcastBlockStats(spark: SparkSession): (Int, Long) = {
+    val bm = org.apache.spark.SparkEnv.get.blockManager
+    val ids = bm.getMatchingBlockIds(_.isBroadcast)
+    val bytes = ids.iterator.flatMap(bm.getStatus).map(s => s.memSize + s.diskSize).sum
+    (ids.size, bytes)
+  }
+
   /** Resolve the catalog a multipart table name targets, mirroring
     * Spark's own LookupCatalog rule: a first part naming a registered
     * catalog wins, anything else lands in the session's current catalog.
