@@ -113,14 +113,23 @@ object KvCommands {
     * Crash safety (no manual-repair window, unlike the pre-round-9
     * directory swap): the commit point is one manifest CAS, fenced by
     * an intent marker carrying the new segment set + new table meta.
-    * A crash BEFORE the CAS leaves the old table fully intact (the
-    * marker and stranded unmanifested segments are swept by the next
-    * reader once the lease expires); a crash AFTER the CAS but before
-    * the meta flip is finished by the next reader
-    * (GraftKvMeta.read → ZConvert.repair — the flip is idempotent). A
-    * concurrent commit (e.g. an append) between the source read and
-    * the CAS aborts the conversion instead of silently dropping the
-    * concurrent writer's rows. */
+    * The marker goes down BEFORE any replacement segment moves into
+    * the table directory, so a crash at ANY later point leaves a
+    * marker a reader can repair from — nothing the conversion ever
+    * moves in can be stranded invisibly. A crash BEFORE the CAS
+    * leaves the old table fully intact (marker + any moved-in
+    * unmanifested segments are swept by the next reader once the
+    * lease is stealable); a crash AFTER the CAS but before the meta
+    * flip is finished by the next reader (GraftKvMeta.read →
+    * ZConvert.repair — the flip is idempotent). A concurrent commit
+    * (e.g. an append) between the source read and the CAS aborts the
+    * conversion instead of silently dropping the concurrent writer's
+    * rows. Repair's destructive branch runs only under the STOLEN
+    * maintenance lease (never an mtime-age guess), the converter
+    * refreshes its lease right before the marker goes down, and it
+    * re-verifies marker + segments immediately after winning the CAS
+    * (rolling the manifest back if a racing repair swept them) — so a
+    * repair and a live converter can never both win. */
   def convertToZOrder(spark: SparkSession, path: String,
       dims: Seq[String]): Long = {
     import java.nio.file.{Files, Paths}
@@ -164,34 +173,48 @@ object KvCommands {
       val rows = SegmentFile.listSegments(tmp).map(_.count).sum
       val newFiles = SegmentFile.listSegments(tmp).map(_.file)
       val newMeta = Files.readString(Paths.get(tmp, "_graft_meta.json"))
-      ZConvert.checkpoint(1) // built, nothing moved yet
+      ZConvert.checkpoint(1) // built, no marker, nothing moved yet
+      // the build above can outlive the lease's staleness window —
+      // refresh (and re-verify) the lease BEFORE the marker goes down,
+      // so the marker-down window starts with a full lease term and a
+      // repairing reader cannot judge this converter dead mid-commit
+      if (!KvMaintenance.refresh(lease)) {
+        dropTable(tmp)
+        throw new IllegalStateException(
+          s"maintenance lease on $path was stolen mid-conversion; aborted")
+      }
+      // intent marker FIRST: from here every file this conversion
+      // moves into the table directory is named by a durable marker,
+      // so a crash at ANY later point is sweepable by any reader —
+      // nothing moved in can be stranded invisibly
+      ZConvert.writeMarker(path, newFiles.toSet, newMeta)
+      ZConvert.checkpoint(2) // marker down, nothing moved yet
       var moved = 0
       newFiles.foreach { f =>
         Files.move(Paths.get(tmp, f), Paths.get(path, f))
         Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
           Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
         moved += 1
-        if (moved == 1) ZConvert.checkpoint(2) // mid-move
+        if (moved == 1) ZConvert.checkpoint(3) // mid-move, marker down
       }
       dropTable(tmp)
       def dropMoved(): Unit = newFiles.foreach { f =>
         Files.deleteIfExists(Paths.get(path, f))
         Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
-      ZConvert.checkpoint(3) // moved in (unmanifested), no marker yet
-      // a stolen lease means a successor may already be rewriting —
-      // abandon our build rather than commit over theirs
+      // a stolen lease means a successor (converter or repair) may
+      // already own the directory — abandon our build, never commit
       if (!KvMaintenance.stillHeld(lease)) {
         dropMoved()
+        ZConvert.clearMarker(path)
         throw new IllegalStateException(
           s"maintenance lease on $path was stolen mid-conversion; aborted")
       }
-      // intent marker, then the single commit point: the manifest CAS.
-      // The CAS requires the live set to still be what the rewrite READ;
-      // any concurrent commit aborts the conversion (its rows would
-      // otherwise vanish from the converted table).
-      ZConvert.writeMarker(path, newFiles.toSet, newMeta)
-      ZConvert.checkpoint(4) // marker down, CAS not attempted
+      ZConvert.checkpoint(4) // moved in + marker down, CAS not attempted
+      // the single commit point: the manifest CAS. The CAS requires the
+      // live set to still be what the rewrite READ; any concurrent
+      // commit aborts the conversion (its rows would otherwise vanish
+      // from the converted table).
       val swapped = SegmentFile.commitManifest(path) { live =>
         if (live == oldSet) Some(newFiles.toSet) else None
       }
@@ -200,6 +223,24 @@ object KvCommands {
         dropMoved()
         throw new IllegalStateException(
           s"concurrent commit on $path during z-order conversion; aborted")
+      }
+      // post-CAS verify: if a repair stole the lease in the window
+      // between stillHeld above and the CAS, it may have swept the
+      // marker and the replacement segments this manifest now names —
+      // roll the manifest back to the old set (old segments are still
+      // on disk; nothing is pruned yet) and fail loudly, rather than
+      // leave a committed manifest pointing at deleted files
+      val survived = Files.exists(ZConvert.markerPath(path)) &&
+        newFiles.forall(f => Files.exists(Paths.get(path, f)))
+      if (!survived) {
+        SegmentFile.commitManifest(path) { live =>
+          if (live == newFiles.toSet) Some(oldSet) else None
+        }
+        dropMoved()
+        ZConvert.clearMarker(path)
+        throw new IllegalStateException(
+          s"z-order conversion on $path lost its lease to a repair at " +
+            "the commit point; manifest rolled back")
       }
       ZConvert.checkpoint(5) // committed; meta still the old layout
       // post-commit completion — idempotent, re-run by ZConvert.repair
@@ -752,11 +793,17 @@ private[connector] object ZConvert {
     *  - manifest == marker's new set → the CAS committed: finish the
     *    meta flip (idempotent — the live converter may be doing the
     *    same), prune pre-conversion snapshots, clear the marker;
-    *  - manifest ≠ new set + a live maintenance lease → a converter is
-    *    mid-flight: old meta governs, leave everything alone;
-    *  - manifest ≠ new set + no live lease → crashed before the commit
-    *    point: the old table governs; drop the stranded unmanifested
-    *    replacement segments and the marker. */
+    *  - manifest ≠ new set → either a converter is mid-flight or one
+    *    crashed before the commit point. The two are distinguished by
+    *    ACQUIRING the maintenance lease (steal-if-stale), never by an
+    *    mtime-age guess: acquisition failing means a live converter
+    *    holds it — old meta governs, leave everything alone; acquiring
+    *    it means any converter is dead or expired, so under the lease
+    *    the old table governs — drop the stranded unmanifested
+    *    replacement segments, stranded scratch dirs, and the marker.
+    *    (A zombie converter that expired mid-commit is still fenced:
+    *    its post-CAS verify sees the swept marker/segments and rolls
+    *    its manifest back — see [[KvCommands.convertToZOrder]].) */
   def repair(dir: String): Unit = {
     if (!Files.exists(markerPath(dir))) return
     readMarker(dir).foreach { case (newSet, meta) =>
@@ -767,12 +814,35 @@ private[connector] object ZConvert {
         SegmentFile.pruneManifestVersions(dir, Long.MaxValue)
         clearMarker(dir)
         KvIndex.invalidate(dir)
-      } else if (!KvMaintenance.liveLeaseExists(dir)) {
-        newSet.filterNot(f => live.exists(_.contains(f))).foreach { f =>
-          Files.deleteIfExists(Paths.get(dir, f))
-          Files.deleteIfExists(Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
-        }
-        clearMarker(dir)
+      } else KvMaintenance.acquire(dir).foreach { l =>
+        try {
+          // re-read under the lease: the marker may have been cleared
+          // (conversion finished or aborted) between the check above
+          // and the acquisition — destructive cleanup must act only on
+          // the state the lease now fences
+          readMarker(dir).foreach { case (newSet2, _) =>
+            val live2 = try SegmentFile.readManifest(dir)
+              catch { case _: Exception => None }
+            if (!live2.contains(newSet2)) {
+              newSet2.filterNot(f => live2.exists(_.contains(f))).foreach { f =>
+                Files.deleteIfExists(Paths.get(dir, f))
+                Files.deleteIfExists(
+                  Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
+              }
+              // a crash mid-build also strands the hidden scratch
+              // subdirectory; with the lease held no converter is
+              // live, so any scratch here is dead
+              Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+                .filter(f => f.isDirectory && f.getName.startsWith(".zconvert-"))
+                .foreach { d =>
+                  Option(d.listFiles()).getOrElse(Array.empty)
+                    .foreach(_.delete())
+                  d.delete()
+                }
+              clearMarker(dir)
+            }
+          }
+        } finally KvMaintenance.release(l)
       }
     }
   }

@@ -134,16 +134,23 @@ object KvMaintenance {
     None
   }
 
-  /** Is SOME live (unexpired) lease present — whoever holds it? The
-    * z-order conversion's crash repair uses this to distinguish "a
-    * converter is mid-flight, leave its marker alone" from "the marker
-    * is a crash leftover, clean it up". */
-  def liveLeaseExists(artifactDir: String,
-      leaseMs: Long = DefaultLeaseMs): Boolean =
+  /** Refresh OUR lease's mtime so age-based staleness restarts from
+    * now. A long-running holder (the z-order converter's build can
+    * exceed `DefaultLeaseMs`) calls this right before entering a
+    * window where expiry would let a destructive repair race it.
+    * Verify-then-touch: the content check keeps us from refreshing a
+    * thief's lease as a matter of course; the residual window (steal
+    * lands between check and touch) only freshens a lease that was
+    * fresh moments ago — harmless. Returns stillHeld. */
+  def refresh(l: Lease): Boolean =
     try {
-      val p = leasePath(artifactDir)
-      Files.exists(p) && (System.currentTimeMillis() -
-        Files.getLastModifiedTime(p).toMillis) < leaseMs
+      if (Files.readString(l.path) != l.token) false
+      else {
+        Files.setLastModifiedTime(l.path,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        true
+      }
     } catch { case _: Exception => false }
 
   /** Does `l` still name the CURRENT lease? A holder must re-check this

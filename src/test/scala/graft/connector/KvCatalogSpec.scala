@@ -379,6 +379,26 @@ class KvCatalogSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(back == truth, s"step $step: rows diverged after repair")
       assert(ZConvert.readMarker(dir).isEmpty, s"step $step: marker survived")
+      // no disk leaks: before the commit point (steps ≤ 4) every .kv
+      // file in the directory is manifested — the marker-first
+      // protocol lets repair sweep segments the dead converter moved
+      // in from ANY crash point (pre-round-10, deaths between the
+      // move-in and the marker stranded them forever). After the
+      // commit (steps ≥ 5) the OLD set legitimately awaits VACUUM.
+      // The hidden scratch dir of a crashed build is swept too once a
+      // marker existed (step 1 dies before its marker — its scratch
+      // is dropTable's to sweep).
+      val manifested = SegmentFile.readManifest(dir).get
+      val onDisk = new java.io.File(dir).list().filter(_.endsWith(".kv")).toSet
+      if (step <= 4)
+        assert(onDisk == manifested,
+          s"step $step: stranded unmanifested segments ${onDisk.diff(manifested)}")
+      else assert(manifested.subsetOf(onDisk),
+        s"step $step: manifested segments missing ${manifested.diff(onDisk)}")
+      if (step >= 2)
+        assert(!new java.io.File(dir).listFiles().exists(f =>
+          f.isDirectory && f.getName.startsWith(".zconvert-")),
+          s"step $step: stranded scratch dir survived repair")
       if (step <= 4) {
         assert(m.keys == Seq("k"),
           s"step $step: meta flipped before the commit point")
@@ -431,6 +451,85 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(KvCommands.convertToZOrder(spark, dir, Seq("a", "b")) == 410L)
     assert(KvCommands.table(spark, dir)
       .filter(col("a") === 20).count() == 10L) // the raced-in rows
+    KvCommands.dropTable(dir)
+  }
+
+  test("repair is LEASE-FENCED: never destructive while a holder is live") {
+    // a reader repairing between the converter's marker write and its
+    // CAS used to judge the converter dead by lease mtime AGE — a
+    // build longer than the lease term (or an IO hiccup reading the
+    // lease) made repair delete the converter's just-moved segments
+    // while the converter went on to commit a manifest naming them.
+    // Now repair must ACQUIRE the lease to destroy: a live holder
+    // blocks it outright.
+    val dir = java.nio.file.Files
+      .createTempDirectory("zclease").toString + "/t"
+    KvCommands.createTable(
+      spark.range(100).select(col("id").as("k"), (col("id") % 10).as("a")),
+      dir, Seq("k"))
+    val lease = KvMaintenance.acquire(dir).get
+    try {
+      // a mid-flight converter's state: marker down, replacement
+      // segment moved in, manifest still the old set
+      val stray = "zz-replacement.kv"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, stray), "x")
+      ZConvert.writeMarker(dir, Set(stray), "{}")
+      GraftKvMeta.read(dir) // triggers repair — must refuse to destroy
+      assert(ZConvert.readMarker(dir).isDefined,
+        "repair swept a live converter's marker")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, stray)),
+        "repair deleted a live converter's moved-in segment")
+    } finally KvMaintenance.release(lease)
+    // holder gone → the same read-side repair now sweeps the leftovers
+    GraftKvMeta.read(dir)
+    assert(ZConvert.readMarker(dir).isEmpty, "dead marker survived repair")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "zz-replacement.kv")),
+      "dead converter's stranded segment survived repair")
+    assert(KvCommands.table(spark, dir).count() == 100L)
+    KvCommands.dropTable(dir)
+  }
+
+  test("post-CAS verify: a repair sweeping at the commit point rolls back") {
+    // the zombie-converter window: a repair (under a stolen lease)
+    // sweeps marker + replacement segments in the instant between the
+    // converter's stillHeld check and its CAS win. The converter must
+    // detect the sweep right after the CAS and roll the manifest back
+    // — never leave a committed manifest naming deleted files.
+    import graft.store.SegmentFile
+    val dir = java.nio.file.Files
+      .createTempDirectory("zcswept").toString + "/t"
+    KvCommands.createTable(
+      spark.range(300).select(col("id").as("k"),
+        expr("id div 30").as("a"), (col("id") % 30).as("b")),
+      dir, Seq("k"))
+    ZConvert.testCheckpointAction = step =>
+      if (step == 4) { // moved in + marker down, CAS next
+        val (swept, _) = ZConvert.readMarker(dir).get
+        swept.foreach { f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
+        }
+        ZConvert.clearMarker(dir)
+      }
+    val err =
+      try intercept[IllegalStateException](
+        KvCommands.convertToZOrder(spark, dir, Seq("a", "b")))
+      finally ZConvert.testCheckpointAction = null
+    assert(err.getMessage.contains("rolled back"), err.getMessage)
+    // the manifest names only files that exist: the old table, intact
+    val m = GraftKvMeta.read(dir).get
+    assert(m.keys == Seq("k"), "swept conversion still flipped the meta")
+    val live = SegmentFile.readManifest(dir).get
+    assert(live.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))),
+      "committed manifest names deleted files")
+    assert(KvCommands.table(spark, dir).count() == 300L)
+    // and a clean retry completes
+    assert(KvCommands.convertToZOrder(spark, dir, Seq("a", "b")) == 300L)
+    assert(KvCommands.table(spark, dir)
+      .filter(col("a") === 3 && col("b") < 10).count() == 10L)
     KvCommands.dropTable(dir)
   }
 
