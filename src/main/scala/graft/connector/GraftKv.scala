@@ -680,6 +680,17 @@ object GraftKvAggScan {
         math.min(38, d.precision + 10), d.scale)
     case _ => Long.box(unscaledOrLong)
   }
+
+  /** Overflow-promoted accumulator result: decimal widens into its
+    * 38-digit output type; an integral sum that truly exceeds Long
+    * range throws the same overflow the non-pushed ANSI aggregate
+    * would (longValueExact), never a silently wrapped value. */
+  def sumValueWide(dt: DataType, acc: java.math.BigInteger): Any = dt match {
+    case d: DecimalType =>
+      Decimal(new java.math.BigDecimal(acc, d.scale),
+        math.min(38, d.precision + 10), d.scale)
+    case _ => Long.box(acc.longValueExact())
+  }
 }
 
 class KvAggReaderFactory(schema: StructType, keys: Seq[String],
@@ -714,6 +725,13 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
             var minLead: Any = null
             var maxLead: Any = null
             val sums = new Array[Long](valCols.length)
+            // overflow promotion: a range-restricted scan over
+            // mixed-sign data can overflow the long accumulator even
+            // when the TRUE sum fits the widened output type (segment
+            // claims only bound full-segment sums, never subsets) —
+            // promote to BigInteger instead of failing a query the
+            // non-pushed plan would answer
+            val sumsBig = new Array[java.math.BigInteger](valCols.length)
             val sumSeen = new Array[Boolean](valCols.length)
             val mins = new Array[Any](valCols.length)
             val maxs = new Array[Any](valCols.length)
@@ -735,16 +753,21 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
                     val x = row.get(1 + j, cdt)
                     if (mins(j) == null || cmps(j)(x, mins(j)) < 0) mins(j) = x
                     if (maxs(j) == null || cmps(j)(x, maxs(j)) > 0) maxs(j) = x
+                    def add(v: Long): Unit = {
+                      if (sumsBig(j) != null)
+                        sumsBig(j) = sumsBig(j).add(java.math.BigInteger.valueOf(v))
+                      else try sums(j) = Math.addExact(sums(j), v)
+                        catch { case _: ArithmeticException =>
+                          sumsBig(j) = java.math.BigInteger.valueOf(sums(j))
+                            .add(java.math.BigInteger.valueOf(v)) }
+                      sumSeen(j) = true
+                    }
                     cdt match {
                       case LongType | IntegerType | ShortType | ByteType =>
-                        sums(j) = Math.addExact(sums(j),
-                          x.asInstanceOf[Number].longValue)
-                        sumSeen(j) = true
+                        add(x.asInstanceOf[Number].longValue)
                       case d: DecimalType if d.precision <= 18 =>
-                        sums(j) = Math.addExact(sums(j),
-                          x.asInstanceOf[org.apache.spark.sql.types.Decimal]
-                            .toUnscaledLong)
-                        sumSeen(j) = true
+                        add(x.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                          .toUnscaledLong)
                       case _ => ()
                     }
                   }
@@ -758,9 +781,10 @@ class KvAggReaderFactory(schema: StructType, keys: Seq[String],
               case KvAgg.MaxLead => maxLead
               case KvAgg.SumCol(n) =>
                 val j = valCols.indexOf(n)
-                if (sumSeen(j))
-                  GraftKvAggScan.sumValue(schema(n).dataType, sums(j))
-                else null
+                if (!sumSeen(j)) null
+                else if (sumsBig(j) != null)
+                  GraftKvAggScan.sumValueWide(schema(n).dataType, sumsBig(j))
+                else GraftKvAggScan.sumValue(schema(n).dataType, sums(j))
               case KvAgg.MinCol(n) => mins(valCols.indexOf(n))
               case KvAgg.MaxCol(n) => maxs(valCols.indexOf(n))
               case KvAgg.CountCol(n) => nonNull(valCols.indexOf(n))
@@ -2639,6 +2663,12 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   // Values convert to double exactly the way ApproximatePercentile
   // ingests them (integral → toDouble, date → days, timestamp →
   // micros), so a merged metadata answer converts back the same way.
+  // NARROW decimals (p ≤ 18, round 10) ingest the UNSCALED long — the
+  // conversion that stays exact in the value domain; the first value
+  // whose unscaled magnitude exceeds a double's 53-bit mantissa
+  // poisons THIS SEGMENT's claim for the column (no sketch emitted —
+  // claim-or-nothing, so one inexact segment degrades the whole-table
+  // metadata answer to the scan).
   // Winners-only: contributions stage and fold at flush like the rest.
   private val qsFields: Array[(Int, org.apache.spark.sql.types.StructField)] =
     if (tombstone) Array.empty
@@ -2651,14 +2681,17 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   private val qsBufs = Array.fill(qsFields.length)(freshQs())
   private val qsPending = new Array[Double](qsFields.length)
   private val qsPendingNull = new Array[Boolean](qsFields.length)
+  private val qsPoisoned = new Array[Boolean](qsFields.length)
 
   private def segQsSketches(): Seq[SegmentFile.QuantileSketch] = {
     val out = Seq.newBuilder[SegmentFile.QuantileSketch]
     var i = 0
     while (i < qsFields.length) {
-      out += SegmentFile.QuantileSketch.fromSummaries(
-        qsFields(i)._2.name, qsBufs(i))
+      if (!qsPoisoned(i))
+        out += SegmentFile.QuantileSketch.fromSummaries(
+          qsFields(i)._2.name, qsBufs(i))
       qsBufs(i) = freshQs()
+      qsPoisoned(i) = false
       i += 1
     }
     out.result()
@@ -2837,6 +2870,14 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
       else {
         qsPendingNull(qi) = false
         qsPending(qi) = row.get(ord, f.dataType) match {
+          case d: org.apache.spark.sql.types.Decimal =>
+            val u = d.toUnscaledLong // p ≤ 18 by quantileSketchable
+            val dd = u.toDouble
+            // exactness guard: beyond 2^53 the long→double round-trip
+            // is lossy and the metadata answer would be a value the
+            // column may not contain — poison this segment's claim
+            if (dd.toLong != u) { qsPoisoned(qi) = true; qsPendingNull(qi) = true }
+            dd
           case n: java.lang.Number => n.doubleValue()
           case other => other.toString.toDouble
         }

@@ -136,8 +136,15 @@ object GraftKvMetadataTable {
         if (!gateOk || !SegmentFile.quantileSketchable(f.dataType)) Seq(null, null, null)
         else SegmentFile.mergedQuantileSummaries(segs, qsketches, f.name) match {
           case Some(sum) if sum.count > 0 =>
+            // decimal summaries store the UNSCALED long — rescale for
+            // the value-domain display column
+            val rescale: Double => Double = f.dataType match {
+              case d: DecimalType =>
+                v => java.math.BigDecimal.valueOf(v.toLong, d.scale).doubleValue()
+              case _ => identity
+            }
             Seq(0.25, 0.5, 0.75).map(p =>
-              sum.query(p).map(Double.box).orNull)
+              sum.query(p).map(v => Double.box(rescale(v))).orNull)
           case _ => Seq(null, null, null)
         }
       Array[Any](f.name, f.dataType.simpleString,

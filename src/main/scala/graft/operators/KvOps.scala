@@ -33,7 +33,7 @@ object KvOps {
     * by an older writer would silently lack them — correctness gates
     * still pass via the scan fallback, but metadata-claim gates (kv41)
     * would read NULL where the current writer publishes a number. */
-  private val FixtureFormat = "v13" // round 9: decimal zone/sum/NDV claims
+  private val FixtureFormat = "v14" // round 10: decimal quantile summaries
 
   /** Idempotently materialize `df` as a KV table. A cached fixture whose
     * declared keys or codec differ from the request (stale layout from
@@ -1051,6 +1051,45 @@ object KvOps {
           max(col("price_dec")).cast(DecimalType(38, 2)).as("max_price"),
           count(col("price_dec")).as("cnt_p"),
           count(lit(1)).as("cnt"))
+    },
+
+    // DECIMAL metadata percentiles (round 10): the money column's
+    // whole-table approx_percentile answers from merged per-segment GK
+    // summaries that ingested the UNSCALED long — exact in the value
+    // domain (the double path the old wholesale refusal guarded
+    // against is never taken), so the answer is always a real cents
+    // value. Like kv42 the answered VALUE is merge-order-dependent;
+    // the in-band invariant is the ε-rank contract vs the parquet
+    // truth at p50 and p90, and the exact non-null count is the
+    // DuckDB-hashed column. The derived decimal is built from integer
+    // columns by string concat on BOTH sides (engine-independent).
+    QuerySpec.checked("kv49_decimal_metadata_percentile",
+      """SELECT count(p) AS n_p, true AS p50_ok, true AS p90_ok
+        |FROM (SELECT CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)""") { (s, d) =>
+      val eps = graft.store.SegmentFile.QsRelativeError
+      val m = lineitemDecKv(s, d).agg(
+        percentile_approx(col("price_dec"), lit(0.5), lit(10000)).as("m50"),
+        percentile_approx(col("price_dec"), lit(0.9), lit(10000)).as("m90"))
+      val pq = Tables.table(s, d, "lineitem").select(expr(
+        "CAST(concat(cast(l_partkey as string), '.', " +
+          "lpad(cast(l_suppkey % 100 as string), 2, '0')) AS DECIMAL(12,2))")
+        .as("p"))
+      pq.crossJoin(m).agg(
+        count(col("p")).as("n_p"),
+        count(when(col("p") < col("m50"), 1)).as("lt50"),
+        count(when(col("p") <= col("m50"), 1)).as("le50"),
+        count(when(col("p") < col("m90"), 1)).as("lt90"),
+        count(when(col("p") <= col("m90"), 1)).as("le90"))
+        .select(col("n_p"),
+          (col("lt50") <= col("n_p") * 0.5 + col("n_p") * eps + 1 &&
+            col("le50") >= col("n_p") * 0.5 - col("n_p") * eps - 1)
+            .as("p50_ok"),
+          (col("lt90") <= col("n_p") * 0.9 + col("n_p") * eps + 1 &&
+            col("le90") >= col("n_p") * 0.9 - col("n_p") * eps - 1)
+            .as("p90_ok"))
     },
 
     // 3-dim z-curve with a STRING middle dimension: numeric lead range ×

@@ -135,6 +135,12 @@ case class KvPercentileRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case IntegerType | DateType => d => d.toInt
       case ShortType => d => d.toShort
       case ByteType => d => d.toByte
+      // narrow decimals sketch the UNSCALED long (exact — the writer
+      // poisons any segment holding a value beyond 2^53), so the
+      // stored double IS an unscaled integer: rescale it back
+      case dec: DecimalType => d => Decimal(
+        java.math.BigDecimal.valueOf(d.toLong, dec.scale),
+        dec.precision, dec.scale)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     val out = doubles.map(conv)

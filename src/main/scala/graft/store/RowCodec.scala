@@ -97,8 +97,10 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
   // prefix-safe, and unsigned byte order == value order. (The reference
   // PARSED decimal DDL but refused to store it, HBaseSQLParser.scala:
   // 234-249 vs HBaseCatalog.scala:425-446 — this beats it. Metadata
-  // claims — zones/SUM/NDV/quantiles — are deliberately NOT published
-  // for decimal columns yet: claim-or-nothing.)
+  // claims follow the narrow/wide split: p ≤ 18 columns publish V13
+  // zones + exact unscaled SUM + NDV/null counts and, since round 10,
+  // V11 quantile summaries over the unscaled long; wide decimals stay
+  // claim-free — claim-or-nothing either way.)
 
   private def decimalWidth(dt: DecimalType): Int = if (dt.precision <= 18) 8 else 16
 
@@ -126,14 +128,31 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
 
   /** External/filter-domain value → Decimal at this column's type (key
     * encode entry points may see catalyst Decimal, java BigDecimal from
-    * pushed filters, or a plain number from tests). */
-  private def toDecimal(dt: DecimalType, v: Any): Decimal = v match {
-    case d: Decimal => d
-    case d: java.math.BigDecimal => Decimal(d, dt.precision, dt.scale)
-    case d: BigDecimal => Decimal(d, dt.precision, dt.scale)
-    case n: Number => Decimal(new java.math.BigDecimal(n.toString), dt.precision, dt.scale)
-    case other => throw new IllegalArgumentException(
-      s"cannot encode $other as ${dt.simpleString}")
+    * pushed filters, or a plain number from tests). Rescaling NEVER
+    * rounds: Decimal.set's HALF_UP would silently turn a pushed bound
+    * with finer scale (`> 50.005` against DECIMAL(12,2)) into `> 50.01`
+    * — an exclusive bound that wrongly excludes boundary keys. A value
+    * that doesn't fit the column scale exactly throws instead, and
+    * every filter-domain caller degrades to an unpruned read (Spark's
+    * type coercion casts such literals before pushdown today, so this
+    * is a guard, not a hot path). */
+  private def toDecimal(dt: DecimalType, v: Any): Decimal = {
+    def exact(bd: java.math.BigDecimal): Decimal = {
+      val r = try bd.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"value $bd does not fit ${dt.simpleString} exactly") }
+      Decimal(r, dt.precision, dt.scale)
+    }
+    v match {
+      case d: Decimal =>
+        if (d.scale == dt.scale) d else exact(d.toJavaBigDecimal)
+      case d: java.math.BigDecimal => exact(d)
+      case d: BigDecimal => exact(d.bigDecimal)
+      case n: Number => exact(new java.math.BigDecimal(n.toString))
+      case other => throw new IllegalArgumentException(
+        s"cannot encode $other as ${dt.simpleString}")
+    }
   }
 
   private def encodeKeyField(dt: DataType, v0: Any): Array[Byte] = {

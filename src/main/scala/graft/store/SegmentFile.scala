@@ -164,6 +164,17 @@ object SegmentFile {
   // layout (len-prefixed bytes + exactness flag), so files still open
   // with the V11 marker — older files simply never contain the tag.
   private val FormatV11 = -11
+  // V13 (format int -13; -12 is skipped so the int never collides with
+  // the tag-versioned "V12" string zones above): DECIMAL zone claims.
+  // The decimal zone tags (11 narrow since round 9, 12 wide since
+  // round 10) are self-describing for a CURRENT reader, but a
+  // pre-decimal reader hitting an unknown tag would die mid-parse with
+  // a NoSuchElementException instead of skipping — so the sidecar
+  // header advances and such a reader rejects the file CLEANLY at
+  // open. Current readers accept V9–V13 (round-9 files carry narrow
+  // decimal tags under the -11 header; that ship has sailed and this
+  // reader handles them).
+  private val FormatV13 = -13
 
   /** One value-column zone entry: (column, type, min, max[, sum]) over
     * the segment's non-null values. Types are the fixed-width numerics
@@ -284,16 +295,22 @@ object SegmentFile {
   private val tagOf = zoneTags.map(_.swap).toMap
   private val typeOf = zoneTags.toMap
   // V13: NARROW DECIMAL zones (precision ≤ 18 — unscaled value fits a
-  // long). The tag is parameterized: the entry writes (precision,
-  // scale) after the tag byte, so the layout is self-describing and
-  // pre-V13 files (which never contain the tag) need no version gate.
-  // Wide decimals (p > 18) stay unmapped — claim-or-nothing.
+  // long, 8-byte entries). V14 (round 10): WIDE DECIMAL zones (p > 18,
+  // 16-byte sign-extended two's-complement unscaled entries) — min/max
+  // claims only; SUM stays refused for wide columns (the writer's
+  // exact-Long accumulator can't carry them, and a silently wrapped
+  // 128-bit sum would be a WRONG claim, not a missing one). Both tags
+  // are parameterized: the entry writes (precision, scale) after the
+  // tag byte, so the layout is self-describing to current readers; the
+  // sidecar header advance to FormatV13 makes pre-decimal readers
+  // reject cleanly instead of dying on the unknown tag.
   private val DecimalTag: Byte = 11
+  private val WideDecimalTag: Byte = 12
 
   private def zoneTag(dt: org.apache.spark.sql.types.DataType): Byte =
     dt match {
-      case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
-        DecimalTag
+      case d: org.apache.spark.sql.types.DecimalType =>
+        if (d.precision <= 18) DecimalTag else WideDecimalTag
       case other => tagOf(other)
     }
 
@@ -309,26 +326,37 @@ object SegmentFile {
 
   private def readZoneTag(in: DataInputStream): org.apache.spark.sql.types.DataType = {
     val tag = in.readByte()
-    if (tag == DecimalTag)
+    if (tag == DecimalTag || tag == WideDecimalTag)
       org.apache.spark.sql.types.DecimalType(in.readByte(), in.readByte())
     else typeOf(tag)
   }
 
-  /** Can this value column carry a zone map? */
+  /** Can this value column carry a zone map? Every decimal width since
+    * V14 — wide columns get min/max (pruning + metadata MIN/MAX), just
+    * never SUM. */
   def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
-      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _: org.apache.spark.sql.types.DecimalType => true
       case other => tagOf.contains(other)
     }
 
   /** Can this column carry a V11 quantile summary? The zone-mappable
     * NUMERICS (summaries ingest doubles) — strings zone-map since V12
-    * but have no quantile form, and decimal zones (V13) skip the
-    * summaries too: ApproximatePercentile's double conversion would
-    * make the metadata answer inexact in the value domain. */
+    * but have no quantile form. NARROW decimals (p ≤ 18) sketch since
+    * round 10 by ingesting the UNSCALED long, which is exact in the
+    * value domain wherever it fits a double's 53-bit mantissa — the
+    * writer checks per value and drops the whole segment's claim on
+    * the first unscaled value beyond 2^53 (claim-or-nothing), so a
+    * money column's metadata percentile is never a value the column
+    * couldn't contain. (The earlier wholesale refusal guarded against
+    * ApproximatePercentile's SCALED double conversion, which is
+    * inexact already at cents precision.) */
   def quantileSketchable(dt: org.apache.spark.sql.types.DataType): Boolean =
-    zoneMappable(dt) && dt != org.apache.spark.sql.types.StringType &&
-      !dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    dt match {
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case other =>
+        zoneMappable(other) && other != org.apache.spark.sql.types.StringType
+    }
 
   private def writeZoneValue(out: DataOutputStream,
       dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
@@ -345,8 +373,19 @@ object SegmentFile {
         val b = v.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out.writeInt(b.length); out.write(b)
-      case _: DecimalType =>
-        out.writeLong(v.asInstanceOf[Decimal].toUnscaledLong)
+      case d: DecimalType =>
+        if (d.precision <= 18) out.writeLong(v.asInstanceOf[Decimal].toUnscaledLong)
+        else {
+          // 16-byte sign-extended two's complement, big-endian (the
+          // value domain does the comparing — no order-preserving flip
+          // needed here, unlike the key codec)
+          val bi = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+          val buf = new Array[Byte](16)
+          if (bi.signum() < 0) java.util.Arrays.fill(buf, 0xff.toByte)
+          val tb = bi.toByteArray
+          System.arraycopy(tb, 0, buf, 16 - tb.length, tb.length)
+          out.write(buf)
+        }
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
@@ -365,7 +404,13 @@ object SegmentFile {
         val b = new Array[Byte](in.readInt()); in.readFully(b)
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
       case d: DecimalType =>
-        Decimal.createUnsafe(in.readLong(), d.precision, d.scale)
+        if (d.precision <= 18)
+          Decimal.createUnsafe(in.readLong(), d.precision, d.scale)
+        else {
+          val buf = new Array[Byte](16); in.readFully(buf)
+          Decimal(new java.math.BigDecimal(
+            new java.math.BigInteger(buf), d.scale), d.precision, d.scale)
+        }
       case other => throw new IllegalArgumentException(s"no zone map for $other")
     }
   }
@@ -449,7 +494,7 @@ object SegmentFile {
         Option(schemaJson), zoneStats.filter(z => zoneMappable(z.dataType)),
         gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
-      mo.writeInt(FormatV11)
+      mo.writeInt(FormatV13)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
       m.schemaJson match {
@@ -537,7 +582,8 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name))))
     try {
       val first = in.readInt()
-      val v11 = first == FormatV11
+      val v13 = first == FormatV13
+      val v11 = v13 || first == FormatV11
       val v10 = v11 || first == FormatV10
       val v9 = v10 || first == FormatV9
       val v8 = v9 || first == FormatV8
@@ -1103,7 +1149,8 @@ object SegmentFile {
     * section (shared by the NDV and quantile sidecar parsers). Returns
     * false when the format has no NDV section at all. */
   private def skipToNdvSection(in: DataInputStream, ver: Int): Boolean = {
-    if (ver != FormatV9 && ver != FormatV10 && ver != FormatV11) return false
+    if (ver != FormatV9 && ver != FormatV10 && ver != FormatV11 &&
+      ver != FormatV13) return false
     in.skipNBytes(16) // gen + tombstones
     val sj = in.readInt(); if (sj > 0) in.skipNBytes(sj.toLong)
     in.skipNBytes(in.readInt().toLong) // minKey
@@ -1120,7 +1167,7 @@ object SegmentFile {
       if (in.readBoolean()) in.readLong()
       nz -= 1
     }
-    if (ver == FormatV10 || ver == FormatV11) { // null-count section
+    if (ver == FormatV10 || ver == FormatV11 || ver == FormatV13) { // null-count section
       var nn = in.readInt()
       while (nn > 0) {
         in.skipNBytes(in.readInt().toLong)
@@ -1157,7 +1204,7 @@ object SegmentFile {
       Files.newInputStream(metaPath(dir, name)), 1 << 16))
     try {
       val ver = in.readInt()
-      if (ver != FormatV11) return Seq.empty
+      if (ver != FormatV11 && ver != FormatV13) return Seq.empty
       if (!skipToNdvSection(in, ver)) return Seq.empty
       var s = in.readInt() // step over the NDV registers
       while (s > 0) {

@@ -223,4 +223,101 @@ class DecimalCodecSpec extends AnyFunSuite {
       s"decimal zones pruned nothing: $rep")
     KvCommands.dropTable(path2)
   }
+
+  test("wide decimal (p>18) zones: pruning + metadata MIN/MAX, SUM refused") {
+    // a DECIMAL(38,6) revenue column gets V14 16-byte min/max zone
+    // entries: pushed ranges prune segments, whole-table MIN/MAX
+    // answers from metadata — but SUM never pushes (no exact-Long
+    // claim exists at this width; claim-or-nothing)
+    val path = java.nio.file.Files
+      .createTempDirectory("graftkv_dec_wide").toString + "/t"
+    val df = spark.range(2000).select(col("id").as("k"),
+      expr("CAST(concat(cast(id * 1000 as string), '.000001') " +
+        "AS DECIMAL(38,6))").as("rev"))
+    KvCommands.createTable(df, path, Seq("k"), maxSegBytes = Some(8192L))
+    assert(SegmentFile.listSegments(path).length > 1)
+    val t = KvCommands.table(spark, path)
+    // min/max from metadata (zero data bytes)
+    val q = t.agg(min(col("rev")).as("mn"), max(col("rev")).as("mx"),
+      count(lit(1)).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      "wide-decimal MIN/MAX must answer from V14 zones:\n" +
+        q.queryExecution.executedPlan.toString.take(1200))
+    val r = q.head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.000001")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("1999000.000001")) == 0)
+    assert(r.getLong(2) == 2000L)
+    // SUM must NOT push: the same aggregate with a SUM degrades to the
+    // scan — and is still exact
+    val qs = t.agg(sum(col("rev")).as("s"), min(col("rev")).as("mn"))
+    assert(!qs.queryExecution.executedPlan.toString.contains("GraftKvAggScan"),
+      "wide-decimal SUM must never answer from claims")
+    val expSum = (0 until 2000)
+      .map(i => new java.math.BigDecimal(s"${i * 1000}.000001"))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    assert(qs.head().getDecimal(0).compareTo(expSum) == 0)
+    // zone pruning on a pushed wide-decimal range (rev tracks the key)
+    val narrow = t.filter(col("rev") > 1000000 && col("rev") <= 1100000)
+    assert(narrow.count() == 100L)
+    narrow.collect()
+    val rep = KvCommands.pruningReport(narrow).head()
+    assert(rep.getAs[Long]("segments_read") < rep.getAs[Long]("segments_live"),
+      s"wide-decimal zones pruned nothing: $rep")
+    KvCommands.dropTable(path)
+  }
+
+  test("decimal metadata percentiles: unscaled GK summaries + exactness guard") {
+    // narrow-decimal money column: whole-table percentile_approx
+    // answers from merged per-segment summaries (plan is a
+    // LocalTableScan — zero data bytes) and the answer is an exact
+    // cents value satisfying the ε-rank contract
+    val path = java.nio.file.Files
+      .createTempDirectory("graftkv_dec_qs").toString + "/t"
+    val df = spark.range(2000).select(col("id").as("k"),
+      expr("CAST(CAST(id AS DECIMAL(12,2)) / 4 AS DECIMAL(12,2))").as("money"))
+    KvCommands.createTable(df, path, Seq("k"), maxSegBytes = Some(8192L))
+    assert(SegmentFile.listSegments(path).length > 1)
+    val t = KvCommands.table(spark, path)
+    val q = t.agg(
+      percentile_approx(col("money"), lit(0.5), lit(10000)).as("p50"),
+      count(lit(1)).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "decimal percentile must answer from metadata:\n" +
+        q.queryExecution.executedPlan.toString.take(1200))
+    val row = q.head()
+    assert(row.getLong(1) == 2000L)
+    val p50 = row.getDecimal(0)
+    // exact value domain: every column value is a multiple of 0.25
+    assert(p50.unscaledValue().longValueExact() % 25 == 0,
+      s"metadata percentile $p50 is not a value the column contains")
+    // ε-rank contract vs the known truth money=k/4: rank(answer) within
+    // ε·N (+1) of 0.5·N
+    val rank = (0 until 2000).count(i =>
+      java.math.BigDecimal.valueOf(i * 25L, 2).compareTo(p50) <= 0)
+    val eps = SegmentFile.QsRelativeError
+    assert(math.abs(rank - 1000) <= 2000 * eps + 1, s"rank $rank for $p50")
+    // a TIGHTER-than-stored accuracy refuses the metadata and scans
+    val tight = t.agg(
+      percentile_approx(col("money"), lit(0.5), lit(100000)).as("p"))
+    assert(!tight.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "tighter-than-stored accuracy must refuse the metadata answer")
+    KvCommands.dropTable(path)
+
+    // exactness guard: unscaled values beyond 2^53 poison the segment's
+    // claim (the long→double round-trip is lossy there), so the
+    // metadata path refuses and the query scans
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graftkv_dec_qs2").toString + "/t"
+    val df2 = spark.range(500).select(col("id").as("k"),
+      // odd values just above 2^53 = 9007199254740992: none
+      // representable in a double
+      expr("CAST(9007199254740993 + id * 2 AS DECIMAL(18,0))").as("big"))
+    KvCommands.createTable(df2, path2, Seq("k"), maxSegBytes = Some(8192L))
+    val t2 = KvCommands.table(spark, path2)
+    val q2 = t2.agg(
+      percentile_approx(col("big"), lit(0.5), lit(10000)).as("p"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "poisoned decimal summaries must degrade the percentile to a scan")
+    KvCommands.dropTable(path2)
+  }
 }
