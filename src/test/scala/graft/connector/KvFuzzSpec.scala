@@ -229,4 +229,58 @@ class KvFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("random DECIMAL predicates: lead decimal key + wide decimal value") {
+    // sweeps the decimal families end-to-end: the order-preserving
+    // narrow-decimal KEY codec (seek bounds, sparse index, critical
+    // points), V13 narrow + V14 wide VALUE zones, and the
+    // no-silent-rounding filter guard (finer-scale literals must
+    // change nothing but the amount of pruning). Binary codec only —
+    // stringformat does not store decimals.
+    val base = spark.range(8000).select(
+      expr("CAST(CAST((id * 37) % 10000 AS DECIMAL(12,2)) / 100 " +
+        "AS DECIMAL(12,2))").as("d"), // 0.00 … 99.99, exact cents
+      col("id").as("k"),
+      expr("CAST(concat(cast(id % 500 as string), '.000123') " +
+        "AS DECIMAL(38,6))").as("w"))
+    val pqPath = Files.createTempDirectory("graftkv_decfuzz_pq").toString
+    base.write.mode("overwrite").parquet(pqPath)
+    val pq = spark.read.parquet(pqPath)
+    val kvPath = Files.createTempDirectory("graftkv_decfuzz").toString + "/t"
+    KvCommands.createTable(pq, kvPath, Seq("d", "k"),
+      maxSegBytes = Some(32768L))
+    val kv = KvCommands.table(spark, kvPath)
+
+    val rnd = new scala.util.Random(77)
+    def cents(): Column = // on- and off-grid, sometimes out of domain
+      lit(java.math.BigDecimal.valueOf(rnd.nextLong(10500), 2))
+    def fine(): Column = // finer scale than the column — must not round
+      lit(java.math.BigDecimal.valueOf(rnd.nextLong(105000), 3))
+    def wide(): Column =
+      lit(new java.math.BigDecimal(s"${rnd.nextInt(520)}.000123"))
+    def p(): Column = rnd.nextInt(10) match {
+      case 0 => col("d") === cents()
+      case 1 => col("d").between(cents(), cents())
+      case 2 => col("d") > cents() && col("d") <= cents()
+      case 3 => col("d").isin(Seq.fill(rnd.nextInt(5) + 1)(
+        java.math.BigDecimal.valueOf(rnd.nextLong(10500), 2)): _*)
+      case 4 => !col("d").between(cents(), cents())
+      case 5 => col("d") > fine() // exclusive bound at finer scale
+      case 6 => col("d") <= fine() || col("d") === cents()
+      case 7 => col("w") < wide()
+      case 8 => col("w").between(wide(), wide())
+      case 9 => col("d").between(cents(), cents()) && col("w") >= wide()
+    }
+    val preds = Seq.fill(60)(p())
+    preds.zipWithIndex.foreach { case (pred, i) =>
+      def shape(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.math.BigDecimal]("d"), r.getAs[Long]("k"),
+          r.getAs[java.math.BigDecimal]("w"))
+      val exp = pq.filter(pred).collect().map(shape).toSet
+      val got = kv.filter(pred).collect().map(shape).toSet
+      assert(got == exp,
+        s"decimal predicate #$i [$pred]: kv=${got.size}, parquet=${exp.size}")
+    }
+    KvCommands.dropTable(kvPath)
+  }
 }

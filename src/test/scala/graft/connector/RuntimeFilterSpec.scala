@@ -227,6 +227,44 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(r.getAs[Long]("partitions_runtime") < r.getAs[Long]("partitions_static"))
   }
 
+  test("END-TO-END: a broadcast join on a DECIMAL value column injects and prunes") {
+    // the decimal twin of the integral value-column join above: a
+    // money attribute correlated with key order — round 9 verified the
+    // decimal zone evaluation only with a hand-built v2 predicate; this
+    // drives the whole Spark path (join → runtime filter injection →
+    // decimal literal translation → V13 zone pruning) and would catch a
+    // NaN-normalization-style wrapper blocking decimal keys the way it
+    // blocks doubles
+    val path = tmpDir("valdecjoin") + "/t"
+    spark.range(40000).select(col("id").as("k"),
+      expr("CAST(CAST(id div 4000 AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2))")
+        .as("m"),
+      (col("id") % 7).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+    val dimPath = tmpDir("valdecdim")
+    spark.range(3).select(
+      expr("CAST(CAST(id AS DECIMAL(12,2)) + 0.25 AS DECIMAL(12,2))").as("dm"),
+      (col("id") % 2).as("cat"))
+      .write.mode("overwrite").parquet(dimPath)
+    val kv = KvCommands.table(spark, path)
+    val dim = spark.read.parquet(dimPath).filter(col("cat") === 0)
+    val joined = kv.join(dim, kv("m") === dim("dm"))
+    val n = joined.collect().length
+    assert(n == 8000, s"decimal join returned $n rows") // m ∈ {0.25, 2.25}
+    val scans = kvScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "kv scan not found in executed plan")
+    val filtered = scans.flatMap(s => s.runtimePartitionCount.map((s, _)))
+    assert(filtered.nonEmpty,
+      "runtime filter on the decimal value column never reached the kv scan")
+    filtered.foreach { case (s, after) =>
+      assert(after < s.staticPartitionCount,
+        s"decimal value-zone runtime join filter pruned nothing: " +
+          s"${s.staticPartitionCount} -> $after")
+    }
+  }
+
   test("star join: the dim side's join keys prune the kv fact scan at runtime") {
     val path = tmpDir("join") + "/t"
     val fact = spark.range(40000).select(
