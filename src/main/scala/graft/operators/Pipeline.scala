@@ -261,6 +261,52 @@ object PipelineOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // SUBSTRING-level exact dedup (Lee et al. 2022, windowed): every
+    // 8-token span occurring more than once in the corpus is removed
+    // from all but its globally-first occurrence. The engine groups on
+    // md5(window) and rebuilds with an index-aware higher-order filter;
+    // the oracle restates the identical semantics with window functions
+    // over the materialized (doc, pos, gram) relation — text equality of
+    // every rebuilt document is the strongest possible check (it pins
+    // tokenization, the keep-first election, overlap union, and the
+    // rebuild order all at once).
+    QuerySpec.checked("dd9_substring_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |wins AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i,
+        |    unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS gram
+        |  FROM toks
+        |),
+        |marked AS (
+        |  SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+        |  FROM wins
+        |),
+        |killed AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(generate_series(i, i + 7)) AS p
+        |    FROM marked WHERE cnt > 1 AND rn > 1)
+        |),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w))) AS p, unnest(w) AS tok
+        |  FROM toks
+        |)
+        |SELECT tp.doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY tp.p) FILTER (WHERE k.p IS NULL), '') AS clean_text,
+        |  count(k.p) AS n_removed
+        |FROM tokpos tp LEFT JOIN killed k ON tp.doc_id = k.doc_id AND tp.p = k.p
+        |GROUP BY tp.doc_id
+        |ORDER BY tp.doc_id""") { (s, d) =>
+      Dedup.dedupSubstrings(t(s, d, "documents"), windowTokens = 8)
+        .orderBy("doc_id")
+    },
+
     // ── text analysis ────────────────────────────────────────────────────
     QuerySpec.checked("tx1_token_count",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -510,4 +510,71 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // ── substring-level exact dedup ────────────────────────────────────────
+
+  /** Substring-level exact deduplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family,
+    * windowed variant): every `windowTokens`-token span whose exact text
+    * occurs more than once ANYWHERE in the corpus is removed from every
+    * occurrence except the globally-first one (minimal `(doc_id, pos)`),
+    * and each document is re-emitted with the surviving tokens. Document-
+    * level dedup cannot see this redundancy — boilerplate headers,
+    * license blocks, and quoted passages repeat across otherwise-distinct
+    * documents and would all survive [[dropExactDuplicates]].
+    *
+    * Semantics (deterministic, shared verbatim with the DuckDB oracle):
+    * tokens are the whitespace-split non-empty words; window `i`
+    * (1-based) covers tokens `[i, i + windowTokens)`; a window's identity
+    * is its tokens joined by a single space; occurrence counts are
+    * per-position (a span repeated twice inside one document counts);
+    * removals are the UNION of the covered token positions of every
+    * non-first duplicate occurrence; output text re-joins survivors with
+    * single spaces.
+    *
+    * Scale posture: the corpus-wide duplicate search is a single
+    * hash-groupBy on the 16-byte md5 of the window text (never the text
+    * itself — shuffle volume is O(tokens), independent of window width),
+    * with a map-side-combinable `min(struct(doc, pos))` electing the
+    * kept occurrence; kill positions fold back per document through one
+    * more hash-groupBy, and the rebuild is a join to the token arrays
+    * plus an index-aware higher-order `filter` — no explode of the full
+    * corpus tokens ever reaches a shuffle, and no stage is quadratic in
+    * anything.
+    */
+  def dedupSubstrings(docs: DataFrame, windowTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split($textCol, '\\\\s+'), t -> length(t) > 0)").as("w"))
+    // (doc, pos, windowHash) for every window position, 1-based; a doc
+    // shorter than the window has none (sequence(1, 0) would DESCEND)
+    val wins = toks.select(col(idCol),
+      posexplode(expr(
+        s"transform(CASE WHEN size(w) >= $w" +
+          s" THEN sequence(1, size(w) - ${w - 1}) ELSE array() END," +
+          s" i -> md5(concat_ws(' ', slice(w, i, $w))))"))
+        .as(Seq("pos0", "h")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("h"))
+    // globally-first occurrence per duplicated window
+    val dups = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col(idCol), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("h"), col("keep"))
+    // token positions covered by non-first duplicate occurrences
+    val killed = wins.join(dups, "h")
+      .filter(!(col(idCol) === col(s"keep.$idCol") &&
+        col("pos") === col("keep.pos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .groupBy(idCol).agg(collect_set(col("p")).as("kill"))
+    toks.join(killed, Seq(idCol), "left")
+      .select(col(idCol),
+        expr("concat_ws(' ', filter(w, (t, i) -> kill IS NULL" +
+          " OR NOT array_contains(kill, i + 1)))").as("clean_text"),
+        when(col("kill").isNull, lit(0))
+          .otherwise(size(col("kill"))).cast("long").as("n_removed"))
+  }
 }

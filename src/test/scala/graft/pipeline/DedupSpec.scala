@@ -274,4 +274,78 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.jaccardVerify(base, pairs, threshold = 0.0).collect()
     assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  // ── substring-level dedup ───────────────────────────────────────────────
+
+  private def substrResult(docs: org.apache.spark.sql.DataFrame, w: Int) =
+    Dedup.dedupSubstrings(docs, windowTokens = w).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+
+  test("dedupSubstrings removes a cross-document repeated span, keep-first") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta unique tail zero"),
+      (1L, "prefix one alpha beta gamma delta epsilon zeta suffix one"),
+      (2L, "totally different words with no shared span at all")
+    ).toDF("doc_id", "text")
+    val r = substrResult(docs, 6)
+    // doc 0 holds the globally-first occurrence: untouched
+    assert(r(0L) == (("alpha beta gamma delta epsilon zeta unique tail zero", 0L)))
+    // doc 1 loses exactly the 6-token repeated window
+    assert(r(1L) == (("prefix one suffix one", 6L)))
+    assert(r(2L)._2 == 0L)
+  }
+
+  test("dedupSubstrings removes a WITHIN-document repeat (per-position counts)") {
+    val docs = Seq(
+      (7L, "a b c d e f X Y a b c d e f")
+    ).toDF("doc_id", "text")
+    val r = substrResult(docs, 6)
+    assert(r(7L) == (("a b c d e f X Y", 6L)))
+  }
+
+  test("dedupSubstrings unions overlapping duplicate windows") {
+    // a repeated 7-token run yields two overlapping 6-token duplicate
+    // windows in the second doc; the union removes all 7 tokens, not 12
+    val docs = Seq(
+      (0L, "p q r s t u v tail"),
+      (1L, "head p q r s t u v")
+    ).toDF("doc_id", "text")
+    val r = substrResult(docs, 6)
+    assert(r(0L)._2 == 0L)
+    assert(r(1L) == (("head", 7L)))
+  }
+
+  test("dedupSubstrings matches a brute-force reference on a random corpus") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val corpus = (0L until 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(30) + 2)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val w = 4
+    // naive reference: materialize every window, count per gram text,
+    // keep the (doc,pos)-minimal occurrence, union the rest, rebuild
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toIndexedSeq }.toMap
+    val occ = for {
+      (id, ws) <- toks.toSeq
+      i <- 1 to math.max(ws.length - w + 1, 0)
+    } yield (ws.slice(i - 1, i - 1 + w).mkString(" "), id, i)
+    val expected = {
+      val byGram = occ.groupBy(_._1).filter(_._2.size > 1)
+      val killed = byGram.values.flatMap { os =>
+        val keep = os.map(o => (o._2, o._3)).min
+        os.filter(o => (o._2, o._3) != keep)
+          .flatMap(o => (o._3 until o._3 + w).map(p => (o._2, p)))
+      }.toSet
+      toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex.collect {
+          case (t, i0) if !killed.contains((id, i0 + 1)) => t }
+        id -> ((kept.mkString(" "), killed.count(_._1 == id).toLong))
+      }
+    }
+    val got = substrResult(corpus.toDF("doc_id", "text"), w)
+    assert(got == expected)
+  }
 }
