@@ -645,6 +645,41 @@ object Bench {
       ""
     }
 
+    // storage section: segment block compression (round 10). Write the
+    // text-heavy documents corpus plain and zstd, report the byte ratio
+    // and a full-scan aggregate on each — the 100-TB claim is that scan
+    // IO shrinks ~ratio while CPU stays close; both numbers land in the
+    // artifact so that claim is checked every round, not asserted once.
+    val storageJson = try {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      val srcDir = "/root/testdata/sf0.01"
+      val docs = Tables.table(spark, srcDir, "documents")
+      def write(dir: String, compress: Option[String]): Long = {
+        graft.connector.KvCommands.dropTable(dir)
+        graft.connector.KvCommands.createTable(docs, dir, Seq("doc_id"),
+          compress = compress)
+        graft.store.SegmentFile.listSegments(dir).map(_.sizeBytes).sum
+      }
+      def scanSec(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.connector.KvCommands.table(spark, dir)
+          .agg(sum(length(col("text")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val plainDir = "/root/repo/tmp/benchstore_plain"
+      val zstdDir = "/root/repo/tmp/benchstore_zstd"
+      val plainBytes = write(plainDir, None)
+      val zstdBytes = write(zstdDir, Some("zstd"))
+      val plainSec = scanSec(plainDir)
+      val zstdSec = scanSec(zstdDir)
+      graft.connector.KvCommands.dropTable(plainDir)
+      graft.connector.KvCommands.dropTable(zstdDir)
+      s""","storage":{"plain_bytes":$plainBytes,"zstd_bytes":$zstdBytes,"ratio":${fmt(plainBytes.toDouble / zstdBytes)},"plain_scan_sec":${fmt(plainSec)},"zstd_scan_sec":${fmt(zstdSec)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] storage failed: ${e.getMessage}")
+      ""
+    }
+
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
     // warmups, so per-query scaling vs the primary SF is directly
@@ -689,7 +724,7 @@ object Bench {
     val sectionsJson =
       s""","sections":${sectionDiag.result().mkString("{", ",", "}")}"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$streamingJson$sf1Json$sectionsJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$zScaleJson$dedupJson$tpchJson$bulkloadJson$storageJson$streamingJson$sf1Json$sectionsJson}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

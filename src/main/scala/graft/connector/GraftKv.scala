@@ -105,9 +105,16 @@ object GraftKvMeta {
     * default, changing the table's scan parallelism). */
   val SegmentMaxBytesProp = "segment.maxbytes"
 
+  /** Per-table segment data-file block compression (none | lz4 | zstd):
+    * persisted at CREATE so appends, DML, compaction and conversion all
+    * write the declared codec. Reads auto-detect per segment (the data
+    * file is self-describing — SegmentFile.Compression), so flipping
+    * the property later only affects segments written after the flip. */
+  val SegmentCompressProp = "segment.compress"
+
   /** The table-property names the meta persists. */
   val PersistedProps: Seq[String] =
-    Seq(StringZoneMaxCharsProp, SegmentMaxBytesProp)
+    Seq(StringZoneMaxCharsProp, SegmentMaxBytesProp, SegmentCompressProp)
 
   def write(dir: String, schema: StructType, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
@@ -318,6 +325,12 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
     }
     val maxSegBytes = props.get(GraftKvMeta.SegmentMaxBytesProp)
       .map(_.toLong).getOrElse(GraftKvDataWriter.DefaultMaxSegmentBytes)
+    // reject an unknown codec at plan time, not in an executor task
+    props.get(GraftKvMeta.SegmentCompressProp).foreach { c =>
+      require(graft.store.SegmentFile.Compression.Names.contains(c),
+        s"${GraftKvMeta.SegmentCompressProp}='$c' — expected one of " +
+          graft.store.SegmentFile.Compression.Names.mkString(" | "))
+    }
     new GraftKvWriteBuilder(path, info.schema(), keys, truncate = false,
       encoding = encoding, maxSegBytes = maxSegBytes, tombstone = tombstone,
       genOverride = genOverride, queryId = info.queryId(), zorder = zorder,
@@ -2379,6 +2392,10 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
     tableProps.get(GraftKvMeta.StringZoneMaxCharsProp).map(_.toInt)
       .getOrElse(SegmentFile.StringZone.MaxChars)
 
+  private def compress: String =
+    tableProps.getOrElse(GraftKvMeta.SegmentCompressProp,
+      SegmentFile.Compression.None)
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     // A z-clustered table's stream writes carry the LOGICAL schema (the
     // buffered Put sink derives `_z` per row and sorts itself), so the
@@ -2441,7 +2458,7 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
             s"${keys.filterNot(schema.fieldNames.contains).mkString(", ")} — " +
             "for a z-clustered table use KvCommands.append, which derives _z")
         new GraftKvWriterFactory(path, schema, keys, encoding, maxSegBytes, gen,
-          tombstone, zoneMaxChars = zoneMaxChars)
+          tombstone, zoneMaxChars = zoneMaxChars, compress = compress)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2523,11 +2540,13 @@ class GraftKvWriterFactory(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
     gen: Long = 0L, tombstone: Boolean = false,
-    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars)
+    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars,
+    compress: String = SegmentFile.Compression.None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftKvDataWriter(path, schema, keys, partitionId, taskId, encoding,
-      maxSegBytes, gen, tombstone, zoneMaxChars = zoneMaxChars)
+      maxSegBytes, gen, tombstone, zoneMaxChars = zoneMaxChars,
+      compress = compress)
 }
 
 object GraftKvDataWriter {
@@ -2576,7 +2595,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     maxSegBytes: Long = GraftKvDataWriter.DefaultMaxSegmentBytes,
     gen: Long = 0L, tombstone: Boolean = false,
     segSeqStart: Int = 0,
-    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars)
+    zoneMaxChars: Int = SegmentFile.StringZone.MaxChars,
+    compress: String = SegmentFile.Compression.None)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(path))
@@ -2759,7 +2779,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     segSeq += 1
     names ::= name
     new SegmentFile.Writer(path, name, nBlooms = nBloomDims,
-      cmp = codec.compareKeys, schemaJson = schema.json, gen = gen)
+      cmp = codec.compareKeys, schemaJson = schema.json, gen = gen,
+      compress = compress)
   }
 
   private def rotate(): Unit = {

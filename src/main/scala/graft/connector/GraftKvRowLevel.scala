@@ -120,6 +120,9 @@ private[connector] final class KvSortedChunkBuffer(path: String,
     if (maxSegBytes != GraftKvDataWriter.DefaultMaxSegmentBytes) maxSegBytes
     else tableProps.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong)
       .getOrElse(maxSegBytes)
+  private val compress: String =
+    tableProps.getOrElse(GraftKvMeta.SegmentCompressProp,
+      graft.store.SegmentFile.Compression.None)
   private[connector] val rows =
     new java.util.TreeMap[Array[Byte], InternalRow](
       new java.util.Comparator[Array[Byte]] {
@@ -154,7 +157,7 @@ private[connector] final class KvSortedChunkBuffer(path: String,
     val w = new GraftKvDataWriter(path, schema, keys, partitionId, taskId,
       encoding, segBytes, gen, tombstone,
       segSeqStart = chunk * KvSortedChunkBuffer.ChunkSeqStride,
-      zoneMaxChars = zoneMaxChars)
+      zoneMaxChars = zoneMaxChars, compress = compress)
     chunk += 1
     rows.values().forEach(r => w.write(r))
     w.commit() match {

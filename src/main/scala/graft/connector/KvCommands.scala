@@ -21,7 +21,8 @@ object KvCommands {
       encoding: String = graft.store.RowCodec.Binary,
       genOverride: Option[Long] = None,
       zorder: Seq[graft.codec.ZDim] = Nil,
-      maxSegBytes: Option[Long] = None): Unit = {
+      maxSegBytes: Option[Long] = None,
+      compress: Option[String] = None): Unit = {
     val w = df.write.format("graftkv")
       .option("key", keys.mkString(","))
       .option("encoding", encoding)
@@ -29,6 +30,7 @@ object KvCommands {
     genOverride.foreach(g => w.option("gen.override", g.toString))
     if (zorder.nonEmpty) w.option("zorder", graft.codec.ZDim.serialize(zorder))
     maxSegBytes.foreach(b => w.option("segment.maxBytes", b.toString))
+    compress.foreach(c => w.option(GraftKvMeta.SegmentCompressProp, c))
     w.save(path)
   }
 
@@ -61,7 +63,8 @@ object KvCommands {
     * query sides (clustering degrades, correctness holds). */
   def createZOrderTable(df: DataFrame, path: String, dims: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
-      maxSegBytes: Option[Long] = None): Unit = {
+      maxSegBytes: Option[Long] = None,
+      compress: Option[String] = None): Unit = {
     require(dims.length >= 2, "z-order clustering wants >= 2 dimensions")
     import org.apache.spark.sql.functions.{max, min}
     import graft.codec.{ZDim, ZOrder}
@@ -86,6 +89,7 @@ object KvCommands {
       .option("encoding", encoding)
       .mode("overwrite")
     maxSegBytes.foreach(b => w.option("segment.maxBytes", b.toString))
+    compress.foreach(c => w.option(GraftKvMeta.SegmentCompressProp, c))
     w.save(path)
   }
 
@@ -163,7 +167,8 @@ object KvCommands {
       val tmp = new java.io.File(path,
         s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}").getPath
       createZOrderTable(data, tmp, dims, m.encoding,
-        maxSegBytes = m.props.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong))
+        maxSegBytes = m.props.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong),
+        compress = m.props.get(GraftKvMeta.SegmentCompressProp))
       // table properties ride through the re-cluster: rewrite the
       // scratch meta with them before it becomes the marker payload
       val sm = GraftKvMeta.read(tmp).get
@@ -477,8 +482,12 @@ object KvCommands {
         s".compacting-${java.util.UUID.randomUUID().toString.take(8)}").getPath
       // replacement segments keep the group's max generation (same
       // versions, reorganized) so gen-offset streams don't re-emit them
+      // the scratch dir has no persisted meta, so the table's declared
+      // codec and segment size must ride in explicitly
       createTable(grouped, tmp, m.keys, m.encoding,
-        genOverride = Some(g.map(_.gen).max))
+        genOverride = Some(g.map(_.gen).max),
+        maxSegBytes = m.props.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong),
+        compress = m.props.get(GraftKvMeta.SegmentCompressProp))
       val moved = SegmentFile.listSegments(tmp).map(_.file)
       moved.foreach { f =>
         Files.move(Paths.get(tmp, f), Paths.get(path, f))

@@ -43,16 +43,19 @@ object KvOps {
     * drift. */
   private def ensureDf(spark: SparkSession, sfDir: String, fixture: String,
       df: => DataFrame, keys: Seq[String],
-      encoding: String = graft.store.RowCodec.Binary): String = lock.synchronized {
+      encoding: String = graft.store.RowCodec.Binary,
+      compress: Option[String] = None): String = lock.synchronized {
     val path = s"${kvRoot(sfDir)}/$fixture"
     val marker = java.nio.file.Paths.get(path, "_fixture_format")
     val current = graft.connector.GraftKvMeta.read(path)
-        .exists(m => m.keys == keys && m.encoding == encoding) &&
+        .exists(m => m.keys == keys && m.encoding == encoding &&
+          m.props.get(graft.connector.GraftKvMeta.SegmentCompressProp) ==
+            compress) &&
       java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker).trim == FixtureFormat
     if (!current) {
       KvCommands.dropTable(path)
-      KvCommands.createTable(df, path, keys, encoding)
+      KvCommands.createTable(df, path, keys, encoding, compress = compress)
       java.nio.file.Files.writeString(marker, FixtureFormat)
     }
     path
@@ -100,6 +103,16 @@ object KvOps {
     KvCommands.table(s, ensureDf(s, d, "lineitem_dec", keyed,
       Seq("l_orderkey", "l_linenumber", "l_uid")))
   }
+
+  /** The documents corpus on zstd-compressed segments — the realistic
+    * compression target (text-heavy values). Queries over it prove the
+    * whole stack (seeks, zone pruning, residuals, decode) is
+    * codec-oblivious; KvCompressionSpec pins the mechanics and the
+    * compression ratio. */
+  private def documentsZstdKv(s: SparkSession, d: String): DataFrame =
+    KvCommands.table(s, ensureDf(s, d, "documents_zstd",
+      Tables.table(s, d, "documents"), Seq("doc_id"),
+      compress = Some(graft.store.SegmentFile.Compression.Zstd)))
 
   private def ordersKv(s: SparkSession, d: String): DataFrame =
     KvCommands.table(s, ensure(s, d, "orders", Seq("o_orderkey")))
@@ -1090,6 +1103,30 @@ object KvOps {
           (col("lt90") <= col("n_p") * 0.9 + col("n_p") * eps + 1 &&
             col("le90") >= col("n_p") * 0.9 - col("n_p") * eps - 1)
             .as("p90_ok"))
+    },
+
+    // zstd-compressed segments (round 10, `segment.compress` table
+    // property): the text-heavy documents corpus through the full read
+    // stack — a pushed key range (index-floor seek across compressed
+    // frames), a value-zone-prunable residual, and full text decode —
+    // hash-matched against the parquet truth. The whole pruning/seek
+    // layer is codec-oblivious by construction (all offsets are
+    // logical); this gate proves it on driver hardware every round.
+    QuerySpec.checked("kv50_compressed_scan",
+      """SELECT lang,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  sum(length(text)) AS sum_len, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE doc_id BETWEEN 10 AND 400 AND n_chars > 120
+        |GROUP BY lang ORDER BY lang""") { (s, d) =>
+      documentsZstdKv(s, d)
+        .filter(col("doc_id").between(10, 400) && col("n_chars") > 120)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
     },
 
     // 3-dim z-curve with a STRING middle dimension: numeric lead range ×

@@ -14,6 +14,175 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SegmentFile {
 
+  /** Optional block compression of the segment DATA file (the sidecar
+    * stays uncompressed — planning reads it with tiny point reads).
+    * At warehouse scale the scan cost of a text-heavy table is IO; the
+    * parquet side of every pipeline is compressed and the kv side
+    * should not give that back. Design constraints, in order:
+    *
+    *  - the file is SELF-DESCRIBING: it opens with a magic int that can
+    *    never be a record's key length (key lengths are positive; the
+    *    magic is negative), followed by one codec byte, then a stream of
+    *    self-delimiting frames `[4B rawLen][4B compLen][compLen bytes]`.
+    *    No sidecar format change, no version gate: a reader that has
+    *    never heard of compression sees a negative "key length" on the
+    *    FIRST read and fails loudly at open, not mid-file;
+    *  - all offsets stay LOGICAL (positions in the uncompressed record
+    *    stream): the sparse index, floorOffset, and the reader's
+    *    `skipForwardTo` are byte-compatible with uncompressed segments,
+    *    so every seek/prune path above this layer is codec-oblivious;
+    *  - seeks stay cheap WITHOUT an extra block index: frames are
+    *    self-delimiting, so a forward skip reads each intervening
+    *    frame's 8-byte header and skips its compressed body physically —
+    *    never decompressing anything but the landing block;
+    *  - codecs are the two already on every Spark classpath (lz4-java,
+    *    zstd-jni). zstd is the density choice, lz4 the speed choice.
+    *
+    * The per-table `segment.compress` property (none | lz4 | zstd)
+    * selects the codec at write time; reads auto-detect per segment, so
+    * a table may freely mix codecs across its history (compaction
+    * rewrites into whatever the property says NOW). */
+  object Compression {
+    val None = "none"
+    val Lz4 = "lz4"
+    val Zstd = "zstd"
+    val Names: Seq[String] = Seq(None, Lz4, Zstd)
+
+    /** Negative (a key length never is), and not a sidecar format tag. */
+    val Magic: Int = 0xCAFEC0DE // == -889929506
+
+    /** Target UNCOMPRESSED frame size: big enough to give the codec
+      * context, small enough that a point lookup decompresses little. */
+    val BlockBytes: Int = 1 << 16
+
+    def codecId(name: String): Byte = name match {
+      case Lz4 => 1; case Zstd => 2
+      case other => throw new IllegalArgumentException(
+        s"unknown segment.compress codec '$other' (lz4 | zstd | none)")
+    }
+
+    private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+    def compress(id: Byte, data: Array[Byte], len: Int): Array[Byte] = {
+      val exact =
+        if (len == data.length) data else java.util.Arrays.copyOf(data, len)
+      id match {
+        case 1 => lz4.fastCompressor().compress(exact)
+        case 2 => com.github.luben.zstd.Zstd.compress(exact, 3)
+        case other =>
+          throw new IllegalArgumentException(s"unknown codec id $other")
+      }
+    }
+
+    def decompress(id: Byte, comp: Array[Byte], rawLen: Int): Array[Byte] =
+      id match {
+        case 1 =>
+          val out = new Array[Byte](rawLen)
+          lz4.fastDecompressor().decompress(comp, 0, out, 0, rawLen)
+          out
+        case 2 =>
+          val out = com.github.luben.zstd.Zstd.decompress(comp, rawLen)
+          require(out.length == rawLen,
+            s"zstd frame decompressed to ${out.length}, expected $rawLen")
+          out
+        case other =>
+          throw new IllegalArgumentException(s"unknown codec id $other")
+      }
+
+    /** Frame-decompressing InputStream over the raw file stream
+      * (positioned just past the magic + codec byte). Logical position
+      * = bytes of the uncompressed record stream served or skipped.
+      * `skip` crosses whole frames by reading only their 8-byte headers
+      * and physically skipping the compressed body — the landing frame
+      * is the only one ever decompressed. */
+    final class BlockInput(raw: java.io.InputStream, id: Byte)
+        extends java.io.InputStream {
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      private var limit = 0
+      private var atEof = false
+      private val hdr = new Array[Byte](8)
+
+      /** false at a clean EOF on a frame boundary. */
+      private def readHeader(): Boolean = {
+        if (atEof) return false
+        var n = 0
+        while (n < 8) {
+          val r = raw.read(hdr, n, 8 - n)
+          if (r < 0) {
+            atEof = true
+            if (n == 0) return false
+            throw new EOFException("truncated compressed-frame header")
+          }
+          n += r
+        }
+        true
+      }
+      private def hdrRawLen: Int =
+        ((hdr(0) & 0xff) << 24) | ((hdr(1) & 0xff) << 16) |
+          ((hdr(2) & 0xff) << 8) | (hdr(3) & 0xff)
+      private def hdrCompLen: Int =
+        ((hdr(4) & 0xff) << 24) | ((hdr(5) & 0xff) << 16) |
+          ((hdr(6) & 0xff) << 8) | (hdr(7) & 0xff)
+
+      private def readBody(): Array[Byte] = {
+        val comp = new Array[Byte](hdrCompLen)
+        var n = 0
+        while (n < comp.length) {
+          val r = raw.read(comp, n, comp.length - n)
+          if (r < 0) throw new EOFException("truncated compressed frame")
+          n += r
+        }
+        comp
+      }
+
+      private def nextBlock(): Boolean = readHeader() && {
+        val rawLen = hdrRawLen
+        buf = decompress(id, readBody(), rawLen)
+        pos = 0; limit = rawLen
+        true
+      }
+
+      override def read(): Int = {
+        while (pos >= limit) if (!nextBlock()) return -1
+        val b = buf(pos) & 0xff; pos += 1; b
+      }
+
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        while (pos >= limit) if (!nextBlock()) return -1
+        val n = math.min(len, limit - pos)
+        System.arraycopy(buf, pos, b, off, n)
+        pos += n
+        n
+      }
+
+      override def skip(n: Long): Long = {
+        var rem = n
+        while (rem > 0) {
+          if (pos < limit) {
+            val s = math.min(rem, (limit - pos).toLong).toInt
+            pos += s; rem -= s
+          } else if (!readHeader()) {
+            return n - rem
+          } else {
+            val rawLen = hdrRawLen
+            if (rem >= rawLen) { // frame-jump: never decompressed
+              raw.skipNBytes(hdrCompLen)
+              rem -= rawLen
+            } else {
+              buf = decompress(id, readBody(), rawLen)
+              pos = 0; limit = rawLen
+            }
+          }
+        }
+        n
+      }
+
+      override def close(): Unit = raw.close()
+    }
+  }
+
   /** Sidecar metadata: key range, count, size, per-dimension Bloom
     * filters over non-leading key columns (prunes segments for point
     * filters that don't constrain the leading key — the range metadata
@@ -439,10 +608,31 @@ object SegmentFile {
   final class Writer(dir: String, name: String, indexEvery: Int = 256,
       nBlooms: Int = 0,
       cmp: (Array[Byte], Array[Byte]) => Int = OrderedCodec.compare,
-      schemaJson: String = null, gen: Long = 0L) {
+      schemaJson: String = null, gen: Long = 0L,
+      compress: String = Compression.None) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(seg), 1 << 16))
+    // block compression: records land in `rec` (a raw-block buffer when
+    // compressing, the file stream otherwise); `bytes` and the sparse
+    // index count LOGICAL stream positions either way, so every offset
+    // consumer above this layer is codec-oblivious
+    private val compId: Byte =
+      if (compress == null || compress == Compression.None) 0
+      else Compression.codecId(compress)
+    private val blockBuf =
+      if (compId == 0) null
+      else new java.io.ByteArrayOutputStream(Compression.BlockBytes + 4096)
+    private val rec: DataOutputStream =
+      if (compId == 0) out else new DataOutputStream(blockBuf)
+    if (compId != 0) { out.writeInt(Compression.Magic); out.writeByte(compId) }
+
+    private def flushBlock(): Unit = if (blockBuf != null && blockBuf.size > 0) {
+      val raw = blockBuf.toByteArray
+      val comp = Compression.compress(compId, raw, raw.length)
+      out.writeInt(raw.length); out.writeInt(comp.length); out.write(comp)
+      blockBuf.reset()
+    }
     private var minKey: Array[Byte] = _
     private var lastKey: Array[Byte] = _
     private var count = 0L
@@ -467,16 +657,18 @@ object SegmentFile {
         var i = 0
         while (i < nBlooms) { bloomBuilders(i).add(bloomHashes(i)); i += 1 }
       }
-      out.writeInt(key.length); out.write(key)
+      rec.writeInt(key.length); rec.write(key)
       if (value == null) {
-        out.writeInt(-1)
+        rec.writeInt(-1)
         tombstoneCount += 1
         bytes += 8L + key.length
       } else {
-        out.writeInt(value.length); out.write(value)
+        rec.writeInt(value.length); rec.write(value)
         bytes += 8L + key.length + value.length
       }
       count += 1
+      if (blockBuf != null && blockBuf.size >= Compression.BlockBytes)
+        flushBlock()
     }
 
     /** Close and persist the sidecar meta; returns the meta (null keys if
@@ -487,6 +679,7 @@ object SegmentFile {
         ndvSketches: Seq[NdvSketch] = Seq.empty,
         nullCounts: Seq[(String, Long)] = Seq.empty,
         qsSketches: Seq[QuantileSketch] = Seq.empty): Meta = {
+      if (blockBuf != null) { rec.flush(); flushBlock() }
       out.flush(); out.close()
       if (count == 0) { Files.deleteIfExists(seg); return null }
       val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
@@ -1610,8 +1803,26 @@ object SegmentFile {
     * tests can assert decoded ≈ matched. */
   final class Reader(dir: String, file: String, startOffset: Long = 0L)
       extends Iterator[(Array[Byte], Array[Byte])] with Closeable {
-    private val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(Paths.get(dir, file)), 1 << 16))
+    // per-segment codec auto-detect: a compressed segment opens with the
+    // (negative) magic + codec byte; anything else is the plain record
+    // stream. All positions below — startOffset, pos, skipForwardTo —
+    // are LOGICAL (uncompressed-stream) offsets in both modes.
+    private val in: DataInputStream = {
+      val base = new BufferedInputStream(
+        Files.newInputStream(Paths.get(dir, file)), 1 << 16)
+      base.mark(8)
+      val hdr = base.readNBytes(4)
+      if (hdr.length == 4 &&
+        (((hdr(0) & 0xff) << 24) | ((hdr(1) & 0xff) << 16) |
+          ((hdr(2) & 0xff) << 8) | (hdr(3) & 0xff)) == Compression.Magic) {
+        val id = base.read()
+        if (id < 0) throw new EOFException(s"$file: truncated codec byte")
+        new DataInputStream(new Compression.BlockInput(base, id.toByte))
+      } else {
+        base.reset()
+        new DataInputStream(base)
+      }
+    }
     if (startOffset > 0) in.skipNBytes(startOffset)
     // absolute offset of the next unread byte (the pre-read record ends here)
     private var pos: Long = startOffset
