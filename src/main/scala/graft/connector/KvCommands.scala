@@ -537,9 +537,23 @@ object KvCommands {
     * for scans planned before it. Returns the number of segment files
     * reclaimed (the SQL VACUUM statement's report). */
   def sweepUnmanifested(path: String, olderThanMs: Long): Int =
-    SegmentFile.readManifest(path).map { live =>
+    SegmentFile.readManifest(path).map { current =>
       import java.nio.file.{Files, Paths}
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // Expired snapshot manifests go FIRST: past the window a VERSION
+      // AS OF read fails with "no snapshot" instead of "missing segment
+      // files". Then everything a RETAINED snapshot still lists is live
+      // — time travel within the window must never observe a swept file,
+      // however old the segment's own mtime is (a segment predates every
+      // snapshot that lists it, and RESTORE can relist arbitrarily old
+      // ones), so liveness is manifest-driven and the mtime cutoff only
+      // shields files from readers that hold NO manifest reference
+      // (in-flight scans planned before a swap).
+      SegmentFile.pruneManifestVersions(path, cutoff)
+      val live: Set[String] = current ++
+        SegmentFile.manifestVersions(path)
+          .flatMap(v => SegmentFile.readManifestVersion(path, v)
+            .getOrElse(Set.empty))
       val swept = Option(new java.io.File(path).list())
         .getOrElse(Array.empty[String])
         .filter(n => n.endsWith(".kv") &&
@@ -549,10 +563,6 @@ object KvCommands {
         Files.deleteIfExists(Paths.get(path, n))
         Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
       }
-      // snapshot manifests expire with the files they reference: past the
-      // window a VERSION AS OF read fails with "no snapshot" instead of
-      // "missing segment files"
-      SegmentFile.pruneManifestVersions(path, cutoff)
       // stale streaming-epoch markers: a crashed writeIntent strands a
       // .tmp forever, and markers of abandoned checkpoints (dead query
       // ids) accumulate — the per-commit trailing delete only covers

@@ -302,8 +302,15 @@ class KvTimeTravelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("reading or restoring a vacuumed snapshot fails loudly, never silently partial") {
-    val path = Files.createTempDirectory("graftkv_tt_vacres").toString + "/t"
+  test("VACUUM never reclaims segments a retained snapshot lists; snapshot and files expire together") {
+    // liveness is manifest-driven, not mtime-driven: a segment is
+    // arbitrarily older than the snapshots that list it (written at t0,
+    // compacted away at t0+3d, snapshot still retained), so an old file
+    // mtime alone must never make a snapshot-referenced file sweepable.
+    // The file becomes reclaimable exactly when its last referencing
+    // manifest expires — at which point VERSION AS OF fails with "no
+    // snapshot", never "missing segment files".
+    val path = Files.createTempDirectory("graftkv_tt_vacret").toString + "/t"
     KvCommands.createTable(spark.range(50)
       .select(col("id").as("k"), lit("a").as("v")), path, Seq("k"))
     KvCommands.append(spark.range(50)
@@ -311,8 +318,8 @@ class KvTimeTravelSpec extends AnyFunSuite {
     val vOld = KvCommands.snapshots(path).last
     assert(KvCommands.compactMinor(spark, path,
       retainReplacedMs = 600000L) > 0)
-    // age the replaced (unmanifested) segment files far past the window,
-    // then VACUUM: vOld's manifest survives (young) but its files go
+    // age the replaced (unmanifested-from-current) segment files far past
+    // the window — vOld's manifest is young and still lists them
     val live = graft.store.SegmentFile.readManifest(path).get
     val old = System.currentTimeMillis() - 3600_000L
     Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
@@ -322,7 +329,46 @@ class KvTimeTravelSpec extends AnyFunSuite {
         new java.io.File(path, n.stripSuffix(".kv") + ".kvmeta")
           .setLastModified(old)
       }
+    assert(KvCommands.sweepUnmanifested(path, olderThanMs = 600000L) === 0)
+    // the retained snapshot still reads in full
+    assert(KvCommands.tableAsOf(spark, path, vOld)
+      .filter(col("v") === "b").count() === 50L)
+    // expire the old snapshot manifests too (newest is always kept):
+    // their exclusive files become reclaimable in the same sweep
+    Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("_graft_segments.v"))
+      .sortBy(n => n.stripPrefix("_graft_segments.v").toLong)
+      .dropRight(1)
+      .foreach(n => new java.io.File(path, n).setLastModified(old))
     assert(KvCommands.sweepUnmanifested(path, olderThanMs = 600000L) > 0)
+    val e = intercept[IllegalArgumentException](
+      KvCommands.tableAsOf(spark, path, vOld).count())
+    assert(e.getMessage.contains("no snapshot"))
+    // the live table is untouched by all of the above
+    assert(KvCommands.table(spark, path).filter(col("v") === "b").count() === 50L)
+  }
+
+  test("a snapshot whose files were lost out-of-band fails loudly, never silently partial") {
+    // VACUUM can no longer produce this state (retained ⇒ live); it
+    // covers external deletion / a lost disk. Reads and RESTORE must
+    // fail at planning with the file names, not return partial rows.
+    val path = Files.createTempDirectory("graftkv_tt_vacres").toString + "/t"
+    KvCommands.createTable(spark.range(50)
+      .select(col("id").as("k"), lit("a").as("v")), path, Seq("k"))
+    KvCommands.append(spark.range(50)
+      .select(col("id").as("k"), lit("b").as("v")), path)
+    val vOld = KvCommands.snapshots(path).last
+    assert(KvCommands.compactMinor(spark, path,
+      retainReplacedMs = 600000L) > 0)
+    // delete the replaced segment files out-of-band (vOld still lists them)
+    val live = graft.store.SegmentFile.readManifest(path).get
+    Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
+      .filter(n => n.endsWith(".kv") && !live.contains(n))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(path, n))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
+      }
     def sweptError(body: => Any): Unit = {
       val e = intercept[Throwable](body)
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
