@@ -220,6 +220,38 @@ class GraftSession:
         return DataFrame(jdf, df.sparkSession)
 
     @staticmethod
+    def bm25_top_k(docs, query_terms, k=10):
+        """BM25 top-k over a (doc_id, text) DataFrame for a list of query
+        terms — rational-idf scoring, query tokens filtered before the
+        shuffle, df/corpus stats broadcast. Returns (doc_id, score,
+        n_terms) ranked by score desc then doc_id."""
+        from pyspark.sql import DataFrame
+        jdf = docs.sparkSession._jvm.graft.pipeline.Retrieval \
+            .bm25TopKJ(docs._jdf, list(query_terms), int(k))
+        return DataFrame(jdf, docs.sparkSession)
+
+    @staticmethod
+    def phrase_counts(docs, phrase_terms):
+        """Exact phrase-occurrence counts per document (map-only, zero
+        shuffle): rows (doc_id, n_occ) for documents containing the
+        token phrase at least once; overlaps count individually."""
+        from pyspark.sql import DataFrame
+        jdf = docs.sparkSession._jvm.graft.pipeline.Retrieval \
+            .phraseCountsJ(docs._jdf, list(phrase_terms))
+        return DataFrame(jdf, docs.sparkSession)
+
+    @staticmethod
+    def fuzzy_pairs(df, id_col, str_col):
+        """All (id_a < id_b) row pairs whose `str_col` values are within
+        Levenshtein distance 1 — FastSS deletion-key blocking (never
+        all-pairs) + exact verify. Returns (id_a, id_b, s_a, s_b,
+        dist)."""
+        from pyspark.sql import DataFrame
+        jdf = df.sparkSession._jvm.graft.pipeline.FuzzyMatch \
+            .pairsWithinDistance1(df._jdf, id_col, str_col)
+        return DataFrame(jdf, df.sparkSession)
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

@@ -122,6 +122,20 @@ object TextFunctions {
     when(cjk * 2 > length(text), lit("zh")).otherwise(latinPick)
   }
 
+  /** Fraction of tokens containing at least one alphabetic character
+    * (Gopher's "80% of words must contain an alphabetic character"). */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.rlike("[a-zA-Z]")))
+        .cast("double") / size(toks))
+  }
+
+  /** Count of common-English stopword tokens (Gopher's "at least two of
+    * a small stopword set must appear" evidence rule). */
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords)))
+
   /** PII-style redaction for training text: emails → [EMAIL], URLs →
     * [URL], long digit runs (ids, phone-ish) → [NUM]. Pure
     * `regexp_replace` chain — codegen'd, map-only, no shuffle at any

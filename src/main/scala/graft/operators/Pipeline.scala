@@ -98,7 +98,162 @@ object PipelineOps {
       path
     }
 
+  private val irLock = new Object
+
+  /** Idempotently materialize the inverted index (kv postings/doclen +
+    * stats parquet) for a corpus. Bump the version segment when the
+    * index layout changes — a stale cached index must be rebuilt, not
+    * probed. */
+  private def ensureRetrievalIndex(s: SparkSession, sfDir: String): String =
+    irLock.synchronized {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v1"
+      if (graft.connector.GraftKvMeta.read(s"$path/postings").isEmpty ||
+          !new java.io.File(s"$path/stats/_SUCCESS").exists()) {
+        graft.connector.KvCommands.dropTable(s"$path/postings")
+        graft.connector.KvCommands.dropTable(s"$path/doclen")
+        graft.pipeline.Retrieval.buildIndex(t(s, sfDir, "documents"), path)
+      }
+      path
+    }
+
+  /** The shared BM25 oracle: the rational Robertson–Sparck-Jones idf —
+    * no transcendental whose libm could differ by an ulp across engines
+    * — with every literal cast to DOUBLE (DuckDB numerics default to
+    * DECIMAL) and per-term contributions summed through DECIMAL(38,6)
+    * for order independence. ir1 (corpus scan) and ir2 (index probe)
+    * must both hash-match it, which also proves scan ≡ index. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+      |  FROM documents
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS sum_dl
+      |  FROM toks
+      |),
+      |hits AS (
+      |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+      |  WHERE tok IN ('spark','scan','window')
+      |  GROUP BY doc_id, tok
+      |),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    ((CAST(s.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * ((CAST(h.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(h.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |            * (CAST(len(t.w) AS DOUBLE)
+      |               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS contrib
+      |  FROM hits h JOIN toks t USING (doc_id) JOIN dfreq d USING (term) CROSS JOIN stats s
+      |)
+      |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score,
+      |  CAST(count(*) AS INTEGER) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  private val bm25Query = Seq("spark", "scan", "window")
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // ── full-text retrieval (BM25 + inverted index + phrase) ────────────
+    // BM25 top-k straight off the corpus: query-term tokens filtered
+    // BEFORE the shuffle, df/corpus stats broadcast — shuffle bytes are
+    // O(matching tokens), never O(corpus).
+    QuerySpec.checked("ir1_bm25_topk", bm25OracleSql) { (s, d) =>
+      graft.pipeline.Retrieval.bm25TopK(t(s, d, "documents"), bm25Query, k = 10)
+    },
+
+    // The same ranking served from the MATERIALIZED inverted index: kv
+    // postings keyed by (term, doc_id), so the term IN (...) filter
+    // probes |query| contiguous key ranges through the engine's own
+    // seek/prune machinery — the corpus text is never re-read. Same
+    // oracle as ir1: the index must reproduce the scan path bit-for-bit.
+    QuerySpec.checked("ir2_bm25_index", bm25OracleSql) { (s, d) =>
+      graft.pipeline.Retrieval.bm25SearchIndex(
+        s, ensureRetrievalIndex(s, d), bm25Query, k = 10)
+    },
+
+    // BATCH BM25 — the serving shape at scale: one tokenize + one
+    // shuffle amortized over the whole (broadcast) query set, per-term
+    // df shared across queries, per-query top-k via one window pass.
+    // Same IEEE-mirrorable arithmetic as ir1.
+    QuerySpec.checked("ir4_bm25_batch",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(w)) AS BIGINT) AS sum_dl
+        |  FROM toks
+        |),
+        |qt(query_id, term) AS (VALUES
+        |  ('q1','spark'),('q1','scan'),('q1','window'),
+        |  ('q2','table'),('q2','value'),
+        |  ('q3','merge'),('q3','sort'),('q3','batch')),
+        |post AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+        |  WHERE tok IN (SELECT term FROM qt)
+        |  GROUP BY doc_id, tok
+        |),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    ((CAST(s.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |      / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |            * (CAST(len(t.w) AS DOUBLE)
+        |               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS contrib
+        |  FROM post p JOIN qt q USING (term) JOIN dfreq d USING (term)
+        |    JOIN toks t USING (doc_id) CROSS JOIN stats s
+        |),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS score,
+        |    CAST(count(*) AS INTEGER) AS n_terms
+        |  FROM scored GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, doc_id, score, n_terms, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rk FROM agg)
+        |WHERE rk <= 5 ORDER BY query_id, rk""") { (s, d) =>
+      graft.pipeline.Retrieval.bm25TopKBatch(t(s, d, "documents"),
+        Seq("q1" -> Seq("spark", "scan", "window"),
+          "q2" -> Seq("table", "value"),
+          "q3" -> Seq("merge", "sort", "batch")), k = 5)
+    },
+
+    // Exact phrase search: occurrence counts per document, map-only (a
+    // higher-order filter over the token array — zero shuffle at any
+    // corpus size).
+    QuerySpec.checked("ir3_phrase_search",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 2 THEN 0
+        |         ELSE len(list_filter(generate_series(1, len(w) - 1),
+        |                i -> w[i] = 'table' AND w[i+1] = 'value')) END AS n
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_occ FROM c WHERE n > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Retrieval.phraseCounts(
+        t(s, d, "documents"), Seq("table", "value"))
+        .select(col("doc_id"), col("n_occ").cast("int").as("n_occ"))
+        .orderBy("doc_id")
+    },
+
 
     // ── deduplication ────────────────────────────────────────────────────
     QuerySpec.checked("dd1_exact_dedup",
@@ -307,6 +462,26 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Fuzzy string matching: all name pairs within edit distance 1 via
+    // FastSS deletion-neighborhood blocking (equi-join on generated
+    // keys, shuffle O(Σ len) — never the |S|² pair space) + exact
+    // levenshtein verify. The oracle IS the all-pairs restatement, so a
+    // hash match proves both recall (blocking misses nothing) and
+    // precision (verify keeps nothing extra) on this corpus.
+    QuerySpec.checked("dd10_editdistance_pairs",
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY cust_a, cust_b""") { (s, d) =>
+      graft.pipeline.FuzzyMatch.pairsWithinDistance1(
+        t(s, d, "customer"), idCol = "c_custkey", strCol = "c_name")
+        .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"),
+          col("s_a").as("name_a"), col("s_b").as("name_b"), col("dist"))
+        .orderBy("cust_a", "cust_b")
+    },
+
     // ── text analysis ────────────────────────────────────────────────────
     QuerySpec.checked("tx1_token_count",
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
@@ -438,6 +613,58 @@ object PipelineOps {
         .select(col("doc_id"),
           TextFunctions.duplicateShingleFraction(col("text"), 2)
             .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rule set (Rae et al. 2021 §A1.1, the
+    // ANSI-mirrorable subset): token-count bounds, mean-word-length
+    // bounds, alphabetic-word fraction, stopword evidence, bigram
+    // repetition — each flag surfaced plus the conjunctive keep verdict.
+    // Map-only column algebra; every division is one IEEE op over
+    // integers computed identically on both sides, so the keep booleans
+    // (threshold comparisons on those doubles) hash-match exactly.
+    QuerySpec.checked("tx9_gopher_filters",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS lt
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |         ELSE CAST(list_reduce(list_transform(w, t -> CAST(len(t) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+        |           / len(w) END AS mean_word_len,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+        |           / len(w) END AS alpha_frac,
+        |    CAST(len(list_filter(lt, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','it'], t))) AS INTEGER) AS stop_hits,
+        |    CASE WHEN len(w) < 2 THEN 0.0
+        |         ELSE CAST((len(w) - 1) - len(list_distinct(list_transform(
+        |                generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        |           / (len(w) - 1) END AS dup_bigram_frac
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, dup_bigram_frac,
+        |  (n_words >= 30 AND n_words <= 100000
+        |   AND mean_word_len >= CAST(3.0 AS DOUBLE) AND mean_word_len <= CAST(10.0 AS DOUBLE)
+        |   AND alpha_frac > CAST(0.8 AS DOUBLE) AND stop_hits >= 2
+        |   AND dup_bigram_frac < CAST(0.9 AS DOUBLE)) AS keep
+        |FROM m ORDER BY doc_id""") { (s, d) =>
+      val nWords = TextFunctions.tokenCount(col("text"))
+      val meanLen = TextFunctions.meanTokenLen(col("text"))
+      val alphaFrac = TextFunctions.alphaWordFrac(col("text"))
+      val stopHits = TextFunctions.stopwordHits(col("text"))
+      val dupBigram = TextFunctions.duplicateShingleFraction(col("text"), 2)
+      t(s, d, "documents").select(col("doc_id"),
+          nWords.as("n_words"), meanLen.as("mean_word_len"),
+          alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+          dupBigram.as("dup_bigram_frac"),
+          (nWords >= 30 && nWords <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            alphaFrac > 0.8 && stopHits >= 2 && dupBigram < 0.9).as("keep"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import graft.connector.KvCommands
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Full-text retrieval over the documents corpus: BM25 ranking, a
+  * persistent inverted index on the kv store, and exact phrase search.
+  *
+  * Scale posture (the 100-TB story):
+  *  - The postings build is ONE explode + groupBy — shuffle bytes are
+  *    O(total tokens), and for a fixed query the token stream is filtered
+  *    to the query terms BEFORE the shuffle, so an ad-hoc search moves
+  *    only matching tokens.
+  *  - Per-term document frequencies and the corpus length stats are tiny
+  *    (|query| rows / 1 row) and broadcast — the scoring join never
+  *    shuffles the corpus side.
+  *  - The materialized index stores postings in a graftkv table keyed by
+  *    (term, doc_id): a query probes |query| key ranges through the
+  *    engine's own seek/prune machinery instead of re-tokenizing the
+  *    corpus; index size is O(total tokens) once, amortized over every
+  *    subsequent search.
+  *  - Phrase counting is MAP-ONLY (a higher-order filter over the token
+  *    array) — zero shuffle, linear in corpus bytes.
+  *
+  * BM25 arithmetic is deliberately IEEE-mirrorable for the DuckDB oracle:
+  * the idf is the rational Robertson–Sparck-Jones form (N − df + 0.5) /
+  * (df + 0.5) — no transcendental log whose libm could differ by an ulp
+  * between engines — and every division/multiplication is a single IEEE
+  * double op in the same tree shape on both sides. Per-term contributions
+  * are summed through DECIMAL(38,6) (the [[graft.QuerySpec.dsum]]
+  * contract) so the fold is order-independent.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (doc_id, w: array<string>) whitespace tokens, empties removed —
+    * identical to the oracle's string_split_regex('\s+') + filter. */
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+
+  /** Postings list: one row per (term, doc_id) with the term frequency.
+    * One explode + one groupBy; never materializes per-doc maps. */
+  def postings(docs: DataFrame): DataFrame =
+    toks(docs)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document token counts (BM25's dl). */
+  def docLengths(docs: DataFrame): DataFrame =
+    toks(docs).select(col("doc_id"), size(col("w")).as("dl"))
+
+  /** BM25 score contribution of one (tf, dl, df) posting given corpus
+    * stats. Every op is one IEEE double op; the oracle SQL restates the
+    * identical tree with explicit DOUBLE casts (DuckDB numeric literals
+    * default to DECIMAL). */
+  private def contribution(tf: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column,
+      nDocs: org.apache.spark.sql.Column,
+      sumDl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idf = ((nDocs - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+    val avgdl = sumDl.cast("double") / nDocs.cast("double")
+    val num = tf.cast("double") * lit(K1 + 1.0)
+    val den = tf.cast("double") +
+      lit(K1) * (lit(1.0 - B) + lit(B) * (dl.cast("double") / avgdl))
+    idf * (num / den)
+  }
+
+  /** Rank (doc_id, score, n_terms) rows given `hits` = (term, doc_id,
+    * tf, dl) postings restricted to the query terms, plus the corpus
+    * totals. Shared by the scan path and the index path, so both return
+    * bit-identical scores. */
+  private def rank(hits: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        contribution(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("sum_dl")).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib").cast(DecimalType(38, 6))).cast("double")
+          .as("score"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25 top-k straight off the corpus (no index): tokenize, keep only
+    * query-term tokens (filtered BEFORE the shuffle), aggregate, score.
+    * Returns (doc_id, score, n_terms) ordered by score desc, doc_id. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val t = toks(docs)
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("sum_dl"))
+    val hits = t.select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    rank(hits, stats, k)
+  }
+
+  /** Materialize the inverted index at `dir`: a graftkv `postings` table
+    * keyed by (term, doc_id) — range-shuffled and sorted, so one term =
+    * one contiguous key range — a kv `doclen` table keyed by doc_id, and
+    * a one-row parquet of corpus totals (derived from doclen, the single
+    * source of truth the append path also folds into). */
+  def buildIndex(docs: DataFrame, dir: String): Unit = {
+    val t = toks(docs)
+    KvCommands.createTable(postings(docs), s"$dir/postings",
+      Seq("term", "doc_id"))
+    KvCommands.createTable(t.select(col("doc_id"), size(col("w")).as("dl")),
+      s"$dir/doclen", Seq("doc_id"))
+    refreshStats(t.sparkSession, dir)
+  }
+
+  /** Incrementally index new documents: their postings and lengths are
+    * APPENDED to the kv tables (an upsert — re-ingesting a doc_id
+    * replaces its rows via last-write-wins on the (term, doc_id) key),
+    * then the corpus totals are re-derived from the doclen table. The
+    * expensive structures grow by O(new tokens); nothing is rebuilt. */
+  def appendToIndex(spark: SparkSession, dir: String,
+      newDocs: DataFrame): Unit = {
+    val t = toks(newDocs)
+    KvCommands.append(postings(newDocs), s"$dir/postings")
+    KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
+      s"$dir/doclen")
+    refreshStats(spark, dir)
+  }
+
+  private def refreshStats(spark: SparkSession, dir: String): Unit =
+    KvCommands.table(spark, s"$dir/doclen")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** BM25 top-k probing the materialized index: the term IN (...) filter
+    * pushes into the kv scan as |query| point ranges on the key prefix
+    * (zone pruning + floor seeks — the corpus text is never read).
+    * Bit-identical to [[bm25TopK]] on the same corpus. */
+  def bm25SearchIndex(spark: SparkSession, dir: String, query: Seq[String],
+      k: Int): DataFrame = {
+    val hits = KvCommands.table(spark, s"$dir/postings")
+      .filter(col("term").isin(query: _*))
+      .join(KvCommands.table(spark, s"$dir/doclen"), "doc_id")
+    val stats = spark.read.parquet(s"$dir/stats")
+    rank(hits, stats, k)
+  }
+
+  /** Batch BM25: score MANY queries in one corpus pass — the serving
+    * shape at scale (one tokenize + one shuffle amortized over the whole
+    * query set, instead of one scan per query). The query set arrives as
+    * (query_id, terms) and is broadcast; per-term df is shared across
+    * queries. Returns the top-k (query_id, doc_id, score, n_terms, rk)
+    * per query, ranked per query by score desc then doc_id. */
+  def bm25TopKBatch(docs: DataFrame, queries: Seq[(String, Seq[String])],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = toks(docs)
+    val stats = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("sum_dl"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val post = t.select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        contribution(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("sum_dl")).as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib").cast(DecimalType(38, 6))).cast("double")
+          .as("score"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Java/py4j-friendly entry (the Python shim's `bm25_top_k`). */
+  def bm25TopKJ(docs: DataFrame, query: java.util.List[String],
+      k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    bm25TopK(docs, query.asScala.toSeq, k)
+  }
+
+  /** Java/py4j-friendly entry (the Python shim's `phrase_counts`). */
+  def phraseCountsJ(docs: DataFrame,
+      phrase: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    phraseCounts(docs, phrase.asScala.toSeq)
+  }
+
+  /** Exact phrase-occurrence counts: number of token positions where the
+    * full phrase matches, per document. Map-only — a higher-order filter
+    * over the token array, no explode, no shuffle (the final orderBy is
+    * presentation). Overlapping occurrences count individually. */
+  def phraseCounts(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val L = phrase.length
+    val w = TextFunctions.tokens(col("text"))
+    // positions i in [1, len-L+1] (1-based, like the oracle's list index)
+    val matches = filter(
+      sequence(lit(1), size(w) - lit(L - 1)),
+      i => phrase.zipWithIndex.map { case (p, off) =>
+        element_at(w, i + lit(off)) === lit(p)
+      }.reduce(_ && _))
+    docs.select(col("doc_id"),
+        when(size(w) < L, lit(0)).otherwise(size(matches)).as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-text retrieval: BM25 ranking (scan and index paths), phrase
+  * search, and fuzzy (edit-distance) matching. The corpus gates check
+  * these against DuckDB restatements; here the semantics are pinned on
+  * planted fixtures where the right answer is computable by hand.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "spark scan fast spark spark"), // tf(spark)=3, dl=5
+    (1L, "spark window"), //              tf(spark)=1, dl=2
+    (2L, "table value other words here"),
+    (3L, "scan scan scan scan scan scan scan scan"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  /** Reference BM25 (k1=1.2, b=0.75, rational idf) computed in plain
+    * Scala for the planted corpus. */
+  private def refBm25(query: Seq[String]): Map[Long, Double] = {
+    val toks = Map(
+      0L -> Seq("spark", "scan", "fast", "spark", "spark"),
+      1L -> Seq("spark", "window"),
+      2L -> Seq("table", "value", "other", "words", "here"),
+      3L -> Seq.fill(8)("scan"),
+      4L -> Seq.empty[String])
+    val n = toks.size.toDouble
+    val sumDl = toks.values.map(_.size).sum.toDouble
+    val avgdl = sumDl / n
+    val df = query.map(q => q -> toks.values.count(_.contains(q))).toMap
+    toks.flatMap { case (id, ws) =>
+      val contribs = query.flatMap { q =>
+        val tf = ws.count(_ == q).toDouble
+        if (tf == 0) None
+        else {
+          val idf = (n - df(q) + 0.5) / (df(q) + 0.5)
+          Some(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (ws.size / avgdl))))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> contribs.map(c =>
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble)
+    }
+  }
+
+  test("bm25TopK ranks by the reference formula, ties broken by doc_id") {
+    val query = Seq("spark", "scan")
+    val got = Retrieval.bm25TopK(docs, query, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val ref = refBm25(query)
+    assert(got.map(_._1).toSet == ref.keySet)
+    got.foreach { case (id, score, _) =>
+      assert(math.abs(score - ref(id)) < 1e-9, s"doc $id: $score vs ${ref(id)}")
+    }
+    // descending scores, doc_id tiebreak
+    val scores = got.map(_._2)
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    // n_terms: doc 0 matched both query terms
+    assert(got.find(_._1 == 0L).get._3 == 2)
+  }
+
+  test("index probe returns exactly the scan-path ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec").toString
+    Retrieval.buildIndex(docs, dir)
+    val query = Seq("spark", "scan")
+    val scan = Retrieval.bm25TopK(docs, query, k = 10).collect().toSeq
+    val probe = Retrieval.bm25SearchIndex(spark, dir, query, k = 10)
+      .collect().toSeq
+    assert(probe == scan)
+  }
+
+  test("appendToIndex: probe after append equals a scan of the full corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_app").toString
+    val first = docs.filter(col("doc_id") < 3)
+    val rest = docs.filter(col("doc_id") >= 3)
+    Retrieval.buildIndex(first, dir)
+    Retrieval.appendToIndex(spark, dir, rest)
+    val query = Seq("spark", "scan")
+    val scan = Retrieval.bm25TopK(docs, query, k = 10).collect().toSeq
+    val probe = Retrieval.bm25SearchIndex(spark, dir, query, k = 10)
+      .collect().toSeq
+    assert(probe == scan)
+  }
+
+  test("bm25TopKBatch equals per-query bm25TopK for every query") {
+    val queries = Seq("qa" -> Seq("spark", "scan"), "qb" -> Seq("table"),
+      "qc" -> Seq("nosuchterm"))
+    val batch = Retrieval.bm25TopKBatch(docs, queries, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    queries.foreach { case (q, terms) =>
+      val single = Retrieval.bm25TopK(docs, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val got = batch.getOrElse(q, Array.empty).toSeq
+        .map(t => (t._2, t._3, t._4))
+      assert(got == single, s"query $q")
+    }
+  }
+
+  test("index probe prunes to the queried term ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec2").toString
+    Retrieval.buildIndex(docs, dir)
+    // the postings scan must push the term filter: a one-term query
+    // reads fewer rows than the full postings table holds
+    val one = graft.connector.KvCommands.table(spark, s"$dir/postings")
+      .filter(col("term") === "window")
+    assert(one.count() == 1)
+  }
+
+  test("phraseCounts: overlaps, multiplicity, and the empty document") {
+    val d = Seq(
+      (0L, "a b a b a"), //   "a b" at positions 1 and 3
+      (1L, "a a a"), //       "a a" overlapping at 1 and 2
+      (2L, "b a"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val ab = Retrieval.phraseCounts(d, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ab == Map(0L -> 2))
+    val aa = Retrieval.phraseCounts(d, Seq("a", "a")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(aa == Map(1L -> 2))
+  }
+
+  test("fuzzy pairs: recall for every ED<=1 edit class, no false positives") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"), // substitution
+      (3L, "kitte"), //                  deletion vs 1
+      (4L, "kittens"), //                insertion vs 1
+      (5L, "kitten"), //                 exact duplicate of 1
+      (6L, "mitten"), //                 substitution vs 1
+      (7L, "unrelated")
+    ).toDF("id", "name")
+    val got = FuzzyMatch.pairsWithinDistance1(rows, "id", "name")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference
+    val vals = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "kitte",
+      4L -> "kittens", 5L -> "kitten", 6L -> "mitten", 7L -> "unrelated")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- vals; (ib, sb) <- vals
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+
+  test("fuzzy pairs match brute force on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val strs = (0L until 80L).map { i =>
+      i -> (s"w${rnd.nextInt(20)}x${rnd.nextInt(10)}")
+    }
+    val df = strs.toDF("id", "name")
+    val got = FuzzyMatch.pairsWithinDistance1(df, "id", "name")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+}

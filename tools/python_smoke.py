@@ -151,6 +151,20 @@ def main():
         ticks = GraftSession.resample_forward_fill(obs).collect()
         assert [(t.tick.hour, t.value) for t in ticks] == \
             [(2, 5.0), (3, 5.0)], ticks
+        # retrieval + fuzzy matching through the shim
+        docs = spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS doc_id, 'spark scan fast' AS text "
+            "UNION ALL SELECT 1, 'spark spark window' "
+            "UNION ALL SELECT 2, 'other words only'")
+        top = GraftSession.bm25_top_k(docs, ["spark"], k=2).collect()
+        assert [t.doc_id for t in top] == [1, 0], top  # tf 2 beats tf 1
+        ph = GraftSession.phrase_counts(docs, ["spark", "scan"]).collect()
+        assert [(p.doc_id, p.n_occ) for p in ph] == [(0, 1)], ph
+        names = spark.sql(
+            "SELECT CAST(1 AS BIGINT) AS id, 'kitten' AS name "
+            "UNION ALL SELECT 2, 'sitten' UNION ALL SELECT 3, 'far'")
+        fz = GraftSession.fuzzy_pairs(names, "id", "name").collect()
+        assert [(f.id_a, f.id_b, f.dist) for f in fz] == [(1, 2, 1)], fz
         print("python smoke: OK")
     finally:
         spark.stop()
