@@ -1186,6 +1186,52 @@ object PipelineOps {
         .toDF().select("doc_id", "n_tokens").orderBy("doc_id")
     },
 
+    // Target-mixture resampling: re-balance sources to spec proportions
+    // with the largest downsample-only plan — the binding stratum (the
+    // one the target stretches furthest) keeps EVERYTHING (an exact,
+    // deterministic check), others land within 4σ of n·f (deterministic
+    // verdict — fixed seed). Doc-level determinism pinned by
+    // CurationSpec; the corpus is uniform 25 docs/source, so src0 at
+    // weight 0.5 binds with fractions (1.0, 0.6, 0.4).
+    QuerySpec.checked("cu7_mixture_resample",
+      """SELECT source, true AS within_bounds
+        |FROM (SELECT DISTINCT source FROM documents
+        |      WHERE source IN ('src0','src1','src2'))
+        |ORDER BY source""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val fr = graft.pipeline.Curation.mixtureFractions(docs, "source", weights)
+      val sampled = graft.pipeline.Curation.mixtureResample(
+        docs, "source", weights, seed = 42L)
+      val p = coalesce(element_at(typedLit(fr), col("source")), lit(0.0))
+      docs.filter(col("source").isin(weights.keys.toSeq: _*))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .join(sampled.groupBy("source").agg(count(lit(1)).as("k")),
+          Seq("source"), "left").na.fill(0L, Seq("k"))
+        .select(col("source"),
+          when(p === 1.0, col("k") === col("n"))
+            .otherwise(abs(col("k") - col("n") * p) <=
+              lit(4.0) * sqrt(col("n") * p * (lit(1.0) - p)) + 1.0)
+            .as("within_bounds"))
+        .orderBy("source")
+    },
+
+    // Vocabulary induction: the corpus-frequency top-k over BPE-ish
+    // subword units (the first step of tokenizer training) — one
+    // explode + one count shuffle, top-k via global sort of #vocab
+    // rows, never the token stream.
+    QuerySpec.checked("tx10_vocab_topk",
+      """SELECT tok AS term, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, term LIMIT 20""") { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("term")).limit(20)
+    },
+
     // PII-style scrub before training: identical regex chain replayed by
     // the oracle (Java∩RE2-safe patterns)
     QuerySpec.checked("cu5_redact_pii",

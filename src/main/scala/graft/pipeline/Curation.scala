@@ -43,6 +43,36 @@ object Curation {
       fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Per-stratum fractions realizing a TARGET MIXTURE `weights` as the
+    * largest downsample-only plan: total size T = min over weighted
+    * strata of n_s / w_s, fraction f_s = w_s · T / n_s — so the binding
+    * stratum keeps everything, every other stratum downsamples to match
+    * the target proportions in expectation, and no stratum ever
+    * upsamples. Driver-side state is one (stratum, count) row per
+    * stratum — constant at any corpus size. Strata without a weight are
+    * dropped (fraction 0). */
+  def mixtureFractions(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val counts = docs.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    if (present.isEmpty) Map.empty
+    else {
+      val t = present.map { case (s, w) => counts(s) / w }.min
+      present.map { case (s, w) => s -> math.min(1.0, w * t / counts(s)) }
+    }
+  }
+
+  /** Resample to a target mixture over `stratumCol` (e.g. re-balance
+    * training sources to spec proportions): [[mixtureFractions]] then
+    * the map-only deterministic per-stratum Bernoulli. */
+  def mixtureResample(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Double], seed: Long): DataFrame =
+    stratifiedSample(docs, stratumCol,
+      mixtureFractions(docs, stratumCol, weights), seed)
+
   final case class PackedDoc(doc_id: Long, n_tokens: Int, pack_id: Long,
       pack_seq: Int)
 

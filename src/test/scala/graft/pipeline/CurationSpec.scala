@@ -95,4 +95,28 @@ class CurationSpec extends AnyFunSuite {
     // both fit one 512-token budget; pack ids are globally unique longs
     assert(packed.collect().forall(_.n_tokens <= 512))
   }
+
+  test("mixtureFractions: binding stratum keeps all, others hit the target") {
+    // counts: a=100, b=200, c=50; target 0.5/0.25/0.25 →
+    // T = min(100/0.5, 200/0.25, 50/0.25) = 200 (a and c both bind)
+    val docs = spark.range(0, 350).select(col("id").as("doc_id"),
+      when(col("id") < 100, "a").when(col("id") < 300, "b")
+        .otherwise("c").as("src"))
+    val fr = Curation.mixtureFractions(docs, "src",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(fr("a") == 1.0 && fr("c") == 1.0)
+    assert(math.abs(fr("b") - 0.25) < 1e-12, fr)
+    // absent stratum: weight on a source with zero rows never divides
+    val fr2 = Curation.mixtureFractions(docs, "src",
+      Map("a" -> 0.5, "nope" -> 0.5))
+    assert(fr2 == Map("a" -> 1.0), fr2)
+    // resample realizes the mixture: a kept whole, b ≈ 50 of 200
+    val sampled = Curation.mixtureResample(docs, "src",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), seed = 7L)
+    val byS = sampled.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("a") == 100 && byS("c") == 50, byS)
+    assert(math.abs(byS("b") - 50.0) <= 4.0 * math.sqrt(200 * 0.25 * 0.75) + 1,
+      byS)
+  }
 }
