@@ -220,6 +220,15 @@ class GraftSession:
         return DataFrame(jdf, df.sparkSession)
 
     @staticmethod
+    def search(spark, table, query, k=10, using=None):
+        """SQL SEARCH statement: `SEARCH t FOR 'terms' [USING col]
+        [TOP k]` — BM25 ranking over any table/view with a doc_id
+        column and a text column."""
+        u = " USING %s" % using if using else ""
+        return spark.sql("SEARCH %s FOR '%s'%s TOP %d"
+                         % (table, query, u, int(k)))
+
+    @staticmethod
     def bm25_top_k(docs, query_terms, k=10):
         """BM25 top-k over a (doc_id, text) DataFrame for a list of query
         terms — rational-idf scoring, query tokens filtered before the

@@ -113,6 +113,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case _ => 600000L // default grace = the compaction retention window
       }
       GraftVacuumCommand(table.replace("`", "").split('.').toSeq, retainMs)
+    // SEARCH is not Spark SQL at all (the delegate would throw), so no
+    // catalog gate: any resolvable table/view with a doc_id + text-ish
+    // column is searchable
+    case GraftSqlParser.SearchStmt(table, terms, textCol, k) =>
+      GraftSearchCommand(table.replace("`", "").split('.').toSeq,
+        terms.trim.split("\\s+").toSeq,
+        Option(textCol).map(_.replace("`", "")).getOrElse("text"),
+        Option(k).map(_.toInt).getOrElse(10))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -225,6 +233,14 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+(?:TABLE\s+)?([\w.`]+)""" +
       """(?:\s+RETAIN\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?))?\s*;?\s*""").r
 
+  /** SEARCH t FOR 'terms…' [USING col] [TOP k] — BM25 full-text ranking
+    * over any table/view with a doc_id column and a text column
+    * (default `text`); whitespace-separated query terms, k defaults
+    * to 10. Runs [[graft.pipeline.Retrieval.bm25TopK]]. */
+  private[sql] val SearchStmt =
+    ("""(?is)\s*SEARCH\s+([\w.`]+)\s+FOR\s+'([^']+)'""" +
+      """(?:\s+USING\s+([\w`]+))?(?:\s+TOP\s+(\d+))?\s*;?\s*""").r
+
   /** SQL keyword inventory for shell completion — the reference derives
     * its completer vocabulary by reflecting over parser fields
     * (HBaseSQLParser.scala:28-37 getKeywords); the modern analog
@@ -239,7 +255,8 @@ object GraftSqlParser {
       "CLONE", "VERSION", "AS", "OF", "RESTORE", "TO",
       "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
       "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS",
-      "DESCRIBE", "DETAIL", "OPTIMIZE", "ZORDER")
+      "DESCRIBE", "DETAIL", "OPTIMIZE", "ZORDER",
+      "SEARCH", "USING", "TOP")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -650,5 +667,30 @@ case class GraftShowSnapshotsCommand(table: Seq[String])
         SegmentFile.readManifestVersion(dir, v).map(_.size).getOrElse(0),
         v == vs.last)
     }
+  }
+}
+
+/** SEARCH t FOR 'terms…' [USING col] [TOP k] — BM25 full-text ranking
+  * as a first-class SQL statement. The heavy lifting is the
+  * distributed [[graft.pipeline.Retrieval.bm25TopK]] plan; only the k
+  * result rows ever reach the driver. */
+case class GraftSearchCommand(table: Seq[String], terms: Seq[String],
+    textCol: String, k: Int) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("doc_id", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)(),
+    AttributeReference("n_terms", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.table(table.mkString("."))
+    require(df.columns.contains(textCol),
+      s"SEARCH: column `$textCol` not found (USING <col> to pick one)")
+    val docs = df.select(col("doc_id").cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    graft.pipeline.Retrieval.bm25TopK(docs, terms, k).collect().toSeq
   }
 }

@@ -29,6 +29,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.getSeq[Long](1).length == 64)
   }
 
+  test("SEARCH statement runs BM25 and matches the Column API") {
+    import spark.implicits._
+    Seq(
+      (0L, "spark scan fast spark spark"),
+      (1L, "spark window"),
+      (2L, "table value other words here"),
+      (3L, "scan scan scan scan")
+    ).toDF("doc_id", "text").createOrReplaceTempView("search_v")
+    val viaSql = spark.sql("SEARCH search_v FOR 'spark scan' TOP 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val viaApi = graft.pipeline.Retrieval
+      .bm25TopK(spark.table("search_v"), Seq("spark", "scan"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.nonEmpty && viaSql.head._1 == 0L) // both terms, high tf
+    // USING picks the text column; default TOP is 10
+    Seq((7L, "spark only here")).toDF("doc_id", "body")
+      .createOrReplaceTempView("search_b")
+    val body = spark.sql("SEARCH search_b FOR 'spark' USING body").collect()
+    assert(body.length == 1 && body.head.getLong(0) == 7L)
+    // a missing text column fails loudly, not with a planner mystery
+    val e = intercept[Exception] {
+      spark.sql("SEARCH search_b FOR 'spark'").collect()
+    }
+    assert(e.getMessage.contains("SEARCH"))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('x'), 1 + 1)").collect()

@@ -158,6 +158,10 @@ def main():
             "UNION ALL SELECT 2, 'other words only'")
         top = GraftSession.bm25_top_k(docs, ["spark"], k=2).collect()
         assert [t.doc_id for t in top] == [1, 0], top  # tf 2 beats tf 1
+        docs.createOrReplaceTempView("smoke_docs")
+        via_sql = GraftSession.search(spark, "smoke_docs", "spark", k=2).collect()
+        assert [(r.doc_id, r.score) for r in via_sql] == \
+            [(t.doc_id, t.score) for t in top], via_sql
         ph = GraftSession.phrase_counts(docs, ["spark", "scan"]).collect()
         assert [(p.doc_id, p.n_occ) for p in ph] == [(0, 1)], ph
         names = spark.sql(
