@@ -112,10 +112,11 @@ object Retrieval {
     * one contiguous key range — a kv `doclen` table keyed by doc_id, and
     * a one-row parquet of corpus totals (derived from doclen, the single
     * source of truth the append path also folds into). */
-  def buildIndex(docs: DataFrame, dir: String): Unit = {
+  def buildIndex(docs: DataFrame, dir: String,
+      maxSegBytes: Option[Long] = None): Unit = {
     val t = toks(docs)
     KvCommands.createTable(postings(docs), s"$dir/postings",
-      Seq("term", "doc_id"))
+      Seq("term", "doc_id"), maxSegBytes = maxSegBytes)
     KvCommands.createTable(t.select(col("doc_id"), size(col("w")).as("dl")),
       s"$dir/doclen", Seq("doc_id"))
     refreshStats(t.sparkSession, dir)
@@ -134,6 +135,15 @@ object Retrieval {
       s"$dir/doclen")
     refreshStats(spark, dir)
   }
+
+  /** foreachBatch sink maintaining the index from a STREAM of documents
+    * (index-at-ingest; composes with the graftkv change feed). Replays
+    * are IDEMPOTENT without any sink-side ledger: a re-ingested batch
+    * re-puts the same (term, doc_id) → tf and doc_id → dl rows, so
+    * last-write-wins upsert converges to the same index — the stats
+    * re-derive from doclen either way. */
+  def indexSink(dir: String): (DataFrame, Long) => Unit =
+    (batch, _) => appendToIndex(batch.sparkSession, dir, batch)
 
   private def refreshStats(spark: SparkSession, dir: String): Unit =
     KvCommands.table(spark, s"$dir/doclen")

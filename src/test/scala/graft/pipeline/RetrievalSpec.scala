@@ -89,6 +89,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probe == scan)
   }
 
+  test("appendToIndex is replay-idempotent (re-ingest converges)") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_idem").toString
+    Retrieval.buildIndex(docs.filter(col("doc_id") < 3), dir)
+    val rest = docs.filter(col("doc_id") >= 3)
+    Retrieval.appendToIndex(spark, dir, rest)
+    Retrieval.appendToIndex(spark, dir, rest) // the replayed micro-batch
+    val probe = Retrieval.bm25SearchIndex(spark, dir, Seq("spark", "scan"),
+      k = 10).collect().toSeq
+    val scan = Retrieval.bm25TopK(docs, Seq("spark", "scan"), k = 10)
+      .collect().toSeq
+    assert(probe == scan)
+  }
+
+  test("indexSink maintains the index from a real stream") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_str").toString
+    Retrieval.buildIndex(docs.filter(col("doc_id") < 0), dir) // empty seed
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData(Seq((0L, "spark scan fast spark spark"), (1L, "spark window")))
+    in.addData(Seq((2L, "table value other words here"),
+      (3L, "scan scan scan scan scan scan scan scan"), (4L, "")))
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(Retrieval.indexSink(dir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val probe = Retrieval.bm25SearchIndex(spark, dir, Seq("spark", "scan"),
+      k = 10).collect().toSeq
+    val scan = Retrieval.bm25TopK(docs, Seq("spark", "scan"), k = 10)
+      .collect().toSeq
+    assert(probe == scan)
+  }
+
   test("bm25TopKBatch equals per-query bm25TopK for every query") {
     val queries = Seq("qa" -> Seq("spark", "scan"), "qb" -> Seq("table"),
       "qc" -> Seq("nosuchterm"))
@@ -112,6 +145,28 @@ class RetrievalSpec extends AnyFunSuite {
     val one = graft.connector.KvCommands.table(spark, s"$dir/postings")
       .filter(col("term") === "window")
     assert(one.count() == 1)
+  }
+
+  test("index probe skips postings segments outside the queried terms") {
+    import spark.implicits._
+    // many distinct terms across many small segments: the lead-key
+    // range prune must leave most of the postings table unread
+    val corpus = (0L until 400L)
+      .map(i => (i, s"w${"%03d".format(i % 200)} common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec3").toString
+    Retrieval.buildIndex(corpus, dir, maxSegBytes = Some(2048L))
+    val res = Retrieval.bm25SearchIndex(spark, dir, Seq("w007"), k = 5)
+    res.collect()
+    val rep = graft.connector.KvCommands.pruningReport(res)
+      .collect().map(r => (r.getAs[String]("table_path"),
+        r.getAs[Long]("segments_live"), r.getAs[Long]("segments_read")))
+    val post = rep.filter(_._1.contains("postings"))
+    assert(post.nonEmpty, rep.mkString(", "))
+    val (_, live, read) = post.head
+    assert(live > 4, s"fixture should span many segments, got $live")
+    assert(read < live / 2,
+      s"term probe should skip most segments: read $read of $live")
   }
 
   test("phraseCounts: overlaps, multiplicity, and the empty document") {
