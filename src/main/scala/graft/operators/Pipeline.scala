@@ -107,10 +107,12 @@ object PipelineOps {
   private def ensureRetrievalIndex(s: SparkSession, sfDir: String): String =
     irLock.synchronized {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
-        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v1"
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v2" // v2: + positions
       if (graft.connector.GraftKvMeta.read(s"$path/postings").isEmpty ||
+          graft.connector.GraftKvMeta.read(s"$path/positions").isEmpty ||
           !new java.io.File(s"$path/stats/_SUCCESS").exists()) {
         graft.connector.KvCommands.dropTable(s"$path/postings")
+        graft.connector.KvCommands.dropTable(s"$path/positions")
         graft.connector.KvCommands.dropTable(s"$path/doclen")
         graft.pipeline.Retrieval.buildIndex(t(s, sfDir, "documents"), path)
       }
@@ -613,6 +615,29 @@ object PipelineOps {
         .select(col("doc_id"),
           TextFunctions.duplicateShingleFraction(col("text"), 2)
             .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Phrase search served from the POSITIONAL kv index: per-term key
+    // range probes + an adjacency equi-join on (doc_id, pos − offset) —
+    // the corpus text is never read. Same oracle as ir3, which also
+    // proves positional-index ≡ token-array scan.
+    QuerySpec.checked("ir5_phrase_index",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 2 THEN 0
+        |         ELSE len(list_filter(generate_series(1, len(w) - 1),
+        |                i -> w[i] = 'table' AND w[i+1] = 'value')) END AS n
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_occ FROM c WHERE n > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Retrieval.phraseSearchIndex(
+        s, ensureRetrievalIndex(s, d), Seq("table", "value"))
         .orderBy("doc_id")
     },
 

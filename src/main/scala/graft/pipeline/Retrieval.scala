@@ -112,11 +112,20 @@ object Retrieval {
     * one contiguous key range — a kv `doclen` table keyed by doc_id, and
     * a one-row parquet of corpus totals (derived from doclen, the single
     * source of truth the append path also folds into). */
+  /** Positional postings: one row per token occurrence, (term, doc_id,
+    * pos) with pos 1-based — the phrase-query side table. */
+  def positions(docs: DataFrame): DataFrame =
+    toks(docs)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
+
   def buildIndex(docs: DataFrame, dir: String,
       maxSegBytes: Option[Long] = None): Unit = {
     val t = toks(docs)
     KvCommands.createTable(postings(docs), s"$dir/postings",
       Seq("term", "doc_id"), maxSegBytes = maxSegBytes)
+    KvCommands.createTable(positions(docs), s"$dir/positions",
+      Seq("term", "doc_id", "pos"), maxSegBytes = maxSegBytes)
     KvCommands.createTable(t.select(col("doc_id"), size(col("w")).as("dl")),
       s"$dir/doclen", Seq("doc_id"))
     refreshStats(t.sparkSession, dir)
@@ -131,9 +140,32 @@ object Retrieval {
       newDocs: DataFrame): Unit = {
     val t = toks(newDocs)
     KvCommands.append(postings(newDocs), s"$dir/postings")
+    KvCommands.append(positions(newDocs), s"$dir/positions")
     KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
       s"$dir/doclen")
     refreshStats(spark, dir)
+  }
+
+  /** Phrase search served from the POSITIONAL index: each phrase term
+    * probes its own contiguous (term, …) key range, then adjacency is
+    * an equi-join on (doc_id, pos − offset) — the scan never touches
+    * the corpus text, and a rare first term makes the whole chain tiny.
+    * Returns (doc_id, n_occ), occurrences > 0 only — bit-identical to
+    * [[phraseCounts]] on the indexed corpus. */
+  def phraseSearchIndex(spark: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = KvCommands.table(spark, s"$dir/positions")
+    val heads = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(heads) {
+      case (acc, (p, off)) =>
+        acc.join(pos.filter(col("term") === p)
+            .select(col("doc_id"), (col("pos") - off).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_occ"))
   }
 
   /** foreachBatch sink maintaining the index from a STREAM of documents

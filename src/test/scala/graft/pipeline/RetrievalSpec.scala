@@ -169,6 +169,24 @@ class RetrievalSpec extends AnyFunSuite {
       s"term probe should skip most segments: read $read of $live")
   }
 
+  test("phraseSearchIndex equals phraseCounts, including after append") {
+    val d = Seq(
+      (0L, "a b a b a"), (1L, "a a a"), (2L, "b a"), (3L, ""),
+      (4L, "x a b x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_pos").toString
+    Retrieval.buildIndex(d.filter(col("doc_id") < 3), dir)
+    Retrieval.appendToIndex(spark, dir, d.filter(col("doc_id") >= 3))
+    for (phrase <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("a", "b", "a"),
+        Seq("missing"))) {
+      val viaIndex = Retrieval.phraseSearchIndex(spark, dir, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val viaScan = Retrieval.phraseCounts(d, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(viaIndex == viaScan, s"phrase $phrase")
+    }
+  }
+
   test("phraseCounts: overlaps, multiplicity, and the empty document") {
     val d = Seq(
       (0L, "a b a b a"), //   "a b" at positions 1 and 3
