@@ -1211,6 +1211,31 @@ object PipelineOps {
         .toDF().select("doc_id", "n_tokens").orderBy("doc_id")
     },
 
+    // Context-window chunking: long documents become 40-token pieces
+    // with an 8-token overlap; trailing starts whose previous chunk
+    // already covered the end are dropped (no degenerate suffix
+    // chunks). Map-only — stepped starts + token slices, no shuffle.
+    QuerySpec.checked("cu8_chunk_docs",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(list_filter(generate_series(1, len(w), 32),
+        |      s -> s = 1 OR s + 8 <= len(w))) AS s
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) AS INTEGER) AS chunk_idx,
+        |  array_to_string(w[s:s+39], ' ') AS chunk_text,
+        |  CAST(least(40, len(w) - s + 1) AS INTEGER) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""") { (s, d) =>
+      graft.pipeline.Curation.chunkDocuments(
+        t(s, d, "documents"), chunkTokens = 40, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Target-mixture resampling: re-balance sources to spec proportions
     // with the largest downsample-only plan — the binding stratum (the
     // one the target stretches furthest) keeps EVERYTHING (an exact,

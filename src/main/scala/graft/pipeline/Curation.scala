@@ -119,6 +119,38 @@ object Curation {
       }
   }
 
+  /** Split documents into fixed-size token chunks with overlap (context-
+    * window chunking: long docs become training-sized pieces, the
+    * overlap preserving cross-boundary context). Map-only column
+    * algebra — chunk starts are a stepped sequence, each chunk a token
+    * slice — so it scales linearly with corpus bytes and introduces no
+    * shuffle. A document shorter than `chunkTokens` yields exactly one
+    * chunk (itself); an empty document yields none. Chunks are 1-indexed
+    * in document order and every chunk starts within the document, so
+    * the final chunk may be shorter than `chunkTokens` but never empty. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens, "need 0 <= overlap < chunk")
+    val step = chunkTokens - overlapTokens
+    val tok = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("w"))
+    // stepped starts, dropping any whose PREVIOUS chunk already covered
+    // the document end (the first start always stays)
+    val starts = when(size(col("w")) === 0, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(1), size(col("w")), lit(step)),
+        s => s === 1 || s + lit(chunkTokens - step) <= size(col("w"))))
+    tok
+      .select(col(idCol), col("w"), posexplode(starts).as(Seq("i", "s")))
+      .select(col(idCol),
+        (col("i") + 1).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("s"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("w")) - col("s") + 1)
+          .cast("int").as("n_tokens"))
+  }
+
   /** Pack utilization report: docs per pack, tokens used, fill ratio —
     * the curation dashboard number ("how full are the context windows"). */
   def packStats(packed: Dataset[PackedDoc], budgetTokens: Int): DataFrame =

@@ -96,6 +96,31 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.collect().forall(_.n_tokens <= 512))
   }
 
+  test("chunkDocuments: overlap, short docs, covered-tail starts, empties") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"), //                                  shorter than chunk
+      (2L, "") //                                        no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, chunkTokens = 5, overlapTokens = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 0: starts 1, 4, 7 (start 10 dropped — chunk@7 covers t7..t10)
+    assert(got.filter(_._1 == 0L) == Seq(
+      (0L, 1, "t1 t2 t3 t4 t5", 5),
+      (0L, 2, "t4 t5 t6 t7 t8", 5),
+      (0L, 3, "t7 t8 t9 t10", 4)))
+    assert(got.filter(_._1 == 1L) == Seq((1L, 1, "a b c", 3)))
+    assert(!got.exists(_._1 == 2L))
+    // every token position is covered by at least one chunk
+    val covered = got.filter(_._1 == 0L).flatMap { case (_, i, txt, n) =>
+      val start = 1 + (i - 1) * 3
+      start until (start + n)
+    }.toSet
+    assert(covered == (1 to 10).toSet)
+  }
+
   test("mixtureFractions: binding stratum keeps all, others hit the target") {
     // counts: a=100, b=200, c=50; target 0.5/0.25/0.25 →
     // T = min(100/0.5, 200/0.25, 50/0.25) = 200 (a and c both bind)
