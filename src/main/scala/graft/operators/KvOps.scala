@@ -1129,6 +1129,18 @@ object KvOps {
         .orderBy("lang")
     },
 
+    // BM25 retrieval OVER THE KV STORE: the same ranking as ir1 (same
+    // oracle) computed from the zstd-compressed documents kv table —
+    // text analytics composes with the storage engine end-to-end
+    // (compressed scan → tokenize → filtered explode → score), and the
+    // hash match proves the kv read path is lossless under a
+    // text-processing consumer, not just under SQL aggregates.
+    QuerySpec.checked("kv51_bm25_on_kv", PipelineOps.bm25OracleSql) { (s, d) =>
+      graft.pipeline.Retrieval.bm25TopK(
+        documentsZstdKv(s, d).select("doc_id", "text"),
+        PipelineOps.bm25Query, k = 10)
+    },
+
     // 3-dim z-curve with a STRING middle dimension: numeric lead range ×
     // string point × numeric range — exercises the UTF-8-prefix dim
     // codes and a mixed-type box end-to-end against the parquet truth

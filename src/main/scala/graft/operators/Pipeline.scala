@@ -125,7 +125,7 @@ object PipelineOps {
     * DECIMAL) and per-term contributions summed through DECIMAL(38,6)
     * for order independence. ir1 (corpus scan) and ir2 (index probe)
     * must both hash-match it, which also proves scan ≡ index. */
-  private val bm25OracleSql: String =
+  private[operators] val bm25OracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
       |  FROM documents
@@ -158,7 +158,7 @@ object PipelineOps {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
-  private val bm25Query = Seq("spark", "scan", "window")
+  private[operators] val bm25Query = Seq("spark", "scan", "window")
 
   val specs: Seq[QuerySpec] = Seq(
 
