@@ -431,4 +431,33 @@ class PlanShapeSpec extends AnyFunSuite {
       .planInputPartitions().length
     assert(pruned == 1, s"point lookup pruned to $pruned of $all partitions")
   }
+
+  test("fuzzy pair generation is JOIN-FREE (the dd10 regression guard)") {
+    // the first cut self-joined the exploded deletion-key table — Spark
+    // broadcast a ~285k-row build three bench reps in a row, costing 5 s
+    // and poisoning every query after it. The bucket-local shape has no
+    // join node of any kind; pin that so it cannot quietly come back.
+    import org.apache.spark.sql.functions.col
+    val df = graft.pipeline.FuzzyMatch.pairsWithinDistance1(
+      graft.Tables.table(spark, sf, "customer"), "c_custkey", "c_name")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (j <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(j), s"fuzzy plan must not contain $j")
+  }
+
+  test("batch BM25 broadcasts the query set and the corpus stats") {
+    val df = graft.pipeline.Retrieval.bm25TopKBatch(
+      graft.Tables.table(spark, sf, "documents"),
+      Seq("qa" -> Seq("spark", "scan"), "qb" -> Seq("table")), k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only joins are broadcast (tiny query/df sides + the 1-row
+    // stats cross join) — the corpus side never shuffles for a join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
