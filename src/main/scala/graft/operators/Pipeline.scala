@@ -233,6 +233,15 @@ object PipelineOps {
           "q3" -> Seq("merge", "sort", "batch")), k = 5)
     },
 
+    // The SEARCH SQL statement itself under the driver gate: same
+    // oracle as ir1, exercised through the parser extension + command
+    // path (`SEARCH documents FOR '…' TOP 10`) rather than the Column
+    // API — the full SQL-user surface is oracle-checked.
+    QuerySpec.checked("ir6_search_sql", bm25OracleSql) { (s, d) =>
+      Tables.table(s, d, "documents").createOrReplaceTempView("ir6_docs")
+      s.sql(s"SEARCH ir6_docs FOR '${bm25Query.mkString(" ")}' TOP 10")
+    },
+
     // Exact phrase search: occurrence counts per document, map-only (a
     // higher-order filter over the token array — zero shuffle at any
     // corpus size).
