@@ -1043,6 +1043,82 @@ object KvOps {
         .orderBy("l_returnflag")
     },
 
+    // kv47 bisect triple (round 11): kv47 has been red in the driver
+    // record for two rounds while the builder- AND judge-side repros are
+    // value- and arrow-type-exact at sf0.001/0.01/0.1 — so the driver's
+    // hash canonicalization trips on something the local mirror can't
+    // see. These three variants isolate WHICH clause flips the driver
+    // hash: kv52 keeps the pushed decimal filter but drops the grouping,
+    // kv53 keeps the grouping but drops the filter, and kv54 is kv47
+    // verbatim with every decimal rendered to a STRING on both sides —
+    // if kv54 greens while kv47 stays red, the values are proven equal
+    // through the driver itself and the miss is decimal-hash
+    // canonicalization, not engine wrongness.
+    QuerySpec.checked("kv52_decimal_filtered_total",
+      """SELECT CAST(sum(p) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(min(p) AS DECIMAL(38,2)) AS min_price,
+        |  CAST(max(p) AS DECIMAL(38,2)) AS max_price,
+        |  count(*) AS cnt
+        |FROM (SELECT CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)
+        |WHERE p > 50""") { (s, d) =>
+      lineitemDecKv(s, d)
+        .filter(col("price_dec") > 50)
+        .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).as("sum_price"),
+          min(col("price_dec")).cast(DecimalType(38, 2)).as("min_price"),
+          max(col("price_dec")).cast(DecimalType(38, 2)).as("max_price"),
+          count(lit(1)).as("cnt"))
+    },
+
+    QuerySpec.checked("kv53_decimal_grouped_total",
+      """SELECT l_returnflag,
+        |  CAST(sum(p) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(min(p) AS DECIMAL(38,2)) AS min_price,
+        |  CAST(max(p) AS DECIMAL(38,2)) AS max_price,
+        |  count(*) AS cnt
+        |FROM (SELECT l_returnflag,
+        |        CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      lineitemDecKv(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).as("sum_price"),
+          min(col("price_dec")).cast(DecimalType(38, 2)).as("min_price"),
+          max(col("price_dec")).cast(DecimalType(38, 2)).as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    QuerySpec.checked("kv54_decimal_money_text",
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(p) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(min(p) AS DECIMAL(38,2)) AS VARCHAR) AS min_price,
+        |  CAST(CAST(max(p) AS DECIMAL(38,2)) AS VARCHAR) AS max_price,
+        |  count(*) AS cnt
+        |FROM (SELECT l_returnflag,
+        |        CAST(concat(CAST(l_partkey AS VARCHAR), '.',
+        |             lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0'))
+        |          AS DECIMAL(12,2)) AS p
+        |      FROM lineitem)
+        |WHERE p > 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      lineitemDecKv(s, d)
+        .filter(col("price_dec") > 50)
+        .groupBy("l_returnflag")
+        .agg(sum(col("price_dec")).cast(DecimalType(38, 2)).cast("string")
+            .as("sum_price"),
+          min(col("price_dec")).cast(DecimalType(38, 2)).cast("string")
+            .as("min_price"),
+          max(col("price_dec")).cast(DecimalType(38, 2)).cast("string")
+            .as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
     // DECIMAL aggregation from pure METADATA (V13 zone claims): the
     // null-free money column's unfiltered SUM/MIN/MAX/COUNT answer
     // from merged per-segment claims — the unscaled sums make the
@@ -1114,8 +1190,10 @@ object KvOps {
     // logical); this gate proves it on driver hardware every round.
     QuerySpec.checked("kv50_compressed_scan",
       """SELECT lang,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |  sum(length(text)) AS sum_len, min(doc_id) AS first_doc
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS first_doc
         |FROM documents
         |WHERE doc_id BETWEEN 10 AND 400 AND n_chars > 120
         |GROUP BY lang ORDER BY lang""") { (s, d) =>

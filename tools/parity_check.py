@@ -12,6 +12,7 @@ expected).
 """
 import sys, os, json, glob
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,6 +55,23 @@ def main(sf_dir, out_dir):
             continue
         if got.num_rows != exp.num_rows:
             results[name] = f"ROWCOUNT-MISMATCH spark={got.num_rows} oracle={exp.num_rows}"
+            continue
+        # The driver hash is ARROW-TYPE-sensitive (kv30/kv31, kv50:
+        # DuckDB widens integral sums to HUGEINT/decimal128(38,0) while
+        # Spark returns BIGINT; values compare equal in Python because
+        # Decimal('14646') == 14646). Compare the arrow types per
+        # column, not just the names, so the local mirror fails exactly
+        # where the driver would.
+        g_types = {f.name: f.type for f in got.schema}
+        e_types = {f.name: f.type for f in exp.schema}
+        badt = [(c, g_types[c], e_types[c]) for c in g_cols
+                if g_types[c] != e_types[c]
+                # timestamp tz naming differs benignly across writers
+                and not (pa.types.is_timestamp(g_types[c])
+                         and pa.types.is_timestamp(e_types[c]))]
+        if badt:
+            c, gt, et = badt[0]
+            results[name] = f"TYPE-MISMATCH {c}: spark={gt} oracle={et}"
             continue
         gd = got.select(g_cols).to_pylist()
         ed = exp.select(e_cols).to_pylist()
