@@ -570,10 +570,20 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
       .groupBy(idCol).agg(collect_set(col("p")).as("kill"))
+    // Rebuild via ONE set-difference per doc: array_except builds a
+    // hash set over the kill array and walks the position range once —
+    // O(len + kills) per document. (A per-token array_contains is
+    // O(len × kills): quadratic for a book-length doc that is largely
+    // duplicated — the 100-TB hot spot the round-10 verdict flagged.)
+    // CaseWhen is short-circuit, so the kill-null branch never
+    // evaluates the sequence() (whose start>stop form would descend).
     toks.join(killed, Seq(idCol), "left")
       .select(col(idCol),
-        expr("concat_ws(' ', filter(w, (t, i) -> kill IS NULL" +
-          " OR NOT array_contains(kill, i + 1)))").as("clean_text"),
+        when(col("kill").isNull, concat_ws(" ", col("w")))
+          .otherwise(expr("concat_ws(' ', transform(" +
+            "array_except(sequence(1, size(w)), kill)," +
+            " i -> element_at(w, i)))"))
+          .as("clean_text"),
         when(col("kill").isNull, lit(0))
           .otherwise(size(col("kill"))).cast("long").as("n_removed"))
   }

@@ -34,28 +34,74 @@ object FuzzyMatch {
     * builds an |S|·avg_len-row hash relation that Spark happily
     * broadcasts three reps in a row — measured at 5 s and a poisoned
     * JVM for every query after it at sf0.1; this shape is 0.4 s.)
-    * Bucket width is bounded by the number of strings within one edit
-    * of each other sharing a key — quadratic only where the OUTPUT is. */
+    * Bucket width is bounded by the number of DISTINCT strings within
+    * one edit of each other sharing a key — exact duplicates collapse
+    * to one class row before blocking (round 11; previously a
+    * duplicate-heavy corpus put every occurrence in every shared
+    * bucket), and pairs expand from verified class pairs, so work is
+    * quadratic only where the OUTPUT is. */
   def pairsWithinDistance1(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
-    val keyed = df
+    // Collapse exact duplicates FIRST (the dd3 rep-collapse pattern):
+    // one row per DISTINCT string carrying its sorted id list. A
+    // duplicate-heavy corpus (the normal pre-dedup state) would
+    // otherwise materialize one bucket row per deletion key holding
+    // EVERY duplicate occurrence — (dup-class size × key count) structs
+    // with full strings. After the collapse a bucket row holds one
+    // entry per distinct neighborhood string, each id list exists once,
+    // and everything downstream of blocking runs on distinct strings.
+    val classes = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), explode(deletionKeys(col("s"))).as("k"))
+      .groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
+
+    // dist-0 pairs: all id pairs inside one equality class. Quadratic
+    // only in the OUTPUT (every emitted pair is a true pair).
+    val intra = classes.filter(size(col("ids")) > 1)
+      .select(col("s"), explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("s").as("s_a"),
+        col("s").as("s_b"), lit(0).cast("int").as("dist"))
+
+    // dist-1 CLASS pairs over distinct strings, bucket-locally
+    // (join-free); verified and de-duplicated on the class pair —
+    // strictly cheaper than de-duplicating expanded id pairs
+    val keyed = classes
+      .select(col("s"), col("ids"), explode(deletionKeys(col("s"))).as("k"))
     val buckets = keyed.groupBy("k")
-      .agg(collect_list(struct(col("id"), col("s"))).as("xs"))
+      .agg(collect_list(struct(col("s"), col("ids"))).as("xs"))
       .filter(size(col("xs")) > 1)
-    buckets
+    val classPairs = buckets
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
           struct(
-            when(x("id") < y("id"), x("id")).otherwise(y("id")).as("id_a"),
-            when(x("id") < y("id"), y("id")).otherwise(x("id")).as("id_b"),
-            when(x("id") < y("id"), x("s")).otherwise(y("s")).as("s_a"),
-            when(x("id") < y("id"), y("s")).otherwise(x("s")).as("s_b"))))))
+            when(x("s") < y("s"), x("s")).otherwise(y("s")).as("s_a"),
+            when(x("s") < y("s"), y("s")).otherwise(x("s")).as("s_b"),
+            when(x("s") < y("s"), x("ids")).otherwise(y("ids")).as("ids_a"),
+            when(x("s") < y("s"), y("ids")).otherwise(x("ids"))
+              .as("ids_b"))))))
         .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.s_a"), col("p.s_b"))
+      .select(col("p.s_a"), col("p.s_b"), col("p.ids_a"), col("p.ids_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
-      .filter(col("dist") <= 1)
-      .distinct() // the same pair can share several deletion keys
+      .filter(col("dist") === 1) // strings are distinct: dist 0 impossible
+      .distinct() // the same class pair can share several deletion keys
+
+    // expand each verified class pair to its id pairs (output-bound)
+    val cross = classPairs
+      .select(col("s_a"), col("s_b"), col("dist"),
+        explode(col("ids_a")).as("x"), col("ids_b"))
+      .select(col("s_a"), col("s_b"), col("dist"), col("x"),
+        explode(col("ids_b")).as("y"))
+      .select(
+        when(col("x") < col("y"), col("x")).otherwise(col("y")).as("id_a"),
+        when(col("x") < col("y"), col("y")).otherwise(col("x")).as("id_b"),
+        when(col("x") < col("y"), col("s_a")).otherwise(col("s_b"))
+          .as("s_a"),
+        when(col("x") < col("y"), col("s_b")).otherwise(col("s_a"))
+          .as("s_b"),
+        col("dist"))
+
+    intra.unionByName(cross)
   }
 }

@@ -348,4 +348,24 @@ class DedupSpec extends AnyFunSuite {
     val got = substrResult(corpus.toDF("doc_id", "text"), w)
     assert(got == expected)
   }
+
+  test("dedupSubstrings stays linear on a book-length mostly-duplicated doc") {
+    // A 60k-token doc that is one long copy of another: the kill set is
+    // ~60k positions, so a per-token array_contains rebuild is
+    // O(len × kills) ≈ 3.6e9 comparisons — the round-10 verdict's
+    // scale hazard. The array_except rebuild is O(len) and must finish
+    // comfortably and EXACTLY (doc B collapses to its unique prefix).
+    val n = 60000
+    val body = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, body),
+      (1L, s"zz0 zz1 zz2 $body")
+    ).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = substrResult(docs, 8)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r(0L) == ((body, 0L)))
+    assert(r(1L) == (("zz0 zz1 zz2", n.toLong)))
+    assert(sec < 120.0, s"rebuild took $sec s — quadratic regression?")
+  }
 }

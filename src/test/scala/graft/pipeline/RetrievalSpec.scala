@@ -255,4 +255,30 @@ class RetrievalSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(got == want)
   }
+
+  test("fuzzy pairs: duplicate-heavy corpus (rep-collapse) keeps id↔string" +
+      " mapping and full pair set") {
+    // one 40-strong exact-duplicate class + ED-1 neighbors + noise: the
+    // pre-round-11 shape materialized all 40 occurrences in every shared
+    // deletion bucket; the collapsed shape blocks on 4 distinct strings.
+    val rows = ((0L until 40L).map(i => (i, "abcde")) ++
+      Seq((100L, "abcdX"), (101L, "abde"), (102L, "zzzzz"))).toSeq
+    val df = rows.toDF("id", "name")
+    val got = FuzzyMatch.pairsWithinDistance1(df, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, sa, sb, lev(sa, sb))).toSet
+    assert(got == want) // 40·39/2 dist-0 + 2·40 dist-1 = 860 pairs
+  }
 }
