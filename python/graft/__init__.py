@@ -223,7 +223,21 @@ class GraftSession:
     def search(spark, table, query, k=10, using=None):
         """SQL SEARCH statement: `SEARCH t FOR 'terms' [USING col]
         [TOP k]` — BM25 ranking over any table/view with a doc_id
-        column and a text column."""
+        column and a text column. The SEARCH term literal has no escape
+        form (terms are whitespace-separated words), so quotes and odd
+        identifiers are rejected HERE with a clear error instead of
+        surfacing as an opaque parse failure on the SEARCH keyword."""
+        import re
+        if "'" in query:
+            raise ValueError("search(): query must not contain single "
+                             "quotes — terms are whitespace-separated "
+                             "words")
+        if not re.fullmatch(r"[\w.`]+", table):
+            raise ValueError("search(): invalid table identifier %r"
+                             % (table,))
+        if using is not None and not re.fullmatch(r"[\w`]+", using):
+            raise ValueError("search(): invalid column identifier %r"
+                             % (using,))
         u = " USING %s" % using if using else ""
         return spark.sql("SEARCH %s FOR '%s'%s TOP %d"
                          % (table, query, u, int(k)))

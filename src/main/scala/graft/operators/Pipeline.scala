@@ -103,17 +103,29 @@ object PipelineOps {
   /** Idempotently materialize the inverted index (kv postings/doclen +
     * stats parquet) for a corpus. Bump the version segment when the
     * index layout changes — a stale cached index must be rebuilt, not
-    * probed. */
+    * probed. The cache key also folds in a CORPUS FINGERPRINT (size +
+    * mtime of the documents parquet): the driver regenerates
+    * /root/testdata between rounds, and probing an index built from the
+    * previous corpus would fail the gates against a fresh oracle with
+    * no hint why. */
   private def ensureRetrievalIndex(s: SparkSession, sfDir: String): String =
     irLock.synchronized {
+      def stamp(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
+        else f.length() + f.lastModified()
+      val fp = java.lang.Long.toHexString(
+        stamp(new java.io.File(s"$sfDir/documents.parquet")))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
-        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v2" // v2: + positions
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v3_$fp" // v3: + docterms
       if (graft.connector.GraftKvMeta.read(s"$path/postings").isEmpty ||
           graft.connector.GraftKvMeta.read(s"$path/positions").isEmpty ||
+          graft.connector.GraftKvMeta.read(s"$path/docterms").isEmpty ||
           !new java.io.File(s"$path/stats/_SUCCESS").exists()) {
         graft.connector.KvCommands.dropTable(s"$path/postings")
         graft.connector.KvCommands.dropTable(s"$path/positions")
         graft.connector.KvCommands.dropTable(s"$path/doclen")
+        graft.connector.KvCommands.dropTable(s"$path/docterms")
         graft.pipeline.Retrieval.buildIndex(t(s, sfDir, "documents"), path)
       }
       path

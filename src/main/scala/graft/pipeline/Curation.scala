@@ -61,7 +61,14 @@ object Curation {
     if (present.isEmpty) Map.empty
     else {
       val t = present.map { case (s, w) => counts(s) / w }.min
-      present.map { case (s, w) => s -> math.min(1.0, w * t / counts(s)) }
+      present.map { case (s, w) =>
+        val f = math.min(1.0, w * t / counts(s))
+        // the binding stratum's fraction is 1.0 by construction, but
+        // w·(n/w)/n only evaluates to an exact 1.0 for dyadic weights
+        // (w = 1/3 gives 0.9999999999999999) — clamp so "the binding
+        // stratum keeps everything" holds as stated, never stochastically
+        s -> (if (f >= 1.0 - 1e-9) 1.0 else f)
+      }
     }
   }
 

@@ -128,21 +128,74 @@ object Retrieval {
       Seq("term", "doc_id", "pos"), maxSegBytes = maxSegBytes)
     KvCommands.createTable(t.select(col("doc_id"), size(col("w")).as("dl")),
       s"$dir/doclen", Seq("doc_id"))
+    // forward index (doc_id, term): the update path's key enumerator —
+    // re-ingesting a MODIFIED document must be able to find and
+    // tombstone the (term, doc_id) keys its new content no longer
+    // produces, without scanning the whole inverted index
+    KvCommands.createTable(postings(docs).select(col("doc_id"), col("term")),
+      s"$dir/docterms", Seq("doc_id", "term"), maxSegBytes = maxSegBytes)
     refreshStats(t.sparkSession, dir)
   }
 
-  /** Incrementally index new documents: their postings and lengths are
-    * APPENDED to the kv tables (an upsert — re-ingesting a doc_id
-    * replaces its rows via last-write-wins on the (term, doc_id) key),
-    * then the corpus totals are re-derived from the doclen table. The
-    * expensive structures grow by O(new tokens); nothing is rebuilt. */
+  /** Incrementally index new OR MODIFIED documents. New doc_ids grow the
+    * postings/positions/doclen tables by O(new tokens). A re-ingested
+    * doc_id is a true UPDATE: its previous (doc_id, term) pairs are
+    * enumerated from the `docterms` forward index (a doc_id-prefix key
+    * probe, O(old tokens of the changed docs)); pairs the new content no
+    * longer produces get tombstones in postings and docterms, and every
+    * old positional key of the changed docs is tombstoned before the new
+    * positions land at the next generation (generation-ordered
+    * last-write-wins resurrects the re-put ones) — so stale tf/df and
+    * phantom phrase matches cannot survive an update. Replaying an
+    * identical batch stays idempotent: the stale set is empty and the
+    * re-puts converge. Corpus totals re-derive from doclen. */
   def appendToIndex(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
     val t = toks(newDocs)
+    val dtPath = s"$dir/docterms"
+    if (graft.connector.GraftKvMeta.read(dtPath).isEmpty)
+      throw new IllegalStateException(
+        s"no docterms forward index at $dtPath — rebuild the index with " +
+          "buildIndex (pre-round-11 indexes are append-only)")
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    // old pairs of the re-ingested docs (empty for brand-new doc_ids);
+    // the semi-join build side is the incoming batch's ids, so the kv
+    // scan's runtime filtering can prune docterms segments by doc_id
+    val oldPairs = KvCommands.table(spark, dtPath)
+      .join(newIds, Seq("doc_id"), "left_semi")
+      .select(col("term"), col("doc_id"))
+      .persist()
+    try {
+      val newPairs = postings(newDocs).select(col("term"), col("doc_id"))
+      val stale = oldPairs.join(newPairs, Seq("term", "doc_id"), "left_anti")
+        .persist()
+      try {
+        if (!stale.isEmpty) {
+          stale.select(col("term"), col("doc_id"))
+            .write.format("graftkv").option("tombstone", "true")
+            .mode("append").save(s"$dir/postings")
+          stale.select(col("doc_id"), col("term"))
+            .write.format("graftkv").option("tombstone", "true")
+            .mode("append").save(dtPath)
+        }
+        // positions: a term can SURVIVE an edit at different offsets, so
+        // every old positional key of the changed docs is tombstoned
+        // (re-put ones resurrect at the append's later generation)
+        if (!oldPairs.isEmpty) {
+          KvCommands.table(spark, s"$dir/positions")
+            .join(oldPairs, Seq("term", "doc_id"), "left_semi")
+            .select(col("term"), col("doc_id"), col("pos"))
+            .write.format("graftkv").option("tombstone", "true")
+            .mode("append").save(s"$dir/positions")
+        }
+      } finally stale.unpersist()
+    } finally oldPairs.unpersist()
     KvCommands.append(postings(newDocs), s"$dir/postings")
     KvCommands.append(positions(newDocs), s"$dir/positions")
     KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
       s"$dir/doclen")
+    KvCommands.append(postings(newDocs).select(col("doc_id"), col("term")),
+      dtPath)
     refreshStats(spark, dir)
   }
 

@@ -121,6 +121,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         terms.trim.split("\\s+").toSeq,
         Option(textCol).map(_.replace("`", "")).getOrElse("text"),
         Option(k).map(_.toInt).getOrElse(10))
+    // a SEARCH that the statement regex rejects (quote inside the term
+    // literal, odd identifier, …) would otherwise fall through to the
+    // Spark delegate, which throws an opaque error on the SEARCH
+    // keyword — fail loudly with the statement's actual grammar
+    case s if s.trim.take(7).equalsIgnoreCase("SEARCH ") =>
+      throw new IllegalArgumentException(
+        "SEARCH: malformed statement — expected SEARCH <table> FOR " +
+          "'<terms>' [USING <col>] [TOP <k>]; terms are " +
+          "whitespace-separated words and must not contain quotes")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -679,8 +688,11 @@ case class GraftSearchCommand(table: Seq[String], terms: Seq[String],
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
+  // nullable doc_id: the id column is cast from an arbitrary table
+  // column, and a non-numeric id casting to null must surface as a
+  // null row, not corrupt a non-nullable attribute
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("doc_id", LongType, nullable = false)(),
+    AttributeReference("doc_id", LongType, nullable = true)(),
     AttributeReference("score", DoubleType, nullable = false)(),
     AttributeReference("n_terms", IntegerType, nullable = false)())
 
@@ -689,6 +701,9 @@ case class GraftSearchCommand(table: Seq[String], terms: Seq[String],
     val df = spark.table(table.mkString("."))
     require(df.columns.contains(textCol),
       s"SEARCH: column `$textCol` not found (USING <col> to pick one)")
+    require(df.columns.contains("doc_id"),
+      "SEARCH: column `doc_id` not found — SEARCH ranks per document " +
+        "and needs a doc_id column on the table")
     val docs = df.select(col("doc_id").cast("long").as("doc_id"),
       col(textCol).cast("string").as("text"))
     graft.pipeline.Retrieval.bm25TopK(docs, terms, k).collect().toSeq

@@ -143,5 +143,17 @@ class CurationSpec extends AnyFunSuite {
     assert(byS("a") == 100 && byS("c") == 50, byS)
     assert(math.abs(byS("b") - 50.0) <= 4.0 * math.sqrt(200 * 0.25 * 0.75) + 1,
       byS)
+    // NON-DYADIC weights: w·(n/w)/n evaluates to 0.999…9 in floating
+    // point — the binding stratum's fraction must still be EXACTLY 1.0
+    // (keeps-everything is a documented invariant, not a statistical one)
+    val fr3 = Curation.mixtureFractions(docs, "src",
+      Map("a" -> (1.0 / 3.0), "b" -> (2.0 / 3.0)))
+    assert(fr3("a") == 1.0, fr3) // T = min(300, 300) — both bind
+    assert(fr3("b") == 1.0, fr3)
+    val fr4 = Curation.mixtureFractions(docs, "src",
+      Map("a" -> (1.0 / 3.0), "b" -> (1.0 / 3.0), "c" -> (1.0 / 3.0)))
+    assert(fr4("c") == 1.0, fr4) // c binds: T = 150
+    assert(math.abs(fr4("a") - 0.5) < 1e-12 &&
+      math.abs(fr4("b") - 0.25) < 1e-12, fr4)
   }
 }

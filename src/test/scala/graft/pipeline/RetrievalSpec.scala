@@ -102,6 +102,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probe == scan)
   }
 
+  test("appendToIndex on a MODIFIED doc deletes stale postings/positions") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_upd").toString
+    val v1 = Seq((0L, "spark scan fast window"), (1L, "other text entirely"))
+      .toDF("doc_id", "text")
+    Retrieval.buildIndex(v1, dir)
+    // doc 0 modified: 'scan'/'window' vanish, 'fast' moves, 'spark' stays
+    Retrieval.appendToIndex(spark, dir,
+      Seq((0L, "fast spark joins")).toDF("doc_id", "text"))
+    val corpus = Seq((0L, "fast spark joins"), (1L, "other text entirely"))
+      .toDF("doc_id", "text")
+    // probe ≡ fresh scan of the UPDATED corpus (df/tf reflect the edit)
+    for (q <- Seq(Seq("spark", "scan"), Seq("window"), Seq("fast", "joins")))
+      assert(Retrieval.bm25SearchIndex(spark, dir, q, 10).collect().toSeq ==
+        Retrieval.bm25TopK(corpus, q, 10).collect().toSeq, s"query $q")
+    // stale positions must not produce phantom phrase matches: 'spark
+    // scan' was a v1 adjacency of doc 0; 'fast spark' is the v2 one
+    assert(Retrieval.phraseSearchIndex(spark, dir, Seq("spark", "scan"))
+      .collect().isEmpty)
+    assert(Retrieval.phraseSearchIndex(spark, dir, Seq("fast", "spark"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((0L, 1)))
+  }
+
   test("indexSink maintains the index from a real stream") {
     val dir = java.nio.file.Files.createTempDirectory("ir_spec_str").toString
     Retrieval.buildIndex(docs.filter(col("doc_id") < 0), dir) // empty seed

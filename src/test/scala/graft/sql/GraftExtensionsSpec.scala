@@ -54,6 +54,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SEARCH search_b FOR 'spark'").collect()
     }
     assert(e.getMessage.contains("SEARCH"))
+    // a missing doc_id column fails loudly too (round-11 advice item)
+    Seq(("x", "spark text")).toDF("name", "text")
+      .createOrReplaceTempView("search_noid")
+    val e2 = intercept[Exception] {
+      spark.sql("SEARCH search_noid FOR 'spark'").collect()
+    }
+    assert(e2.getMessage.contains("doc_id"))
+    // a malformed SEARCH (quote inside the term literal) states the
+    // grammar instead of falling through to an opaque delegate error
+    val e3 = intercept[Exception] {
+      spark.sql("SEARCH search_v FOR 'it''s broken'").collect()
+    }
+    assert(e3.getMessage.contains("whitespace-separated"))
   }
 
   test("non-literal k is rejected with a clear error") {
