@@ -1280,15 +1280,18 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       val pk = codec.decodeKey(c.minKey).take(pkLen)
       if (c.members.length == 1) {
         val m = c.members.head
-        Seq(GraftKvInputPartition(path, m.file, m.count, pk, segRanges): InputPartition)
+        Seq(GraftKvInputPartition(path, m.file, m.count, pk, segRanges,
+          locations = SegmentLocality.of(path, m.file)): InputPartition)
       } else {
         // ascending (generation, file) — merge ties resolve to the later
         // entry, so ordering here IS the last-write-wins authority
         val files = c.members.sortBy(m => (m.gen, m.file)).map(m => (m.file, m.gen))
+        val locs = SegmentLocality.ofMany(path, files.map(_._1))
         if (reportedPrefix.isDefined)
           // a KeyGroupedPartitioning claim wants one partition per comp
           // (splitting could put one prefix value into two partitions)
-          Seq(GraftKvMergePartition(path, files, pk, segRanges): InputPartition)
+          Seq(GraftKvMergePartition(path, files, pk, segRanges,
+            locations = locs): InputPartition)
         else {
           // Range-sharded merge read: split the component at member
           // min-key boundaries so heavy-append tables (e.g. streaming
@@ -1307,7 +1310,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           val bounds = (none +: splits) zip (splits :+ none)
           bounds.map { case (from, until) =>
             GraftKvMergePartition(path, files, pk, segRanges,
-              fromKey = from, untilKey = until): InputPartition
+              fromKey = from, untilKey = until,
+              locations = locs): InputPartition
           }
         }
       }
@@ -1964,12 +1968,37 @@ class GraftKvMicroBatchStream(path: String, schema: StructType,
   * HasPartitionKey identity Spark's key-grouped planning consumes.
   * `partitionRanges` is the segment-specialized subset of the scan's
   * qualified leading-dim ranges (None when the scan has no filters). */
+/** Host-locality provider for scan partitions — the DSv2 analog of the
+  * reference's region locality (HBasePartition.scala:26-38, consumed by
+  * the scheduler via HBaseSQLReaderRDD.scala:107-111). The default
+  * resolver reports no preference: local files and object storage have
+  * nothing to co-locate, and resolving block locations for 10k segments
+  * would tax plan latency for zero gain. An HDFS-style co-located
+  * deployment installs a resolver once (segment path → block hosts) and
+  * every planned partition starts carrying `preferredLocations`. */
+object SegmentLocality {
+  @volatile var resolver: String => Seq[String] = _ => Nil
+  def of(dir: String, file: String): Seq[String] =
+    resolver(s"$dir/$file")
+  /** Majority hosts across a merge component's members (capped at 3,
+    * like Hadoop block replicas): the k-way merge reads every member,
+    * so the hosts covering most of them are the useful preference. */
+  def ofMany(dir: String, files: Seq[String]): Seq[String] = {
+    val hs = files.flatMap(f => resolver(s"$dir/$f"))
+    if (hs.isEmpty) Nil
+    else hs.groupBy(identity).toSeq
+      .sortBy { case (h, g) => (-g.size, h) }.map(_._1).take(3)
+  }
+}
+
 final case class GraftKvInputPartition(dir: String, file: String, count: Long,
     partitionKeyValues: Array[Any] = Array.empty,
-    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None)
+    partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None,
+    locations: Seq[String] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
+  override def preferredLocations(): Array[String] = locations.toArray
 }
 
 /** One overlap component of ≥2 key-overlapping segments (appends since
@@ -1986,10 +2015,12 @@ final case class GraftKvMergePartition(dir: String, files: Seq[(String, Long)],
     // a large overlap component is split into parallel shards at member
     // min-key boundaries (range-sharded LSM merge read), so scan
     // parallelism tracks data volume even before compaction
-    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null)
+    fromKey: Array[Byte] = null, untilKey: Array[Byte] = null,
+    locations: Seq[String] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
+  override def preferredLocations(): Array[String] = locations.toArray
 }
 
 /** Composite seek derived at planning: byte prefix to floor-seek to, and
