@@ -116,6 +116,52 @@ object Bench {
     }.nextOption()
   }
 
+  /** Spark-side mirror of tools/make_sf1.py: replicate the primary-SF
+    * corpus `factor`× into `dst` — fact tables get key-shifted copies
+    * (one shift constant for the whole orderkey domain so orders ⊇
+    * lineitem joins stay valid), dimension tables copy unscaled
+    * (realistic fact-vs-dim growth). Built into a staging dir and
+    * renamed, so a killed build never half-satisfies the existence
+    * check. */
+  private[graft] def buildSf1(spark: SparkSession, src: String, dst: String,
+      factor: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    val t0 = System.nanoTime()
+    val staging = dst + ".building"
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(staging))
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    def shiftConst(name: String, key: String): Long =
+      Tables.table(spark, src, name)
+        .agg(max(col(key)).cast("long")).head().getLong(0) + 1
+    def writeShifted(name: String, key: String, k: Long): Unit =
+      Tables.table(spark, src, name)
+        .crossJoin(reps)
+        .withColumn(key, col(key) + col("rep") * k)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$staging/$name.parquet")
+    val ko = shiftConst("orders", "o_orderkey")
+    writeShifted("orders", "o_orderkey", ko)
+    writeShifted("lineitem", "l_orderkey", ko)
+    writeShifted("events", "event_id", shiftConst("events", "event_id"))
+    writeShifted("documents", "doc_id", shiftConst("documents", "doc_id"))
+    writeShifted("embeddings", "vec_id", shiftConst("embeddings", "vec_id"))
+    Seq("region", "nation", "customer", "supplier", "part").foreach { d =>
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$staging/$d.parquet")
+    }
+    rmTree(new java.io.File(dst))
+    new java.io.File(dst).getParentFile.mkdirs()
+    if (!new java.io.File(staging).renameTo(new java.io.File(dst)))
+      throw new java.io.IOException(s"rename $staging -> $dst failed")
+    System.err.println(
+      f"[bench] built sf1 corpus at $dst (${factor}x $src) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -686,10 +732,24 @@ object Bench {
     // scale-stress section: a 10× replicated corpus (tools/make_sf1.py →
     // tmp/sf1, or SPARK_GRAFT_SF1_DIR). Same headline set + its own
     // warmups, so per-query scaling vs the primary SF is directly
-    // readable from one bench line.
+    // readable from one bench line. The corpus SELF-BUILDS when absent
+    // (round-11 fix: BENCH_r10 silently dropped the whole section over
+    // a missing temp dir — the scale-stress evidence must not be
+    // droppable); build time is logged, never in the measured totals.
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
-      .orElse(Option("/root/repo/tmp/sf1")
-        .filter(p => new java.io.File(p, "lineitem.parquet").exists()))
+      .orElse {
+        val p = "/root/repo/tmp/sf1"
+        val complete = Tables.all.forall(t =>
+          new java.io.File(p, s"$t.parquet").exists())
+        if (!complete) {
+          try buildSf1(spark, sfDir, p)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 build failed: ${e.getMessage}")
+          }
+        }
+        Option(p).filter(_ => Tables.all.forall(t =>
+          new java.io.File(p, s"$t.parquet").exists()))
+      }
     var sf1Total = -1.0
     val sf1Json = sf1Dir.map { dir =>
       Seq("s3_count_star", "kv2_point_lookup", "kv25_zorder_box",

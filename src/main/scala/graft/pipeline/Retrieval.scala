@@ -92,16 +92,27 @@ object Retrieval {
       .limit(k)
   }
 
-  /** BM25 top-k straight off the corpus (no index): tokenize, keep only
-    * query-term tokens (filtered BEFORE the shuffle), aggregate, score.
-    * Returns (doc_id, score, n_terms) ordered by score desc, doc_id. */
+  /** BM25 top-k straight off the corpus (no index), tokenizing the
+    * corpus ONCE: the single pass persists its narrowest useful form —
+    * (doc_id, dl, query-term tokens only), O(n_docs + matching tokens),
+    * disk-spillable — and both consumers (corpus stats, postings) read
+    * the cached rows instead of re-tokenizing (the round-10 shape paid
+    * two full tokenize scans; exchange reuse cannot merge them because
+    * each consumer prunes different columns). The cache entry is
+    * dropped by Spark's ContextCleaner once the query's DataFrames are
+    * unreachable. Query-term filtering still happens BEFORE the
+    * shuffle. Returns (doc_id, score, n_terms) ordered by score desc,
+    * doc_id. */
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
-    val t = toks(docs)
-    val stats = t.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("w"))).as("sum_dl"))
-    val hits = t.select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
-      .filter(col("term").isin(query: _*))
+    val qArr = array(query.map(lit): _*)
+    val narrow = toks(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        filter(col("w"), t => array_contains(qArr, t)).as("qw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = narrow.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val hits = narrow
+      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     rank(hits, stats, k)
@@ -260,15 +271,19 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = toks(docs)
-    val stats = t.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("w"))).as("sum_dl"))
     val allTerms = queries.flatMap(_._2).distinct
     val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "term")
-    val post = t.select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
-      .filter(col("term").isin(allTerms: _*))
+    // one tokenize pass persisted narrow (same shape as bm25TopK)
+    val qArr = array(allTerms.map(lit): _*)
+    val narrow = toks(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        filter(col("w"), t => array_contains(qArr, t)).as("qw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = narrow.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val post = narrow
+      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))

@@ -460,4 +460,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("ad-hoc BM25 tokenizes the corpus ONCE (both consumers read the" +
+      " persisted narrow pass, no direct corpus re-scan)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.pipeline.Retrieval.bm25TopK(
+      graft.Tables.table(spark, sf, "documents"), Seq("spark", "scan"),
+      k = 5)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other.children.flatMap(nodes)
+    })
+    val ns = nodes(df.queryExecution.executedPlan)
+    // the tokenize scan lives only INSIDE the cached build; stats and
+    // postings both read the in-memory narrow form
+    assert(!ns.exists(_.isInstanceOf[FileSourceScanExec]),
+      "corpus re-scanned outside the cached pass")
+    assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2, ns.map(
+      _.getClass.getSimpleName).distinct.mkString(", "))
+  }
 }
