@@ -739,9 +739,22 @@ object Bench {
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
       .orElse {
         val p = "/root/repo/tmp/sf1"
+        def mtime(f: java.io.File): Long =
+          if (f.isDirectory)
+            (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+              .map(mtime).toSeq).max
+          else f.lastModified()
         val complete = Tables.all.forall(t =>
           new java.io.File(p, s"$t.parquet").exists())
-        if (!complete) {
+        // stale = the driver regenerated the source corpus since the
+        // replication was built (keys/encodings drift between rounds)
+        val stale = complete && {
+          val built = Tables.all.map(t =>
+            new java.io.File(p, s"$t.parquet").lastModified()).min
+          Tables.all.exists(t =>
+            mtime(new java.io.File(sfDir, s"$t.parquet")) > built)
+        }
+        if (!complete || stale) {
           try buildSf1(spark, sfDir, p)
           catch { case e: Throwable =>
             System.err.println(s"[bench] sf1 build failed: ${e.getMessage}")

@@ -50,16 +50,24 @@ object FuzzyMatch {
     // with full strings. After the collapse a bucket row holds one
     // entry per distinct neighborhood string, each id list exists once,
     // and everything downstream of blocking runs on distinct strings.
+    // one row per distinct string: a fixed-width representative id,
+    // plus the full id list ONLY for true duplicate classes (null for
+    // singletons) — so the exploded deletion-key stage below stays as
+    // narrow as the pre-collapse shape on an already-deduped corpus,
+    // and array costs materialize only where duplicates exist
     val classes = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy("s")
+      .agg(min(col("id")).as("rep"),
+        when(count(lit(1)) > 1, sort_array(collect_list(col("id"))))
+          .as("dup_ids"))
 
     // dist-0 pairs: all id pairs inside one equality class. Quadratic
     // only in the OUTPUT (every emitted pair is a true pair).
-    val intra = classes.filter(size(col("ids")) > 1)
-      .select(col("s"), explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b"))))))
+    val intra = classes.filter(col("dup_ids").isNotNull)
+      .select(col("s"), explode(flatten(transform(col("dup_ids"), (x, i) =>
+        transform(slice(col("dup_ids"), i + lit(2), size(col("dup_ids"))),
+          y => struct(x.as("id_a"), y.as("id_b"))))))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("s").as("s_a"),
         col("s").as("s_b"), lit(0).cast("int").as("dist"))
@@ -67,32 +75,35 @@ object FuzzyMatch {
     // dist-1 CLASS pairs over distinct strings, bucket-locally
     // (join-free); verified and de-duplicated on the class pair —
     // strictly cheaper than de-duplicating expanded id pairs
-    val keyed = classes
-      .select(col("s"), col("ids"), explode(deletionKeys(col("s"))).as("k"))
+    val keyed = classes.select(col("s"), col("rep"), col("dup_ids"),
+      explode(deletionKeys(col("s"))).as("k"))
     val buckets = keyed.groupBy("k")
-      .agg(collect_list(struct(col("s"), col("ids"))).as("xs"))
+      .agg(collect_list(struct(col("s"), col("rep"), col("dup_ids")))
+        .as("xs"))
       .filter(size(col("xs")) > 1)
     val classPairs = buckets
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
           struct(
-            when(x("s") < y("s"), x("s")).otherwise(y("s")).as("s_a"),
-            when(x("s") < y("s"), y("s")).otherwise(x("s")).as("s_b"),
-            when(x("s") < y("s"), x("ids")).otherwise(y("ids")).as("ids_a"),
-            when(x("s") < y("s"), y("ids")).otherwise(x("ids"))
-              .as("ids_b"))))))
+            when(x("s") < y("s"), x).otherwise(y).as("a"),
+            when(x("s") < y("s"), y).otherwise(x).as("b"))))))
         .as("p"))
-      .select(col("p.s_a"), col("p.s_b"), col("p.ids_a"), col("p.ids_b"))
+      .select(col("p.a.s").as("s_a"), col("p.b.s").as("s_b"),
+        col("p.a.rep").as("rep_a"), col("p.b.rep").as("rep_b"),
+        col("p.a.dup_ids").as("da"), col("p.b.dup_ids").as("db"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
       .filter(col("dist") === 1) // strings are distinct: dist 0 impossible
       .distinct() // the same class pair can share several deletion keys
 
-    // expand each verified class pair to its id pairs (output-bound)
+    // expand each verified class pair to its id pairs (output-bound);
+    // singleton × singleton — the post-exact-dedup common case — is a
+    // plain projection of the two representatives
     val cross = classPairs
       .select(col("s_a"), col("s_b"), col("dist"),
-        explode(col("ids_a")).as("x"), col("ids_b"))
+        explode(coalesce(col("da"), array(col("rep_a")))).as("x"),
+        col("db"), col("rep_b"))
       .select(col("s_a"), col("s_b"), col("dist"), col("x"),
-        explode(col("ids_b")).as("y"))
+        explode(coalesce(col("db"), array(col("rep_b")))).as("y"))
       .select(
         when(col("x") < col("y"), col("x")).otherwise(col("y")).as("id_a"),
         when(col("x") < col("y"), col("y")).otherwise(col("x")).as("id_b"),
