@@ -145,6 +145,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probe == scan)
   }
 
+  test("indexSink applies a streamed UPDATE of an existing doc") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_sup").toString
+    import spark.implicits._
+    Retrieval.buildIndex(
+      Seq((5L, "anchor text here")).toDF("doc_id", "text"), dir)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(Retrieval.indexSink(dir))
+      .start()
+    // strictly separate micro-batches: v2 of doc 0 must arrive AFTER v1
+    // is indexed (one batch holding both versions is not an update, it
+    // is two rows with one key)
+    in.addData(Seq((0L, "spark scan fast window")))
+    q.processAllAvailable()
+    in.addData(Seq((0L, "fast spark joins"))) // modified doc 0 streams in
+    q.processAllAvailable()
+    q.stop()
+    val corpus = Seq((0L, "fast spark joins"), (5L, "anchor text here"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(Seq("scan"), Seq("window"), Seq("spark", "joins")))
+      assert(Retrieval.bm25SearchIndex(spark, dir, t, 10).collect().toSeq ==
+        Retrieval.bm25TopK(corpus, t, 10).collect().toSeq, s"query $t")
+    assert(Retrieval.phraseSearchIndex(spark, dir, Seq("spark", "scan"))
+      .collect().isEmpty)
+  }
+
   test("bm25TopKBatch equals per-query bm25TopK for every query") {
     val queries = Seq("qa" -> Seq("spark", "scan"), "qb" -> Seq("table"),
       "qc" -> Seq("nosuchterm"))
