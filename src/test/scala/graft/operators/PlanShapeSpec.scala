@@ -461,6 +461,36 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("hive-partitioned scan prunes to the filtered lang directory") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("bylang").toString
+    graft.Tables.table(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val total = countParquet(new java.io.File(dir))
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id", "n_chars")
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).head
+    assert(scan.metadata("PartitionFilters").contains("lang"),
+      scan.metadata("PartitionFilters"))
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read < total,
+      s"expected directory-level pruning: read $read of $total files")
+  }
+
   test("ad-hoc BM25 tokenizes the corpus ONCE (both consumers read the" +
       " persisted narrow pass, no direct corpus re-scan)") {
     import org.apache.spark.sql.execution.SparkPlan
