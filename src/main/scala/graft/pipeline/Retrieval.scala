@@ -181,13 +181,17 @@ object Retrieval {
       val stale = oldPairs.join(newPairs, Seq("term", "doc_id"), "left_anti")
         .persist()
       try {
+        // CRASH-ORDERING CONTRACT (foreachBatch retries the batch until
+        // it completes, so each step must leave a replay able to finish
+        // the job): inverted-side tombstones FIRST, appends SECOND, and
+        // the docterms rows that located the stale keys are deleted
+        // LAST — a replay after any prefix still finds every stale key
+        // through docterms and re-converges (tombstone-then-append
+        // within one run means appends always win the final state).
         if (!stale.isEmpty) {
           stale.select(col("term"), col("doc_id"))
             .write.format("graftkv").option("tombstone", "true")
             .mode("append").save(s"$dir/postings")
-          stale.select(col("doc_id"), col("term"))
-            .write.format("graftkv").option("tombstone", "true")
-            .mode("append").save(dtPath)
         }
         // positions: a term can SURVIVE an edit at different offsets, so
         // every old positional key of the changed docs is tombstoned
@@ -199,14 +203,19 @@ object Retrieval {
             .write.format("graftkv").option("tombstone", "true")
             .mode("append").save(s"$dir/positions")
         }
+        KvCommands.append(postings(newDocs), s"$dir/postings")
+        KvCommands.append(positions(newDocs), s"$dir/positions")
+        KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
+          s"$dir/doclen")
+        if (!stale.isEmpty) {
+          stale.select(col("doc_id"), col("term"))
+            .write.format("graftkv").option("tombstone", "true")
+            .mode("append").save(dtPath)
+        }
+        KvCommands.append(
+          postings(newDocs).select(col("doc_id"), col("term")), dtPath)
       } finally stale.unpersist()
     } finally oldPairs.unpersist()
-    KvCommands.append(postings(newDocs), s"$dir/postings")
-    KvCommands.append(positions(newDocs), s"$dir/positions")
-    KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
-      s"$dir/doclen")
-    KvCommands.append(postings(newDocs).select(col("doc_id"), col("term")),
-      dtPath)
     refreshStats(spark, dir)
   }
 
