@@ -217,6 +217,15 @@ object Retrieval {
       } finally stale.unpersist()
     } finally oldPairs.unpersist()
     refreshStats(spark, dir)
+    // long-running index-at-ingest hygiene: updates stack generations
+    // and tombstones; the policy-gated minor compaction (metadata-only
+    // check, overlapDepth = probe read amplification) keeps the probe
+    // path flat. Manifest-CAS + grace retention make it safe under
+    // concurrent readers/writers.
+    Seq("postings", "positions", "doclen", "docterms").foreach { tbl =>
+      try KvCommands.autoCompact(spark, s"$dir/$tbl")
+      catch { case _: Throwable => () } // best-effort; next append retries
+    }
   }
 
   /** Phrase search served from the POSITIONAL index: each phrase term

@@ -331,4 +331,44 @@ class RetrievalSpec extends AnyFunSuite {
     } yield (ia, ib, sa, sb, lev(sa, sb))).toSet
     assert(got == want) // 40·39/2 dist-0 + 2·40 dist-1 = 860 pairs
   }
+
+  test("index update fuzz: random create/update batches ≡ fresh scan" +
+      " at every step") {
+    // randomized differential over the update path: each batch creates
+    // new doc_ids and REWRITES existing ones; after every batch the
+    // index probe must equal a fresh scan of the current corpus state
+    // for scoring AND phrase adjacency (stale postings/positions from
+    // any earlier version would break the hash-for-hash equality).
+    val rnd = new scala.util.Random(17)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def randText(): String =
+      Seq.fill(rnd.nextInt(10) + 1)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("ir_fuzz").toString
+    var state = Map.empty[Long, String]
+    val seed = (0L until 4L).map(i => i -> randText()).toMap
+    state = seed
+    Retrieval.buildIndex(seed.toSeq.toDF("doc_id", "text"), dir)
+    for (round <- 1 to 4) {
+      val creates = (0 until 2)
+        .map(_ => (state.keys.max + 1 + rnd.nextInt(3)).toLong -> randText())
+      val updates = rnd.shuffle(state.keys.toSeq).take(2)
+        .map(_ -> randText())
+      val batch = (creates ++ updates).toMap // one version per doc_id
+      Retrieval.appendToIndex(spark, dir, batch.toSeq.toDF("doc_id", "text"))
+      state = state ++ batch
+      val corpus = state.toSeq.toDF("doc_id", "text")
+      for (q <- Seq(Seq("alpha"), Seq("beta", "gamma"), vocab.toSeq))
+        assert(Retrieval.bm25SearchIndex(spark, dir, q, 20)
+          .collect().toSeq ==
+          Retrieval.bm25TopK(corpus, q, 20).collect().toSeq,
+          s"round $round query $q state $state")
+      for (ph <- Seq(Seq("alpha", "beta"), Seq("gamma", "gamma")))
+        assert(Retrieval.phraseSearchIndex(spark, dir, ph)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+          Retrieval.phraseCounts(corpus, ph)
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+          s"round $round phrase $ph state $state")
+    }
+  }
 }
