@@ -169,6 +169,9 @@ object Retrieval {
         s"no docterms forward index at $dtPath — rebuild the index with " +
           "buildIndex (pre-round-11 indexes are append-only)")
     val newIds = newDocs.select(col("doc_id")).distinct()
+    // the batch's postings are consumed three times (stale diff, the
+    // postings append, the docterms append) — tokenize the batch once
+    val post = postings(newDocs).persist()
     // old pairs of the re-ingested docs (empty for brand-new doc_ids);
     // the semi-join build side is the incoming batch's ids, so the kv
     // scan's runtime filtering can prune docterms segments by doc_id
@@ -177,7 +180,7 @@ object Retrieval {
       .select(col("term"), col("doc_id"))
       .persist()
     try {
-      val newPairs = postings(newDocs).select(col("term"), col("doc_id"))
+      val newPairs = post.select(col("term"), col("doc_id"))
       val stale = oldPairs.join(newPairs, Seq("term", "doc_id"), "left_anti")
         .persist()
       try {
@@ -203,7 +206,7 @@ object Retrieval {
             .write.format("graftkv").option("tombstone", "true")
             .mode("append").save(s"$dir/positions")
         }
-        KvCommands.append(postings(newDocs), s"$dir/postings")
+        KvCommands.append(post, s"$dir/postings")
         KvCommands.append(positions(newDocs), s"$dir/positions")
         KvCommands.append(t.select(col("doc_id"), size(col("w")).as("dl")),
           s"$dir/doclen")
@@ -212,10 +215,9 @@ object Retrieval {
             .write.format("graftkv").option("tombstone", "true")
             .mode("append").save(dtPath)
         }
-        KvCommands.append(
-          postings(newDocs).select(col("doc_id"), col("term")), dtPath)
+        KvCommands.append(post.select(col("doc_id"), col("term")), dtPath)
       } finally stale.unpersist()
-    } finally oldPairs.unpersist()
+    } finally { oldPairs.unpersist(); post.unpersist() }
     refreshStats(spark, dir)
     // long-running index-at-ingest hygiene: updates stack generations
     // and tombstones; the policy-gated minor compaction (metadata-only
