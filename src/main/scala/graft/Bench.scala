@@ -45,8 +45,10 @@ object Bench {
     "dd1_exact_dedup",       // dedup hash-group
     "dd3_minhash_lsh_neardup", // minhash + LSH + verify
     "dd10_editdistance_pairs", // deletion-key fuzzy join + levenshtein verify
+    "dd9_substring_dedup",   // Lee et al. substring dedup (linear rebuild, r11)
     "ir1_bm25_topk",         // BM25 ranking straight off the corpus
     "ir2_bm25_index",        // BM25 probing the materialized kv postings index
+    "ir4_bm25_batch",        // whole query set in one corpus pass
     "cu1_topk_per_group",    // per-group quality top-k (windowed rank)
     "cu3_sequence_pack",     // token-budget sequence packing
     "tx3_quality_score",     // text scoring scan
