@@ -1303,6 +1303,36 @@ object PipelineOps {
         .orderBy(desc("freq"), asc("term")).limit(20)
     },
 
+    // Corpus-statistical rarity scoring (the unigram-LM quality proxy,
+    // transcendental-free): every token joins its corpus frequency and
+    // a doc scores the sum of 1e6 div f — INTEGER division, so the
+    // arithmetic is exact on both engines (a double 1/f summed through
+    // a decimal cast would tie-break differently at exact .5 ulps, e.g.
+    // f=128). n_rare counts hapax/dis legomena. Two shuffles total
+    // (frequency groupBy + the term join); the frequency side is the
+    // vocabulary, honestly shuffle-joined — at 100 TB it need not fit
+    // in a broadcast.
+    QuerySpec.checked("tx11_rarity_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE length(text) > 0),
+        |freq AS (SELECT term, count(*) AS f FROM tok GROUP BY term)
+        |SELECT tok.doc_id, count(*) AS n_tok,
+        |  CAST(sum(1000000 // freq.f) AS BIGINT) AS rarity_ppm,
+        |  count(CASE WHEN freq.f <= 2 THEN 1 END) AS n_rare
+        |FROM tok JOIN freq USING (term)
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""") { (s, d) =>
+      val tok = t(s, d, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("f"))
+      tok.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(expr("1000000 div f")).as("rarity_ppm"),
+          count(when(col("f") <= 2, 1)).as("n_rare"))
+        .orderBy("doc_id")
+    },
+
     // PII-style scrub before training: identical regex chain replayed by
     // the oracle (Java∩RE2-safe patterns)
     QuerySpec.checked("cu5_redact_pii",
