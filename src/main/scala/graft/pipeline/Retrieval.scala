@@ -161,7 +161,7 @@ object Retrieval {
     * identical batch stays idempotent: the stale set is empty and the
     * re-puts converge. Corpus totals re-derive from doclen. */
   def appendToIndex(spark: SparkSession, dir: String,
-      newDocs: DataFrame): Unit = {
+      newDocs: DataFrame, inListCap: Int = 10000): Unit = {
     val t = toks(newDocs)
     val dtPath = s"$dir/docterms"
     if (graft.connector.GraftKvMeta.read(dtPath).isEmpty)
@@ -172,11 +172,25 @@ object Retrieval {
     // the batch's postings are consumed three times (stale diff, the
     // postings append, the docterms append) — tokenize the batch once
     val post = postings(newDocs).persist()
-    // old pairs of the re-ingested docs (empty for brand-new doc_ids);
-    // the semi-join build side is the incoming batch's ids, so the kv
-    // scan's runtime filtering can prune docterms segments by doc_id
-    val oldPairs = KvCommands.table(spark, dtPath)
-      .join(newIds, Seq("doc_id"), "left_semi")
+    // old pairs of the re-ingested docs (empty for brand-new doc_ids).
+    // For the common update shape — a modest batch — the ids become an
+    // explicit IN filter on the doc_id key prefix: STATIC segment
+    // pruning through the kv in-list machinery, which fires
+    // deterministically (DPP-style runtime filtering on a semi-join is
+    // benefit-gated and skips small tables). A batch too large to
+    // enumerate falls back to the semi-join, whose cost a full probe
+    // scan then matches anyway.
+    val batchIds = newIds.limit(inListCap + 1).collect().map(_.get(0))
+    val dtProbe =
+      if (batchIds.isEmpty) // empty batch: no old pairs by definition
+        KvCommands.table(spark, dtPath).filter(lit(false))
+      else if (batchIds.length <= inListCap)
+        KvCommands.table(spark, dtPath)
+          .filter(col("doc_id").isin(batchIds.toSeq: _*))
+      else
+        KvCommands.table(spark, dtPath)
+          .join(newIds, Seq("doc_id"), "left_semi")
+    val oldPairs = dtProbe
       .select(col("term"), col("doc_id"))
       .persist()
     try {

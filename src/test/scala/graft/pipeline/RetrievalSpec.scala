@@ -219,6 +219,34 @@ class RetrievalSpec extends AnyFunSuite {
       s"term probe should skip most segments: read $read of $live")
   }
 
+  test("docterms update probe reads few segments (runtime doc_id pruning)") {
+    import spark.implicits._
+    // the update path's cost claim — O(old tokens of the CHANGED docs)
+    // — rests on the docterms semi-join pruning by its doc_id key
+    // prefix at runtime (the kv18 machinery). Many small segments, one
+    // re-ingested doc: most of docterms must stay unread.
+    val corpus = (0L until 400L)
+      .map(i => (i, s"t$i u$i v$i w$i x$i y$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_dt").toString
+    Retrieval.buildIndex(corpus, dir, maxSegBytes = Some(2048L))
+    // the exact probe shape appendToIndex builds for a modest batch:
+    // an explicit IN on the doc_id key prefix (static pruning — DPP on
+    // the semi-join fallback is benefit-gated and skips small tables)
+    val probe = graft.connector.KvCommands
+      .table(spark, s"$dir/docterms")
+      .filter(col("doc_id").isin(7L))
+    probe.collect()
+    val rep = graft.connector.KvCommands.pruningReport(probe)
+      .collect().map(r => (r.getAs[String]("table_path"),
+        r.getAs[Long]("segments_live"), r.getAs[Long]("segments_read")))
+    val dt = rep.filter(_._1.contains("docterms"))
+    assert(dt.nonEmpty, rep.mkString(", "))
+    val (_, live, read) = dt.head
+    assert(live > 4, s"fixture should span many segments, got $live")
+    assert(read < live / 2,
+      s"doc_id probe should skip most segments: read $read of $live")
+  }
+
   test("phraseSearchIndex equals phraseCounts, including after append") {
     val d = Seq(
       (0L, "a b a b a"), (1L, "a a a"), (2L, "b a"), (3L, ""),
@@ -355,7 +383,11 @@ class RetrievalSpec extends AnyFunSuite {
       val updates = rnd.shuffle(state.keys.toSeq).take(2)
         .map(_ -> randText())
       val batch = (creates ++ updates).toMap // one version per doc_id
-      Retrieval.appendToIndex(spark, dir, batch.toSeq.toDF("doc_id", "text"))
+      // odd rounds force the semi-join fallback (inListCap = 0) so the
+      // fuzz covers BOTH probe shapes
+      Retrieval.appendToIndex(spark, dir,
+        batch.toSeq.toDF("doc_id", "text"),
+        inListCap = if (round % 2 == 0) 10000 else 0)
       state = state ++ batch
       val corpus = state.toSeq.toDF("doc_id", "text")
       for (q <- Seq(Seq("alpha"), Seq("beta", "gamma"), vocab.toSeq))
