@@ -1399,6 +1399,27 @@ object PipelineOps {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("cnt"))
         .orderBy("user_id", "ws")
+    },
+
+    // sliding windows (1 h window, 15 min slide — each event lands in
+    // exactly 4 epoch-aligned windows): the oracle restates the overlap
+    // by fanning every event out over k ∈ 0..3 slide offsets from its
+    // 15-minute bucket, the ANSI equivalent of Spark's window(ts, 1h,
+    // 15m) expansion; sums route through DECIMAL(38,6) as usual
+    QuerySpec.checked("ev4_sliding_window",
+      """SELECT ws, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+        |           - to_minutes(15 * k) AS ws, value
+        |  FROM events, (SELECT unnest(range(4)) AS k) reps)
+        |GROUP BY ws ORDER BY ws""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.QuerySpec.dsum(col("value")).as("sum_value"))
+        .orderBy("ws")
     }
   )
 }
