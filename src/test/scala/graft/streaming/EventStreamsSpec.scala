@@ -34,6 +34,16 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming sliding agg equals batch sliding agg") {
+    val stream = EventStreams.eventStream(spark, s"${TestSpark.sf}/events.parquet")
+    val got = runToMemory(EventStreams.slidingAgg(stream), "t_sliding", "update")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.slidingAgg(Tables.table(spark, TestSpark.sf, "events"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("session windows produce per-user sessions") {
     // session windows only support append mode; the trailing no-data
     // micro-batch advances the watermark and flushes finalized sessions
