@@ -75,4 +75,23 @@ object Tables {
   /** Register every corpus table as a temp view (for spark.sql entry). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Tmp-cache hygiene for fingerprint-keyed fixture dirs (staged
+    * corpus copies, retrieval indexes): when a NEW fingerprint is about
+    * to be built, stale siblings `<prefix><otherFp>` under the same
+    * parent are dead — the corpus they were derived from is gone — and
+    * would otherwise accumulate across driver rounds unboundedly.
+    * Best-effort: a failed delete must never fail the build. */
+  def sweepStaleSiblings(parent: java.io.File, prefix: String,
+      keep: String): Unit =
+    try Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName != keep)
+      .foreach(deleteRecursively)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -112,9 +112,18 @@ object GraftKvMeta {
     * the property later only affects segments written after the flip. */
   val SegmentCompressProp = "segment.compress"
 
+  /** External-mapping annotations from the reference's `MAPPED BY`
+    * DDL (htable name, col=family.qualifier list — the latter stored
+    * with ':' for '=' because meta property values may not contain
+    * '='): pure metadata carried for DDL round-trip parity; the kv
+    * store itself plays the HBase role, so nothing reads them. */
+  val MappedTableProp = "mapped.htable"
+  val MappedColsProp = "mapped.cols"
+
   /** The table-property names the meta persists. */
   val PersistedProps: Seq[String] =
-    Seq(StringZoneMaxCharsProp, SegmentMaxBytesProp, SegmentCompressProp)
+    Seq(StringZoneMaxCharsProp, SegmentMaxBytesProp, SegmentCompressProp,
+      MappedTableProp, MappedColsProp)
 
   def write(dir: String, schema: StructType, keys: Seq[String],
       encoding: String = graft.store.RowCodec.Binary,
@@ -177,6 +186,13 @@ object GraftKvMeta {
       Some(KvTableMeta(schema, keys, encoding, zorder, props))
     }
   }
+}
+
+object GraftKvTable {
+  /** Read option: "false" makes the scan decline DSv2 runtime filtering
+    * (empty `filterAttributes`). Set by planner rules on auxiliary
+    * relations they already runtime-prune themselves. */
+  val RuntimeFilteringOption = "runtime.filtering"
 }
 
 class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
@@ -298,7 +314,15 @@ class GraftKvTable(path: String, tableSchema: StructType, keys: Seq[String],
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       // time travel: catalog VERSION AS OF (table-level) or the path
       // API's read option
-      snapshot.orElse(Option(options.get("snapshot.version")).map(_.toLong)))
+      snapshot.orElse(Option(options.get("snapshot.version")).map(_.toLong)),
+      // opt-out of DSv2 runtime filtering for THIS relation instance:
+      // planner rules that inject their own runtime pruning (KvIndexRule)
+      // set it on their auxiliary index relations so Spark's
+      // PartitionPruning doesn't also target them with a reverse-direction
+      // DPP that degenerates to dynamicpruningexpression(true) — a junk
+      // subquery plus a "Can't translate true" warning per execution
+      Option(options.get(GraftKvTable.RuntimeFilteringOption))
+        .forall(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     snapshot.foreach(v => throw new IllegalArgumentException(
@@ -344,7 +368,8 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
     encoding: String = graft.store.RowCodec.Binary,
     restrictFiles: Option[Set[String]] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    snapshotVersion: Option[Long] = None)
+    snapshotVersion: Option[Long] = None,
+    runtimeFiltering: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -548,7 +573,8 @@ class GraftKvScanBuilder(path: String, schema: StructType, keys: Seq[String],
         aggSegs)
     case None =>
       new GraftKvScan(path, schema, keys, required, pushed, limit, encoding,
-        restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample)
+        restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample,
+        runtimeFiltering)
   }
 }
 
@@ -867,7 +893,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
     snapshotVersion: Option[Long] = None,
     topN: Option[(Int, Boolean)] = None,
-    sample: Option[(Double, Long)] = None)
+    sample: Option[(Double, Long)] = None,
+    runtimeFiltering: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
@@ -888,7 +915,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   // carried by BatchScanExec's runtimeFilters parameter, which Spark
   // compares separately in canonicalization.
   private def cfg = (path, required, pushed.toSeq, limit, encoding,
-    restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample)
+    restrictFiles, maxFilesPerTrigger, snapshotVersion, topN, sample,
+    runtimeFiltering)
   override def equals(other: Any): Boolean = other match {
     case o: GraftKvScan => o.cfg == cfg
     case _ => false
@@ -1428,8 +1456,11 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // only columns that survived column pruning: Spark resolves these
     // against the scan OUTPUT and throws on absent ones (a join key is
-    // always in the output, so this never loses a real pruning chance)
-    runtimePrunable.toSeq.sorted.filter(required.fieldNames.contains)
+    // always in the output, so this never loses a real pruning chance).
+    // An opted-out relation (runtime.filtering=false) advertises none,
+    // so PartitionPruning never targets it — see newScanBuilder
+    if (!runtimeFiltering) Array.empty
+    else runtimePrunable.toSeq.sorted.filter(required.fieldNames.contains)
       .map(k => Expressions.column(k)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {

@@ -126,7 +126,46 @@ object PipelineOps {
         graft.connector.KvCommands.dropTable(s"$path/positions")
         graft.connector.KvCommands.dropTable(s"$path/doclen")
         graft.connector.KvCommands.dropTable(s"$path/docterms")
+        // indexes built from earlier corpus generations are dead — sweep
+        // their fingerprint dirs so rounds don't accumulate tmp copies
+        graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+          "v3_", s"v3_$fp")
         graft.pipeline.Retrieval.buildIndex(t(s, sfDir, "documents"), path)
+      }
+      path
+    }
+
+  /** Like [[ensureRetrievalIndex]], but the index then has every
+    * `doc_id % 10 == 3` document DELETED through the real
+    * [[graft.pipeline.Retrieval.deleteFromIndex]] path (tombstones, not
+    * a rebuild) — the ir7 gate's fixture. The `_DELETED` marker makes
+    * the mutation step idempotent across re-runs in one round; the
+    * corpus fingerprint in the path invalidates across rounds. */
+  private def ensureDeletedRetrievalIndex(s: SparkSession,
+      sfDir: String): String =
+    irLock.synchronized {
+      def stamp(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
+        else f.length() + f.lastModified()
+      val fp = java.lang.Long.toHexString(
+        stamp(new java.io.File(s"$sfDir/documents.parquet")))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/del1_$fp"
+      val marker = new java.io.File(s"$path/_DELETED")
+      if (graft.connector.GraftKvMeta.read(s"$path/postings").isEmpty ||
+          graft.connector.GraftKvMeta.read(s"$path/docterms").isEmpty ||
+          !marker.exists()) {
+        Seq("postings", "positions", "doclen", "docterms").foreach(tbl =>
+          graft.connector.KvCommands.dropTable(s"$path/$tbl"))
+        marker.delete()
+        graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+          "del1_", s"del1_$fp")
+        val corpus = t(s, sfDir, "documents")
+        graft.pipeline.Retrieval.buildIndex(corpus, path)
+        graft.pipeline.Retrieval.deleteFromIndex(s, path,
+          corpus.select(col("doc_id")).filter(col("doc_id") % 10 === 3))
+        marker.createNewFile()
       }
       path
     }
@@ -137,10 +176,15 @@ object PipelineOps {
     * DECIMAL) and per-term contributions summed through DECIMAL(38,6)
     * for order independence. ir1 (corpus scan) and ir2 (index probe)
     * must both hash-match it, which also proves scan ≡ index. */
-  private[operators] val bm25OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-      |  FROM documents
+  private[operators] val bm25OracleSql: String = bm25OracleOver("documents")
+
+  /** The same oracle over a restricted corpus (`fromSql` is the FROM
+    * source, e.g. a filtered subquery) — ir7 scores against the corpus
+    * MINUS its deleted documents. */
+  private[operators] def bm25OracleOver(fromSql: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS w
+      |  FROM $fromSql
       |),
       |stats AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -190,6 +234,18 @@ object PipelineOps {
     QuerySpec.checked("ir2_bm25_index", bm25OracleSql) { (s, d) =>
       graft.pipeline.Retrieval.bm25SearchIndex(
         s, ensureRetrievalIndex(s, d), bm25Query, k = 10)
+    },
+
+    // Index with real DELETIONS (round-12): every doc_id % 10 == 3
+    // document removed via deleteFromIndex (docterms-probe tombstones,
+    // not a rebuild) — the probe must rank EXACTLY as a fresh scan of
+    // the shrunk corpus, i.e. df, avgdl and n_docs all reflect the
+    // removals (stale postings or stats would shift every score).
+    QuerySpec.checked("ir7_bm25_after_delete",
+      bm25OracleOver("(SELECT * FROM documents WHERE doc_id % 10 <> 3)")) {
+      (s, d) =>
+        graft.pipeline.Retrieval.bm25SearchIndex(
+          s, ensureDeletedRetrievalIndex(s, d), bm25Query, k = 10)
     },
 
     // BATCH BM25 — the serving shape at scale: one tokenize + one

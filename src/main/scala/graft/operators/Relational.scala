@@ -43,7 +43,13 @@ object Relational {
       stamp(new java.io.File(s"$d/documents.parquet")))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
       s"${d.replaceAll("[^a-zA-Z0-9.]", "_")}/${kind}_$fp"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) build(path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // the corpus regenerated: staged copies of the PREVIOUS corpus are
+      // dead weight — sweep them before building the new fingerprint
+      graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+        s"${kind}_", s"${kind}_$fp")
+      build(path)
+    }
     path
   }
 

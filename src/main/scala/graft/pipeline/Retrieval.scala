@@ -92,23 +92,43 @@ object Retrieval {
       .limit(k)
   }
 
-  /** BM25 top-k straight off the corpus (no index), tokenizing the
-    * corpus ONCE: the single pass persists its narrowest useful form —
-    * (doc_id, dl, query-term tokens only), O(n_docs + matching tokens),
-    * disk-spillable — and both consumers (corpus stats, postings) read
-    * the cached rows instead of re-tokenizing (the round-10 shape paid
-    * two full tokenize scans; exchange reuse cannot merge them because
-    * each consumer prunes different columns). The cache entry is
-    * dropped by Spark's ContextCleaner once the query's DataFrames are
-    * unreachable. Query-term filtering still happens BEFORE the
-    * shuffle. Returns (doc_id, score, n_terms) ordered by score desc,
-    * doc_id. */
-  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
-    val qArr = array(query.map(lit): _*)
-    val narrow = toks(docs)
+  /** The empty-query result shape: no term can match, so no document
+    * scores — mirrors the pre-round-11 `isin(nothing)` = false
+    * behavior instead of building an untyped `array()` that
+    * `array_contains` rejects at analysis time. */
+  private def emptyBm25(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit(0.0).as("score"),
+      lit(0).cast("int").as("n_terms")).limit(0)
+
+  /** Tokenize the corpus ONCE into its narrowest useful form —
+    * (doc_id, dl, query-term tokens only), O(n_docs + matching tokens)
+    * — and materialize it via an eager localCheckpoint so both
+    * consumers (corpus stats, postings) read the stored rows instead
+    * of re-tokenizing (the round-10 shape paid two full tokenize
+    * scans; exchange reuse cannot merge them because each consumer
+    * prunes different columns). localCheckpoint stores plain RDD
+    * blocks — NOT a CacheManager entry, which would hold a strong
+    * reference until an explicit unpersist — so the blocks are freed
+    * by the ContextCleaner as soon as the query's RDDs are
+    * unreachable: a long-running SEARCH-serving session stays bounded
+    * across distinct queries. Trade-off: lineage is truncated, so an
+    * executor loss mid-query fails the query instead of recomputing
+    * (acceptable for an interactive search; re-issue retries). */
+  private def narrowToks(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val qArr = array(terms.map(lit): _*)
+    toks(docs)
       .select(col("doc_id"), size(col("w")).as("dl"),
         filter(col("w"), t => array_contains(qArr, t)).as("qw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+  }
+
+  /** BM25 top-k straight off the corpus (no index), tokenizing the
+    * corpus once (see [[narrowToks]]). Query-term filtering happens
+    * BEFORE the shuffle. Returns (doc_id, score, n_terms) ordered by
+    * score desc, doc_id. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    if (query.isEmpty) return emptyBm25(docs)
+    val narrow = narrowToks(docs, query)
     val stats = narrow.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val hits = narrow
@@ -233,16 +253,95 @@ object Retrieval {
       } finally stale.unpersist()
     } finally { oldPairs.unpersist(); post.unpersist() }
     refreshStats(spark, dir)
-    // long-running index-at-ingest hygiene: updates stack generations
-    // and tombstones; the policy-gated minor compaction (metadata-only
-    // check, overlapDepth = probe read amplification) keeps the probe
-    // path flat. Manifest-CAS + grace retention make it safe under
-    // concurrent readers/writers.
+    compactIndexTables(spark, dir)
+  }
+
+  /** Remove documents from the index entirely — the symmetric
+    * counterpart of [[appendToIndex]]'s update path. Old (term, doc_id)
+    * pairs are enumerated from the `docterms` forward index (doc_id-
+    * prefix key probe, O(tokens of the deleted docs)); their postings
+    * and positional keys get tombstones, the doclen rows follow (corpus
+    * totals re-derive from doclen, so df/avgdl shrink with the corpus),
+    * and the docterms rows that located them are deleted LAST — the
+    * same crash-ordering contract as the update path: a replay after
+    * any prefix still finds every stale key through docterms and
+    * re-converges (all steps are idempotent re-tombstones). Deleting
+    * ids absent from the index is a no-op. `ids` is a one-column
+    * (doc_id) frame so callers can delete from a predicate without
+    * collecting the id set. */
+  def deleteFromIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, inListCap: Int = 10000): Unit = {
+    val dtPath = s"$dir/docterms"
+    if (graft.connector.GraftKvMeta.read(dtPath).isEmpty)
+      throw new IllegalStateException(
+        s"no docterms forward index at $dtPath — rebuild the index with " +
+          "buildIndex (pre-round-11 indexes are append-only)")
+    val delIds = ids.select(col("doc_id")).distinct()
+    // same probe shape as the update path: modest batches become an
+    // explicit IN list (deterministic static segment pruning on the
+    // key prefix); larger ones fall back to the semi-join
+    val batchIds = delIds.limit(inListCap + 1).collect().map(_.get(0))
+    if (batchIds.isEmpty) return
+    def byIds(df: DataFrame): DataFrame =
+      if (batchIds.length <= inListCap)
+        df.filter(col("doc_id").isin(batchIds.toSeq: _*))
+      else df.join(delIds, Seq("doc_id"), "left_semi")
+    val oldPairs = byIds(KvCommands.table(spark, dtPath))
+      .select(col("term"), col("doc_id"))
+      .persist()
+    try {
+      // inverted side FIRST (postings, then positions), doclen next,
+      // docterms LAST — see the crash-ordering contract above
+      if (!oldPairs.isEmpty) {
+        oldPairs.select(col("term"), col("doc_id"))
+          .write.format("graftkv").option("tombstone", "true")
+          .mode("append").save(s"$dir/postings")
+        KvCommands.table(spark, s"$dir/positions")
+          .join(oldPairs, Seq("term", "doc_id"), "left_semi")
+          .select(col("term"), col("doc_id"), col("pos"))
+          .write.format("graftkv").option("tombstone", "true")
+          .mode("append").save(s"$dir/positions")
+      }
+      // doclen is keyed by doc_id alone; probe to the rows that exist
+      // (a zero-token doc has a doclen row but no docterms pairs, so
+      // this probe must NOT go through oldPairs)
+      val delLens = byIds(KvCommands.table(spark, s"$dir/doclen"))
+        .select(col("doc_id"))
+      delLens.write.format("graftkv").option("tombstone", "true")
+        .mode("append").save(s"$dir/doclen")
+      if (!oldPairs.isEmpty) {
+        oldPairs.select(col("doc_id"), col("term"))
+          .write.format("graftkv").option("tombstone", "true")
+          .mode("append").save(dtPath)
+      }
+    } finally oldPairs.unpersist()
+    refreshStats(spark, dir)
+    compactIndexTables(spark, dir)
+  }
+
+  /** Scala-collection convenience over [[deleteFromIndex]]. */
+  def deleteIdsFromIndex(spark: SparkSession, dir: String,
+      docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIndex(spark, dir, docIds.toDF("doc_id"))
+  }
+
+  /** Long-running index-at-ingest hygiene: updates and deletes stack
+    * generations and tombstones; the policy-gated minor compaction
+    * (metadata-only check, overlapDepth = probe read amplification)
+    * keeps the probe path flat. Manifest-CAS + grace retention make it
+    * safe under concurrent readers/writers. Best-effort: a failed
+    * compaction is logged and retried by the next append/delete. */
+  private def compactIndexTables(spark: SparkSession, dir: String): Unit =
     Seq("postings", "positions", "doclen", "docterms").foreach { tbl =>
       try KvCommands.autoCompact(spark, s"$dir/$tbl")
-      catch { case _: Throwable => () } // best-effort; next append retries
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"auto-compaction of $dir/$tbl failed (will retry on " +
+              s"next index write): $e")
+      }
     }
-  }
 
   /** Phrase search served from the POSITIONAL index: each phrase term
     * probes its own contiguous (term, …) key range, then adjacency is
@@ -306,14 +405,14 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return emptyBm25(docs)
+        .select(lit("").as("query_id"), col("doc_id"), col("score"),
+          col("n_terms"), lit(0).cast("int").as("rk"))
     val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "term")
-    // one tokenize pass persisted narrow (same shape as bm25TopK)
-    val qArr = array(allTerms.map(lit): _*)
-    val narrow = toks(docs)
-      .select(col("doc_id"), size(col("w")).as("dl"),
-        filter(col("w"), t => array_contains(qArr, t)).as("qw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one tokenize pass stored narrow (same shape as bm25TopK)
+    val narrow = narrowToks(docs, allTerms)
     val stats = narrow.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val post = narrow

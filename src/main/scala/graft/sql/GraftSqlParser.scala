@@ -23,7 +23,55 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parsePlan0(GraftSqlParser.rewriteApproximate(sqlText))
+
+  private def parsePlan0(sqlText: String): LogicalPlan = sqlText match {
+    // reference DDL surface verbatim (HBaseSQLParser.scala:77-157):
+    // CREATE TABLE t(cols…, PRIMARY KEY(k…)) MAPPED BY ([ns.]htable,
+    // COLS=[col=family.qualifier,…]) [IN stringformat] — sugar over the
+    // graft catalog's CREATE TABLE + TBLPROPERTIES: the key order and
+    // encoding become the real table layout, the hbase-side names are
+    // recorded as persisted table properties (grammar parity — there is
+    // no HBase here, the kv store itself plays that role)
+    case GraftSqlParser.CreateMappedStmt(table, colsTxt, keysTxt, ns, htable,
+        colMapTxt, encodingTxt) =>
+      val cols = GraftSqlParser.splitTopLevel(colsTxt).map { d =>
+        val t = d.trim
+        val cut = t.indexWhere(_.isWhitespace)
+        require(cut > 0, s"CREATE…MAPPED BY: malformed column def '$t'")
+        t.take(cut) -> delegate.parseDataType(t.drop(cut).trim)
+      }
+      val keys = keysTxt.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val colMap = GraftSqlParser.splitTopLevel(colMapTxt).map { m =>
+        val parts = m.split('=').map(_.trim)
+        require(parts.length == 2 && parts(1).count(_ == '.') == 1,
+          s"CREATE…MAPPED BY: COLS entry '$m' is not col=family.qualifier")
+        parts(0) -> parts(1)
+      }
+      // the reference's own consistency rules (HBaseSQLParser.scala:100-110):
+      // names distinct, keys ∪ mapped = all columns, keys ∩ mapped = ∅
+      val colSet = cols.map(_._1).toSet
+      val keySet = keys.toSet
+      val mapSet = colMap.map(_._1).toSet
+      require(colSet.size == cols.length && keySet.size == keys.length &&
+        (keySet union mapSet) == colSet && (keySet intersect mapSet).isEmpty,
+        "The Column Info of Create Table are not correct: PRIMARY KEY " +
+          "columns and COLS-mapped columns must partition the column list")
+      val encoding = Option(encodingTxt).map(_.toLowerCase) match {
+        case None | Some("binaryformat") => graft.store.RowCodec.Binary
+        case Some("stringformat") => graft.store.RowCodec.StringFormat
+        case Some(other) => throw new IllegalArgumentException(
+          s"CREATE…MAPPED BY: unknown encoding '$other' " +
+            "(binaryformat | stringformat)")
+      }
+      GraftCreateMappedTableCommand(
+        table.replace("`", "").split('.').toSeq,
+        StructType(cols.map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt) }),
+        keys,
+        Option(ns).map(n => s"$n.$htable").getOrElse(htable),
+        colMap, encoding)
     // intercept ONLY when the target table resolves into a graft
     // catalog — Spark's own LOAD DATA (Hive-table file move) keeps its
     // stock semantics for every other catalog/table
@@ -125,11 +173,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // literal, odd identifier, …) would otherwise fall through to the
     // Spark delegate, which throws an opaque error on the SEARCH
     // keyword — fail loudly with the statement's actual grammar
-    case s if s.trim.take(7).equalsIgnoreCase("SEARCH ") =>
+    case s if s.trim.matches("(?is)SEARCH\\s.*") =>
       throw new IllegalArgumentException(
         "SEARCH: malformed statement — expected SEARCH <table> FOR " +
           "'<terms>' [USING <col>] [TOP <k>]; terms are " +
           "whitespace-separated words and must not contain quotes")
+    // same loud-failure treatment for a CREATE…MAPPED BY the statement
+    // regex rejects — the Spark delegate can't parse MAPPED BY at all
+    case s if s.trim.matches("(?is)CREATE\\s.*\\bMAPPED\\s+BY\\b.*") =>
+      throw new IllegalArgumentException(
+        "CREATE TABLE…MAPPED BY: malformed statement — expected " +
+          "CREATE TABLE t(col type, …, PRIMARY KEY(k, …)) MAPPED BY " +
+          "([ns.]htable, COLS=[col=family.qualifier, …]) [IN stringformat]")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -250,6 +305,49 @@ object GraftSqlParser {
     ("""(?is)\s*SEARCH\s+([\w.`]+)\s+FOR\s+'([^']+)'""" +
       """(?:\s+USING\s+([\w`]+))?(?:\s+TOP\s+(\d+))?\s*;?\s*""").r
 
+  /** CREATE TABLE t(cols…, PRIMARY KEY(k…)) MAPPED BY ([ns.]htable,
+    * COLS=[c=f.q,…]) [IN fmt] — the reference's own DDL text
+    * (HBaseSQLParser.scala:77-157). The column-def group is split on
+    * top-level commas afterwards (types like DECIMAL(12,2) contain
+    * commas the regex must not see as separators). */
+  private[sql] val CreateMappedStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s*\((.*)[,\s]\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\)""" +
+      """\s*MAPPED\s+BY\s*\(\s*(?:(\w+)\s*\.\s*)?([\w]+)\s*,\s*COLS\s*=\s*\[(.*?)\]\s*\)""" +
+      """(?:\s+IN\s+(\w+))?\s*;?\s*""").r
+
+  /** Split on commas NOT nested inside parentheses/brackets — the
+    * column-def and COLS list separator. */
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `APPROXIMATE [(rsd)] COUNT(DISTINCT expr)` →
+    * `approx_count_distinct(expr[, rsd])` — the reference's 1.4-era
+    * approximate-aggregate syntax (HBaseSQLQuerySuite.scala:299-309)
+    * rewritten onto the modern HLL++ aggregate before delegation, so it
+    * works anywhere in a query. The expr group tolerates one level of
+    * nested parens (e.g. a CAST). */
+  private val ApproximateRe =
+    ("""(?is)\bAPPROXIMATE\s*(?:\(\s*([0-9.eE+-]+)\s*\)\s*)?""" +
+      """COUNT\s*\(\s*DISTINCT\s+((?:[^()]|\([^()]*\))*)\)""").r
+
+  private[sql] def rewriteApproximate(sql: String): String =
+    ApproximateRe.replaceAllIn(sql, m => scala.util.matching.Regex
+      .quoteReplacement(Option(m.group(1)) match {
+        case Some(rsd) => s"approx_count_distinct(${m.group(2)}, $rsd)"
+        case None => s"approx_count_distinct(${m.group(2)})"
+      }))
+
   /** SQL keyword inventory for shell completion — the reference derives
     * its completer vocabulary by reflecting over parser fields
     * (HBaseSQLParser.scala:28-37 getKeywords); the modern analog
@@ -265,7 +363,8 @@ object GraftSqlParser {
       "REFRESH", "INDEX", "INDEXES", "MATERIALIZED", "VIEW", "VIEWS", "MINMAX",
       "GROUP", "SUM", "ANALYZE", "COMPUTE", "STATISTICS", "COLUMNS",
       "DESCRIBE", "DETAIL", "OPTIMIZE", "ZORDER",
-      "SEARCH", "USING", "TOP")
+      "SEARCH", "USING", "TOP",
+      "MAPPED", "COLS", "PRIMARY", "KEY", "APPROXIMATE", "DISTINCT")
     val sparkKw =
       try {
         Class.forName("org.apache.spark.sql.catalyst.parser.SqlBaseLexer")
@@ -676,6 +775,63 @@ case class GraftShowSnapshotsCommand(table: Seq[String])
         SegmentFile.readManifestVersion(dir, v).map(_.size).getOrElse(0),
         v == vs.last)
     }
+  }
+}
+
+/** CREATE TABLE … MAPPED BY — executable form of the reference DDL:
+  * creates the table through a registered [[graft.connector.GraftKvCatalog]]
+  * (an explicit `catalog.ns.t` name wins; a bare reference-style name
+  * lands in the session's graft catalog — the current catalog if it is
+  * one, else the single registered one). Key order and encoding become
+  * the physical layout; the hbase-side names persist as table
+  * properties. */
+case class GraftCreateMappedTableCommand(table: Seq[String],
+    tableSchema: StructType, keys: Seq[String], mappedTable: String,
+    colMap: Seq[(String, String)], encoding: String)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val (cat, rest) =
+      org.apache.spark.sql.graftbridge.catalogAndRest(spark, table) match {
+        case (c: graft.connector.GraftKvCatalog, r) => (c, r)
+        case _ =>
+          // bare table name and the current catalog isn't graft: fall
+          // back to the one registered GraftKvCatalog (ambiguity or
+          // absence both fail loudly with the registration hint)
+          val names = spark.conf.getAll.collect {
+            case (k, v) if k.startsWith("spark.sql.catalog.") &&
+              !k.stripPrefix("spark.sql.catalog.").contains('.') &&
+              v == classOf[graft.connector.GraftKvCatalog].getName =>
+              k.stripPrefix("spark.sql.catalog.")
+          }.toSeq.sorted
+          names match {
+            case Seq(one) =>
+              (org.apache.spark.sql.graftbridge.catalogByName(spark, one)
+                .asInstanceOf[graft.connector.GraftKvCatalog], table)
+            case Seq() => throw new IllegalArgumentException(
+              "CREATE TABLE…MAPPED BY needs a graftkv catalog: register " +
+                "one (spark.sql.catalog.<name> = " +
+                s"${classOf[graft.connector.GraftKvCatalog].getName}) or " +
+                "qualify the table name with it")
+            case many => throw new IllegalArgumentException(
+              s"CREATE TABLE…MAPPED BY: multiple graftkv catalogs " +
+                s"registered (${many.mkString(", ")}) — qualify the table " +
+                "name with one")
+          }
+      }
+    val ns =
+      if (rest.length > 1) rest.dropRight(1).toArray else cat.defaultNamespace()
+    val props = new java.util.HashMap[String, String]()
+    props.put("key", keys.mkString(","))
+    props.put("encoding", encoding)
+    props.put(graft.connector.GraftKvMeta.MappedTableProp, mappedTable)
+    // ':' for '=': meta property values may not contain '='
+    props.put(graft.connector.GraftKvMeta.MappedColsProp,
+      colMap.map { case (c, fq) => s"$c:$fq" }.mkString(","))
+    cat.createTable(Identifier.of(ns, rest.last), tableSchema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
+    Nil
   }
 }
 

@@ -107,9 +107,10 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def indexRelation(base: String, d: KvIndexDef): Option[LogicalPlan] =
-    KvRewrites.resolveRelation(spark, KvIndex.indexPath(base, d.name))(
-      KvIndex.invalidate(base))
+  private def indexRelation(base: String, d: KvIndexDef,
+      runtimeFiltering: Boolean = true): Option[LogicalPlan] =
+    KvRewrites.resolveRelation(spark, KvIndex.indexPath(base, d.name),
+      runtimeFiltering)(KvIndex.invalidate(base))
 
   private def rewrite(f: Filter, cond: Expression,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
@@ -163,7 +164,14 @@ case class KvIndexRule(spark: SparkSession) extends Rule[LogicalPlan]
           case a: AttributeReference if byId.contains(a.exprId) =>
             out(byId(a.exprId))
         }).reduce(And)
-      indexRelation(base, d).zip(indexRelation(base, d)).map {
+      // both auxiliary index relations decline runtime filtering: the
+      // rule injects the only useful runtime prune itself (base-side
+      // DPP); Spark's PartitionPruning would otherwise add a REVERSE
+      // DPP onto the index side with onlyInBroadcast=true, which
+      // degenerates to dynamicpruningexpression(true) at execution — a
+      // dead subquery and a "Can't translate true" WARN per run
+      indexRelation(base, d, runtimeFiltering = false)
+        .zip(indexRelation(base, d, runtimeFiltering = false)).map {
         case (idxRel, dppRel) => buildRewrite(cond, r, tbl, d, onIndex,
           idxRel, dppRel)
       }

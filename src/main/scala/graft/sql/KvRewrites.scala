@@ -30,9 +30,12 @@ private[sql] object KvRewrites {
     * opened: a cross-process DROP leaves this process's cache pointing
     * at a dead path until the next base commit, and staleness must
     * stay an optimization gap, never a query failure. */
-  def resolveRelation(spark: SparkSession, path: String)(
+  def resolveRelation(spark: SparkSession, path: String,
+      runtimeFiltering: Boolean = true)(
       onFail: => Unit): Option[LogicalPlan] =
     try Some(spark.read.format("graftkv").option("path", path)
+      .option(graft.connector.GraftKvTable.RuntimeFilteringOption,
+        runtimeFiltering.toString)
       .load().queryExecution.analyzed)
     catch {
       case scala.util.control.NonFatal(_) =>

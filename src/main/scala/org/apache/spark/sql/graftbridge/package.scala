@@ -50,6 +50,12 @@ package object graftbridge {
       : org.apache.spark.sql.connector.catalog.CatalogPlugin =
     catalogAndRest(spark, nameParts)._1
 
+  /** Look up a registered catalog by its registration name
+    * (CatalogManager is `private[sql]`, hence this bridge). */
+  def catalogByName(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
   /** Like [[catalogOf]], but also returns the name parts REMAINING after
     * catalog resolution (namespace + table). */
   def catalogAndRest(spark: SparkSession, nameParts: Seq[String])

@@ -360,13 +360,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want) // 40·39/2 dist-0 + 2·40 dist-1 = 860 pairs
   }
 
-  test("index update fuzz: random create/update batches ≡ fresh scan" +
-      " at every step") {
+  test("empty query returns the empty ranking (not an analysis error)") {
+    assert(Retrieval.bm25TopK(docs, Seq.empty, k = 10).collect().isEmpty)
+    assert(Retrieval.bm25TopKBatch(docs, Seq("q1" -> Seq.empty), k = 5)
+      .collect().isEmpty)
+  }
+
+  test("deleteFromIndex: probe ≡ fresh scan of the shrunk corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_del").toString
+    Retrieval.buildIndex(docs, dir)
+    // delete doc 3 (the 'scan' monoculture — its removal changes df and
+    // avgdl for every survivor) and doc 4 (empty text: doclen row with
+    // dl=0 and NO docterms pairs — the doclen probe must not route
+    // through the pair set)
+    Retrieval.deleteIdsFromIndex(spark, dir, Seq(3L, 4L))
+    val corpus = docs.filter(col("doc_id") < 3)
+    for (q <- Seq(Seq("spark", "scan"), Seq("scan"), Seq("table")))
+      assert(Retrieval.bm25SearchIndex(spark, dir, q, 10).collect().toSeq ==
+        Retrieval.bm25TopK(corpus, q, 10).collect().toSeq, s"query $q")
+    // positions died with the doc: no phantom phrase hits
+    assert(Retrieval.phraseSearchIndex(spark, dir, Seq("scan", "scan"))
+      .collect().isEmpty)
+    // replayed delete converges (idempotent), absent ids are a no-op
+    Retrieval.deleteIdsFromIndex(spark, dir, Seq(3L, 4L, 99L))
+    assert(Retrieval.bm25SearchIndex(spark, dir, Seq("spark"), 10)
+      .collect().toSeq ==
+      Retrieval.bm25TopK(corpus, Seq("spark"), 10).collect().toSeq)
+  }
+
+  test("deleteFromIndex then appendToIndex re-creates the doc cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("ir_spec_dra").toString
+    Retrieval.buildIndex(docs, dir)
+    Retrieval.deleteIdsFromIndex(spark, dir, Seq(0L))
+    Retrieval.appendToIndex(spark, dir,
+      Seq((0L, "entirely new words now")).toDF("doc_id", "text"))
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+      .union(Seq((0L, "entirely new words now")).toDF("doc_id", "text"))
+    for (q <- Seq(Seq("spark"), Seq("entirely", "words"), Seq("fast")))
+      assert(Retrieval.bm25SearchIndex(spark, dir, q, 10).collect().toSeq ==
+        Retrieval.bm25TopK(corpus, q, 10).collect().toSeq, s"query $q")
+  }
+
+  test("index update fuzz: random create/update/delete batches ≡ fresh" +
+      " scan at every step") {
     // randomized differential over the update path: each batch creates
-    // new doc_ids and REWRITES existing ones; after every batch the
-    // index probe must equal a fresh scan of the current corpus state
-    // for scoring AND phrase adjacency (stale postings/positions from
-    // any earlier version would break the hash-for-hash equality).
+    // new doc_ids, REWRITES existing ones, and DELETES one; after every
+    // batch the index probe must equal a fresh scan of the current
+    // corpus state for scoring AND phrase adjacency (stale
+    // postings/positions from any earlier version would break the
+    // hash-for-hash equality).
     val rnd = new scala.util.Random(17)
     val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
     def randText(): String =
@@ -389,6 +431,14 @@ class RetrievalSpec extends AnyFunSuite {
         batch.toSeq.toDF("doc_id", "text"),
         inListCap = if (round % 2 == 0) 10000 else 0)
       state = state ++ batch
+      // delete one surviving doc per round (alternating probe shapes,
+      // like the appends) — the deleted id must vanish from scoring,
+      // df, avgdl, and phrase adjacency alike
+      val victim = rnd.shuffle(state.keys.toSeq).head
+      Retrieval.deleteFromIndex(spark, dir,
+        Seq(victim).toDF("doc_id"),
+        inListCap = if (round % 2 == 0) 10000 else 0)
+      state = state - victim
       val corpus = state.toSeq.toDF("doc_id", "text")
       for (q <- Seq(Seq("alpha"), Seq("beta", "gamma"), vocab.toSeq))
         assert(Retrieval.bm25SearchIndex(spark, dir, q, 20)

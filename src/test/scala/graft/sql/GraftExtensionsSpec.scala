@@ -69,6 +69,108 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("whitespace-separated"))
   }
 
+  test("SEARCH with tab/newline after the keyword still states the grammar") {
+    // the malformed-statement guard must fire on ANY whitespace after
+    // SEARCH, not just a single space (round-11 advice item)
+    for (stmt <- Seq("SEARCH\tsearch_v FOR 'it''s'", "SEARCH\nx FOR 'a''b'")) {
+      val e = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(e.getMessage.contains("whitespace-separated"), stmt)
+    }
+  }
+
+  test("APPROXIMATE [(rsd)] COUNT(DISTINCT c) rewrites onto" +
+      " approx_count_distinct") {
+    import spark.implicits._
+    (1 to 100).map(i => (i % 7, i % 13)).toDF("a", "b")
+      .createOrReplaceTempView("apx_v")
+    // reference syntax (HBaseSQLQuerySuite.scala:299-309)
+    val plain = spark.sql(
+      "SELECT APPROXIMATE COUNT(DISTINCT a) AS c FROM apx_v").head().getLong(0)
+    val modern = spark.sql(
+      "SELECT approx_count_distinct(a) AS c FROM apx_v").head().getLong(0)
+    assert(plain == modern)
+    val rsd = spark.sql(
+      "SELECT APPROXIMATE(0.04) COUNT(DISTINCT a) AS c FROM apx_v")
+      .head().getLong(0)
+    val modernRsd = spark.sql(
+      "SELECT approx_count_distinct(a, 0.04) AS c FROM apx_v")
+      .head().getLong(0)
+    assert(rsd == modernRsd)
+    // composes inside a bigger projection + GROUP BY
+    val grouped = spark.sql(
+      """SELECT b % 2 AS g, APPROXIMATE COUNT(DISTINCT a) AS c, count(*) AS n
+        |FROM apx_v GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val groupedModern = spark.sql(
+      """SELECT b % 2 AS g, approx_count_distinct(a) AS c, count(*) AS n
+        |FROM apx_v GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(grouped.toSeq == groupedModern.toSeq)
+  }
+
+  test("CREATE TABLE … MAPPED BY runs the reference DDL text end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("mapped_cat").toString
+    spark.conf.set("spark.sql.catalog.graftm",
+      classOf[graft.connector.GraftKvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", root)
+    // reference-style DDL with a BARE table name: lands in the current
+    // catalog when that is a graft catalog (reference scripts run
+    // against an hbase-native session; the analog is a graft-current one)
+    spark.catalog.setCurrentCatalog("graftm")
+    try {
+      spark.sql(
+        """CREATE TABLE teacher (grade INTEGER, class INTEGER,
+          |  subject STRING, teacher_name STRING, teacher_age INTEGER,
+          |  PRIMARY KEY (grade, class, subject))
+          |  MAPPED BY (teacher, COLS=[teacher_name=cf.a, teacher_age=cf.b])"""
+          .stripMargin)
+      spark.sql(
+        "INSERT INTO teacher VALUES (1, 2, 'math', 'alice', 31), " +
+          "(1, 3, 'art', 'bob', 44)")
+      val rows = spark.sql(
+        "SELECT teacher_name, teacher_age FROM teacher WHERE grade = 1 " +
+          "AND class = 2 AND subject = 'math'")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(rows.toSeq == Seq(("alice", 31)))
+      // the declared layout is real: key order + mapping properties
+      val props = spark.sql("SHOW TBLPROPERTIES teacher").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props("key") == "grade,class,subject")
+      assert(props(graft.connector.GraftKvMeta.MappedTableProp) == "teacher")
+      assert(props(graft.connector.GraftKvMeta.MappedColsProp) ==
+        "teacher_name:cf.a,teacher_age:cf.b")
+      // IN stringformat selects the string codec (kv11-class surface)
+      spark.sql(
+        """CREATE TABLE t_str (k INTEGER, v STRING, PRIMARY KEY (k))
+          |  MAPPED BY (hstr, COLS=[v=f.v]) IN STRINGFORMAT""".stripMargin)
+      spark.sql("INSERT INTO t_str VALUES (100, 'x'), (51, 'y')")
+      // numeric order on string-encoded keys: 51 < 100 (typed compare)
+      assert(spark.sql("SELECT k FROM t_str WHERE k > 60")
+        .collect().map(_.getInt(0)).toSeq == Seq(100))
+      val strProps = spark.sql("SHOW TBLPROPERTIES t_str").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(strProps("encoding") == graft.store.RowCodec.StringFormat)
+      // the reference's consistency rule: a non-key column missing from
+      // COLS is rejected with the reference's own message
+      val bad = intercept[Exception] {
+        spark.sql(
+          """CREATE TABLE broken (a INTEGER, b STRING, c STRING,
+            |  PRIMARY KEY (a)) MAPPED BY (hb, COLS=[b=f.b])""".stripMargin)
+      }
+      assert(bad.getMessage.contains("Column Info of Create Table"))
+      // malformed MAPPED BY text states the grammar instead of the
+      // delegate's opaque parse error
+      val mal = intercept[Exception] {
+        spark.sql("CREATE TABLE x (a INT) MAPPED BY nonsense")
+      }
+      assert(mal.getMessage.contains("MAPPED BY"))
+    } finally {
+      spark.catalog.setCurrentCatalog("spark_catalog")
+      spark.conf.unset("spark.sql.catalog.graftm")
+      spark.conf.unset("spark.sql.catalog.graftm.root")
+    }
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('x'), 1 + 1)").collect()
