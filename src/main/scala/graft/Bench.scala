@@ -183,6 +183,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftExtensions.quietDegenerateDppWarns()
     val queries = SparkEntry.queries
 
     // calibration: a fixed single-thread pure-JVM workload (xorshift64*
@@ -290,6 +291,20 @@ object Bench {
       try queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+      }
+    }
+    // ONE untimed pass over the whole headline set (round-12): the
+    // fixture list above warms kv/index builds, but the early join
+    // queries' parquet inputs (part, supplier, …) stayed cold, so the
+    // first timed rep of a17/j9 paid first-touch I/O + codegen that the
+    // tpch section then measured 2-6× cheaper in the SAME artifact —
+    // cold-start reading as round-over-round regression. After this
+    // pass every timed number is steady-state, which is the
+    // scale-relevant cost (at 100 TB nothing is "first-touch" twice).
+    headline.foreach { w =>
+      try queries(w)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] headline warm $w failed: ${e.getMessage}")
       }
     }
 
@@ -596,7 +611,23 @@ object Bench {
         System.err.println(s"[bench] decontam failed: ${e.getMessage}")
         ""
       }
-      s""","dedup":{"primary":$primary$atSf1$decontam}"""
+      // next-decade probes (round-12): steady-state seconds for the two
+      // round-11 rewrites on their worst-case shapes — the ~1M-token
+      // 90%-duplicated doc (substring rebuild must stay O(len+kills))
+      // and the 100×-duplicated corpus (fuzzy blocking must stay on
+      // distinct strings; the 200M-pair output IS the answer). A
+      // quadratic regression shows up here as an order of magnitude,
+      // not a margin.
+      val stress = try {
+        val (subSec, removed) = graft.tools.DedupScaleProbe.substringStress(spark)
+        val (fzSec, pairs) = graft.tools.DedupScaleProbe.fuzzyStress(spark)
+        s""","substring_1m_sec":${fmt(subSec)},"substring_1m_removed":$removed""" +
+          s""","fuzzy_100x_sec":${fmt(fzSec)},"fuzzy_100x_pairs":$pairs"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup stress probes failed: ${e.getMessage}")
+        ""
+      }
+      s""","dedup":{"primary":$primary$atSf1$decontam$stress}"""
     }
     sweepCaches("dedup-stats")
 
@@ -815,8 +846,27 @@ object Bench {
     // under the driver's ~2 KB tail window
     val sf1Line = if (sf1Total >= 0) s""","sf1_total":${fmt(sf1Total)}""" else ""
     val bulkLine = if (bulkloadSec >= 0) s""","bulkload_sec":${fmt(bulkloadSec)}""" else ""
+    // spread promotion (round-12): the driver line itself reports run
+    // stability — the worst max/min ratio across the headline plus the
+    // individual [min,max] of any query whose reps disagree by >2× AND
+    // >0.3 s (capped at 4 entries: the line must stay inside the
+    // driver's ~2 KB tail window; the full per-query spread map is in
+    // the detail file). An empty "unstable" object IS the claim that
+    // every headline median is reproducible within 2×.
+    val spreadLine = {
+      val ratios = results.filter(t => t.med >= 0 && t.min > 0)
+        .map(t => t -> t.max / t.min)
+      val worst = ratios.map(_._2).maxOption.getOrElse(1.0)
+      val unstable = ratios
+        .filter { case (t, r) => r > 2.0 && t.max - t.min > 0.3 }
+        .sortBy { case (_, r) => -r }.take(4)
+        .map { case (t, _) =>
+          "\"" + t.name + "\":[" + fmt(t.min) + "," + fmt(t.max) + "]" }
+        .mkString("{", ",", "}")
+      s""","spread_max_ratio":${fmt(worst)},"unstable":$unstable"""
+    }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevLine$spreadLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
     // stop FIRST so executor-shutdown warnings cannot land after the
     // line inside the driver's tail capture; the line is the process's
     // final stdout

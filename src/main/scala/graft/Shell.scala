@@ -34,6 +34,7 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sql.GraftExtensions.quietDegenerateDppWarns()
     Tables.registerAll(spark, sfDir)
     sql.GraftExtensions.register(spark)
     spark

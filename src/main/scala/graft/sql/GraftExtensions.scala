@@ -43,6 +43,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Silence Spark's "Can't translate true to source filter" WARN.
+    *
+    * Root cause (round-12 bisect): Spark's PartitionPruning inserts
+    * SPECULATIVE dynamic-pruning filters on DSv2 scans with
+    * `onlyInBroadcast = true` ("keep only if a broadcast can be
+    * reused"); when AQE later finds no matching broadcast, the filter
+    * correctly degenerates to `DynamicPruningExpression(true)` — and
+    * `translateRuntimeFilterV2` then logs this WARN for every executed
+    * stage carrying one (multi-table kv joins like the TPC-H-on-kv
+    * gates hit it several times per query). The degenerate filter is
+    * Spark's own cost-model outcome, carries no information, and file
+    * sources take a different code path that stays silent — so the
+    * noise is v2-specific log spam, not a graft defect (the
+    * KvIndexRule reverse-DPP case WAS ours and is fixed at the source
+    * via `runtime.filtering=false`). Demoting this one logger to ERROR
+    * keeps driver artifacts' tails clean; real translation failures on
+    * the DML path surface as exceptions, not warns. */
+  def quietDegenerateDppWarns(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

@@ -173,4 +173,27 @@ class ShellSpec extends AnyFunSuite {
     assert(all.contains("GROUP") && all.contains("WHERE") && all.contains("PARALL"))
     assert(all == all.sorted && all.distinct == all)
   }
+
+  test("bin/graft-sql launcher drives the shell end-to-end (own JVM)") {
+    // the reference ships bin/hbase-sql; this pins the shipped launcher
+    // actually boots a session and answers SQL from piped stdin —
+    // script + classpath + JDK module flags, not just the Scala entry
+    val launcher = new java.io.File("bin/graft-sql")
+    assume(launcher.exists(), "run from the repo root")
+    val kvRoot = java.nio.file.Files.createTempDirectory("graft_sql_e2e")
+    val pb = new ProcessBuilder("bin/graft-sql", TestSpark.sf,
+      kvRoot.toString)
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val out = new java.io.PrintStream(p.getOutputStream, true)
+    out.println("SELECT count(*) AS c FROM nation;")
+    out.println("exit")
+    out.close()
+    val finished = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    val stdout = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(finished, "launcher did not exit within 180 s")
+    assert(p.exitValue() == 0, s"launcher exited ${p.exitValue()}: $stdout")
+    assert(stdout.contains("graft shell"), stdout.take(500))
+    assert(stdout.contains("25"), stdout.take(500)) // nation has 25 rows
+  }
 }
