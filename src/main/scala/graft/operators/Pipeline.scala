@@ -98,6 +98,27 @@ object PipelineOps {
       path
     }
 
+  /** Like [[ensureAnnIndex]], but with every `vec_id % 7 == 2` vector
+    * DELETED through the real tombstone path (AnnIndex.delete, not a
+    * filtered rebuild) — the ann7 gate's fixture. `_ANNDEL` marks the
+    * mutation idempotent within a round. */
+  private def ensureDeletedAnnIndex(s: SparkSession, sfDir: String,
+      dim: Int): String =
+    annLock.synchronized {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}" +
+        s"/embeddings-del-v${graft.pipeline.AnnIndex.FormatVersion}"
+      val marker = new java.io.File(s"$path/_ANNDEL")
+      if (!new java.io.File(s"$path/_SUCCESS").exists() || !marker.exists()) {
+        val emb = t(s, sfDir, "embeddings")
+        graft.pipeline.AnnIndex.build(emb, path, dim)
+        graft.pipeline.AnnIndex.delete(s, path,
+          emb.select(col("vec_id")).filter(col("vec_id") % 7 === 2))
+        marker.createNewFile()
+      }
+      path
+    }
+
   private val irLock = new Object
 
   /** Idempotently materialize the inverted index (kv postings/doclen +
@@ -937,6 +958,36 @@ object PipelineOps {
     },
 
     // Quantized IVF probe on the MATERIALIZED index: same cell pruning
+    // Index with real DELETIONS (round-12): every vec_id % 7 == 2
+    // vector tombstoned via AnnIndex.delete — a dropped/decontaminated
+    // document's embedding must stop surfacing as a neighbor. Probing
+    // ALL cells makes IVF exact, so the result must hash-match the
+    // EXACT cosine top-k over the shrunk corpus (same IEEE-mirrored
+    // arithmetic as ann1) — deleted ids absent AND the ranking of the
+    // survivors untouched.
+    QuerySpec.checked("ann7_ivf_after_delete",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b)) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id % 7 <> 2
+        |)
+        |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |FROM sc ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.pipeline.AnnIndex.ivfTopK(s,
+        ensureDeletedAnnIndex(s, d, q.length), q, k = 10, nProbe = 16)
+        .select(col("vec_id").cast("long").as("vec_id"), col("sim"))
+    },
+
     // as ann4, but the probe projects only (id, qvec, vnorm) — parquet
     // column pruning skips the float vectors, ~4× fewer vector bytes
     // per probed cell. Invariants: k rows, self at rank 1 within

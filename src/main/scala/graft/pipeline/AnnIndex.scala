@@ -105,7 +105,8 @@ object AnnIndex {
 
   final case class AnnDriftStats(buildRows: Long, buildMeanCos: Double,
       appendedRows: Long, appendMeanCos: Double,
-      appendComps: Long = 0L, appendClamped: Long = 0L) {
+      appendComps: Long = 0L, appendClamped: Long = 0L,
+      deletedRows: Long = 0L) {
     /** Appended volume relative to the clustered base (1.0 = the corpus
       * doubled since clustering). */
     def growth: Double =
@@ -123,33 +124,48 @@ object AnnIndex {
       * fidelity erodes with NO centroid-fit signal. */
     def gridErosion: Double =
       if (appendComps == 0) 0.0 else appendClamped.toDouble / appendComps
+    /** Fraction of the stored rows tombstoned by [[AnnIndex.delete]]:
+      * every probe pays a (broadcast) anti-join against the deleted
+      * set, and the dead rows still occupy probed cells — past the
+      * threshold a rebuild is cheaper than carrying them. */
+    def deletedFraction: Double =
+      if (buildRows + appendedRows == 0) 0.0
+      else deletedRows.toDouble / (buildRows + appendedRows)
     /** Rebuild when the un-clustered volume rivals the clustered base,
-      * when appended vectors visibly stopped fitting the cells, or
-      * when the int8 grid is clamping enough appended components to
-      * erode quantized-similarity fidelity. */
+      * when appended vectors visibly stopped fitting the cells, when
+      * the int8 grid is clamping enough appended components to erode
+      * quantized-similarity fidelity, or when tombstoned rows are a
+      * material fraction of the index. */
     def needsRebuild(maxGrowth: Double = 1.0,
         maxCosErosion: Double = 0.05,
-        maxGridErosion: Double = 0.05): Boolean =
-      appendedRows > 0 && (growth >= maxGrowth ||
-        cosErosion >= maxCosErosion || gridErosion >= maxGridErosion)
+        maxGridErosion: Double = 0.05,
+        maxDeletedFraction: Double = 0.25): Boolean =
+      (appendedRows > 0 && (growth >= maxGrowth ||
+        cosErosion >= maxCosErosion || gridErosion >= maxGridErosion)) ||
+        deletedFraction >= maxDeletedFraction
   }
 
   private def writeDrift(path: String, buildRows: Long, buildCosSum: Double,
       appendRows: Long, appendCosSum: Double,
-      appendComps: Long = 0L, appendClamped: Long = 0L): Unit =
+      appendComps: Long = 0L, appendClamped: Long = 0L,
+      deletedRows: Long = 0L): Unit =
     Files.writeString(driftFile(path),
       s"build_rows=$buildRows\nbuild_cos_sum=$buildCosSum\n" +
         s"append_rows=$appendRows\nappend_cos_sum=$appendCosSum\n" +
-        s"append_comps=$appendComps\nappend_clamped=$appendClamped")
+        s"append_comps=$appendComps\nappend_clamped=$appendClamped\n" +
+        s"deleted_rows=$deletedRows")
 
-  private def readDrift(path: String): (Long, Double, Long, Double, Long, Long) = {
+  private def readDrift(path: String)
+      : (Long, Double, Long, Double, Long, Long, Long) = {
     val kv = Files.readString(driftFile(path)).split('\n')
       .map(_.split('=')).collect { case Array(k, v) => k -> v.trim }.toMap
     (kv("build_rows").toLong, kv("build_cos_sum").toDouble,
       kv("append_rows").toLong, kv("append_cos_sum").toDouble,
       // pre-round-9 ledgers lack the grid counters — read as zero
       kv.getOrElse("append_comps", "0").toLong,
-      kv.getOrElse("append_clamped", "0").toLong)
+      kv.getOrElse("append_clamped", "0").toLong,
+      // pre-round-12 ledgers lack the deletion counter
+      kv.getOrElse("deleted_rows", "0").toLong)
   }
 
   /** The index's drift ledger, folded — a sidecar read, no data scan.
@@ -158,9 +174,9 @@ object AnnIndex {
   def driftStats(path: String): AnnDriftStats = {
     if (!Files.exists(driftFile(path)))
       return AnnDriftStats(0L, 0.0, 0L, 0.0)
-    val (br, bcs, ar, acs, ac, acl) = readDrift(path)
+    val (br, bcs, ar, acs, ac, acl, del) = readDrift(path)
     AnnDriftStats(br, if (br == 0) 0.0 else bcs / br,
-      ar, if (ar == 0) 0.0 else acs / ar, ac, acl)
+      ar, if (ar == 0) 0.0 else acs / ar, ac, acl, del)
   }
 
   /** (rows, sum of assigned-centroid cosines) of `df` — one aggregate
@@ -250,8 +266,12 @@ object AnnIndex {
     // are maintenance ops: like the parquet append itself, the ledger
     // update assumes one maintainer at a time (serialize via
     // KvMaintenance.acquire when that isn't structural).
+    // a re-appended id must come back: fold the batch's ids OUT of the
+    // tombstone list (the new row would otherwise stay hidden forever)
+    val unTombstoned = removeFromDeleted(newVectors.sparkSession, path,
+      newVectors.select(col(idCol)).distinct(), idCol)
     if (Files.exists(driftFile(path))) {
-      val (br, bcs, ar, acs, ac, acl) = readDrift(path)
+      val (br, bcs, ar, acs, ac, acl, del) = readDrift(path)
       val (n, cosSum) = fitOf(newVectors, cents, vecCol)
       // grid-fit of the batch: components the persisted scales CLAMP
       // (|round(v/s)| > 127, or nonzero in an all-zero-at-build dim) —
@@ -267,7 +287,8 @@ object AnnIndex {
         coalesce(sum(size(col(vecCol)).cast("long")), lit(0L)).as("comps"),
         coalesce(sum(clampedPerRow), lit(0L)).as("clamped")).head()
       writeDrift(path, br, bcs, ar + n, acs + cosSum,
-        ac + grid.getLong(0), acl + grid.getLong(1))
+        ac + grid.getLong(0), acl + grid.getLong(1),
+        math.max(0L, del - unTombstoned))
     }
   }
 
@@ -290,16 +311,109 @@ object AnnIndex {
     } else false
   }
 
+  // ── deletion ───────────────────────────────────────────────────────────
+
+  /** Tombstone sidecar: deleted ids live as parquet under `_deleted`
+    * (underscore-hidden, so the index's own parquet read never lists
+    * it). Probes anti-join against it (broadcast — the set is bounded
+    * by `maxDeletedFraction` before a rebuild folds it away). */
+  private def deletedDir(path: String) = Paths.get(path, "_deleted")
+
+  private[pipeline] def hasDeleted(path: String): Boolean =
+    Files.isDirectory(deletedDir(path))
+
+  private def deletedIds(spark: SparkSession, path: String,
+      idCol: String): DataFrame =
+    spark.read.parquet(deletedDir(path).toString)
+      .select(col("id").as(idCol)).distinct()
+
+  /** Remove vectors from the index — the curation-pipeline counterpart
+    * of document deletion (a dropped/decontaminated doc's embedding
+    * must stop surfacing as a neighbor). Parquet is immutable, so the
+    * ids land in the `_deleted` tombstone sidecar; every probe
+    * anti-joins it (broadcast), the drift ledger counts the dead rows,
+    * and [[rebuildInPlace]] (or [[maintain]] past
+    * `maxDeletedFraction`) folds them away physically. Deleting an
+    * absent id is a no-op; a later [[append]] of the same id
+    * un-tombstones it (the tombstone would otherwise hide the new
+    * row) — note that un-tombstoning resurfaces EVERY stored copy of
+    * that id, so the supported path for a CHANGED embedding is
+    * rebuild, exactly as for plain duplicate appends.
+    * Single-maintainer assumption, like append. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val del = ids.select(col(idCol).as("id")).distinct()
+    // count only ids that are genuinely in the index and not already
+    // tombstoned — the ledger's deletedFraction must reflect dead
+    // ROWS, not delete-call volume (idempotent replays included)
+    val existing = spark.read.parquet(path).select(col(idCol).as("id"))
+      .join(broadcast(del), Seq("id"), "left_semi")
+    val already =
+      if (hasDeleted(path))
+        spark.read.parquet(deletedDir(path).toString).select(col("id"))
+      else existing.limit(0)
+    val newDead = existing.join(broadcast(already), Seq("id"), "left_anti")
+      .distinct().count()
+    del.write.mode("append").parquet(deletedDir(path).toString)
+    if (Files.exists(driftFile(path)) && newDead > 0) {
+      val (br, bcs, ar, acs, ac, acl, d0) = readDrift(path)
+      writeDrift(path, br, bcs, ar, acs, ac, acl, d0 + newDead)
+    }
+  }
+
+  /** Scala-collection convenience over [[delete]]. */
+  def deleteIds(spark: SparkSession, path: String, ids: Seq[Long],
+      idCol: String = "vec_id"): Unit = {
+    import spark.implicits._
+    delete(spark, path, ids.toDF(idCol), idCol)
+  }
+
+  /** Rewrite the tombstone list minus `ids` (append's un-tombstone
+    * path). Returns how many tombstones were removed. */
+  private def removeFromDeleted(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String): Long = {
+    if (!hasDeleted(path)) return 0L
+    val cur = spark.read.parquet(deletedDir(path).toString)
+      .select(col("id")).distinct().persist()
+    try {
+      val keep = cur.join(
+        broadcast(ids.select(col(idCol).as("id"))), Seq("id"), "left_anti")
+        .persist()
+      try {
+        val removed = cur.count() - keep.count()
+        if (removed == 0) return 0L
+        val tmp = deletedDir(path).toString + "__new"
+        keep.write.mode("overwrite").parquet(tmp)
+        val old = Paths.get(deletedDir(path).toString + "__old")
+        Files.move(deletedDir(path), old)
+        Files.move(Paths.get(tmp), deletedDir(path))
+        deleteRecursively(old.toFile)
+        removed
+      } finally keep.unpersist()
+    } finally cur.unpersist()
+  }
+
+  /** Drop tombstoned rows from a probe's candidate set. The deleted
+    * set is broadcast: it is bounded by the rebuild threshold, and the
+    * anti-join must never shuffle the probed cells. */
+  private def withoutDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String): DataFrame =
+    if (!hasDeleted(path)) df
+    else df.join(broadcast(deletedIds(spark, path, idCol)),
+      Seq(idCol), "left_anti")
+
   /** Re-cluster an existing index from its own stored vectors: build a
     * fresh index (new sampled-k-means centroids over the FULL current
     * corpus, same dim/nPlanes/cell-count) beside it, then swap
     * directories. The index parquet stores the full vectors, so no
-    * source table is needed. */
+    * source table is needed. Tombstoned rows are excluded and the
+    * tombstone list dies with the old directory. */
   def rebuildInPlace(spark: SparkSession, path: String,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val (dim, nPlanes) = loadParams(path)
     val nCentroids = loadCentroids(path).length
-    val all = spark.read.parquet(path).select(col(idCol), col(vecCol))
+    val all = withoutDeleted(spark, path,
+      spark.read.parquet(path).select(col(idCol), col(vecCol)), idCol)
     val tmp = path + "__rebuild"
     build(all, tmp, dim, nPlanes, nCentroids, vecCol, idCol)
     // `build` is an action — `all` is fully consumed before the swap
@@ -332,7 +446,7 @@ object AnnIndex {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val qArr = array(query.map(v => lit(v)): _*)
     val qSig = Similarity.hyperplaneSignature(qArr, dim, nPlanes)
-    spark.read.parquet(path)
+    withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .filter(bit_count(col("sig").bitwiseXOR(qSig)) <= probe)
       .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -350,7 +464,7 @@ object AnnIndex {
     val probeCells = cents.indices.sortBy(i => -cosLocal(q, cents(i)))
       .take(nProbe)
     val qArr = array(query.map(v => lit(v)): _*)
-    spark.read.parquet(path)
+    withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .filter(col("cell").isin(probeCells: _*))
       .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -372,7 +486,7 @@ object AnnIndex {
     val q = query.map(_.toDouble).toArray
     val probeCells = cents.indices.sortBy(i => -cosLocal(q, cents(i)))
       .take(nProbe)
-    val pruned = spark.read.parquet(path)
+    val pruned = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .filter(col("cell").isin(probeCells: _*))
       .select(col(idCol), col("qvec"), col("vnorm"))
     Similarity.quantizedTopK(pruned, scales, query, k, idCol)

@@ -507,11 +507,15 @@ class PlanShapeSpec extends AnyFunSuite {
       case other => other.children.flatMap(nodes)
     })
     val ns = nodes(df.queryExecution.executedPlan)
-    // the tokenize scan lives only INSIDE the cached build; stats and
-    // postings both read the in-memory narrow form
+    // the tokenize scan happened only in the eager localCheckpoint
+    // (round-12: checkpoint blocks, not a CacheManager entry — see
+    // Retrieval.narrowToks); stats and postings both read the stored
+    // RDD form, never the corpus files
     assert(!ns.exists(_.isInstanceOf[FileSourceScanExec]),
-      "corpus re-scanned outside the cached pass")
-    assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2, ns.map(
+      "corpus re-scanned outside the checkpointed pass")
+    val stored = ns.count(n => n.isInstanceOf[InMemoryTableScanExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+    assert(stored >= 2, ns.map(
       _.getClass.getSimpleName).distinct.mkString(", "))
   }
 }

@@ -371,4 +371,71 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.getAs[Long]("vec_id")).toSeq
     assert(got == expect)
   }
+
+  test("AnnIndex.delete: tombstoned vectors vanish from every probe;" +
+      " re-append and rebuild behave") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(120).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("ann_del")
+      .toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 8)
+    val victims = emb.filter($"vec_id" % 5 === 1)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    AnnIndex.delete(spark, dir, victims.select("vec_id"))
+    val survivors = emb.filter($"vec_id" % 5 =!= 1)
+    // every probe path: no deleted id surfaces, and the full-probe IVF
+    // ranking equals brute force over the SURVIVORS (df/ranking shifts
+    // with the shrunk corpus, not just id filtering of the old answer)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val bf = Similarity.bruteForceTopK(survivors, q, k = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = AnnIndex.ivfTopK(spark, dir, q, k = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf == bf)
+    val lsh = AnnIndex.annTopK(spark, dir, q, k = 8, dim = dim, probe = 16)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(lsh.forall(!victimIds.contains(_)))
+    val quant = AnnIndex.ivfTopKQuantized(spark, dir, q, k = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(quant.forall(!victimIds.contains(_)))
+    // drift ledger counts dead rows; a replayed delete is a no-op
+    val delCount = victimIds.size.toLong
+    assert(AnnIndex.driftStats(dir).deletedRows == delCount)
+    AnnIndex.delete(spark, dir, victims.select("vec_id"))
+    assert(AnnIndex.driftStats(dir).deletedRows == delCount)
+    // a deleted id re-appended comes BACK (append un-tombstones it)
+    val back = victims.limit(1).cache()
+    val backId = back.head().getLong(0)
+    AnnIndex.append(back, dir)
+    assert(AnnIndex.driftStats(dir).deletedRows == delCount - 1)
+    val backQ = back.head().getSeq[Float](1)
+    assert(AnnIndex.ivfTopK(spark, dir, backQ, k = 1, nProbe = 8)
+      .head().getAs[Long]("vec_id") == backId)
+    // rebuild folds tombstones away physically: the sidecar is gone,
+    // the dead rows are gone, the answer is unchanged. The re-appended
+    // id exists TWICE physically (append of an existing id has always
+    // duplicated — the supported vector-update path is rebuild, not
+    // delete+re-add of a changed embedding), so expect 120 survivors
+    // + 1 un-tombstoned original + 1 appended copy.
+    AnnIndex.rebuildInPlace(spark, dir)
+    assert(!new java.io.File(dir, "_deleted").exists())
+    val expectRows = emb.count() - delCount + 2
+    assert(spark.read.parquet(dir).count() == expectRows)
+    val ivf2 = AnnIndex.ivfTopK(spark, dir, q, k = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(ivf2.forall(id => !victimIds.contains(id) || id == backId))
+    // heavy deletion alone trips the rebuild trigger
+    assert(AnnDriftStatsProbe.deletedTrips())
+    back.unpersist(); emb.unpersist()
+  }
+}
+
+/** Pure-ledger check kept out of the Spark test body. */
+private object AnnDriftStatsProbe {
+  def deletedTrips(): Boolean =
+    AnnIndex.AnnDriftStats(buildRows = 100, buildMeanCos = 0.9,
+      appendedRows = 0, appendMeanCos = 0.0, deletedRows = 30)
+      .needsRebuild()
 }
