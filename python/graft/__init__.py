@@ -264,6 +264,54 @@ class GraftSession:
         return DataFrame(jdf, docs.sparkSession)
 
     @staticmethod
+    def text_index_build(docs, path):
+        """Materialize the inverted index (postings/positions/doclen/
+        docterms kv tables + corpus stats) for a (doc_id, text)
+        DataFrame at `path`."""
+        docs.sparkSession._jvm.graft.pipeline.Retrieval \
+            .buildIndexJ(docs._jdf, path)
+
+    @staticmethod
+    def text_index_append(docs, path):
+        """Incrementally index new or MODIFIED documents (stale
+        postings/positions of re-ingested doc_ids are tombstoned)."""
+        docs.sparkSession._jvm.graft.pipeline.Retrieval \
+            .appendToIndexJ(path, docs._jdf)
+
+    @staticmethod
+    def text_index_delete(spark, path, doc_ids):
+        """Remove documents from the index entirely: df/avgdl shrink
+        with the corpus, phrase adjacency dies with the doc."""
+        spark._jvm.graft.pipeline.Retrieval.deleteIdsFromIndexJ(
+            spark._jsparkSession, path, [int(i) for i in doc_ids])
+
+    @staticmethod
+    def text_index_search(spark, path, query_terms, k=10):
+        """BM25 top-k served from the materialized index (|query| key
+        ranges; the corpus text is never read) — bit-identical to
+        bm25_top_k over the indexed corpus."""
+        from pyspark.sql import DataFrame
+        jdf = spark._jvm.graft.pipeline.Retrieval.bm25SearchIndexJ(
+            spark._jsparkSession, path, list(query_terms), int(k))
+        return DataFrame(jdf, spark)
+
+    @staticmethod
+    def text_index_phrase(spark, path, phrase_terms):
+        """Exact phrase search from the positional index: (doc_id,
+        n_occ) rows, occurrences > 0 only."""
+        from pyspark.sql import DataFrame
+        jdf = spark._jvm.graft.pipeline.Retrieval.phraseSearchIndexJ(
+            spark._jsparkSession, path, list(phrase_terms))
+        return DataFrame(jdf, spark)
+
+    @staticmethod
+    def ann_delete_ids(spark, path, vec_ids):
+        """Tombstone vectors in a materialized ANN index: every probe
+        excludes them; rebuild folds them away physically."""
+        spark._jvm.graft.pipeline.AnnIndex.deleteIdsJ(
+            spark._jsparkSession, path, [int(i) for i in vec_ids])
+
+    @staticmethod
     def fuzzy_pairs(df, id_col, str_col):
         """All (id_a < id_b) row pairs whose `str_col` values are within
         Levenshtein distance 1 — FastSS deletion-key blocking (never

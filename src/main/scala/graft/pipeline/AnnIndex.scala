@@ -368,6 +368,13 @@ object AnnIndex {
     delete(spark, path, ids.toDF(idCol), idCol)
   }
 
+  /** Java/py4j-friendly entry (the Python shim's `ann_delete_ids`). */
+  def deleteIdsJ(spark: SparkSession, path: String,
+      ids: java.util.List[java.lang.Number]): Unit = {
+    import scala.jdk.CollectionConverters._
+    deleteIds(spark, path, ids.asScala.toSeq.map(_.longValue()))
+  }
+
   /** Rewrite the tombstone list minus `ids` (append's un-tombstone
     * path). Returns how many tombstones were removed. */
   private def removeFromDeleted(spark: SparkSession, path: String,

@@ -452,6 +452,28 @@ object Retrieval {
     phraseCounts(docs, phrase.asScala.toSeq)
   }
 
+  // Java/py4j-friendly index-lifecycle entries (the Python shim's
+  // text_index_* family): no Option/Seq/default-arg in the signatures.
+  def buildIndexJ(docs: DataFrame, dir: String): Unit =
+    buildIndex(docs, dir)
+  def appendToIndexJ(dir: String, newDocs: DataFrame): Unit =
+    appendToIndex(newDocs.sparkSession, dir, newDocs)
+  def deleteIdsFromIndexJ(spark: SparkSession, dir: String,
+      docIds: java.util.List[java.lang.Number]): Unit = {
+    import scala.jdk.CollectionConverters._
+    deleteIdsFromIndex(spark, dir, docIds.asScala.toSeq.map(_.longValue()))
+  }
+  def bm25SearchIndexJ(spark: SparkSession, dir: String,
+      query: java.util.List[String], k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    bm25SearchIndex(spark, dir, query.asScala.toSeq, k)
+  }
+  def phraseSearchIndexJ(spark: SparkSession, dir: String,
+      phrase: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    phraseSearchIndex(spark, dir, phrase.asScala.toSeq)
+  }
+
   /** Exact phrase-occurrence counts: number of token positions where the
     * full phrase matches, per document. Map-only — a higher-order filter
     * over the token array, no explode, no shuffle (the final orderBy is

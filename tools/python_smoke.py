@@ -169,6 +169,25 @@ def main():
             "UNION ALL SELECT 2, 'sitten' UNION ALL SELECT 3, 'far'")
         fz = GraftSession.fuzzy_pairs(names, "id", "name").collect()
         assert [(f.id_a, f.id_b, f.dist) for f in fz] == [(1, 2, 1)], fz
+        # materialized text-index lifecycle through the shim:
+        # build -> probe == scan, append, delete -> probe == shrunk scan
+        idx = tempfile.mkdtemp(prefix="graft_py_ir_")
+        GraftSession.text_index_build(docs, idx)
+        via_idx = GraftSession.text_index_search(
+            spark, idx, ["spark"], k=2).collect()
+        assert [(r.doc_id, r.score) for r in via_idx] == \
+            [(t.doc_id, t.score) for t in top], via_idx
+        GraftSession.text_index_append(
+            spark.sql("SELECT CAST(3 AS BIGINT) AS doc_id, "
+                      "'spark scan spark' AS text"), idx)
+        ph_idx = GraftSession.text_index_phrase(
+            spark, idx, ["spark", "scan"]).collect()
+        assert sorted((p.doc_id, p.n_occ) for p in ph_idx) == \
+            [(0, 1), (3, 1)], ph_idx
+        GraftSession.text_index_delete(spark, idx, [0, 3])
+        shrunk = GraftSession.text_index_search(
+            spark, idx, ["spark"], k=5).collect()
+        assert [r.doc_id for r in shrunk] == [1], shrunk
         print("python smoke: OK")
     finally:
         spark.stop()
