@@ -25,4 +25,19 @@ object PlanTestUtils {
 
   def kvScans(df: DataFrame): Seq[GraftKvScan] =
     kvScans(df.queryExecution.executedPlan)
+
+  /** The BatchScanExec NODES over graftkv scans (runtimeFilters and
+    * other exec-level state live on the node, not the Scan). */
+  def kvBatchScans(p: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => kvBatchScans(a.executedPlan)
+      case q: QueryStageExec => kvBatchScans(q.plan)
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftKvScan] => Seq(b)
+      case _ => Seq.empty
+    }
+    here ++ p.children.flatMap(kvBatchScans) ++ p.subqueries.flatMap(kvBatchScans)
+  }
 }

@@ -72,6 +72,35 @@ class KvIndexSpec extends AnyFunSuite {
       s"no pruning: ${s.staticPartitionCount} -> ${s.runtimePartitionCount.get}"))
   }
 
+  test("round-12 DPP hygiene: index-side scans decline runtime filters;" +
+      " the base-side DPP is real, not a degenerate true") {
+    // Spark's PartitionPruning used to inject a speculative REVERSE
+    // DPP onto the rewrite's index relation (onlyInBroadcast=true),
+    // which degenerated to dynamicpruningexpression(true) at execution
+    // — a dead subquery plus a planner WARN per run. The auxiliary
+    // relations now opt out via runtime.filtering=false, and the
+    // rule's own base-side DPP must still be a live IN subquery.
+    import org.apache.spark.sql.catalyst.expressions.{DynamicPruningExpression, Literal}
+    val path = tmpDir("dppclean")
+    mkBase(path)
+    KvIndex.create(spark, path, "iv", Seq("v"))
+    val q = KvCommands.table(spark, path).filter(col("v") === 3).orderBy("k")
+    q.collect()
+    val scans = graft.PlanTestUtils.kvBatchScans(q.queryExecution.executedPlan)
+    val (idx, base) = scans.partition(
+      _.scan.asInstanceOf[GraftKvScan].description().contains("/_index/"))
+    assert(idx.nonEmpty && base.nonEmpty, scans.map(_.scan.description()))
+    idx.foreach(b => assert(b.runtimeFilters.isEmpty,
+      s"index-side scan carries runtime filters: ${b.runtimeFilters}"))
+    val baseFilters = base.flatMap(_.runtimeFilters)
+    assert(baseFilters.nonEmpty, "base-side DPP missing")
+    baseFilters.foreach { f =>
+      assert(f.collectFirst {
+        case DynamicPruningExpression(Literal(true, _)) => ()
+      }.isEmpty, s"degenerate DPP on the base scan: $f")
+    }
+  }
+
   test("range and IN predicates rewrite; IS NULL and non-indexed do not") {
     val path = tmpDir("shapes")
     mkBase(path)
