@@ -161,6 +161,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case _ => 600000L // default grace = the compaction retention window
       }
       GraftVacuumCommand(table.replace("`", "").split('.').toSeq, retainMs)
+    // SEARCH INDEX: the same ranking served from a MATERIALIZED
+    // inverted index (Retrieval.buildIndex dir) — |query| key-range
+    // probes, the corpus text is never read; bit-identical to the
+    // scan-path SEARCH over the indexed corpus
+    case GraftSqlParser.SearchIndexStmt(dir, terms, k) =>
+      GraftSearchIndexCommand(dir, terms.trim.split("\\s+").toSeq,
+        Option(k).map(_.toInt).getOrElse(10))
     // SEARCH is not Spark SQL at all (the delegate would throw), so no
     // catalog gate: any resolvable table/view with a doc_id + text-ish
     // column is searchable
@@ -304,6 +311,14 @@ object GraftSqlParser {
   private[sql] val SearchStmt =
     ("""(?is)\s*SEARCH\s+([\w.`]+)\s+FOR\s+'([^']+)'""" +
       """(?:\s+USING\s+([\w`]+))?(?:\s+TOP\s+(\d+))?\s*;?\s*""").r
+
+  /** SEARCH INDEX 'dir' FOR 'terms…' [TOP k] — the same BM25 ranking
+    * served from a MATERIALIZED inverted index (the dir a
+    * `Retrieval.buildIndex` produced; filesystem-path operand in the
+    * LOAD DATA INPATH tradition). */
+  private[sql] val SearchIndexStmt =
+    ("""(?is)\s*SEARCH\s+INDEX\s+'([^']+)'\s+FOR\s+'([^']+)'""" +
+      """(?:\s+TOP\s+(\d+))?\s*;?\s*""").r
 
   /** CREATE TABLE t(cols…, PRIMARY KEY(k…)) MAPPED BY ([ns.]htable,
     * COLS=[c=f.q,…]) [IN fmt] — the reference's own DDL text
@@ -832,6 +847,31 @@ case class GraftCreateMappedTableCommand(table: Seq[String],
     cat.createTable(Identifier.of(ns, rest.last), tableSchema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
     Nil
+  }
+}
+
+/** SEARCH INDEX 'dir' FOR 'terms…' [TOP k] — BM25 served from the
+  * materialized inverted index: |query| key-range probes through the
+  * kv engine, the corpus text never read; bit-identical to the
+  * scan-path SEARCH over the indexed corpus. */
+case class GraftSearchIndexCommand(dir: String, terms: Seq[String], k: Int)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("doc_id", LongType, nullable = true)(),
+    AttributeReference("score", DoubleType, nullable = false)(),
+    AttributeReference("n_terms", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(graft.connector.GraftKvMeta.read(s"$dir/postings").isDefined,
+      s"SEARCH INDEX: no inverted index at $dir (expected the " +
+        "postings/doclen/stats layout Retrieval.buildIndex produces)")
+    import org.apache.spark.sql.functions.col
+    graft.pipeline.Retrieval.bm25SearchIndex(spark, dir, terms, k)
+      .select(col("doc_id").cast("long"), col("score"), col("n_terms"))
+      .collect().toSeq
   }
 }
 

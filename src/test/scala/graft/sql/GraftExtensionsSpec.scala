@@ -69,6 +69,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("whitespace-separated"))
   }
 
+  test("SEARCH INDEX serves the ranking from a materialized index") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark scan fast spark spark"),
+      (1L, "spark window"),
+      (2L, "table value other words here"),
+      (3L, "scan scan scan scan")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sql_ir").toString
+    graft.pipeline.Retrieval.buildIndex(docs, dir)
+    val viaSql = spark.sql(s"SEARCH INDEX '$dir' FOR 'spark scan' TOP 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val viaApi = graft.pipeline.Retrieval
+      .bm25SearchIndex(spark, dir, Seq("spark", "scan"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(viaSql.toSeq == viaApi.toSeq && viaSql.nonEmpty)
+    // a dir without an index fails with the statement's own error
+    val e = intercept[Exception] {
+      spark.sql("SEARCH INDEX '/tmp/definitely_no_index_here' FOR 'x'")
+        .collect()
+    }
+    assert(e.getMessage.contains("SEARCH INDEX"))
+  }
+
   test("SEARCH with tab/newline after the keyword still states the grammar") {
     // the malformed-statement guard must fire on ANY whitespace after
     // SEARCH, not just a single space (round-11 advice item)
