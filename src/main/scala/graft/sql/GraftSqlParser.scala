@@ -356,12 +356,21 @@ object GraftSqlParser {
     ("""(?is)\bAPPROXIMATE\s*(?:\(\s*([0-9.eE+-]+)\s*\)\s*)?""" +
       """COUNT\s*\(\s*DISTINCT\s+((?:[^()]|\([^()]*\))*)\)""").r
 
-  private[sql] def rewriteApproximate(sql: String): String =
-    ApproximateRe.replaceAllIn(sql, m => scala.util.matching.Regex
-      .quoteReplacement(Option(m.group(1)) match {
-        case Some(rsd) => s"approx_count_distinct(${m.group(2)}, $rsd)"
-        case None => s"approx_count_distinct(${m.group(2)})"
-      }))
+  private[sql] def rewriteApproximate(sql: String): String = {
+    if (!sql.toUpperCase.contains("APPROXIMATE")) return sql
+    // rewrite only OUTSIDE single-quoted literals: splitting on ' makes
+    // quoted content land in odd segments (SQL's doubled-quote escape
+    // produces empty segments, preserving the alternation), so a string
+    // literal mentioning APPROXIMATE COUNT(...) passes through verbatim
+    sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else ApproximateRe.replaceAllIn(seg, m => scala.util.matching.Regex
+        .quoteReplacement(Option(m.group(1)) match {
+          case Some(rsd) => s"approx_count_distinct(${m.group(2)}, $rsd)"
+          case None => s"approx_count_distinct(${m.group(2)})"
+        }))
+    }.mkString("'")
+  }
 
   /** SQL keyword inventory for shell completion — the reference derives
     * its completer vocabulary by reflecting over parser fields

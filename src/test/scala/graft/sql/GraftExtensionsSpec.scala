@@ -130,6 +130,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |FROM apx_v GROUP BY 1 ORDER BY 1""".stripMargin)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(grouped.toSeq == groupedModern.toSeq)
+    // the rewrite never fires inside a string literal
+    val lit = spark.sql(
+      "SELECT 'APPROXIMATE COUNT(DISTINCT a)' AS s").head().getString(0)
+    assert(lit == "APPROXIMATE COUNT(DISTINCT a)")
   }
 
   test("CREATE TABLE … MAPPED BY runs the reference DDL text end-to-end") {
