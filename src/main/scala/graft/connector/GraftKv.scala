@@ -960,7 +960,13 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * planner already captured. */
   private final class Planner(filters: Array[Filter],
       baseSegs: => Seq[SegmentFile.Meta], claimOverride: Option[Option[Int]],
-      applyTopN: Boolean = false) {
+      applyTopN: Boolean = false,
+      // coalesced runtime join-key ranges (graft.pruning.KeyRanges) —
+      // Spark 4 seals sources.Filter, so the bounded-range form of a
+      // large runtime IN rides beside the filter array and prunes at
+      // the same three points: lead ranges, segment key bounds,
+      // component zone maps
+      extraRanges: Seq[graft.pruning.KeyRanges] = Nil) {
 
   /** Box → z-range cover for a z-clustered table: the pushed conjuncts'
     * per-dim bounds become a box over truncated dim codes, and the box's
@@ -977,7 +983,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     // OLD normalization, and narrowing with the CURRENT meta's specs
     // would silently drop rows — the frozen view stays correct through
     // residual filters, just without z pruning
-    if (snapshotVersion.nonEmpty || zorderDims.isEmpty || filters.isEmpty) None
+    if (snapshotVersion.nonEmpty || zorderDims.isEmpty ||
+      (filters.isEmpty && extraRanges.isEmpty)) None
     else try {
       val k = zorderDims.length
       val bits = graft.codec.ZOrder.bitsPerDim(k)
@@ -1013,6 +1020,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
             hi(i) = math.min(hi(i), codes.max); any = true
           case _ => ()
         }
+        // coalesced runtime ranges ride beside the filters; bounds are
+        // sorted ascending (and already normalized), so head/last span
+        // the whole surviving set
+        extraRanges.foreach { kr =>
+          if (kr.attribute == dim) {
+            lo(i) = math.max(lo(i), code(kr.los.head))
+            hi(i) = math.min(hi(i), code(kr.his.last)); any = true
+          }
+        }
       }
       if (!any) None
       else if (lo.indices.exists(i => lo(i) > hi(i))) Some(Seq.empty)
@@ -1030,9 +1046,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     val dt = codec.keyFields.head.dataType
     val base = graft.pruning.CriticalPoints.qualifiedRanges(
       filters.toSeq, keys.head, dt)
+    // coalesced runtime ranges on the lead dim narrow by intersection
+    // (both operands sorted disjoint) — this is what turns a >cap
+    // runtime IN into per-cluster seeks instead of one full-span scan
+    val withExtra = extraRanges.filter(_.attribute == keys.head)
+      .foldLeft(base)((acc, kr) =>
+        graft.pruning.CriticalPoints.intersect(acc, kr.toValueRanges, dt))
     val narrowed = zBoxRanges match {
-      case Some(zr) => graft.pruning.CriticalPoints.intersect(base, zr, dt)
-      case None => base
+      case Some(zr) => graft.pruning.CriticalPoints.intersect(withExtra, zr, dt)
+      case None => withExtra
     }
     graft.pruning.CriticalPoints.MultiRange(narrowed, dt)
   }
@@ -1116,16 +1138,16 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   lazy val survivors: Seq[SegmentFile.Meta] = {
     import graft.pruning.TriEval
     val segs = baseSegs
-    conjOpt match {
-      case None => segs
-      case Some(conj) =>
-        segs.filter { m =>
-          leadRanges.intersects(
-            codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
-          bloomSurvives(m) &&
-          TriEval.eval(conj, keyBindings(m)) != TriEval.False
-        }
-    }
+    if (conjOpt.isEmpty && extraRanges.isEmpty) segs
+    else
+      segs.filter { m =>
+        leadRanges.intersects(
+          codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
+        bloomSurvives(m) &&
+        conjOpt.forall(conj =>
+          TriEval.eval(conj, keyBindings(m)) != TriEval.False) &&
+        extraRanges.forall(_.eval(keyBindings(m)) != TriEval.False)
+      }
   }
 
   /** Overlap components of the surviving segments over their FULL
@@ -1159,13 +1181,16 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // emits only predicate-false rows whichever generation wins, so
       // dropping it whole is safe; the common disjoint table is all
       // singleton components, where this IS per-segment pruning.
-      val zonePruned = conjOpt match {
-        case None => out.toSeq
-        case Some(conj) =>
+      val zonePruned =
+        if (conjOpt.isEmpty && extraRanges.isEmpty) out.toSeq
+        else {
           import graft.pruning.TriEval
-          out.toSeq.filter(_.members.exists(m =>
-            TriEval.eval(conj, keyBindings(m) ++ zoneBindings(m)) != TriEval.False))
-      }
+          out.toSeq.filter(_.members.exists { m =>
+            val bound = keyBindings(m) ++ zoneBindings(m)
+            conjOpt.forall(conj => TriEval.eval(conj, bound) != TriEval.False) &&
+            extraRanges.forall(_.eval(bound) != TriEval.False)
+          })
+        }
       topNSelect(zonePruned)
     }
   }
@@ -1298,7 +1323,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // early-stop fires at the last range relevant to this segment,
       // not the globally last one
       val segRanges =
-        if (filters.isEmpty) None
+        if (filters.isEmpty && extraRanges.isEmpty) None
         else {
           val lo = codec.leadingKeyValue(c.minKey)
           val hi = codec.leadingKeyValue(c.maxKey)
@@ -1466,13 +1491,15 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val dtOf = schema.fields.map(f => f.name -> f.dataType).toMap
     val translated = predicates.flatMap(GraftKvScan.runtimeToV1(_, runtimePrunable, dtOf))
-    if (translated.nonEmpty)
+    if (translated.nonEmpty) {
+      val (ranges, v1s) = translated.partitionMap(identity)
       // prune the static survivors further (never a fresh listing — a
       // concurrent commit must not surface new segments mid-query) and
       // pin the static partitioning claim so partition-key arity matches
       // what the planner captured before filtering
-      runtimePlan = Some(new Planner(pushed ++ translated, static.survivors,
-        Some(static.reportedPrefix)))
+      runtimePlan = Some(new Planner(pushed ++ v1s, static.survivors,
+        Some(static.reportedPrefix), extraRanges = ranges.toSeq))
+    }
   }
 
   /** The reference elides the aggregate shuffle when GROUP BY keys prefix
@@ -1825,16 +1852,22 @@ object GraftKvScan {
     * speaks. Non-key columns and unknown shapes are dropped: runtime
     * filtering is an optimization, the join still applies its own
     * condition, so under-translating only costs pruning, never rows. */
-  /** Above this many IN values the runtime filter collapses to a
-    * [min, max] range: the critical-point planner cuts one range PER
-    * VALUE (quadratic qualification cost), and at that cardinality the
-    * per-value precision buys nothing a range doesn't — the join
+  /** Above this many IN values the runtime filter coalesces into at
+    * most this many DISJOINT ranges ([[graft.pruning.KeyRanges]]),
+    * split at the largest value gaps: the critical-point planner cuts
+    * one range per VALUE, so an unbounded IN makes planning linear in
+    * the surviving-key count, but collapsing to one [min, max] (the
+    * pre-round-13 behavior) prunes NOTHING once the survivors span the
+    * key domain — the scale cliff a 100 TB star join cannot afford.
+    * Bounded disjoint ranges keep planning O(cap) while preserving the
+    * inter-cluster gaps that carry the pruning power; the join
     * re-filters whatever the wider scan returns. */
   private val MaxRuntimeInValues = 1024
 
   def runtimeToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
       prunableCols: Set[String],
-      dtOf: Map[String, org.apache.spark.sql.types.DataType]): Option[Filter] = {
+      dtOf: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Either[graft.pruning.KeyRanges, Filter]] = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     def toScala(l: V2Literal[_]): Any =
@@ -1853,27 +1886,21 @@ object GraftKvScan {
             ch.tail.forall(_.isInstanceOf[V2Literal[_]])
           f <- {
             val vals = ch.tail.map(c => toScala(c.asInstanceOf[V2Literal[_]]))
-            if (vals.length <= MaxRuntimeInValues) Some(In(col, vals))
-            else {
-              val dt = dtOf(col)
-              val cmp = graft.pruning.TriEval.comparator(dt)
-              val norm = vals.map(v => v -> graft.pruning.TriEval.normalize(dt, v))
-                .filter(_._2 != null)
-              if (norm.isEmpty) None
-              else {
-                val lo = norm.reduce((a, b) => if (cmp(a._2, b._2) <= 0) a else b)._1
-                val hi = norm.reduce((a, b) => if (cmp(a._2, b._2) >= 0) a else b)._1
-                Some(And(GreaterThanOrEqual(col, lo), LessThanOrEqual(col, hi)))
-              }
-            }
+            if (vals.length <= MaxRuntimeInValues)
+              Some(Right(In(col, vals)))
+            else graft.pruning.KeyRanges.coalesce(col, dtOf(col),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(vals),
+              MaxRuntimeInValues).map(Left(_))
           }
         } yield f
       case "=" =>
         p.children() match {
           case Array(r, l: V2Literal[_]) =>
-            colName(r).filter(prunableCols.contains).map(EqualTo(_, toScala(l)))
+            colName(r).filter(prunableCols.contains)
+              .map(c => Right(EqualTo(c, toScala(l))))
           case Array(l: V2Literal[_], r) =>
-            colName(r).filter(prunableCols.contains).map(EqualTo(_, toScala(l)))
+            colName(r).filter(prunableCols.contains)
+              .map(c => Right(EqualTo(c, toScala(l))))
           case _ => None
         }
       case _ => None

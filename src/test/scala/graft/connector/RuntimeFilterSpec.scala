@@ -72,7 +72,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(ranges.forall(_.isDefined))
   }
 
-  test("a huge runtime IN collapses to its [min,max] range and still prunes") {
+  test("a huge runtime IN coalesces to bounded ranges and still prunes") {
     val path = tmpDir("wide") + "/t"
     spark.range(20000).select(col("id").as("k"), col("id").as("v"))
       .write.format("graftkv").option("key", "k")
@@ -84,12 +84,49 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val before = scan.planInputPartitions().length
     assert(before >= 3)
     // 2000 values, all inside the first tenth of the key domain: over
-    // the collapse threshold, so the filter becomes [min,max] — still
+    // the IN cap, so the filter coalesces to disjoint ranges — still
     // enough to prune every segment past the first tenth
     scan.filter(Array(v2In("k", (0L until 2000L): _*)))
     val after = scan.planInputPartitions()
     assert(after.length < before,
-      s"collapsed range pruned nothing: $before -> ${after.length}")
+      s"coalesced ranges pruned nothing: $before -> ${after.length}")
+  }
+
+  test(">cap survivors spanning the key domain still prune the gaps between clusters") {
+    // the round-12 scale cliff: >1024 surviving join keys used to
+    // collapse to ONE [min,max] range, and survivors touching both ends
+    // of the key domain pruned NOTHING — at 100 TB that silently turns
+    // every realistic star join back into a full fact scan. Coalesced
+    // disjoint ranges keep the inter-cluster gaps, so the middle
+    // segments still drop.
+    val path = tmpDir("cliff") + "/t"
+    spark.range(40000).select(col("id").as("k"), (col("id") % 13).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536")
+      .mode("overwrite").save(path)
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array.empty, -1, meta.encoding)
+    val before = scan.planInputPartitions().length
+    assert(before >= 6, s"expected many segments, got $before")
+    // 3000 survivors (over the 1024 cap) in two dense clusters at the
+    // domain's two ENDS — min=0, max=39499, so a [min,max] collapse
+    // covers every segment
+    val survivors = (0L until 1500L) ++ (38000L until 39500L)
+    scan.filter(Array(v2In("k", survivors: _*)))
+    val after = scan.planInputPartitions()
+    assert(after.length < before,
+      s"end-spanning >cap survivors pruned nothing (the [min,max] cliff): " +
+        s"$before -> ${after.length}")
+    // the surviving partitions carry refined ranges for in-segment seeks
+    val ranges = after.collect {
+      case p: GraftKvInputPartition => p.partitionRanges
+    }
+    assert(ranges.nonEmpty && ranges.forall(_.isDefined))
+    // and the scan still returns every matching row (scan-level read
+    // through the runtime plan is a superset; here it is exact on the
+    // pruned partitions' data)
+    assert(scan.runtimePartitionCount.contains(after.length))
   }
 
   test("a runtime IN on a zone-mapped VALUE column prunes segments, component-safely") {
