@@ -172,18 +172,28 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     val m = GraftKvMeta.read(dir)
       .getOrElse(throw new NoSuchTableException(ident))
     var s = m.schema
+    var props = m.props
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
-        s = s.add(a.fieldNames()(0), a.dataType(), a.isNullable)
+        val n = a.fieldNames()(0)
+        if (s.fieldNames.contains(n))
+          throw new IllegalArgumentException(s"column $n already exists")
+        s = s.add(n, a.dataType(), a.isNullable)
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         val n = d.fieldNames()(0)
         if (m.keys.contains(n))
           throw new UnsupportedOperationException(s"cannot drop key column $n")
+        if (!s.fieldNames.contains(n))
+          throw new IllegalArgumentException(s"no such column $n")
         s = StructType(s.fields.filterNot(_.name == n))
+      case p: TableChange.SetProperty =>
+        props = props + (p.property -> p.value)
+      case rp: TableChange.RemoveProperty =>
+        props = props - rp.property
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change $other")
     }
-    GraftKvMeta.write(dir, s, m.keys, m.encoding, m.zorder, m.props)
+    GraftKvMeta.write(dir, s, m.keys, m.encoding, m.zorder, props)
     new GraftKvTable(dir, s, m.keys, m.encoding)
   }
 

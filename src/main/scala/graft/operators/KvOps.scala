@@ -579,9 +579,18 @@ object KvOps {
         |ORDER BY snap""") { (s, d) =>
       ordersUpsertPath(s, d)
       val cat = fixtureCatalog(s, d)
+      // rank via a correlated count instead of a global window: the
+      // snapshots metadata table is retention-bounded (a handful of
+      // rows at ANY corpus scale), so the quadratic count is a few
+      // comparisons — and no single-partition WindowExec ever plans
+      // (Spark folds a constant PARTITION BY away, so that spelling
+      // still warned)
       s.sql(
-        s"""SELECT CAST(row_number() OVER (ORDER BY version) AS BIGINT) AS snap,
-           |  n_rows FROM $cat.orders_upsert.snapshots ORDER BY snap""".stripMargin)
+        s"""SELECT (SELECT CAST(count(*) AS BIGINT)
+           |    FROM $cat.orders_upsert.snapshots s2
+           |    WHERE s2.version <= s1.version) AS snap,
+           |  s1.n_rows FROM $cat.orders_upsert.snapshots s1
+           |ORDER BY snap""".stripMargin)
     },
 
     // the segments METADATA TABLE: segment count/boundaries are

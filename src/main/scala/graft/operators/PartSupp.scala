@@ -51,15 +51,37 @@ object PartSupp {
   private val lock = new Object
 
   /** The Spark-side derivation (not yet materialized). Rank-by-suppkey
-    * runs a single-partition window over the SUPPLIER table only — a
-    * dim table by construction, so the narrow exchange is bounded at
-    * any corpus scale; part (the big side) streams map-only through a
-    * broadcast join against the 4×S expanded supplier list. */
+    * is computed scale-safely: suppliers land in 64 monotone key-range
+    * buckets, per-bucket counts (≤ 64 rows, bounded driver state)
+    * become cumulative offsets, and the global 0-based rank is the
+    * bucket offset plus a PARTITIONED window's row_number — no
+    * single-partition exchange at any supplier count (the old
+    * `Window.orderBy` form was the verify log's lone "No Partition
+    * Defined for Window" WARN). part (the big side) streams map-only
+    * through a broadcast join against the 4×S expanded supplier list. */
   def generate(spark: SparkSession, sfDir: String): DataFrame = {
     val sup = Tables.table(spark, sfDir, "supplier").select("s_suppkey")
-    val scnt = sup.count()
-    val ranked = sup.select(col("s_suppkey"),
-      (row_number().over(Window.orderBy("s_suppkey")) - 1).cast("long").as("sidx"))
+    val stats = sup.agg(count(lit(1)).as("c"),
+      min(col("s_suppkey").cast("long")).as("lo"),
+      max(col("s_suppkey").cast("long")).as("hi")).head()
+    val scnt = stats.getLong(0)
+    require(scnt > 0, s"no suppliers under $sfDir")
+    val lo = stats.getLong(1)
+    val span = stats.getLong(2) - lo + 1
+    val per = math.max(1L, (span + 63) / 64) // bucket width; b is monotone in key
+    val withB = sup.withColumn("b",
+      expr(s"(CAST(s_suppkey AS BIGINT) - $lo) div $per"))
+    // cumulative counts of the buckets BELOW each bucket = its offset
+    val counts = withB.groupBy("b").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) =>
+      (b, acc + c)
+    }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("b", "off")
+    val ranked = withB.join(broadcast(offDf), "b")
+      .select(col("s_suppkey"),
+        (row_number().over(Window.partitionBy("b").orderBy("s_suppkey"))
+          - 1 + col("off")).cast("long").as("sidx"))
     val js = spark.range(4).select(col("id").as("j"))
     Tables.table(spark, sfDir, "part").select("p_partkey")
       .crossJoin(broadcast(js))

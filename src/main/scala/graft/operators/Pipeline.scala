@@ -1103,32 +1103,65 @@ object PipelineOps {
     // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────
     // mm1/mm3 run on REAL PNG payloads (syntheticImageTable renders one
     // deterministic image per doc): decoded width/height/pixel means are
-    // true codec output, pinned by MultimodalSpec. The raw `features
-    // array<float>` column is projected to a hashable fingerprint
-    // because the driver's rows-only check sorts/hashes the result
-    // (arrays aren't hashable in its pandas compare).
-    QuerySpec.rowsOnly("mm1_decode_featurize") { (s, d) =>
-      Multimodal.decodeAndFeaturize(
-        Multimodal.syntheticImageTable(t(s, d, "documents")))
-        .select(col("media_id"), col("mime"), col("n_bytes"), col("mean_byte"),
-          col("width"), col("height"), col("mean_pixel"),
-          xxhash64(to_json(col("features"))).as("features_fp"))
+    // true codec output, pinned by MultimodalSpec. Round 13 converted
+    // all three from rows-only to ORACLE-CHECKED, the round-6 audio
+    // treatment: per-MEDIA booleans compare the codec's decoded facts
+    // against the declared meta (the synthetic dims are xxhash64-seeded
+    // — not DuckDB-derivable — so the invariant, not the constant, is
+    // what ANSI states), and the frame sampler's chunk algebra is fully
+    // re-derived in SQL.
+    QuerySpec.checked("mm1_decode_featurize",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime,
+        |  true AS dims_ok, true AS bytes_ok, true AS px_ok,
+        |  CAST(8 AS INTEGER) AS feat_dim
+        |FROM documents ORDER BY media_id""") { (s, d) =>
+      val imgs = Multimodal.syntheticImageTable(t(s, d, "documents"))
+      val meta = imgs.select(col("media_id"),
+        col("meta.width").as("ew"), col("meta.height").as("eh"))
+      Multimodal.decodeAndFeaturize(imgs).join(meta, "media_id")
+        .select(col("media_id"), col("mime"),
+          // per-row coalesce: a failed decode (null dims) must read as
+          // FALSE in that row, not vanish into null-skipping
+          coalesce(col("width") === col("ew") &&
+            col("height") === col("eh"), lit(false)).as("dims_ok"),
+          (col("n_bytes") > 0).as("bytes_ok"),
+          coalesce(col("mean_pixel") >= 0.0 && col("mean_pixel") <= 255.0,
+            lit(false)).as("px_ok"),
+          size(col("features")).as("feat_dim"))
         .orderBy("media_id")
     },
 
-    QuerySpec.rowsOnly("mm2_frame_sample") { (s, d) =>
+    // frame sampling is pure chunk algebra over the payload bytes —
+    // ANSI re-derives the exact (media, frame_idx, byte-count) rows
+    QuerySpec.checked("mm2_frame_sample",
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT media_id, n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(ceil(n / 64.0), 1) AS BIGINT) - 1)) AS frame_idx
+        |  FROM m)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(least(64, n - frame_idx * 64) AS INTEGER) AS n_b
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY media_id, frame_idx""") { (s, d) =>
       Multimodal.sampleFrames(
         Multimodal.syntheticMediaTable(t(s, d, "documents")))
-        .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          length(col("frame_bytes")).as("n_b"))
         .orderBy("media_id", "frame_idx")
     },
 
-    QuerySpec.rowsOnly("mm3_resize") { (s, d) =>
-      Multimodal.resize(
-        Multimodal.syntheticImageTable(t(s, d, "documents")), factor = 2)
-        .select(col("media_id"), col("width"), col("height"),
-          length(col("payload")).as("n_bytes"),
-          xxhash64(col("payload")).as("payload_fp"))
+    QuerySpec.checked("mm3_resize",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, true AS dims_ok,
+        |  true AS payload_ok FROM documents ORDER BY media_id""") { (s, d) =>
+      val imgs = Multimodal.syntheticImageTable(t(s, d, "documents"))
+      val meta = imgs.select(col("media_id"),
+        col("meta.width").as("ew"), col("meta.height").as("eh"))
+      Multimodal.resize(imgs, factor = 2).join(meta, "media_id")
+        .select(col("media_id"),
+          coalesce(col("width") === greatest(expr("ew div 2"), lit(1L)).cast("int") &&
+            col("height") === greatest(expr("eh div 2"), lit(1L)).cast("int"),
+            lit(false)).as("dims_ok"),
+          (length(col("payload")) > 0).as("payload_ok"))
         .orderBy("media_id")
     },
 

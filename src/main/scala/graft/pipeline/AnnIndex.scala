@@ -318,9 +318,61 @@ object AnnIndex {
     * it). Probes anti-join against it (broadcast — the set is bounded
     * by `maxDeletedFraction` before a rebuild folds it away). */
   private def deletedDir(path: String) = Paths.get(path, "_deleted")
+  private def deletedNewDir(path: String) = Paths.get(path, "_deleted__new")
+  private def deletedOldDir(path: String) = Paths.get(path, "_deleted__old")
 
-  private[pipeline] def hasDeleted(path: String): Boolean =
+  /** Crash recovery for [[removeFromDeleted]]'s directory swap. The
+    * rewrite commits in four steps — (1) write the new list to
+    * `_deleted__new` (parquet's `_SUCCESS` is the completion marker),
+    * (2) move `_deleted` → `_deleted__old`, (3) move `__new` →
+    * `_deleted`, (4) drop `__old` — and a crash between (2) and (3)
+    * used to leave NO live tombstone dir, silently resurfacing every
+    * tombstoned vector in every probe. Every read now funnels through
+    * [[hasDeleted]], which rolls the swap forward (complete `__new`)
+    * or back (incomplete `__new` → the old list stays authoritative)
+    * before answering. Single-maintainer, like all index maintenance. */
+  private def recoverDeleted(path: String): Unit = {
+    val live = deletedDir(path)
+    val nw = deletedNewDir(path)
+    val old = deletedOldDir(path)
+    def complete(d: java.nio.file.Path): Boolean =
+      Files.exists(d.resolve("_SUCCESS"))
+    if (Files.isDirectory(live)) {
+      // crash after (3): finish step (4)
+      if (Files.isDirectory(old)) deleteRecursively(old.toFile)
+      if (Files.isDirectory(nw)) {
+        // crash between (1) and (2): the rewrite is complete but the
+        // swap never began — finish it (it encodes an un-tombstone an
+        // append already relies on); an incomplete __new never happened
+        if (complete(nw)) {
+          Files.move(live, old)
+          Files.move(nw, live)
+          deleteRecursively(old.toFile)
+        } else deleteRecursively(nw.toFile)
+      }
+    } else {
+      if (Files.isDirectory(old)) {
+        // crash between (2) and (3): roll forward when __new committed,
+        // back to the old list otherwise
+        if (Files.isDirectory(nw) && complete(nw)) {
+          Files.move(nw, live)
+          deleteRecursively(old.toFile)
+        } else {
+          Files.move(old, live)
+          if (Files.isDirectory(nw)) deleteRecursively(nw.toFile)
+        }
+      } else if (Files.isDirectory(nw)) {
+        // unreachable under the step order (a __new is only written
+        // against an existing live dir); drop the orphan defensively
+        deleteRecursively(nw.toFile)
+      }
+    }
+  }
+
+  private[pipeline] def hasDeleted(path: String): Boolean = {
+    recoverDeleted(path)
     Files.isDirectory(deletedDir(path))
+  }
 
   private def deletedIds(spark: SparkSession, path: String,
       idCol: String): DataFrame =
@@ -343,22 +395,32 @@ object AnnIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Unit = {
     val del = ids.select(col(idCol).as("id")).distinct()
-    // count only ids that are genuinely in the index and not already
-    // tombstoned — the ledger's deletedFraction must reflect dead
-    // ROWS, not delete-call volume (idempotent replays included)
+    // sidecar and ledger both take only ids that are genuinely in the
+    // index and not already tombstoned: deletedFraction must reflect
+    // dead ROWS, and the sidecar must stay bounded by them — appending
+    // the raw request would grow it without bound under idempotent
+    // replays and absent-id deletes while deletedFraction stayed 0,
+    // breaking the "broadcast set is bounded before a rebuild" contract
     val existing = spark.read.parquet(path).select(col(idCol).as("id"))
       .join(broadcast(del), Seq("id"), "left_semi")
     val already =
       if (hasDeleted(path))
         spark.read.parquet(deletedDir(path).toString).select(col("id"))
       else existing.limit(0)
-    val newDead = existing.join(broadcast(already), Seq("id"), "left_anti")
-      .distinct().count()
-    del.write.mode("append").parquet(deletedDir(path).toString)
-    if (Files.exists(driftFile(path)) && newDead > 0) {
-      val (br, bcs, ar, acs, ac, acl, d0) = readDrift(path)
-      writeDrift(path, br, bcs, ar, acs, ac, acl, d0 + newDead)
-    }
+    val newDeadIds = existing.join(broadcast(already), Seq("id"), "left_anti")
+      .distinct().persist()
+    try {
+      // materialized by the count, so the append below never re-reads
+      // the sidecar it is writing to
+      val newDead = newDeadIds.count()
+      if (newDead > 0) {
+        newDeadIds.write.mode("append").parquet(deletedDir(path).toString)
+        if (Files.exists(driftFile(path))) {
+          val (br, bcs, ar, acs, ac, acl, d0) = readDrift(path)
+          writeDrift(path, br, bcs, ar, acs, ac, acl, d0 + newDead)
+        }
+      }
+    } finally newDeadIds.unpersist()
   }
 
   /** Scala-collection convenience over [[delete]]. */
@@ -389,12 +451,12 @@ object AnnIndex {
       try {
         val removed = cur.count() - keep.count()
         if (removed == 0) return 0L
-        val tmp = deletedDir(path).toString + "__new"
-        keep.write.mode("overwrite").parquet(tmp)
-        val old = Paths.get(deletedDir(path).toString + "__old")
-        Files.move(deletedDir(path), old)
-        Files.move(Paths.get(tmp), deletedDir(path))
-        deleteRecursively(old.toFile)
+        // four-step swap; crash at any point is healed by
+        // recoverDeleted (parquet's _SUCCESS marks __new committed)
+        keep.write.mode("overwrite").parquet(deletedNewDir(path).toString)
+        Files.move(deletedDir(path), deletedOldDir(path))
+        Files.move(deletedNewDir(path), deletedDir(path))
+        deleteRecursively(deletedOldDir(path).toFile)
         removed
       } finally keep.unpersist()
     } finally cur.unpersist()

@@ -57,14 +57,44 @@ object GraftExtensions {
     * sources take a different code path that stays silent — so the
     * noise is v2-specific log spam, not a graft defect (the
     * KvIndexRule reverse-DPP case WAS ours and is fixed at the source
-    * via `runtime.filtering=false`). Demoting this one logger to ERROR
-    * keeps driver artifacts' tails clean; real translation failures on
-    * the DML path surface as exceptions, not warns. */
+    * via `runtime.filtering=false`). Filtered by MESSAGE, scoped to
+    * this one logger: only the degenerate "Can't translate true …"
+    * line is dropped — every other WARN the class emits (real filter
+    * translation failures on other scans) still surfaces. */
   def quietDegenerateDppWarns(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      val name =
+        "org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy"
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val lc = {
+        val existing = cfg.getLoggerConfig(name)
+        if (existing.getName == name) existing
+        else {
+          // no config node for this logger yet: add an additive one
+          // (inherits level/appenders from the root) to hang the
+          // message filter on
+          val fresh = new LoggerConfig(name, null, true)
+          cfg.addLogger(name, fresh)
+          fresh
+        }
+      }
+      lc.addFilter(new org.apache.logging.log4j.core.filter.AbstractFilter {
+        import org.apache.logging.log4j.core.Filter.Result
+        override def filter(event: org.apache.logging.log4j.core.LogEvent)
+            : Result = {
+          val msg = event.getMessage
+          val text = if (msg == null) null else msg.getFormattedMessage
+          if (text != null && text.contains("Can't translate true to source filter"))
+            Result.DENY
+          else Result.NEUTRAL
+        }
+      })
+      ctx.updateLoggers()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

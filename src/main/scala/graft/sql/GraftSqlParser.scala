@@ -72,6 +72,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         keys,
         Option(ns).map(n => s"$n.$htable").getOrElse(htable),
         colMap, encoding)
+    // ALTER TABLE t ADD col type MAPPED BY (col=family.qualifier) —
+    // the reference's schema-evolution sugar (HBaseSQLParser.scala:
+    // 191-209): a metadata-only non-key column add, with the
+    // hbase-side mapping folded into the persisted mapped.cols
+    // property the CREATE form established
+    case GraftSqlParser.AlterAddMappedStmt(table, col, colType, mcol, fam, qual)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      require(mcol.equalsIgnoreCase(col),
+        s"ALTER TABLE…ADD…MAPPED BY: the mapping names '$mcol' but the " +
+          s"added column is '$col'")
+      GraftAlterAddMappedColCommand(table.replace("`", "").split('.').toSeq,
+        col, delegate.parseDataType(colType), s"$fam.$qual")
+    // ALTER TABLE t DROP col — the reference's COLUMN-less drop
+    // (HBaseSQLParser.scala:185-189); key columns are refused by the
+    // catalog, matching alterTableDropNonKey
+    case GraftSqlParser.AlterDropStmt(table, col)
+        if GraftSqlParser.targetsGraftCatalog(
+          table.replace("`", "").split('.').toSeq) =>
+      GraftAlterDropColCommand(table.replace("`", "").split('.').toSeq, col)
     // intercept ONLY when the target table resolves into a graft
     // catalog — Spark's own LOAD DATA (Hive-table file move) keeps its
     // stock semantics for every other catalog/table
@@ -186,12 +206,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "'<terms>' [USING <col>] [TOP <k>]; terms are " +
           "whitespace-separated words and must not contain quotes")
     // same loud-failure treatment for a CREATE…MAPPED BY the statement
-    // regex rejects — the Spark delegate can't parse MAPPED BY at all
-    case s if s.trim.matches("(?is)CREATE\\s.*\\bMAPPED\\s+BY\\b.*") =>
+    // regex rejects — the Spark delegate can't parse MAPPED BY at all.
+    // The keyword test runs on the literal/comment-masked text, so a
+    // valid CTAS whose string literal or comment merely MENTIONS
+    // "MAPPED BY" still delegates to Spark untouched
+    case s if GraftSqlParser.maskProtected(s).trim
+        .matches("(?is)CREATE\\s.*\\bMAPPED\\s+BY\\b.*") =>
       throw new IllegalArgumentException(
         "CREATE TABLE…MAPPED BY: malformed statement — expected " +
           "CREATE TABLE t(col type, …, PRIMARY KEY(k, …)) MAPPED BY " +
           "([ns.]htable, COLS=[col=family.qualifier, …]) [IN stringformat]")
+    case s if GraftSqlParser.maskProtected(s).trim
+        .matches("(?is)ALTER\\s.*\\bMAPPED\\s+BY\\b.*") =>
+      throw new IllegalArgumentException(
+        "ALTER TABLE…ADD…MAPPED BY: malformed statement (or the table " +
+          "is not in a graft catalog) — expected ALTER TABLE t ADD " +
+          "col type MAPPED BY (col=family.qualifier)")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -330,6 +360,24 @@ object GraftSqlParser {
       """\s*MAPPED\s+BY\s*\(\s*(?:(\w+)\s*\.\s*)?([\w]+)\s*,\s*COLS\s*=\s*\[(.*?)\]\s*\)""" +
       """(?:\s+IN\s+(\w+))?\s*;?\s*""").r
 
+  /** ALTER TABLE t ADD col type MAPPED BY (col=family.qualifier) — the
+    * reference's add-one-mapped-column form (HBaseSQLParser.scala:
+    * 191-209). The type group tolerates a parenthesized precision
+    * (DECIMAL(12,2), VARCHAR(10)). */
+  private[sql] val AlterAddMappedStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+(\w+)\s+""" +
+      """(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+""" +
+      """MAPPED\s+BY\s*\(\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*\)\s*;?\s*""").r
+
+  /** ALTER TABLE t DROP col — the reference's COLUMN-less drop
+    * (HBaseSQLParser.scala:185-189). Spark's own DROP COLUMN(S) /
+    * PARTITION / constraint forms are excluded so they keep their
+    * stock semantics. */
+  private[sql] val AlterDropStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+""" +
+      """(?!(?:COLUMNS?|PARTITION|IF|CONSTRAINT|PRIMARY|FOREIGN|CHECK)\b)""" +
+      """(\w+)\s*;?\s*""").r
+
   /** Split on commas NOT nested inside parentheses/brackets — the
     * column-def and COLS list separator. */
   private[sql] def splitTopLevel(s: String): Seq[String] = {
@@ -346,6 +394,47 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Index-preserving mask of a statement's protected spans: the
+    * CONTENTS of string literals ('…' and "…", honoring doubled-quote
+    * and backslash escapes), backtick identifiers, `--` line comments
+    * and bracketed block comments are blanked to spaces (the delimiter
+    * characters stay). Same length as the input, so regex match
+    * positions computed on the mask address the original text — the
+    * shared foundation for every keyword test and rewrite that must
+    * ignore quoted/commented content. */
+  private[sql] def maskProtected(sql: String): String = {
+    val a = sql.toCharArray
+    val n = a.length
+    var i = 0
+    while (i < n) {
+      a(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (a(i) == '\\' && q != '`' && i + 1 < n) {
+              a(i) = ' '; a(i + 1) = ' '; i += 2
+            } else if (a(i) == q) {
+              if (i + 1 < n && a(i + 1) == q) { a(i) = ' '; a(i + 1) = ' '; i += 2 }
+              else { closed = true; i += 1 }
+            } else { a(i) = ' '; i += 1 }
+          }
+        case '-' if i + 1 < n && a(i + 1) == '-' =>
+          while (i < n && a(i) != '\n') { a(i) = ' '; i += 1 }
+        case '/' if i + 1 < n && a(i + 1) == '*' =>
+          a(i) = ' '; a(i + 1) = ' '; i += 2
+          var open = true
+          while (i < n && open) {
+            if (i + 1 < n && a(i) == '*' && a(i + 1) == '/') {
+              a(i) = ' '; a(i + 1) = ' '; i += 2; open = false
+            } else { a(i) = ' '; i += 1 }
+          }
+        case _ => i += 1
+      }
+    }
+    new String(a)
+  }
+
   /** `APPROXIMATE [(rsd)] COUNT(DISTINCT expr)` →
     * `approx_count_distinct(expr[, rsd])` — the reference's 1.4-era
     * approximate-aggregate syntax (HBaseSQLQuerySuite.scala:299-309)
@@ -358,18 +447,27 @@ object GraftSqlParser {
 
   private[sql] def rewriteApproximate(sql: String): String = {
     if (!sql.toUpperCase.contains("APPROXIMATE")) return sql
-    // rewrite only OUTSIDE single-quoted literals: splitting on ' makes
-    // quoted content land in odd segments (SQL's doubled-quote escape
-    // produces empty segments, preserving the alternation), so a string
-    // literal mentioning APPROXIMATE COUNT(...) passes through verbatim
-    sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
-      if (i % 2 == 1) seg
-      else ApproximateRe.replaceAllIn(seg, m => scala.util.matching.Regex
-        .quoteReplacement(Option(m.group(1)) match {
-          case Some(rsd) => s"approx_count_distinct(${m.group(2)}, $rsd)"
-          case None => s"approx_count_distinct(${m.group(2)})"
-        }))
-    }.mkString("'")
+    // match on the MASKED text (literals in any quote style, backtick
+    // identifiers, and comments blanked — so quoted mentions never
+    // rewrite and parens inside literals never confuse the expr group),
+    // then splice replacements into the ORIGINAL by match position (the
+    // expr may legitimately contain a string literal the mask blanked)
+    val masked = maskProtected(sql)
+    val ms = ApproximateRe.findAllMatchIn(masked).toSeq
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      sb ++= sql.substring(last, m.start)
+      val expr = sql.substring(m.start(2), m.end(2))
+      sb ++= (Option(m.group(1)) match {
+        case Some(rsd) => s"approx_count_distinct($expr, $rsd)"
+        case None => s"approx_count_distinct($expr)"
+      })
+      last = m.end
+    }
+    sb ++= sql.substring(last)
+    sb.toString
   }
 
   /** SQL keyword inventory for shell completion — the reference derives
@@ -817,33 +915,7 @@ case class GraftCreateMappedTableCommand(table: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.connector.catalog.Identifier
     val (cat, rest) =
-      org.apache.spark.sql.graftbridge.catalogAndRest(spark, table) match {
-        case (c: graft.connector.GraftKvCatalog, r) => (c, r)
-        case _ =>
-          // bare table name and the current catalog isn't graft: fall
-          // back to the one registered GraftKvCatalog (ambiguity or
-          // absence both fail loudly with the registration hint)
-          val names = spark.conf.getAll.collect {
-            case (k, v) if k.startsWith("spark.sql.catalog.") &&
-              !k.stripPrefix("spark.sql.catalog.").contains('.') &&
-              v == classOf[graft.connector.GraftKvCatalog].getName =>
-              k.stripPrefix("spark.sql.catalog.")
-          }.toSeq.sorted
-          names match {
-            case Seq(one) =>
-              (org.apache.spark.sql.graftbridge.catalogByName(spark, one)
-                .asInstanceOf[graft.connector.GraftKvCatalog], table)
-            case Seq() => throw new IllegalArgumentException(
-              "CREATE TABLE…MAPPED BY needs a graftkv catalog: register " +
-                "one (spark.sql.catalog.<name> = " +
-                s"${classOf[graft.connector.GraftKvCatalog].getName}) or " +
-                "qualify the table name with it")
-            case many => throw new IllegalArgumentException(
-              s"CREATE TABLE…MAPPED BY: multiple graftkv catalogs " +
-                s"registered (${many.mkString(", ")}) — qualify the table " +
-                "name with one")
-          }
-      }
+      GraftMappedDdl.resolveGraftCatalog(spark, table, "CREATE TABLE…MAPPED BY")
     val ns =
       if (rest.length > 1) rest.dropRight(1).toArray else cat.defaultNamespace()
     val props = new java.util.HashMap[String, String]()
@@ -855,6 +927,99 @@ case class GraftCreateMappedTableCommand(table: Seq[String],
       colMap.map { case (c, fq) => s"$c:$fq" }.mkString(","))
     cat.createTable(Identifier.of(ns, rest.last), tableSchema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
+    Nil
+  }
+}
+
+/** Shared resolution for the reference's MAPPED BY DDL family: an
+  * explicit `catalog.ns.t` name wins; a bare reference-style name lands
+  * in the session's graft catalog — the current catalog if it is one,
+  * else the single registered one (ambiguity or absence fail loudly
+  * with the registration hint). */
+private[sql] object GraftMappedDdl {
+  def resolveGraftCatalog(spark: SparkSession, table: Seq[String],
+      what: String): (graft.connector.GraftKvCatalog, Seq[String]) =
+    org.apache.spark.sql.graftbridge.catalogAndRest(spark, table) match {
+      case (c: graft.connector.GraftKvCatalog, r) => (c, r)
+      case _ =>
+        val names = spark.conf.getAll.collect {
+          case (k, v) if k.startsWith("spark.sql.catalog.") &&
+            !k.stripPrefix("spark.sql.catalog.").contains('.') &&
+            v == classOf[graft.connector.GraftKvCatalog].getName =>
+            k.stripPrefix("spark.sql.catalog.")
+        }.toSeq.sorted
+        names match {
+          case Seq(one) =>
+            (org.apache.spark.sql.graftbridge.catalogByName(spark, one)
+              .asInstanceOf[graft.connector.GraftKvCatalog], table)
+          case Seq() => throw new IllegalArgumentException(
+            s"$what needs a graftkv catalog: register one " +
+              "(spark.sql.catalog.<name> = " +
+              s"${classOf[graft.connector.GraftKvCatalog].getName}) or " +
+              "qualify the table name with it")
+          case many => throw new IllegalArgumentException(
+            s"$what: multiple graftkv catalogs registered " +
+              s"(${many.mkString(", ")}) — qualify the table name with one")
+        }
+    }
+
+  def identOf(cat: graft.connector.GraftKvCatalog, rest: Seq[String])
+      : org.apache.spark.sql.connector.catalog.Identifier = {
+    val ns =
+      if (rest.length > 1) rest.dropRight(1).toArray else cat.defaultNamespace()
+    org.apache.spark.sql.connector.catalog.Identifier.of(ns, rest.last)
+  }
+}
+
+/** ALTER TABLE t ADD col type MAPPED BY (col=family.qualifier) —
+  * executable form of the reference's add-mapped-column DDL
+  * (reference execution/hbaseCommands.scala:56-74 alterTableAddNonKey):
+  * a metadata-only non-key column add through the graft catalog, with
+  * the hbase-side mapping appended to the persisted mapped.cols
+  * property so DESCRIBE keeps the full mapping story. */
+case class GraftAlterAddMappedColCommand(table: Seq[String], col: String,
+    colType: org.apache.spark.sql.types.DataType, familyQualifier: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val (cat, rest) =
+      GraftMappedDdl.resolveGraftCatalog(spark, table, "ALTER TABLE…MAPPED BY")
+    val ident = GraftMappedDdl.identOf(cat, rest)
+    val prev = Option(cat.loadTable(ident).properties()
+      .get(graft.connector.GraftKvMeta.MappedColsProp)).filter(_.nonEmpty)
+    val entry = s"$col:$familyQualifier" // ':' for '=' (meta value rule)
+    cat.alterTable(ident,
+      TableChange.addColumn(Array(col), colType, true),
+      TableChange.setProperty(graft.connector.GraftKvMeta.MappedColsProp,
+        prev.map(p => s"$p,$entry").getOrElse(entry)))
+    Nil
+  }
+}
+
+/** ALTER TABLE t DROP col — executable form of the reference's
+  * COLUMN-less drop (execution/hbaseCommands.scala:46-54
+  * alterTableDropNonKey): key columns are refused by the catalog; the
+  * column's mapped.cols entry is retired with it. */
+case class GraftAlterDropColCommand(table: Seq[String], col: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val (cat, rest) =
+      GraftMappedDdl.resolveGraftCatalog(spark, table, "ALTER TABLE…DROP")
+    val ident = GraftMappedDdl.identOf(cat, rest)
+    val prop = graft.connector.GraftKvMeta.MappedColsProp
+    val prev = Option(cat.loadTable(ident).properties().get(prop))
+      .filter(_.nonEmpty)
+    val remaining = prev.map(_.split(',').toSeq
+      .filterNot(_.startsWith(s"$col:")).mkString(","))
+    val mapChange: Seq[TableChange] = remaining match {
+      case Some("") => Seq(TableChange.removeProperty(prop))
+      case Some(m) if prev.contains(m) => Nil // column was never mapped
+      case Some(m) => Seq(TableChange.setProperty(prop, m))
+      case None => Nil
+    }
+    cat.alterTable(ident,
+      (TableChange.deleteColumn(Array(col), false) +: mapChange): _*)
     Nil
   }
 }

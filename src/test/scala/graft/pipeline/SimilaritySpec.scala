@@ -430,6 +430,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(AnnDriftStatsProbe.deletedTrips())
     back.unpersist(); emb.unpersist()
   }
+
+  test("AnnIndex tombstones: sidecar stays bounded under replays;" +
+      " a crashed swap heals on read") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(60).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = JFiles.createTempDirectory("ann_del_bound").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 4)
+    val victims = emb.filter($"vec_id" % 7 === 3).select("vec_id")
+    val nVictims = victims.count()
+    val deleted = JPaths.get(dir, "_deleted")
+    def sidecarRows(): Long = spark.read.parquet(deleted.toString).count()
+
+    // the sidecar holds exactly the dead rows — a replayed delete, a
+    // delete of absent ids, and a mixed batch all leave it unchanged
+    // (pre-fix it grew by the full request every call while
+    // deletedFraction stayed flat, unbounding the broadcast anti-join)
+    AnnIndex.delete(spark, dir, victims)
+    assert(sidecarRows() == nVictims)
+    AnnIndex.delete(spark, dir, victims) // replay
+    assert(sidecarRows() == nVictims)
+    AnnIndex.deleteIds(spark, dir, Seq(999999L, 888888L)) // absent ids
+    assert(sidecarRows() == nVictims)
+    AnnIndex.delete(spark, dir,
+      victims.union(spark.range(777777L, 777780L).select($"id".as("vec_id"))))
+    assert(sidecarRows() == nVictims)
+    // absent-id deletes against a tombstone-free index create nothing
+    val dir2 = JFiles.createTempDirectory("ann_del_none").toString + "/idx"
+    AnnIndex.build(emb, dir2, dim = dim, nPlanes = 16, nCentroids = 4)
+    AnnIndex.deleteIds(spark, dir2, Seq(424242L))
+    assert(!AnnIndex.hasDeleted(dir2))
+
+    // crash between swap steps (2) and (3): live dir moved away, the
+    // committed __new never moved in — pre-fix hasDeleted()==false and
+    // every tombstoned vector silently resurfaced. Recovery must roll
+    // the swap forward on the next read.
+    val nw = JPaths.get(dir, "_deleted__new")
+    val old = JPaths.get(dir, "_deleted__old")
+    spark.read.parquet(deleted.toString).limit(2).write
+      .mode("overwrite").parquet(nw.toString)
+    assert(JFiles.exists(nw.resolve("_SUCCESS")))
+    JFiles.move(deleted, old)
+    assert(AnnIndex.hasDeleted(dir), "committed __new must roll forward")
+    assert(!JFiles.isDirectory(old) && !JFiles.isDirectory(nw))
+    assert(sidecarRows() == 2)
+
+    // crash during step (1): __new has no _SUCCESS — the old list stays
+    // authoritative and the orphan is dropped
+    JFiles.move(deleted, old)
+    JFiles.createDirectory(nw) // incomplete rewrite (no _SUCCESS)
+    assert(AnnIndex.hasDeleted(dir), "incomplete __new must roll back")
+    assert(sidecarRows() == 2)
+    assert(!JFiles.isDirectory(old) && !JFiles.isDirectory(nw))
+
+    // crash after step (3): stray __old next to a live dir is dropped
+    spark.read.parquet(deleted.toString).limit(1).write
+      .mode("overwrite").parquet(old.toString)
+    assert(AnnIndex.hasDeleted(dir))
+    assert(!JFiles.isDirectory(old))
+    assert(sidecarRows() == 2)
+    emb.unpersist()
+  }
 }
 
 /** Pure-ledger check kept out of the Spark test body. */

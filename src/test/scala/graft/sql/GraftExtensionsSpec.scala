@@ -134,6 +134,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val lit = spark.sql(
       "SELECT 'APPROXIMATE COUNT(DISTINCT a)' AS s").head().getString(0)
     assert(lit == "APPROXIMATE COUNT(DISTINCT a)")
+    // a DOUBLE-quoted literal containing an apostrophe used to flip the
+    // single-quote parity tracker and kill the rewrite after it
+    val dq = spark.sql(
+      "SELECT \"don't\" AS s, APPROXIMATE COUNT(DISTINCT a) AS c FROM apx_v")
+      .head()
+    assert(dq.getString(0) == "don't" && dq.getLong(1) == modern)
+    // comments are masked too (even with an unbalanced quote inside)
+    val cm = spark.sql(
+      "SELECT APPROXIMATE COUNT(DISTINCT a) AS c " +
+        "-- don't APPROXIMATE COUNT(DISTINCT b)\nFROM apx_v").head().getLong(0)
+    assert(cm == modern)
+  }
+
+  test("maskProtected blanks literals, backtick identifiers, and comments") {
+    import graft.sql.GraftSqlParser.maskProtected
+    // index-preserving: same length, delimiters kept, contents blanked
+    assert(maskProtected("SELECT 'a(b' AS x") == "SELECT '   ' AS x")
+    assert(maskProtected("SELECT \"do''n't\" , y") == "SELECT \"       \" , y")
+    assert(maskProtected("SELECT `we``ird` FROM t") == "SELECT `       ` FROM t")
+    val lineComment = maskProtected("a -- tail 'q\nb")
+    assert(lineComment.length == 14 && lineComment.startsWith("a ") &&
+      lineComment.endsWith("\nb") && !lineComment.contains("'"))
+    assert(maskProtected("x /* 'y */ z") == "x          z")
+    // doubled-quote escape stays inside the literal
+    assert(maskProtected("'it''s' z") == "'     ' z")
+    // backslash escape
+    assert(maskProtected("'it\\'s' z") == "'     ' z")
+  }
+
+  test("a CREATE statement merely MENTIONING 'MAPPED BY' in a literal delegates to Spark") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mb_lit AS " +
+      "SELECT 'CREATE TABLE x MAPPED BY (y)' AS s")
+    assert(spark.sql("SELECT s FROM mb_lit").head().getString(0)
+      .contains("MAPPED BY"))
+    spark.sql("DROP VIEW mb_lit")
   }
 
   test("CREATE TABLE … MAPPED BY runs the reference DDL text end-to-end") {
@@ -192,6 +227,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("CREATE TABLE x (a INT) MAPPED BY nonsense")
       }
       assert(mal.getMessage.contains("MAPPED BY"))
+
+      // ALTER…MAPPED BY (reference HBaseSQLParser.scala:185-209): add a
+      // mapped non-key column — existing rows read null, new writes
+      // carry it, and the mapping property extends
+      spark.sql("ALTER TABLE teacher ADD teacher_mail STRING " +
+        "MAPPED BY (teacher_mail=cf.c)")
+      val props3 = spark.sql("SHOW TBLPROPERTIES teacher").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props3(graft.connector.GraftKvMeta.MappedColsProp) ==
+        "teacher_name:cf.a,teacher_age:cf.b,teacher_mail:cf.c")
+      spark.sql("INSERT INTO teacher VALUES " +
+        "(2, 5, 'bio', 'carol', 28, 'carol@x')")
+      assert(spark.sql("SELECT teacher_mail FROM teacher WHERE grade = 2")
+        .head().getString(0) == "carol@x")
+      assert(spark.sql("SELECT teacher_mail FROM teacher WHERE grade = 1 " +
+        "AND class = 2 AND subject = 'math'").head().isNullAt(0))
+      // the reference's COLUMN-less DROP retires the column + mapping
+      spark.sql("ALTER TABLE teacher DROP teacher_mail")
+      assert(!spark.table("teacher").columns.contains("teacher_mail"))
+      val props4 = spark.sql("SHOW TBLPROPERTIES teacher").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props4(graft.connector.GraftKvMeta.MappedColsProp) ==
+        "teacher_name:cf.a,teacher_age:cf.b")
+      // error parity with alterTableDropNonKey: key columns refuse
+      val kerr = intercept[Exception] {
+        spark.sql("ALTER TABLE teacher DROP grade")
+      }
+      assert(kerr.getMessage.contains("key column"))
+      // a mapping that names a different column than the added one
+      val merr = intercept[Exception] {
+        spark.sql("ALTER TABLE teacher ADD xcol INT MAPPED BY (ycol=f.q)")
+      }
+      assert(merr.getMessage.contains("MAPPED BY"))
     } finally {
       spark.catalog.setCurrentCatalog("spark_catalog")
       spark.conf.unset("spark.sql.catalog.graftm")
