@@ -688,9 +688,31 @@ object Relational {
 
     // partition-local sort (reference T2 SORT BY) — order depends on the
     // partitioning, so no cross-engine oracle; pinned by plan/count only
-    QuerySpec.rowsOnly("t5_sort_within_partitions") { (s, d) =>
-      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+    // intra-partition order has no ANSI restatement (the layout is the
+    // point), so the checked form states the conservation laws + the
+    // order itself: row/key totals match the corpus and every
+    // partition is verified monotone INSIDE its task (round 13 —
+    // formerly rows-only)
+    QuerySpec.checked("t5_sort_within_partitions",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  true AS sorted_ok FROM orders""") { (s, d) =>
+      import s.implicits._
+      val sorted = t(s, d, "orders").select("o_orderkey", "o_totalprice")
         .sortWithinPartitions("o_orderkey")
+      sorted.select(col("o_orderkey")).as[Long]
+        .mapPartitions { it =>
+          var n = 0L; var ksum = 0L; var ok = true; var prev = Long.MinValue
+          it.foreach { k =>
+            if (k < prev) ok = false
+            prev = k; n += 1; ksum += k
+          }
+          Iterator((n, ksum, ok))
+        }
+        .toDF("n", "ksum", "ok")
+        .agg(sum("n").cast("long").as("n_rows"),
+          sum("ksum").cast("long").as("key_sum"),
+          coalesce(min("ok"), lit(true)).as("sorted_ok"))
     },
 
     // ── §2.5 windows (engine capability beyond reference parity) ─────────

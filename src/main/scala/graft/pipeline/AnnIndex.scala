@@ -73,24 +73,33 @@ object AnnIndex {
     centroids
   }
 
+  /** The centroid matrix as ONE nested array literal + the per-row
+    * cosine list via `transform` — O(nCentroids × dim) expression
+    * nodes total. The previous argmax (a greatest + when-chain where
+    * every branch re-embedded every cosine) duplicated each centroid
+    * expression ~nCentroids times: O(nCentroids² × dim) nodes, a
+    * 70 MB task binary and an executor OOM at 64 centroids — a hard
+    * ceiling on cell count that a 100 TB index (thousands of cells)
+    * cannot live with. */
+  private def centroidSims(centroids: Array[Array[Double]], v: Column): Column =
+    transform(
+      array(centroids.map(c => array(c.map(x => lit(x)): _*)): _*),
+      c => Similarity.cosine(v, c))
+
   /** Nearest-cell assignment as column algebra (argmax over centroid
-    * cosines) — distributes and codegens; no UDF on the build path. */
+    * cosines) — distributes and codegens; no UDF on the build path.
+    * Ties resolve to the smallest index (array_position finds the
+    * first match), matching the previous fold's semantics. */
   def nearestCell(centroids: Array[Array[Double]], v: Column): Column = {
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      (i, Similarity.cosine(v, array(c.map(x => lit(x)): _*)))
-    }
-    val best = greatest(sims.map(_._2): _*)
-    sims.reverse.foldLeft(lit(-1)) { case (acc, (i, s)) =>
-      when(s === best, lit(i)).otherwise(acc)
-    }
+    val sims = centroidSims(centroids, v)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
   /** Cosine of a vector to its assigned (nearest) centroid — the
     * per-row "how well does the clustering fit this vector" signal the
     * drift accounting aggregates. */
   def assignCos(centroids: Array[Array[Double]], v: Column): Column =
-    greatest(centroids.map(c =>
-      Similarity.cosine(v, array(c.map(x => lit(x)): _*))): _*)
+    array_max(centroidSims(centroids, v))
 
   // ── drift accounting ───────────────────────────────────────────────────
   // `append` never re-clusters, so probe RECALL erodes as the corpus

@@ -318,6 +318,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("window on the kv key order stays Exchange-free and parallel at 10x segments") {
+    // the sf1-shaped fixture (round 13): same shuffle-free window, an
+    // order of magnitude more segments. Round 12 suspected the
+    // KeyGroupedPartitioning path "degrades in partition granularity or
+    // sort behavior at 10x segment count" — measurement showed flat
+    // scaling (kv36 sf1 0.36 s vs sf0.1 0.24 s steady-state; the 31x
+    // bench row was end-of-run machine contention, now attributable via
+    // the bench's per-section calibration stamps). This pins the plan:
+    // no Exchange, no Sort, and scan parallelism that TRACKS the
+    // segment count instead of collapsing.
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val dir = java.nio.file.Files.createTempDirectory("kv_win10x").toString + "/t"
+    spark.range(40000)
+      .select(expr("id div 4").as("k"), (col("id") % 4).cast("int").as("s"),
+        (col("id") % 100).cast("double").as("v"))
+      .write.format("graftkv").option("key", "k,s")
+      .option("segment.maxBytes", "32768")
+      .mode("overwrite").save(dir)
+    val segs = graft.store.SegmentFile.listSegments(dir).length
+    assert(segs >= 15, s"fixture built only $segs segments")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("s")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val df = graft.connector.KvCommands.table(spark, dir)
+      .select(col("k"), col("s"), sum("v").over(w).as("run_v"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2500))
+    assert(!"(?m)^[\\s:+|-]*Sort ".r.findFirstIn(plan).isDefined, plan.take(2500))
+    // parallelism ~ segments (disjoint bulk-loaded table: one partition
+    // per segment), never a handful of merged mega-partitions
+    val parts = df.rdd.getNumPartitions
+    assert(parts >= segs / 2,
+      s"window plan collapsed to $parts partitions over $segs segments")
+  }
+
   test("kv self-join on the lead key is storage-partitioned (no shuffle)") {
     // the reference's co-located HBase-HBase join (two region scans with
     // matching boundaries zip partition-wise); here two scans of the
