@@ -1397,6 +1397,27 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Deterministic epoch shuffle + sharding: reproducible pseudo-random
+    // epoch order split into loader-addressable shards. The affine-mod-p
+    // shuffle key is pure 64-bit modular arithmetic, so DuckDB
+    // re-derives key, shard, AND in-shard position verbatim — the whole
+    // permutation is oracle-exact, not just its row count.
+    QuerySpec.checked("cu9_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007) * 2654435761 + 7 * 40503) % 1000000007 AS sk
+        |  FROM documents)
+        |SELECT doc_id, sk AS shuffle_key,
+        |  CAST(sk % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id)
+        |    AS BIGINT) - 1 AS pos_in_shard
+        |FROM h ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Curation.epochShuffle(
+        t(s, d, "documents"), nShards = 8, seed = 7L)
+        .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
+        .orderBy("doc_id")
+    },
+
     // Target-mixture resampling: re-balance sources to spec proportions
     // with the largest downsample-only plan — the binding stratum (the
     // one the target stretches furthest) keeps EVERYTHING (an exact,

@@ -19,6 +19,37 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Deterministic epoch shuffle + shard assignment — the step between
+    * "curated corpus" and "training shards": every epoch must read the
+    * corpus in a pseudo-random but REPRODUCIBLE order, split into N
+    * shards a loader can consume independently. The shuffle key is a
+    * seeded affine hash in pure 64-bit modular arithmetic,
+    * `((id mod p) * 2654435761 + seed * 40503) mod p` with
+    * p = 1e9+7: staged `mod p` keeps every intermediate below 2^63 at
+    * ANY id scale (ANSI-overflow-safe), and the same arithmetic is
+    * exact in any engine — the gate re-derives shard and position in
+    * SQL verbatim, no engine-specific hash. Shard = key mod nShards;
+    * position = rank within the shard (a PARTITIONED window — one
+    * shuffle on the shard column, each shard sorts independently, so
+    * the plan is shard-parallel at any corpus size). Ids ≥ p collide
+    * onto the same key; `idCol` tie-breaks, keeping the order total
+    * and deterministic. Write shards with
+    * `.repartition(col("shard")).write.partitionBy("shard")` — one
+    * directory per shard, loader-addressable. */
+  def epochShuffle(docs: DataFrame, nShards: Int, seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val p = 1000000007L
+    val key = pmod(
+      pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L) +
+        lit(seed % p) * lit(40503L), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    docs.withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Keep the `k` highest-quality documents per group (e.g. language or
     * source domain): the standard per-stratum quality filter. Rank by
     * `scoreCol` descending with `idCol` as the deterministic tie-break.

@@ -23,6 +23,40 @@ class CurationSpec extends AnyFunSuite {
     assert(top2 == Set(("en", 2L, 1), ("en", 3L, 2), ("de", 6L, 1), ("de", 5L, 2)))
   }
 
+  test("epochShuffle: reproducible permutation, complete shards, seed varies order") {
+    val docs = spark.range(0, 3000).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id")).as("text"))
+    val e1 = Curation.epochShuffle(docs, nShards = 8, seed = 3L)
+      .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
+    val e2 = Curation.epochShuffle(docs, nShards = 8, seed = 3L)
+      .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
+    // deterministic: same seed, same full assignment
+    assert(e1.collect().map(_.toSeq).toSet == e2.collect().map(_.toSeq).toSet)
+    val rows = e1.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // every doc exactly once
+    assert(rows.map(_._1).toSet == (0L until 3000L).toSet)
+    // positions are 0..count-1 contiguous within each shard
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // shards are roughly balanced (affine-mod-p spreads a dense id range)
+    val sizes = rows.groupBy(_._3).values.map(_.length)
+    assert(sizes.size == 8 && sizes.min > 3000 / 8 / 2, sizes.toSeq.toString)
+    // a different seed produces a genuinely different order
+    val e3 = Curation.epochShuffle(docs, nShards = 8, seed = 4L)
+      .select("doc_id", "shard", "pos_in_shard").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val moved = rows.count { case (id, _, sh, pos) => e3(id) != ((sh, pos)) }
+    assert(moved > 2000, s"seed change moved only $moved docs")
+    // ids beyond the modulus still shuffle totally (tie-broken by id)
+    val big = spark.range(0, 100)
+      .select((col("id") * 1000000007L * 4 + col("id")).as("doc_id"))
+    val eb = Curation.epochShuffle(big, nShards = 4, seed = 0L).collect()
+    assert(eb.length == 100)
+  }
+
   test("stratifiedSample is seed-deterministic and drops absent strata") {
     val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
       when(col("id") % 2 === 0, "en").otherwise("zh").as("lang"))
