@@ -183,6 +183,14 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
         val n = d.fieldNames()(0)
         if (m.keys.contains(n))
           throw new UnsupportedOperationException(s"cannot drop key column $n")
+        // same hygiene for z-order dimensions: the stored _z interleave
+        // and every future append/prune derive from this column — a
+        // dangling zorder spec would silently disable z pruning and
+        // break appends
+        if (m.zorder.exists(_.name == n))
+          throw new UnsupportedOperationException(
+            s"cannot drop z-order dimension column $n (re-create the " +
+              "table without it in ZORDER BY)")
         if (!s.fieldNames.contains(n))
           throw new IllegalArgumentException(s"no such column $n")
         s = StructType(s.fields.filterNot(_.name == n))

@@ -340,7 +340,30 @@ object AnnIndex {
     * [[hasDeleted]], which rolls the swap forward (complete `__new`)
     * or back (incomplete `__new` → the old list stays authoritative)
     * before answering. Single-maintainer, like all index maintenance. */
-  private def recoverDeleted(path: String): Unit = {
+  /** Per-index lock: recovery (which every READ path runs) and the
+    * maintenance swap serialize within the JVM, so a probe racing an
+    * append's un-tombstone can never half-apply the swap under the
+    * maintainer's feet. Cross-process, the single-maintainer contract
+    * covers writers; a reader in another process racing the swap is
+    * additionally tolerated by [[moveQuiet]] (a move that lost the
+    * race is a no-op, and the final state is re-checked). */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Move that tolerates losing a cross-process race: false when the
+    * source vanished or the target appeared first — the state machine
+    * re-evaluates instead of failing the query. */
+  private def moveQuiet(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Boolean =
+    try { Files.move(src, dst); true }
+    catch {
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  private def recoverDeleted(path: String): Unit = lockFor(path).synchronized {
     val live = deletedDir(path)
     val nw = deletedNewDir(path)
     val old = deletedOldDir(path)
@@ -354,9 +377,10 @@ object AnnIndex {
         // swap never began — finish it (it encodes an un-tombstone an
         // append already relies on); an incomplete __new never happened
         if (complete(nw)) {
-          Files.move(live, old)
-          Files.move(nw, live)
-          deleteRecursively(old.toFile)
+          if (moveQuiet(live, old)) {
+            if (moveQuiet(nw, live)) deleteRecursively(old.toFile)
+            else moveQuiet(old, live): Unit // lost a race — restore
+          }
         } else deleteRecursively(nw.toFile)
       }
     } else {
@@ -364,10 +388,9 @@ object AnnIndex {
         // crash between (2) and (3): roll forward when __new committed,
         // back to the old list otherwise
         if (Files.isDirectory(nw) && complete(nw)) {
-          Files.move(nw, live)
-          deleteRecursively(old.toFile)
+          if (moveQuiet(nw, live)) deleteRecursively(old.toFile)
         } else {
-          Files.move(old, live)
+          moveQuiet(old, live)
           if (Files.isDirectory(nw)) deleteRecursively(nw.toFile)
         }
       } else if (Files.isDirectory(nw)) {
@@ -461,11 +484,27 @@ object AnnIndex {
         val removed = cur.count() - keep.count()
         if (removed == 0) return 0L
         // four-step swap; crash at any point is healed by
-        // recoverDeleted (parquet's _SUCCESS marks __new committed)
+        // recoverDeleted (parquet's _SUCCESS marks __new committed).
+        // The swap holds the same per-index lock recovery takes, so an
+        // in-JVM probe can never interleave; a cross-process reader's
+        // recovery losing/winning a move is tolerated, with the final
+        // state verified.
         keep.write.mode("overwrite").parquet(deletedNewDir(path).toString)
-        Files.move(deletedDir(path), deletedOldDir(path))
-        Files.move(deletedNewDir(path), deletedDir(path))
-        deleteRecursively(deletedOldDir(path).toFile)
+        lockFor(path).synchronized {
+          // __new already gone = a racing reader's recovery completed
+          // the swap for us; otherwise perform it, restoring the old
+          // list if the forward move loses a cross-process race
+          if (Files.isDirectory(deletedNewDir(path))) {
+            if (moveQuiet(deletedDir(path), deletedOldDir(path)) &&
+              !moveQuiet(deletedNewDir(path), deletedDir(path)))
+              moveQuiet(deletedOldDir(path), deletedDir(path)): Unit
+          }
+          if (Files.isDirectory(deletedOldDir(path)) &&
+            Files.isDirectory(deletedDir(path)))
+            deleteRecursively(deletedOldDir(path).toFile)
+          require(Files.isDirectory(deletedDir(path)),
+            s"tombstone swap left no live _deleted dir under $path")
+        }
         removed
       } finally keep.unpersist()
     } finally cur.unpersist()

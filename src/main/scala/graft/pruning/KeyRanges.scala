@@ -88,14 +88,21 @@ object KeyRanges {
 
   /** Numeric distance between two NORMALIZED values, for gap-driven
     * coalescing; None for types with no usable measure (strings,
-    * binary), which fall back to equal-count runs. */
+    * binary), which fall back to equal-count runs. Integral distances
+    * subtract in DOUBLE: raw Long/Int subtraction wraps for values
+    * spanning more than half the type's domain, and a wrapped
+    * (negative) inter-cluster gap would sort LAST — every split would
+    * land inside the dense runs and the biggest gap would never be
+    * cut, silently reintroducing the [min,max] cliff. Double precision
+    * loss at huge magnitudes only blurs the RANKING of near-equal
+    * gaps, never the sign. */
   private def gapMeasure(dt: DataType): Option[(Any, Any) => Double] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
-        Some((a, b) => (b.asInstanceOf[Long] - a.asInstanceOf[Long]).toDouble)
+        Some((a, b) => b.asInstanceOf[Long].toDouble - a.asInstanceOf[Long].toDouble)
       case IntegerType | DateType =>
-        Some((a, b) => (b.asInstanceOf[Int] - a.asInstanceOf[Int]).toDouble)
+        Some((a, b) => b.asInstanceOf[Int].toDouble - a.asInstanceOf[Int].toDouble)
       case ShortType =>
         Some((a, b) => (b.asInstanceOf[Short] - a.asInstanceOf[Short]).toDouble)
       case ByteType =>
@@ -103,7 +110,7 @@ object KeyRanges {
       case DoubleType =>
         Some((a, b) => b.asInstanceOf[Double] - a.asInstanceOf[Double])
       case FloatType =>
-        Some((a, b) => (b.asInstanceOf[Float] - a.asInstanceOf[Float]).toDouble)
+        Some((a, b) => b.asInstanceOf[Float].toDouble - a.asInstanceOf[Float].toDouble)
       case _: DecimalType =>
         Some((a, b) => b.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toBigDecimal.-(a.asInstanceOf[org.apache.spark.sql.types.Decimal]

@@ -422,11 +422,15 @@ object GraftSqlParser {
         case '-' if i + 1 < n && a(i + 1) == '-' =>
           while (i < n && a(i) != '\n') { a(i) = ' '; i += 1 }
         case '/' if i + 1 < n && a(i + 1) == '*' =>
+          // Spark's lexer NESTS bracketed comments (SPARK-28880):
+          // depth-track so the tail of a nested comment stays masked
           a(i) = ' '; a(i + 1) = ' '; i += 2
-          var open = true
-          while (i < n && open) {
+          var depth = 1
+          while (i < n && depth > 0) {
             if (i + 1 < n && a(i) == '*' && a(i + 1) == '/') {
-              a(i) = ' '; a(i + 1) = ' '; i += 2; open = false
+              a(i) = ' '; a(i + 1) = ' '; i += 2; depth -= 1
+            } else if (i + 1 < n && a(i) == '/' && a(i + 1) == '*') {
+              a(i) = ' '; a(i + 1) = ' '; i += 2; depth += 1
             } else { a(i) = ' '; i += 1 }
           }
         case _ => i += 1

@@ -253,6 +253,16 @@ class KvCatalogSpec extends AnyFunSuite {
     // the health summary reflects the new clustering
     val dd = spark.sql("DESCRIBE DETAIL graft.zo.t").head()
     assert(dd.getString(dd.fieldIndex("zorder_dims")) == "a, b")
+    // dropping a z-order dimension is refused — in this layout the dims
+    // joined the composite key ((_z, a, b)), so the key guard fires; the
+    // catalog ALSO guards zorder-spec columns directly, defense-in-depth
+    // for any layout where a z-dim is not a key (a dangling zorder spec
+    // would silently disable z pruning and break _z-deriving appends)
+    val zErr = intercept[Exception](
+      spark.sql("ALTER TABLE graft.zo.t DROP COLUMN a"))
+    assert(zErr.getMessage.contains("key column") ||
+      zErr.getMessage.contains("z-order dimension"), zErr.getMessage)
+    assert(spark.table("graft.zo.t").columns.contains("a"))
     // one converter at a time: a held maintenance lease refuses a second
     val loc = dd.getString(dd.fieldIndex("location"))
     val lease = KvMaintenance.acquire(loc).get

@@ -20,6 +20,18 @@ class KeyRangesSpec extends AnyFunSuite {
     assert(kr.his.toSeq == Seq(99L, 100099L))
   }
 
+  test("gaps spanning more than half the Long domain still split (no subtraction wrap)") {
+    // raw Long subtraction would wrap negative here, ranking the
+    // domain-wide gap as the SMALLEST — the splits would all land in
+    // the dense runs and one range would span the whole domain
+    val vals: Seq[Any] =
+      (0L until 100L).map(Long.MinValue + _) ++ (0L until 100L).map(Long.MaxValue - _)
+    val kr = KeyRanges.coalesce("k", LongType, vals, maxRanges = 2).get
+    assert(kr.los.length == 2)
+    assert(kr.his.toSeq(0) == Long.MinValue + 99L, kr.his.toSeq.toString)
+    assert(kr.los.toSeq(1) == Long.MaxValue - 99L, kr.los.toSeq.toString)
+  }
+
   test("a dense integer run collapses to one exact range at any cap") {
     val kr = KeyRanges.coalesce("k", LongType, (5L to 5000L), maxRanges = 3).get
     // largest gaps inside a dense run are all 1 — splits land somewhere,

@@ -157,6 +157,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(lineComment.length == 14 && lineComment.startsWith("a ") &&
       lineComment.endsWith("\nb") && !lineComment.contains("'"))
     assert(maskProtected("x /* 'y */ z") == "x          z")
+    // nested bracketed comments (SPARK-28880): the tail stays masked
+    val nested = maskProtected("a /* x /* y */ z */ b")
+    assert(nested == "a " + (" " * 17) + " b", s"[$nested]")
     // doubled-quote escape stays inside the literal
     assert(maskProtected("'it''s' z") == "'     ' z")
     // backslash escape
