@@ -129,6 +129,42 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(scan.runtimePartitionCount.contains(after.length))
   }
 
+  test("randomized: runtime-IN pruning never loses a matching row (In and range paths)") {
+    // the one invariant pruning must never break: every row whose key
+    // survives the dim filter is still returned by the pruned scan.
+    // Survivor counts straddle the 1024 cap, so both the exact-In path
+    // and the coalesced-KeyRanges path are exercised, on mixed
+    // clustered + scattered key sets (fixed seed — deterministic).
+    val path = tmpDir("fuzz") + "/t"
+    val n = 30000L
+    spark.range(n).select(col("id").as("k"), (col("id") % 17).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    val meta = GraftKvMeta.read(path).get
+    val rnd = new scala.util.Random(20260815L)
+    for (nVals <- Seq(60, 900, 1200, 3000, 9000)) {
+      val base = rnd.nextInt(20000)
+      val clustered = (0 until nVals / 2).map(i => (base + i).toLong)
+      val scattered = (0 until nVals - nVals / 2)
+        .map(_ => math.abs(rnd.nextLong()) % n)
+      val vals = (clustered ++ scattered).distinct.filter(_ < n)
+      val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+        Array.empty, -1, meta.encoding)
+      scan.filter(Array(v2In("k", vals: _*)))
+      val fac = scan.createReaderFactory()
+      val got = scala.collection.mutable.HashSet.empty[Long]
+      scan.planInputPartitions().foreach { p =>
+        val r = fac.createReader(p).asInstanceOf[GraftKvPartitionReader]
+        while (r.next()) got += r.get().getLong(0)
+        r.close()
+      }
+      val missing = vals.toSet.diff(got)
+      assert(missing.isEmpty,
+        s"nVals=$nVals (${vals.length} distinct) lost ${missing.size} " +
+          s"matching keys, e.g. ${missing.take(5)}")
+    }
+  }
+
   test("a runtime IN on a zone-mapped VALUE column prunes segments, component-safely") {
     val path = tmpDir("valzone") + "/t"
     // v correlates with the key order (v = k / 5000): each lead-disjoint
