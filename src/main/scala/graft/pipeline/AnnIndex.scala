@@ -92,7 +92,10 @@ object AnnIndex {
     * first match), matching the previous fold's semantics. */
   def nearestCell(centroids: Array[Array[Double]], v: Column): Column = {
     val sims = centroidSims(centroids, v)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+    // -1 sentinel for a row with no computable similarity (null
+    // embedding / null elements) — the old fold's seed value, kept so
+    // such rows land in cell=-1 on disk, never the null partition
+    coalesce((array_position(sims, array_max(sims)) - 1).cast("int"), lit(-1))
   }
 
   /** Cosine of a vector to its assigned (nearest) centroid — the
@@ -341,16 +344,22 @@ object AnnIndex {
     * or back (incomplete `__new` → the old list stays authoritative)
     * before answering. Single-maintainer, like all index maintenance. */
   /** Per-index lock: recovery (which every READ path runs) and the
-    * maintenance swap serialize within the JVM, so a probe racing an
-    * append's un-tombstone can never half-apply the swap under the
-    * maintainer's feet. Cross-process, the single-maintainer contract
-    * covers writers; a reader in another process racing the swap is
-    * additionally tolerated by [[moveQuiet]] (a move that lost the
-    * race is a no-op, and the final state is re-checked). */
-  private val pathLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(path: String): Object =
-    pathLocks.computeIfAbsent(path, _ => new Object)
+    * maintenance rewrite-and-swap serialize within the JVM, so a probe
+    * racing an append's un-tombstone can never half-apply the swap —
+    * or purge the in-flight `__new` — under the maintainer's feet.
+    * Cross-process, the single-maintainer contract covers writers; a
+    * reader in another process racing the swap is additionally
+    * tolerated by [[moveQuiet]] plus a bounded re-check. Keys
+    * normalize to the absolute path (two spellings of one index must
+    * share the lock) and values are weak, so locks for abandoned index
+    * paths are collectable instead of accumulating for the JVM's
+    * lifetime. */
+  private val pathLocks = com.google.common.cache.CacheBuilder.newBuilder()
+    .weakValues().build[String, Object]()
+  private def lockFor(path: String): Object = {
+    val key = Paths.get(path).toAbsolutePath.normalize.toString
+    pathLocks.get(key, () => new Object)
+  }
 
   /** Move that tolerates losing a cross-process race: false when the
     * source vanished or the target appeared first — the state machine
@@ -483,14 +492,15 @@ object AnnIndex {
       try {
         val removed = cur.count() - keep.count()
         if (removed == 0) return 0L
-        // four-step swap; crash at any point is healed by
-        // recoverDeleted (parquet's _SUCCESS marks __new committed).
-        // The swap holds the same per-index lock recovery takes, so an
-        // in-JVM probe can never interleave; a cross-process reader's
+        // rewrite + four-step swap UNDER the per-index lock — the
+        // `__new` write itself must be covered, or an in-JVM probe's
+        // recovery could purge the incomplete directory mid-write.
+        // Crash at any point is healed by recoverDeleted (parquet's
+        // _SUCCESS marks __new committed); a cross-process reader's
         // recovery losing/winning a move is tolerated, with the final
-        // state verified.
-        keep.write.mode("overwrite").parquet(deletedNewDir(path).toString)
+        // state re-checked for a bounded window before failing.
         lockFor(path).synchronized {
+          keep.write.mode("overwrite").parquet(deletedNewDir(path).toString)
           // __new already gone = a racing reader's recovery completed
           // the swap for us; otherwise perform it, restoring the old
           // list if the forward move loses a cross-process race
@@ -502,6 +512,17 @@ object AnnIndex {
           if (Files.isDirectory(deletedOldDir(path)) &&
             Files.isDirectory(deletedDir(path)))
             deleteRecursively(deletedOldDir(path).toFile)
+          // a cross-process reader may be mid-swap (live moved away,
+          // its forward move pending): re-run the recovery state
+          // machine for a bounded window before declaring a real loss
+          var tries = 0
+          while (!Files.isDirectory(deletedDir(path)) && tries < 40) {
+            recoverDeleted(path)
+            if (!Files.isDirectory(deletedDir(path))) {
+              Thread.sleep(50)
+              tries += 1
+            }
+          }
           require(Files.isDirectory(deletedDir(path)),
             s"tombstone swap left no live _deleted dir under $path")
         }
