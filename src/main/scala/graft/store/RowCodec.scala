@@ -55,13 +55,11 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
   // ── key side ───────────────────────────────────────────────────────────
 
   /** Canonical string form of one field value (stringformat cells/keys).
-    * Round-trips exactly: Long/Int/... via decimal digits,
-    * Double/Float via java.lang.*.toString (shortest exact repr). */
-  private def stringRepr(dt: DataType, v: Any): String = dt match {
-    case _: StringType => v.toString
-    case BooleanType => v.toString
-    case _ => v.toString // integrals, IEEE floats, micros longs, date ints
-  }
+    * Round-trips exactly for every supported type because each value's
+    * own toString IS the canonical form: integrals/micros/date-ints via
+    * decimal digits, Double/Float via java.lang.*.toString (shortest
+    * exact repr), booleans as true/false. */
+  private def stringRepr(dt: DataType, v: Any): String = v.toString
 
   private def parseString(dt: DataType, s: String): Any = dt match {
     case LongType | TimestampType | TimestampNTZType => s.toLong
@@ -592,7 +590,11 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
     }
   }
 
-  /** Leading-key-column value of an encoded key (for segment pruning). */
+  /** Leading-key-column value of an encoded key (for segment pruning
+    * AND the per-record range checks on the scan hot loop — so the
+    * binary arm decodes ONLY dimension 0 in place instead of paying a
+    * full decodeKey (an Array[Any] plus every trailing dimension) per
+    * record, matching what the stringformat arm always did). */
   def leadingKeyValue(keyBytes: Array[Byte]): Any = {
     if (isString) {
       val end = nulEnd(keyBytes, 0)
@@ -600,9 +602,19 @@ final case class RowCodec(schema: StructType, keyCols: Seq[String],
         case s: UTF8String => s.toString
         case v => v
       }
-    } else decodeKey(keyBytes)(0) match {
-      case s: UTF8String => s.toString
-      case v => v
+    } else keyFields.head.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        OrderedCodec.decodeLong(keyBytes, 0)
+      case IntegerType | DateType => OrderedCodec.decodeInt(keyBytes, 0)
+      case ShortType => OrderedCodec.decodeShort(keyBytes, 0)
+      case ByteType => OrderedCodec.decodeByte(keyBytes, 0)
+      case BooleanType => OrderedCodec.decodeBoolean(keyBytes, 0)
+      case DoubleType => OrderedCodec.decodeDouble(keyBytes, 0)
+      case FloatType => OrderedCodec.decodeFloat(keyBytes, 0)
+      case d: DecimalType => decodeDecimal(d, keyBytes, 0)
+      case _: StringType => OrderedCodec.decodeString(keyBytes, 0)._1
+      case other =>
+        throw new IllegalArgumentException(s"unsupported key type $other")
     }
   }
 

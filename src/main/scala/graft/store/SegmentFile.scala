@@ -686,7 +686,12 @@ object SegmentFile {
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
         Option(schemaJson), zoneStats.filter(z => zoneMappable(z.dataType)),
         gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
+      // guarded sidecar write: a mid-write failure (disk full) must not
+      // leak the handle or leave a TORN .kvmeta beside a complete .kv —
+      // on a legacy manifest-less table the .kvmeta files are the
+      // listing authority, and one torn file bricks every later query
       val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
+      def writeSidecar(): Unit = {
       mo.writeInt(FormatV13)
       mo.writeLong(m.gen)
       mo.writeLong(m.tombstones)
@@ -728,31 +733,22 @@ object SegmentFile {
       // NDV sketches (V9) sit after: planning reads stop before them;
       // only the NDV read path and the index load step over them
       mo.writeInt(ndvSketches.length)
-      ndvSketches.foreach { s =>
-        val nb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        mo.writeInt(nb.length); mo.write(nb)
-        mo.writeInt(s.words.length)
-        s.words.foreach(mo.writeLong)
-      }
+      ndvSketches.foreach(writeNdvSketch(mo, _))
       // quantile summaries (V11) after the NDV registers: same
       // step-over discipline as the NDV section
       mo.writeInt(qsSketches.length)
-      qsSketches.foreach { q =>
-        val nb = q.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        mo.writeInt(nb.length); mo.write(nb)
-        mo.writeDouble(q.relativeError)
-        mo.writeLong(q.count)
-        mo.writeInt(q.values.length)
-        var i = 0
-        while (i < q.values.length) {
-          mo.writeDouble(q.values(i)); mo.writeLong(q.gs(i))
-          mo.writeLong(q.deltas(i))
-          i += 1
-        }
-      }
+      qsSketches.foreach(writeQsSketch(mo, _))
       mo.writeInt(m.index.length)
       m.index.foreach { case (k, off) =>
         mo.writeInt(k.length); mo.write(k); mo.writeLong(off)
+      }
+      } // writeSidecar
+      try writeSidecar()
+      catch {
+        case e: Throwable =>
+          try mo.close() catch { case _: Exception => () }
+          Files.deleteIfExists(metaPath(dir, name))
+          throw e
       }
       mo.close()
       m
@@ -948,6 +944,10 @@ object SegmentFile {
                 versionedManifestPath(dir, old).toFile.delete()
                 statsPath(dir, old).toFile.delete()
                 ndvPath(dir, old).toFile.delete()
+                // quantile packs retire with their version too — the cap
+                // used to skip them, orphaning _graft_qs.vN forever on
+                // append-only (never-compacted) streaming tables
+                qsPath(dir, old).toFile.delete()
               }
               return Some(next)
             }
@@ -996,9 +996,16 @@ object SegmentFile {
       .flatMap(readManifestVersion(dir, _)).foreach { live =>
         val tmp = Paths.get(dir,
           s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        Files.writeString(tmp, live.toSeq.sorted.mkString("\n"))
-        Files.move(tmp, manifestPath(dir),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // genuinely best-effort: the CAS already published the version
+        // that IS the authority, so a mirror failure (disk full, odd
+        // mount) must not fail — or re-run — the committed change
+        try {
+          Files.writeString(tmp, live.toSeq.sorted.mkString("\n"))
+          Files.move(tmp, manifestPath(dir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case scala.util.control.NonFatal(_) => ()
+        } finally Files.deleteIfExists(tmp)
       }
 
   /** Publish `files` as the new live set unconditionally (overwrite /
@@ -1371,6 +1378,57 @@ object SegmentFile {
     true
   }
 
+  /** The ONE wire format per sketch, shared by the sidecar section and
+    * the versioned pack payloads — previously hand-duplicated at six
+    * sites, where a field added to one copy would silently corrupt the
+    * others with no compiler help. */
+  private def writeNdvSketch(out: DataOutputStream, s: NdvSketch): Unit = {
+    val cb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(cb.length); out.write(cb)
+    out.writeInt(s.words.length)
+    s.words.foreach(out.writeLong)
+  }
+
+  private def readNdvSketch(in: DataInputStream): NdvSketch = {
+    val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+    val words = new Array[Long](in.readInt())
+    var i = 0
+    while (i < words.length) { words(i) = in.readLong(); i += 1 }
+    NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8), words)
+  }
+
+  private def writeQsSketch(out: DataOutputStream, q: QuantileSketch): Unit = {
+    val cb = q.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(cb.length); out.write(cb)
+    out.writeDouble(q.relativeError)
+    out.writeLong(q.count)
+    out.writeInt(q.values.length)
+    var i = 0
+    while (i < q.values.length) {
+      out.writeDouble(q.values(i)); out.writeLong(q.gs(i))
+      out.writeLong(q.deltas(i))
+      i += 1
+    }
+  }
+
+  private def readQsSketch(in: DataInputStream): QuantileSketch = {
+    val cb = new Array[Byte](in.readInt()); in.readFully(cb)
+    val relErr = in.readDouble()
+    val count = in.readLong()
+    val n = in.readInt()
+    val values = new Array[Double](n)
+    val gs = new Array[Long](n)
+    val deltas = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      values(i) = in.readDouble(); gs(i) = in.readLong()
+      deltas(i) = in.readLong()
+      i += 1
+    }
+    QuantileSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
+      relErr, count, values, gs, deltas)
+  }
+
   private def readNdvSidecar(dir: String, name: String): Seq[NdvSketch] = {
     ndvSidecarOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
@@ -1378,14 +1436,7 @@ object SegmentFile {
     try {
       val ver = in.readInt()
       if (!skipToNdvSection(in, ver)) return Seq.empty
-      (0 until in.readInt()).map { _ =>
-        val cb = new Array[Byte](in.readInt()); in.readFully(cb)
-        val words = new Array[Long](in.readInt())
-        var i = 0
-        while (i < words.length) { words(i) = in.readLong(); i += 1 }
-        NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
-          words)
-      }
+      (0 until in.readInt()).map(_ => readNdvSketch(in))
     } finally in.close()
   }
 
@@ -1405,23 +1456,7 @@ object SegmentFile {
         in.skipNBytes(in.readInt().toLong * 8L)
         s -= 1
       }
-      (0 until in.readInt()).map { _ =>
-        val cb = new Array[Byte](in.readInt()); in.readFully(cb)
-        val relErr = in.readDouble()
-        val count = in.readLong()
-        val n = in.readInt()
-        val values = new Array[Double](n)
-        val gs = new Array[Long](n)
-        val deltas = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          values(i) = in.readDouble(); gs(i) = in.readLong()
-          deltas(i) = in.readLong()
-          i += 1
-        }
-        QuantileSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
-          relErr, count, values, gs, deltas)
-      }
+      (0 until in.readInt()).map(_ => readQsSketch(in))
     } finally in.close()
   }
 
@@ -1571,21 +1606,9 @@ object SegmentFile {
     readNdvSidecar,
     (out, sketches) => {
       out.writeInt(sketches.length)
-      sketches.foreach { s =>
-        val cb = s.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.writeInt(cb.length); out.write(cb)
-        out.writeInt(s.words.length)
-        s.words.foreach(out.writeLong)
-      }
+      sketches.foreach(writeNdvSketch(out, _))
     },
-    in => (0 until in.readInt()).map { _ =>
-      val cb = new Array[Byte](in.readInt()); in.readFully(cb)
-      val words = new Array[Long](in.readInt())
-      var i = 0
-      while (i < words.length) { words(i) = in.readLong(); i += 1 }
-      NdvSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
-        words)
-    })
+    in => (0 until in.readInt()).map(_ => readNdvSketch(in)))
 
   private val QsPackV1 = -202
 
@@ -1594,37 +1617,9 @@ object SegmentFile {
     readQsSidecar,
     (out, sketches) => {
       out.writeInt(sketches.length)
-      sketches.foreach { q =>
-        val cb = q.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out.writeInt(cb.length); out.write(cb)
-        out.writeDouble(q.relativeError)
-        out.writeLong(q.count)
-        out.writeInt(q.values.length)
-        var i = 0
-        while (i < q.values.length) {
-          out.writeDouble(q.values(i)); out.writeLong(q.gs(i))
-          out.writeLong(q.deltas(i))
-          i += 1
-        }
-      }
+      sketches.foreach(writeQsSketch(out, _))
     },
-    in => (0 until in.readInt()).map { _ =>
-      val cb = new Array[Byte](in.readInt()); in.readFully(cb)
-      val relErr = in.readDouble()
-      val count = in.readLong()
-      val n = in.readInt()
-      val values = new Array[Double](n)
-      val gs = new Array[Long](n)
-      val deltas = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        values(i) = in.readDouble(); gs(i) = in.readLong()
-        deltas(i) = in.readLong()
-        i += 1
-      }
-      QuantileSketch(new String(cb, java.nio.charset.StandardCharsets.UTF_8),
-        relErr, count, values, gs, deltas)
-    })
+    in => (0 until in.readInt()).map(_ => readQsSketch(in)))
 
   /** The metadata-aggregate soundness gate, shared by every consumer
     * that turns per-segment physical metadata (counts, sums, extremes,
@@ -1835,8 +1830,19 @@ object SegmentFile {
     def decodedCount: Long = decoded
 
     private def advance(): Unit = {
+      // ONLY an EOF on the leading length read is a clean end of
+      // segment; EOF anywhere mid-record (readFully, the value length)
+      // means the file is TRUNCATED — fail loudly instead of silently
+      // returning a prefix of the rows (a scan that under-counts is
+      // strictly worse than one that errors; the sidecar's Meta.count
+      // is the recovery breadcrumb)
+      val kl =
+        try in.readInt()
+        catch {
+          case _: EOFException =>
+            eof = true; nextRec = null; in.close(); return
+        }
       try {
-        val kl = in.readInt()
         val k = new Array[Byte](kl); in.readFully(k)
         val vl = in.readInt()
         // vl == -1 is a TOMBSTONE (deleted key): value reads as null
@@ -1847,7 +1853,12 @@ object SegmentFile {
         decoded += 1
         nextRec = (k, v)
       } catch {
-        case _: EOFException => eof = true; nextRec = null; in.close()
+        case e: EOFException =>
+          in.close()
+          throw new java.io.IOException(
+            s"truncated segment record at offset $pos (after $decoded " +
+              "decoded records) — the data file is shorter than its " +
+              "records claim", e)
       }
     }
 

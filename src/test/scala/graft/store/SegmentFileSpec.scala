@@ -65,6 +65,33 @@ class SegmentFileSpec extends AnyFunSuite {
     assert(bb.mightContain(123456789L))
   }
 
+  test("a truncated data file fails loudly, never a silent row prefix") {
+    val dir = Files.createTempDirectory("segtrunc").toString
+    val w = new SegmentFile.Writer(dir, "s1")
+    (0 until 500).foreach { i =>
+      w.write(OrderedCodec.encodeLong(i.toLong), Array.fill[Byte](32)(7))
+    }
+    w.close()
+    val seg = java.nio.file.Paths.get(dir, "s1.kv")
+    // chop the tail MID-RECORD (a torn copy / partial restore)
+    val full = Files.readAllBytes(seg)
+    Files.write(seg, full.take(full.length - 17))
+    val r = new SegmentFile.Reader(dir, "s1.kv", 0L)
+    val e = intercept[java.io.IOException] {
+      var n = 0
+      while (r.hasNext) { r.next(); n += 1 }
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // a CLEAN boundary cut (exactly at a record edge) still ends quietly
+    // — that is the legitimate end-of-stream shape
+    Files.write(seg, full)
+    val r2 = new SegmentFile.Reader(dir, "s1.kv", 0L)
+    var n2 = 0
+    while (r2.hasNext) { r2.next(); n2 += 1 }
+    r2.close()
+    assert(n2 == 500)
+  }
+
   test("floor offset never lands past the bound (strictly-below semantics)") {
     val dir = Files.createTempDirectory("segidx2").toString
     val w = new SegmentFile.Writer(dir, "s1", indexEvery = 10)
