@@ -48,6 +48,92 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Corpus fingerprint (size + mtime over the documents parquet) — the
+    * cache key all fixture index dirs fold in, so an index built from a
+    * previous driver-generated corpus is rebuilt, never probed. */
+  private def corpusFp(sfDir: String): String = {
+    def stamp(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
+      else f.length() + f.lastModified()
+    java.lang.Long.toHexString(
+      stamp(new java.io.File(s"$sfDir/documents.parquet")))
+  }
+
+  private val mhLock = new Object
+
+  /** dd11 fixture: a persisted MinHash index over every document EXCEPT
+    * the arriving batch (doc_id % 7 == 3). Idempotent per corpus
+    * fingerprint; the params sidecar is the build's commit marker. */
+  private def ensureMinhashIndex(s: SparkSession, sfDir: String): String =
+    mhLock.synchronized {
+      val fp = corpusFp(sfDir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/base_$fp"
+      if (!new java.io.File(s"$path/_minhash_params.json").exists() ||
+          !new java.io.File(s"$path/minhash/_SUCCESS").exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+          "base_", s"base_$fp")
+        Dedup.buildMinhashIndex(
+          t(s, sfDir, "documents").filter(col("doc_id") % 7 =!= 3), path)
+      }
+      path
+    }
+
+  /** dd12 fixture: index over doc_id % 7 ∉ {3, 5}, then batch 3 added
+    * through the real [[Dedup.appendToMinhashIndex]] path — probing
+    * batch 5 against it proves append end-to-end. The `_APPENDED`
+    * marker makes the mutation idempotent within a round; the corpus
+    * fingerprint invalidates across rounds. */
+  private def ensureAppendedMinhashIndex(s: SparkSession,
+      sfDir: String): String = mhLock.synchronized {
+    val fp = corpusFp(sfDir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh/" +
+      s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/app_$fp"
+    val marker = new java.io.File(s"$path/_APPENDED")
+    if (!marker.exists() ||
+        !new java.io.File(s"$path/_minhash_params.json").exists()) {
+      graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+        "app_", s"app_$fp")
+      val docs = t(s, sfDir, "documents")
+      Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5),
+        path)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 7 === 3), path)
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** Shared oracle of the incremental-dedup gates: the same exhaustive
+    * all-pairs trigram-Jaccard restatement as dd3, restricted to pairs
+    * touching the arriving batch (doc_id % 7 == `rem`) — so a
+    * hash-match proves the index probe finds EXACTLY what a full-corpus
+    * run would have found for the new documents. */
+  private def incrementalDedupOracle(rem: Int): String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+         |  FROM documents
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    END AS s
+         |  FROM toks
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |              / len(list_distinct(a.s || b.s)) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 7 = $rem OR b.doc_id % 7 = $rem
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY doc_a, doc_b"""
+
   private val annLock = new Object
 
   /** Bounded (k-row) invariant reduction for the ANN gate queries: row
@@ -580,6 +666,32 @@ object PipelineOps {
         .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"),
           col("s_a").as("name_a"), col("s_b").as("name_b"), col("dist"))
         .orderBy("cust_a", "cust_b")
+    },
+
+    // INCREMENTAL near-dup — the 100 TB ingest shape: the arriving
+    // batch (doc_id % 7 == 3) dedups against a PERSISTED MinHash index
+    // of the rest of the corpus (batch-vs-index and batch-vs-batch)
+    // without the indexed documents' text being read at all — the probe
+    // touches only the compact (id, sig, shset) state.
+    QuerySpec.checked("dd11_incremental_neardup", incrementalDedupOracle(3)) {
+      (s, d) =>
+        Dedup.dedupAgainstIndex(
+          t(s, d, "documents").filter(col("doc_id") % 7 === 3),
+          ensureMinhashIndex(s, d))
+          .orderBy("doc_a", "doc_b")
+    },
+
+    // The APPEND path under the same oracle: index built over
+    // doc_id % 7 ∉ {3, 5}, batch 3 appended via appendToMinhashIndex,
+    // batch 5 probed — a hash-match proves appended documents are
+    // first-class index citizens (banding, verification, and the
+    // unique-id invariant all hold across the append).
+    QuerySpec.checked("dd12_index_append_neardup",
+      incrementalDedupOracle(5)) { (s, d) =>
+      Dedup.dedupAgainstIndex(
+        t(s, d, "documents").filter(col("doc_id") % 7 === 5),
+        ensureAppendedMinhashIndex(s, d))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ── text analysis ────────────────────────────────────────────────────

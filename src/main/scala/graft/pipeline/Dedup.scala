@@ -587,4 +587,137 @@ object Dedup {
         when(col("kill").isNull, lit(0))
           .otherwise(size(col("kill"))).cast("long").as("n_removed"))
   }
+
+  // ── persisted MinHash index: incremental ingest dedup ───────────────────
+  //
+  // The 100 TB ingest shape: the corpus was deduped once, its compact
+  // MinHash state persisted, and every NEW batch dedups against that
+  // state without ever re-reading the corpus TEXT. The index is one
+  // parquet table (id, shset, sig) — shingle-hash sets plus signatures,
+  // a few percent of the text bytes — and a probe costs one column scan
+  // of it (band join on (band, bandHash); shset fetched only through
+  // the verify join, column-pruned), versus re-shingling 100 TB for
+  // every arriving batch in the one-shot pipeline.
+
+  /** Index layout-version + parameters sidecar. The hash family is
+    * pinned by `k`/`shingle`: probing with different parameters would
+    * silently find nothing, so both probe and append re-read this file
+    * and refuse a mismatch loudly. */
+  private final case class MinhashParams(k: Int, shingle: Int, idCol: String)
+
+  private def paramsFile(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_minhash_params.json")
+
+  private def writeMinhashParams(indexDir: String, p: MinhashParams): Unit = {
+    val json = s"""{"version":1,"k":${p.k},"shingle":${p.shingle},""" +
+      s""""idCol":"${p.idCol}"}"""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.write(paramsFile(indexDir),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readMinhashParams(indexDir: String): MinhashParams = {
+    val f = paramsFile(indexDir)
+    require(java.nio.file.Files.exists(f),
+      s"no MinHash index at $indexDir (missing ${f.getFileName}); " +
+        "build one with Dedup.buildMinhashIndex first")
+    val json = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def num(key: String): Int = {
+      val m = s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+      require(m.isDefined, s"malformed $f: missing $key")
+      m.get.group(1).toInt
+    }
+    val id = s""""idCol"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json)
+    require(id.isDefined, s"malformed $f: missing idCol")
+    require(num("version") == 1, s"unsupported MinHash index version at $f")
+    MinhashParams(num("k"), num("shingle"), id.get.group(1))
+  }
+
+  /** Materialize a reusable MinHash index for `docs` at `indexDir`:
+    * `<indexDir>/minhash` parquet with (idCol, shset, sig) plus the
+    * parameter sidecar. One text scan, map-only (the same kernels as
+    * [[minhashNearDuplicates]] — signatures derive from the rolled
+    * shingle hashes, so incremental probes are pair-identical to the
+    * one-shot pipeline). Document ids must be unique across everything
+    * that will ever share this index; [[appendToMinhashIndex]] enforces
+    * that on every append. */
+  def buildMinhashIndex(docs: DataFrame, indexDir: String, k: Int = 64,
+      shingle: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    require(k > 0 && shingle > 0, "k and shingle must be positive")
+    val entries = shingleHashSets(docs, shingle, textCol, idCol)
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhash_signature_hashed(
+          col("shset"), k))
+    // data first, params last: the sidecar is the commit marker, so a
+    // crash mid-build leaves a directory readMinhashParams refuses
+    entries.write.mode("overwrite").parquet(s"$indexDir/minhash")
+    writeMinhashParams(indexDir, MinhashParams(k, shingle, idCol))
+  }
+
+  /** Append a batch's MinHash state to an existing index (after the
+    * caller deduped/accepted the batch). Ids already present are
+    * skipped — replaying a crashed append is a no-op, and the unique-id
+    * invariant the verify join depends on survives careless callers.
+    * Cost: one batch text scan + one id-column scan of the index. */
+  def appendToMinhashIndex(docs: DataFrame, indexDir: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val p = readMinhashParams(indexDir)
+    require(p.idCol == idCol,
+      s"index at $indexDir keys on ${p.idCol}, caller passed $idCol")
+    val existing = docs.sparkSession.read.parquet(s"$indexDir/minhash")
+      .select(col(idCol))
+    val fresh = docs.join(existing, Seq(idCol), "left_anti")
+    shingleHashSets(fresh, p.shingle, textCol, idCol)
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhash_signature_hashed(
+          col("shset"), p.k))
+      .write.mode("append").parquet(s"$indexDir/minhash")
+  }
+
+  /** Near-dup pairs a NEW batch introduces against an indexed corpus —
+    * batch-vs-index AND batch-vs-batch, canonical (doc_a < doc_b),
+    * exact-Jaccard-verified at `threshold` — without reading any
+    * indexed document's text. The corpus-side cost per probe is one
+    * (id, sig) column scan for banding and the shset fetch inside the
+    * verify hash-join; all join keys are short uniform hashes. At scale
+    * the batch side is orders of magnitude smaller than the index, so
+    * AQE broadcasts it in the band join. */
+  def dedupAgainstIndex(batch: DataFrame, indexDir: String,
+      bands: Int = 16, threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val p = readMinhashParams(indexDir)
+    require(p.idCol == idCol,
+      s"index at $indexDir keys on ${p.idCol}, caller passed $idCol")
+    require(p.k % bands == 0,
+      s"bands ($bands) must divide the index signature length (${p.k})")
+    val w = p.k / bands
+    val idx = batch.sparkSession.read.parquet(s"$indexDir/minhash")
+    val newSets = diskPersist(
+      shingleHashSets(batch, p.shingle, textCol, idCol))
+    val newSigs = diskPersist(newSets.select(col(idCol),
+      graft.functions.MinHashSignature.minhash_signature_hashed(
+        col("shset"), p.k).as("sig")))
+    // the same banding as lshCandidatePairs — incremental recall is
+    // bit-identical to what the one-shot pipeline would have found
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * w + 1, lit(w)), b)))
+        .as(Seq("band", "bh")))
+    val crossCands = banded(idx.select(col(idCol), col("sig"))).as("l")
+      .join(banded(newSigs).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("doc_a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("doc_b"))
+    val cands = crossCands
+      .union(lshCandidatePairs(newSigs, bands, p.k, idCol))
+      .distinct()
+    val sets = idx.select(col(idCol), col("shset"))
+      .union(newSets.select(col(idCol), col("shset")))
+    jaccardVerifySets(sets, cands, threshold, idCol)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-MinHash-index semantics: an incremental probe must find
+  * EXACTLY the pairs the one-shot pipeline finds for the batch, appends
+  * must be first-class and idempotent, and parameter drift must fail
+  * loudly (a silent hash-family mismatch would "dedup" nothing). */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  // corpus with near-dups INSIDE the base, ACROSS base/batch, and
+  // INSIDE the batch — plus unrelated docs on both sides
+  private val baseDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "completely different content about spark query engines and columnar io"),
+    (2L, "rain falls softly on the quiet gray roofs of the old northern town")
+  ).toDF("doc_id", "text")
+
+  // planted near-dups sit at trigram-Jaccard ≥ 0.9: with 16 bands of
+  // width 4 the band-collision probability is 1-(1-J⁴)¹⁶ ≈ 1-4e-8, so
+  // recall assertions are deterministic in practice (a J=0.5 pair would
+  // be missed ~36% of the time — below the LSH operating point)
+  private val batchDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"), // ~doc 0
+    (11L, "a fresh batch document about tensors and optimizers with new words"),
+    (12L, "a fresh batch document about tensors and optimizers with new words indeed"), // ~doc 11
+    (13L, "nothing here resembles anything else in any corpus at all")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Double]("jaccard"))).toSet
+
+  /** One-shot pipeline over the union, restricted to pairs touching the
+    * batch — the ground truth every incremental result must equal. */
+  private def oneShotBatchPairs(threshold: Double): Set[(Long, Long, Double)] =
+    pairSet(Dedup.minhashNearDuplicates(baseDocs.union(batchDocs),
+      threshold = threshold, minCollapseDups = Long.MaxValue)
+      .filter(col("doc_a") >= 10 || col("doc_b") >= 10))
+
+  test("incremental probe equals the one-shot pipeline pair-for-pair") {
+    val dir = tmpDir("mh_probe")
+    Dedup.buildMinhashIndex(baseDocs, dir)
+    val inc = pairSet(Dedup.dedupAgainstIndex(batchDocs, dir,
+      threshold = 0.3))
+    assert(inc == oneShotBatchPairs(0.3))
+    // and the planted structure is actually exercised: one cross pair,
+    // one intra-batch pair
+    assert(inc.exists { case (a, b, _) => a == 0L && b == 10L })
+    assert(inc.exists { case (a, b, _) => a == 11L && b == 12L })
+    assert(!inc.exists { case (a, b, _) => a == 13L || b == 13L })
+    // no base-vs-base pair ever leaks into an incremental result
+    assert(inc.forall { case (a, b, _) => a >= 10L || b >= 10L })
+  }
+
+  test("append makes documents first-class; replay and known ids are no-ops") {
+    val dir = tmpDir("mh_append")
+    Dedup.buildMinhashIndex(baseDocs, dir)
+    Dedup.appendToMinhashIndex(batchDocs, dir)
+    val rows = spark.read.parquet(s"$dir/minhash")
+    assert(rows.count() == 7)
+    // replayed append (a crashed job re-run) adds nothing
+    Dedup.appendToMinhashIndex(batchDocs, dir)
+    assert(spark.read.parquet(s"$dir/minhash").count() == 7)
+    // a second batch probing the appended index sees base AND batch docs
+    val probe2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog and runs far away home today"),
+      (21L, "a fresh batch document about tensors and optimizers with new words also")
+    ).toDF("doc_id", "text")
+    val got = pairSet(Dedup.dedupAgainstIndex(probe2, dir, threshold = 0.3))
+    assert(got.exists { case (a, b, _) => a == 0L && b == 20L }) // built doc
+    assert(got.exists { case (a, b, _) => a == 11L && b == 21L }) // appended doc
+    // equals the one-shot ground truth over everything, restricted to
+    // pairs touching probe2
+    val all = baseDocs.union(batchDocs).union(probe2)
+    val truth = pairSet(Dedup.minhashNearDuplicates(all, threshold = 0.3,
+      minCollapseDups = Long.MaxValue)
+      .filter(col("doc_a") >= 20 || col("doc_b") >= 20))
+    assert(got == truth)
+  }
+
+  test("append-then-probe equals build-over-union") {
+    val dirA = tmpDir("mh_app_a"); val dirB = tmpDir("mh_app_b")
+    Dedup.buildMinhashIndex(baseDocs, dirA)
+    Dedup.appendToMinhashIndex(batchDocs, dirA)
+    Dedup.buildMinhashIndex(baseDocs.union(batchDocs), dirB)
+    val probe = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog and runs far away now")
+    ).toDF("doc_id", "text")
+    assert(pairSet(Dedup.dedupAgainstIndex(probe, dirA, threshold = 0.3)) ==
+      pairSet(Dedup.dedupAgainstIndex(probe, dirB, threshold = 0.3)))
+  }
+
+  test("probing a missing or half-built index fails loudly") {
+    val none = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batchDocs, tmpDir("mh_missing"))
+    }
+    assert(none.getMessage.contains("buildMinhashIndex"))
+    // a crash mid-build leaves parquet but no params sidecar: refused
+    val half = tmpDir("mh_half")
+    baseDocs.limit(1).select(col("doc_id"), array(lit(1L)).as("shset"),
+      array(lit(2L)).as("sig")).write.parquet(s"$half/minhash")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batchDocs, half)
+    }
+  }
+
+  test("band count must divide the indexed signature length") {
+    val dir = tmpDir("mh_bands")
+    Dedup.buildMinhashIndex(baseDocs, dir, k = 64)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batchDocs, dir, bands = 7)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+
+  test("id-column drift between build and probe is refused") {
+    val dir = tmpDir("mh_idcol")
+    Dedup.buildMinhashIndex(baseDocs, dir)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(
+        batchDocs.withColumnRenamed("doc_id", "id"), dir, idCol = "id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(
+        batchDocs.withColumnRenamed("doc_id", "id"), dir, idCol = "id")
+    }
+  }
+}
