@@ -312,6 +312,36 @@ class GraftSession:
             spark._jsparkSession, path, [int(i) for i in vec_ids])
 
     @staticmethod
+    def minhash_index_build(docs, path, k=64, shingle=3,
+                            text_col="text", id_col="doc_id"):
+        """Materialize a reusable MinHash index (id, shingle-hash set,
+        signature) for a document DataFrame at `path` — the persisted
+        state incremental ingest dedup probes against."""
+        docs.sparkSession._jvm.graft.pipeline.Dedup.buildMinhashIndex(
+            docs._jdf, path, int(k), int(shingle), text_col, id_col)
+
+    @staticmethod
+    def minhash_index_append(docs, path, text_col="text",
+                             id_col="doc_id"):
+        """Append a batch's MinHash state to an existing index; ids
+        already present are skipped, so replays are no-ops."""
+        docs.sparkSession._jvm.graft.pipeline.Dedup.appendToMinhashIndex(
+            docs._jdf, path, text_col, id_col)
+
+    @staticmethod
+    def minhash_index_probe(batch, path, bands=16, threshold=0.7,
+                            text_col="text", id_col="doc_id"):
+        """Near-dup pairs a NEW batch introduces against the indexed
+        corpus (batch-vs-index and batch-vs-batch), exact-Jaccard
+        verified — the indexed documents' text is never read. Returns
+        (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+        from pyspark.sql import DataFrame
+        jdf = batch.sparkSession._jvm.graft.pipeline.Dedup \
+            .dedupAgainstIndex(batch._jdf, path, int(bands),
+                               float(threshold), text_col, id_col)
+        return DataFrame(jdf, batch.sparkSession)
+
+    @staticmethod
     def fuzzy_pairs(df, id_col, str_col):
         """All (id_a < id_b) row pairs whose `str_col` values are within
         Levenshtein distance 1 — FastSS deletion-key blocking (never

@@ -651,8 +651,12 @@ object Dedup {
       .withColumn("sig",
         graft.functions.MinHashSignature.minhash_signature_hashed(
           col("shset"), k))
-    // data first, params last: the sidecar is the commit marker, so a
-    // crash mid-build leaves a directory readMinhashParams refuses
+    // params sidecar is the commit marker: retire it FIRST (a rebuild
+    // with different k under a live sidecar would let a concurrent
+    // probe band stale-k signatures and silently match nothing), write
+    // data, re-commit last — so a crash or a racing probe anywhere in
+    // the window is refused loudly by readMinhashParams
+    java.nio.file.Files.deleteIfExists(paramsFile(indexDir))
     entries.write.mode("overwrite").parquet(s"$indexDir/minhash")
     writeMinhashParams(indexDir, MinhashParams(k, shingle, idCol))
   }

@@ -122,6 +122,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("divide"))
   }
 
+  test("in-place rebuild with a different hash family stays self-consistent") {
+    val dir = tmpDir("mh_rebuild")
+    Dedup.buildMinhashIndex(baseDocs, dir, k = 64)
+    Dedup.buildMinhashIndex(baseDocs, dir, k = 32) // rebuild, new family
+    // probe bands with the REBUILT k read from the sidecar, so matches
+    // still surface; stored signatures are 32 wide
+    val got = pairSet(Dedup.dedupAgainstIndex(batchDocs, dir,
+      bands = 16, threshold = 0.3))
+    assert(got.exists { case (a, b, _) => a == 0L && b == 10L })
+    assert(spark.read.parquet(s"$dir/minhash")
+      .select(size(col("sig"))).head().getInt(0) == 32)
+  }
+
   test("id-column drift between build and probe is refused") {
     val dir = tmpDir("mh_idcol")
     Dedup.buildMinhashIndex(baseDocs, dir)

@@ -188,6 +188,25 @@ def main():
         shrunk = GraftSession.text_index_search(
             spark, idx, ["spark"], k=5).collect()
         assert [r.doc_id for r in shrunk] == [1], shrunk
+        # incremental MinHash dedup through the shim: index a corpus,
+        # probe an arriving near-dup batch, append it, replay-append
+        mh = tempfile.mkdtemp(prefix="graft_py_mh_")
+        corpus = spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS doc_id, "
+            "'the quick brown fox jumps over the lazy dog and runs home'"
+            " AS text "
+            "UNION ALL SELECT 1, 'totally unrelated words about engines'")
+        batch = spark.sql(
+            "SELECT CAST(10 AS BIGINT) AS doc_id, "
+            "'the quick brown fox jumps over the lazy dog and runs home"
+            " tonight' AS text")
+        GraftSession.minhash_index_build(corpus, mh)
+        hits = GraftSession.minhash_index_probe(
+            batch, mh, threshold=0.5).collect()
+        assert [(h.doc_a, h.doc_b) for h in hits] == [(0, 10)], hits
+        GraftSession.minhash_index_append(batch, mh)
+        GraftSession.minhash_index_append(batch, mh)  # replay: no-op
+        assert spark.read.parquet(mh + "/minhash").count() == 3
         print("python smoke: OK")
     finally:
         spark.stop()
