@@ -312,6 +312,30 @@ class GraftSession:
             spark._jsparkSession, path, [int(i) for i in vec_ids])
 
     @staticmethod
+    def knn_join(queries, corpus, k=10, vec_col="embedding",
+                 id_col="vec_id"):
+        """Exact batch k-NN join: every query row's top-k corpus rows by
+        cosine (query batch broadcast; corpus never shuffled). Returns
+        (query_id, neighbor_id, sim, rk)."""
+        from pyspark.sql import DataFrame
+        jdf = queries.sparkSession._jvm.graft.pipeline.Similarity \
+            .knnJoinBruteForce(queries._jdf, corpus._jdf, int(k),
+                               vec_col, id_col)
+        return DataFrame(jdf, queries.sparkSession)
+
+    @staticmethod
+    def ann_knn_join(spark, path, queries, k=10, n_probe=4,
+                     vec_col="embedding", id_col="vec_id"):
+        """Batch k-NN join over a materialized ANN index: each query
+        probes only its n_probe nearest centroid cells (cell-local pair
+        space, tombstones excluded)."""
+        from pyspark.sql import DataFrame
+        jdf = spark._jvm.graft.pipeline.AnnIndex.knnJoin(
+            spark._jsparkSession, path, queries._jdf, int(k),
+            int(n_probe), vec_col, id_col)
+        return DataFrame(jdf, spark)
+
+    @staticmethod
     def minhash_index_build(docs, path, k=64, shingle=3,
                             text_col="text", id_col="doc_id"):
         """Materialize a reusable MinHash index (id, shingle-hash set,

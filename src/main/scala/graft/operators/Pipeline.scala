@@ -1212,6 +1212,88 @@ object PipelineOps {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Batch k-NN JOIN, exact baseline: every query vector (vec_id %
+    // 100 == 0) gets its top-5 corpus neighbors — the semantic-dedup /
+    // hard-negative-mining serving shape. The full ranking is
+    // hash-matched against the exhaustive DuckDB restatement (same
+    // IEEE-mirrorable cosine fold as ann1, per pair).
+    QuerySpec.checked("ann8_knn_join",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |),
+        |sc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b)) AS nb
+        |  FROM embeddings e, q
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |  FROM sc
+        |)
+        |SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rk FROM ranked)
+        |WHERE rk <= 5 ORDER BY query_id, rk""") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoinBruteForce(
+        emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // The same k-NN join over the MATERIALIZED IVF index — cell-local
+    // pair space, per-query nProbe cell selection in pure column
+    // algebra. The probed candidate set is centroid-dependent (not
+    // ANSI-expressible), so the oracle pins the invariants, ann2-style:
+    // every query returns exactly k dense-ranked rows, finds ITSELF at
+    // rank 1 (the first probed cell is the query's own assignment
+    // cell), and every sim equals the independently recomputed exact
+    // cosine. Exact-vs-IVF agreement on planted structure is pinned by
+    // SimilaritySpec.
+    QuerySpec.checked("ann9_knn_join_ivf",
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+        |  AS INTEGER) AS n_queries,
+        |  true AS all_k, true AS self_rank1, true AS sims_exact""") { (s, d) =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select("embedding").head().getSeq[Float](0).length
+      val rows = graft.pipeline.AnnIndex.knnJoin(s, ensureAnnIndex(s, d, dim),
+        emb.filter(col("vec_id") % 100 === 0), k = 5, nProbe = 8)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rk")))
+      val byQ = rows.groupBy(_._1)
+      val allK = byQ.values.forall(rs =>
+        rs.length == 5 && rs.map(_._4).sorted.sameElements(1 to 5))
+      // self-similarity lands within an ulp of 1.0 (see annInvariants)
+      val selfRank1 = byQ.forall { case (qid, rs) =>
+        rs.find(_._4 == 1).exists(r =>
+          r._2 == qid && math.abs(r._3 - 1.0) < 1e-9)
+      }
+      val qVecs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      // recompute exact cosines ONLY for the returned pairs (k vectors
+      // per query — never a corpus rescan)
+      val simsExact = byQ.forall { case (qid, rs) =>
+        val qArr = array(qVecs(qid).map(v => lit(v)): _*)
+        val xs = emb
+          .filter(col("vec_id").isin(rs.map(r => Long.box(r._2)): _*))
+          .select(col("vec_id").cast("long"),
+            Similarity.cosine(col("embedding"), qArr).as("x"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        rs.forall(r => xs.get(r._2).contains(r._3))
+      }
+      Seq((byQ.size, allK, selfRank1, simsExact))
+        .toDF("n_queries", "all_k", "self_rank1", "sims_exact")
+    },
+
     // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────
     // mm1/mm3 run on REAL PNG payloads (syntheticImageTable renders one
     // deterministic image per doc): decoded width/height/pixel means are

@@ -609,6 +609,43 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Batch k-NN JOIN over the materialized index: every query vector's
+    * top-k neighbors by exact cosine, each query probing only its
+    * `nProbe` nearest centroid cells — the pair space is CELL-LOCAL
+    * (never |Q|×|N|), the join key a short uniform cell id, tombstoned
+    * rows excluded like every probe. Per-query cell selection is pure
+    * column algebra (sort (−sim, idx) structs, keep nProbe indices —
+    * O(C·dim) per query row, the [[nearestCell]] kernel shape), so the
+    * query side needs no driver round-trip and scales to any |Q|; the
+    * first probed cell is exactly the query's own assignment cell, so
+    * an indexed query always finds itself. */
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = loadCentroids(path)
+    val np = math.min(nProbe, cents.length)
+    val probeCells = transform(
+      slice(array_sort(zip_with(centroidSims(cents, col("__qe")),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))), 1, np),
+      st => st.getField("idx"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qe"))
+      .withColumn("cell", explode(probeCells))
+    val idx = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__ce"),
+        col("cell"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    idx.join(q, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qe"), col("__ce")).as("sim"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** IVF top-k over the QUANTIZED vectors: same cell pruning, but the
     * probe projects only (id, qvec, vnorm) — parquet column pruning
     * skips the float vector column, so each probed cell reads ~4× fewer

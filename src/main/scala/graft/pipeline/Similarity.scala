@@ -44,6 +44,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN: for every query row, its top-k corpus rows by
+    * cosine — the batch serving shape (semantic dedup across corpora,
+    * hard-negative mining, retrieval pairing). The query batch is
+    * broadcast, so the |Q|·|N| similarity evaluations distribute over
+    * the corpus partitions with ZERO shuffle of the corpus; ranking is
+    * one hash-partitioned window on query_id (cardinality |Q|·|N| →
+    * k·|Q| rows immediately after). Exact and output-bound — for query
+    * sets too large to broadcast or corpora where |Q|·|N| evaluation is
+    * unaffordable, use the cell-local [[AnnIndex.knnJoin]]. */
+  def knnJoinBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__ce"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qe"), col("__ce")).as("sim"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim i ↦ unit-free
     * weight in [-1, 1) derived from a fixed 64-bit mix. */
   private def planeWeight(p: Int, i: Int): Double = {

@@ -175,6 +175,65 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("knnJoinBruteForce equals per-query bruteForceTopK, pair-exact") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(150).cache()
+    val qids = Seq(0L, 7L, 42L)
+    val joined = Similarity.knnJoinBruteForce(
+      emb.filter($"vec_id".isin(qids: _*)), emb, k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toMap
+    assert(joined.size == qids.size * 4)
+    for (qid <- qids) {
+      val q = emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0)
+      val single = Similarity.bruteForceTopK(emb, q, k = 4).collect()
+      single.zipWithIndex.foreach { case (row, i) =>
+        assert(joined((qid, i + 1)) ==
+          ((row.getAs[Long]("vec_id"), row.getAs[Double]("sim"))),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("AnnIndex.knnJoin: full probe equals brute force; partial probe is " +
+      "cell-local, self-finding, and tombstone-aware") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(150).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("annknn").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 8)
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    // probing every cell is exact: equals the brute-force join
+    val full = AnnIndex.knnJoin(spark, dir, queries, k = 4, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).sorted.toSeq
+    val bf = Similarity.knnJoinBruteForce(queries, emb, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).sorted.toSeq
+    assert(full == bf)
+    // partial probe: every query still finds itself at rank 1 (its own
+    // assignment cell is the first probed) with k dense ranks
+    val part = AnnIndex.knnJoin(spark, dir, queries, k = 4, nProbe = 2)
+      .collect()
+    val byQ = part.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 7L, 42L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3, 4))
+      val r1 = rows.find(_.getAs[Int]("rk") == 1).get
+      assert(r1.getAs[Long]("neighbor_id") == qid)
+      assert(math.abs(r1.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+    // a tombstoned vector stops surfacing as anyone's neighbor
+    AnnIndex.deleteIds(spark, dir, Seq(7L))
+    val after = AnnIndex.knnJoin(spark, dir, queries, k = 4, nProbe = 8)
+      .collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == 7L))
+    // 7 is gone as a neighbor but still valid as a QUERY vector
+    assert(after.count(_.getAs[Long]("query_id") == 7L) == 4)
+  }
+
   test("AnnIndex quantized IVF probe matches the float probe within int8 error") {
     val rnd = new scala.util.Random(29)
     val dim = 12
