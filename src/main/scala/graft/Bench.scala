@@ -740,6 +740,17 @@ object Bench {
         }
         probeOnce() // codegen warm
         val probeSec = median3(probeOnce _)
+        // batch k-NN join: 1% of the vectors as queries, cell-local
+        // pair space — the serving shape; must scale with |Q|·cells
+        // read, not |Q|·|N|
+        val knnQueries = emb.where(col("vec_id") % 100 === 3)
+        val knnSec = median3 { () =>
+          val t = System.nanoTime()
+          val c = graft.pipeline.AnnIndex
+            .knnJoin(spark, idx, knnQueries, k = 10, nProbe = 8).count()
+          require(c > 0, "knn join returned nothing")
+          (System.nanoTime() - t) / 1e9
+        }
         val victims = emb.select("vec_id").where(col("vec_id") % 100 === 7)
           .collect().map(_.getLong(0)).toSeq
         val t1 = System.nanoTime()
@@ -751,6 +762,7 @@ object Bench {
         val rebuildSec = (System.nanoTime() - t2) / 1e9
         rmTree(new java.io.File(idx))
         s"""{"vectors":$n,"build_sec":${fmt(buildSec)},"probe_sec":${fmt(probeSec)},""" +
+          s""""knn_join_sec":${fmt(knnSec)},""" +
           s""""delete_sec":${fmt(deleteSec)},"probe_post_delete_sec":${fmt(probeDelSec)},""" +
           s""""rebuild_sec":${fmt(rebuildSec)}}"""
       } finally emb.unpersist()

@@ -105,12 +105,10 @@ object PipelineOps {
     path
   }
 
-  /** Shared oracle of the incremental-dedup gates: the same exhaustive
-    * all-pairs trigram-Jaccard restatement as dd3, restricted to pairs
-    * touching the arriving batch (doc_id % 7 == `rem`) — so a
-    * hash-match proves the index probe finds EXACTLY what a full-corpus
-    * run would have found for the new documents. */
-  private def incrementalDedupOracle(rem: Int): String =
+  /** The dd3 exhaustive all-pairs trigram-Jaccard restatement with a
+    * caller-supplied pair restriction — shared by the incremental and
+    * streaming-ingest dedup gates. */
+  private def allPairsDedupOracle(whereClause: String): String =
     raw"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
          |  FROM documents
@@ -129,10 +127,35 @@ object PipelineOps {
          |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |              / len(list_distinct(a.s || b.s)) END AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE a.doc_id % 7 = $rem OR b.doc_id % 7 = $rem
+         |  $whereClause
          |)
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
          |ORDER BY doc_a, doc_b"""
+
+  /** Incremental-dedup gate oracle: pairs touching the arriving batch
+    * (doc_id % 7 == `rem`) — a hash-match proves the index probe finds
+    * EXACTLY what a full-corpus run would have found for the new
+    * documents. */
+  private def incrementalDedupOracle(rem: Int): String =
+    allPairsDedupOracle(
+      s"WHERE a.doc_id % 7 = $rem OR b.doc_id % 7 = $rem")
+
+  /** dd13 fixture: the corpus split into 4 range-partitioned parquet
+    * files, so the bounded file stream arrives as 4 microbatches
+    * (maxFilesPerTrigger=1). Fingerprint-keyed like every fixture. */
+  private def ensureSplitDocs(s: SparkSession, sfDir: String): String =
+    mhLock.synchronized {
+      val fp = corpusFp(sfDir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/split_$fp"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+          "split_", s"split_$fp")
+        t(s, sfDir, "documents").repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
 
   private val annLock = new Object
 
@@ -692,6 +715,32 @@ object PipelineOps {
         t(s, d, "documents").filter(col("doc_id") % 7 === 5),
         ensureAppendedMinhashIndex(s, d))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // STREAMING ingest dedup with DURABLE index state: the corpus
+    // arrives as 4 range-partitioned microbatches; each probes the
+    // persisted MinHash index, emits its pairs to a parquet sink,
+    // appends itself. The union over batches must equal the FULL
+    // corpus pair set — dd3's exhaustive oracle — because every pair's
+    // later member finds the earlier one already indexed (or
+    // in-batch). Unlike dd8's in-memory LSH state, this survives
+    // restarts: state is the same on-disk index dd11/dd12 probe.
+    QuerySpec.checked("dd13_streaming_ingest_dedup",
+      allPairsDedupOracle("")) { (s, d) =>
+      val split = ensureSplitDocs(s, d)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("dd13_idx").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("dd13_out").toString + "/pairs"
+      val schema = s.read.parquet(split).schema
+      val q = Dedup.streamingIngestDedup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(split), idxDir) {
+        pairs => pairs.write.mode("append").parquet(outDir)
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("doc_a", "doc_b")
     },
 
     // ── text analysis ────────────────────────────────────────────────────

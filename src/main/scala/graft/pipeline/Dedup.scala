@@ -698,9 +698,14 @@ object Dedup {
     require(p.k % bands == 0,
       s"bands ($bands) must divide the index signature length (${p.k})")
     val w = p.k / bands
-    val idx = batch.sparkSession.read.parquet(s"$indexDir/minhash")
     val newSets = diskPersist(
       shingleHashSets(batch, p.shingle, textCol, idCol))
+    // exclude the batch's own ids from the index side: a caller that
+    // already appended this batch (crash-replay of an ingest
+    // microbatch) must see the SAME pairs as the first attempt, never
+    // id-collision join duplicates. The batch-id side broadcasts.
+    val idx = batch.sparkSession.read.parquet(s"$indexDir/minhash")
+      .join(newSets.select(col(idCol)), Seq(idCol), "left_anti")
     val newSigs = diskPersist(newSets.select(col(idCol),
       graft.functions.MinHashSignature.minhash_signature_hashed(
         col("shset"), p.k).as("sig")))
@@ -724,4 +729,34 @@ object Dedup {
       .union(newSets.select(col(idCol), col("shset")))
     jaccardVerifySets(sets, cands, threshold, idCol)
   }
+
+  /** Streaming ingest dedup over the DURABLE MinHash index: each
+    * microbatch probes the persisted index (near-dup pairs against
+    * everything already ingested AND within the batch), hands them to
+    * `emit`, then appends the batch's state — so the pair stream stays
+    * complete across restarts, unlike the in-memory-state
+    * [[streamingNearDupPairs]] whose horizon dies with the query.
+    *
+    * Crash contract, in write order per batch: (1) probe — excludes the
+    * batch's own ids from the index side, so a replay AFTER a crashed
+    * append still computes the first attempt's exact pairs; (2) emit;
+    * (3) append — id-idempotent, so replays cannot duplicate index
+    * state. A crash between (2) and (3) re-emits the same batch pairs
+    * on replay: sinks dedup on (doc_a, doc_b) or batchId for
+    * exactly-once, the standard foreachBatch discipline. A missing
+    * index is created empty from the first batch's schema. */
+  def streamingIngestDedup(docs: DataFrame, indexDir: String,
+      k: Int = 64, bands: Int = 16, shingle: Int = 3,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id")(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val b = batch.toDF()
+        if (!java.nio.file.Files.exists(paramsFile(indexDir)))
+          buildMinhashIndex(b.limit(0), indexDir, k, shingle, textCol, idCol)
+        emit(dedupAgainstIndex(b, indexDir, bands, threshold, textCol, idCol))
+        appendToMinhashIndex(b, indexDir, textCol, idCol)
+    }
 }

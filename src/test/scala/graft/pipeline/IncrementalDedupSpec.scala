@@ -122,6 +122,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("divide"))
   }
 
+  test("probe after a crashed append replays the first attempt's pairs") {
+    // crash contract: a microbatch that appended itself but lost its
+    // emission must, on replay, compute the SAME pairs — the batch's
+    // own index copies are excluded from the probe's index side
+    val dir = tmpDir("mh_replay")
+    Dedup.buildMinhashIndex(baseDocs, dir)
+    val first = pairSet(Dedup.dedupAgainstIndex(batchDocs, dir,
+      threshold = 0.3))
+    Dedup.appendToMinhashIndex(batchDocs, dir) // crash before emit ack
+    val replay = pairSet(Dedup.dedupAgainstIndex(batchDocs, dir,
+      threshold = 0.3))
+    assert(replay == first)
+  }
+
+  test("streamingIngestDedup across a RESTART equals the one-shot pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("mh_stream")
+    val ckpt = tmpDir("mh_stream_ckpt")
+    val emitted = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+    val source = MemoryStream[(Long, String)]
+    def runOnce(): Unit =
+      Dedup.streamingIngestDedup(
+        source.toDF().toDF("doc_id", "text"), dir, threshold = 0.3) {
+        pairs =>
+          emitted ++= pairs.collect().map(r => (r.getAs[Long]("doc_a"),
+            r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    source.addData(baseDocs.as[(Long, String)].collect().toSeq: _*)
+    runOnce() // first run ingests the base corpus, then terminates
+    source.addData(batchDocs.as[(Long, String)].collect().toSeq: _*)
+    runOnce() // restarted query resumes from the checkpoint
+    // the restarted run found batch 2's cross-run pair (0, 10) against
+    // the DURABLE index the first run left behind — and the union over
+    // both runs equals the one-shot pipeline over everything
+    val truth = pairSet(Dedup.minhashNearDuplicates(
+      baseDocs.union(batchDocs), threshold = 0.3,
+      minCollapseDups = Long.MaxValue))
+    assert(emitted.toSet == truth)
+    assert(emitted.exists { case (a, b, _) => a == 0L && b == 10L })
+  }
+
   test("in-place rebuild with a different hash family stays self-consistent") {
     val dir = tmpDir("mh_rebuild")
     Dedup.buildMinhashIndex(baseDocs, dir, k = 64)
