@@ -671,17 +671,26 @@ object Bench {
             docs.where(col("doc_id") % 16 =!= 0), idx)
           val buildSec = (System.nanoTime() - t0) / 1e9
           var pairs = 0L
+          // a real ingest probes each batch exactly once, COLD: release
+          // the probe's cached intermediates between reps so the median
+          // measures that, never a warm-cache replay
           val probeSec = median3 { () =>
             val t = System.nanoTime()
-            pairs = graft.pipeline.Dedup.dedupAgainstIndex(
-              docs.where(col("doc_id") % 16 === 0), idx).count()
-            (System.nanoTime() - t) / 1e9
+            val (df, cached) = graft.pipeline.Dedup
+              .dedupAgainstIndexWithHandles(
+                docs.where(col("doc_id") % 16 === 0), idx)
+            pairs = df.count()
+            val sec = (System.nanoTime() - t) / 1e9
+            cached.foreach(_.unpersist(true))
+            sec
           }
           // drop every intermediate dedupStats persisted over this
           // corpus, or the "one-shot" comparator reads warm caches and
           // under-reports what a real re-run costs (round-13 first cut:
-          // sf1 one-shot "0.73 s" vs a 1.6 s probe, purely cache reuse)
-          sweepCaches("dedup-incremental")
+          // sf1 one-shot "0.73 s" vs a 1.6 s probe, purely cache reuse).
+          // Tag-unique label: the sections diagnostics object must not
+          // carry duplicate keys (sf1 would shadow the primary row).
+          sweepCaches(s"dedup-incremental-$tag")
           val t1 = System.nanoTime()
           val oneShot =
             graft.pipeline.Dedup.minhashNearDuplicates(docs).count()

@@ -728,10 +728,20 @@ object PipelineOps {
     QuerySpec.checked("dd13_streaming_ingest_dedup",
       allPairsDedupOracle("")) { (s, d) =>
       val split = ensureSplitDocs(s, d)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("dd13_idx").toString
-      val outDir = java.nio.file.Files
-        .createTempDirectory("dd13_out").toString + "/pairs"
+      // fingerprint-keyed scratch (stale corpora reaped like every
+      // fixture), WIPED per invocation — the gate must start from an
+      // empty index every run, and leave at most one behind
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mh/" +
+        s"${d.replaceAll("[^a-zA-Z0-9.]", "_")}/stream_${corpusFp(d)}"
+      graft.Tables.sweepStaleSiblings(new java.io.File(base).getParentFile,
+        "stream_", new java.io.File(base).getName)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(base))
+      val idxDir = s"$base/idx"
+      val outDir = s"$base/pairs"
       val schema = s.read.parquet(split).schema
       val q = Dedup.streamingIngestDedup(
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
@@ -1325,20 +1335,23 @@ object PipelineOps {
         rs.find(_._4 == 1).exists(r =>
           r._2 == qid && math.abs(r._3 - 1.0) < 1e-9)
       }
-      val qVecs = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-      // recompute exact cosines ONLY for the returned pairs (k vectors
-      // per query — never a corpus rescan)
-      val simsExact = byQ.forall { case (qid, rs) =>
-        val qArr = array(qVecs(qid).map(v => lit(v)): _*)
-        val xs = emb
-          .filter(col("vec_id").isin(rs.map(r => Long.box(r._2)): _*))
-          .select(col("vec_id").cast("long"),
-            Similarity.cosine(col("embedding"), qArr).as("x"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        rs.forall(r => xs.get(r._2).contains(r._3))
-      }
+      // recompute exact cosines for the returned pairs in ONE job: the
+      // small pair list broadcasts into two joins against the corpus —
+      // the same (query, corpus) argument order as the probe, so equal
+      // sims are bitwise equal
+      val prs = rows.toSeq.map(r => (r._1, r._2, r._3))
+        .toDF("query_id", "neighbor_id", "sim")
+      val chk = prs
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")), "neighbor_id")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("sim") =!=
+            Similarity.cosine(col("qe"), col("ne")), 1)).as("bad"))
+        .head()
+      // every pair resolved against the corpus AND matched bitwise
+      val simsExact = chk.getLong(0) == rows.length && chk.getLong(1) == 0L
       Seq((byQ.size, allK, selfRank1, simsExact))
         .toDF("n_queries", "all_k", "self_rank1", "sims_exact")
     },

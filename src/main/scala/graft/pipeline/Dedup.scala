@@ -663,8 +663,12 @@ object Dedup {
 
   /** Append a batch's MinHash state to an existing index (after the
     * caller deduped/accepted the batch). Ids already present are
-    * skipped — replaying a crashed append is a no-op, and the unique-id
+    * skipped and intra-batch id duplicates collapse to one row —
+    * replaying a crashed append is a no-op, and the unique-id
     * invariant the verify join depends on survives careless callers.
+    * Single maintainer assumed (like [[graft.pipeline.AnnIndex]]
+    * maintenance): two appends racing the check-then-write are the one
+    * caller error this guard cannot absorb.
     * Cost: one batch text scan + one id-column scan of the index. */
   def appendToMinhashIndex(docs: DataFrame, indexDir: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
@@ -673,7 +677,7 @@ object Dedup {
       s"index at $indexDir keys on ${p.idCol}, caller passed $idCol")
     val existing = docs.sparkSession.read.parquet(s"$indexDir/minhash")
       .select(col(idCol))
-    val fresh = docs.join(existing, Seq(idCol), "left_anti")
+    val fresh = docs.dropDuplicates(idCol).join(existing, Seq(idCol), "left_anti")
     shingleHashSets(fresh, p.shingle, textCol, idCol)
       .withColumn("sig",
         graft.functions.MinHashSignature.minhash_signature_hashed(
@@ -691,7 +695,20 @@ object Dedup {
     * AQE broadcasts it in the band join. */
   def dedupAgainstIndex(batch: DataFrame, indexDir: String,
       bands: Int = 16, threshold: Double = 0.7, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    dedupAgainstIndexWithHandles(batch, indexDir, bands, threshold,
+      textCol, idCol)._1
+
+  /** [[dedupAgainstIndex]] plus handles to the two batch-scoped cached
+    * intermediates (shingle sets, signatures): a long-running caller —
+    * one probe per microbatch, forever — must unpersist them after
+    * consuming the pairs, or the CacheManager accumulates one plan pair
+    * per batch unboundedly. One-shot callers can ignore the handles
+    * (ContextCleaner reaps them with the session). */
+  private[graft] def dedupAgainstIndexWithHandles(batch: DataFrame,
+      indexDir: String, bands: Int = 16, threshold: Double = 0.7,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, Seq[DataFrame]) = {
     val p = readMinhashParams(indexDir)
     require(p.idCol == idCol,
       s"index at $indexDir keys on ${p.idCol}, caller passed $idCol")
@@ -727,7 +744,8 @@ object Dedup {
       .distinct()
     val sets = idx.select(col(idCol), col("shset"))
       .union(newSets.select(col(idCol), col("shset")))
-    jaccardVerifySets(sets, cands, threshold, idCol)
+    (jaccardVerifySets(sets, cands, threshold, idCol),
+      Seq(newSets, newSigs))
   }
 
   /** Streaming ingest dedup over the DURABLE MinHash index: each
@@ -743,8 +761,12 @@ object Dedup {
     * (3) append — id-idempotent, so replays cannot duplicate index
     * state. A crash between (2) and (3) re-emits the same batch pairs
     * on replay: sinks dedup on (doc_a, doc_b) or batchId for
-    * exactly-once, the standard foreachBatch discipline. A missing
-    * index is created empty from the first batch's schema. */
+    * exactly-once, the standard foreachBatch discipline. A NEW index
+    * dir is created empty from the first batch's schema; a dir holding
+    * index data without its params sidecar (crashed rebuild) is
+    * refused loudly — auto-creating there would silently wipe the
+    * ingested horizon. Per-batch cached intermediates are released
+    * after the append, so the stream's cache footprint is flat. */
   def streamingIngestDedup(docs: DataFrame, indexDir: String,
       k: Int = 64, bands: Int = 16, shingle: Int = 3,
       threshold: Double = 0.7, textCol: String = "text",
@@ -754,9 +776,18 @@ object Dedup {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val b = batch.toDF()
-        if (!java.nio.file.Files.exists(paramsFile(indexDir)))
+        if (!java.nio.file.Files.exists(paramsFile(indexDir))) {
+          require(!new java.io.File(s"$indexDir/minhash").exists(),
+            s"index at $indexDir has data but no params sidecar " +
+              "(crashed rebuild?) — recover it with buildMinhashIndex " +
+              "before streaming into it")
           buildMinhashIndex(b.limit(0), indexDir, k, shingle, textCol, idCol)
-        emit(dedupAgainstIndex(b, indexDir, bands, threshold, textCol, idCol))
-        appendToMinhashIndex(b, indexDir, textCol, idCol)
+        }
+        val (pairs, cached) = dedupAgainstIndexWithHandles(
+          b, indexDir, bands, threshold, textCol, idCol)
+        try {
+          emit(pairs)
+          appendToMinhashIndex(b, indexDir, textCol, idCol)
+        } finally cached.foreach(_.unpersist())
     }
 }

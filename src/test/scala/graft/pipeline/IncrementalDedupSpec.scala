@@ -70,6 +70,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // replayed append (a crashed job re-run) adds nothing
     Dedup.appendToMinhashIndex(batchDocs, dir)
     assert(spark.read.parquet(s"$dir/minhash").count() == 7)
+    // intra-batch duplicate ids collapse to one row — the unique-id
+    // invariant survives a careless batch too
+    Dedup.appendToMinhashIndex(Seq(
+      (15L, "some document text"), (15L, "some document text"),
+      (10L, "already known id")).toDF("doc_id", "text"), dir)
+    assert(spark.read.parquet(s"$dir/minhash").count() == 8)
     // a second batch probing the appended index sees base AND batch docs
     val probe2 = Seq(
       (20L, "the quick brown fox jumps over the lazy dog and runs far away home today"),
