@@ -749,10 +749,11 @@ object Bench {
         }
         probeOnce() // codegen warm
         val probeSec = median3(probeOnce _)
-        // batch k-NN join: 1% of the vectors as queries, cell-local
-        // pair space — the serving shape; must scale with |Q|·cells
-        // read, not |Q|·|N|
-        val knnQueries = emb.where(col("vec_id") % 100 === 3)
+        // batch k-NN join: a FIXED 32-query batch (not a corpus
+        // fraction — scaling |Q| with the corpus would square the row
+        // and measure the workload, not the operator). Cost must track
+        // probed-cell size: ~linear at 10× vectors.
+        val knnQueries = emb.where(col("vec_id") < 32)
         val knnSec = median3 { () =>
           val t = System.nanoTime()
           val c = graft.pipeline.AnnIndex

@@ -207,6 +207,15 @@ def main():
         GraftSession.minhash_index_append(batch, mh)
         GraftSession.minhash_index_append(batch, mh)  # replay: no-op
         assert spark.read.parquet(mh + "/minhash").count() == 3
+        # batch k-NN join through the shim: axis-aligned toy vectors
+        vecs = spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS vec_id,"
+            " CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) AS embedding "
+            "UNION ALL SELECT 1, CAST(array(0.9, 0.1) AS ARRAY<FLOAT>) "
+            "UNION ALL SELECT 2, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)")
+        nn = GraftSession.knn_join(
+            vecs.where("vec_id = 0"), vecs, k=2).collect()
+        assert [(r.neighbor_id, r.rk) for r in nn] == [(0, 1), (1, 2)], nn
         print("python smoke: OK")
     finally:
         spark.stop()
