@@ -336,6 +336,21 @@ class GraftSession:
         return DataFrame(jdf, spark)
 
     @staticmethod
+    def semantic_dedup(embeddings, dim, threshold=0.95, n_planes=64,
+                       bands=4, probe_bits=1, vec_col="embedding",
+                       id_col="vec_id"):
+        """SemDeDup: ids that survive embedding-space near-dup
+        clustering (banded-LSH pairs at cosine >= threshold, connected
+        components, min id per cluster survives). Semi-join your corpus
+        against the result."""
+        from pyspark.sql import DataFrame
+        jdf = embeddings.sparkSession._jvm.graft.pipeline.Similarity \
+            .semanticDedup(embeddings._jdf, int(dim), float(threshold),
+                           int(n_planes), int(bands), int(probe_bits),
+                           vec_col, id_col)
+        return DataFrame(jdf, embeddings.sparkSession)
+
+    @staticmethod
     def minhash_index_build(docs, path, k=64, shingle=3,
                             text_col="text", id_col="doc_id"):
         """Materialize a reusable MinHash index (id, shingle-hash set,

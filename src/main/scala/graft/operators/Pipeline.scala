@@ -1271,6 +1271,64 @@ object PipelineOps {
         .orderBy("vec_a", "vec_b")
     },
 
+    // SemDeDup (Abbas et al. 2023) end-to-end: embedding near-dup
+    // pairs → connected components → one survivor per cluster. Planted
+    // structure as in ann3 (float-exact ×2 twins for vec_id % 5 = 0,
+    // plus ×4 twins for % 10 = 0, so those originals anchor 3-member
+    // colinear CHAINS the closure must collapse); recall on colinear
+    // twins is exactly 1 (bit-identical signatures), so the exhaustive
+    // oracle — all-pairs cosine ≥ 0.95 into a recursive-CTE transitive
+    // closure, minimum reachable id survives — hash-matches the
+    // LSH-pruned engine output, survivors and order included.
+    QuerySpec.checked("ann10_semantic_dedup",
+      """WITH RECURSIVE uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 4.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |),
+        |sc AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nb
+        |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |),
+        |pairs AS (
+        |  SELECT va, vb FROM sc
+        |  WHERE CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END >= 0.95
+        |),
+        |edges AS (
+        |  SELECT va AS a, vb AS b FROM pairs
+        |  UNION SELECT vb, va FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id
+        |)
+        |SELECT vec_id FROM uni WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""") { (s, d) =>
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      def twin(mod: Int, shift: Int, scale: Float) =
+        emb.filter(col("vec_id") % mod === 0)
+          .select((col("vec_id") + shift).as("vec_id"),
+            transform(col("embedding"), x => x * lit(scale)).as("embedding"))
+      val uni = emb.union(twin(5, 100000, 2.0f)).union(twin(10, 200000, 4.0f))
+      Similarity.semanticDedup(uni, dim = 64).orderBy("vec_id")
+    },
+
     // Batch k-NN JOIN, exact baseline: every query vector (vec_id %
     // 100 == 0) gets its top-5 corpus neighbors — the semantic-dedup /
     // hard-negative-mining serving shape. The full ranking is

@@ -251,4 +251,23 @@ object Similarity {
         cosine(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) in one call:
+    * semantic deduplication by embedding-space near-dup CLUSTERS —
+    * banded-LSH candidate pairs at cosine ≥ `threshold`
+    * ([[embeddingNearDupPairs]], never all-pairs), connected components
+    * over the verified pair graph, one surviving id (the minimum) per
+    * cluster. Returns the ids that SURVIVE; semi-join the document
+    * corpus against it to materialize the deduplicated dataset. All
+    * stages are the proven kernels of the dedup/similarity families —
+    * the composition is what a 100 TB curation run calls. */
+  def semanticDedup(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 64, bands: Int = 4,
+      probeBits: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pairs = embeddingNearDupPairs(embeddings, dim, threshold, nPlanes,
+      bands, probeBits, vecCol, idCol)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dropNearDuplicates(embeddings.select(col(idCol)), pairs, idCol)
+  }
 }

@@ -234,6 +234,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after.count(_.getAs[Long]("query_id") == 7L) == 4)
   }
 
+  test("semanticDedup keeps one id per embedding cluster, singletons intact") {
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    def randVec() = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(v: Seq[Float]) = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    // one 3-member CHAIN {5, 9, 12} (each near-dups its predecessor —
+    // the closure, not a single pair, must collapse it), one exact
+    // pair {20, 21}, two singletons
+    val base = randVec(); val n9 = near(base); val n12 = near(n9)
+    val v20 = randVec()
+    val all = Seq(
+      (5L, base), (9L, n9), (12L, n12),
+      (20L, v20), (21L, v20),
+      (30L, randVec()), (31L, randVec())
+    ).toDF("vec_id", "embedding")
+    val survivors = Similarity.semanticDedup(all, dim = dim,
+      threshold = 0.95, nPlanes = 64, bands = 4, probeBits = 1)
+      .orderBy("vec_id").as[Long].collect().toSeq
+    assert(survivors == Seq(5L, 20L, 30L, 31L))
+  }
+
   test("AnnIndex quantized IVF probe matches the float probe within int8 error") {
     val rnd = new scala.util.Random(29)
     val dim = 12
