@@ -513,13 +513,64 @@ object PipelineOps {
         .orderBy("doc_a", "doc_b")
     },
 
-    QuerySpec.rowsOnly("dd4_simhash") { (s, d) =>
-      Dedup.simhash64(t(s, d, "documents")).orderBy("doc_id")
+    // SimHash VALUES are engine xxhash64 (not ANSI-restatable), so the
+    // gate pins what ANSI can state — one row per document, ids exactly
+    // the corpus, no null hash, and the determinism law: identical text
+    // ⇒ identical simhash (every duplicate-text group carries exactly
+    // one distinct hash). Bit-level semantics stay pinned by DedupSpec.
+    QuerySpec.checked("dd4_simhash",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+        |  true AS dup_consistent, true AS no_null_hash
+        |FROM documents""") { (s, d) =>
+      import s.implicits._
+      val joined = Dedup.simhash64(t(s, d, "documents"))
+        .join(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("simhash"), md5(col("text")).as("th"))
+      // distinct simhash count per duplicate-text group, folded to max
+      val grp = joined.groupBy("th")
+        .agg(countDistinct(col("simhash")).as("k2"))
+        .agg(max(col("k2"))).head()
+      val base = joined.agg(count(lit(1)),
+        countDistinct(col("doc_id")),
+        count(when(col("simhash").isNull, 1))).head()
+      Seq((base.getLong(0), base.getLong(1),
+        grp.getLong(0) == 1L, base.getLong(2) == 0L))
+        .toDF("n_docs", "n_ids", "dup_consistent", "no_null_hash")
     },
 
-    QuerySpec.rowsOnly("dd5_simhash_neardup") { (s, d) =>
-      Dedup.simhashNearDuplicates(t(s, d, "documents"), maxDist = 3)
-        .orderBy("doc_a", "doc_b")
+    // Candidate SET of the simhash near-dup probe is hash-dependent,
+    // but its laws are not: every identical-TEXT pair must surface at
+    // hamming 0 (equal text ⇒ equal simhash ⇒ all four chunks collide
+    // — deterministic recall, not probabilistic), distances stay in
+    // [0, maxDist], and pairs are canonical (doc_a < doc_b). The
+    // oracle's pair count is an equi-join on text, never all-pairs.
+    QuerySpec.checked("dd5_simhash_neardup",
+      """SELECT CAST((SELECT count(*) FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id AND a.text = b.text) AS BIGINT)
+        |  AS n_exact_pairs,
+        |  true AS exact_found_at_zero, true AS dists_valid,
+        |  true AS canonical""") { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val exact = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("a.text") === col("b.text"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val out = Dedup.simhashNearDuplicates(docs, maxDist = 3)
+        .persist()
+      try {
+        val nExact = exact.count()
+        val nFound = exact
+          .join(out.filter(col("hamming") === 0), Seq("doc_a", "doc_b"),
+            "left_semi").count()
+        val law = out.agg(
+          count(when(col("hamming") < 0 || col("hamming") > 3, 1)).as("oob"),
+          count(when(col("doc_a") >= col("doc_b"), 1)).as("nc")).head()
+        Seq((nExact, nFound == nExact, law.getLong(0) == 0L,
+          law.getLong(1) == 0L))
+          .toDF("n_exact_pairs", "exact_found_at_zero", "dists_valid",
+            "canonical")
+      } finally { out.unpersist(); () }
     },
 
     // bigram variant at a looser threshold: 32 bands (width 2) keep LSH
@@ -854,11 +905,27 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
-    // custom Catalyst Expression (codegen'd Karp–Rabin rolling hash)
-    QuerySpec.rowsOnly("tx6_rolling_fingerprint") { (s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), RollingHash.rolling_hash(col("text"), 16).as("rfp"))
-        .orderBy("doc_id")
+    // custom Catalyst Expression (codegen'd Karp–Rabin rolling hash).
+    // The VALUE is wrapping 64-bit arithmetic (not ANSI-restatable);
+    // the gate pins its ANSI-stateable laws: one fingerprint per
+    // document, no nulls, and determinism — identical text ⇒ identical
+    // fingerprint across every duplicate-text group (equi-join, never
+    // all-pairs). Hash-level semantics stay pinned by spec.
+    QuerySpec.checked("tx6_rolling_fingerprint",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS dup_consistent, true AS no_null_fp
+        |FROM documents""") { (s, d) =>
+      import s.implicits._
+      val fp = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          RollingHash.rolling_hash(col("text"), 16).as("rfp"))
+      val base = fp.agg(count(lit(1)),
+        count(when(col("rfp").isNull, 1))).head()
+      val maxK = fp.groupBy(md5(col("text")))
+        .agg(countDistinct(col("rfp")).as("k"))
+        .agg(max(col("k"))).head().getLong(0)
+      Seq((base.getLong(0), maxK == 1L, base.getLong(1) == 0L))
+        .toDF("n_docs", "dup_consistent", "no_null_fp")
     },
 
     // Gopher-style repetition quality signal: fraction of bigram
