@@ -499,6 +499,24 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("k-NN join broadcasts the query batch; the corpus never shuffles " +
+      "for the join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.table(spark, sf, "embeddings")
+    val df = graft.pipeline.Similarity.knnJoinBruteForce(
+      emb.filter(col("vec_id") < 3), emb, k = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // query side broadcast into a nested-loop (cross) join — the corpus
+    // reaches the scorer in place; the only repartition is the window's
+    // hash on query_id over the ALREADY-SCORED pairs
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    // and the scoring runs the native kernel, not interpreted HOFs
+    assert(plan.contains("dot_product"), plan.take(3000))
+  }
+
   test("hive-partitioned scan prunes to the filtered lang directory") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec

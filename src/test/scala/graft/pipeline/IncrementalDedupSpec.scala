@@ -172,6 +172,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(emitted.exists { case (a, b, _) => a == 0L && b == 10L })
   }
 
+  test("fuzz: random corpora under random microbatchings equal the one-shot " +
+      "pipeline (with replayed appends injected)") {
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      Seq.fill(6 + rnd.nextInt(10))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    for (round <- 0 until 3) {
+      // clustered corpus: some docs mutated copies of earlier ones, so
+      // above-threshold pairs exist at every batch boundary
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      for (i <- 0 until 40) {
+        if (i > 0 && rnd.nextDouble() < 0.4) {
+          val base = texts(rnd.nextInt(texts.length)).split(" ")
+          texts += (base :+ words(rnd.nextInt(words.length))).mkString(" ")
+        } else texts += doc()
+      }
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val truth = pairSet(Dedup.minhashNearDuplicates(corpus,
+        threshold = 0.5, minCollapseDups = Long.MaxValue))
+      // random contiguous microbatching of the same corpus
+      val cuts = (0 +: Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(40)) :+ 40)
+        .distinct.sorted
+      val dir = tmpDir(s"mh_fuzz$round")
+      Dedup.buildMinhashIndex(corpus.limit(0), dir)
+      val emitted = scala.collection.mutable.Set[(Long, Long, Double)]()
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        val batch = corpus.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val first = pairSet(Dedup.dedupAgainstIndex(batch, dir,
+          threshold = 0.5))
+        emitted ++= first
+        Dedup.appendToMinhashIndex(batch, dir)
+        if (rnd.nextBoolean()) { // crashed-append replay: must re-emit
+          val replay = pairSet(Dedup.dedupAgainstIndex(batch, dir,
+            threshold = 0.5))
+          Dedup.appendToMinhashIndex(batch, dir)
+          assert(replay == first, s"round $round: replay diverged")
+        }
+      }
+      assert(emitted == truth,
+        s"round $round cuts $cuts: incremental ${emitted.size} pairs vs " +
+          s"one-shot ${truth.size}")
+    }
+  }
+
   test("in-place rebuild with a different hash family stays self-consistent") {
     val dir = tmpDir("mh_rebuild")
     Dedup.buildMinhashIndex(baseDocs, dir, k = 64)
