@@ -336,6 +336,18 @@ class GraftSession:
         return DataFrame(jdf, spark)
 
     @staticmethod
+    def ann_knn_join_quantized(spark, path, queries, k=10, n_probe=4,
+                               vec_col="embedding", id_col="vec_id"):
+        """Quantized batch k-NN join over a materialized ANN index: the
+        probed cells read (id, int8 qvec, norm) only — ~4x fewer vector
+        bytes; ranking within int8 error of the exact join."""
+        from pyspark.sql import DataFrame
+        jdf = spark._jvm.graft.pipeline.AnnIndex.knnJoinQuantized(
+            spark._jsparkSession, path, queries._jdf, int(k),
+            int(n_probe), vec_col, id_col)
+        return DataFrame(jdf, spark)
+
+    @staticmethod
     def semantic_dedup(embeddings, dim, threshold=0.95, n_planes=64,
                        bands=4, probe_bits=1, vec_col="embedding",
                        id_col="vec_id"):

@@ -1481,6 +1481,47 @@ object PipelineOps {
         .toDF("n_queries", "all_k", "self_rank1", "sims_exact")
     },
 
+    // Quantized batch k-NN join: the probed cells read (id, qvec,
+    // vnorm) only — ~4× fewer vector bytes. ann6's invariant set at
+    // batch shape: k dense ranks per query, self at rank 1 within
+    // quantization error, every sim within 0.02 of the recomputed
+    // exact cosine (one broadcast join, never a rescan).
+    QuerySpec.checked("ann11_knn_join_quantized",
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+        |  AS INTEGER) AS n_queries,
+        |  true AS all_k, true AS self_rank1, true AS sims_close""") { (s, d) =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select("embedding").head().getSeq[Float](0).length
+      val rows = graft.pipeline.AnnIndex.knnJoinQuantized(s,
+        ensureAnnIndex(s, d, dim),
+        emb.filter(col("vec_id") % 100 === 0), k = 5, nProbe = 8)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rk")))
+      val byQ = rows.groupBy(_._1)
+      val allK = byQ.values.forall(rs =>
+        rs.length == 5 && rs.map(_._4).sorted.sameElements(1 to 5))
+      val selfRank1 = byQ.forall { case (qid, rs) =>
+        rs.find(_._4 == 1).exists(r =>
+          r._2 == qid && math.abs(r._3 - 1.0) < 0.01)
+      }
+      val prs = rows.toSeq.map(r => (r._1, r._2, r._3))
+        .toDF("query_id", "neighbor_id", "sim")
+      val chk = prs
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")), "neighbor_id")
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("sim") -
+            Similarity.cosine(col("qe"), col("ne"))) > 0.02, 1)).as("bad"))
+        .head()
+      val simsClose = chk.getLong(0) == rows.length && chk.getLong(1) == 0L
+      Seq((byQ.size, allK, selfRank1, simsClose))
+        .toDF("n_queries", "all_k", "self_rank1", "sims_close")
+    },
+
     // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────
     // mm1/mm3 run on REAL PNG payloads (syntheticImageTable renders one
     // deterministic image per doc): decoded width/height/pixel means are

@@ -255,6 +255,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(survivors == Seq(5L, 20L, 30L, 31L))
   }
 
+  test("knnJoinQuantized: int8-accurate batch ranking that never reads the " +
+      "float vectors") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(150).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("annknnq").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 8)
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    val qdf = AnnIndex.knnJoinQuantized(spark, dir, queries, k = 4, nProbe = 8)
+    val rows = qdf.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 7L, 42L))
+    // exact float sims for every returned pair, one broadcast join
+    val exact = Similarity.knnJoinBruteForce(queries, emb, k = 150)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("sim")).toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3, 4))
+      val r1 = rs.find(_.getAs[Int]("rk") == 1).get
+      assert(r1.getAs[Long]("neighbor_id") == qid) // self within quant error
+      assert(math.abs(r1.getAs[Double]("sim") - 1.0) < 0.01)
+      rs.foreach { r =>
+        val x = exact((qid, r.getAs[Long]("neighbor_id")))
+        assert(math.abs(r.getAs[Double]("sim") - x) <= 0.02,
+          s"quantized sim drifted: $r vs exact $x")
+      }
+    }
+    // the scale claim: the INDEX scans project (qvec, vnorm) — the
+    // float embedding column never leaves disk (the query-side scan
+    // reads its own floats, which is the point of asymmetric ranking)
+    val idxScans = qdf.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("FileScan parquet") &&
+        l.contains("annknnq")).mkString("\n")
+    assert(idxScans.nonEmpty && !idxScans.contains("embedding"), idxScans)
+  }
+
   test("AnnIndex quantized IVF probe matches the float probe within int8 error") {
     val rnd = new scala.util.Random(29)
     val dim = 12
