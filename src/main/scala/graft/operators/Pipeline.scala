@@ -190,6 +190,40 @@ object PipelineOps {
       .toDF("n_returned", "self_hit", "sims_descending", "sims_exact")
   }
 
+  /** Shared invariant checker of the batch k-NN join gates (ann9 exact,
+    * ann11 quantized): k dense ranks per query, self at rank 1 within
+    * `selfTol`, and every sim within `simTol` of the exact cosine
+    * recomputed in ONE broadcast join (never a per-query rescan);
+    * `simTol = 0` demands bitwise equality. */
+  private def knnJoinInvariants(s: SparkSession, emb: DataFrame,
+      rows: Array[(Long, Long, Double, Int)], k: Int,
+      selfTol: Double, simTol: Double, simColName: String): DataFrame = {
+    import s.implicits._
+    val byQ = rows.groupBy(_._1)
+    val allK = byQ.values.forall(rs =>
+      rs.length == k && rs.map(_._4).sorted.sameElements(1 to k))
+    val selfRank1 = byQ.forall { case (qid, rs) =>
+      rs.find(_._4 == 1).exists(r =>
+        r._2 == qid && math.abs(r._3 - 1.0) <= selfTol)
+    }
+    val prs = rows.toSeq.map(r => (r._1, r._2, r._3))
+      .toDF("query_id", "neighbor_id", "sim")
+    val drift = abs(col("sim") - Similarity.cosine(col("qe"), col("ne")))
+    val chk = prs
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .agg(count(lit(1)).as("n"),
+        count(when(if (simTol == 0.0) col("sim") =!=
+            Similarity.cosine(col("qe"), col("ne"))
+          else drift > simTol, 1)).as("bad"))
+      .head()
+    val simsOk = chk.getLong(0) == rows.length && chk.getLong(1) == 0L
+    Seq((byQ.size, allK, selfRank1, simsOk))
+      .toDF("n_queries", "all_k", "self_rank1", simColName)
+  }
+
   /** Idempotently materialize the ANN index side table for a scale
     * factor (signatures + IVF cells, cell-partitioned parquet). Queries
     * probe this instead of recomputing per scan. The path carries
@@ -524,18 +558,20 @@ object PipelineOps {
         |  true AS dup_consistent, true AS no_null_hash
         |FROM documents""") { (s, d) =>
       import s.implicits._
-      val joined = Dedup.simhash64(t(s, d, "documents"))
+      // one aggregation pass: per duplicate-text group, row/id/null
+      // counts and the distinct-hash count (determinism law = max 1)
+      val grp = Dedup.simhash64(t(s, d, "documents"))
         .join(t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("simhash"), md5(col("text")).as("th"))
-      // distinct simhash count per duplicate-text group, folded to max
-      val grp = joined.groupBy("th")
-        .agg(countDistinct(col("simhash")).as("k2"))
-        .agg(max(col("k2"))).head()
-      val base = joined.agg(count(lit(1)),
-        countDistinct(col("doc_id")),
-        count(when(col("simhash").isNull, 1))).head()
-      Seq((base.getLong(0), base.getLong(1),
-        grp.getLong(0) == 1L, base.getLong(2) == 0L))
+        .groupBy("th").agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("ids"),
+          countDistinct(col("simhash")).as("k2"),
+          count(when(col("simhash").isNull, 1)).as("nulls"))
+        .agg(sum(col("cnt")), sum(col("ids")), max(col("k2")),
+          sum(col("nulls"))).head()
+      Seq((grp.getLong(0), grp.getLong(1),
+        grp.getLong(2) == 1L, grp.getLong(3) == 0L))
         .toDF("n_docs", "n_ids", "dup_consistent", "no_null_hash")
     },
 
@@ -1444,7 +1480,6 @@ object PipelineOps {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
         |  AS INTEGER) AS n_queries,
         |  true AS all_k, true AS self_rank1, true AS sims_exact""") { (s, d) =>
-      import s.implicits._
       val emb = t(s, d, "embeddings")
       val dim = emb.select("embedding").head().getSeq[Float](0).length
       val rows = graft.pipeline.AnnIndex.knnJoin(s, ensureAnnIndex(s, d, dim),
@@ -1452,33 +1487,11 @@ object PipelineOps {
         .collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
           r.getAs[Double]("sim"), r.getAs[Int]("rk")))
-      val byQ = rows.groupBy(_._1)
-      val allK = byQ.values.forall(rs =>
-        rs.length == 5 && rs.map(_._4).sorted.sameElements(1 to 5))
-      // self-similarity lands within an ulp of 1.0 (see annInvariants)
-      val selfRank1 = byQ.forall { case (qid, rs) =>
-        rs.find(_._4 == 1).exists(r =>
-          r._2 == qid && math.abs(r._3 - 1.0) < 1e-9)
-      }
-      // recompute exact cosines for the returned pairs in ONE job: the
-      // small pair list broadcasts into two joins against the corpus —
-      // the same (query, corpus) argument order as the probe, so equal
-      // sims are bitwise equal
-      val prs = rows.toSeq.map(r => (r._1, r._2, r._3))
-        .toDF("query_id", "neighbor_id", "sim")
-      val chk = prs
-        .join(emb.select(col("vec_id").as("query_id"),
-          col("embedding").as("qe")), "query_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")), "neighbor_id")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("sim") =!=
-            Similarity.cosine(col("qe"), col("ne")), 1)).as("bad"))
-        .head()
-      // every pair resolved against the corpus AND matched bitwise
-      val simsExact = chk.getLong(0) == rows.length && chk.getLong(1) == 0L
-      Seq((byQ.size, allK, selfRank1, simsExact))
-        .toDF("n_queries", "all_k", "self_rank1", "sims_exact")
+      // self-similarity within an ulp of 1.0 (see annInvariants); sims
+      // bitwise-equal to the recomputed exact cosine (same argument
+      // order as the probe), all via the shared checker
+      knnJoinInvariants(s, emb, rows, k = 5, selfTol = 1e-9,
+        simTol = 0.0, simColName = "sims_exact")
     },
 
     // Quantized batch k-NN join: the probed cells read (id, qvec,
@@ -1490,7 +1503,6 @@ object PipelineOps {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
         |  AS INTEGER) AS n_queries,
         |  true AS all_k, true AS self_rank1, true AS sims_close""") { (s, d) =>
-      import s.implicits._
       val emb = t(s, d, "embeddings")
       val dim = emb.select("embedding").head().getSeq[Float](0).length
       val rows = graft.pipeline.AnnIndex.knnJoinQuantized(s,
@@ -1499,27 +1511,8 @@ object PipelineOps {
         .collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
           r.getAs[Double]("sim"), r.getAs[Int]("rk")))
-      val byQ = rows.groupBy(_._1)
-      val allK = byQ.values.forall(rs =>
-        rs.length == 5 && rs.map(_._4).sorted.sameElements(1 to 5))
-      val selfRank1 = byQ.forall { case (qid, rs) =>
-        rs.find(_._4 == 1).exists(r =>
-          r._2 == qid && math.abs(r._3 - 1.0) < 0.01)
-      }
-      val prs = rows.toSeq.map(r => (r._1, r._2, r._3))
-        .toDF("query_id", "neighbor_id", "sim")
-      val chk = prs
-        .join(emb.select(col("vec_id").as("query_id"),
-          col("embedding").as("qe")), "query_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")), "neighbor_id")
-        .agg(count(lit(1)).as("n"),
-          count(when(abs(col("sim") -
-            Similarity.cosine(col("qe"), col("ne"))) > 0.02, 1)).as("bad"))
-        .head()
-      val simsClose = chk.getLong(0) == rows.length && chk.getLong(1) == 0L
-      Seq((byQ.size, allK, selfRank1, simsClose))
-        .toDF("n_queries", "all_k", "self_rank1", "sims_close")
+      knnJoinInvariants(s, emb, rows, k = 5, selfTol = 0.01,
+        simTol = 0.02, simColName = "sims_close")
     },
 
     // ── multimodal (REAL image decode via javax.imageio; av stubs) ───────

@@ -621,25 +621,49 @@ object AnnIndex {
     * an indexed query always finds itself. */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    knnJoinScaffold(spark, path, queries, k, nProbe, vecCol, idCol,
+      identity,
+      idxCols = Seq(col("__nid").as("neighbor_id"),
+        col(vecCol).as("__ce"), col("cell")),
+      sim = Similarity.cosine(col("__qe"), col("__ce")))
+
+  /** The shared shape of the batch joins: per-query probe-cell
+    * selection (pure column algebra — sort (−sim, idx) structs, keep
+    * nProbe indices, the [[nearestCell]] kernel shape and tie rule, so
+    * the FIRST probed cell is the query's own assignment cell), a
+    * loud per-row dimension guard (a ragged query would otherwise
+    * null-poison every sim and rank k arbitrary rows — silent garbage),
+    * the cell equi-join, and the per-query window rank. Callers supply
+    * only the index projection and the scoring expression. */
+  private def knnJoinScaffold(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int, vecCol: String,
+      idCol: String, prepQuery: DataFrame => DataFrame,
+      idxCols: Seq[Column], sim: Column): DataFrame = {
     val cents = loadCentroids(path)
+    val (dim, _) = loadParams(path)
     val np = math.min(nProbe, cents.length)
+    val checkedQe = when(size(col("__qe0")) === dim, col("__qe0"))
+      .otherwise(raise_error(concat(
+        lit("knnJoin: query vector dim "), size(col("__qe0")).cast("string"),
+        lit(s" != index dim $dim"))).cast("array<float>"))
     val probeCells = transform(
       slice(array_sort(zip_with(centroidSims(cents, col("__qe")),
         sequence(lit(0), lit(cents.length - 1)),
         (s, i) => struct((-s).as("ns"), i.as("idx")))), 1, np),
       st => st.getField("idx"))
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qe"))
-      .withColumn("cell", explode(probeCells))
+    val q = prepQuery(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qe0"))
+      .withColumn("__qe", checkedQe)
+      .drop("__qe0")
+      .withColumn("cell", explode(probeCells)))
     val idx = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__ce"),
-        col("cell"))
+      .withColumnRenamed(idCol, "__nid")
+      .select(idxCols: _*)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     idx.join(q, Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("__qe"), col("__ce")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
@@ -659,36 +683,17 @@ object AnnIndex {
   def knnJoinQuantized(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = loadCentroids(path)
-    val scales = loadScales(path)
-    val np = math.min(nProbe, cents.length)
-    val sArr = array(scales.map(lit): _*)
-    val probeCells = transform(
-      slice(array_sort(zip_with(centroidSims(cents, col("__qe")),
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("idx")))), 1, np),
-      st => st.getField("idx"))
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qe"))
-      .withColumn("__qw",
-        zip_with(col("__qe"), sArr, (x, s) => x.cast("double") * s))
-      .withColumn("__qn", Similarity.norm(col("__qe")))
-      .withColumn("cell", explode(probeCells))
-      .drop("__qe")
-    val idx = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
-      .select(col(idCol).as("neighbor_id"), col("qvec"), col("vnorm"),
-        col("cell"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    idx.join(q, Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("vnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
-          .otherwise(Similarity.dot(col("qvec"), col("__qw"))
-            / (col("vnorm") * col("__qn"))).as("sim"))
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("rk").cast("int").as("rk"))
+    val sArr = array(loadScales(path).map(lit): _*)
+    knnJoinScaffold(spark, path, queries, k, nProbe, vecCol, idCol,
+      prepQuery = _.withColumn("__qw",
+          zip_with(col("__qe"), sArr, (x, s) => x.cast("double") * s))
+        .withColumn("__qn", Similarity.norm(col("__qe")))
+        .drop("__qe"),
+      idxCols = Seq(col("__nid").as("neighbor_id"), col("qvec"),
+        col("vnorm"), col("cell")),
+      sim = when(col("vnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("qvec"), col("__qw"))
+          / (col("vnorm") * col("__qn"))))
   }
 
   /** IVF top-k over the QUANTIZED vectors: same cell pruning, but the

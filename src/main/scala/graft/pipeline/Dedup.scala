@@ -253,7 +253,11 @@ object Dedup {
     * fixpoint. The iteration state is the PAIR graph — tiny relative to
     * the corpus — and near-dup components are shallow (chains of a few
     * docs), so this converges in a handful of small-join rounds at any
-    * corpus size; `maxIters` bounds the pathological long-chain case. */
+    * corpus size; `maxIters` bounds the pathological long-chain case —
+    * and hitting that bound UNCONVERGED throws rather than silently
+    * splitting a cluster (callers' "one survivor per cluster" contract
+    * would otherwise break with no signal; labels spread one hop per
+    * round, so raise `maxIters` past the graph diameter). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
       idCol: String = "doc_id"): DataFrame = {
     val edges = diskPersist(
@@ -275,14 +279,19 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds " +
+          s"($changed labels still moving) — a duplicate chain is deeper " +
+          "than maxIters; raise it past the graph diameter")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** The deduplicated corpus under near-dup semantics: one canonical
     * document (minimum id) per cluster, all singletons untouched. */
   def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val losers = nearDupClusters(pairs, idCol = idCol)
+      idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    val losers = nearDupClusters(pairs, maxIters, idCol)
       .filter(col(idCol) =!= col("cluster_id"))
       .select(col(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

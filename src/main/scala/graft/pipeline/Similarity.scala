@@ -263,11 +263,14 @@ object Similarity {
     * the composition is what a 100 TB curation run calls. */
   def semanticDedup(embeddings: DataFrame, dim: Int,
       threshold: Double = 0.95, nPlanes: Int = 64, bands: Int = 4,
-      probeBits: Int = 1,
+      probeBits: Int = 1, maxIters: Int = 20,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val pairs = embeddingNearDupPairs(embeddings, dim, threshold, nPlanes,
       bands, probeBits, vecCol, idCol)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Dedup.dropNearDuplicates(embeddings.select(col(idCol)), pairs, idCol)
+    // clustering throws on non-convergence (one-survivor contract);
+    // maxIters forwards for deeper-than-default duplicate chains
+    Dedup.dropNearDuplicates(embeddings.select(col(idCol)), pairs,
+      idCol, maxIters)
   }
 }

@@ -27,13 +27,13 @@ class DotProductSpec extends AnyFunSuite {
     val both = rows.select(
       DotProduct.dot_product(col("a"), col("b")).as("native"),
       hofDot(col("a"), col("b")).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
     // and on mixed float × double-literal arrays (the centroid shape)
     val cents = array((0 until 64).map(i => lit(i * 0.37 - 3.1)): _*)
     val mixed = rows.select(
       DotProduct.dot_product(col("a"), cents).as("native"),
       hofDot(col("a"), cents).as("hof"))
-    assert(mixed.filter(col("native") =!= col("hof")).count() == 0)
+    assert(mixed.filter(!(col("native") <=> col("hof"))).count() == 0)
   }
 
   test("null semantics match: ragged lengths, null elements, empty arrays") {

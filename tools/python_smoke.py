@@ -214,7 +214,7 @@ def main():
             "UNION ALL SELECT 1, CAST(array(0.9, 0.1) AS ARRAY<FLOAT>) "
             "UNION ALL SELECT 2, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)")
         nn = GraftSession.knn_join(
-            vecs.where("vec_id = 0"), vecs, k=2).collect()
+            vecs.where("vec_id = 0"), vecs, k=2).orderBy("rk").collect()
         assert [(r.neighbor_id, r.rk) for r in nn] == [(0, 1), (1, 2)], nn
         print("python smoke: OK")
     finally:
