@@ -92,7 +92,14 @@ final case class KvTableMeta(schema: StructType, keys: Seq[String],
     props: Map[String, String] = Map.empty)
 
 object GraftKvMeta {
-  private def metaFile(dir: String) = Paths.get(dir, "_graft_meta.json")
+  // Meta sidecar I/O goes through the Hadoop FileSystem API
+  // (graft.io.SidecarFs): table METADATA follows the table path's
+  // scheme, so catalogs over shared storage read/write it like any
+  // Spark artifact. (The segment data layer — SegmentFile and its
+  // maintenance leases — remains the embedded local store by design,
+  // SURVEY §3.4.)
+  private def metaFile(dir: String) =
+    graft.io.SidecarFs.child(dir, "_graft_meta.json")
 
   /** Per-table string-zone truncation cap (codepoints): a corpus whose
     * values share long prefixes (URLs, paths) gets useless bounds at
@@ -129,12 +136,7 @@ object GraftKvMeta {
       encoding: String = graft.store.RowCodec.Binary,
       zorder: Seq[graft.codec.ZDim] = Nil,
       props: Map[String, String] = Map.empty): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    // tmp + atomic rename: a concurrent committer's meta refresh must
-    // never expose a half-written file to a racing read (the CAS commit
-    // protocol makes concurrent committers the NORMAL case)
-    val tmp = Paths.get(dir,
-      s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.io.SidecarFs.mkdirs(dir)
     props.foreach { case (k, v) =>
       require(!s"$k$v".exists(c => c == '|' || c == ';' || c == '=' || c == '\n'),
         s"table property '$k'='$v' may not contain | ; = or newline")
@@ -147,11 +149,12 @@ object GraftKvMeta {
       if (props.nonEmpty)
         "|" + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
       else ""
-    Files.writeString(tmp,
+    // tmp + atomic overwrite-rename: a concurrent committer's meta
+    // refresh must never expose a half-written file to a racing read
+    // (the CAS commit protocol makes concurrent committers the NORMAL
+    // case)
+    graft.io.SidecarFs.writeStringAtomic(metaFile(dir),
       keys.mkString(",") + "|" + encoding + zPart + pPart + "\n" + schema.json)
-    Files.move(tmp, metaFile(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def read(dir: String): Option[KvTableMeta] = {
@@ -161,9 +164,9 @@ object GraftKvMeta {
     // (one Files.exists when no conversion ever touched this table)
     ZConvert.repair(dir)
     val f = metaFile(dir)
-    if (!Files.exists(f)) None
+    if (!graft.io.SidecarFs.exists(f)) None
     else {
-      val lines = Files.readString(f)
+      val lines = graft.io.SidecarFs.readString(f)
       val sep = lines.indexOf('\n')
       if (sep < 0) throw new IllegalStateException(
         s"corrupt graftkv meta at $f (no header line)")

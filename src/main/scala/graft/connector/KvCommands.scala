@@ -332,9 +332,12 @@ object KvCommands {
         n.startsWith("._graft_stats.tmp-") ||
         n.startsWith("._graft_ndv.tmp-") ||
         n.startsWith("._graft_qs.tmp-") ||
-        n.startsWith("._graft_meta.tmp-") ||
+        n.startsWith("._graft_meta.") && n.contains(".tmp-") ||
         n.startsWith("._graft_zconvert") || // conversion intent markers
-        n.startsWith("._graft_epoch-")) // streaming markers die with the table
+        n.startsWith("._graft_epoch-") || // streaming markers die with the table
+        // Hadoop local-FS checksum shadows of the control files above
+        // (a recreated table must not trip over a dead table's crc)
+        (n.startsWith("._graft") && n.endsWith(".crc")))
       .foreach(n => new java.io.File(d, n).delete())
     // sweep scratch dirs stranded by a crashed minor compaction or
     // z-order conversion
@@ -592,7 +595,7 @@ object KvCommands {
       Option(new java.io.File(path).list())
         .getOrElse(Array.empty[String])
         .filter(n => (n.startsWith("._graft_segments.tmp-") ||
-          n.startsWith("._graft_meta.tmp-") ||
+          n.startsWith("._graft_meta.") && n.contains(".tmp-") ||
           n.startsWith("._graft_stats.tmp-") ||
           n.startsWith("._graft_ndv.tmp-") ||
           n.startsWith("._graft_qs.tmp-") ||
@@ -798,14 +801,13 @@ private[connector] object ZConvert {
   def clearMarker(dir: String): Unit = Files.deleteIfExists(markerPath(dir))
 
   /** Atomic meta publish from raw content (GraftKvMeta.write's rename
-    * discipline, without re-deriving the serialized form). */
-  def writeMetaContent(dir: String, content: String): Unit = {
-    val tmp = Paths.get(dir,
-      s"._graft_meta.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, content)
-    Files.move(tmp, Paths.get(dir, "_graft_meta.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+    * discipline, without re-deriving the serialized form). Must use
+    * the SAME filesystem layer as GraftKvMeta.write — a java.nio move
+    * over a Hadoop-written meta would strand its checksum shadow and
+    * poison every later read. */
+  def writeMetaContent(dir: String, content: String): Unit =
+    graft.io.SidecarFs.writeStringAtomic(
+      graft.io.SidecarFs.child(dir, "_graft_meta.json"), content)
 
   /** Read-side repair, called by GraftKvMeta.read before every meta
     * read (one Files.exists on the hot path). Cases:

@@ -1,0 +1,143 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Sidecar + commit-protocol I/O through the Hadoop `FileSystem` API.
+  *
+  * The index layers (ANN centroids/params/drift/tombstones, MinHash
+  * params/commit marker, kv table meta) write their parquet payloads
+  * through Spark — any Hadoop filesystem — but their small sidecar
+  * files and directory-swap commit protocols used to go through
+  * `java.nio.file`, pinning every index to the driver's LOCAL disk. At
+  * cluster scale an index lives on shared storage (HDFS, S3, …) next
+  * to its data, so all sidecar I/O funnels through here instead: paths
+  * are plain strings (scheme-qualified or not), each op resolves the
+  * owning `FileSystem` from the active session's Hadoop conf, and the
+  * semantics match what the crash-recovery state machines assumed from
+  * `java.nio.file.Files` (move fails when the source vanished or the
+  * destination exists; recursive delete; read/write whole small files).
+  *
+  * Atomicity notes, by backend: rename is atomic on HDFS and local
+  * disk — the 4-step directory-swap commits rely only on rename plus
+  * re-checks, so they hold there. On object stores without atomic
+  * rename (raw S3A) the swap degrades to fail-loud, never
+  * silent-corrupt: the `_SUCCESS`-marker checks and the bounded
+  * re-verify in the swap reject a half-applied state.
+  */
+object SidecarFs {
+
+  /** Hadoop conf: the active session's (so `spark.hadoop.*` settings
+    * apply to sidecars exactly as to the parquet payloads), else a
+    * plain default. Cached per session — `newHadoopConf()` clones the
+    * full conf and meta reads happen per query plan. */
+  @volatile private var cached: (AnyRef, Configuration) = null
+  def hadoopConf: Configuration = {
+    val key: AnyRef = SparkSession.getActiveSession.orNull
+    val c = cached
+    if (c != null && (c._1 eq key)) c._2
+    else {
+      val conf = key match {
+        case s: SparkSession => s.sessionState.newHadoopConf()
+        case _ => new Configuration()
+      }
+      cached = (key, conf)
+      conf
+    }
+  }
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** `dir/name` with the scheme of `dir` preserved. */
+  def child(dir: String, name: String): String =
+    new Path(dir, name).toString
+
+  /** Fully-qualified canonical form — stable lock/caching key for a
+    * path however it was spelled (relative, absolute, with scheme). */
+  def qualified(path: String): String = {
+    val p = new Path(path)
+    fsOf(p).makeQualified(p).toString
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(p).exists(p)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fsOf(p).mkdirs(p): Unit
+  }
+
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fsOf(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Whole-file overwrite (sidecars are small; a torn read of a
+    * mid-overwrite file is prevented by the callers' commit protocols,
+    * or use [[writeStringAtomic]] where a file IS the commit point). */
+  def writeString(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = fsOf(p).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Write to a hidden temp sibling, then rename OVER the target
+    * (`Options.Rename.OVERWRITE` — atomic on HDFS/local): a racing
+    * reader sees either the old or the new complete file, never a
+    * half-written one. */
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val qp = fs.makeQualified(p)
+    val tmp = new Path(qp.getParent,
+      s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeString(tmp.toString, content)
+    val fc = FileContext.getFileContext(qp.toUri, hadoopConf)
+    fc.rename(tmp, qp, Options.Rename.OVERWRITE)
+  }
+
+  /** Delete a file if present (non-recursive); no-op when absent. */
+  def deleteIfExists(path: String): Unit = {
+    val p = new Path(path)
+    fsOf(p).delete(p, false): Unit
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val p = new Path(path)
+    fsOf(p).delete(p, true): Unit
+  }
+
+  /** Rename that tolerates losing a cross-process race — `false` when
+    * the source is missing or the destination already exists (the
+    * `java.nio` `Files.move` failure modes the recovery state machines
+    * re-evaluate on), `true` on success. Never moves INTO an existing
+    * destination directory (the Hadoop rename quirk the pre-checks
+    * exclude). */
+  def moveQuiet(src: String, dst: String): Boolean = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val fs = fsOf(sp)
+    if (!fs.exists(sp) || fs.exists(dp)) false
+    else fs.rename(sp, dp)
+  }
+
+  /** Strict rename — for single-maintainer swaps where losing the race
+    * is a caller bug, not a tolerated outcome. */
+  def move(src: String, dst: String): Unit =
+    require(moveQuiet(src, dst), s"rename $src -> $dst failed " +
+      "(source missing or destination exists)")
+}

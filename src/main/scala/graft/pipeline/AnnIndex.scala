@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
+import graft.io.SidecarFs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,10 +26,13 @@ object AnnIndex {
     * scheme is rebuilt instead of probed with mismatched signatures. */
   val FormatVersion = 5 // v5: + int8 quantized vectors (_scales.txt)
 
-  private def centroidFile(path: String) = Paths.get(path, "_centroids.txt")
-  private def paramsFile(path: String) = Paths.get(path, "_params.txt")
-  private def driftFile(path: String) = Paths.get(path, "_drift.txt")
-  private def scalesFile(path: String) = Paths.get(path, "_scales.txt")
+  // Sidecar and commit I/O go through [[graft.io.SidecarFs]] (Hadoop
+  // FileSystem) — the parquet payloads already do, so the whole index
+  // lives on whatever shared filesystem the path's scheme names.
+  private def centroidFile(path: String) = SidecarFs.child(path, "_centroids.txt")
+  private def paramsFile(path: String) = SidecarFs.child(path, "_params.txt")
+  private def driftFile(path: String) = SidecarFs.child(path, "_drift.txt")
+  private def scalesFile(path: String) = SidecarFs.child(path, "_scales.txt")
 
   // ── centroid selection (sampled k-means, cosine metric) ────────────────
 
@@ -161,7 +164,7 @@ object AnnIndex {
       appendRows: Long, appendCosSum: Double,
       appendComps: Long = 0L, appendClamped: Long = 0L,
       deletedRows: Long = 0L): Unit =
-    Files.writeString(driftFile(path),
+    SidecarFs.writeString(driftFile(path),
       s"build_rows=$buildRows\nbuild_cos_sum=$buildCosSum\n" +
         s"append_rows=$appendRows\nappend_cos_sum=$appendCosSum\n" +
         s"append_comps=$appendComps\nappend_clamped=$appendClamped\n" +
@@ -169,7 +172,7 @@ object AnnIndex {
 
   private def readDrift(path: String)
       : (Long, Double, Long, Double, Long, Long, Long) = {
-    val kv = Files.readString(driftFile(path)).split('\n')
+    val kv = SidecarFs.readString(driftFile(path)).split('\n')
       .map(_.split('=')).collect { case Array(k, v) => k -> v.trim }.toMap
     (kv("build_rows").toLong, kv("build_cos_sum").toDouble,
       kv("append_rows").toLong, kv("append_cos_sum").toDouble,
@@ -184,7 +187,7 @@ object AnnIndex {
     * A legacy (pre-v4) index reports zero drift; rebuild it to start
     * the accounting. */
   def driftStats(path: String): AnnDriftStats = {
-    if (!Files.exists(driftFile(path)))
+    if (!SidecarFs.exists(driftFile(path)))
       return AnnDriftStats(0L, 0.0, 0L, 0.0)
     val (br, bcs, ar, acs, ac, acl, del) = readDrift(path)
     AnnDriftStats(br, if (br == 0) 0.0 else bcs / br,
@@ -225,12 +228,12 @@ object AnnIndex {
       // nProbe files, not hundreds
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    Files.writeString(centroidFile(path),
+    SidecarFs.writeString(centroidFile(path),
       cents.map(_.mkString(",")).mkString("\n"))
     // the signature scheme is part of the index: append/probe must use
     // the SAME plane count or Hamming filters compare garbage
-    Files.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
-    Files.writeString(scalesFile(path), scales.mkString(","))
+    SidecarFs.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
+    SidecarFs.writeString(scalesFile(path), scales.mkString(","))
     // seed the drift ledger with the build-time assignment fit (one
     // aggregate over the just-written, cell-pruned index)
     val (n, cosSum) = fitOf(
@@ -240,7 +243,7 @@ object AnnIndex {
 
   /** (dim, nPlanes) persisted at build. */
   def loadParams(path: String): (Int, Int) = {
-    val kv = Files.readString(paramsFile(path)).split('\n')
+    val kv = SidecarFs.readString(paramsFile(path)).split('\n')
       .map(_.split('=')).collect { case Array(k, v) => k -> v.trim.toInt }
       .toMap
     (kv("dim"), kv("nPlanes"))
@@ -282,7 +285,7 @@ object AnnIndex {
     // tombstone list (the new row would otherwise stay hidden forever)
     val unTombstoned = removeFromDeleted(newVectors.sparkSession, path,
       newVectors.select(col(idCol)).distinct(), idCol)
-    if (Files.exists(driftFile(path))) {
+    if (SidecarFs.exists(driftFile(path))) {
       val (br, bcs, ar, acs, ac, acl, del) = readDrift(path)
       val (n, cosSum) = fitOf(newVectors, cents, vecCol)
       // grid-fit of the batch: components the persisted scales CLAMP
@@ -329,9 +332,9 @@ object AnnIndex {
     * (underscore-hidden, so the index's own parquet read never lists
     * it). Probes anti-join against it (broadcast — the set is bounded
     * by `maxDeletedFraction` before a rebuild folds it away). */
-  private def deletedDir(path: String) = Paths.get(path, "_deleted")
-  private def deletedNewDir(path: String) = Paths.get(path, "_deleted__new")
-  private def deletedOldDir(path: String) = Paths.get(path, "_deleted__old")
+  private def deletedDir(path: String) = SidecarFs.child(path, "_deleted")
+  private def deletedNewDir(path: String) = SidecarFs.child(path, "_deleted__new")
+  private def deletedOldDir(path: String) = SidecarFs.child(path, "_deleted__old")
 
   /** Crash recovery for [[removeFromDeleted]]'s directory swap. The
     * rewrite commits in four steps — (1) write the new list to
@@ -357,67 +360,56 @@ object AnnIndex {
   private val pathLocks = com.google.common.cache.CacheBuilder.newBuilder()
     .weakValues().build[String, Object]()
   private def lockFor(path: String): Object = {
-    val key = Paths.get(path).toAbsolutePath.normalize.toString
+    val key = SidecarFs.qualified(path)
     pathLocks.get(key, () => new Object)
   }
-
-  /** Move that tolerates losing a cross-process race: false when the
-    * source vanished or the target appeared first — the state machine
-    * re-evaluates instead of failing the query. */
-  private def moveQuiet(src: java.nio.file.Path,
-      dst: java.nio.file.Path): Boolean =
-    try { Files.move(src, dst); true }
-    catch {
-      case _: java.nio.file.NoSuchFileException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
 
   private def recoverDeleted(path: String): Unit = lockFor(path).synchronized {
     val live = deletedDir(path)
     val nw = deletedNewDir(path)
     val old = deletedOldDir(path)
-    def complete(d: java.nio.file.Path): Boolean =
-      Files.exists(d.resolve("_SUCCESS"))
-    if (Files.isDirectory(live)) {
+    def complete(d: String): Boolean =
+      SidecarFs.exists(SidecarFs.child(d, "_SUCCESS"))
+    if (SidecarFs.isDirectory(live)) {
       // crash after (3): finish step (4)
-      if (Files.isDirectory(old)) deleteRecursively(old.toFile)
-      if (Files.isDirectory(nw)) {
+      if (SidecarFs.isDirectory(old)) SidecarFs.deleteRecursively(old)
+      if (SidecarFs.isDirectory(nw)) {
         // crash between (1) and (2): the rewrite is complete but the
         // swap never began — finish it (it encodes an un-tombstone an
         // append already relies on); an incomplete __new never happened
         if (complete(nw)) {
-          if (moveQuiet(live, old)) {
-            if (moveQuiet(nw, live)) deleteRecursively(old.toFile)
-            else moveQuiet(old, live): Unit // lost a race — restore
+          if (SidecarFs.moveQuiet(live, old)) {
+            if (SidecarFs.moveQuiet(nw, live)) SidecarFs.deleteRecursively(old)
+            else SidecarFs.moveQuiet(old, live): Unit // lost a race — restore
           }
-        } else deleteRecursively(nw.toFile)
+        } else SidecarFs.deleteRecursively(nw)
       }
     } else {
-      if (Files.isDirectory(old)) {
+      if (SidecarFs.isDirectory(old)) {
         // crash between (2) and (3): roll forward when __new committed,
         // back to the old list otherwise
-        if (Files.isDirectory(nw) && complete(nw)) {
-          if (moveQuiet(nw, live)) deleteRecursively(old.toFile)
+        if (SidecarFs.isDirectory(nw) && complete(nw)) {
+          if (SidecarFs.moveQuiet(nw, live)) SidecarFs.deleteRecursively(old)
         } else {
-          moveQuiet(old, live)
-          if (Files.isDirectory(nw)) deleteRecursively(nw.toFile)
+          SidecarFs.moveQuiet(old, live)
+          if (SidecarFs.isDirectory(nw)) SidecarFs.deleteRecursively(nw)
         }
-      } else if (Files.isDirectory(nw)) {
+      } else if (SidecarFs.isDirectory(nw)) {
         // unreachable under the step order (a __new is only written
         // against an existing live dir); drop the orphan defensively
-        deleteRecursively(nw.toFile)
+        SidecarFs.deleteRecursively(nw)
       }
     }
   }
 
   private[pipeline] def hasDeleted(path: String): Boolean = {
     recoverDeleted(path)
-    Files.isDirectory(deletedDir(path))
+    SidecarFs.isDirectory(deletedDir(path))
   }
 
   private def deletedIds(spark: SparkSession, path: String,
       idCol: String): DataFrame =
-    spark.read.parquet(deletedDir(path).toString)
+    spark.read.parquet(deletedDir(path))
       .select(col("id").as(idCol)).distinct()
 
   /** Remove vectors from the index — the curation-pipeline counterpart
@@ -446,7 +438,7 @@ object AnnIndex {
       .join(broadcast(del), Seq("id"), "left_semi")
     val already =
       if (hasDeleted(path))
-        spark.read.parquet(deletedDir(path).toString).select(col("id"))
+        spark.read.parquet(deletedDir(path)).select(col("id"))
       else existing.limit(0)
     val newDeadIds = existing.join(broadcast(already), Seq("id"), "left_anti")
       .distinct().persist()
@@ -455,8 +447,8 @@ object AnnIndex {
       // the sidecar it is writing to
       val newDead = newDeadIds.count()
       if (newDead > 0) {
-        newDeadIds.write.mode("append").parquet(deletedDir(path).toString)
-        if (Files.exists(driftFile(path))) {
+        newDeadIds.write.mode("append").parquet(deletedDir(path))
+        if (SidecarFs.exists(driftFile(path))) {
           val (br, bcs, ar, acs, ac, acl, d0) = readDrift(path)
           writeDrift(path, br, bcs, ar, acs, ac, acl, d0 + newDead)
         }
@@ -483,7 +475,7 @@ object AnnIndex {
   private def removeFromDeleted(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String): Long = {
     if (!hasDeleted(path)) return 0L
-    val cur = spark.read.parquet(deletedDir(path).toString)
+    val cur = spark.read.parquet(deletedDir(path))
       .select(col("id")).distinct().persist()
     try {
       val keep = cur.join(
@@ -500,30 +492,30 @@ object AnnIndex {
         // recovery losing/winning a move is tolerated, with the final
         // state re-checked for a bounded window before failing.
         lockFor(path).synchronized {
-          keep.write.mode("overwrite").parquet(deletedNewDir(path).toString)
+          keep.write.mode("overwrite").parquet(deletedNewDir(path))
           // __new already gone = a racing reader's recovery completed
           // the swap for us; otherwise perform it, restoring the old
           // list if the forward move loses a cross-process race
-          if (Files.isDirectory(deletedNewDir(path))) {
-            if (moveQuiet(deletedDir(path), deletedOldDir(path)) &&
-              !moveQuiet(deletedNewDir(path), deletedDir(path)))
-              moveQuiet(deletedOldDir(path), deletedDir(path)): Unit
+          if (SidecarFs.isDirectory(deletedNewDir(path))) {
+            if (SidecarFs.moveQuiet(deletedDir(path), deletedOldDir(path)) &&
+              !SidecarFs.moveQuiet(deletedNewDir(path), deletedDir(path)))
+              SidecarFs.moveQuiet(deletedOldDir(path), deletedDir(path)): Unit
           }
-          if (Files.isDirectory(deletedOldDir(path)) &&
-            Files.isDirectory(deletedDir(path)))
-            deleteRecursively(deletedOldDir(path).toFile)
+          if (SidecarFs.isDirectory(deletedOldDir(path)) &&
+            SidecarFs.isDirectory(deletedDir(path)))
+            SidecarFs.deleteRecursively(deletedOldDir(path))
           // a cross-process reader may be mid-swap (live moved away,
           // its forward move pending): re-run the recovery state
           // machine for a bounded window before declaring a real loss
           var tries = 0
-          while (!Files.isDirectory(deletedDir(path)) && tries < 40) {
+          while (!SidecarFs.isDirectory(deletedDir(path)) && tries < 40) {
             recoverDeleted(path)
-            if (!Files.isDirectory(deletedDir(path))) {
+            if (!SidecarFs.isDirectory(deletedDir(path))) {
               Thread.sleep(50)
               tries += 1
             }
           }
-          require(Files.isDirectory(deletedDir(path)),
+          require(SidecarFs.isDirectory(deletedDir(path)),
             s"tombstone swap left no live _deleted dir under $path")
         }
         removed
@@ -554,25 +546,22 @@ object AnnIndex {
       spark.read.parquet(path).select(col(idCol), col(vecCol)), idCol)
     val tmp = path + "__rebuild"
     build(all, tmp, dim, nPlanes, nCentroids, vecCol, idCol)
-    // `build` is an action — `all` is fully consumed before the swap
-    val old = Paths.get(path + "__old")
-    Files.move(Paths.get(path), old)
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(old.toFile)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRecursively)
-    f.delete()
+    // `build` is an action — `all` is fully consumed before the swap.
+    // A crash between the two moves leaves no live index dir but both
+    // __old and the complete rebuild beside it — loud (probes fail on
+    // the missing dir), never silently stale.
+    val old = path + "__old"
+    SidecarFs.move(path, old)
+    SidecarFs.move(tmp, path)
+    SidecarFs.deleteRecursively(old)
   }
 
   def loadCentroids(path: String): Array[Array[Double]] =
-    Files.readString(centroidFile(path)).split("\n")
+    SidecarFs.readString(centroidFile(path)).split("\n")
       .map(_.split(",").map(_.toDouble))
 
   def loadScales(path: String): Array[Double] =
-    Files.readString(scalesFile(path)).split(",").map(_.toDouble)
+    SidecarFs.readString(scalesFile(path)).split(",").map(_.toDouble)
 
   // ── probes ─────────────────────────────────────────────────────────────
 

@@ -614,25 +614,29 @@ object Dedup {
     * and refuse a mismatch loudly. */
   private final case class MinhashParams(k: Int, shingle: Int, idCol: String)
 
+  // Sidecar I/O through [[graft.io.SidecarFs]] (Hadoop FileSystem):
+  // the minhash parquet already goes through Spark's Hadoop path, so
+  // with the sidecar following the same scheme the index as a whole
+  // can live on shared storage (hdfs://, s3a://, file:) — and the
+  // exists/guard checks below see the SAME filesystem the data is on
+  // (a local-FS check against a remote indexDir used to let the
+  // auto-create path silently overwrite an ingested index).
   private def paramsFile(indexDir: String) =
-    java.nio.file.Paths.get(indexDir, "_minhash_params.json")
+    graft.io.SidecarFs.child(indexDir, "_minhash_params.json")
 
   private def writeMinhashParams(indexDir: String, p: MinhashParams): Unit = {
     val json = s"""{"version":1,"k":${p.k},"shingle":${p.shingle},""" +
       s""""idCol":"${p.idCol}"}"""
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(indexDir))
-    java.nio.file.Files.write(paramsFile(indexDir),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.SidecarFs.mkdirs(indexDir)
+    graft.io.SidecarFs.writeString(paramsFile(indexDir), json)
   }
 
   private def readMinhashParams(indexDir: String): MinhashParams = {
     val f = paramsFile(indexDir)
-    require(java.nio.file.Files.exists(f),
-      s"no MinHash index at $indexDir (missing ${f.getFileName}); " +
+    require(graft.io.SidecarFs.exists(f),
+      s"no MinHash index at $indexDir (missing _minhash_params.json); " +
         "build one with Dedup.buildMinhashIndex first")
-    val json = new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val json = graft.io.SidecarFs.readString(f)
     def num(key: String): Int = {
       val m = s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
       require(m.isDefined, s"malformed $f: missing $key")
@@ -665,7 +669,7 @@ object Dedup {
     // probe band stale-k signatures and silently match nothing), write
     // data, re-commit last — so a crash or a racing probe anywhere in
     // the window is refused loudly by readMinhashParams
-    java.nio.file.Files.deleteIfExists(paramsFile(indexDir))
+    graft.io.SidecarFs.deleteIfExists(paramsFile(indexDir))
     entries.write.mode("overwrite").parquet(s"$indexDir/minhash")
     writeMinhashParams(indexDir, MinhashParams(k, shingle, idCol))
   }
@@ -785,8 +789,8 @@ object Dedup {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val b = batch.toDF()
-        if (!java.nio.file.Files.exists(paramsFile(indexDir))) {
-          require(!new java.io.File(s"$indexDir/minhash").exists(),
+        if (!graft.io.SidecarFs.exists(paramsFile(indexDir))) {
+          require(!graft.io.SidecarFs.exists(s"$indexDir/minhash"),
             s"index at $indexDir has data but no params sidecar " +
               "(crashed rebuild?) — recover it with buildMinhashIndex " +
               "before streaming into it")
