@@ -44,7 +44,14 @@ object Bench {
     "w2_running_sum",        // window
     "dd1_exact_dedup",       // dedup hash-group
     "dd3_minhash_lsh_neardup", // minhash + LSH + verify
-    "dd10_editdistance_pairs", // deletion-key fuzzy join + levenshtein verify
+    // dd10_editdistance_pairs moved to the dedup detail section
+    // (round-14, verdict item 4): its full FastSS sweep was 26% of the
+    // headline with a 5× rep spread under contention — one volatile
+    // row dominating the cross-round total. The correctness gate and
+    // the detail/stress rows keep the full sweep; the headline stays a
+    // broad, stable basket. (Cross-round note: r14 headline total
+    // drops by dd10's ~2.5-3.7 s for this structural reason, not a
+    // plan win — compare dedup.dd10_sec across rounds for the op.)
     "dd9_substring_dedup",   // Lee et al. substring dedup (linear rebuild, r11)
     "ir1_bm25_topk",         // BM25 ranking straight off the corpus
     "ir2_bm25_index",        // BM25 probing the materialized kv postings index
@@ -342,8 +349,26 @@ object Bench {
         }
         var runs = (1 to 3).map(_ => rep())
         if (!runs.exists(_ < 0) &&
-          runs.max / math.max(runs.min, 1e-9) > 2.0 && runs.max - runs.min > 0.3)
-          runs = runs ++ (1 to 2).map(_ => rep())
+          runs.max / math.max(runs.min, 1e-9) > 2.0 && runs.max - runs.min > 0.3) {
+          // CONTENTION-GATED re-measure (round-14, verdict item 4): the
+          // r13 adaptive median-of-5 did not protect dd10 — a contended
+          // rep block dominates extra reps too. Bracket each extra rep
+          // with the multi-core calibration probe and keep only reps
+          // whose bracket is within 2× of the run-level baseline (the
+          // machine was comparably quiet); median over the clean set.
+          // If every bracket shows squeeze, fall back to all reps — the
+          // spread then stays visible in the unstable telemetry rather
+          // than being laundered into a fake-clean median.
+          val bracketed = (1 to 5).map { _ =>
+            val c = calibrateMtOnce(); (rep(), c)
+          }
+          val clean = bracketed
+            .filter { case (s, c) => s >= 0 && c <= calibrationMt * 2.0 }
+            .map(_._1)
+          runs =
+            if (clean.length >= 3) clean
+            else runs ++ bracketed.map(_._1)
+        }
         if (runs.exists(_ < 0)) Timing(name, -1.0, -1.0, -1.0, runs.length)
         else Timing(name, runs.sorted.apply(runs.length / 2),
           runs.min, runs.max, runs.length)
@@ -634,6 +659,22 @@ object Bench {
         System.err.println(s"[bench] decontam failed: ${e.getMessage}")
         ""
       }
+      // dd10's full FastSS sweep, timed HERE since round 14 (it left
+      // the headline — one 26%-of-total row with 5× contention spread
+      // was the whole basket's volatility). Same query, so
+      // dd10_sec remains round-over-round comparable with the old
+      // headline dd10 row.
+      val dd10 = try {
+        val sec = median3 { () =>
+          val t0 = System.nanoTime()
+          queries("dd10_editdistance_pairs")(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s""","dd10_sec":${fmt(sec)}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dd10 detail row failed: ${e.getMessage}")
+        ""
+      }
       // next-decade probes (round-12): steady-state seconds for the two
       // round-11 rewrites on their worst-case shapes — the ~1M-token
       // 90%-duplicated doc (substring rebuild must stay O(len+kills))
@@ -674,7 +715,7 @@ object Bench {
           // a real ingest probes each batch exactly once, COLD: release
           // the probe's cached intermediates between reps so the median
           // measures that, never a warm-cache replay
-          val probeSec = median3 { () =>
+          def probeOnce(): Double = {
             val t = System.nanoTime()
             val (df, cached) = graft.pipeline.Dedup
               .dedupAgainstIndexWithHandles(
@@ -683,6 +724,34 @@ object Bench {
             val sec = (System.nanoTime() - t) / 1e9
             cached.foreach(_.unpersist(true))
             sec
+          }
+          val probeSec = median3(probeOnce _)
+          // long-ingest fragmentation → compaction (round-14, verdict
+          // item 2): a streaming ingest leaves one small file set per
+          // appended microbatch and probe latency follows the file
+          // count. 24 single-doc appends fragment the index, the probe
+          // re-measures over the fragmented layout, compaction rewrites
+          // it into sorted runs, and the probe must come back to ~the
+          // un-fragmented cost. File counts prove the mechanism.
+          val compaction = try {
+            import spark.implicits._
+            (0 until 24).foreach { i =>
+              graft.pipeline.Dedup.appendToMinhashIndex(Seq(
+                (9000000L + i,
+                  s"synthetic ingest microbatch $i with filler words")
+              ).toDF("doc_id", "text"), idx)
+            }
+            val fragSec = median3(probeOnce _)
+            val (fb, fa) =
+              graft.pipeline.Dedup.compactMinhashIndex(spark, idx)
+            val compSec = median3(probeOnce _)
+            s""","files_fragmented":$fb,"files_compacted":$fa""" +
+              s""","probe_fragmented_sec":${fmt(fragSec)}""" +
+              s""","probe_compacted_sec":${fmt(compSec)}"""
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] minhash compaction probe failed: ${e.getMessage}")
+            ""
           }
           // drop every intermediate dedupStats persisted over this
           // corpus, or the "one-shot" comparator reads warm caches and
@@ -698,7 +767,7 @@ object Bench {
           rmTree(new java.io.File(idx))
           s"""{"index_build_sec":${fmt(buildSec)},"probe_sec":${fmt(probeSec)},""" +
             s""""probe_pairs":$pairs,"oneshot_sec":${fmt(oneShotSec)},""" +
-            s""""oneshot_pairs":$oneShot}"""
+            s""""oneshot_pairs":$oneShot$compaction}"""
         }
         val p = incProbe(sfDir, "p")
         val s1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
@@ -710,7 +779,7 @@ object Bench {
         System.err.println(s"[bench] incremental dedup probe failed: ${e.getMessage}")
         ""
       }
-      s""","dedup":{"primary":$primary$atSf1$decontam$stress$incremental}"""
+      s""","dedup":{"primary":$primary$atSf1$decontam$dd10$stress$incremental}"""
     }
     sweepCaches("dedup-stats")
 
@@ -761,6 +830,21 @@ object Bench {
           require(c > 0, "knn join returned nothing")
           (System.nanoTime() - t) / 1e9
         }
+        // batch k-NN join at |Q| = corpus (round-14, verdict item 6):
+        // the hard-negative-mining shape — every vector queries the
+        // index. Per-query probe-cell selection is column algebra (no
+        // driver round-trip) and the pair space is cell-local, so the
+        // row must grow ~LINEARLY in |Q| from the primary corpus to
+        // the 10× replica; superlinear growth here is the |Q|×|N|
+        // explosion the scaffold exists to prevent.
+        var knnSelfRows = 0L
+        val knnSelfSec = median3 { () =>
+          val t = System.nanoTime()
+          knnSelfRows = graft.pipeline.AnnIndex
+            .knnJoin(spark, idx, emb, k = 5, nProbe = 2).count()
+          require(knnSelfRows >= n, "knn self-join lost queries")
+          (System.nanoTime() - t) / 1e9
+        }
         val victims = emb.select("vec_id").where(col("vec_id") % 100 === 7)
           .collect().map(_.getLong(0)).toSeq
         val t1 = System.nanoTime()
@@ -773,6 +857,8 @@ object Bench {
         rmTree(new java.io.File(idx))
         s"""{"vectors":$n,"build_sec":${fmt(buildSec)},"probe_sec":${fmt(probeSec)},""" +
           s""""knn_join_sec":${fmt(knnSec)},""" +
+          s""""knn_join_self_sec":${fmt(knnSelfSec)},""" +
+          s""""knn_join_self_rows":$knnSelfRows,""" +
           s""""delete_sec":${fmt(deleteSec)},"probe_post_delete_sec":${fmt(probeDelSec)},""" +
           s""""rebuild_sec":${fmt(rebuildSec)}}"""
       } finally emb.unpersist()

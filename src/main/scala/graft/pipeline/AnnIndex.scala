@@ -632,10 +632,16 @@ object AnnIndex {
     val cents = loadCentroids(path)
     val (dim, _) = loadParams(path)
     val np = math.min(nProbe, cents.length)
-    val checkedQe = when(size(col("__qe0")) === dim, col("__qe0"))
+    // a ragged query OR a null element would null-poison every centroid
+    // sim — probe-cell selection degrades to the index tiebreak and the
+    // window still ranks k NULL-sim rows, garbage shaped like results —
+    // so both raise loudly per row
+    val checkedQe = when(size(col("__qe0")) === dim &&
+        !exists(col("__qe0"), x => x.isNull), col("__qe0"))
       .otherwise(raise_error(concat(
         lit("knnJoin: query vector dim "), size(col("__qe0")).cast("string"),
-        lit(s" != index dim $dim"))).cast("array<float>"))
+        lit(s" != index dim $dim, or null vector elements")))
+        .cast("array<float>"))
     val probeCells = transform(
       slice(array_sort(zip_with(centroidSims(cents, col("__qe")),
         sequence(lit(0), lit(cents.length - 1)),

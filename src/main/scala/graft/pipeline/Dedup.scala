@@ -632,6 +632,9 @@ object Dedup {
   }
 
   private def readMinhashParams(indexDir: String): MinhashParams = {
+    // heal a crashed compaction swap before trusting the data dir —
+    // every probe/append path funnels through here
+    recoverMinhash(indexDir)
     val f = paramsFile(indexDir)
     require(graft.io.SidecarFs.exists(f),
       s"no MinHash index at $indexDir (missing _minhash_params.json); " +
@@ -696,6 +699,88 @@ object Dedup {
         graft.functions.MinHashSignature.minhash_signature_hashed(
           col("shset"), p.k))
       .write.mode("append").parquet(s"$indexDir/minhash")
+  }
+
+  /** In-JVM per-index lock for the compaction swap + its read-side
+    * recovery (the AnnIndex tombstone-swap pattern): keys normalize to
+    * the FS-qualified path, values are weak so abandoned dirs don't
+    * accumulate locks for the JVM's lifetime. */
+  private val mhLocks = com.google.common.cache.CacheBuilder.newBuilder()
+    .weakValues().build[String, Object]()
+  private def mhLockFor(indexDir: String): Object =
+    mhLocks.get(graft.io.SidecarFs.qualified(indexDir), () => new Object)
+
+  /** Crash recovery for [[compactMinhashIndex]]'s directory swap.
+    * Compaction never changes the hash family, so the params sidecar
+    * stays live through the whole operation (unlike a rebuild) and the
+    * only crash states are directory-shaped: live present → any
+    * `__old`/`__compact` remnants are dead scratch; live absent with a
+    * committed `__compact` (parquet `_SUCCESS`) → roll the swap
+    * forward; live absent otherwise → roll back to `__old`. Runs
+    * before every params read, so probes and appends self-heal. */
+  private def recoverMinhash(indexDir: String): Unit =
+    mhLockFor(indexDir).synchronized {
+      val fs = graft.io.SidecarFs
+      val live = s"$indexDir/minhash"
+      val nw = s"$indexDir/minhash__compact"
+      val old = s"$indexDir/minhash__old"
+      def committed = fs.exists(fs.child(nw, "_SUCCESS"))
+      if (fs.isDirectory(live)) {
+        if (fs.isDirectory(old)) fs.deleteRecursively(old)
+        if (fs.isDirectory(nw)) fs.deleteRecursively(nw)
+      } else if (fs.isDirectory(old)) {
+        if (fs.isDirectory(nw) && committed) {
+          if (fs.moveQuiet(nw, live)) fs.deleteRecursively(old)
+        } else {
+          fs.moveQuiet(old, live)
+          if (fs.isDirectory(nw)) fs.deleteRecursively(nw)
+        }
+      } else if (fs.isDirectory(nw)) {
+        // no live and no __old: unreachable under the step order
+        // (scratch is written beside a live dir); drop the orphan
+        fs.deleteRecursively(nw)
+      }
+    }
+
+  /** Compact the persisted MinHash index's data files. Appends (one
+    * file set per ingest microbatch — [[appendToMinhashIndex]] writes
+    * `mode("append")`) accumulate small files without bound, and probe
+    * latency follows the file count: every [[dedupAgainstIndex]] opens
+    * each one for the (id, sig) banding scan. This maintenance call
+    * rewrites the data into ≈`targetRowsPerFile`-row sorted runs
+    * (range-partitioned + sorted by id — contiguous id locality for
+    * the verify join's shset fetches) and swaps directories:
+    * write scratch `minhash__compact` → move live to `minhash__old` →
+    * move scratch in → drop `__old`. The params sidecar is untouched
+    * (the hash family doesn't change), so probes racing the swap read
+    * either the old or the new complete file set, and a crash at any
+    * step heals on the next probe's [[recoverMinhash]] pass. Single
+    * maintainer, like append. Returns (filesBefore, filesAfter). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetRowsPerFile: Long = 1L << 22): (Int, Int) = {
+    val p = readMinhashParams(indexDir)
+    val fs = graft.io.SidecarFs
+    val live = s"$indexDir/minhash"
+    def dataFiles(dir: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(fs.hadoopConf).listStatus(hp)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    }
+    val before = dataFiles(live)
+    val data = spark.read.parquet(live)
+    val rows = data.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    data.repartitionByRange(nFiles, col(p.idCol))
+      .sortWithinPartitions(col(p.idCol))
+      .write.mode("overwrite").parquet(s"$indexDir/minhash__compact")
+    mhLockFor(indexDir).synchronized {
+      fs.move(live, s"$indexDir/minhash__old")
+      fs.move(s"$indexDir/minhash__compact", live)
+      fs.deleteRecursively(s"$indexDir/minhash__old")
+    }
+    (before, dataFiles(live))
   }
 
   /** Near-dup pairs a NEW batch introduces against an indexed corpus —

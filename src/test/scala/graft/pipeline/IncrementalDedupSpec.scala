@@ -105,6 +105,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
       pairSet(Dedup.dedupAgainstIndex(probe, dirB, threshold = 0.3)))
   }
 
+  test("compaction: fewer files, identical probe pairs, crash-swap heals") {
+    val dir = tmpDir("mh_compact")
+    Dedup.buildMinhashIndex(baseDocs, dir)
+    // a long-running ingest: one small file set per appended batch
+    (0 until 5).foreach { i =>
+      Dedup.appendToMinhashIndex(Seq(
+        (100L + i, s"append batch number $i with its own distinct words $i")
+      ).toDF("doc_id", "text"), dir)
+    }
+    def files(): Seq[String] = new java.io.File(s"$dir/minhash").list()
+      .toSeq.filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val probe = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (201L, "append batch number 3 with its own distinct words 3 again")
+    ).toDF("doc_id", "text")
+    val before = pairSet(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.3))
+    assert(before.exists { case (a, b, _) => a == 0L && b == 200L })
+    assert(before.exists { case (a, b, _) => a == 103L && b == 201L })
+    val nBefore = files().size
+    val (fb, fa) = Dedup.compactMinhashIndex(spark, dir)
+    assert(fb == nBefore && fa == files().size)
+    assert(fa < fb, s"compaction must shrink the file count ($fb -> $fa)")
+    assert(fa == 1) // 8 rows, one sorted run
+    // pair-identical probes over the compacted index
+    assert(pairSet(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.3))
+      == before)
+    // replay is a no-op rewrite, never a corruption
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(pairSet(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.3))
+      == before)
+
+    // crash between the two swap moves: live moved away, committed
+    // scratch pending — the next probe must roll the swap forward
+    val fs = graft.io.SidecarFs
+    spark.read.parquet(s"$dir/minhash").write
+      .mode("overwrite").parquet(s"$dir/minhash__compact")
+    assert(fs.moveQuiet(s"$dir/minhash", s"$dir/minhash__old"))
+    assert(pairSet(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.3))
+      == before)
+    assert(fs.isDirectory(s"$dir/minhash"))
+    assert(!fs.isDirectory(s"$dir/minhash__old") &&
+      !fs.isDirectory(s"$dir/minhash__compact"))
+
+    // crash before the swap began: live intact, incomplete scratch
+    // (no _SUCCESS) — scratch is dropped, probes unaffected
+    fs.mkdirs(s"$dir/minhash__compact")
+    assert(pairSet(Dedup.dedupAgainstIndex(probe, dir, threshold = 0.3))
+      == before)
+    assert(!fs.isDirectory(s"$dir/minhash__compact"))
+  }
+
   test("probing a missing or half-built index fails loudly") {
     val none = intercept[IllegalArgumentException] {
       Dedup.dedupAgainstIndex(batchDocs, tmpDir("mh_missing"))

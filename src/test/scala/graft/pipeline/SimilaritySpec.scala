@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.TestSpark
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -253,6 +254,73 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = 0.95, nPlanes = 64, bands = 4, probeBits = 1)
       .orderBy("vec_id").as[Long].collect().toSeq
     assert(survivors == Seq(5L, 20L, 30L, 31L))
+  }
+
+  test("knnJoin plan pin: cell-local equi-join, no cartesian/NL pair " +
+      "space, no driver round-trip at ANY |Q|") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(150).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("annknnplan")
+      .toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 8)
+    // |Q| = corpus (the hard-negative-mining shape): construction-time
+    // driver work must be INDEPENDENT of |Q| — per-query probe-cell
+    // selection is column algebra over the centroid literals, never a
+    // driver-side collect. Opening the index costs a constant footer/
+    // schema job; what may not happen is jobs scaling with the query
+    // side, so construct at |Q|=3 and |Q|=150 and compare job counts.
+    def constructionJobs(tag: String, q: DataFrame): Int = {
+      spark.sparkContext.setJobGroup(tag, "knnJoin construction")
+      AnnIndex.knnJoin(spark, dir, q, k = 3, nProbe = 2)
+      Thread.sleep(500) // status store is fed async
+      val n = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      spark.sparkContext.clearJobGroup()
+      n
+    }
+    val jSmall = constructionJobs("knn-construct-3", emb.limit(3))
+    val jFull = constructionJobs("knn-construct-150", emb)
+    assert(jFull <= jSmall,
+      s"knnJoin construction ran $jFull jobs at |Q|=150 vs $jSmall at " +
+        "|Q|=3 — driver work scaling with the query side")
+    val df = AnnIndex.knnJoin(spark, dir, emb, k = 3, nProbe = 2)
+    assert(df.count() == emb.count() * 3)
+    // executed plan: the pair space is the cell equi-join — never a
+    // cartesian or nested-loop product of queries × index
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("cell"), "join must key on the cell column")
+    emb.unpersist()
+  }
+
+  test("knnJoin guard: ragged and null-element query vectors raise " +
+      "instead of ranking null-sim garbage") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(40).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("annknnguard")
+      .toString + "/idx"
+    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 4)
+    // ragged: wrong dimension
+    val ragged = emb.limit(1).select($"vec_id",
+      expr("slice(embedding, 1, 3)").as("embedding"))
+    val e1 = intercept[Exception] {
+      AnnIndex.knnJoin(spark, dir, ragged, k = 2, nProbe = 2).collect()
+    }
+    assert(e1.getMessage.contains("knnJoin") ||
+      Option(e1.getCause).exists(_.getMessage.contains("knnJoin")))
+    // null element: full length, one NULL inside — would silently
+    // degrade cell selection to the index tiebreak without the guard
+    val nulled = emb.limit(1).select($"vec_id",
+      expr("transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))")
+        .as("embedding"))
+    val e2 = intercept[Exception] {
+      AnnIndex.knnJoin(spark, dir, nulled, k = 2, nProbe = 2).collect()
+    }
+    assert(e2.getMessage.contains("knnJoin") ||
+      Option(e2.getCause).exists(_.getMessage.contains("knnJoin")))
+    emb.unpersist()
   }
 
   test("knnJoinQuantized: int8-accurate batch ranking that never reads the " +
