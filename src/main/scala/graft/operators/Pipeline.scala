@@ -1711,16 +1711,46 @@ object PipelineOps {
         .orderBy("lang")
     },
 
-    // greedy next-fit packing — order-dependent, pinned by CurationSpec
-    QuerySpec.rowsOnly("cu3_sequence_pack") { (s, d) =>
+    // greedy next-fit packing. Since round 14 the assignment is a pure
+    // function of the data (group = id mod 32, walk in id order — never
+    // the physical partition layout), so the oracle re-derives every
+    // (pack_id, pack_seq) with a per-group recursive walk: the CTE
+    // carries (used, pack_local, seq) from row rn to rn+1 with exactly
+    // the next-fit reset rule, and a hash match pins the full
+    // assignment, not just its conservation laws.
+    QuerySpec.checked("cu3_sequence_pack",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> len(t) > 0)) AS INTEGER) AS n_tokens,
+        |    doc_id % 32 AS grp,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents
+        |),
+        |walk(grp, rn, doc_id, n_tokens, used, pack_local, seqno) AS (
+        |  SELECT grp, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT), 0
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN w.used + t.n_tokens > 512
+        |         THEN t.n_tokens ELSE w.used + t.n_tokens END,
+        |    CASE WHEN w.used + t.n_tokens > 512
+        |         THEN w.pack_local + 1 ELSE w.pack_local END,
+        |    CASE WHEN w.used + t.n_tokens > 512 THEN 0 ELSE w.seqno + 1 END
+        |  FROM walk w JOIN toks t ON t.grp = w.grp AND t.rn = w.rn + 1
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(grp * 4294967296 + pack_local AS BIGINT) AS pack_id,
+        |  CAST(seqno AS INTEGER) AS pack_seq
+        |FROM walk ORDER BY doc_id""") { (s, d) =>
       graft.pipeline.Curation.packSequences(t(s, d, "documents"),
         budgetTokens = 512).toDF().orderBy("doc_id")
     },
 
-    // pack ids are partition-layout-derived (no ANSI restatement), but
-    // packing's conservation laws are: every doc packed exactly once
-    // (counts and token totals match the corpus) and no multi-doc pack
-    // over budget
+    // packing's conservation laws, kept beside the exact cu3 oracle:
+    // every doc packed exactly once (counts and token totals match the
+    // corpus) and no multi-doc pack over budget
     QuerySpec.checked("cu4_pack_stats",
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),

@@ -115,42 +115,50 @@ object Curation {
       pack_seq: Int)
 
   /** Sequence packing: assign documents to fixed token-budget packs
-    * (context-window filling) with a greedy next-fit pass. Documents are
-    * spread across `numPartitions` by a deterministic key hash and
-    * walked in `idCol` order inside each partition; a pack closes when
-    * the next document would overflow `budgetTokens`. Pack ids are
-    * `partition * 2^32 + localIndex`, so they are globally unique and
-    * reproducible run to run. A single document longer than the budget
-    * gets a pack of its own (callers chunk oversized docs upstream).
+    * (context-window filling) with a greedy next-fit pass. Documents
+    * split into `numGroups` groups by `id mod numGroups` and are walked
+    * in `idCol` order inside each group; a pack closes when the next
+    * document would overflow `budgetTokens`. Pack ids are
+    * `group * 2^32 + localIndex` — a pure function of (ids, token
+    * counts), NEVER of the physical partition layout, so the whole
+    * assignment is reproducible at any parallelism and restatable in
+    * ANSI SQL (the gate's DuckDB oracle re-derives it row for row). A
+    * single document longer than the budget gets a pack of its own
+    * (callers chunk oversized docs upstream).
     *
     * The sequential pass is genuinely order-dependent, so it runs as
-    * per-partition imperative logic — each task packs its own slice
-    * independently, which is exactly how a 1000-executor run wants it
-    * (no global coordination, no driver involvement). */
+    * per-partition imperative logic — one shuffle on the group key,
+    * then each task packs its groups independently (a physical
+    * partition may hold several groups; the walk resets per group),
+    * which is exactly how a 1000-executor run wants it: no global
+    * coordination, no driver involvement, and `numGroups` — not the
+    * cluster's partition count — fixes the pack-id space. */
   def packSequences(docs: DataFrame, budgetTokens: Int,
-      numPartitions: Int = 32, idCol: String = "doc_id",
+      numGroups: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): Dataset[PackedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
-      .repartition(numPartitions, pmod(col("doc_id"), lit(numPartitions)))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Int)]
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(numGroups.toLong)).as("grp"))
+      .repartition(numGroups, col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
+      .as[(Long, Int, Long)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var packLocal = 0L
+        var curGrp = -1L
+        var packLocal = -1L
         var used = 0
         var seq = 0
         var open = false
-        it.map { case (docId, nTokens) =>
+        it.map { case (docId, nTokens, grp) =>
+          if (grp != curGrp) { curGrp = grp; packLocal = -1L; open = false }
           if (!open || used + nTokens > budgetTokens) {
-            if (open) packLocal += 1
+            packLocal += 1
             used = 0; seq = 0; open = true
           }
           used += nTokens
-          val out = PackedDoc(docId, nTokens, (pid << 32) | packLocal, seq)
+          val out = PackedDoc(docId, nTokens, (grp << 32) | packLocal, seq)
           seq += 1
           out
         }

@@ -80,7 +80,7 @@ class CurationSpec extends AnyFunSuite {
         .as("text"))
     val budget = 100
     val packed = Curation.packSequences(docs, budgetTokens = budget,
-      numPartitions = 8).collect()
+      numGroups = 8).collect()
     assert(packed.map(_.doc_id).toSet == (0L until 500L).toSet,
       "every document must appear in exactly one pack")
     val byPack = packed.groupBy(_.pack_id)
@@ -94,15 +94,32 @@ class CurationSpec extends AnyFunSuite {
     }
     // deterministic run to run (fixed hash partitioning + in-partition sort)
     val again = Curation.packSequences(docs, budgetTokens = budget,
-      numPartitions = 8).collect()
+      numGroups = 8).collect()
     assert(again.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet ==
       packed.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet)
+    // LAYOUT-INDEPENDENT (round-14): the assignment is a pure function
+    // of (id mod numGroups, id order, token counts) — re-derive it in
+    // plain Scala and match row for row. A physical-partition-derived
+    // pack id (the pre-r14 scheme) cannot pass this.
+    val expect = (0L until 500L).map(id => (id, (id % 40 + 1).toInt))
+      .groupBy { case (id, _) => id % 8 }
+      .flatMap { case (grp, ds) =>
+        var local = -1L; var used = 0; var seq = 0; var open = false
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (!open || used + n > budget) { local += 1; used = 0; seq = 0; open = true }
+          used += n
+          val out = (id, (grp << 32) | local, seq)
+          seq += 1
+          out
+        }
+      }.toSet
+    assert(packed.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet == expect)
   }
 
   test("packStats reports fill ratios consistent with the packing") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"),
       concat_ws(" ", array_repeat(lit("t"), 10)).as("text")) // 10 tokens each
-    val packed = Curation.packSequences(docs, budgetTokens = 50, numPartitions = 4)
+    val packed = Curation.packSequences(docs, budgetTokens = 50, numGroups = 4)
     val stats = Curation.packStats(packed, budgetTokens = 50).collect()
     // 10-token docs into 50-token packs → every full pack holds 5 docs
     assert(stats.forall(r => r.getLong(1) <= 5))
