@@ -75,6 +75,11 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
 
+  /** Element-type dispatch code. Decimal packs (precision, scale) into
+    * the high bytes (tag 6 in the low byte) so the codegen call
+    * boundary stays two ints — decimal arrays went through the
+    * replaced algebra's cast("double") and must keep working here
+    * (same Decimal.toDouble the Cast uses). */
   private[functions] def typeCode(t: DataType): Int = t match {
     case FloatType => 0
     case DoubleType => 1
@@ -82,15 +87,17 @@ object DotProduct {
     case ShortType => 3
     case IntegerType => 4
     case LongType => 5
+    case d: DecimalType => 6 | (d.precision << 8) | (d.scale << 16)
     case _ => -1
   }
 
-  private def get(arr: ArrayData, i: Int, t: Int): Double = t match {
+  private def get(arr: ArrayData, i: Int, t: Int): Double = (t & 0xff) match {
     case 0 => arr.getFloat(i).toDouble
     case 1 => arr.getDouble(i)
     case 2 => arr.getByte(i).toDouble
     case 3 => arr.getShort(i).toDouble
     case 4 => arr.getInt(i).toDouble
+    case 6 => arr.getDecimal(i, (t >> 8) & 0xff, (t >> 16) & 0xff).toDouble
     case _ => arr.getLong(i).toDouble
   }
 

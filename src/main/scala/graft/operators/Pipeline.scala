@@ -48,16 +48,24 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Corpus fingerprint (size + mtime over the documents parquet) — the
-    * cache key all fixture index dirs fold in, so an index built from a
-    * previous driver-generated corpus is rebuilt, never probed. */
+  /** Corpus fingerprint over the documents parquet — the cache key all
+    * fixture index dirs fold in, so an index built from a previous
+    * driver-generated corpus is rebuilt, never probed. Folds every
+    * file's (relative path, length, mtime) through MD5 — an additive
+    * length+mtime stamp was collision-prone (bytes moving between
+    * files, or offsetting mtime changes, preserved the sum and could
+    * silently reuse a stale index). */
   private def corpusFp(sfDir: String): String = {
-    def stamp(f: java.io.File): Long =
+    val root = new java.io.File(s"$sfDir/documents.parquet")
+    def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
-      else f.length() + f.lastModified()
-    java.lang.Long.toHexString(
-      stamp(new java.io.File(s"$sfDir/documents.parquet")))
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(walk(root).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
 
   private val mhLock = new Object

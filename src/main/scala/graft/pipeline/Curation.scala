@@ -35,7 +35,19 @@ object Curation {
     * onto the same key; `idCol` tie-breaks, keeping the order total
     * and deterministic. Write shards with
     * `.repartition(col("shard")).write.partitionBy("shard")` — one
-    * directory per shard, loader-addressable. */
+    * directory per shard, loader-addressable.
+    *
+    * SIZING RULE: the position window sorts each shard in ONE task
+    * (that is what makes `pos_in_shard` a total in-shard order), so
+    * nShards must scale with the corpus — size it so a shard's rows
+    * fit a task's sort buffer comfortably, e.g.
+    * `nShards >= corpusRows / 10M` (the sort is (key, id) pairs, ~16
+    * bytes/row, so 10M rows ≈ 160 MB — spills safely inside a
+    * standard task, never the driver). The affine key is uniform, so
+    * shards are balanced by construction and one skewed shard cannot
+    * form; too-few SHARDS (one giant sort per task) is the only
+    * degenerate shape, and it degrades to task-local disk spill, not
+    * an error. */
   def epochShuffle(docs: DataFrame, nShards: Int, seed: Long = 0L,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

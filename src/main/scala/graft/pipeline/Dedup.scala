@@ -249,41 +249,63 @@ object Dedup {
 
   /** Connected components over near-dup pairs: every document gets the
     * MINIMUM doc id reachable through dup edges as its cluster id, via
-    * iterative label propagation (label := min(own, neighbors')) to a
-    * fixpoint. The iteration state is the PAIR graph — tiny relative to
-    * the corpus — and near-dup components are shallow (chains of a few
-    * docs), so this converges in a handful of small-join rounds at any
-    * corpus size; `maxIters` bounds the pathological long-chain case —
-    * and hitting that bound UNCONVERGED throws rather than silently
-    * splitting a cluster (callers' "one survivor per cluster" contract
-    * would otherwise break with no signal; labels spread one hop per
-    * round, so raise `maxIters` past the graph diameter). */
+    * iterative label propagation (label := min(own, neighbors')) PLUS
+    * a pointer-jumping shortcut each round (label := label's label —
+    * every label value is itself a node id, so the hop stays inside
+    * the component and only decreases toward the minimum). The
+    * shortcut doubles the effective propagation radius per round, so
+    * convergence is O(log diameter), not O(diameter): the default
+    * `maxIters` of 20 covers chains ~2^20 deep — template-heavy
+    * corpora with duplicate chains of thousands of documents converge
+    * in a dozen rounds. The iteration state is the PAIR graph — tiny
+    * relative to the corpus — and hitting the bound UNCONVERGED still
+    * throws rather than silently splitting a cluster (callers' "one
+    * survivor per cluster" contract would otherwise break with no
+    * signal). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
       idCol: String = "doc_id"): DataFrame = {
     val edges = diskPersist(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = diskPersist(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // each round's labels are localCheckpoint'ed (eager, lineage
+    // TRUNCATED): the label frame is referenced three times per round
+    // (neighbor join, pointer-jump self-join, convergence diff), so
+    // carrying lineage would grow the logical plan exponentially with
+    // the round count — plan compilation, not the data, becomes the
+    // bottleneck. With truncation every round plans over a flat leaf;
+    // the checkpointed state is the label frame itself (one row per
+    // node of the PAIR graph — tiny relative to the corpus).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val next = diskPersist(labels.join(nbr, Seq("id"), "left")
+      val hop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      // pointer jumping: follow the label chain one step (self-join on
+      // the label column) — turns D-deep chains into D/2 next round
+      val next = hop.join(
+          hop.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).count()
       labels.unpersist()
+      hop.unpersist()
       labels = next
       i += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxIters rounds " +
-          s"($changed labels still moving) — a duplicate chain is deeper " +
-          "than maxIters; raise it past the graph diameter")
+          s"($changed labels still moving) — with pointer jumping that " +
+          "is a component ~2^maxIters deep; raise maxIters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

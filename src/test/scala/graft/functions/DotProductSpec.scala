@@ -84,6 +84,21 @@ class DotProductSpec extends AnyFunSuite {
     assert(v == 127 * 0.5 + -127 * 2.0)
   }
 
+  test("decimal arrays compute like the replaced cast(\"double\") fold") {
+    // Similarity.dot callers with decimal embeddings went through
+    // zip_with + cast("double") before the native kernel — decimals
+    // must keep working, via the same Decimal.toDouble the Cast uses
+    val df = Seq((Seq(BigDecimal("1.25"), BigDecimal("-2.50")),
+      Seq(2.0, 4.0))).toDF("a", "b")
+    val v = df.select(DotProduct.dot_product(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(v == 1.25 * 2.0 + -2.5 * 4.0)
+    // decimal × decimal too
+    val v2 = df.select(DotProduct.dot_product(col("a"), col("a")))
+      .head().getDouble(0)
+    assert(v2 == 1.25 * 1.25 + 2.5 * 2.5)
+  }
+
   test("rejects non-numeric arrays loudly") {
     val df = Seq((Seq("x"), Seq(1f))).toDF("a", "b")
     val e = intercept[Exception] {

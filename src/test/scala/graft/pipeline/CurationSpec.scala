@@ -55,6 +55,28 @@ class CurationSpec extends AnyFunSuite {
       .select((col("id") * 1000000007L * 4 + col("id")).as("doc_id"))
     val eb = Curation.epochShuffle(big, nShards = 4, seed = 0L).collect()
     assert(eb.length == 100)
+    // degenerate sharding (nShards=1: the whole corpus sorts in ONE
+    // task — the sizing rule's worst case) stays correct, just
+    // serial: one shard, a contiguous total order, the same relative
+    // order the 8-shard run gives ids that share a shard there
+    val one = Curation.epochShuffle(docs, nShards = 1, seed = 3L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos_in_shard")))
+    assert(one.forall(_._2 == 0))
+    assert(one.map(_._3).sorted.toSeq == (0L until 3000L).toSeq)
+    val pos1 = one.map(t => t._1 -> t._3).toMap
+    rows.groupBy(_._3).values.foreach { rs =>
+      val inShard = rs.sortBy(_._4).map(_._1)
+      assert(inShard.map(pos1).sorted.toSeq == inShard.map(pos1).toSeq,
+        "shard-relative order must be a subsequence of the 1-shard order")
+    }
+    // shard-parallel plan: the position window partitions by shard
+    // (one shuffle), never a global (empty-partition) sort
+    val plan = Curation.epochShuffle(docs, nShards = 8, seed = 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected a window node")
+    assert(!plan.contains(", [], ["),
+      "position window must be shard-partitioned, not a global sort")
   }
 
   test("stratifiedSample is seed-deterministic and drops absent strata") {

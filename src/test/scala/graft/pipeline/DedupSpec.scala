@@ -258,6 +258,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L)) // one canonical per cluster + singleton
   }
 
+  test("nearDupClusters converges on a chain far deeper than maxIters " +
+      "(pointer jumping is O(log diameter))") {
+    // a 60-hop duplicate chain (template-heavy corpus shape): one-hop
+    // propagation needs 60 rounds; the default maxIters=20 must still
+    // converge because each round also follows the label chain
+    val chain = (0L until 60L).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Dedup.nearDupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 61 && clusters.values.forall(_ == 0L))
+  }
+
   test("simhash: exact dup has distance 0, near-dup is close, unrelated far") {
     val sh = Dedup.simhash64(base).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
