@@ -1062,6 +1062,35 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     graft.pruning.CriticalPoints.MultiRange(narrowed, dt)
   }
 
+  /** Qualified ranges of the SECOND key dimension — the multi-dim
+    * extension of the seek machinery (reference MDCriticalPointRange
+    * recursion, HBaseCriticalPoint.scala:411-482). Static filters and
+    * coalesced runtime KeyRanges on keys(1) both narrow it; the
+    * readers use it for composite (lead, dim2-lo) gap seeks inside
+    * every qualified lead group, so a fact table keyed (k1, k2) probed
+    * by a runtime filter on k2 visits only the k2 windows of each k1
+    * block instead of walking the blocks whole. Shipped only when it
+    * actually narrows (bounded or multi-range, or provably empty);
+    * skipping outside the set is sound because qualified ranges
+    * over-approximate every possibly-satisfying value, and Spark (or
+    * the pruning join) re-checks the exact predicate downstream. */
+  lazy val dim2Ranges: Option[graft.pruning.CriticalPoints.MultiRange] =
+    if (keys.length < 2) None
+    else {
+      val f = codec.keyFields(1)
+      val base = graft.pruning.CriticalPoints.qualifiedRanges(
+        filters.toSeq, f.name, f.dataType)
+      val withExtra = extraRanges.filter(_.attribute == f.name)
+        .foldLeft(base)((acc, kr) =>
+          graft.pruning.CriticalPoints.intersect(acc, kr.toValueRanges,
+            f.dataType))
+      val narrowing = withExtra.isEmpty || withExtra.length > 1 ||
+        withExtra.exists(r => r.lo.isDefined || r.hi.isDefined)
+      if (narrowing)
+        Some(graft.pruning.CriticalPoints.MultiRange(withExtra, f.dataType))
+      else None
+    }
+
   /** Two complementary segment prunes (reference HBaseCriticalPoint):
     *  1. the qualified critical-point ranges of the leading dimension
     *     must intersect the segment's leading span (catches disjunctive
@@ -1337,6 +1366,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       if (c.members.length == 1) {
         val m = c.members.head
         Seq(GraftKvInputPartition(path, m.file, m.count, pk, segRanges,
+          partitionDim2 = dim2Ranges,
           locations = SegmentLocality.of(path, m.file)): InputPartition)
       } else {
         // ascending (generation, file) — merge ties resolve to the later
@@ -2055,7 +2085,13 @@ object SegmentLocality {
 final case class GraftKvInputPartition(dir: String, file: String, count: Long,
     partitionKeyValues: Array[Any] = Array.empty,
     partitionRanges: Option[graft.pruning.CriticalPoints.MultiRange] = None,
-    locations: Seq[String] = Nil)
+    locations: Seq[String] = Nil,
+    // second-dim qualified ranges (multi-dim skip scan) — rides in the
+    // partition, not the factory, because Spark materializes the
+    // factory before runtime filters arrive (same reason as
+    // partitionRanges). Merge components skip dim-2 seeks: the k-way
+    // merge must see every generation of a key.
+    partitionDim2: Option[graft.pruning.CriticalPoints.MultiRange] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
@@ -2204,6 +2240,19 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
     c > 0 || (c == 0 && !d.lastInclusive)
   }
   private val reader = new SegmentFile.Reader(p.dir, p.file, startOffset)
+  // second-dimension qualified ranges (multi-dim skip scan — reference
+  // MDCriticalPointRange recursion, HBaseCriticalPoint.scala:411-482):
+  // a record whose dim-2 value falls in a disqualified gap triggers a
+  // composite (lead, next-dim-2-lo) floor seek, so each qualified lead
+  // group is visited only at its dim-2 windows; past the last window
+  // the group drains record-by-record (key decode only) until the lead
+  // advances. Sound for the same reason as lead gap seeks: everything
+  // skipped is provably outside the qualified set, and the exact
+  // predicate re-applies downstream.
+  private val d2: graft.pruning.CriticalPoints.MultiRange =
+    p.partitionDim2.orNull
+  private var d2SeekLead: Any = _
+  private var d2SeekLo: Any = _
   private var curKey: Array[Byte] = _
   private var curValue: Array[Byte] = _
   // latched on any false return: an early stop closes the underlying
@@ -2254,12 +2303,33 @@ final class KvRecordCursor(p: GraftKvInputPartition, schema: StructType,
         done = true; reader.close(); return false // dimension-descent early stop
       }
       if (effRanges.contains(lead)) {
-        if ((v != null || includeTombstones) && sampleKeep(k)) {
-          curKey = k; curValue = v
-          return true
+        val d2v =
+          if (d2 == null) null
+          else try segCodec.decodeKeyNormalized(k)(1)
+          catch { case _: Exception => null }
+        if (d2 == null || d2v == null || d2.contains(d2v)) {
+          if ((v != null || includeTombstones) && sampleKeep(k)) {
+            curKey = k; curValue = v
+            return true
+          }
+          // tombstone outside a merge (the key is deleted) or a row the
+          // pushed sample rejected: skip on
+        } else {
+          // dim-2 disqualified gap inside a qualified lead group: one
+          // composite floor seek per (lead, target-lo) pair
+          for (m <- meta; lo <- d2.nextLowerBound(d2v)
+               if d2SeekLead != lead || d2SeekLo != lo) {
+            d2SeekLead = lead; d2SeekLo = lo
+            seeks += 1
+            try {
+              val sk = new java.io.ByteArrayOutputStream(32)
+              sk.write(codec.encodeDimValue(0, lead))
+              sk.write(codec.encodeDimValue(1, lo))
+              reader.skipForwardTo(
+                SegmentFile.floorOffset(m, sk.toByteArray, codec.compareKeys))
+            } catch { case _: Exception => () }
+          }
         }
-        // tombstone outside a merge (the key is deleted) or a row the
-        // pushed sample rejected: skip on
       } else {
         // Disqualified gap: jump to the floor of the next qualified
         // range instead of decoding through the gap (reference per-gap

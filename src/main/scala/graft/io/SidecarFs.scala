@@ -95,19 +95,49 @@ object SidecarFs {
     finally out.close()
   }
 
-  /** Write to a hidden temp sibling, then rename OVER the target
-    * (`Options.Rename.OVERWRITE` — atomic on HDFS/local): a racing
-    * reader sees either the old or the new complete file, never a
-    * half-written one. */
+  /** Write to a hidden temp sibling, then rename OVER the target: a
+    * racing reader — same JVM or another OS process — sees either the
+    * old or the new complete file, never a half-written one and never
+    * a missing one.
+    *
+    * Scheme split: HDFS's overwrite-rename is atomic, so remote
+    * schemes go through `FileContext.rename(OVERWRITE)`. The LOCAL
+    * AbstractFileSystem implements overwrite-rename as
+    * delete-then-rename (ChecksumFs further splits it into data + crc
+    * sub-renames) — concurrent committers half-win and readers see a
+    * missing-file window, which the kv meta CAS protocol (concurrent
+    * committers are its NORMAL case, cross-process included) cannot
+    * tolerate. Local targets therefore publish through
+    * `java.nio.file.Files.move(ATOMIC_MOVE, REPLACE_EXISTING)` — the
+    * POSIX rename(2) guarantee — with the temp ALSO written via nio so
+    * no checksum shadow is ever created for these files (a stale crc
+    * paired with new content would poison later checksummed reads;
+    * absent crc files are simply not verified). */
   def writeStringAtomic(path: String, content: String): Unit = {
     val p = new Path(path)
     val fs = fsOf(p)
     val qp = fs.makeQualified(p)
-    val tmp = new Path(qp.getParent,
-      s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    writeString(tmp.toString, content)
-    val fc = FileContext.getFileContext(qp.toUri, hadoopConf)
-    fc.rename(tmp, qp, Options.Rename.OVERWRITE)
+    if ("file".equals(qp.toUri.getScheme)) {
+      val dst = java.nio.file.Paths.get(qp.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp,
+        content.getBytes(StandardCharsets.UTF_8))
+      // drop any stale checksum shadow from an earlier Hadoop-written
+      // generation BEFORE the move: a brief crc-less old file verifies
+      // fine, old-crc-with-new-content does not
+      java.nio.file.Files.deleteIfExists(
+        dst.resolveSibling(s".${qp.getName}.crc"))
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(qp.getParent,
+        s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      writeString(tmp.toString, content)
+      val fc = FileContext.getFileContext(qp.toUri, hadoopConf)
+      fc.rename(tmp, qp, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Delete a file if present (non-recursive); no-op when absent. */

@@ -202,6 +202,46 @@ class KvConnectorSpec extends AnyFunSuite {
       s"decoded ${rdr.decodedCount} records for 11 matches (no deep seek?)")
   }
 
+  test("multi-range lead + dim-2 window: composite gap seeks per lead " +
+      "group (multi-dim skip scan)") {
+    val path = tmpTable()
+    // 10 k1 blocks × 2000 k2 rows, single segment
+    val df = spark.range(20000).coalesce(1).select(
+      (col("id") / 2000).cast("long").as("k1"),
+      pmod(col("id"), lit(2000)).cast("long").as("k2"),
+      col("id").as("v"))
+    KvCommands.createTable(df, path, Seq("k1", "k2"))
+    val meta = GraftKvMeta.read(path).get
+    // k1 spans FOUR blocks (a range, not a pin — the dimension-descent
+    // deep seek cannot fire) and k2 a narrow window: pre-round-14 the
+    // reader walked all four blocks whole (~8000 records); with dim-2
+    // qualified ranges it seeks to each block's k2 window
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k1", 3L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k1", 6L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k2", 1900L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k2", 1910L)), -1)
+    val rdr = scan.createReaderFactory()
+      .createReader(scan.planInputPartitions()(0))
+      .asInstanceOf[GraftKvPartitionReader]
+    var matched = 0
+    var rows = 0
+    while (rdr.next()) {
+      val r = rdr.get()
+      rows += 1
+      assert(r.getLong(0) >= 3L && r.getLong(0) <= 6L) // lead enforced
+      if (r.getLong(1) >= 1900L && r.getLong(1) <= 1910L) matched += 1
+    }
+    rdr.close()
+    assert(matched == 44) // 4 blocks × 11-row window
+    // 4 lead groups × (≤ one 256-record index stride + 11 matches) plus
+    // the last block's tail drain — nowhere near the ~8000 records of
+    // blocks 3..6 a lead-only enforcement decodes
+    assert(rdr.decodedCount < 2200,
+      s"decoded ${rdr.decodedCount} records for 44 matches (no dim-2 seek?)")
+  }
+
   test("partitions carry segment-specialized residual ranges") {
     val path = tmpTable()
     val df = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
