@@ -1871,6 +1871,65 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe train/eval split: every near-dup CLUSTER lands whole
+    // on one side of the boundary (an eval near-dup of a training doc
+    // is contamination). The oracle re-derives the full assignment:
+    // exhaustive trigram-Jaccard pairs at the LSH threshold (the dd3
+    // restatement), recursive closure to min-id cluster labels, then
+    // the affine-mod-p bucket — pure integer arithmetic end to end, so
+    // the hash match pins cluster AND side for every document.
+    QuerySpec.checked("cu10_leakage_safe_split",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    END AS s
+        |  FROM toks
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                  / len(list_distinct(a.s || b.s)) END >= 0.7
+        |),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        |),
+        |bkt AS (
+        |  SELECT doc_id, cluster_id,
+        |    ((cluster_id % 1000000007) * 2654435761 + 11 * 40503)
+        |      % 1000000007 % 100 AS bk
+        |  FROM asg
+        |)
+        |SELECT doc_id, cluster_id, CAST(bk AS INTEGER) AS split_bucket,
+        |  CASE WHEN bk < 80 THEN 'train' ELSE 'eval' END AS split
+        |FROM bkt ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, k = 64, bands = 16)
+      graft.pipeline.Curation.splitByCluster(docs, pairs,
+        trainPct = 80, seed = 11L)
+        .select(col("doc_id"), col("cluster_id"), col("split_bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    },
+
     // Target-mixture resampling: re-balance sources to spec proportions
     // with the largest downsample-only plan — the binding stratum (the
     // one the target stretches furthest) keeps EVERYTHING (an exact,

@@ -123,6 +123,39 @@ object Curation {
     stratifiedSample(docs, stratumCol,
       mixtureFractions(docs, stratumCol, weights), seed)
 
+  /** Leakage-safe train/eval split: a near-duplicate of a training
+    * document inside the eval set is contamination (the eval measures
+    * memorization, not generalization), so the unit of assignment is
+    * the near-dup CLUSTER — every document of a cluster lands on the
+    * same side. Clusters come from [[Dedup.nearDupClusters]] over the
+    * caller's pair set (un-paired docs are their own singleton
+    * cluster); the bucket is the same seeded affine-mod-p hash as
+    * [[epochShuffle]] over the cluster id — pure 64-bit integer
+    * arithmetic, so the whole assignment is deterministic, engine-
+    * independent, and oracle-exact. `trainPct` of the BUCKETS go to
+    * "train" (cluster-weighted, so realized doc proportions track it
+    * in expectation); one broadcast-size join against the pair-graph
+    * labels plus map-only arithmetic — no extra shuffle of the corpus
+    * beyond the label join. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, trainPct: Int,
+      seed: Long = 0L, idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100,
+      s"trainPct must be in [0, 100], got $trainPct")
+    val clusters = Dedup.nearDupClusters(pairs, idCol = idCol)
+    val p = 1000000007L
+    val withCluster = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+    val key = pmod(
+      pmod(col("cluster_id"), lit(p)) * lit(2654435761L) +
+        lit(seed % p) * lit(40503L), lit(p))
+    withCluster
+      .withColumn("split_bucket", pmod(key, lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train"))
+          .otherwise(lit("eval")))
+  }
+
   final case class PackedDoc(doc_id: Long, n_tokens: Int, pack_id: Long,
       pack_seq: Int)
 

@@ -138,6 +138,47 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.map(p => (p.doc_id, p.pack_id, p.pack_seq)).toSet == expect)
   }
 
+  test("splitByCluster: near-dup clusters never straddle the train/eval " +
+      "boundary; singletons split by own id; deterministic") {
+    val docs = spark.range(0, 400).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    // three planted clusters (chains and a pair) + 394 singletons
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), // cluster 1
+      (10L, 11L, 0.8), // cluster 10
+      (20L, 21L, 0.95), (21L, 22L, 0.95), (22L, 23L, 0.95) // cluster 20
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val out = Curation.splitByCluster(docs, pairs, trainPct = 80, seed = 7L)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 400)
+    // every doc of a cluster shares the cluster id AND the side
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(byCluster(20L).map(_._1).toSet == Set(20L, 21L, 22L, 23L))
+    byCluster.values.foreach(ds =>
+      assert(ds.map(_._3).distinct.length == 1,
+        s"cluster ${ds.head._2} straddles the split"))
+    // singletons label themselves
+    assert(out.find(_._1 == 100L).get._2 == 100L)
+    // deterministic; a different seed moves a nontrivial fraction
+    val again = Curation.splitByCluster(docs, pairs, trainPct = 80, seed = 7L)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.forall { case (id, _, s) => again(id) == s })
+    val other = Curation.splitByCluster(docs, pairs, trainPct = 80, seed = 8L)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.count { case (id, _, s) => other(id) != s } > 20)
+    // realized proportion tracks trainPct (cluster-weighted buckets)
+    val trainFrac = out.count(_._3 == "train").toDouble / out.length
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train frac $trainFrac")
+    // empty pair set: everything is a singleton, nothing is dropped
+    val solo = Curation.splitByCluster(docs,
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard"),
+      trainPct = 50, seed = 0L).collect()
+    assert(solo.length == 400)
+  }
+
   test("packStats reports fill ratios consistent with the packing") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"),
       concat_ws(" ", array_repeat(lit("t"), 10)).as("text")) // 10 tokens each
