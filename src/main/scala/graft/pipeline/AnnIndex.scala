@@ -611,11 +611,19 @@ object AnnIndex {
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame =
+    // norms hoisted OUT of the pair space: the index's stored vnorm
+    // and a once-per-query __qn replace Similarity.cosine's two
+    // per-pair norm recomputations — one dot per pair instead of
+    // three, bit-identical doubles (vnorm is the same sqrt(dot(c,c))
+    // the build computed; the division/multiplication order matches
+    // cosine's), which is what the ann8 hash gate pins.
     knnJoinScaffold(spark, path, queries, k, nProbe, vecCol, idCol,
-      identity,
+      prepQuery = _.withColumn("__qn", Similarity.norm(col("__qe"))),
       idxCols = Seq(col("__nid").as("neighbor_id"),
-        col(vecCol).as("__ce"), col("cell")),
-      sim = Similarity.cosine(col("__qe"), col("__ce")))
+        col(vecCol).as("__ce"), col("vnorm"), col("cell")),
+      sim = when(col("vnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("__qe"), col("__ce"))
+          / (col("vnorm") * col("__qn"))))
 
   /** The shared shape of the batch joins: per-query probe-cell
     * selection (pure column algebra — sort (−sim, idx) structs, keep
