@@ -565,6 +565,20 @@ object AnnIndex {
 
   // ── probes ─────────────────────────────────────────────────────────────
 
+  /** Exact cosine to the query using the index's STORED vector norm —
+    * one dot per scanned row instead of cosine's three (the query norm
+    * folds driver-side, left-to-right in double exactly like the dot
+    * kernel, so the doubles are bit-identical to the recomputation the
+    * hash gates pinned). */
+  private def storedNormSim(query: Seq[Float], vecCol: String): Column = {
+    var s = 0.0
+    query.foreach(v => s += v.toDouble * v.toDouble)
+    val qn = math.sqrt(s)
+    val qArr = array(query.map(v => lit(v)): _*)
+    when(col("vnorm") === 0.0 || lit(qn) === 0.0, lit(0.0))
+      .otherwise(Similarity.dot(col(vecCol), qArr) / (col("vnorm") * lit(qn)))
+  }
+
   /** LSH top-k against the index: Hamming-filter the PRECOMPUTED
     * signature column (cheap bit ops over two pruned columns), rank only
     * the survivors exactly. */
@@ -575,7 +589,7 @@ object AnnIndex {
     val qSig = Similarity.hyperplaneSignature(qArr, dim, nPlanes)
     withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .filter(bit_count(col("sig").bitwiseXOR(qSig)) <= probe)
-      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
+      .select(col(idCol), storedNormSim(query, vecCol).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -590,10 +604,9 @@ object AnnIndex {
     val q = query.map(_.toDouble).toArray
     val probeCells = cents.indices.sortBy(i => -cosLocal(q, cents(i)))
       .take(nProbe)
-    val qArr = array(query.map(v => lit(v)): _*)
     withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("sim"))
+      .select(col(idCol), storedNormSim(query, vecCol).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
