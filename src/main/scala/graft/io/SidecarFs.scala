@@ -155,14 +155,32 @@ object SidecarFs {
     * the source is missing or the destination already exists (the
     * `java.nio` `Files.move` failure modes the recovery state machines
     * re-evaluate on), `true` on success. Never moves INTO an existing
-    * destination directory (the Hadoop rename quirk the pre-checks
-    * exclude). */
+    * destination directory: on the local scheme the check-then-rename
+    * window would let Hadoop's rename NEST src under a destination a
+    * racing recovery created, so local paths rename through
+    * `java.nio.file.Files.move` (atomic failure on missing src /
+    * existing dst — the exact semantics the swap machines were built
+    * on); remote schemes keep the pre-checked Hadoop rename, where
+    * HDFS rename onto an existing path returns false rather than
+    * nesting. */
   def moveQuiet(src: String, dst: String): Boolean = {
     val sp = new Path(src)
-    val dp = new Path(dst)
     val fs = fsOf(sp)
-    if (!fs.exists(sp) || fs.exists(dp)) false
-    else fs.rename(sp, dp)
+    val qsp = fs.makeQualified(sp)
+    val qdp = fs.makeQualified(new Path(dst))
+    if ("file".equals(qsp.toUri.getScheme)) {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(qsp.toUri.getPath),
+          java.nio.file.Paths.get(qdp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.NoSuchFileException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+      }
+    } else if (!fs.exists(qsp) || fs.exists(qdp)) false
+    else fs.rename(qsp, qdp)
   }
 
   /** Strict rename — for single-maintainer swaps where losing the race
