@@ -393,6 +393,28 @@ class GraftSession:
         return DataFrame(jdf, batch.sparkSession)
 
     @staticmethod
+    def minhash_index_compact(spark, path, target_rows_per_file=1 << 22):
+        """Rewrite a long-ingested MinHash index's accumulated
+        per-batch files into sorted runs (probe latency follows the
+        file count); probe pairs are identical before/after. Returns
+        (files_before, files_after)."""
+        t = spark._jvm.graft.pipeline.Dedup.compactMinhashIndex(
+            spark._jsparkSession, path, int(target_rows_per_file))
+        return (t._1(), t._2())
+
+    @staticmethod
+    def ann_index_compact(spark, path, target_rows_per_file=1 << 22,
+                          id_col="vec_id"):
+        """Rewrite a long-ingested ANN index's accumulated per-append
+        files to ~1 file per cell (probe latency follows the file
+        count) WITHOUT re-clustering — centroids, scales, drift ledger
+        and tombstones carry over; probes are bit-identical
+        before/after. Returns (files_before, files_after)."""
+        t = spark._jvm.graft.pipeline.AnnIndex.compactAnnIndex(
+            spark._jsparkSession, path, int(target_rows_per_file), id_col)
+        return (t._1(), t._2())
+
+    @staticmethod
     def fuzzy_pairs(df, id_col, str_col):
         """All (id_a < id_b) row pairs whose `str_col` values are within
         Levenshtein distance 1 — FastSS deletion-key blocking (never

@@ -865,6 +865,37 @@ object Bench {
         val t2 = System.nanoTime()
         graft.pipeline.AnnIndex.rebuildInPlace(spark, idx)
         val rebuildSec = (System.nanoTime() - t2) / 1e9
+        // long-ingest fragmentation → compaction (round-14, the ANN
+        // counterpart of the minhash probe above): 8 appended
+        // microbatches of FRESH ids over the rebuilt index leave ~8
+        // file sets per touched cell; probe latency follows the file
+        // count, compactAnnIndex rewrites to ~1 file per cell, and the
+        // post-compaction probe must return to the clean-index band.
+        // Primary corpus only — the 10× replica re-measures the same
+        // code path for no extra signal.
+        val compaction = if (tag != "p") "" else try {
+          (0 until 8).foreach { i =>
+            graft.pipeline.AnnIndex.append(
+              emb.where(col("vec_id") % 8 === i)
+                .withColumn("vec_id",
+                  col("vec_id") + org.apache.spark.sql.functions.lit(1000000000L)),
+              idx)
+          }
+          val probeFragSec = median3(probeOnce _)
+          val tc = System.nanoTime()
+          val (fb, fa) = graft.pipeline.AnnIndex.compactAnnIndex(spark, idx)
+          val compactSec = (System.nanoTime() - tc) / 1e9
+          val probeCompSec = median3(probeOnce _)
+          s""","files_fragmented":$fb,"files_compacted":$fa""" +
+            s""","probe_fragmented_sec":${fmt(probeFragSec)}""" +
+            s""","compact_sec":${fmt(compactSec)}""" +
+            s""","probe_compacted_sec":${fmt(probeCompSec)}"""
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] ann compaction probe failed: ${e.getMessage}")
+            ""
+        }
         rmTree(new java.io.File(idx))
         s"""{"vectors":$n,"build_sec":${fmt(buildSec)},"probe_sec":${fmt(probeSec)},""" +
           s""""knn_join_sec":${fmt(knnSec)},""" +
@@ -872,7 +903,7 @@ object Bench {
           s""""knn_join_self_tenth_sec":${fmt(knnSelfTenthSec)},""" +
           s""""knn_join_self_rows":$knnSelfRows,""" +
           s""""delete_sec":${fmt(deleteSec)},"probe_post_delete_sec":${fmt(probeDelSec)},""" +
-          s""""rebuild_sec":${fmt(rebuildSec)}}"""
+          s""""rebuild_sec":${fmt(rebuildSec)}$compaction}"""
       } finally emb.unpersist()
     }
     val annJson = try {

@@ -48,15 +48,15 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Corpus fingerprint over the documents parquet — the cache key all
+  /** Corpus fingerprint over a source parquet table — the cache key all
     * fixture index dirs fold in, so an index built from a previous
     * driver-generated corpus is rebuilt, never probed. Folds every
     * file's (relative path, length, mtime) through MD5 — an additive
     * length+mtime stamp was collision-prone (bytes moving between
     * files, or offsetting mtime changes, preserved the sum and could
     * silently reuse a stale index). */
-  private def corpusFp(sfDir: String): String = {
-    val root = new java.io.File(s"$sfDir/documents.parquet")
+  private def corpusFp(sfDir: String, table: String = "documents"): String = {
+    val root = new java.io.File(s"$sfDir/$table.parquet")
     def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
@@ -113,32 +113,67 @@ object PipelineOps {
     path
   }
 
-  /** The dd3 exhaustive all-pairs trigram-Jaccard restatement with a
-    * caller-supplied pair restriction — shared by the incremental and
-    * streaming-ingest dedup gates. */
-  private def allPairsDedupOracle(whereClause: String): String =
-    raw"""WITH toks AS (
+  /** Word-shingle Jaccard pair oracle with EXHAUSTIVE semantics in
+    * near-linear DuckDB — the shared skeleton of every dedup gate.
+    * Candidate generation is the exact PREFIX FILTER (PPJoin, Xiao et
+    * al. 2008): if J(a,b) >= t then |a∩b| >= t·|a∪b| >= ⌈t·n⌉ for each
+    * side's length n, so under ANY global element order the two sorted
+    * lists must share an element within their first n - ⌈t·n⌉ + 1
+    * entries — the candidate equi-join on prefix shingles provably
+    * loses nothing, and the exact-Jaccard verify on top keeps the
+    * result IDENTICAL to the naive |D|² restatement (cross-checked
+    * row-for-row against the naive form at sf0.001/sf0.01). The naive
+    * form made every dedup oracle quadratic ORACLE-side and full-corpus
+    * parity at sf0.1 impractical (dd3 alone was >5 min single-query);
+    * this one runs in seconds at sf0.1. Produces the CTE chain up to
+    * `pairs(doc_a, doc_b, jaccard)`; callers append their SELECT tail
+    * (and set `recursive` when the tail adds recursive CTEs). */
+  private def jaccardPairOracle(shingleN: Int, threshold: String,
+      recursive: Boolean = false, whereClause: String = ""): String = {
+    val concat = (0 until shingleN)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    val rec = if (recursive) "RECURSIVE " else ""
+    raw"""WITH ${rec}toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
          |  FROM documents
          |),
          |sh AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    CASE WHEN len(w) < $shingleN THEN [array_to_string(w, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}),
+         |                i -> $concat))
          |    END AS s
          |  FROM toks
          |),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |              / len(list_distinct(a.s || b.s)) END AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |pref AS (
+         |  SELECT doc_id, s,
+         |    unnest(list_slice(list_sort(s), 1,
+         |      CAST(len(s) - ceil($threshold * len(s)) + 1 AS INTEGER))) AS p
+         |  FROM sh
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.s AS sa, b.s AS sb
+         |  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
          |  $whereClause
-         |)
-         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
-         |ORDER BY doc_a, doc_b"""
+         |),
+         |pairs AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN len(list_distinct(sa || sb)) = 0 THEN 0.0
+         |         ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |              / len(list_distinct(sa || sb)) END AS jaccard
+         |  FROM cand
+         |)"""
+  }
+
+  /** The dd3-semantics trigram-Jaccard oracle with a caller-supplied
+    * pair restriction — shared by the incremental and streaming-ingest
+    * dedup gates. */
+  private def allPairsDedupOracle(whereClause: String): String =
+    jaccardPairOracle(3, "0.7", whereClause = whereClause) +
+      raw"""
+           |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
+           |ORDER BY doc_a, doc_b"""
 
   /** Incremental-dedup gate oracle: pairs touching the arriving batch
     * (doc_id % 7 == `rem`) — a hash-match proves the index probe finds
@@ -166,6 +201,23 @@ object PipelineOps {
     }
 
   private val annLock = new Object
+
+  /** ann13 fixture: the embeddings corpus split into 4 range-partitioned
+    * parquet files, so the bounded file stream arrives as 4 microbatches
+    * (`maxFilesPerTrigger = 1`). Fingerprint-keyed like every fixture. */
+  private def ensureSplitEmb(s: SparkSession, sfDir: String): String =
+    annLock.synchronized {
+      val fp = corpusFp(sfDir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/split_$fp"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(path).getParentFile,
+          "split_", s"split_$fp")
+        t(s, sfDir, "embeddings").repartitionByRange(4, col("vec_id"))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
 
   /** Bounded (k-row) invariant reduction for the ANN gate queries: row
     * count, self-hit at rank 1, monotone sims, and sim-vs-exact-cosine
@@ -240,10 +292,17 @@ object PipelineOps {
     * not probed — stale signatures silently drop true candidates. */
   private def ensureAnnIndex(s: SparkSession, sfDir: String, dim: Int): String =
     annLock.synchronized {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
-        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}" +
-        s"/embeddings-v${graft.pipeline.AnnIndex.FormatVersion}"
+      val fp = corpusFp(sfDir, "embeddings")
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val leaf = s"base-v${graft.pipeline.AnnIndex.FormatVersion}_$fp"
+      val path = s"$parent/$leaf"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(parent),
+          "base-", leaf)
+        // pre-fingerprint layout ("embeddings-v*") — dead, sweep too
+        graft.Tables.sweepStaleSiblings(new java.io.File(parent),
+          "embeddings-", leaf)
         graft.pipeline.AnnIndex.build(t(s, sfDir, "embeddings"), path, dim)
       }
       path
@@ -256,15 +315,47 @@ object PipelineOps {
   private def ensureDeletedAnnIndex(s: SparkSession, sfDir: String,
       dim: Int): String =
     annLock.synchronized {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
-        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}" +
-        s"/embeddings-del-v${graft.pipeline.AnnIndex.FormatVersion}"
+      val fp = corpusFp(sfDir, "embeddings")
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val leaf = s"del-v${graft.pipeline.AnnIndex.FormatVersion}_$fp"
+      val path = s"$parent/$leaf"
       val marker = new java.io.File(s"$path/_ANNDEL")
       if (!new java.io.File(s"$path/_SUCCESS").exists() || !marker.exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(parent),
+          "del-", leaf)
         val emb = t(s, sfDir, "embeddings")
         graft.pipeline.AnnIndex.build(emb, path, dim)
         graft.pipeline.AnnIndex.delete(s, path,
           emb.select(col("vec_id")).filter(col("vec_id") % 7 === 2))
+        marker.createNewFile()
+      }
+      path
+    }
+
+  /** ann12 fixture: index built over vec_id % 7 ≠ 4, then batch 4 added
+    * through the real [[graft.pipeline.AnnIndex.append]] path (cell
+    * assignment against the FROZEN centroids, int8 quantization with the
+    * frozen scales, drift-stat update — never a rebuild). The `_ANNAPP`
+    * marker makes the mutation idempotent within a round; the corpus
+    * fingerprint invalidates across rounds. */
+  private def ensureAppendedAnnIndex(s: SparkSession, sfDir: String,
+      dim: Int): String =
+    annLock.synchronized {
+      val fp = corpusFp(sfDir, "embeddings")
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val leaf = s"app-v${graft.pipeline.AnnIndex.FormatVersion}_$fp"
+      val path = s"$parent/$leaf"
+      val marker = new java.io.File(s"$path/_ANNAPP")
+      if (!new java.io.File(s"$path/_SUCCESS").exists() || !marker.exists()) {
+        graft.Tables.sweepStaleSiblings(new java.io.File(parent),
+          "app-", leaf)
+        val emb = t(s, sfDir, "embeddings")
+        graft.pipeline.AnnIndex.build(
+          emb.filter(col("vec_id") % 7 =!= 4), path, dim)
+        graft.pipeline.AnnIndex.append(
+          emb.filter(col("vec_id") % 7 === 4), path)
         marker.createNewFile()
       }
       path
@@ -282,12 +373,9 @@ object PipelineOps {
     * no hint why. */
   private def ensureRetrievalIndex(s: SparkSession, sfDir: String): String =
     irLock.synchronized {
-      def stamp(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
-        else f.length() + f.lastModified()
-      val fp = java.lang.Long.toHexString(
-        stamp(new java.io.File(s"$sfDir/documents.parquet")))
+      // MD5 corpus fingerprint (same rationale as corpusFp) — the
+      // additive length+mtime stamp this used before was collision-prone
+      val fp = corpusFp(sfDir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
         s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/v3_$fp" // v3: + docterms
       if (graft.connector.GraftKvMeta.read(s"$path/postings").isEmpty ||
@@ -316,12 +404,7 @@ object PipelineOps {
   private def ensureDeletedRetrievalIndex(s: SparkSession,
       sfDir: String): String =
     irLock.synchronized {
-      def stamp(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).map(stamp).sum
-        else f.length() + f.lastModified()
-      val fp = java.lang.Long.toHexString(
-        stamp(new java.io.File(s"$sfDir/documents.parquet")))
+      val fp = corpusFp(sfDir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ir/" +
         s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}/del1_$fp"
       val marker = new java.io.File(s"$path/_DELETED")
@@ -530,27 +613,7 @@ object PipelineOps {
     // LSH-pruned, so a hash-match also proves LSH recall on this corpus
     // (banded signatures surface every above-threshold pair here).
     QuerySpec.checked("dd3_minhash_lsh_neardup",
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    END AS s
-        |  FROM toks
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |              / len(list_distinct(a.s || b.s)) END AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
-        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      allPairsDedupOracle("")) { (s, d) =>
       Dedup.minhashNearDuplicates(t(s, d, "documents"), k = 64, bands = 16)
         .orderBy("doc_a", "doc_b")
     },
@@ -621,27 +684,10 @@ object PipelineOps {
     // recall effectively exhaustive down at J=0.5, so the exhaustive
     // all-pairs oracle applies here too
     QuerySpec.checked("dd6_ngram_jaccard",
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |                i -> w[i] || ' ' || w[i+1]))
-        |    END AS s
-        |  FROM toks
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |              / len(list_distinct(a.s || b.s)) END AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      jaccardPairOracle(2, "0.5") +
+        raw"""
+             |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+             |ORDER BY doc_a, doc_b""") { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.jaccardVerify(docs, Dedup.lshCandidatePairs(
         Dedup.minhashSignatures(docs, k = 64, shingle = 2), bands = 32),
@@ -654,35 +700,19 @@ object PipelineOps {
     // deduplicated corpus). Oracle: transitive closure of the same
     // above-threshold pair graph (recursive CTE), min reachable id.
     QuerySpec.checked("dd7_neardup_clusters",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    END AS s
-        |  FROM toks
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / len(list_distinct(a.s || b.s)) >= 0.7
-        |),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
-        |)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-        |ORDER BY doc_id""") { (s, d) =>
+      jaccardPairOracle(3, "0.7", recursive = true) +
+        raw""",
+             |edges AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.7
+             |  UNION SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.7
+             |),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+             |)
+             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+             |ORDER BY doc_id""") { (s, d) =>
       Dedup.nearDupClusters(Dedup.minhashNearDuplicates(t(s, d, "documents")))
         .orderBy("doc_id")
     },
@@ -695,27 +725,7 @@ object PipelineOps {
     // Jaccard oracle as dd3: the streaming result must equal the batch
     // operator's bit-for-bit.
     QuerySpec.checked("dd8_streaming_neardup",
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    END AS s
-        |  FROM toks
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |              / len(list_distinct(a.s || b.s)) END AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.7
-        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      allPairsDedupOracle("")) { (s, d) =>
       streamedDocuments(s, d, "dd8")(Dedup.streamingNearDupPairs(_))
         .orderBy("doc_a", "doc_b")
     },
@@ -769,15 +779,35 @@ object PipelineOps {
     // Fuzzy string matching: all name pairs within edit distance 1 via
     // FastSS deletion-neighborhood blocking (equi-join on generated
     // keys, shuffle O(Σ len) — never the |S|² pair space) + exact
-    // levenshtein verify. The oracle IS the all-pairs restatement, so a
-    // hash match proves both recall (blocking misses nothing) and
-    // precision (verify keeps nothing extra) on this corpus.
+    // levenshtein verify. The oracle restates the same answer with an
+    // independent skeleton: a depth-1 deletion-neighborhood equi-join as
+    // the candidate generator — provably complete for ED ≤ 1 (equal
+    // strings share the self variant; a substitution at i shares the
+    // delete-i variant; an insertion's delete lands on the shorter
+    // string itself) — with an exact all-pairs-semantics levenshtein
+    // filter on top, so the blocking can only affect speed, never the
+    // result. (The naive |S|² restatement is identical — verified at
+    // sf0.001/sf0.01/sf0.1 plus adversarial edge cases — but needs
+    // ~120 s of single-threaded DuckDB at sf0.1; this form runs in ~1 s,
+    // keeping full-corpus parity sweeps tractable.)
     QuerySpec.checked("dd10_editdistance_pairs",
-      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-        |  a.c_name AS name_a, b.c_name AS name_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      """WITH vars AS (
+        |  SELECT DISTINCT c.c_custkey, c.c_name,
+        |    CASE WHEN u.i = 0 THEN c.c_name
+        |         ELSE substr(c.c_name, 1, u.i - 1) || substr(c.c_name, u.i + 1) END AS v
+        |  FROM customer c
+        |  JOIN (SELECT unnest(range(0, (SELECT max(length(c_name)) + 1 FROM customer))) AS i) u
+        |    ON u.i <= length(c.c_name)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |    a.c_name AS name_a, b.c_name AS name_b
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.c_custkey < b.c_custkey
+        |)
+        |SELECT cust_a, cust_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY cust_a, cust_b""") { (s, d) =>
       graft.pipeline.FuzzyMatch.pairsWithinDistance1(
         t(s, d, "customer"), idCol = "c_custkey", strCol = "c_name")
@@ -1267,6 +1297,89 @@ object PipelineOps {
         .head().getSeq[Float](0)
       graft.pipeline.AnnIndex.ivfTopK(s,
         ensureDeletedAnnIndex(s, d, q.length), q, k = 10, nProbe = 16)
+        .select(col("vec_id").cast("long").as("vec_id"), col("sim"))
+    },
+
+    // Index GROWN by the real append path (ann12): built over
+    // vec_id % 7 ≠ 4, batch 4 then added via AnnIndex.append — cell
+    // assignment against the frozen centroids, no rebuild. Probing ALL
+    // cells makes IVF exact, so the result must hash-match the EXACT
+    // cosine top-k over the FULL corpus: appended vectors must surface
+    // (they carry cells, signatures, and norms like built ones) and the
+    // ranking of the originals must be untouched. Cell-assignment
+    // quality of appends (limited-nProbe recall) is pinned by
+    // SimilaritySpec's append/drift suite; this gate pins end-to-end
+    // first-class citizenship under the driver's oracle.
+    QuerySpec.checked("ann12_ivf_after_append",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b)) AS nb
+        |  FROM embeddings e, q
+        |)
+        |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |FROM sc ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      graft.pipeline.AnnIndex.ivfTopK(s,
+        ensureAppendedAnnIndex(s, d, q.length), q, k = 10, nProbe = 16)
+        .select(col("vec_id").cast("long").as("vec_id"), col("sim"))
+    },
+
+    // STREAMING vector ingest with DURABLE index state (ann13 — the
+    // vector counterpart of dd13): the corpus arrives as 4
+    // range-partitioned microbatches; the first bootstraps the index
+    // (centroids + int8 grid sampled from it), later ones append
+    // replay-idempotently, and the drift ledger's growth threshold
+    // re-clusters in place mid-stream (~2 rebuilds at this split). An
+    // all-cell probe of the final index must hash-match the EXACT
+    // cosine top-k over the full corpus — streamed vectors are
+    // first-class index citizens regardless of which batch (or which
+    // clustering epoch) carried them in.
+    QuerySpec.checked("ann13_streaming_ingest",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a,b) -> a + b)) AS nb
+        |  FROM embeddings e, q
+        |)
+        |SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
+        |FROM sc ORDER BY sim DESC, vec_id LIMIT 10""") { (s, d) =>
+      val split = ensureSplitEmb(s, d)
+      // fingerprint-keyed scratch, WIPED per invocation — the gate must
+      // start from an empty index every run, and leave at most one behind
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ann/" +
+        s"${d.replaceAll("[^a-zA-Z0-9.]", "_")}" +
+        s"/stream_${corpusFp(d, "embeddings")}"
+      graft.Tables.sweepStaleSiblings(new java.io.File(base).getParentFile,
+        "stream_", new java.io.File(base).getName)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(base))
+      val idxDir = s"$base/idx"
+      val schema = s.read.parquet(split).schema
+      val q = graft.pipeline.AnnIndex.streamingIngestAnn(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(split), idxDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val qv = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      graft.pipeline.AnnIndex.ivfTopK(s, idxDir, qv, k = 10, nProbe = 16)
         .select(col("vec_id").cast("long").as("vec_id"), col("sim"))
     },
 

@@ -326,6 +326,68 @@ object AnnIndex {
     } else false
   }
 
+  /** Streaming vector ingest with DURABLE index state — the ANN
+    * counterpart of [[graft.pipeline.Dedup.streamingIngestDedup]]. Per
+    * microbatch: (1) drop ids the index already stores — one
+    * column-pruned id scan + anti-join. This is what makes replays
+    * idempotent: a crash between the append and the checkpoint commit
+    * re-runs the batch, and a raw [[append]] of an existing id would
+    * DUPLICATE it (that is append's documented contract; the minhash
+    * ingest gets idempotence from its id-unique index instead); (2)
+    * append the remainder through the real [[append]] path — frozen
+    * centroids, frozen int8 grid, drift-ledger update; (3) let
+    * [[appendAndMaintain]]'s drift thresholds trigger an in-place
+    * re-cluster when the stream outgrows the bootstrap clustering.
+    *
+    * A NEW index dir bootstraps from the FIRST non-empty batch:
+    * centroids and quantization scales are sampled from it — the only
+    * population the clustering has seen — and the drift ledger then
+    * measures exactly how far later batches stray, so `maxGrowth = 1`
+    * re-clusters once the streamed volume rivals the bootstrap. A dir
+    * holding index data without its params sidecar (crashed build) is
+    * refused loudly — silently rebuilding there would wipe the
+    * ingested horizon. An empty first batch is skipped (no population
+    * to cluster); the first non-empty one bootstraps.
+    *
+    * `onBatch(batchId, driftStats, rebuilt)` observes every committed
+    * batch — wire it to a metrics sink to watch erosion between
+    * rebuilds; default no-op. */
+  def streamingIngestAnn(vectors: DataFrame, path: String,
+      nPlanes: Int = 16, nCentroids: Int = 16,
+      maxGrowth: Double = 1.0, maxCosErosion: Double = 0.05,
+      maxGridErosion: Double = 0.05,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      onBatch: (Long, AnnDriftStats, Boolean) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        if (!SidecarFs.exists(paramsFile(path))) {
+          require(!SidecarFs.exists(SidecarFs.child(path, "_SUCCESS")),
+            s"index at $path has data but no params sidecar (crashed " +
+              "build?) — recover it with AnnIndex.build before " +
+              "streaming into it")
+          val first = b.persist()
+          try {
+            if (!first.isEmpty) {
+              val dim = first.select(vecCol).head().getSeq[Any](0).length
+              build(first, path, dim, nPlanes, nCentroids, vecCol, idCol)
+              onBatch(batchId, driftStats(path), false)
+            }
+          } finally { first.unpersist(); () }
+        } else {
+          val fresh = b.join(
+            spark.read.parquet(path).select(col(idCol)),
+            Seq(idCol), "left_anti")
+          val rebuilt = appendAndMaintain(spark, fresh, path,
+            maxGrowth, maxCosErosion, maxGridErosion, vecCol, idCol)
+          onBatch(batchId, driftStats(path), rebuilt)
+        }
+    }
+
   // ── deletion ───────────────────────────────────────────────────────────
 
   /** Tombstone sidecar: deleted ids live as parquet under `_deleted`
@@ -417,7 +479,7 @@ object AnnIndex {
     * must stop surfacing as a neighbor). Parquet is immutable, so the
     * ids land in the `_deleted` tombstone sidecar; every probe
     * anti-joins it (broadcast), the drift ledger counts the dead rows,
-    * and [[rebuildInPlace]] (or [[maintain]] past
+    * and [[rebuildInPlace]] (or [[appendAndMaintain]] past
     * `maxDeletedFraction`) folds them away physically. Deleting an
     * absent id is a no-op; a later [[append]] of the same id
     * un-tombstones it (the tombstone would otherwise hide the new
@@ -554,6 +616,75 @@ object AnnIndex {
     SidecarFs.move(path, old)
     SidecarFs.move(tmp, path)
     SidecarFs.deleteRecursively(old)
+  }
+
+  /** Number of parquet data files in the index across all `cell=`
+    * directories (underscore/dot entries — sidecars, markers, the
+    * tombstone dir — skipped): the quantity probe latency follows. */
+  private[pipeline] def dataFileCount(path: String): Int = {
+    val conf = SidecarFs.hadoopConf
+    def count(p: org.apache.hadoop.fs.Path): Int = {
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).iterator.map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0
+        else if (st.isDirectory) count(st.getPath)
+        else 1
+      }.sum
+    }
+    count(new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Small-file compaction — the append-path counterpart of
+    * [[graft.pipeline.Dedup.compactMinhashIndex]]. Every [[append]]
+    * lands one file set per batch in each touched `cell=` directory, so
+    * a long-running ingest accumulates files and probe latency follows
+    * the file count (an IVF probe opens every file of each probed
+    * cell). This maintenance call rewrites the data into
+    * ≈`targetRowsPerFile`-row runs, range-clustered on (cell, id) — each
+    * cell directory collapses to its minimal file count with contiguous
+    * id locality — WITHOUT re-clustering: centroids, scales, per-row
+    * signatures/cells/quantized vectors, the drift ledger, and the
+    * tombstone sidecar all carry over verbatim. (Folding tombstones
+    * away physically stays [[rebuildInPlace]]'s job — the ledger's row
+    * counts keep meaning "stored rows".) Commit is the same directory
+    * swap [[rebuildInPlace]] uses: write scratch `__compact` (data +
+    * copied sidecars) → move live to `__old` → move scratch in → drop
+    * `__old`; a crash between the moves leaves no live dir — loud,
+    * never silently stale. Single maintainer, like append. Returns
+    * (filesBefore, filesAfter). */
+  def compactAnnIndex(spark: SparkSession, path: String,
+      targetRowsPerFile: Long = 1L << 22,
+      idCol: String = "vec_id"): (Int, Int) = {
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
+    loadParams(path) // loud on a non-index dir before any write
+    val before = dataFileCount(path)
+    val data = spark.read.parquet(path)
+    val rows = data.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = path + "__compact"
+    data.repartitionByRange(nFiles, col("cell"), col(idCol))
+      .sortWithinPartitions(col("cell"), col(idCol))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Seq(centroidFile(path) -> centroidFile(tmp),
+        paramsFile(path) -> paramsFile(tmp),
+        scalesFile(path) -> scalesFile(tmp),
+        driftFile(path) -> driftFile(tmp)).foreach { case (src, dst) =>
+      if (SidecarFs.exists(src))
+        SidecarFs.writeString(dst, SidecarFs.readString(src))
+    }
+    if (hasDeleted(path))
+      spark.read.parquet(deletedDir(path))
+        .write.mode("overwrite").parquet(deletedDir(tmp))
+    lockFor(path).synchronized {
+      val old = path + "__old"
+      SidecarFs.move(path, old)
+      SidecarFs.move(tmp, path)
+      SidecarFs.deleteRecursively(old)
+    }
+    (before, dataFileCount(path))
   }
 
   def loadCentroids(path: String): Array[Array[Double]] =

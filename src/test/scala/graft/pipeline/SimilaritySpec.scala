@@ -429,6 +429,121 @@ class SimilaritySpec extends AnyFunSuite {
     idx.unpersist(); emb.unpersist()
   }
 
+  test("compactAnnIndex collapses append small files; probes bit-identical;" +
+      " tombstones and the drift ledger survive") {
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(240).cache()
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val dir =
+      java.nio.file.Files.createTempDirectory("annidx_cmp").toString + "/idx"
+    AnnIndex.build(emb.filter($"vec_id" % 4 === 0), dir,
+      dim = dim, nPlanes = 16, nCentroids = 8)
+    (1 to 3).foreach(r => AnnIndex.append(emb.filter($"vec_id" % 4 === r), dir))
+    val victims = emb.filter($"vec_id" % 10 === 7).select("vec_id").cache()
+    AnnIndex.delete(spark, dir, victims)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val q = emb.filter($"vec_id" === 2).select("embedding")
+      .head().getSeq[Float](0)
+    def probe() = AnnIndex.ivfTopK(spark, dir, q, k = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getDouble(1))).toSeq
+    def probeQ() = AnnIndex.ivfTopKQuantized(spark, dir, q, k = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getDouble(1))).toSeq
+    val (beforeTop, beforeQTop) = (probe(), probeQ())
+    val beforeRows = spark.read.parquet(dir).count()
+    val driftBefore = AnnIndex.driftStats(dir)
+    val (nBefore, nAfter) = AnnIndex.compactAnnIndex(spark, dir)
+    assert(nAfter < nBefore,
+      s"compaction did not shrink the file count: $nBefore -> $nAfter")
+    // stored rows preserved exactly (tombstoned rows stay physical —
+    // folding them is rebuildInPlace's job, and the ledger still counts
+    // them), probes bit-identical, tombstones still hidden
+    assert(spark.read.parquet(dir).count() == beforeRows)
+    assert(probe() == beforeTop)
+    assert(probeQ() == beforeQTop)
+    assert(beforeTop.forall(p => !victimIds.contains(p._1)))
+    assert(AnnIndex.driftStats(dir) == driftBefore)
+    // idempotent: a second compaction is a no-op on the file count and
+    // the probe answer
+    val (n2Before, n2After) = AnnIndex.compactAnnIndex(spark, dir)
+    assert(n2Before == nAfter && n2After == nAfter)
+    assert(probe() == beforeTop)
+    victims.unpersist(); emb.unpersist()
+  }
+
+  test("streamingIngestAnn: durable bootstrap→append across a restart;" +
+      " replayed ids add nothing; probes equal brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ann_stream")
+    val dir = root.toString + "/idx"
+    val ckpt = root.toString + "/ckpt"
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings")
+      .limit(120).cache()
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (batch1, batch2) = all.splitAt(60)
+    val events =
+      scala.collection.mutable.ListBuffer[(Long, Long, Boolean)]()
+    val source = MemoryStream[(Long, Seq[Float])]
+    def runOnce(): Unit =
+      AnnIndex.streamingIngestAnn(
+        source.toDF().toDF("vec_id", "embedding"), dir, nCentroids = 8,
+        onBatch = (id, stats, rebuilt) =>
+          events += ((id, stats.buildRows + stats.appendedRows, rebuilt)))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    source.addData(batch1.toSeq: _*)
+    runOnce() // bootstraps the index from the first batch
+    assert(spark.read.parquet(dir).count() == 60)
+    assert(AnnIndex.driftStats(dir).buildRows == 60)
+    // restart: batch 2 arrives MIXED with replayed batch-1 ids (the
+    // crash-replay shape) — only the 60 fresh ids may land
+    source.addData((batch1.take(20) ++ batch2).toSeq: _*)
+    runOnce()
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == 120)
+    assert(idx.select("vec_id").distinct().count() == 120)
+    // growth hit 1.0 on the second batch -> in-place re-cluster ran
+    assert(events.exists(_._3), s"no rebuild observed: $events")
+    // full-probe IVF over the streamed index equals brute force over all
+    val q = batch2.head._2
+    val bf = Similarity.bruteForceTopK(emb, q, k = 6)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = AnnIndex.ivfTopK(spark, dir, q, k = 6, nProbe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf == bf)
+    // a pure replay run (all ids already stored) is a no-op on state
+    source.addData(batch1.toSeq: _*)
+    runOnce()
+    assert(spark.read.parquet(dir).count() == 120)
+    emb.unpersist()
+  }
+
+  test("streamingIngestAnn refuses an index dir with data but no params" +
+      " sidecar") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ann_stream_bad")
+    val dir = root.toString + "/idx"
+    val emb = graft.Tables.table(spark, TestSpark.sf, "embeddings").limit(40)
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    AnnIndex.build(emb, dir, dim = dim, nCentroids = 4)
+    // simulate a crashed build: data present, params sidecar gone
+    graft.io.SidecarFs.deleteIfExists(dir + "/_params.txt")
+    val source = MemoryStream[(Long, Seq[Float])]
+    source.addData((900L, Seq.fill(dim)(0.5f)))
+    val q = AnnIndex.streamingIngestAnn(
+      source.toDF().toDF("vec_id", "embedding"), dir)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("params sidecar") ||
+      Option(err.getCause).exists(_.getMessage.contains("params sidecar")))
+  }
+
   test("drift ledger detects 2x drifted growth; the rebuild trigger restores probe recall") {
     // base corpus: two modes (e0, e1); drifted growth: four NEW modes
     // (e2..e5) the build-time centroids never saw. Fixed seed.

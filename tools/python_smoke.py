@@ -207,6 +207,9 @@ def main():
         GraftSession.minhash_index_append(batch, mh)
         GraftSession.minhash_index_append(batch, mh)  # replay: no-op
         assert spark.read.parquet(mh + "/minhash").count() == 3
+        fb, fa = GraftSession.minhash_index_compact(spark, mh)
+        assert fa <= fb and fa >= 1, (fb, fa)
+        assert spark.read.parquet(mh + "/minhash").count() == 3
         # batch k-NN join through the shim: axis-aligned toy vectors
         vecs = spark.sql(
             "SELECT CAST(0 AS BIGINT) AS vec_id,"
