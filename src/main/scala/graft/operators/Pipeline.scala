@@ -124,10 +124,22 @@ object PipelineOps {
     * result IDENTICAL to the naive |D|² restatement (cross-checked
     * row-for-row against the naive form at sf0.001/sf0.01). The naive
     * form made every dedup oracle quadratic ORACLE-side and full-corpus
-    * parity at sf0.1 impractical (dd3 alone was >5 min single-query);
-    * this one runs in seconds at sf0.1. Produces the CTE chain up to
-    * `pairs(doc_a, doc_b, jaccard)`; callers append their SELECT tail
-    * (and set `recursive` when the tail adds recursive CTEs). */
+    * parity at sf0.1 impractical (dd3 alone was >5 min single-query).
+    *
+    * Verification cost controls, each exact: (1) the candidate DISTINCT
+    * runs over scalar id pairs and the length-ratio filter — J >= t
+    * forces min(n) >= ⌈t·max(n)⌉ — before the shingle sets are joined
+    * back; (2) |a∪b| comes from the identity na + nb − |a∩b| (the sets
+    * are distinct by construction), never a per-pair concat+distinct;
+    * (3) a hash pre-filter discards pairs on int64-hashed sets first —
+    * ONE-SIDED by construction: hashing can only merge elements, so
+    * |h(A)| <= |A| and |h(A)∩h(B)| >= |A∩B|, hence J_h >= J and
+    * J_h < t proves J < t; survivors (the ~true-pair set) re-verify on
+    * the string sets, so a collision can never add OR drop a pair.
+    * Full-corpus sf0.1 cost: minutes total across all dedup gates.
+    * Produces the CTE chain up to `pairs(doc_a, doc_b, jaccard)`;
+    * callers append their SELECT tail (and set `recursive` when the
+    * tail adds recursive CTEs). */
   private def jaccardPairOracle(shingleN: Int, threshold: String,
       recursive: Boolean = false, whereClause: String = ""): String = {
     val concat = (0 until shingleN)
@@ -138,31 +150,45 @@ object PipelineOps {
          |  FROM documents
          |),
          |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) < $shingleN THEN [array_to_string(w, ' ')]
-         |         ELSE list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}),
-         |                i -> $concat))
-         |    END AS s
-         |  FROM toks
+         |  SELECT doc_id, s, len(s) AS n,
+         |    list_distinct(list_transform(s, x -> hash(x))) AS hs
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(w) < $shingleN THEN [array_to_string(w, ' ')]
+         |           ELSE list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}),
+         |                  i -> $concat))
+         |      END AS s
+         |    FROM toks)
          |),
          |pref AS (
-         |  SELECT doc_id, s,
+         |  SELECT doc_id, n,
          |    unnest(list_slice(list_sort(s), 1,
-         |      CAST(len(s) - ceil($threshold * len(s)) + 1 AS INTEGER))) AS p
+         |      CAST(n - ceil($threshold * n) + 1 AS INTEGER))) AS p
          |  FROM sh
          |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.s AS sa, b.s AS sb
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+         |    AND a.n >= ceil($threshold * b.n) AND b.n >= ceil($threshold * a.n)
          |  $whereClause
+         |),
+         |hver AS (
+         |  SELECT doc_a, doc_b, sa, sb, na, nb FROM (
+         |    SELECT doc_a, doc_b, sa, sb, na, nb,
+         |      len(list_intersect(ha, hb)) AS hi, len(ha) + len(hb) AS hn
+         |    FROM (
+         |      SELECT c.doc_a, c.doc_b, x.s AS sa, y.s AS sb,
+         |        x.n AS na, y.n AS nb, x.hs AS ha, y.hs AS hb
+         |      FROM cand c JOIN sh x ON c.doc_a = x.doc_id
+         |                  JOIN sh y ON c.doc_b = y.doc_id))
+         |  WHERE CAST(hi AS DOUBLE) / (hn - hi) >= $threshold
          |),
          |pairs AS (
          |  SELECT doc_a, doc_b,
-         |    CASE WHEN len(list_distinct(sa || sb)) = 0 THEN 0.0
-         |         ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-         |              / len(list_distinct(sa || sb)) END AS jaccard
-         |  FROM cand
+         |    CASE WHEN na + nb - isect = 0 THEN 0.0
+         |         ELSE CAST(isect AS DOUBLE) / (na + nb - isect) END AS jaccard
+         |  FROM (SELECT doc_a, doc_b, na, nb,
+         |          len(list_intersect(sa, sb)) AS isect FROM hver)
          |)"""
   }
 
@@ -1992,48 +2018,31 @@ object PipelineOps {
     // the affine-mod-p bucket — pure integer arithmetic end to end, so
     // the hash match pins cluster AND side for every document.
     QuerySpec.checked("cu10_leakage_safe_split",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
-        |  FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    END AS s
-        |  FROM toks
-        |),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-        |             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |                  / len(list_distinct(a.s || b.s)) END >= 0.7
-        |),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |),
-        |reach(id, r) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
-        |),
-        |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |asg AS (
-        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
-        |),
-        |bkt AS (
-        |  SELECT doc_id, cluster_id,
-        |    ((cluster_id % 1000000007) * 2654435761 + 11 * 40503)
-        |      % 1000000007 % 100 AS bk
-        |  FROM asg
-        |)
-        |SELECT doc_id, cluster_id, CAST(bk AS INTEGER) AS split_bucket,
-        |  CASE WHEN bk < 80 THEN 'train' ELSE 'eval' END AS split
-        |FROM bkt ORDER BY doc_id""") { (s, d) =>
+      jaccardPairOracle(3, "0.7", recursive = true) +
+        raw""",
+             |edges AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= 0.7
+             |  UNION SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.7
+             |),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+             |),
+             |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |asg AS (
+             |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+             |),
+             |bkt AS (
+             |  SELECT doc_id, cluster_id,
+             |    ((cluster_id % 1000000007) * 2654435761 + 11 * 40503)
+             |      % 1000000007 % 100 AS bk
+             |  FROM asg
+             |)
+             |SELECT doc_id, cluster_id, CAST(bk AS INTEGER) AS split_bucket,
+             |  CASE WHEN bk < 80 THEN 'train' ELSE 'eval' END AS split
+             |FROM bkt ORDER BY doc_id""") { (s, d) =>
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashNearDuplicates(docs, k = 64, bands = 16)
       graft.pipeline.Curation.splitByCluster(docs, pairs,

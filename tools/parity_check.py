@@ -10,7 +10,7 @@ and values (columns sorted by name, exact match; floats exact — the
 corpus routes double aggregation through DECIMAL(38,6) so exactness is
 expected).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pyarrow as pa
 
@@ -45,7 +45,14 @@ def main(sf_dir, out_dir):
             results[name] = f"rows-only ({got.num_rows} rows)"
             continue
         try:
+            # progress + per-oracle timing on stderr as we go (the
+            # summary prints only at the end; a multi-minute oracle
+            # was otherwise indistinguishable from a hang)
+            t0 = time.time()
+            print(f"[oracle] {name} ...", file=sys.stderr, flush=True)
             exp = con.execute(oracles[name]).fetch_arrow_table()
+            print(f"[oracle] {name} {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         except Exception as e:
             results[name] = f"ORACLE-ERR {str(e)[:200]}"
             continue
