@@ -946,17 +946,28 @@ object Bench {
     // compact BENCH_r{N} line, so they persist in a committed history
     // file instead — r9's regression had to be reconstructed from
     // spreads because only the section total carried across rounds)
+    // the history file is APPEND-ONLY, one labeled JSON line per run —
+    // the cross-round trend is its whole purpose (the r14 verdict
+    // documented this writer destroying r13's line by overwriting).
+    // The prev baseline is the LAST parseable line.
     val tpchHistPath = java.nio.file.Paths.get("BENCH_TPCH_HISTORY.json")
     val tpchPrev: Option[(String, Map[String, Double])] = try {
       import com.fasterxml.jackson.databind.ObjectMapper
       if (!java.nio.file.Files.exists(tpchHistPath)) None
       else {
-        val node = new ObjectMapper().readTree(
-          java.nio.file.Files.readString(tpchHistPath))
-        val q = node.get("queries")
-        val it = q.fields(); val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        Some((node.get("label").asText(), b.result()))
+        val om = new ObjectMapper()
+        java.nio.file.Files.readString(tpchHistPath).linesIterator
+          .map(_.trim).filter(_.nonEmpty).flatMap { line =>
+            try {
+              val node = om.readTree(line)
+              val q = node.get("queries")
+              val it = q.fields(); val b = Map.newBuilder[String, Double]
+              while (it.hasNext) {
+                val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+              }
+              Iterator.single((node.get("label").asText(), b.result()))
+            } catch { case _: Exception => Iterator.empty }
+          }.toSeq.lastOption
       }
     } catch { case _: Exception => None }
     val tpchDeltaJson = tpchPrev.map { case (label, pq) =>
@@ -972,7 +983,9 @@ object Bench {
       val label = prev.map { case (r, _) => s"r${r + 1}" }.getOrElse("r?") +
         "@" + java.net.InetAddress.getLocalHost.getHostName
       java.nio.file.Files.writeString(tpchHistPath,
-        s"""{"label":"$label","queries":${objT(tpchResults)}}""")
+        s"""{"label":"$label","queries":${objT(tpchResults)}}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Exception =>
       System.err.println(s"[bench] tpch history write failed: ${e.getMessage}")
     }

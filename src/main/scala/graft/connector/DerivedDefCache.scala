@@ -1,7 +1,7 @@
 package graft.connector
 
+import graft.io.SidecarFs
 import graft.store.SegmentFile
-import java.nio.file.{Files, Paths}
 
 /** Plan-time listing cache for derived-structure definitions (secondary
   * indexes, materialized views), keyed on the BASE table's manifest
@@ -26,8 +26,7 @@ private[connector] final class DerivedDefCache[T](
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[T])]()
 
-  private def norm(base: String): String =
-    Paths.get(base).toAbsolutePath.normalize.toString
+  private def norm(base: String): String = SidecarFs.qualified(base)
 
   def invalidate(base: String): Unit = cache.remove(norm(base))
 
@@ -37,7 +36,7 @@ private[connector] final class DerivedDefCache[T](
     val key = norm(base)
     val hit = cache.get(key)
     if (hit != null && hit._1 == v &&
-      (hit._2.isEmpty || Files.isDirectory(Paths.get(rootOf(base)))))
+      (hit._2.isEmpty || SidecarFs.isDirectory(rootOf(base))))
       return hit._2
     val defs = listAll(base).filter(versionOf(_) == v)
     cache.put(key, (v, defs))

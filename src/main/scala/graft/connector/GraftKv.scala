@@ -1,7 +1,7 @@
 package graft.connector
 
+import graft.io.SidecarFs
 import graft.store.{RowCodec, SegmentFile}
-import java.nio.file.{Files, Paths}
 import java.util.{OptionalLong, UUID}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -2635,11 +2635,10 @@ class GraftKvWriteBuilder(path: String, schema: StructType, keys: Seq[String],
           // already excludes. The write schema is authoritative here
           // (all data is replaced).
           graft.store.SegmentFile.writeManifest(path, committed)
-          val d = new java.io.File(path)
-          Option(d.list()).getOrElse(Array.empty[String])
+          SidecarFs.list(path)
             .filter(n => (n.endsWith(".kv") || n.endsWith(".kvmeta")) &&
               !committed.contains(n.stripSuffix("meta").stripSuffix(".kv") + ".kv"))
-            .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+            .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
           GraftKvMeta.write(path, schema, keys, encoding, zorder, tableProps)
         } else {
           // append: the shared protocol (see GraftKvCommitProtocol)
@@ -2679,8 +2678,7 @@ private[connector] object GraftKvCommitProtocol {
     // whose files are already live publishes nothing (no-op detection).
     graft.store.SegmentFile.commitManifest(path)(
       base => Some(base -- exclude ++ committed),
-      fallbackBase = Option(new java.io.File(path).list())
-        .getOrElse(Array.empty[String])
+      fallbackBase = SidecarFs.list(path)
         .filter(_.endsWith(".kv")).toSet -- exclude)
     val prev = GraftKvMeta.read(path)
     val declared = prev.map(_.schema).getOrElse(writeSchema)
@@ -2693,8 +2691,9 @@ private[connector] object GraftKvCommitProtocol {
   def abortFiles(path: String, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case GraftKvCommit(files) => files }.flatten
       .foreach { f =>
-        Files.deleteIfExists(Paths.get(path, f))
-        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        SidecarFs.deleteIfExists(SidecarFs.child(path, f))
+        SidecarFs.deleteIfExists(
+          SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
 }
 
@@ -2761,7 +2760,7 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
     compress: String = SegmentFile.Compression.None)
     extends DataWriter[InternalRow] {
 
-  Files.createDirectories(Paths.get(path))
+  SidecarFs.mkdirs(path)
   private val codec = RowCodec(schema, keys, encoding)
   private val nBloomDims = keys.length - 1
   private val bloomHashes =
@@ -3110,8 +3109,8 @@ class GraftKvDataWriter(path: String, schema: StructType, keys: Seq[String],
   override def abort(): Unit = {
     writer.close()
     names.foreach { n =>
-      Files.deleteIfExists(Paths.get(path, s"$n.kv"))
-      Files.deleteIfExists(Paths.get(path, s"$n.kvmeta"))
+      SidecarFs.deleteIfExists(SidecarFs.child(path, s"$n.kv"))
+      SidecarFs.deleteIfExists(SidecarFs.child(path, s"$n.kvmeta"))
     }
   }
 

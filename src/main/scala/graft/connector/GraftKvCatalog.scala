@@ -1,6 +1,6 @@
 package graft.connector
 
-import java.nio.file.{Files, Paths}
+import graft.io.SidecarFs
 import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
@@ -36,7 +36,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_catalog/$name")
-    Files.createDirectories(Paths.get(root))
+    SidecarFs.mkdirs(root)
   }
 
   override def name(): String = catalogName
@@ -45,21 +45,17 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   private[graft] def tableDir(ident: Identifier): String =
     (Seq(root) ++ ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  /** Files.list holds an open directory stream — always close it. */
-  private def withDirListing[A](p: java.nio.file.Path)(
-      f: Iterator[java.nio.file.Path] => A): A = {
-    val s = Files.list(p)
-    try f(s.iterator().asScala) finally s.close()
-  }
+  private def listNames(dir: String): Seq[String] = SidecarFs.list(dir)
 
   // ── tables ─────────────────────────────────────────────────────────────
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    withDirListing(d)(_.filter(p => Files.exists(p.resolve("_graft_meta.json")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray)
+    val d = (Seq(root) ++ namespace.toSeq).mkString("/")
+    if (!SidecarFs.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    listNames(d).filter(n => SidecarFs.exists(
+        SidecarFs.child(SidecarFs.child(d, n), "_graft_meta.json")))
+      .map(n => Identifier.of(namespace, n))
+      .toArray
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -113,7 +109,7 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
         val tsMillis = timestamp / 1000L
         val versions = graft.store.SegmentFile.manifestVersions(dir)
         val v = versions.filter(v => graft.store.SegmentFile
-            .manifestVersionFile(dir, v).lastModified() <= tsMillis)
+            .manifestVersionMtime(dir, v) <= tsMillis)
           .lastOption.getOrElse(throw new IllegalArgumentException(
             s"no graftkv snapshot at or before timestamp $tsMillis " +
               s"(retained: ${versions.mkString(", ")})"))
@@ -213,15 +209,16 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(Paths.get(tableDir(newIdent)).getParent)
-    Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(newIdent)))
+    SidecarFs.mkdirs(
+      new org.apache.hadoop.fs.Path(tableDir(newIdent)).getParent.toString)
+    SidecarFs.move(tableDir(oldIdent), tableDir(newIdent))
   }
 
   // ── namespaces ─────────────────────────────────────────────────────────
 
   override def listNamespaces(): Array[Array[String]] =
-    withDirListing(Paths.get(root))(_.filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray)
+    listNames(root).filter(n => SidecarFs.isDirectory(SidecarFs.child(root, n)))
+      .map(n => Array(n)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -232,27 +229,23 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(Paths.get((Seq(root) ++ namespace.toSeq).mkString("/")))
+    SidecarFs.isDirectory((Seq(root) ++ namespace.toSeq).mkString("/"))
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit =
-    Files.createDirectories(Paths.get((Seq(root) ++ namespace.toSeq).mkString("/")))
+    SidecarFs.mkdirs((Seq(root) ++ namespace.toSeq).mkString("/"))
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graftkv namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val d = Paths.get((Seq(root) ++ namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(d)) false
-    else if (!cascade && withDirListing(d)(_.hasNext)) {
+    val d = (Seq(root) ++ namespace.toSeq).mkString("/")
+    if (!SidecarFs.isDirectory(d)) false
+    else if (!cascade && listNames(d).nonEmpty) {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     } else {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) withDirListing(p)(_.toSeq).foreach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(d); true
+      SidecarFs.deleteRecursively(d); true
     }
   }
 }

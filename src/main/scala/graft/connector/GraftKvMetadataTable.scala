@@ -48,7 +48,7 @@ object GraftKvMetadataTable {
       // row/byte totals instead of an error
       val stats = scala.util.Try(SegmentFile.listSegmentsAsOf(dir, v)).toOption
       Array[Any](v,
-        SegmentFile.manifestVersionFile(dir, v).lastModified() * 1000L,
+        SegmentFile.manifestVersionMtime(dir, v) * 1000L,
         files.size.toLong,
         stats.map(ms => ms.map(_.count).sum).orNull,
         stats.map(ms => ms.map(_.sizeBytes).sum).orNull)

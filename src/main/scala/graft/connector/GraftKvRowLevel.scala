@@ -178,9 +178,9 @@ private[connector] final class KvSortedChunkBuffer(path: String,
 
   def abort(): Unit =
     files.foreach { f =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+      graft.io.SidecarFs.deleteIfExists(graft.io.SidecarFs.child(path, f))
+      graft.io.SidecarFs.deleteIfExists(
+        graft.io.SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
     }
 }
 

@@ -1,7 +1,6 @@
 package graft.connector
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.io.SidecarFs
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -64,24 +63,24 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
       maxSegBytes, zdims)
 
   private def intent(epochId: Long) =
-    Paths.get(path, s"._graft_epoch-$queryId-$epochId.intent")
+    SidecarFs.child(path, s"._graft_epoch-$queryId-$epochId.intent")
   private def done(epochId: Long) =
-    Paths.get(path, s"._graft_epoch-$queryId-$epochId.done")
+    SidecarFs.child(path, s"._graft_epoch-$queryId-$epochId.done")
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect {
       case GraftKvCommit(files) => files
     }.flatten.toSet
-    if (Files.exists(done(epochId))) {
+    if (SidecarFs.exists(done(epochId))) {
       // the epoch IS committed (manifest swapped) — drop the replay
       GraftKvCommitProtocol.abortFiles(path, messages)
-    } else if (Files.exists(intent(epochId))) {
+    } else if (SidecarFs.exists(intent(epochId))) {
       // crashed between marker and swap (or between swap and rename —
       // then the union below is a no-op)
-      val prior = new String(Files.readAllBytes(intent(epochId)),
-        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSet
-      if (prior.forall(f => Files.exists(Paths.get(path, f)))) {
+      val prior = SidecarFs.readString(intent(epochId))
+        .split("\n").filter(_.nonEmpty).toSet
+      if (prior.forall(f => SidecarFs.exists(SidecarFs.child(path, f)))) {
         GraftKvCommitProtocol.commitAppend(path, prior, schema, keys,
           encoding, exclude = fresh)
         markDone(epochId)
@@ -101,21 +100,16 @@ class GraftKvStreamingWrite(path: String, schema: StructType,
     // GC: only the LATEST epoch can ever be re-offered; older markers
     // are dead weight in the table dir (constant-time trailing sweep)
     Seq(intent(epochId - 2), done(epochId - 2))
-      .foreach(Files.deleteIfExists(_))
+      .foreach(SidecarFs.deleteIfExists)
   }
 
   private def writeIntent(epochId: Long, files: Set[String]): Unit = {
-    Files.createDirectories(Paths.get(path))
-    val m = intent(epochId)
-    val tmp = m.resolveSibling(m.getFileName.toString + ".tmp")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    SidecarFs.mkdirs(path)
+    SidecarFs.writeStringAtomic(intent(epochId), files.mkString("\n"))
   }
 
   private def markDone(epochId: Long): Unit =
-    Files.move(intent(epochId), done(epochId),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    SidecarFs.moveReplace(intent(epochId), done(epochId))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

@@ -1,5 +1,6 @@
 package graft.connector
 
+import graft.io.SidecarFs
 import graft.store.SegmentFile
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -136,7 +137,6 @@ object KvCommands {
     * repair and a live converter can never both win. */
   def convertToZOrder(spark: SparkSession, path: String,
       dims: Seq[String]): Long = {
-    import java.nio.file.{Files, Paths}
     import graft.store.SegmentFile
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
@@ -157,15 +157,14 @@ object KvCommands {
       // pin the live set into a manifest first (compactMinor's pattern)
       if (SegmentFile.readManifest(path).isEmpty)
         SegmentFile.writeManifest(path,
-          Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-            .filter(_.endsWith(".kv")).toSet)
+          SidecarFs.list(path).filter(_.endsWith(".kv")).toSet)
       val oldSet = SegmentFile.readManifest(path).get
       val src = table(spark, path)
       val data = if (src.columns.contains("_z")) src.drop("_z") else src
       // hidden scratch SUBdirectory: invisible to segment listing,
       // swept by dropTable if a crash strands it
-      val tmp = new java.io.File(path,
-        s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}").getPath
+      val tmp = SidecarFs.child(path,
+        s".zconvert-${java.util.UUID.randomUUID().toString.take(8)}")
       createZOrderTable(data, tmp, dims, m.encoding,
         maxSegBytes = m.props.get(GraftKvMeta.SegmentMaxBytesProp).map(_.toLong),
         compress = m.props.get(GraftKvMeta.SegmentCompressProp))
@@ -177,7 +176,8 @@ object KvCommands {
           m.props)
       val rows = SegmentFile.listSegments(tmp).map(_.count).sum
       val newFiles = SegmentFile.listSegments(tmp).map(_.file)
-      val newMeta = Files.readString(Paths.get(tmp, "_graft_meta.json"))
+      val newMeta = SidecarFs.readString(
+        SidecarFs.child(tmp, "_graft_meta.json"))
       ZConvert.checkpoint(1) // built, no marker, nothing moved yet
       // the build above can outlive the lease's staleness window —
       // refresh (and re-verify) the lease BEFORE the marker goes down,
@@ -196,16 +196,17 @@ object KvCommands {
       ZConvert.checkpoint(2) // marker down, nothing moved yet
       var moved = 0
       newFiles.foreach { f =>
-        Files.move(Paths.get(tmp, f), Paths.get(path, f))
-        Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
-          Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        SidecarFs.move(SidecarFs.child(tmp, f), SidecarFs.child(path, f))
+        SidecarFs.move(SidecarFs.child(tmp, f.stripSuffix(".kv") + ".kvmeta"),
+          SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
         moved += 1
         if (moved == 1) ZConvert.checkpoint(3) // mid-move, marker down
       }
       dropTable(tmp)
       def dropMoved(): Unit = newFiles.foreach { f =>
-        Files.deleteIfExists(Paths.get(path, f))
-        Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        SidecarFs.deleteIfExists(SidecarFs.child(path, f))
+        SidecarFs.deleteIfExists(
+          SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
       // a stolen lease means a successor (converter or repair) may
       // already own the directory — abandon our build, never commit
@@ -235,8 +236,8 @@ object KvCommands {
       // roll the manifest back to the old set (old segments are still
       // on disk; nothing is pruned yet) and fail loudly, rather than
       // leave a committed manifest pointing at deleted files
-      val survived = Files.exists(ZConvert.markerPath(path)) &&
-        newFiles.forall(f => Files.exists(Paths.get(path, f)))
+      val survived = SidecarFs.exists(ZConvert.markerPath(path)) &&
+        newFiles.forall(f => SidecarFs.exists(SidecarFs.child(path, f)))
       if (!survived) {
         SegmentFile.commitManifest(path) { live =>
           if (live == newFiles.toSet) Some(oldSet) else None
@@ -319,8 +320,7 @@ object KvCommands {
 
   /** O2: DROP TABLE (logical+physical here — no catalog indirection). */
   def dropTable(path: String): Unit = {
-    val d = new java.io.File(path)
-    Option(d.list()).getOrElse(Array.empty[String])
+    SidecarFs.list(path)
       .filter(n => n.endsWith(".kv") || n.endsWith(".kvmeta") ||
         n == "_graft_meta.json" || n == "_graft_segments" ||
         n.startsWith("_graft_segments.v") || // snapshot manifests: a
@@ -338,23 +338,22 @@ object KvCommands {
         // Hadoop local-FS checksum shadows of the control files above
         // (a recreated table must not trip over a dead table's crc)
         (n.startsWith("._graft") && n.endsWith(".crc")))
-      .foreach(n => new java.io.File(d, n).delete())
+      .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
     // sweep scratch dirs stranded by a crashed minor compaction or
     // z-order conversion
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && (f.getName.startsWith(".compacting-") ||
-        f.getName.startsWith(".zconvert-")))
-      .foreach { sd =>
-        Option(sd.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
-        sd.delete()
-      }
+    SidecarFs.list(path)
+      .filter(n => (n.startsWith(".compacting-") ||
+        n.startsWith(".zconvert-")) &&
+        SidecarFs.isDirectory(SidecarFs.child(path, n)))
+      .foreach(n => SidecarFs.deleteRecursively(SidecarFs.child(path, n)))
     // secondary indexes and materialized views die with their table
-    val idx = new java.io.File(d, "_index")
-    if (idx.isDirectory) KvIndex.deleteRecursively(idx)
-    val mv = new java.io.File(d, "_mv")
-    if (mv.isDirectory) KvIndex.deleteRecursively(mv)
+    val idx = SidecarFs.child(path, "_index")
+    if (SidecarFs.isDirectory(idx)) SidecarFs.deleteRecursively(idx)
+    val mv = SidecarFs.child(path, "_mv")
+    if (SidecarFs.isDirectory(mv)) SidecarFs.deleteRecursively(mv)
     KvIndex.invalidate(path)
-    d.delete()
+    // the dir itself goes only when nothing else (user files) remains
+    SidecarFs.deleteQuiet(path)
   }
 
   /** O5: DESCRIBE — one row per column: (name, type, KEY order / NONKEY),
@@ -442,7 +441,6 @@ object KvCommands {
     * reclaims crash orphans. Returns the number of segments rewritten. */
   def compactMinor(spark: SparkSession, path: String, minGroup: Int = 2,
       retainReplacedMs: Long = 600000L): Int = {
-    import java.nio.file.{Files, Paths}
     val m = GraftKvMeta.read(path).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $path"))
     val cmp = graft.store.RowCodec(m.schema, m.keys, m.encoding).compareKeys _
@@ -469,8 +467,7 @@ object KvCommands {
     // move → swap → delete sequence is atomic for readers.
     if (toRewrite.nonEmpty && SegmentFile.readManifest(path).isEmpty)
       SegmentFile.writeManifest(path,
-        Option(new java.io.File(path).list()).getOrElse(Array.empty[String])
-          .filter(_.endsWith(".kv")).toSet)
+        SidecarFs.list(path).filter(_.endsWith(".kv")).toSet)
     var rewritten = 0
     toRewrite.foreach { g =>
       val files = g.map(_.file).toSet
@@ -481,8 +478,8 @@ object KvCommands {
       // readers, and dropTable sweeps it if a crash strands it) by the
       // ordered range-shuffle write, then MOVED in — they become visible
       // only at the manifest swap below
-      val tmp = new java.io.File(path,
-        s".compacting-${java.util.UUID.randomUUID().toString.take(8)}").getPath
+      val tmp = SidecarFs.child(path,
+        s".compacting-${java.util.UUID.randomUUID().toString.take(8)}")
       // replacement segments keep the group's max generation (same
       // versions, reorganized) so gen-offset streams don't re-emit them
       // the scratch dir has no persisted meta, so the table's declared
@@ -493,9 +490,9 @@ object KvCommands {
         compress = m.props.get(GraftKvMeta.SegmentCompressProp))
       val moved = SegmentFile.listSegments(tmp).map(_.file)
       moved.foreach { f =>
-        Files.move(Paths.get(tmp, f), Paths.get(path, f))
-        Files.move(Paths.get(tmp, f.stripSuffix(".kv") + ".kvmeta"),
-          Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+        SidecarFs.move(SidecarFs.child(tmp, f), SidecarFs.child(path, f))
+        SidecarFs.move(SidecarFs.child(tmp, f.stripSuffix(".kv") + ".kvmeta"),
+          SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
       }
       // commit point (CAS): merge the swap into whatever the manifest
       // says NOW — concurrent appends ride along untouched. If any of
@@ -508,8 +505,9 @@ object KvCommands {
       }
       if (swapped.isEmpty) {
         moved.foreach { f =>
-          Files.deleteIfExists(Paths.get(path, f))
-          Files.deleteIfExists(Paths.get(path, f.stripSuffix(".kv") + ".kvmeta"))
+          SidecarFs.deleteIfExists(SidecarFs.child(path, f))
+          SidecarFs.deleteIfExists(
+            SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"))
         }
       } else {
         // replaced files stay on disk for the retention window (see
@@ -520,14 +518,18 @@ object KvCommands {
         // window for in-flight scans and snapshots.
         val now = System.currentTimeMillis()
         files.foreach { f =>
-          new java.io.File(path, f).setLastModified(now)
-          new java.io.File(path, f.stripSuffix(".kv") + ".kvmeta").setLastModified(now)
+          // best-effort (read-only mounts just lose the grace window)
+          try {
+            SidecarFs.setMtime(SidecarFs.child(path, f), now)
+            SidecarFs.setMtime(
+              SidecarFs.child(path, f.stripSuffix(".kv") + ".kvmeta"), now)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         rewritten += g.size
       }
-      Option(new java.io.File(tmp).list()).getOrElse(Array.empty[String])
-        .foreach(n => Files.deleteIfExists(Paths.get(tmp, n)))
-      Files.deleteIfExists(Paths.get(tmp))
+      SidecarFs.list(tmp)
+        .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(tmp, n)))
+      SidecarFs.deleteQuiet(tmp)
     }
     if (rewritten > 0) sweepUnmanifested(path, retainReplacedMs)
     rewritten
@@ -541,7 +543,6 @@ object KvCommands {
     * reclaimed (the SQL VACUUM statement's report). */
   def sweepUnmanifested(path: String, olderThanMs: Long): Int =
     SegmentFile.readManifest(path).map { current =>
-      import java.nio.file.{Files, Paths}
       val cutoff = System.currentTimeMillis() - olderThanMs
       // Expired snapshot manifests go FIRST: past the window a VERSION
       // AS OF read fails with "no snapshot" instead of "missing segment
@@ -557,14 +558,14 @@ object KvCommands {
         SegmentFile.manifestVersions(path)
           .flatMap(v => SegmentFile.readManifestVersion(path, v)
             .getOrElse(Set.empty))
-      val swept = Option(new java.io.File(path).list())
-        .getOrElse(Array.empty[String])
+      val swept = SidecarFs.list(path)
         .filter(n => n.endsWith(".kv") &&
           !live.contains(n) &&
-          new java.io.File(path, n).lastModified() <= cutoff)
+          SidecarFs.mtime(SidecarFs.child(path, n)) <= cutoff)
       swept.foreach { n =>
-        Files.deleteIfExists(Paths.get(path, n))
-        Files.deleteIfExists(Paths.get(path, n.stripSuffix(".kv") + ".kvmeta"))
+        SidecarFs.deleteIfExists(SidecarFs.child(path, n))
+        SidecarFs.deleteIfExists(
+          SidecarFs.child(path, n.stripSuffix(".kv") + ".kvmeta"))
       }
       // stale streaming-epoch markers: a crashed writeIntent strands a
       // .tmp forever, and markers of abandoned checkpoints (dead query
@@ -572,8 +573,8 @@ object KvCommands {
       // the live query. Sweep aged ones, but KEEP each query's newest
       // non-tmp marker regardless of age: an idle-then-restarted stream
       // still needs it to recognize its last epoch as committed.
-      val markers = Option(new java.io.File(path).list())
-        .getOrElse(Array.empty[String]).filter(_.startsWith("._graft_epoch-"))
+      val markers = SidecarFs.list(path)
+        .filter(_.startsWith("._graft_epoch-"))
       // name = ._graft_epoch-<queryId>-<epochId>.<intent|done>; queryId
       // is a UUID (contains dashes) — epochId is the LAST dash token
       def parse(n: String): Option[(String, Long)] = {
@@ -587,21 +588,20 @@ object KvCommands {
         .flatMap(n => parse(n).map { case (q, e) => (q, e, n) })
         .groupBy(_._1).values.flatMap(_.maxByOption(_._2).map(_._3)).toSet
       markers.filterNot(keep.contains)
-        .filter(n => new java.io.File(path, n).lastModified() <= cutoff)
-        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+        .filter(n => SidecarFs.mtime(SidecarFs.child(path, n)) <= cutoff)
+        .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
       // manifest/meta tmp files stranded by a crash between write and
       // the finally-delete in tryPublishVersion / meta swap: nothing
       // else reclaims them, so they'd accumulate until DROP TABLE
-      Option(new java.io.File(path).list())
-        .getOrElse(Array.empty[String])
+      SidecarFs.list(path)
         .filter(n => (n.startsWith("._graft_segments.tmp-") ||
           n.startsWith("._graft_meta.") && n.contains(".tmp-") ||
           n.startsWith("._graft_stats.tmp-") ||
           n.startsWith("._graft_ndv.tmp-") ||
           n.startsWith("._graft_qs.tmp-") ||
           n.startsWith("._graft_maint_lease.tmp-")) &&
-          new java.io.File(path, n).lastModified() <= cutoff)
-        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+          SidecarFs.mtime(SidecarFs.child(path, n)) <= cutoff)
+        .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
       swept.length
     }.getOrElse(0)
 
@@ -619,7 +619,8 @@ object KvCommands {
       throw new IllegalArgumentException(
         s"no snapshot version $version at $path " +
           s"(retained: ${SegmentFile.manifestVersions(path).mkString(", ")})"))
-    val missing = snap.filterNot(f => new java.io.File(path, f).exists())
+    val missing =
+      snap.filterNot(f => SidecarFs.exists(SidecarFs.child(path, f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"snapshot $version references swept segments: " +
         missing.toSeq.sorted.mkString(", "))
@@ -638,7 +639,6 @@ object KvCommands {
     * to file copies when linking is impossible (cross-device). */
   def cloneTable(src: String, dst: String,
       version: Option[Long] = None): Unit = {
-    import java.nio.file.{Files, Paths}
     val m = GraftKvMeta.read(src).getOrElse(
       throw new IllegalArgumentException(s"no graftkv table at $src"))
     if (GraftKvMeta.read(dst).isDefined)
@@ -649,15 +649,12 @@ object KvCommands {
           s"no snapshot version $v at $src " +
             s"(retained: ${SegmentFile.manifestVersions(src).mkString(", ")})"))
       case None => SegmentFile.readManifest(src).getOrElse(
-        Option(new java.io.File(src).list()).getOrElse(Array.empty[String])
-          .filter(_.endsWith(".kv")).toSet)
+        SidecarFs.list(src).filter(_.endsWith(".kv")).toSet)
     }
-    Files.createDirectories(Paths.get(dst))
-    def share(name: String): Unit = {
-      val (s, d) = (Paths.get(src, name), Paths.get(dst, name))
-      try Files.createLink(d, s)
-      catch { case _: Exception => Files.copy(s, d) }
-    }
+    SidecarFs.mkdirs(dst)
+    def share(name: String): Unit =
+      SidecarFs.shareOrCopy(SidecarFs.child(src, name),
+        SidecarFs.child(dst, name))
     live.foreach { f =>
       share(f)
       share(f.stripSuffix(".kv") + ".kvmeta")
@@ -758,7 +755,7 @@ object KvCommands {
   *   <meta>         — the new _graft_meta.json content (2 lines)
   * }}} */
 private[connector] object ZConvert {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import graft.io.SidecarFs
   import graft.store.SegmentFile
 
   /** Test-only fault injection: `convertToZOrder` calls
@@ -774,40 +771,33 @@ private[connector] object ZConvert {
       throw new RuntimeException(s"injected crash at zconvert step $step")
   }
 
-  def markerPath(dir: String): java.nio.file.Path =
-    Paths.get(dir, "._graft_zconvert")
+  def markerPath(dir: String): String =
+    SidecarFs.child(dir, "._graft_zconvert")
 
-  def writeMarker(dir: String, newFiles: Set[String], meta: String): Unit = {
-    val tmp = Paths.get(dir,
-      s"._graft_zconvert.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp,
+  def writeMarker(dir: String, newFiles: Set[String], meta: String): Unit =
+    SidecarFs.writeStringAtomic(markerPath(dir),
       (Seq(newFiles.size.toString) ++ newFiles.toSeq.sorted :+ meta)
         .mkString("\n"))
-    Files.move(tmp, markerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 
   def readMarker(dir: String): Option[(Set[String], String)] =
     try {
-      if (!Files.exists(markerPath(dir))) None
+      if (!SidecarFs.exists(markerPath(dir))) None
       else {
-        val lines = Files.readString(markerPath(dir)).split("\n", -1)
+        val lines = SidecarFs.readString(markerPath(dir)).split("\n", -1)
         val n = lines(0).trim.toInt
         Some((lines.slice(1, 1 + n).toSet,
           lines.drop(1 + n).mkString("\n")))
       }
     } catch { case _: Exception => None }
 
-  def clearMarker(dir: String): Unit = Files.deleteIfExists(markerPath(dir))
+  def clearMarker(dir: String): Unit =
+    SidecarFs.deleteIfExists(markerPath(dir))
 
   /** Atomic meta publish from raw content (GraftKvMeta.write's rename
-    * discipline, without re-deriving the serialized form). Must use
-    * the SAME filesystem layer as GraftKvMeta.write — a java.nio move
-    * over a Hadoop-written meta would strand its checksum shadow and
-    * poison every later read. */
+    * discipline, without re-deriving the serialized form). */
   def writeMetaContent(dir: String, content: String): Unit =
-    graft.io.SidecarFs.writeStringAtomic(
-      graft.io.SidecarFs.child(dir, "_graft_meta.json"), content)
+    SidecarFs.writeStringAtomic(
+      SidecarFs.child(dir, "_graft_meta.json"), content)
 
   /** Read-side repair, called by GraftKvMeta.read before every meta
     * read (one Files.exists on the hot path). Cases:
@@ -826,7 +816,7 @@ private[connector] object ZConvert {
     *    its post-CAS verify sees the swept marker/segments and rolls
     *    its manifest back — see [[KvCommands.convertToZOrder]].) */
   def repair(dir: String): Unit = {
-    if (!Files.exists(markerPath(dir))) return
+    if (!SidecarFs.exists(markerPath(dir))) return
     readMarker(dir).foreach { case (newSet, meta) =>
       val live = try SegmentFile.readManifest(dir)
         catch { case _: Exception => None }
@@ -846,20 +836,18 @@ private[connector] object ZConvert {
               catch { case _: Exception => None }
             if (!live2.contains(newSet2)) {
               newSet2.filterNot(f => live2.exists(_.contains(f))).foreach { f =>
-                Files.deleteIfExists(Paths.get(dir, f))
-                Files.deleteIfExists(
-                  Paths.get(dir, f.stripSuffix(".kv") + ".kvmeta"))
+                SidecarFs.deleteIfExists(SidecarFs.child(dir, f))
+                SidecarFs.deleteIfExists(
+                  SidecarFs.child(dir, f.stripSuffix(".kv") + ".kvmeta"))
               }
               // a crash mid-build also strands the hidden scratch
               // subdirectory; with the lease held no converter is
               // live, so any scratch here is dead
-              Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-                .filter(f => f.isDirectory && f.getName.startsWith(".zconvert-"))
-                .foreach { d =>
-                  Option(d.listFiles()).getOrElse(Array.empty)
-                    .foreach(_.delete())
-                  d.delete()
-                }
+              SidecarFs.list(dir)
+                .filter(n => n.startsWith(".zconvert-") &&
+                  SidecarFs.isDirectory(SidecarFs.child(dir, n)))
+                .foreach(n =>
+                  SidecarFs.deleteRecursively(SidecarFs.child(dir, n)))
               clearMarker(dir)
             }
           }

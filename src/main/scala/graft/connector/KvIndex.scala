@@ -1,7 +1,6 @@
 package graft.connector
 
 import graft.store.SegmentFile
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -94,12 +93,12 @@ object KvIndex {
   /** All indexes of `base` (empty for the common no-index table after
     * one directory-existence check — plan-time cost is negligible). */
   def list(base: String): Seq[KvIndexDef] = {
-    val root = Paths.get(indexRoot(base))
-    if (!Files.isDirectory(root)) return Nil
-    val dirs = root.toFile.listFiles()
-    if (dirs == null) Nil
-    else dirs.toSeq.filter(_.isDirectory)
-      .flatMap(d => readIndexMeta(d.getPath, d.getName))
+    import graft.io.SidecarFs
+    val root = indexRoot(base)
+    if (!SidecarFs.isDirectory(root)) return Nil
+    SidecarFs.list(root)
+      .filter(n => SidecarFs.isDirectory(SidecarFs.child(root, n)))
+      .flatMap(n => readIndexMeta(SidecarFs.child(root, n), n))
       .sortBy(_.name)
   }
 
@@ -165,7 +164,7 @@ object KvIndex {
   def estimateLeadMatchFraction(idxPath: String,
       pred: org.apache.spark.sql.sources.Filter): Option[Double] = {
     val cacheKey = SegmentFile.currentVersion(idxPath).map(v =>
-      (Paths.get(idxPath).toAbsolutePath.normalize.toString, v, pred.toString))
+      (graft.io.SidecarFs.qualified(idxPath), v, pred.toString))
     cacheKey.flatMap(k => Option(fracCache.get(k))) match {
       case Some(hit) => hit
       case None =>
@@ -392,16 +391,14 @@ object KvIndex {
   }
 
   def drop(base: String, name: String): Unit = {
-    val p = Paths.get(indexPath(base, name))
-    if (Files.exists(p)) deleteRecursively(p.toFile)
+    val p = indexPath(base, name)
+    if (graft.io.SidecarFs.exists(p))
+      graft.io.SidecarFs.deleteRecursively(p)
     invalidate(base)
   }
 
-  private[connector] def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach(deleteRecursively)
-    f.delete()
-  }
+  private[connector] def deleteRecursively(path: String): Unit =
+    graft.io.SidecarFs.deleteRecursively(path)
 
   /** SHOW-style inventory: (name, cols, watermark, in_sync, entries). */
   def describe(spark: SparkSession, base: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.connector
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import graft.io.SidecarFs
 
 /** Cross-process SINGLE-WRITER LEASE + intent-marker protocol for
   * derived-artifact maintenance (secondary-index / materialized-view
@@ -48,33 +48,20 @@ object KvMaintenance {
     * process holding maintenance hostage. */
   val DefaultLeaseMs: Long = 30L * 60 * 1000
 
-  final case class Lease(path: Path, token: String)
+  final case class Lease(path: String, token: String)
 
-  private def leasePath(artifactDir: String): Path =
-    Paths.get(artifactDir, "._graft_maint_lease")
+  private def leasePath(artifactDir: String): String =
+    SidecarFs.child(artifactDir, "._graft_maint_lease")
 
-  /** Atomic exclusive create of `p` with `content`: hard-link from a
-    * private temp (atomic even where CREATE_NEW isn't), falling back to
-    * CREATE_NEW. False = the path already existed (someone else won). */
-  private def createExclusive(p: Path, content: String): Boolean = {
-    val tmp = p.resolveSibling(
-      s".${p.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, content)
-    try {
-      Files.createLink(p, tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        try {
-          Files.write(p, content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
-  }
+  /** Atomic exclusive create of `p` with `content` —
+    * [[SidecarFs.createIfAbsent]] (hard-link / CREATE_NEW locally,
+    * rename-if-absent on HDFS). False = the path already existed
+    * (someone else won). */
+  private def createExclusive(p: String, content: String): Boolean =
+    SidecarFs.createIfAbsent(p,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  private def tryCreate(p: Path, token: String): Boolean =
+  private def tryCreate(p: String, token: String): Boolean =
     createExclusive(p, token)
 
   /** Acquire the artifact's maintenance lease, or None when a live
@@ -101,31 +88,30 @@ object KvMaintenance {
       if (tryCreate(p, token)) return Some(Lease(p, token))
       val observed =
         try {
-          val age = System.currentTimeMillis() -
-            Files.getLastModifiedTime(p).toMillis
-          if (age < leaseMs) return None // live holder
-          Some(Files.readString(p))
+          val mt = SidecarFs.mtime(p)
+          val age = System.currentTimeMillis() - mt
+          if (mt > 0 && age < leaseMs) return None // live holder
+          Some(SidecarFs.readString(p))
         } catch { case _: Exception => None } // vanished — retry create
       observed match {
         case None => ()
         case Some(staleContent) =>
-          val moved = p.resolveSibling(
+          val moved = SidecarFs.child(artifactDir,
             s"._graft_maint_lease.stolen-${token.take(8)}")
           try {
-            Files.move(p, moved, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            // verify we moved the lease we OBSERVED as stale — losing
-            // this check would let two stealers both acquire (one by
-            // displacing the other's fresh lease)
-            if (Files.readString(moved) == staleContent)
-              Files.deleteIfExists(moved)
-            else {
-              // displaced a fresh lease — put it back if the slot is
-              // still free; otherwise leave the file for the sweeper
-              // (its holder's stillHeld check fails safe)
-              try Files.move(moved, p,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: Exception => () }
-              return None
+            if (SidecarFs.moveQuiet(p, moved)) {
+              // verify we moved the lease we OBSERVED as stale — losing
+              // this check would let two stealers both acquire (one by
+              // displacing the other's fresh lease)
+              if (SidecarFs.readString(moved) == staleContent)
+                SidecarFs.deleteIfExists(moved)
+              else {
+                // displaced a fresh lease — put it back if the slot is
+                // still free; otherwise leave the file for the sweeper
+                // (its holder's stillHeld check fails safe)
+                SidecarFs.moveQuiet(moved, p)
+                return None
+              }
             }
           } catch { case _: Exception => () } // lost the move race — loop
       }
@@ -144,11 +130,9 @@ object KvMaintenance {
     * fresh moments ago — harmless. Returns stillHeld. */
   def refresh(l: Lease): Boolean =
     try {
-      if (Files.readString(l.path) != l.token) false
+      if (SidecarFs.readString(l.path) != l.token) false
       else {
-        Files.setLastModifiedTime(l.path,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis()))
+        SidecarFs.setMtime(l.path, System.currentTimeMillis())
         true
       }
     } catch { case _: Exception => false }
@@ -158,7 +142,7 @@ object KvMaintenance {
     * lease means a successor may have run, and the holder's writes are
     * suspect (the refresh implementations quarantine instead). */
   def stillHeld(l: Lease): Boolean =
-    try Files.exists(l.path) && Files.readString(l.path) == l.token
+    try SidecarFs.exists(l.path) && SidecarFs.readString(l.path) == l.token
     catch { case _: Exception => false }
 
   /** Release — removes only OUR lease, atomically: the lease file is
@@ -170,14 +154,13 @@ object KvMaintenance {
     * deleting it would tell us nothing and lose the record. */
   def release(l: Lease): Unit =
     try {
-      val trash = l.path.resolveSibling(
+      val trash = SidecarFs.child(
+        new org.apache.hadoop.fs.Path(l.path).getParent.toString,
         s"._graft_maint_lease.rel-${l.token.take(8)}")
-      Files.move(l.path, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      if (Files.readString(trash) == l.token) Files.delete(trash)
-      else {
-        try Files.move(trash, l.path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: Exception => () } // leave for the sweep
+      if (SidecarFs.moveQuiet(l.path, trash)) {
+        if (SidecarFs.readString(trash) == l.token)
+          SidecarFs.deleteIfExists(trash)
+        else SidecarFs.moveQuiet(trash, l.path): Unit // leave for the sweep
       }
     } catch { case _: Exception => () }
 
@@ -191,18 +174,18 @@ object KvMaintenance {
 
   private val SuspectPrefix = "suspect"
 
-  def markerPath(artifactDir: String): Path =
-    Paths.get(artifactDir, "._graft_maint_intent")
+  def markerPath(artifactDir: String): String =
+    SidecarFs.child(artifactDir, "._graft_maint_intent")
 
   def markerExists(artifactDir: String): Boolean =
-    Files.exists(markerPath(artifactDir))
+    SidecarFs.exists(markerPath(artifactDir))
 
   /** Marker content at refresh start (None = absent; unreadable reads
     * as a fresh suspect so the caller rebuilds). */
   def readMarker(artifactDir: String): Option[String] =
     try {
-      if (!Files.exists(markerPath(artifactDir))) None
-      else Some(Files.readString(markerPath(artifactDir)).trim)
+      if (!SidecarFs.exists(markerPath(artifactDir))) None
+      else Some(SidecarFs.readString(markerPath(artifactDir)).trim)
     } catch { case _: Exception => Some(s"$SuspectPrefix-unreadable") }
 
   def isSuspect(content: Option[String]): Boolean =
@@ -211,12 +194,12 @@ object KvMaintenance {
   /** Write the in-flight marker for an incremental apply (content = the
     * holder's lease token, so only this holder's publish clears it). */
   def markInFlight(artifactDir: String, l: Lease): Unit =
-    Files.writeString(markerPath(artifactDir), l.token)
+    SidecarFs.writeStringAtomic(markerPath(artifactDir), l.token)
 
   /** Quarantine: unique suspect content — never equal to any token or
     * to a previously-observed marker, so no publish tail clears it. */
   def quarantine(artifactDir: String): Unit =
-    Files.writeString(markerPath(artifactDir),
+    SidecarFs.writeStringAtomic(markerPath(artifactDir),
       s"$SuspectPrefix-${java.util.UUID.randomUUID().toString.take(8)}")
 
   /** Clear the marker iff its CURRENT content is ours to clear: our
@@ -226,11 +209,11 @@ object KvMaintenance {
   def clearIfOwned(artifactDir: String, l: Lease,
       observedAtStart: Option[String]): Unit = {
     val ours =
-      try !Files.exists(markerPath(artifactDir)) || {
-        val c = Files.readString(markerPath(artifactDir)).trim
+      try !SidecarFs.exists(markerPath(artifactDir)) || {
+        val c = SidecarFs.readString(markerPath(artifactDir)).trim
         c == l.token || observedAtStart.contains(c)
       } catch { case _: Exception => false }
-    if (ours) Files.deleteIfExists(markerPath(artifactDir))
+    if (ours) SidecarFs.deleteIfExists(markerPath(artifactDir))
   }
 
   // ── fenced meta publish (versioned CAS) ───────────────────────────────
@@ -244,12 +227,11 @@ object KvMaintenance {
   // successor. A plain `<name>` file is the pre-round-7 legacy form,
   // read as version 0 and retired on the first CAS publish.
 
-  private def versionedMetaFile(dir: String, name: String, v: Long): Path =
-    Paths.get(dir, f"$name%s.v$v%020d")
+  private def versionedMetaFile(dir: String, name: String, v: Long): String =
+    SidecarFs.child(dir, f"$name%s.v$v%020d")
 
   private def metaVersions(dir: String, name: String): Seq[Long] =
-    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
-      .toSeq
+    SidecarFs.list(dir)
       .filter(_.startsWith(name + ".v"))
       .flatMap(f => f.substring(name.length + 2).toLongOption)
       .sorted
@@ -259,14 +241,15 @@ object KvMaintenance {
   def readVersionedMeta(dir: String, name: String): Option[String] = {
     val fromVersions = metaVersions(dir, name).reverseIterator
       .map { v =>
-        try Some(Files.readString(versionedMetaFile(dir, name, v)))
+        try Some(SidecarFs.readString(versionedMetaFile(dir, name, v)))
         catch { case _: Exception => None } // pruned mid-read — try older
       }
       .collectFirst { case Some(c) => c }
     fromVersions.orElse {
       try {
-        val legacy = Paths.get(dir, name)
-        if (Files.exists(legacy)) Some(Files.readString(legacy)) else None
+        val legacy = SidecarFs.child(dir, name)
+        if (SidecarFs.exists(legacy)) Some(SidecarFs.readString(legacy))
+        else None
       } catch { case _: Exception => None }
     }
   }
@@ -288,9 +271,9 @@ object KvMaintenance {
       if (createExclusive(versionedMetaFile(dir, name, next), content)) {
         // keep a couple of predecessors for slow readers; retire legacy
         versions.dropRight(2).foreach(v =>
-          try Files.deleteIfExists(versionedMetaFile(dir, name, v))
+          try SidecarFs.deleteIfExists(versionedMetaFile(dir, name, v))
           catch { case _: Exception => () })
-        try Files.deleteIfExists(Paths.get(dir, name))
+        try SidecarFs.deleteIfExists(SidecarFs.child(dir, name))
         catch { case _: Exception => () }
         return true
       }

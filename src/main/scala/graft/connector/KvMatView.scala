@@ -1,7 +1,6 @@
 package graft.connector
 
 import graft.store.SegmentFile
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,11 +137,12 @@ object KvMatView {
     KvMaintenance.readVersionedMeta(p, MetaName).flatMap(parseMeta(name, _))
 
   def list(base: String): Seq[KvMatViewDef] = {
-    val root = Paths.get(mvRoot(base))
-    if (!Files.isDirectory(root)) return Nil
-    Option(root.toFile.listFiles()).getOrElse(Array.empty)
-      .toSeq.filter(_.isDirectory)
-      .flatMap(d => readMvMeta(d.getPath, d.getName))
+    import graft.io.SidecarFs
+    val root = mvRoot(base)
+    if (!SidecarFs.isDirectory(root)) return Nil
+    SidecarFs.list(root)
+      .filter(n => SidecarFs.isDirectory(SidecarFs.child(root, n)))
+      .flatMap(n => readMvMeta(SidecarFs.child(root, n), n))
       .sortBy(_.name)
   }
 
@@ -625,8 +625,8 @@ object KvMatView {
   }
 
   def drop(base: String, name: String): Unit = {
-    val p = Paths.get(mvPath(base, name))
-    if (Files.exists(p)) KvIndex.deleteRecursively(p.toFile)
+    val p = mvPath(base, name)
+    if (graft.io.SidecarFs.exists(p)) KvIndex.deleteRecursively(p)
     invalidate(base)
   }
 

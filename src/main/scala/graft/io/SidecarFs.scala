@@ -49,7 +49,27 @@ object SidecarFs {
     }
   }
 
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  /** Owning FileSystem, with the LOCAL scheme unwrapped to the RAW
+    * (checksum-free) implementation. The checksummed LocalFileSystem
+    * would shadow every store file with a `.crc` twin, and the store's
+    * commit protocols rename/replace files through POSIX-atomic nio
+    * fast paths that cannot keep those shadows in sync — a stale crc
+    * beside renamed content poisons later checksummed reads. Raw local
+    * matches `java.nio.file` semantics one-for-one, which is exactly
+    * what the crash-recovery state machines were built on. */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(hadoopConf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case fs => fs
+    }
+
+  /** `true` when `path` resolves to the local scheme — the store keeps
+    * POSIX nio fast paths there (hard-link CAS, atomic replace) whose
+    * exact failure atomicity Hadoop's local connector does not give. */
+  private def isLocal(qp: Path): Boolean =
+    "file".equals(qp.toUri.getScheme)
+  private def localPath(qp: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(qp.toUri.getPath)
 
   /** `dir/name` with the scheme of `dir` preserved. */
   def child(dir: String, name: String): String =
@@ -188,4 +208,169 @@ object SidecarFs {
   def move(src: String, dst: String): Unit =
     require(moveQuiet(src, dst), s"rename $src -> $dst failed " +
       "(source missing or destination exists)")
+
+  // ── store-layer ops (segment payloads, packs, commit protocols) ────────
+  // The kv STORE speaks these instead of java.nio.file so a table can
+  // live on any Hadoop filesystem next to its parquet neighbors. Local
+  // paths keep nio fast paths where the commit protocols need exact
+  // POSIX atomicity (hard-link CAS, atomic replace).
+
+  /** Open a file for sequential reading. The returned stream's `skip`
+    * seeks (never decodes) on every backend, so sparse-index floor
+    * seeks stay O(1) in skipped bytes. */
+  def open(path: String): java.io.InputStream = {
+    val p = new Path(path)
+    fsOf(p).open(p)
+  }
+
+  /** Create (overwrite) a file for sequential writing; parents are
+    * created as needed (Hadoop semantics — the store always writes
+    * into an existing table dir anyway). */
+  def create(path: String): java.io.OutputStream = {
+    val p = new Path(path)
+    fsOf(p).create(p, true)
+  }
+
+  def size(path: String): Long = {
+    val p = new Path(path)
+    fsOf(p).getFileStatus(p).getLen
+  }
+
+  /** Modification time in millis; 0 when the file is absent (the
+    * `java.io.File.lastModified` convention the retention sweeps use —
+    * an absent file compares "older than any cutoff" and its delete is
+    * a no-op). */
+  def mtime(path: String): Long = {
+    val p = new Path(path)
+    try fsOf(p).getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  /** Mtime touch; throws on failure (lease refresh must KNOW the touch
+    * landed — callers doing best-effort retention aging wrap it). */
+  def setMtime(path: String, millis: Long): Unit = {
+    val p = new Path(path)
+    fsOf(p).setTimes(p, millis, -1)
+  }
+
+  /** Child NAMES of a directory; empty when absent or not a directory
+    * (the `java.io.File.list` null convention, already flattened). */
+  def list(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    try fs.listStatus(p).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** Stable identity string for cache keys — changes whenever the file
+    * is replaced, even by same-sized content: local files carry the
+    * inode (nio fileKey), remote ones path+length+mtime. None when
+    * absent. */
+  def identity(path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val qp = fs.makeQualified(p)
+    try {
+      if (isLocal(qp)) {
+        val a = java.nio.file.Files.readAttributes(localPath(qp),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        Some(s"${a.fileKey}:${a.size}:${a.lastModifiedTime.toMillis}")
+      } else {
+        val st = fs.getFileStatus(qp)
+        Some(s"$qp:${st.getLen}:${st.getModificationTime}")
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Atomic move that REPLACES the destination — for single-writer
+    * pack publishes where the content for a given name is immutable
+    * (identical bytes from identical inputs), so any winner is
+    * correct. Local: POSIX rename(2); remote: FileContext
+    * OVERWRITE rename (atomic on HDFS). */
+  def moveReplace(src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val fs = fsOf(sp)
+    val qsp = fs.makeQualified(sp)
+    val qdp = fs.makeQualified(new Path(dst))
+    if (isLocal(qsp))
+      java.nio.file.Files.move(localPath(qsp), localPath(qdp),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    else {
+      val fc = FileContext.getFileContext(qdp.toUri, hadoopConf)
+      fc.rename(qsp, qdp, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Non-recursive delete that tolerates a non-empty directory (the
+    * `java.io.File.delete` convention dropTable's final rmdir relies
+    * on — leave the dir alone when user files remain). */
+  def deleteQuiet(path: String): Unit = {
+    val p = new Path(path)
+    try fsOf(p).delete(p, false): Unit
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Zero-copy share of one immutable file: hard link where the
+    * backend has them (local POSIX — same inode, separate directory
+    * entry), byte copy elsewhere (HDFS/object stores have no links).
+    * Cross-filesystem src/dst falls back to a streamed copy too. */
+  def shareOrCopy(src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val fs = fsOf(sp)
+    val qsp = fs.makeQualified(sp)
+    val qdp = fsOf(new Path(dst)).makeQualified(new Path(dst))
+    if (isLocal(qsp) && isLocal(qdp)) {
+      try java.nio.file.Files.createLink(localPath(qdp), localPath(qsp)): Unit
+      catch {
+        case _: Exception =>
+          java.nio.file.Files.copy(localPath(qsp), localPath(qdp)): Unit
+      }
+    } else {
+      val in = open(qsp.toString)
+      try {
+        val out = create(qdp.toString)
+        try in.transferTo(out): Unit finally out.close()
+      } finally in.close()
+    }
+  }
+
+  /** Atomic create-if-absent publish — the manifest CAS primitive: the
+    * full `body` appears at `dst` iff no committer beat us to it, and
+    * a loser NEVER clobbers the winner. Local: hard link from a fully
+    * written temp (POSIX link(2) fails EEXIST atomically), falling
+    * back to `CREATE_NEW` on linkless filesystems. Remote: fully
+    * written temp + rename-if-absent — on HDFS rename onto an existing
+    * path returns false without touching it, the same primitive. */
+  def createIfAbsent(dst: String, body: Array[Byte]): Boolean = {
+    val p = new Path(dst)
+    val fs = fsOf(p)
+    val qp = fs.makeQualified(p)
+    if (isLocal(qp)) {
+      val target = localPath(qp)
+      val tmp = target.resolveSibling(
+        s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, body)
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          try {
+            java.nio.file.Files.write(target, body,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    } else {
+      val tmp = new Path(qp.getParent,
+        s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      try moveQuiet(tmp.toString, qp.toString)
+      finally { fs.delete(tmp, false): Unit }
+    }
+  }
 }

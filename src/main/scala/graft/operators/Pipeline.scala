@@ -132,10 +132,13 @@ object PipelineOps {
     * back; (2) |a∪b| comes from the identity na + nb − |a∩b| (the sets
     * are distinct by construction), never a per-pair concat+distinct;
     * (3) a hash pre-filter discards pairs on int64-hashed sets first —
-    * ONE-SIDED by construction: hashing can only merge elements, so
-    * |h(A)| <= |A| and |h(A)∩h(B)| >= |A∩B|, hence J_h >= J and
-    * J_h < t proves J < t; survivors (the ~true-pair set) re-verify on
-    * the string sets, so a collision can never add OR drop a pair.
+    * made ONE-SIDED by an escape hatch: a cross-set collision only
+    * merges elements (J_h >= J), but a WITHIN-set collision can shrink
+    * intersection and union together and push J_h BELOW J. Within-set
+    * collisions are detectable (|h(A)| < |A|), so any pair where either
+    * side's hashed set lost an element bypasses the pre-filter and
+    * falls through to the exact string-set verify — a collision can
+    * never add OR drop a pair, unconditionally, not just w.h.p.
     * Full-corpus sf0.1 cost: minutes total across all dedup gates.
     * Produces the CTE chain up to `pairs(doc_a, doc_b, jaccard)`;
     * callers append their SELECT tail (and set `recursive` when the
@@ -175,13 +178,15 @@ object PipelineOps {
          |hver AS (
          |  SELECT doc_a, doc_b, sa, sb, na, nb FROM (
          |    SELECT doc_a, doc_b, sa, sb, na, nb,
-         |      len(list_intersect(ha, hb)) AS hi, len(ha) + len(hb) AS hn
+         |      len(list_intersect(ha, hb)) AS hi, len(ha) + len(hb) AS hn,
+         |      len(ha) AS la, len(hb) AS lb
          |    FROM (
          |      SELECT c.doc_a, c.doc_b, x.s AS sa, y.s AS sb,
          |        x.n AS na, y.n AS nb, x.hs AS ha, y.hs AS hb
          |      FROM cand c JOIN sh x ON c.doc_a = x.doc_id
          |                  JOIN sh y ON c.doc_b = y.doc_id))
          |  WHERE CAST(hi AS DOUBLE) / (hn - hi) >= $threshold
+         |     OR la < na OR lb < nb
          |),
          |pairs AS (
          |  SELECT doc_a, doc_b,

@@ -363,7 +363,10 @@ object AnnIndex {
     vectors.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val b = batch.toDF()
+        // Duplicate ids WITHIN a microbatch would slip past the
+        // stored-ids anti-join and land twice — dedup the batch first,
+        // matching streamingIngestDedup's contract (Dedup.scala).
+        val b = batch.toDF().dropDuplicates(idCol)
         val spark = b.sparkSession
         if (!SidecarFs.exists(paramsFile(path))) {
           require(!SidecarFs.exists(SidecarFs.child(path, "_SUCCESS")),
@@ -387,6 +390,19 @@ object AnnIndex {
           onBatch(batchId, driftStats(path), rebuilt)
         }
     }
+
+  /** Py4j/Java-friendly arity for [[streamingIngestAnn]] (the py4j
+    * bridge can supply neither Scala default args nor the `onBatch`
+    * function value): default no-op observer, checkpointed at
+    * `checkpoint`, started. Returns the live query. */
+  def streamingIngestAnnStart(vectors: DataFrame, path: String,
+      checkpoint: String, nPlanes: Int, nCentroids: Int,
+      maxGrowth: Double, maxCosErosion: Double, maxGridErosion: Double,
+      vecCol: String, idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingIngestAnn(vectors, path, nPlanes, nCentroids, maxGrowth,
+      maxCosErosion, maxGridErosion, vecCol, idCol)
+      .option("checkpointLocation", checkpoint).start()
 
   // ── deletion ───────────────────────────────────────────────────────────
 
@@ -651,7 +667,10 @@ object AnnIndex {
     * swap [[rebuildInPlace]] uses: write scratch `__compact` (data +
     * copied sidecars) → move live to `__old` → move scratch in → drop
     * `__old`; a crash between the moves leaves no live dir — loud,
-    * never silently stale. Single maintainer, like append. Returns
+    * never silently stale. Single maintainer for APPENDS, like append;
+    * in-JVM `delete()` calls are safe concurrently — the tombstone
+    * sidecar is (re-)copied UNDER the swap lock, so a delete committed
+    * while the bulk rewrite ran is carried, never reverted. Returns
     * (filesBefore, filesAfter). */
   def compactAnnIndex(spark: SparkSession, path: String,
       targetRowsPerFile: Long = 1L << 22,
@@ -675,10 +694,14 @@ object AnnIndex {
       if (SidecarFs.exists(src))
         SidecarFs.writeString(dst, SidecarFs.readString(src))
     }
-    if (hasDeleted(path))
-      spark.read.parquet(deletedDir(path))
-        .write.mode("overwrite").parquet(deletedDir(tmp))
     lockFor(path).synchronized {
+      // Tombstones copy UNDER the swap lock: delete() is lock-guarded,
+      // so a delete committed while the bulk rewrite ran above cannot
+      // slip between snapshot and swap and be silently reverted. The
+      // set is bounded by maxDeletedFraction, so this stays cheap.
+      if (hasDeleted(path))
+        spark.read.parquet(deletedDir(path))
+          .write.mode("overwrite").parquet(deletedDir(tmp))
       val old = path + "__old"
       SidecarFs.move(path, old)
       SidecarFs.move(tmp, path)

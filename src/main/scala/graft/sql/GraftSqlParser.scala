@@ -897,7 +897,7 @@ case class GraftShowSnapshotsCommand(table: Seq[String])
     val vs = SegmentFile.manifestVersions(dir)
     vs.map { v =>
       Row(v,
-        new java.sql.Timestamp(SegmentFile.manifestVersionFile(dir, v).lastModified()),
+        new java.sql.Timestamp(SegmentFile.manifestVersionMtime(dir, v)),
         SegmentFile.readManifestVersion(dir, v).map(_.size).getOrElse(0),
         v == vs.last)
     }

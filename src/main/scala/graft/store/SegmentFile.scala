@@ -1,8 +1,8 @@
 package graft.store
 
 import graft.codec.OrderedCodec
+import graft.io.SidecarFs
 import java.io._
-import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable.ArrayBuffer
 
 /** One sorted run of (key, value) records plus a sidecar meta file with
@@ -594,8 +594,10 @@ object SegmentFile {
       dt: org.apache.spark.sql.types.DataType): Boolean =
     if (dt == org.apache.spark.sql.types.StringType) in.readBoolean() else true
 
-  def segmentPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kv")
-  private def metaPath(dir: String, name: String): Path = Paths.get(dir, s"$name.kvmeta")
+  def segmentPath(dir: String, name: String): String =
+    SidecarFs.child(dir, s"$name.kv")
+  private def metaPath(dir: String, name: String): String =
+    SidecarFs.child(dir, s"$name.kvmeta")
 
   /** Streaming writer; caller must feed records in key order under `cmp`
     * — unsigned byte order for the binary codec, the typed-comparator
@@ -612,7 +614,7 @@ object SegmentFile {
       compress: String = Compression.None) {
     private val seg = segmentPath(dir, name)
     private val out = new DataOutputStream(new BufferedOutputStream(
-      Files.newOutputStream(seg), 1 << 16))
+      SidecarFs.create(seg), 1 << 16))
     // block compression: records land in `rec` (a raw-block buffer when
     // compressing, the file stream otherwise); `bytes` and the sparse
     // index count LOGICAL stream positions either way, so every offset
@@ -681,8 +683,8 @@ object SegmentFile {
         qsSketches: Seq[QuantileSketch] = Seq.empty): Meta = {
       if (blockBuf != null) { rec.flush(); flushBlock() }
       out.flush(); out.close()
-      if (count == 0) { Files.deleteIfExists(seg); return null }
-      val m = Meta(s"$name.kv", minKey, lastKey, count, Files.size(seg),
+      if (count == 0) { SidecarFs.deleteIfExists(seg); return null }
+      val m = Meta(s"$name.kv", minKey, lastKey, count, SidecarFs.size(seg),
         bloomBuilders.map(_.result()).toIndexedSeq, index.result(),
         Option(schemaJson), zoneStats.filter(z => zoneMappable(z.dataType)),
         gen, tombstoneCount, exactZones = true, nullCounts = nullCounts)
@@ -690,7 +692,8 @@ object SegmentFile {
       // leak the handle or leave a TORN .kvmeta beside a complete .kv —
       // on a legacy manifest-less table the .kvmeta files are the
       // listing authority, and one torn file bricks every later query
-      val mo = new DataOutputStream(Files.newOutputStream(metaPath(dir, name)))
+      val mo = new DataOutputStream(new BufferedOutputStream(
+        SidecarFs.create(metaPath(dir, name)), 1 << 16))
       def writeSidecar(): Unit = {
       mo.writeInt(FormatV13)
       mo.writeLong(m.gen)
@@ -747,7 +750,7 @@ object SegmentFile {
       catch {
         case e: Throwable =>
           try mo.close() catch { case _: Exception => () }
-          Files.deleteIfExists(metaPath(dir, name))
+          SidecarFs.deleteIfExists(metaPath(dir, name))
           throw e
       }
       mo.close()
@@ -768,7 +771,7 @@ object SegmentFile {
     // sidecars just to plan
     if (!withIndex) metaOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(metaPath(dir, name))))
+      SidecarFs.open(metaPath(dir, name)), 1 << 16))
     try {
       val first = in.readInt()
       val v13 = first == FormatV13
@@ -872,13 +875,15 @@ object SegmentFile {
   // (KvCommands.sweepUnmanifested), so scans planned against an older
   // version finish against their own snapshot.
 
-  private def manifestPath(dir: String): Path = Paths.get(dir, "_graft_segments")
+  private def manifestPath(dir: String): String =
+    SidecarFs.child(dir, "_graft_segments")
 
   private def readMirror(dir: String): Option[Set[String]] = {
     val p = manifestPath(dir)
-    if (!Files.exists(p)) None
-    else Some(Files.readString(p).linesIterator.map(_.trim)
+    if (!SidecarFs.exists(p)) None
+    else try Some(SidecarFs.readString(p).linesIterator.map(_.trim)
       .filter(_.nonEmpty).toSet)
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Live `.kv` file names, when a manifest governs this table: the
@@ -941,13 +946,13 @@ object SegmentFile {
               // accumulate one snapshot per commit forever. Metadata-only:
               // expired versions just stop answering VERSION AS OF.
               versions.dropRight(MaxRetainedManifests - 1).foreach { old =>
-                versionedManifestPath(dir, old).toFile.delete()
-                statsPath(dir, old).toFile.delete()
-                ndvPath(dir, old).toFile.delete()
+                SidecarFs.deleteIfExists(versionedManifestPath(dir, old))
+                SidecarFs.deleteIfExists(statsPath(dir, old))
+                SidecarFs.deleteIfExists(ndvPath(dir, old))
                 // quantile packs retire with their version too — the cap
                 // used to skip them, orphaning _graft_qs.vN forever on
                 // append-only (never-compacted) streaming tables
-                qsPath(dir, old).toFile.delete()
+                SidecarFs.deleteIfExists(qsPath(dir, old))
               }
               return Some(next)
             }
@@ -960,32 +965,16 @@ object SegmentFile {
   }
 
   /** Publish `files` as snapshot `v` iff no committer beat us to `v`.
-    * Hard link gives atomic create-if-absent on POSIX (rename would
-    * silently replace a concurrent winner's snapshot). */
+    * [[SidecarFs.createIfAbsent]] is the atomic create-if-absent
+    * primitive on every backend — hard link / `CREATE_NEW` locally,
+    * fully-written-temp + rename-if-absent on HDFS (rename would
+    * silently replace a concurrent winner's snapshot; rename-if-absent
+    * cannot). */
   private def tryPublishVersion(dir: String, v: Long,
-      files: Set[String]): Boolean = {
-    val tmp = Paths.get(dir,
-      s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val body = files.toSeq.sorted.mkString("\n")
-    Files.writeString(tmp, body)
-    try {
-      Files.createLink(versionedManifestPath(dir, v), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      // filesystems without hard links (some network/overlay mounts):
-      // fall back to an exclusive-create write — CREATE_NEW is the same
-      // atomic fail-if-exists primitive, so CAS semantics survive
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        try {
-          Files.write(versionedManifestPath(dir, v),
-            body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
-  }
+      files: Set[String]): Boolean =
+    SidecarFs.createIfAbsent(versionedManifestPath(dir, v),
+      files.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Best-effort refresh of the informational `_graft_segments` mirror
     * from the current max version. Two refreshes can interleave and
@@ -994,18 +983,12 @@ object SegmentFile {
   private def refreshMirror(dir: String): Unit =
     manifestVersions(dir).lastOption
       .flatMap(readManifestVersion(dir, _)).foreach { live =>
-        val tmp = Paths.get(dir,
-          s"._graft_segments.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         // genuinely best-effort: the CAS already published the version
         // that IS the authority, so a mirror failure (disk full, odd
         // mount) must not fail — or re-run — the committed change
-        try {
-          Files.writeString(tmp, live.toSeq.sorted.mkString("\n"))
-          Files.move(tmp, manifestPath(dir),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } catch {
-          case scala.util.control.NonFatal(_) => ()
-        } finally Files.deleteIfExists(tmp)
+        try SidecarFs.writeStringAtomic(manifestPath(dir),
+          live.toSeq.sorted.mkString("\n"))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
 
   /** Publish `files` as the new live set unconditionally (overwrite /
@@ -1021,27 +1004,28 @@ object SegmentFile {
     * retention sweep prunes within this bound). */
   val MaxRetainedManifests = 64
 
-  private def versionedManifestPath(dir: String, v: Long): Path =
-    Paths.get(dir, s"_graft_segments.v$v")
+  private def versionedManifestPath(dir: String, v: Long): String =
+    SidecarFs.child(dir, s"_graft_segments.v$v")
 
   /** Retained snapshot versions, ascending (commit order). */
   def manifestVersions(dir: String): Seq[Long] =
-    Option(new File(dir).list()).getOrElse(Array.empty[String]).toSeq
-      .flatMap { n =>
-        if (n.startsWith("_graft_segments.v"))
-          n.stripPrefix("_graft_segments.v").toLongOption
-        else None
-      }.sorted
+    SidecarFs.list(dir).flatMap { n =>
+      if (n.startsWith("_graft_segments.v"))
+        n.stripPrefix("_graft_segments.v").toLongOption
+      else None
+    }.sorted
 
-  /** The snapshot manifest file itself (mtime = commit wall-clock). */
-  def manifestVersionFile(dir: String, v: Long): File =
-    versionedManifestPath(dir, v).toFile
+  /** The snapshot manifest's commit wall-clock (file mtime); 0 when the
+    * version does not exist. */
+  def manifestVersionMtime(dir: String, v: Long): Long =
+    SidecarFs.mtime(versionedManifestPath(dir, v))
 
   def readManifestVersion(dir: String, v: Long): Option[Set[String]] = {
     val p = versionedManifestPath(dir, v)
-    if (!Files.exists(p)) None
-    else Some(Files.readString(p).linesIterator.map(_.trim)
+    if (!SidecarFs.exists(p)) None
+    else try Some(SidecarFs.readString(p).linesIterator.map(_.trim)
       .filter(_.nonEmpty).toSet)
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Delete snapshot manifests older than `cutoffMillis` (mtime), always
@@ -1049,12 +1033,13 @@ object SegmentFile {
   def pruneManifestVersions(dir: String, cutoffMillis: Long): Unit = {
     val vs = manifestVersions(dir)
     vs.dropRight(1).foreach { v =>
-      val f = versionedManifestPath(dir, v).toFile
-      if (f.lastModified() <= cutoffMillis) {
-        f.delete()
-        statsPath(dir, v).toFile.delete()
-        ndvPath(dir, v).toFile.delete()
-        qsPath(dir, v).toFile.delete()
+      val p = versionedManifestPath(dir, v)
+      val mt = SidecarFs.mtime(p)
+      if (mt > 0 && mt <= cutoffMillis) {
+        SidecarFs.deleteIfExists(p)
+        SidecarFs.deleteIfExists(statsPath(dir, v))
+        SidecarFs.deleteIfExists(ndvPath(dir, v))
+        SidecarFs.deleteIfExists(qsPath(dir, v))
       }
     }
   }
@@ -1095,8 +1080,8 @@ object SegmentFile {
   // misalign, hence the bump.
   private val PackedStatsV5 = -104
 
-  private def statsPath(dir: String, v: Long): Path =
-    Paths.get(dir, s"_graft_stats.v$v")
+  private def statsPath(dir: String, v: Long): String =
+    SidecarFs.child(dir, s"_graft_stats.v$v")
 
   /** Planning-path sidecar opens, i.e. readMeta(withIndex=false) calls
     * (test instrumentation: planning must not scale its file opens with
@@ -1186,29 +1171,27 @@ object SegmentFile {
     * from the same immutable inputs) writes it, so a plain atomic move
     * suffices — no second CAS. */
   private def writePackedStats(dir: String, v: Long, metas: Seq[Meta]): Unit = {
-    val tmp = Paths.get(dir,
+    val tmp = SidecarFs.child(dir,
       s"._graft_stats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = new DataOutputStream(new BufferedOutputStream(
-      Files.newOutputStream(tmp), 1 << 16))
+      SidecarFs.create(tmp), 1 << 16))
     try {
       out.writeInt(PackedStatsV5)
       out.writeInt(metas.length)
       metas.foreach(writePackedEntry(out, _))
     } finally out.close()
-    try Files.move(tmp, statsPath(dir, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: Exception => Files.deleteIfExists(tmp) }
+    try SidecarFs.moveReplace(tmp, statsPath(dir, v))
+    catch { case _: Exception => SidecarFs.deleteIfExists(tmp) }
   }
 
   /** Parse snapshot `v`'s packed stats; None when absent or torn
     * (callers fall back to per-sidecar reads). */
   private def readPackedStats(dir: String, v: Long): Option[Seq[Meta]] = {
     val p = statsPath(dir, v)
-    if (!Files.exists(p)) return None
+    if (!SidecarFs.exists(p)) return None
     try {
       val in = new DataInputStream(new BufferedInputStream(
-        Files.newInputStream(p), 1 << 16))
+        SidecarFs.open(p), 1 << 16))
       try {
         in.readInt() match {
           case v if v == PackedStatsV2 || v == PackedStatsV3 ||
@@ -1222,19 +1205,18 @@ object SegmentFile {
     } catch { case _: Exception => None }
   }
 
-  private def dirKey(dir: String): String =
-    Paths.get(dir).toAbsolutePath.normalize.toString
+  private def dirKey(dir: String): String = SidecarFs.qualified(dir)
 
   /** Last observed max version per table dir — the probe start. */
   private val versionHints =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** (dir, version, version-file identity) → parsed stats. The identity
-    * triple (fileKey/size/mtime) guards against a dropped-and-recreated
-    * table reusing version numbers; content for a given identity is
-    * immutable, so entries never go stale. */
-  private final case class StatsKey(dir: String, v: Long, fileKey: String,
-      size: Long, mtime: Long)
+    * string (inode/size/mtime via [[SidecarFs.identity]]) guards
+    * against a dropped-and-recreated table reusing version numbers;
+    * content for a given identity is immutable, so entries never go
+    * stale. */
+  private final case class StatsKey(dir: String, v: Long, identity: String)
   private val statsLock = new Object
   private val statsCache =
     new java.util.LinkedHashMap[StatsKey, Seq[Meta]](64, 0.75f, true) {
@@ -1260,12 +1242,13 @@ object SegmentFile {
     val key = dirKey(dir)
     val hint = versionHints.get(key)
     var v: Long =
-      if (hint != null && Files.exists(versionedManifestPath(dir, hint.longValue)))
+      if (hint != null &&
+          SidecarFs.exists(versionedManifestPath(dir, hint.longValue)))
         hint.longValue
       else manifestVersions(dir).lastOption.getOrElse {
         versionHints.remove(key); return None
       }
-    while (Files.exists(versionedManifestPath(dir, v + 1))) v += 1
+    while (SidecarFs.exists(versionedManifestPath(dir, v + 1))) v += 1
     versionHints.put(key, v)
     Some(v)
   }
@@ -1277,12 +1260,8 @@ object SegmentFile {
     * race) — callers re-probe. */
   private def segmentsForVersion(dir: String, v: Long): Option[Seq[Meta]] = {
     val mp = versionedManifestPath(dir, v)
-    val attrs =
-      try Files.readAttributes(mp,
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      catch { case _: Exception => return None }
-    val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
-      attrs.size, attrs.lastModifiedTime.toMillis)
+    val ident = SidecarFs.identity(mp).getOrElse(return None)
+    val key = StatsKey(dirKey(dir), v, ident)
     statsLock.synchronized(Option(statsCache.get(key))) match {
       case hit @ Some(_) => return hit
       case None =>
@@ -1331,10 +1310,10 @@ object SegmentFile {
 
   private val NdvPackV1 = -201
 
-  private def ndvPath(dir: String, v: Long): Path =
-    Paths.get(dir, s"_graft_ndv.v$v")
-  private def qsPath(dir: String, v: Long): Path =
-    Paths.get(dir, s"_graft_qs.v$v")
+  private def ndvPath(dir: String, v: Long): String =
+    SidecarFs.child(dir, s"_graft_ndv.v$v")
+  private def qsPath(dir: String, v: Long): String =
+    SidecarFs.child(dir, s"_graft_qs.v$v")
 
   /** Extract just the V9 NDV section from one sidecar (empty for pre-V9
     * segments — the caller's all-segments gate then refuses). A
@@ -1432,7 +1411,7 @@ object SegmentFile {
   private def readNdvSidecar(dir: String, name: String): Seq[NdvSketch] = {
     ndvSidecarOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(metaPath(dir, name)), 1 << 16))
+      SidecarFs.open(metaPath(dir, name)), 1 << 16))
     try {
       val ver = in.readInt()
       if (!skipToNdvSection(in, ver)) return Seq.empty
@@ -1445,7 +1424,7 @@ object SegmentFile {
   private def readQsSidecar(dir: String, name: String): Seq[QuantileSketch] = {
     qsSidecarOpens.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(metaPath(dir, name)), 1 << 16))
+      SidecarFs.open(metaPath(dir, name)), 1 << 16))
     try {
       val ver = in.readInt()
       if (ver != FormatV11 && ver != FormatV13) return Seq.empty
@@ -1476,8 +1455,8 @@ object SegmentFile {
       writePayload: (DataOutputStream, T) => Unit,
       readPayload: DataInputStream => T) {
 
-    def packPath(dir: String, v: Long): Path =
-      Paths.get(dir, s"$prefix.v$v")
+    def packPath(dir: String, v: Long): String =
+      SidecarFs.child(dir, s"$prefix.v$v")
 
     private val lock = new Object
     private val cache =
@@ -1502,10 +1481,10 @@ object SegmentFile {
 
     private def writePack(dir: String, v: Long,
         entries: Seq[(String, T)]): Unit = {
-      val tmp = Paths.get(dir,
+      val tmp = SidecarFs.child(dir,
         s".$prefix.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = new DataOutputStream(new BufferedOutputStream(
-        Files.newOutputStream(tmp), 1 << 16))
+        SidecarFs.create(tmp), 1 << 16))
       try {
         out.writeInt(marker)
         out.writeInt(entries.length)
@@ -1515,18 +1494,16 @@ object SegmentFile {
           writePayload(out, payload)
         }
       } finally out.close()
-      try Files.move(tmp, packPath(dir, v),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: Exception => Files.deleteIfExists(tmp) }
+      try SidecarFs.moveReplace(tmp, packPath(dir, v))
+      catch { case _: Exception => SidecarFs.deleteIfExists(tmp) }
     }
 
     private def readPack(dir: String, v: Long): Option[Seq[(String, T)]] = {
       val p = packPath(dir, v)
-      if (!Files.exists(p)) return None
+      if (!SidecarFs.exists(p)) return None
       try {
         val in = new DataInputStream(new BufferedInputStream(
-          Files.newInputStream(p), 1 << 16))
+          SidecarFs.open(p), 1 << 16))
         try {
           if (in.readInt() != marker) return None
           Some((0 until in.readInt()).map { _ =>
@@ -1548,12 +1525,7 @@ object SegmentFile {
           // from the manifest file's attributes)
           val live = listSegments(dir).map(_.file).sorted
           val key = (dirKey(dir), live.map { f =>
-            val attrs = try {
-              val a = Files.readAttributes(Paths.get(dir, f),
-                classOf[java.nio.file.attribute.BasicFileAttributes])
-              s"${a.size}:${a.lastModifiedTime.toMillis}:${a.fileKey}"
-            } catch { case _: Exception => "?" }
-            (f, attrs)
+            (f, SidecarFs.identity(SidecarFs.child(dir, f)).getOrElse("?"))
           })
           legacyLock.synchronized(Option(legacyCache.get(key))) match {
             case Some(hit) => hit
@@ -1565,12 +1537,8 @@ object SegmentFile {
           }
         case Some(v) =>
           val mp = versionedManifestPath(dir, v)
-          val attrs =
-            try Files.readAttributes(mp,
-              classOf[java.nio.file.attribute.BasicFileAttributes])
-            catch { case _: Exception => return Map.empty }
-          val key = StatsKey(dirKey(dir), v, String.valueOf(attrs.fileKey),
-            attrs.size, attrs.lastModifiedTime.toMillis)
+          val ident = SidecarFs.identity(mp).getOrElse(return Map.empty)
+          val key = StatsKey(dirKey(dir), v, ident)
           lock.synchronized(Option(cache.get(key))) match {
             case Some(hit) => return hit
             case None =>
@@ -1731,7 +1699,8 @@ object SegmentFile {
     // fail at planning, not mid-scan, if the retention sweep already
     // reclaimed this snapshot's files (one stat per segment — snapshot
     // reads are the rare path; live plans never pay this)
-    val missing = live.filterNot(f => Files.exists(Paths.get(dir, f)))
+    val missing =
+      live.filterNot(f => SidecarFs.exists(SidecarFs.child(dir, f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"snapshot $version of $dir references swept segments: " +
         missing.toSeq.sorted.mkString(", "))
@@ -1754,8 +1723,7 @@ object SegmentFile {
         }
         case None =>
           // legacy (pre-manifest) table: directory listing is authority
-          val d = new File(dir)
-          val onDisk = Option(d.list()).getOrElse(Array.empty[String])
+          val onDisk = SidecarFs.list(dir)
             .filter(_.endsWith(".kvmeta")).map(_.stripSuffix(".kvmeta"))
           val names = readMirror(dir) match {
             case Some(live) => onDisk.filter(n => live.contains(s"$n.kv"))
@@ -1804,7 +1772,7 @@ object SegmentFile {
     // are LOGICAL (uncompressed-stream) offsets in both modes.
     private val in: DataInputStream = {
       val base = new BufferedInputStream(
-        Files.newInputStream(Paths.get(dir, file)), 1 << 16)
+        SidecarFs.open(SidecarFs.child(dir, file)), 1 << 16)
       base.mark(8)
       val hdr = base.readNBytes(4)
       if (hdr.length == 4 &&

@@ -333,8 +333,7 @@ class KvIndexSpec extends AnyFunSuite {
     assert(usesIndex(t.filter(col("v") === 3).select("k"))) // warm the cache
     // another process drops the index: files vanish, THIS process's
     // listing cache still holds the definition (no invalidate ran)
-    KvIndex.deleteRecursively(
-      new java.io.File(KvIndex.indexPath(path, "iv")))
+    KvIndex.deleteRecursively(KvIndex.indexPath(path, "iv"))
     val q = t.filter(col("v") === 3).select("k").orderBy("k")
     val rows = q.collect() // must not throw
     assert(rows.length == 1980)

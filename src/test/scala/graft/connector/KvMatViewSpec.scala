@@ -294,12 +294,12 @@ class KvMatViewSpec extends AnyFunSuite {
     // a refresh that died after its data commit leaves the marker and
     // an un-advanced watermark; the deltas were (partially) applied
     val marker = KvMaintenance.markerPath(KvMatView.mvPath(path, "mv"))
-    java.nio.file.Files.writeString(marker, "999")
+    graft.io.SidecarFs.writeStringAtomic(marker, "999")
     // worst case: the delta actually already landed once
     KvCommands.append(spark.range(1).select(lit(3000L).as("k"),
       lit(1L).as("g"), lit(0L).as("x")), path)
     KvMatView.refresh(spark, path, "mv")
-    assert(!java.nio.file.Files.exists(marker), "marker must clear")
+    assert(!graft.io.SidecarFs.exists(marker), "marker must clear")
     assert(KvMatView.inSync(path, KvMatView.get(path, "mv").get))
     assert(actual(path, "mv", Seq("g")) == expected(path, Seq("g"), Seq("x")),
       "rebuild path must produce the absolute truth, not re-fold deltas")
