@@ -147,4 +147,81 @@ class SidecarFsSpec extends AnyFunSuite {
       .filterNot(_.endsWith(".crc"))
     assert(ls == Seq("_graft_meta.json"), s"leftover files: $ls")
   }
+
+  test("kv table full lifecycle on a file: URI — create, load, upsert, " +
+      "DML, time travel, compact, vacuum") {
+    import graft.connector.{KvCommands, KvIndex}
+    val root = schemeTmp("kvlife")
+    val dir = root + "/t"
+
+    // CREATE via CSV bulk load (O8's pipeline) through the scheme path
+    val csv = java.nio.file.Files.createTempDirectory("kvlife_csv")
+      .resolve("in.csv")
+    java.nio.file.Files.writeString(csv,
+      (0L until 200L).map(i => s"$i,${i % 10}").mkString("\n"))
+    KvCommands.bulkLoadCsv(spark, "file:" + csv, "pk LONG, v LONG",
+      dir, Seq("pk"))
+    val v1 = KvCommands.snapshots(dir).last
+    assert(KvCommands.table(spark, dir).count() == 200)
+
+    // upsert append (second generation, overlapping keys)
+    KvCommands.append(spark.range(100, 300)
+      .select(col("id").as("pk"), lit(99L).as("v")), dir)
+    // row-level DML
+    KvCommands.update(spark, dir, col("pk") < 10, Map("v" -> lit(7L)))
+    KvCommands.delete(spark, dir, col("pk") >= 290)
+    val cur = KvCommands.table(spark, dir)
+    assert(cur.count() == 290)
+    assert(cur.filter(col("pk") === 5).select("v").head().getLong(0) == 7L)
+    assert(cur.filter(col("pk") === 150).select("v").head().getLong(0) == 99L)
+
+    // a secondary index builds, syncs, and serves on the scheme path
+    KvIndex.create(spark, dir, "iv", Seq("v"))
+    assert(KvIndex.get(dir, "iv").exists(KvIndex.inSync(dir, _)))
+    // 10 updated rows (pk < 10) + the 9 untouched pk%10==7 originals
+    assert(KvCommands.table(spark, dir).filter(col("v") === 7L)
+      .count() == 19)
+
+    // time travel: the bulk-load snapshot still reads exactly
+    assert(KvCommands.tableAsOf(spark, dir, v1).count() == 200)
+    assert(KvCommands.tableAsOf(spark, dir, v1)
+      .filter(col("pk") === 5).select("v").head().getLong(0) == 5L)
+
+    // compaction reorganizes through the scheme path; live rows and
+    // history both survive
+    assert(KvCommands.compactMinor(spark, dir, retainReplacedMs = 3600000L) > 0)
+    assert(KvCommands.table(spark, dir).count() == 290)
+    assert(KvCommands.tableAsOf(spark, dir, v1).count() == 200)
+
+    // vacuum with a zero window reclaims the replaced segments; the
+    // live table is untouched
+    assert(KvCommands.sweepUnmanifested(dir, 0L) > 0)
+    assert(KvCommands.table(spark, dir).count() == 290)
+    val liveAgain = KvCommands.table(spark, dir)
+      .agg(sum("v")).head().getLong(0)
+    assert(liveAgain ==
+      (0L until 10L).map(_ => 7L).sum +
+        (10L until 100L).map(_ % 10).sum + (100L until 290L).map(_ => 99L).sum)
+    SidecarFs.deleteRecursively(root)
+  }
+
+  test("catalog on a file: root — create, insert, rename, drop") {
+    val root = schemeTmp("kvcat")
+    val cat = "graft_scheme_" + root.hashCode.toHexString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftKvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head().getLong(0) == 2)
+    // the RENAME TO target is an identifier WITHIN the source catalog
+    // (a catalog prefix would be taken as a namespace level)
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
+    assert(spark.sql(s"SELECT v FROM $cat.db.t2 WHERE k = 2")
+      .head().getString(0) == "b")
+    spark.sql(s"DROP TABLE $cat.db.t2")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").count() == 0)
+    SidecarFs.deleteRecursively(root)
+  }
 }
