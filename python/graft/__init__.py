@@ -426,6 +426,42 @@ class GraftSession:
         return DataFrame(jdf, df.sparkSession)
 
     @staticmethod
+    def split_by_cluster(docs, pairs, train_pct, seed=0, id_col="doc_id"):
+        """Leakage-safe train/eval split: near-dup CLUSTERS (connected
+        components over `pairs`) are assigned to a side wholesale, so
+        two near-duplicate documents can never straddle the boundary.
+        `pairs` is any (doc_a, doc_b) near-dup pair set (e.g. from
+        minhash_index_probe or the LSH pipeline). Adds `cluster_id`,
+        `split_bucket`, and `split` ('train'/'eval') columns; the
+        assignment is a pure hash of (cluster_id, seed) — reproducible
+        at any parallelism."""
+        from pyspark.sql import DataFrame
+        jdf = docs.sparkSession._jvm.graft.pipeline.Curation \
+            .splitByCluster(docs._jdf, pairs._jdf, int(train_pct),
+                            int(seed), id_col)
+        return DataFrame(jdf, docs.sparkSession)
+
+    @staticmethod
+    def ann_streaming_ingest(vectors, path, checkpoint, n_planes=16,
+                             n_centroids=16, max_growth=1.0,
+                             max_cos_erosion=0.05, max_grid_erosion=0.05,
+                             vec_col="embedding", id_col="vec_id"):
+        """Start streaming vector ingest into a DURABLE ANN index at
+        `path`: the first non-empty microbatch bootstraps (clusters +
+        quantization scales), later batches append with per-batch id
+        dedup, and the index re-clusters in place when the drift ledger
+        crosses the growth/erosion thresholds. Replay-idempotent via
+        the stored-id anti-join, checkpointed at `checkpoint`. Returns
+        the live pyspark StreamingQuery (call .stop() to end)."""
+        from pyspark.sql.streaming import StreamingQuery
+        jq = vectors.sparkSession._jvm.graft.pipeline.AnnIndex \
+            .streamingIngestAnnStart(
+                vectors._jdf, path, checkpoint, int(n_planes),
+                int(n_centroids), float(max_growth), float(max_cos_erosion),
+                float(max_grid_erosion), vec_col, id_col)
+        return StreamingQuery(jq)
+
+    @staticmethod
     def read_stream(spark, path, max_files_per_trigger=None):
         """Change feed of the kv table at `path`: the initial snapshot,
         then every committed upsert; deletes emit nothing. Offsets are

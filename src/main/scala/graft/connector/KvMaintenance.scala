@@ -164,6 +164,57 @@ object KvMaintenance {
       }
     } catch { case _: Exception => () }
 
+  /** [[acquire]] with bounded exponential-backoff retry — for callers
+    * whose maintenance ops are short and frequent (index ingest
+    * microbatches racing a compactor) where "skip" would mean dropping
+    * a batch. Throws after `timeoutMs` so a wedged holder surfaces
+    * loudly instead of stalling ingest forever. */
+  def acquireBlocking(artifactDir: String, timeoutMs: Long = 120000L,
+      leaseMs: Long = DefaultLeaseMs): Lease = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var backoff = 10L
+    while (true) {
+      acquire(artifactDir, leaseMs) match {
+        case Some(l) => return l
+        case None =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"maintenance lease on $artifactDir not acquired " +
+                s"within ${timeoutMs} ms")
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 250L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // reentrancy: withLease bodies compose (appendAndMaintain → append →
+  // rebuildInPlace all guard the same dir) — track per-thread holds so
+  // the inner calls run under the outer lease instead of deadlocking
+  private val heldByThread = new ThreadLocal[Set[String]] {
+    override def initialValue: Set[String] = Set.empty
+  }
+
+  /** Run `body` under the artifact's maintenance lease, serializing
+    * MUTATORS of one artifact across threads AND OS processes (readers
+    * stay lock-free). Reentrant per thread: a body that calls another
+    * lease-guarded op on the same dir runs it under the outer lease.
+    * The lease lives inside `artifactDir` — ops that SWAP a whole
+    * directory must pass a stable sibling scope (see
+    * AnnIndex.maintScope), never the swapped dir itself. */
+  def withLease[T](artifactDir: String, timeoutMs: Long = 120000L)(
+      body: => T): T = {
+    val key = SidecarFs.qualified(artifactDir)
+    if (heldByThread.get.contains(key)) body
+    else {
+      SidecarFs.mkdirs(artifactDir)
+      val l = acquireBlocking(artifactDir, timeoutMs)
+      heldByThread.set(heldByThread.get + key)
+      try body
+      finally { heldByThread.set(heldByThread.get - key); release(l) }
+    }
+  }
+
   // ── intent markers (shared by index and matview refresh) ──────────────
   // One marker file per artifact. Content semantics:
   //  - a lease TOKEN: an incremental apply is (or was) in flight under

@@ -209,7 +209,17 @@ object AnnIndex {
     * cell-partitioned parquet side table; centroids in a sidecar file. */
   def build(embeddings: DataFrame, path: String, dim: Int,
       nPlanes: Int = 16, nCentroids: Int = 16,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
+      buildImpl(embeddings, path, dim, nPlanes, nCentroids, vecCol, idCol)
+    }
+
+  /** [[build]] without the maintenance lease — for scratch directories
+    * a swap-based rewrite assembles privately (rebuildInPlace), where
+    * the OUTER operation already holds the live index's lease. */
+  private def buildImpl(embeddings: DataFrame, path: String, dim: Int,
+      nPlanes: Int, nCentroids: Int,
+      vecCol: String, idCol: String): Unit = {
     val cents = sampleCentroids(embeddings, nCentroids,
       vecCol = vecCol, idCol = idCol)
     // int8 quantized form alongside the float vectors (1 byte/dim +
@@ -259,7 +269,8 @@ object AnnIndex {
     * probes (recall), never the ranking of what it reads; rebuild when
     * the corpus has grown far past the clustering. */
   def append(newVectors: DataFrame, path: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
     val cents = loadCentroids(path)
     // dim/nPlanes/scales come from the index itself — caller-supplied
     // values could silently write signatures from a DIFFERENT
@@ -305,7 +316,7 @@ object AnnIndex {
         ac + grid.getLong(0), acl + grid.getLong(1),
         math.max(0L, del - unTombstoned))
     }
-  }
+    }
 
   /** Append + drift-triggered re-cluster: the growing-corpus
     * maintenance loop in one call. Appends the batch, reads the drift
@@ -317,14 +328,15 @@ object AnnIndex {
   def appendAndMaintain(spark: SparkSession, newVectors: DataFrame,
       path: String, maxGrowth: Double = 1.0, maxCosErosion: Double = 0.05,
       maxGridErosion: Double = 0.05,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Boolean = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Boolean =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
     append(newVectors, path, vecCol, idCol)
     if (driftStats(path)
         .needsRebuild(maxGrowth, maxCosErosion, maxGridErosion)) {
       rebuildInPlace(spark, path, vecCol, idCol)
       true
     } else false
-  }
+    }
 
   /** Streaming vector ingest with DURABLE index state — the ANN
     * counterpart of [[graft.pipeline.Dedup.streamingIngestDedup]]. Per
@@ -442,6 +454,15 @@ object AnnIndex {
     pathLocks.get(key, () => new Object)
   }
 
+  /** Stable SIBLING directory housing this index's cross-process
+    * maintenance lease (KvMaintenance.withLease): compaction and
+    * rebuild REPLACE the index directory wholesale, so a lease inside
+    * it would vanish mid-swap and hand the index to a second maintainer
+    * at the worst possible moment. The scope dir survives every swap.
+    * All mutators (build/append/appendAndMaintain/delete/rebuildInPlace/
+    * compactAnnIndex) serialize on it; probes stay lock-free. */
+  private def maintScope(path: String): String = path + "__maint"
+
   private def recoverDeleted(path: String): Unit = lockFor(path).synchronized {
     val live = deletedDir(path)
     val nw = deletedNewDir(path)
@@ -502,9 +523,11 @@ object AnnIndex {
     * row) — note that un-tombstoning resurfaces EVERY stored copy of
     * that id, so the supported path for a CHANGED embedding is
     * rebuild, exactly as for plain duplicate appends.
-    * Single-maintainer assumption, like append. */
+    * Serializes with the other mutators via the per-index maintenance
+    * lease (cross-thread and cross-process). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
     val del = ids.select(col(idCol).as("id")).distinct()
     // sidecar and ledger both take only ids that are genuinely in the
     // index and not already tombstoned: deletedFraction must reflect
@@ -532,7 +555,7 @@ object AnnIndex {
         }
       }
     } finally newDeadIds.unpersist()
-  }
+    }
 
   /** Scala-collection convenience over [[delete]]. */
   def deleteIds(spark: SparkSession, path: String, ids: Seq[Long],
@@ -617,13 +640,15 @@ object AnnIndex {
     * source table is needed. Tombstoned rows are excluded and the
     * tombstone list dies with the old directory. */
   def rebuildInPlace(spark: SparkSession, path: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
     val (dim, nPlanes) = loadParams(path)
     val nCentroids = loadCentroids(path).length
     val all = withoutDeleted(spark, path,
       spark.read.parquet(path).select(col(idCol), col(vecCol)), idCol)
     val tmp = path + "__rebuild"
-    build(all, tmp, dim, nPlanes, nCentroids, vecCol, idCol)
+    // scratch build runs under THIS index's lease; no lease on tmp
+    buildImpl(all, tmp, dim, nPlanes, nCentroids, vecCol, idCol)
     // `build` is an action — `all` is fully consumed before the swap.
     // A crash between the two moves leaves no live index dir but both
     // __old and the complete rebuild beside it — loud (probes fail on
@@ -632,7 +657,7 @@ object AnnIndex {
     SidecarFs.move(path, old)
     SidecarFs.move(tmp, path)
     SidecarFs.deleteRecursively(old)
-  }
+    }
 
   /** Number of parquet data files in the index across all `cell=`
     * directories (underscore/dot entries — sidecars, markers, the
@@ -667,14 +692,16 @@ object AnnIndex {
     * swap [[rebuildInPlace]] uses: write scratch `__compact` (data +
     * copied sidecars) → move live to `__old` → move scratch in → drop
     * `__old`; a crash between the moves leaves no live dir — loud,
-    * never silently stale. Single maintainer for APPENDS, like append;
-    * in-JVM `delete()` calls are safe concurrently — the tombstone
-    * sidecar is (re-)copied UNDER the swap lock, so a delete committed
-    * while the bulk rewrite ran is carried, never reverted. Returns
-    * (filesBefore, filesAfter). */
+    * never silently stale. Mutators serialize on the per-index
+    * maintenance lease (cross-thread and cross-process): an append or
+    * delete racing this rewrite lands entirely before the snapshot
+    * read or entirely after the swap, never in the lost window between
+    * them. The tombstone sidecar is additionally (re-)copied UNDER the
+    * in-JVM swap lock. Returns (filesBefore, filesAfter). */
   def compactAnnIndex(spark: SparkSession, path: String,
       targetRowsPerFile: Long = 1L << 22,
-      idCol: String = "vec_id"): (Int, Int) = {
+      idCol: String = "vec_id"): (Int, Int) =
+    graft.connector.KvMaintenance.withLease(maintScope(path)) {
     require(targetRowsPerFile > 0,
       s"targetRowsPerFile must be positive, got $targetRowsPerFile")
     loadParams(path) // loud on a non-index dir before any write
@@ -708,7 +735,7 @@ object AnnIndex {
       SidecarFs.deleteRecursively(old)
     }
     (before, dataFileCount(path))
-  }
+    }
 
   def loadCentroids(path: String): Array[Array[Double]] =
     SidecarFs.readString(centroidFile(path)).split("\n")

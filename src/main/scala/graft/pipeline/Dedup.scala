@@ -683,7 +683,8 @@ object Dedup {
     * that on every append. */
   def buildMinhashIndex(docs: DataFrame, indexDir: String, k: Int = 64,
       shingle: Int = 3, textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id"): Unit =
+    graft.connector.KvMaintenance.withLease(indexDir) {
     require(k > 0 && shingle > 0, "k and shingle must be positive")
     val entries = shingleHashSets(docs, shingle, textCol, idCol)
       .withColumn("sig",
@@ -697,19 +698,21 @@ object Dedup {
     graft.io.SidecarFs.deleteIfExists(paramsFile(indexDir))
     entries.write.mode("overwrite").parquet(s"$indexDir/minhash")
     writeMinhashParams(indexDir, MinhashParams(k, shingle, idCol))
-  }
+    }
 
   /** Append a batch's MinHash state to an existing index (after the
     * caller deduped/accepted the batch). Ids already present are
     * skipped and intra-batch id duplicates collapse to one row —
     * replaying a crashed append is a no-op, and the unique-id
     * invariant the verify join depends on survives careless callers.
-    * Single maintainer assumed (like [[graft.pipeline.AnnIndex]]
-    * maintenance): two appends racing the check-then-write are the one
-    * caller error this guard cannot absorb.
+    * Mutators serialize via the per-index maintenance lease
+    * (KvMaintenance.withLease) across threads AND processes, so two
+    * appends — or an append racing [[compactMinhashIndex]] — compose:
+    * the check-then-write is atomic under the lease.
     * Cost: one batch text scan + one id-column scan of the index. */
   def appendToMinhashIndex(docs: DataFrame, indexDir: String,
-      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+      textCol: String = "text", idCol: String = "doc_id"): Unit =
+    graft.connector.KvMaintenance.withLease(indexDir) {
     val p = readMinhashParams(indexDir)
     require(p.idCol == idCol,
       s"index at $indexDir keys on ${p.idCol}, caller passed $idCol")
@@ -721,7 +724,7 @@ object Dedup {
         graft.functions.MinHashSignature.minhash_signature_hashed(
           col("shset"), p.k))
       .write.mode("append").parquet(s"$indexDir/minhash")
-  }
+    }
 
   /** In-JVM per-index lock for the compaction swap + its read-side
     * recovery (the AnnIndex tombstone-swap pattern): keys normalize to
@@ -776,10 +779,14 @@ object Dedup {
     * move scratch in → drop `__old`. The params sidecar is untouched
     * (the hash family doesn't change), so probes racing the swap read
     * either the old or the new complete file set, and a crash at any
-    * step heals on the next probe's [[recoverMinhash]] pass. Single
-    * maintainer, like append. Returns (filesBefore, filesAfter). */
+    * step heals on the next probe's [[recoverMinhash]] pass. Mutators
+    * serialize via the per-index maintenance lease — an append racing
+    * this rewrite lands entirely before the snapshot read or entirely
+    * after the swap, never in the lost window between them. Returns
+    * (filesBefore, filesAfter). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetRowsPerFile: Long = 1L << 22): (Int, Int) = {
+      indexDir: String, targetRowsPerFile: Long = 1L << 22): (Int, Int) =
+    graft.connector.KvMaintenance.withLease(indexDir) {
     val p = readMinhashParams(indexDir)
     val fs = graft.io.SidecarFs
     val live = s"$indexDir/minhash"
@@ -803,7 +810,7 @@ object Dedup {
       fs.deleteRecursively(s"$indexDir/minhash__old")
     }
     (before, dataFiles(live))
-  }
+    }
 
   /** Near-dup pairs a NEW batch introduces against an indexed corpus —
     * batch-vs-index AND batch-vs-batch, canonical (doc_a < doc_b),

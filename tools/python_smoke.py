@@ -219,6 +219,41 @@ def main():
         nn = GraftSession.knn_join(
             vecs.where("vec_id = 0"), vecs, k=2).orderBy("rk").collect()
         assert [(r.neighbor_id, r.rk) for r in nn] == [(0, 1), (1, 2)], nn
+        # leakage-safe split through the shim: near-dup cluster {0,1}
+        # must land on ONE side wholesale; every doc gets a side
+        sdocs = spark.sql("SELECT CAST(0 AS BIGINT) AS doc_id "
+                          "UNION ALL SELECT 1 UNION ALL SELECT 2")
+        spairs = spark.sql("SELECT CAST(0 AS BIGINT) AS doc_a, "
+                           "CAST(1 AS BIGINT) AS doc_b")
+        sp = GraftSession.split_by_cluster(sdocs, spairs, 50, seed=7)
+        by = {r.doc_id: (r.cluster_id, r.split) for r in sp.collect()}
+        assert set(by) == {0, 1, 2}, by
+        assert by[0] == by[1], by  # same cluster -> same side
+        assert all(s in ("train", "eval") for _, s in by.values()), by
+        # streaming ANN ingest through the shim: file-source stream
+        # bootstraps the durable index, a late file appends into it
+        sdir = tempfile.mkdtemp(prefix="graft_py_annstream_")
+        src = os.path.join(sdir, "src")
+        ck = os.path.join(sdir, "ck")
+        ann = os.path.join(sdir, "idx")
+        v1 = spark.sql(
+            "SELECT id AS vec_id, CAST(array(CAST(id AS FLOAT) + 1.0, "
+            "1.0) AS ARRAY<FLOAT>) AS embedding FROM range(20)")
+        v1.write.parquet(src)
+        stream = spark.readStream.schema(v1.schema).parquet(src)
+        q = GraftSession.ann_streaming_ingest(stream, ann, ck,
+                                              n_centroids=2)
+        try:
+            q.processAllAvailable()
+            assert spark.read.parquet(ann).count() == 20
+            spark.sql(
+                "SELECT id AS vec_id, CAST(array(CAST(id AS FLOAT) + 1.0,"
+                " 1.0) AS ARRAY<FLOAT>) AS embedding FROM range(20, 30)"
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            assert spark.read.parquet(ann).count() == 30
+        finally:
+            q.stop()
         print("python smoke: OK")
     finally:
         spark.stop()
