@@ -242,6 +242,45 @@ class KvConnectorSpec extends AnyFunSuite {
       s"decoded ${rdr.decodedCount} records for 44 matches (no dim-2 seek?)")
   }
 
+  test("3-key table probed on dims 1+3: dim-3 window seeks INSIDE each " +
+      "(k1,k2) group and prefix-successor jumps BETWEEN groups") {
+    val path = tmpTable()
+    // 4 k1 × 2 k2 × 5000 k3 = 40000 rows, one segment; the unfiltered
+    // middle dimension is the r14 gap — its blocks were walked whole
+    val df = spark.range(40000).coalesce(1).select(
+      (col("id") / 10000).cast("long").as("k1"),
+      (pmod(col("id"), lit(10000)) / 5000).cast("long").as("k2"),
+      pmod(col("id"), lit(5000)).cast("long").as("k3"),
+      col("id").as("v"))
+    KvCommands.createTable(df, path, Seq("k1", "k2", "k3"))
+    val meta = GraftKvMeta.read(path).get
+    val scan = new GraftKvScan(path, meta.schema, meta.keys, meta.schema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k1", 1L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k1", 2L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k3", 100L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k3", 110L)), -1)
+    val rdr = scan.createReaderFactory()
+      .createReader(scan.planInputPartitions()(0))
+      .asInstanceOf[GraftKvPartitionReader]
+    var matched = 0
+    while (rdr.next()) {
+      val r = rdr.get()
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 2L) // lead enforced
+      if (r.getLong(2) >= 100L && r.getLong(2) <= 110L) matched += 1
+    }
+    rdr.close()
+    assert(matched == 44) // 2 k1 × 2 k2 × 11-row k3 window
+    // decoded ≈ matched + (per-group sparse-index slop): 4 (k1,k2)
+    // groups × (≤256-record floor slop into the window + 11 matches +
+    // ≤256 slop after the successor jump) ≈ ~2100 worst case — the
+    // r14 reader walked both qualified k1 blocks whole (20000 records)
+    // because dim 2 is unconstrained and the descent stopped at keys(1)
+    assert(rdr.decodedCount < 3000,
+      s"decoded ${rdr.decodedCount} records for 44 matches " +
+        "(no dim-3 seek / no prefix-successor jump?)")
+  }
+
   test("partitions carry segment-specialized residual ranges") {
     val path = tmpTable()
     val df = spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("v"))
