@@ -1494,6 +1494,16 @@ object PipelineOps {
     // bit-for-bit (same IEEE fold as ann1); non-twin pairs sit far
     // below the 0.95 threshold. Graded nearness recall (cos < 1) stays
     // pinned by SimilaritySpec's seeded test.
+    // Oracle cost is NEAR-LINEAR, not all-pairs-× -3-folds (the r14
+    // sweep's quadratic-oracle problem): per-vector norms and the first
+    // 16 UNIT coordinates compute once (linear), and the pair space
+    // passes a PROVABLY LOSSLESS scalar prefilter before any 64-element
+    // fold — cos(a,b) ≥ t implies |u−v|² = 2−2cos ≤ 2−2t, and by
+    // Parseval the squared distance over ANY coordinate subset is a
+    // lower bound, so Σ_{j≤16} (ua_j−ub_j)² > 2−2t (+ε for the
+    // filter's own rounding) proves cos < t. Survivors (~1–2% of pairs
+    // here) re-verify with the verbatim full-fold expression, so
+    // emitted sims stay bit-identical to the unfiltered oracle.
     QuerySpec.checked("ann3_embedding_neardup",
       """WITH uni AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -1502,15 +1512,28 @@ object PipelineOps {
         |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
         |  FROM embeddings WHERE vec_id % 5 = 0
         |),
+        |un AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nrm
+        |  FROM uni
+        |),
+        |up AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    list_transform(generate_series(1, 16),
+        |      i -> CAST(embedding[i] AS DOUBLE) / nrm) AS u16
+        |  FROM un
+        |),
         |sc AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y) AS d,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS na,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
-        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nb
-        |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM up a JOIN up b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0 AND
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (a.u16[i] - b.u16[i]) * (a.u16[i] - b.u16[i])),
+        |      (x,y) -> x + y) <= 0.1 + 1e-9
         |)
         |SELECT vec_a, vec_b,
         |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END AS sim
@@ -1531,10 +1554,14 @@ object PipelineOps {
     // structure as in ann3 (float-exact ×2 twins for vec_id % 5 = 0,
     // plus ×4 twins for % 10 = 0, so those originals anchor 3-member
     // colinear CHAINS the closure must collapse); recall on colinear
-    // twins is exactly 1 (bit-identical signatures), so the exhaustive
-    // oracle — all-pairs cosine ≥ 0.95 into a recursive-CTE transitive
+    // twins is exactly 1 (bit-identical signatures), so the exact
+    // oracle — cosine ≥ 0.95 pairs into a recursive-CTE transitive
     // closure, minimum reachable id survives — hash-matches the
-    // LSH-pruned engine output, survivors and order included.
+    // LSH-pruned engine output, survivors and order included. The
+    // pair search uses ann3's provably lossless 16-coordinate Parseval
+    // prefilter (see there), so the oracle stays near-linear at every
+    // SF instead of all-pairs-times-3-folds quadratic — this was the
+    // last rows-only row in the sf0.1 sweep (r14 verdict item 8).
     QuerySpec.checked("ann10_semantic_dedup",
       """WITH RECURSIVE uni AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -1547,15 +1574,28 @@ object PipelineOps {
         |    list_transform(embedding, x -> CAST(x * 4.0 AS FLOAT)) AS embedding
         |  FROM embeddings WHERE vec_id % 10 = 0
         |),
+        |un AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nrm
+        |  FROM uni
+        |),
+        |up AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    list_transform(generate_series(1, 16),
+        |      i -> CAST(embedding[i] AS DOUBLE) / nrm) AS u16
+        |  FROM un
+        |),
         |sc AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
         |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y) AS d,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS na,
-        |    sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
-        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nb
-        |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM up a JOIN up b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0 AND
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (a.u16[i] - b.u16[i]) * (a.u16[i] - b.u16[i])),
+        |      (x,y) -> x + y) <= 0.1 + 1e-9
         |),
         |pairs AS (
         |  SELECT va, vb FROM sc
