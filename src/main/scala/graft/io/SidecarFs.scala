@@ -105,10 +105,16 @@ object SidecarFs {
     finally in.close()
   }
 
-  /** Whole-file overwrite (sidecars are small; a torn read of a
-    * mid-overwrite file is prevented by the callers' commit protocols,
-    * or use [[writeStringAtomic]] where a file IS the commit point). */
-  def writeString(path: String, content: String): Unit = {
+  /** Whole-file overwrite — ATOMIC by default (delegates to
+    * [[writeStringAtomic]]): every current caller's sidecars are small
+    * and none needs in-place semantics, while a future call site that
+    * forgot the torn-read analysis would otherwise be a loaded footgun
+    * (r14 verdict). The non-atomic raw write survives only as the
+    * private temp-file step inside the atomic publish. */
+  def writeString(path: String, content: String): Unit =
+    writeStringAtomic(path, content)
+
+  private def writeStringRaw(path: String, content: String): Unit = {
     val p = new Path(path)
     val out = fsOf(p).create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
@@ -139,6 +145,9 @@ object SidecarFs {
     val qp = fs.makeQualified(p)
     if ("file".equals(qp.toUri.getScheme)) {
       val dst = java.nio.file.Paths.get(qp.toUri.getPath)
+      // parent auto-creation matches the Hadoop create() behavior the
+      // raw overwrite had (callers never pre-make sidecar dirs)
+      java.nio.file.Files.createDirectories(dst.getParent): Unit
       val tmp = dst.resolveSibling(
         s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       java.nio.file.Files.write(tmp,
@@ -154,7 +163,7 @@ object SidecarFs {
     } else {
       val tmp = new Path(qp.getParent,
         s".${qp.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      writeString(tmp.toString, content)
+      writeStringRaw(tmp.toString, content)
       val fc = FileContext.getFileContext(qp.toUri, hadoopConf)
       fc.rename(tmp, qp, Options.Rename.OVERWRITE)
     }

@@ -205,6 +205,56 @@ class SidecarFsSpec extends AnyFunSuite {
     SidecarFs.deleteRecursively(root)
   }
 
+  test("cross-process CAS appenders and stream-sink epoch replay on a " +
+      "file: URI") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.connector._
+    val root = schemeTmp("kvxs")
+    val path = root + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    KvCommands.createTable(Seq((-1L, "seed")).toDF("k", "v"), path, Seq("k"))
+    // TWO forked-JVM appenders committing disjoint ranges through the
+    // manifest CAS on the SCHEME path — the hard-link/create-if-absent
+    // arbitration must work through Hadoop resolution
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def appender(tag: String, lo: Long): Process =
+      new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.connector.KvCrossProcessMain", path, tag, lo.toString,
+        "50", "10").redirectErrorStream(true).start()
+    val c1 = appender("c1", 0L)
+    val c2 = appender("c2", 1000000L)
+    Seq(c1, c2).foreach { c =>
+      assert(c.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM timed out")
+      assert(c.exitValue() == 0, "child JVM failed")
+    }
+    assert(KvCommands.table(spark, path).count() == 1L + 500L + 500L)
+
+    // stream-sink epoch markers on the scheme path: a replayed epoch
+    // with fresh duplicate files must route to a sweep, not re-append
+    val p2 = root + "/replay"
+    val sw = new GraftKvStreamingWrite(p2, schema, Seq("k"),
+      graft.store.RowCodec.Binary, "q1")
+    def epochMsg(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new GraftKvStreamingWriterFactory(
+        p2, schema, Seq("k"), graft.store.RowCodec.Binary, 0L)
+        .createWriter(0, 0L, 5L)
+      Seq(1L -> "a", 2L -> "b").foreach { case (k, v) =>
+        w.write(InternalRow(k, UTF8String.fromString(v)))
+      }
+      w.commit()
+    }
+    sw.commit(5L, Array(epochMsg()))
+    assert(KvCommands.table(spark, p2).count() == 2)
+    sw.commit(5L, Array(epochMsg())) // the replay
+    assert(KvCommands.table(spark, p2).count() == 2,
+      "replayed epoch must not double-append on a scheme path")
+    SidecarFs.deleteRecursively(root)
+  }
+
   test("catalog on a file: root — create, insert, rename, drop") {
     val root = schemeTmp("kvcat")
     val cat = "graft_scheme_" + root.hashCode.toHexString

@@ -26,10 +26,25 @@ try:
     det = json.load(open("tmp/bench_detail.json"))
     tpch = det.get("tpch", {}).get("queries") or det.get("tpch_queries")
     if tpch:
-        with open("BENCH_TPCH_HISTORY.json", "a") as f:
-            f.write(json.dumps({"label": f"r{rnd}@vm", "queries": tpch}) + "\n")
-        print(f"appended r{rnd}@vm to BENCH_TPCH_HISTORY.json "
-              f"({len(tpch)} queries)")
+        # Bench itself appends its run's line; re-appending the same run
+        # here would duplicate it. Only append when the trailing line
+        # differs (e.g. the detail file is from a run Bench couldn't
+        # record, or the file was truncated).
+        try:
+            with open("BENCH_TPCH_HISTORY.json") as f:
+                last = [ln for ln in f.read().splitlines() if ln.strip()][-1]
+            dup = json.loads(last).get("queries") == tpch
+        except (FileNotFoundError, IndexError, json.JSONDecodeError):
+            dup = False
+        if dup:
+            print("trailing BENCH_TPCH_HISTORY.json line already carries "
+                  "this run (Bench appended it); not re-appending")
+        else:
+            with open("BENCH_TPCH_HISTORY.json", "a") as f:
+                f.write(json.dumps({"label": f"r{rnd}@vm", "queries": tpch})
+                        + "\n")
+            print(f"appended r{rnd}@vm to BENCH_TPCH_HISTORY.json "
+                  f"({len(tpch)} queries)")
     else:
         print("no tpch per-query section found in tmp/bench_detail.json; "
               "history not appended")
