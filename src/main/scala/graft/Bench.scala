@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * a load-distorted run is recognizable from the artifact alone. */
 object Bench {
 
+  /** Repo root for fixtures and round artifacts: the working directory
+    * (sbt runs mains from the checkout root). Hardcoding the one dev
+    * checkout's absolute path made every fixture silently vanish from
+    * the detail JSON when Bench ran from any other clone. */
+  private val repoRoot: String =
+    new java.io.File(".").getCanonicalPath.stripSuffix("/")
+
   /** Headline set: one representative per operator family, weighted
     * toward the scans/joins/aggs that dominate 100 TB workloads. */
   val headline: Seq[String] = Seq(
@@ -105,7 +112,7 @@ object Bench {
         try queriesOf(mapper.readTree(line)) catch { case _: Exception => None }
       }
     }
-    val dir = new java.io.File("/root/repo")
+    val dir = new java.io.File(repoRoot)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => -f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
@@ -419,7 +426,7 @@ object Bench {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       import org.apache.spark.sql.functions.col
       val nSegs = 10000
-      val dir = "/root/repo/tmp/plan10k"
+      val dir = s"$repoRoot/tmp/plan10k"
       val schema = StructType(Seq(StructField("k", LongType, nullable = false),
         StructField("v", LongType, nullable = false)))
       // rebuild a fixture from a pre-V9/pre-V11 round: the NDV and
@@ -565,7 +572,7 @@ object Bench {
     var skipscanSpeedup = -1.0
     val skipscanJson = try {
       import org.apache.spark.sql.functions.{col, pmod, lit}
-      val dir = "/root/repo/tmp/benchskipscan"
+      val dir = s"$repoRoot/tmp/benchskipscan"
       if (!new java.io.File(dir, "_graft_meta.json").exists()) {
         graft.connector.KvCommands.createTable(
           spark.range(4000000L).select(
@@ -608,7 +615,12 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, decoded, matched)
       }
-      walk(deep = true) // warmup (page cache, JIT)
+      // warm BOTH arms before timing: the deep walk touches only the
+      // qualified k3 windows, so a deep-only warmup would leave the
+      // lead-only arm paying cold IO for the full qualified k1 blocks
+      // and bias the reported speedup upward
+      walk(deep = false)
+      walk(deep = true)
       val (leadSec, leadDecoded, leadMatched) = walk(deep = false)
       val (deepSec, deepDecoded, deepMatched) = walk(deep = true)
       require(deepMatched == leadMatched,
@@ -629,7 +641,7 @@ object Bench {
     val zScaleJson = try {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val nSegs = 1024
-      val dir = "/root/repo/tmp/zscale"
+      val dir = s"$repoRoot/tmp/zscale"
       val schema = StructType(Seq(
         StructField("_z", LongType, nullable = false),
         StructField("a", LongType, nullable = false),
@@ -713,7 +725,7 @@ object Bench {
     val dedupJson = {
       val primary = dedupStats(sfDir)
       val atSf1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
-        .orElse(Option("/root/repo/tmp/sf1")
+        .orElse(Option(s"$repoRoot/tmp/sf1")
           .filter(p => new java.io.File(p, "documents.parquet").exists()))
         .map(d => s""","sf1":${dedupStats(d)}""").getOrElse("")
       // decontamination at the primary SF: one batch pass (train =
@@ -775,7 +787,7 @@ object Bench {
           f.delete(): Unit
         }
         def incProbe(dir: String, tag: String): String = {
-          val idx = s"/root/repo/tmp/benchmh_$tag"
+          val idx = s"$repoRoot/tmp/benchmh_$tag"
           rmTree(new java.io.File(idx))
           val docs = Tables.table(spark, dir, "documents")
           val t0 = System.nanoTime()
@@ -842,7 +854,7 @@ object Bench {
         }
         val p = incProbe(sfDir, "p")
         val s1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
-          .orElse(Option("/root/repo/tmp/sf1")
+          .orElse(Option(s"$repoRoot/tmp/sf1")
             .filter(d => new java.io.File(d, "documents.parquet").exists()))
           .map(d => s""","sf1":${incProbe(d, "s1")}""").getOrElse("")
         s""","incremental":{"primary":$p$s1}"""
@@ -868,7 +880,7 @@ object Bench {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
         f.delete(): Unit
       }
-      val idx = s"/root/repo/tmp/benchann_$tag"
+      val idx = s"$repoRoot/tmp/benchann_$tag"
       rmTree(new java.io.File(idx))
       val emb = Tables.table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding")).persist()
@@ -980,7 +992,7 @@ object Bench {
     val annJson = try {
       val primary = annLifecycle(sfDir, "p")
       val atSf1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
-        .orElse(Option("/root/repo/tmp/sf1")
+        .orElse(Option(s"$repoRoot/tmp/sf1")
           .filter(p => new java.io.File(p, "embeddings.parquet").exists()))
         .map(d => s""","sf1":${annLifecycle(d, "s1")}""").getOrElse("")
       s""","ann":{"primary":$primary$atSf1}"""
@@ -1083,7 +1095,7 @@ object Bench {
       val keyed = li.withColumn("l_uid",
         row_number().over(Window.partitionBy("l_orderkey", "l_linenumber")
           .orderBy(orderCols: _*)))
-      val dir = "/root/repo/tmp/benchload"
+      val dir = s"$repoRoot/tmp/benchload"
       graft.connector.KvCommands.dropTable(dir)
       val t0 = System.nanoTime()
       graft.connector.KvCommands.createTable(keyed, dir,
@@ -1120,8 +1132,8 @@ object Bench {
           .agg(sum(length(col("text")))).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      val plainDir = "/root/repo/tmp/benchstore_plain"
-      val zstdDir = "/root/repo/tmp/benchstore_zstd"
+      val plainDir = s"$repoRoot/tmp/benchstore_plain"
+      val zstdDir = s"$repoRoot/tmp/benchstore_zstd"
       val plainBytes = write(plainDir, None)
       val zstdBytes = write(zstdDir, Some("zstd"))
       val plainSec = scanSec(plainDir)
@@ -1143,7 +1155,7 @@ object Bench {
     // droppable); build time is logged, never in the measured totals.
     val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
       .orElse {
-        val p = "/root/repo/tmp/sf1"
+        val p = s"$repoRoot/tmp/sf1"
         def mtime(f: java.io.File): Long =
           if (f.isDirectory)
             (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)

@@ -328,11 +328,7 @@ object KvCommands {
         n.startsWith("_graft_stats.v") || // packed planning stats die too
         n.startsWith("_graft_ndv.v") || // NDV sketch packs die too
         n.startsWith("_graft_qs.v") || // quantile-summary packs die too
-        n.startsWith("._graft_segments.tmp-") ||
-        n.startsWith("._graft_stats.tmp-") ||
-        n.startsWith("._graft_ndv.tmp-") ||
-        n.startsWith("._graft_qs.tmp-") ||
-        n.startsWith("._graft_meta.") && n.contains(".tmp-") ||
+        SidecarFs.isTempArtifact(n) || // crash-stranded atomic-write temps
         n.startsWith("._graft_zconvert") || // conversion intent markers
         n.startsWith("._graft_epoch-") || // streaming markers die with the table
         // Hadoop local-FS checksum shadows of the control files above
@@ -590,16 +586,16 @@ object KvCommands {
       markers.filterNot(keep.contains)
         .filter(n => SidecarFs.mtime(SidecarFs.child(path, n)) <= cutoff)
         .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
-      // manifest/meta tmp files stranded by a crash between write and
-      // the finally-delete in tryPublishVersion / meta swap: nothing
-      // else reclaims them, so they'd accumulate until DROP TABLE
+      // temp files stranded by a crash between write and the
+      // finally-delete in any SidecarFs atomic primitive (manifest CAS,
+      // meta/stats/ndv/qs swaps, epoch/zconvert markers): nothing else
+      // reclaims them, so they'd accumulate until DROP TABLE. One
+      // shared recognizer — a hand-kept prefix list here silently
+      // missed `_graft_segments.v<N>` CAS temps and the double-dotted
+      // temps of already-dotted marker names. The age cutoff protects
+      // in-flight temps of live concurrent writers.
       SidecarFs.list(path)
-        .filter(n => (n.startsWith("._graft_segments.tmp-") ||
-          n.startsWith("._graft_meta.") && n.contains(".tmp-") ||
-          n.startsWith("._graft_stats.tmp-") ||
-          n.startsWith("._graft_ndv.tmp-") ||
-          n.startsWith("._graft_qs.tmp-") ||
-          n.startsWith("._graft_maint_lease.tmp-")) &&
+        .filter(n => SidecarFs.isTempArtifact(n) &&
           SidecarFs.mtime(SidecarFs.child(path, n)) <= cutoff)
         .foreach(n => SidecarFs.deleteIfExists(SidecarFs.child(path, n)))
       swept.length

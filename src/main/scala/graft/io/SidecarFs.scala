@@ -105,6 +105,20 @@ object SidecarFs {
     finally in.close()
   }
 
+  /** Recognizes the crash-strandable temp files this object's atomic
+    * write / CAS primitives create: `.<origName>.tmp-<uuid8>`. Every
+    * sweeper (VACUUM's unmanifested sweep, DROP TABLE) must reclaim
+    * strands through THIS predicate, never a hand-kept prefix list —
+    * the r15 review found `_graft_segments.v<N>` and already-dotted
+    * marker names (`._graft_epoch-…` → temp `.._graft_epoch-….tmp-x`)
+    * had drifted outside the lists and would strand forever. In-flight
+    * (non-crashed) temps are protected by the callers' age cutoffs,
+    * not by this predicate. */
+  def isTempArtifact(name: String): Boolean = {
+    val i = name.lastIndexOf(".tmp-")
+    name.startsWith(".") && i > 0 && i + 5 < name.length
+  }
+
   /** Whole-file overwrite — ATOMIC by default (delegates to
     * [[writeStringAtomic]]): every current caller's sidecars are small
     * and none needs in-place semantics, while a future call site that

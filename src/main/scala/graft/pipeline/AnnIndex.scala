@@ -721,14 +721,16 @@ object AnnIndex {
       if (SidecarFs.exists(src))
         SidecarFs.writeString(dst, SidecarFs.readString(src))
     }
+    // Tombstone copy OUTSIDE the in-JVM monitor: delete() takes the
+    // same cross-process maintenance lease this whole method holds, so
+    // no delete can land anywhere between the snapshot and the swap —
+    // and holding the monitor through a Spark read+write job would
+    // stall every concurrent probe (they take it in recoverDeleted)
+    // for the duration of the rewrite instead of just two renames.
+    if (hasDeleted(path))
+      spark.read.parquet(deletedDir(path))
+        .write.mode("overwrite").parquet(deletedDir(tmp))
     lockFor(path).synchronized {
-      // Tombstones copy UNDER the swap lock: delete() is lock-guarded,
-      // so a delete committed while the bulk rewrite ran above cannot
-      // slip between snapshot and swap and be silently reverted. The
-      // set is bounded by maxDeletedFraction, so this stays cheap.
-      if (hasDeleted(path))
-        spark.read.parquet(deletedDir(path))
-          .write.mode("overwrite").parquet(deletedDir(tmp))
       val old = path + "__old"
       SidecarFs.move(path, old)
       SidecarFs.move(tmp, path)

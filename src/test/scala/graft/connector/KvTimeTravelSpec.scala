@@ -432,4 +432,47 @@ class KvTimeTravelSpec extends AnyFunSuite {
     KvCommands.compactMinor(spark, path)
     assert(KvCommands.snapshotDiff(spark, path, v1, vN).count() == 3)
   }
+
+  test("VACUUM and DROP reclaim crash-stranded atomic-write temps of " +
+      "every name shape") {
+    import graft.io.SidecarFs
+    val path = Files.createTempDirectory("graftkv_strand").toString + "/t"
+    KvCommands.createTable(Seq((1L, "a")).toDF("k", "v"), path, Seq("k"))
+    // strand shapes a crashed atomic write / CAS leaves behind —
+    // including the two the old hand-kept prefix lists missed: the
+    // versioned-manifest CAS temp (`.v<N>` between stem and `.tmp-`)
+    // and the DOUBLE-dotted temp of an already-dotted marker name
+    val strands = Seq(
+      "._graft_segments.v3.tmp-ab12cd34",
+      ".._graft_epoch-q-1.intent.tmp-ab12cd34",
+      ".._graft_zconvert.tmp-ab12cd34",
+      "._graft_meta.json.tmp-ab12cd34",
+      "._graft_stats.tmp-ab12cd34")
+    def plant(): Unit = strands.foreach { n =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, n), Array[Byte](1, 2, 3)): Unit
+    }
+    def present(): Set[String] = SidecarFs.list(path).toSet
+    // the recognizer must never claim live control/data files
+    Seq("_graft_meta.json", "_graft_segments.v1",
+        "._graft_epoch-q-1.intent", "seg-0.kv").foreach { live =>
+      assert(!SidecarFs.isTempArtifact(live), live)
+    }
+    strands.foreach(n => assert(SidecarFs.isTempArtifact(n), n))
+
+    plant()
+    // fresh temps survive an aged sweep: they may belong to a LIVE
+    // concurrent writer mid-publish
+    KvCommands.sweepUnmanifested(path, olderThanMs = 600_000L)
+    assert(strands.forall(present().contains))
+    // an expired sweep reclaims every strand and keeps the table whole
+    KvCommands.sweepUnmanifested(path, olderThanMs = 0L)
+    assert(strands.forall(!present().contains(_)))
+    assert(KvCommands.table(spark, path).count() == 1)
+
+    // DROP reclaims them age-independently and the dir itself goes
+    plant()
+    KvCommands.dropTable(path)
+    assert(!SidecarFs.exists(path))
+  }
 }
