@@ -949,10 +949,17 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     * segments the original plan (and its partitioning claim) didn't.
     * A snapshot read (VERSION AS OF) lists from its retained manifest
     * instead of the live one. */
-  private lazy val allSegs: Seq[SegmentFile.Meta] =
-    snapshotVersion.map(SegmentFile.listSegmentsAsOf(path, _))
+  private lazy val allSegs: Seq[SegmentFile.Meta] = {
+    val base = snapshotVersion.map(SegmentFile.listSegmentsAsOf(path, _))
       .getOrElse(SegmentFile.listSegments(path))
-      .filter(m => restrictFiles.forall(_.contains(m.file)))
+    // preserve the cached list INSTANCE when nothing filters it: the
+    // lead-interval index is weak-keyed on that identity, so an
+    // unconditional .filter here would defeat cross-query index reuse
+    restrictFiles match {
+      case Some(rf) => base.filter(m => rf.contains(m.file))
+      case None => base
+    }
+  }
 
   /** The whole pruning → overlap-components → partitions pipeline, keyed
     * on a conjunct set. Instantiated once for the compile-time pushed
@@ -969,7 +976,13 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // large runtime IN rides beside the filter array and prunes at
       // the same three points: lead ranges, segment key bounds,
       // component zone maps
-      extraRanges: Seq[graft.pruning.KeyRanges] = Nil) {
+      extraRanges: Seq[graft.pruning.KeyRanges] = Nil,
+      // true only when baseSegs is the version-cached list from
+      // SegmentFile's planning cache: the lead-interval index is keyed
+      // on that list's identity, so indexing a derived list (the
+      // runtime re-planner prunes the STATIC survivors) would rebuild
+      // it per query and cost more than the linear pass it replaces
+      indexable: Boolean = true) {
 
   /** Box → z-range cover for a z-clustered table: the pushed conjuncts'
     * per-dim bounds become a box over truncated dim codes, and the box's
@@ -1174,8 +1187,21 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
     import graft.pruning.TriEval
     val segs = baseSegs
     if (conjOpt.isEmpty && extraRanges.isEmpty) segs
-    else
-      segs.filter { m =>
+    else {
+      // candidate narrowing before the exact per-segment predicates:
+      // at 100-TB segment counts (~400k at 256 MB/segment) the linear
+      // bounds pass below costs hundreds of ms per query, so large
+      // version-cached lists first binary-search the lead-interval
+      // index (O(log n + k) per qualified range, superset of the exact
+      // answer — the filter chain below is unchanged and re-checks)
+      val cands =
+        if (indexable && segs.length >= graft.pruning.LeadIndex.MinSegments)
+          graft.pruning.LeadIndex.forSegments(segs,
+            codec.leadingKeyValue,
+            TriEval.comparator(codec.keyFields.head.dataType))
+            .candidates(leadRanges.ranges)
+        else segs
+      cands.filter { m =>
         leadRanges.intersects(
           codec.leadingKeyValue(m.minKey), codec.leadingKeyValue(m.maxKey)) &&
         bloomSurvives(m) &&
@@ -1183,6 +1209,7 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
           TriEval.eval(conj, keyBindings(m)) != TriEval.False) &&
         extraRanges.forall(_.eval(keyBindings(m)) != TriEval.False)
       }
+    }
   }
 
   /** Overlap components of the surviving segments over their FULL
@@ -1535,7 +1562,8 @@ class GraftKvScan(path: String, schema: StructType, keys: Seq[String],
       // pin the static partitioning claim so partition-key arity matches
       // what the planner captured before filtering
       runtimePlan = Some(new Planner(pushed ++ v1s, static.survivors,
-        Some(static.reportedPrefix), extraRanges = ranges.toSeq))
+        Some(static.reportedPrefix), extraRanges = ranges.toSeq,
+        indexable = false))
     }
   }
 
