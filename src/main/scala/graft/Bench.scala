@@ -23,6 +23,64 @@ object Bench {
   private val repoRoot: String =
     new java.io.File(".").getCanonicalPath.stripSuffix("/")
 
+  /** Build (once — subsequent runs reuse the dir) a synthetic
+    * `nSegs`-segment kv table for the driver-planning benches: 3 rows
+    * per segment (segment i holds keys i*10 .. i*10+2, v = i), one
+    * manifest commit, V9 NDV and V11 quantile sidecars on every
+    * segment so the metadata-agg probes work at the same scale. A
+    * pre-V9/pre-V11 leftover fixture is rebuilt. */
+  private def buildPlanFixture(dir: String, nSegs: Int): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    if (new java.io.File(dir, "_graft_meta.json").exists() &&
+      (!graft.store.SegmentFile.ndvSketches(dir).values.headOption
+        .exists(_.exists(_.name == "v")) ||
+        !graft.store.SegmentFile.qsSketches(dir).values.headOption
+          .exists(_.exists(_.name == "v")))) {
+      graft.connector.KvCommands.dropTable(dir)
+    }
+    if (new java.io.File(dir, "_graft_meta.json").exists()) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val codec = graft.store.RowCodec(schema, Seq("k"))
+    val hll = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
+      graft.store.SegmentFile.NdvRsd)
+    val names = (0 until nSegs).map { i =>
+      val name = f"segment-$i%06d-000000-bench000"
+      val w = new graft.store.SegmentFile.Writer(dir, name,
+        cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
+      val bufs = Array.fill(2)(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](hll.numWords)(0L)))
+      var qsK = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+        org.apache.spark.sql.catalyst.util.QuantileSummaries
+          .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
+      var qsV = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+        org.apache.spark.sql.catalyst.util.QuantileSummaries
+          .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
+      (0 until 3).foreach { j =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i * 10L + j, i.toLong))
+        w.write(codec.encodeKey(row), codec.encodeValue(row))
+        hll.update(bufs(0), 0, i * 10L + j, LongType)
+        hll.update(bufs(1), 0, i.toLong, LongType)
+        qsK = qsK.insert((i * 10L + j).toDouble)
+        qsV = qsV.insert(i.toDouble)
+      }
+      def words(b: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
+        Array.tabulate(hll.numWords)(b.getLong)
+      w.close(Seq.empty, Seq(
+        graft.store.SegmentFile.NdvSketch("k", words(bufs(0))),
+        graft.store.SegmentFile.NdvSketch("v", words(bufs(1)))),
+        Seq.empty,
+        Seq(graft.store.SegmentFile.QuantileSketch.fromSummaries("k", qsK),
+          graft.store.SegmentFile.QuantileSketch.fromSummaries("v", qsV)))
+      s"$name.kv"
+    }
+    graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
+    graft.store.SegmentFile.writeManifest(dir, names)
+  }
+
   /** Headline set: one representative per operator family, weighted
     * toward the scans/joins/aggs that dominate 100 TB workloads. */
   val headline: Seq[String] = Seq(
@@ -438,46 +496,7 @@ object Bench {
             .exists(_.exists(_.name == "v")))) {
         graft.connector.KvCommands.dropTable(dir)
       }
-      if (!new java.io.File(dir, "_graft_meta.json").exists()) {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        val codec = graft.store.RowCodec(schema, Seq("k"))
-        val hll = new org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper(
-          graft.store.SegmentFile.NdvRsd)
-        val names = (0 until nSegs).map { i =>
-          val name = f"segment-$i%05d-000000-bench000"
-          val w = new graft.store.SegmentFile.Writer(dir, name,
-            cmp = codec.compareKeys, schemaJson = schema.json, gen = 1L)
-          val bufs = Array.fill(2)(
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array.fill[Any](hll.numWords)(0L)))
-          var qsK = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
-            org.apache.spark.sql.catalyst.util.QuantileSummaries
-              .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
-          var qsV = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
-            org.apache.spark.sql.catalyst.util.QuantileSummaries
-              .defaultCompressThreshold, graft.store.SegmentFile.QsRelativeError)
-          (0 until 3).foreach { j =>
-            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](i * 10L + j, i.toLong))
-            w.write(codec.encodeKey(row), codec.encodeValue(row))
-            hll.update(bufs(0), 0, i * 10L + j, LongType)
-            hll.update(bufs(1), 0, i.toLong, LongType)
-            qsK = qsK.insert((i * 10L + j).toDouble)
-            qsV = qsV.insert(i.toDouble)
-          }
-          def words(b: org.apache.spark.sql.catalyst.expressions.GenericInternalRow) =
-            Array.tabulate(hll.numWords)(b.getLong)
-          w.close(Seq.empty, Seq(
-            graft.store.SegmentFile.NdvSketch("k", words(bufs(0))),
-            graft.store.SegmentFile.NdvSketch("v", words(bufs(1)))),
-            Seq.empty,
-            Seq(graft.store.SegmentFile.QuantileSketch.fromSummaries("k", qsK),
-              graft.store.SegmentFile.QuantileSketch.fromSummaries("v", qsV)))
-          s"$name.kv"
-        }
-        graft.connector.GraftKvMeta.write(dir, schema, Seq("k"))
-        graft.store.SegmentFile.writeManifest(dir, names)
-      }
+      buildPlanFixture(dir, nSegs)
       def planOnce(key: Long): Double = {
         val t0 = System.nanoTime()
         val n = spark.read.format("graftkv").load(dir)
@@ -558,6 +577,40 @@ object Bench {
       s""","plan10k":{"segments":$nSegs,"cold_sec":${fmt(plan10kCold)},"warm_sec":${fmt(plan10kWarm)},"index_sec":${fmt(viaIndex)},"topk_sec":${fmt(topk)},"ndv_sec":${fmt(ndv)},"pct_sec":${fmt(pct)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] plan10k failed: ${e.getMessage}")
+      ""
+    }
+
+    // planning at 100,000 segments (round-15): the lead-interval index
+    // makes static pruning O(log n + k) in segment count — this pins
+    // the claim END-TO-END at the segment count a ~25 TB table carries
+    // at 256 MB/segment. The graded number is the warm 10k→100k RATIO:
+    // sub-linear growth here is what extrapolates to the 400k-segment
+    // 100-TB figure (a ratio near 10 would mean planning is still
+    // walking every segment's bounds per query).
+    var plan100kCold = -1.0; var plan100kWarm = -1.0
+    val plan100kJson = try {
+      import org.apache.spark.sql.functions.col
+      val nSegs = 100000
+      val dir = s"$repoRoot/tmp/plan100k"
+      buildPlanFixture(dir, nSegs)
+      def planOnce(key: Long): Double = {
+        val t0 = System.nanoTime()
+        val n = spark.read.format("graftkv").load(dir)
+          .where(col("k") === key).count()
+        require(n == 1, s"plan100k probe read $n rows for key $key")
+        (System.nanoTime() - t0) / 1e9
+      }
+      planOnce(500010L) // JIT/codegen warmup (cache cleared below)
+      plan100kCold = median3 { () =>
+        graft.store.SegmentFile.clearPlanningCache()
+        planOnce(100010L)
+      }
+      plan100kWarm = median3(() => planOnce(200020L))
+      val ratio =
+        if (plan10kWarm > 0) plan100kWarm / plan10kWarm else -1.0
+      s""","plan100k":{"segments":$nSegs,"cold_sec":${fmt(plan100kCold)},"warm_sec":${fmt(plan100kWarm)},"warm_ratio_vs_10k":${fmt(ratio)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] plan100k failed: ${e.getMessage}")
       ""
     }
 
@@ -1240,7 +1293,7 @@ object Bench {
     val sectionsJson =
       s""","sections":${sectionDiag.result().mkString("{", ",", "}")}"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"reps_max":${(results ++ tpchResults).map(_.reps).max},"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$skipscanJson$zScaleJson$dedupJson$annJson$tpchJson$bulkloadJson$storageJson$streamingJson$sf1Json$sectionsJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"reps_max":${(results ++ tpchResults).map(_.reps).max},"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_end_sec":${fmt(calibrationEnd)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)},"queries":${objT(results)},"sf":"$sfDir"$prevDetail$spreadJson$plan10kJson$plan100kJson$skipscanJson$zScaleJson$dedupJson$annJson$tpchJson$bulkloadJson$storageJson$streamingJson$sf1Json$sectionsJson}"""
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -1286,7 +1339,7 @@ object Bench {
       }
     }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"reps_max":${(results ++ tpchResults).map(_.reps).max},"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)}$calWorstLine,"queries":${objT(results)},"sf":"$sfDir"$prevLine$spreadLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":3,"reps_max":${(results ++ tpchResults).map(_.reps).max},"calibration_sec":${fmt(calibration)},"calibration_mt_sec":${fmt(calibrationMt)},"calibration_mt_end_sec":${fmt(calibrationMtEnd)}$calWorstLine,"queries":${objT(results)},"sf":"$sfDir"$prevLine$spreadLine,"tpch_total":${fmt(tpchTotal)}$sf1Line$bulkLine,"plan10k_cold":${fmt(plan10kCold)},"plan10k_warm":${fmt(plan10kWarm)},"plan100k_cold":${fmt(plan100kCold)},"plan100k_warm":${fmt(plan100kWarm)},"detail":"$detailPath"}"""
     // stop FIRST so executor-shutdown warnings cannot land after the
     // line inside the driver's tail capture; the line is the process's
     // final stdout
