@@ -104,8 +104,10 @@ final class LeadIndex private (
 object LeadIndex {
 
   /** Below this size the linear pass is ~1 ms and the cache machinery
-    * isn't worth engaging. */
-  val MinSegments = 1024
+    * isn't worth engaging. A var only as a test hook: specs lower it to
+    * force the indexed path onto small fixtures and compare its plans
+    * row-for-row against the linear pass. */
+  @volatile private[graft] var MinSegments: Int = 1024
 
   /** Weak-IDENTITY key: hashes by `System.identityHashCode` and equals
     * by reference of the referent, so a cache hit costs O(1) instead

@@ -78,6 +78,45 @@ class LeadIndexSpec extends AnyFunSuite {
     assert(all.map(_.file) == segs.map(_.file))
   }
 
+  test("indexed planning matches the linear pass row-for-row through " +
+      "real queries") {
+    import org.apache.spark.sql.functions.col
+    val spark = graft.TestSpark.spark
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_leadidx").toString + "/t"
+    // many small segments + an overlapping append generation, so the
+    // index sees a layout with genuine lead-span overlap
+    spark.range(0, 200000)
+      .select(col("id").as("k"), (col("id") * 7).as("v"))
+      .write.format("graftkv").option("key", "k")
+      .option("segment.maxBytes", "65536").mode("overwrite").save(path)
+    spark.range(50000, 150000, 3)
+      .select(col("id").as("k"), (col("id") * 11).as("v"))
+      .write.format("graftkv").mode("append").save(path)
+    val probes = Seq(
+      col("k") === 123456L,
+      col("k") >= 42000L && col("k") < 42100L,
+      col("k").isin(5L, 49999L, 50001L, 199999L),
+      (col("k") < 100L) || (col("k") >= 199900L),
+      col("k") > 500000L) // nothing qualifies
+    def run(): Seq[Seq[(Long, Long)]] = probes.map { p =>
+      spark.read.format("graftkv").load(path).where(p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+    }
+    val saved = LeadIndex.MinSegments
+    try {
+      LeadIndex.MinSegments = Int.MaxValue // linear pass
+      val linear = run()
+      LeadIndex.MinSegments = 2 // force the index
+      val indexed = run()
+      assert(indexed == linear)
+      assert(linear.head == Seq((123456L, 123456L * 7)),
+        "merge-on-read point lookup")
+      assert(linear(1).size == 100 && linear.last.isEmpty)
+    } finally LeadIndex.MinSegments = saved
+  }
+
   test("the index is built once per list instance (weak identity cache)") {
     val segs = (0 until 32).map(i => meta(i, i * 10L, i * 10L + 5))
     val a = LeadIndex.forSegments(segs, decode, cmp)
