@@ -211,11 +211,20 @@ object Bench {
     def shiftConst(name: String, key: String): Long =
       Tables.table(spark, src, name)
         .agg(max(col(key)).cast("long")).head().getLong(0) + 1
+    // Output parallelism (round 15, guide §6): the source corpus is
+    // single-row-group parquet, so the crossJoin inherits ONE partition
+    // and the old writer produced 1-2 part files per fact table — every
+    // sf1-section scan then ran on 1-2 of the session's cores, and the
+    // 10× "scale" section measured mostly a self-inflicted input-skew
+    // floor, not the plans. Spread each shifted fact over the session's
+    // parallelism so the fixture reads like real multi-split data.
+    val outParts = spark.sparkContext.defaultParallelism
     def writeShifted(name: String, key: String, k: Long): Unit =
       Tables.table(spark, src, name)
         .crossJoin(reps)
         .withColumn(key, col(key) + col("rep") * k)
         .drop("rep")
+        .repartition(outParts)
         .write.mode("overwrite").parquet(s"$staging/$name.parquet")
     val ko = shiftConst("orders", "o_orderkey")
     writeShifted("orders", "o_orderkey", ko)

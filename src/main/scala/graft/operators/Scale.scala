@@ -33,6 +33,23 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Input-parallelism guard (optimization guide §2.5, "input skew: one
+    * huge unsplittable file … otherwise repartition immediately after
+    * the read"): when a source scan yields fewer partitions than the
+    * session's parallelism, redistribute rows round-robin so downstream
+    * per-row map work (tokenize / shingle / hash kernels) uses every
+    * core. The driver corpus is single-row-group parquet — ONE scan
+    * task per table regardless of cores — which otherwise serializes
+    * every CPU-heavy map stage. Scale-adaptive by construction: at real
+    * scale inputs arrive in ≥ cores splits and this is the identity (the
+    * shuffle fires only on under-split inputs, and then moves only the
+    * small under-split bytes). Retry-deterministic: keyless repartition
+    * sorts before round-robin (SPARK-23207, on by default). */
+  def parallelizeInput(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Pre-partition a fact table for repeated co-located joins/aggs on
     * `key`: one range shuffle now, none later (bucketing analog without
     * a metastore). */

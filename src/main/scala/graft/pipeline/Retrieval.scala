@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.connector.KvCommands
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -116,26 +116,77 @@ object Retrieval {
     * (acceptable for an interactive search; re-issue retries). */
   private def narrowToks(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val qArr = array(terms.map(lit): _*)
-    toks(docs)
+    // parallelizeInput: the tokenize (regex split per row) is the
+    // dominant per-row cost; on an under-split source (the corpus is
+    // single-row-group parquet → a one-task scan) it would otherwise
+    // run on one core — see Scale.parallelizeInput (guide §2.5)
+    toks(graft.operators.Scale.parallelizeInput(docs))
       .select(col("doc_id"), size(col("w")).as("dl"),
         filter(col("w"), t => array_contains(qArr, t)).as("qw"))
       .localCheckpoint(true)
   }
 
+  /** Corpus stats AND per-term document frequencies in ONE single-row
+    * aggregation over the narrow token projection: df(term) is
+    * count(WHEN array_contains(qw, term)) — one literal aggregate per
+    * query term, so the whole pass reduces map-side to one row per task
+    * and the exchange moves O(|query|) longs. The row carries n_docs,
+    * sum_dl and a term → df map, ready to broadcast — per-document
+    * scoring then needs no join and no doc-keyed shuffle at all. */
+  private def statsAndDfMap(narrow: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      count(when(array_contains(col("qw"), t), lit(1))).as(s"__df_$i")
+    }
+    narrow
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("sum_dl") +: dfAggs): _*)
+      .select(col("n_docs"), col("sum_dl"),
+        map(terms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"__df_$i"))
+        }: _*).as("__dfmap"))
+  }
+
+  /** Map-side BM25 score of one document row (columns dl, qw, plus the
+    * broadcast __dfmap / n_docs / sum_dl): fold the document's distinct
+    * matched terms through the SAME per-term contribution tree as the
+    * join path, each contribution quantized to DECIMAL(38,6) before the
+    * fold exactly like the oracle's sum(CAST(contrib AS DECIMAL(38,6)))
+    * — decimal addition is exact, so the fold order cannot matter and
+    * the value is bit-identical to the grouped sum it replaces. */
+  private def mapSideScore(terms: Column): Column =
+    aggregate(terms,
+      lit(0).cast(DecimalType(38, 6)),
+      (acc, term) => (acc + contribution(
+          size(filter(col("qw"), x => x === term)),
+          col("dl"), element_at(col("__dfmap"), term),
+          col("n_docs"), col("sum_dl")).cast(DecimalType(38, 6)))
+        .cast(DecimalType(38, 6)))
+      .cast("double")
+
   /** BM25 top-k straight off the corpus (no index), tokenizing the
     * corpus once (see [[narrowToks]]). Query-term filtering happens
-    * BEFORE the shuffle. Returns (doc_id, score, n_terms) ordered by
-    * score desc, doc_id. */
+    * BEFORE any shuffle — and since round 15 the scoring itself is
+    * MAP-SIDE: tf per (doc, term) is a column fold over the stored
+    * query-term tokens and df arrives as a broadcast single-row map, so
+    * the round-14 plan's two document-keyed exchanges
+    * (hashpartitioning(doc_id, term) for tf, hashpartitioning(doc_id)
+    * for the score sum) are gone; the only remaining shuffles are the
+    * O(|query|)-row df aggregation and the single-row corpus stats.
+    * Returns (doc_id, score, n_terms) ordered by score desc, doc_id —
+    * bit-identical to the join-shaped plan (exact decimal folds, same
+    * IEEE contribution tree). */
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
     if (query.isEmpty) return emptyBm25(docs)
     val narrow = narrowToks(docs, query)
-    val stats = narrow.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val hits = narrow
-      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    rank(hits, stats, k)
+    narrow
+      .filter(size(col("qw")) > 0)
+      .crossJoin(broadcast(statsAndDfMap(narrow, query)))
+      .select(col("doc_id"),
+        mapSideScore(array_distinct(col("qw"))).as("score"),
+        size(array_distinct(col("qw"))).cast("int").as("n_terms"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
   }
 
   /** Materialize the inverted index at `dir`: a graftkv `postings` table
@@ -402,35 +453,35 @@ object Retrieval {
   def bm25TopKBatch(docs: DataFrame, queries: Seq[(String, Seq[String])],
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     if (allTerms.isEmpty)
       return emptyBm25(docs)
         .select(lit("").as("query_id"), col("doc_id"), col("score"),
           col("n_terms"), lit(0).cast("int").as("rk"))
-    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
-      .toDF("query_id", "term")
     // one tokenize pass stored narrow (same shape as bm25TopK)
     val narrow = narrowToks(docs, allTerms)
-    val stats = narrow.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val post = narrow
-      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
-    post
-      .join(broadcast(qt), "term")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        contribution(col("tf"), col("dl"), col("df"),
-          col("n_docs"), col("sum_dl")).as("contrib"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("contrib").cast(DecimalType(38, 6))).cast("double")
-          .as("score"),
-        count(lit(1)).cast("int").as("n_terms"))
+    // Per-(query, doc) scoring is MAP-SIDE (round 15), like bm25TopK:
+    // the query set is a driver-side Seq, so each query's score/n_terms
+    // is a column fold over its own matched terms — the round-14 plan's
+    // (doc_id, term) tf exchange and broadcast joins are gone. Only the
+    // per-query top-k rank still shuffles, and its input is one row per
+    // MATCHED (query, doc), the rank's true domain. Duplicate terms
+    // within one query are deduped (the gates pass distinct terms).
+    val perQuery = array(queries.map { case (qid, ts) =>
+      val qArr = array(ts.distinct.map(lit): _*)
+      val present = filter(array_distinct(col("qw")),
+        t => array_contains(qArr, t))
+      struct(lit(qid).as("query_id"),
+        mapSideScore(present).as("score"),
+        size(present).cast("int").as("n_terms"))
+    }: _*)
+    narrow
+      .filter(size(col("qw")) > 0)
+      .crossJoin(broadcast(statsAndDfMap(narrow, allTerms)))
+      .select(col("doc_id"), explode(perQuery).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("doc_id"),
+        col("__q.score").as("score"), col("__q.n_terms").as("n_terms"))
+      .filter(col("n_terms") > 0)
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(desc("score"), asc("doc_id"))).cast("int"))

@@ -485,6 +485,36 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains(j), s"fuzzy plan must not contain $j")
   }
 
+  test("ad-hoc BM25 scores map-side: no document-keyed exchange (r15)") {
+    val df = graft.pipeline.Retrieval.bm25TopK(
+      graft.Tables.table(spark, sf, "documents"), Seq("spark", "scan"),
+      k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // r14 shape shuffled the corpus by (doc_id, term) for tf and by
+    // doc_id for the score sum; both are now column folds over the
+    // stored query-term tokens, and df/stats arrive as one broadcast
+    // single-row aggregate — the only remaining exchange is that
+    // aggregate's SinglePartition reduction
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      plan.take(3000))
+  }
+
+  test("batch BM25 ranks over matched (query, doc) rows only: the sole " +
+      "hash exchange is the per-query window (r15)") {
+    val df = graft.pipeline.Retrieval.bm25TopKBatch(
+      graft.Tables.table(spark, sf, "documents"),
+      Seq("qa" -> Seq("spark", "scan"), "qb" -> Seq("table")), k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+    val hashEx = "Exchange hashpartitioning\\(query_id".r.findAllIn(plan).size
+    assert(hashEx >= 1, plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == hashEx,
+      plan.take(3000))
+  }
+
   test("batch BM25 broadcasts the query set and the corpus stats") {
     val df = graft.pipeline.Retrieval.bm25TopKBatch(
       graft.Tables.table(spark, sf, "documents"),

@@ -19,7 +19,10 @@ os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
 def write(table, sql):
-    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    # small row groups so Spark's byte-range splits parallelize the scan
+    # (a single-row-group file is a one-task scan at any core count)
+    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 65536)")
     n = con.execute(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
