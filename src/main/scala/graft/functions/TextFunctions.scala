@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empties removed. */
+  /** Whitespace tokens with empties removed. Since round 15 this is the
+    * native [[WhitespaceTokens]] kernel — one byte scan, zero-copy token
+    * views — semantically identical to
+    * `filter(split(text, "\\s+"), t => length(t) > 0)` (property-pinned
+    * against that regex path in TextFunctionsSpec). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    WhitespaceTokens.whitespace_tokens(text)
 
   /** Whitespace token count (matches single-space `split` in ANSI SQL). */
   def tokenCount(text: Column): Column = size(tokens(text))

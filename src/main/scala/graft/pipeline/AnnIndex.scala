@@ -194,15 +194,6 @@ object AnnIndex {
       ar, if (ar == 0) 0.0 else acs / ar, ac, acl, del)
   }
 
-  /** (rows, sum of assigned-centroid cosines) of `df` — one aggregate
-    * over a pass the caller is already paying for. */
-  private def fitOf(df: DataFrame, cents: Array[Array[Double]],
-      vecCol: String): (Long, Double) = {
-    val r = df.agg(count(lit(1)).as("n"),
-      coalesce(sum(assignCos(cents, col(vecCol))), lit(0.0)).as("s")).head()
-    (r.getLong(0), r.getDouble(1))
-  }
-
   // ── build ──────────────────────────────────────────────────────────────
 
   /** One pass over the corpus: signature + cell per vector, written as a
@@ -228,11 +219,19 @@ object AnnIndex {
     // ~4× fewer vector bytes per cell. Scales persist with the index
     // (appends must quantize on the SAME grid or sims are garbage).
     val scales = Similarity.quantizationScales(embeddings, dim, vecCol)
+    // build-time assignment fit rides the write pass as observed
+    // metrics (round 15, guide §1.2 "don't compute things twice"): the
+    // old shape re-READ the whole just-written index and re-ran the
+    // interpreted assignCos over it in a second job just to seed the
+    // drift ledger — same rows, same expression, one job instead of two
+    val fit = org.apache.spark.sql.Observation("annBuildFit")
     embeddings.select(col(idCol), col(vecCol),
         Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
         nearestCell(cents, col(vecCol)).as("cell"),
         Similarity.quantizeExpr(scales, col(vecCol)).as("qvec"),
         Similarity.norm(col(vecCol)).as("vnorm"))
+      .observe(fit, count(lit(1)).as("n"),
+        coalesce(sum(assignCos(cents, col(vecCol))), lit(0.0)).as("s"))
       // cluster by cell before the partitioned write: one file per cell
       // directory instead of (#tasks × #cells) shards — probes then open
       // nProbe files, not hundreds
@@ -244,11 +243,8 @@ object AnnIndex {
     // the SAME plane count or Hamming filters compare garbage
     SidecarFs.writeString(paramsFile(path), s"nPlanes=$nPlanes\ndim=$dim")
     SidecarFs.writeString(scalesFile(path), scales.mkString(","))
-    // seed the drift ledger with the build-time assignment fit (one
-    // aggregate over the just-written, cell-pruned index)
-    val (n, cosSum) = fitOf(
-      embeddings.sparkSession.read.parquet(path), cents, vecCol)
-    writeDrift(path, n, cosSum, 0L, 0.0)
+    writeDrift(path, fit.get("n").asInstanceOf[Long],
+      fit.get("s").asInstanceOf[Double], 0L, 0.0)
   }
 
   /** (dim, nPlanes) persisted at build. */
@@ -280,40 +276,48 @@ object AnnIndex {
     // and rebuildInPlace repairs with fresh scales.
     val (dim, nPlanes) = loadParams(path)
     val scales = loadScales(path)
+    // The batch's assignment fit AND its int8 grid fit ride the append
+    // write as observed metrics (round 15): the old shape re-aggregated
+    // the batch twice in separate jobs AFTER the write — same rows,
+    // same expressions, one job instead of three. grid-fit counts the
+    // components the persisted scales CLAMP (|round(v/s)| > 127, or
+    // nonzero in an all-zero-at-build dim) — the int8-fidelity signal
+    // cosine fit cannot see.
+    val sArr = array(scales.map(lit): _*)
+    val clampedPerRow = aggregate(
+      zip_with(col(vecCol), sArr, (x, s) =>
+        when(s === 0.0, when(x =!= 0.0f, 1L).otherwise(0L))
+          .otherwise(when(abs(round(x.cast("double") / s)) > 127.0, 1L)
+            .otherwise(0L))),
+      lit(0L), (acc, v) => acc + v)
+    val fit = org.apache.spark.sql.Observation("annAppendFit")
     newVectors.select(col(idCol), col(vecCol),
         Similarity.hyperplaneSignature(col(vecCol), dim, nPlanes).as("sig"),
         nearestCell(cents, col(vecCol)).as("cell"),
         Similarity.quantizeExpr(scales, col(vecCol)).as("qvec"),
         Similarity.norm(col(vecCol)).as("vnorm"))
+      .observe(fit, count(lit(1)).as("n"),
+        coalesce(sum(assignCos(cents, col(vecCol))), lit(0.0)).as("s"),
+        coalesce(sum(size(col(vecCol)).cast("long")), lit(0L)).as("comps"),
+        coalesce(sum(clampedPerRow), lit(0L)).as("clamped"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
-    // fold this batch's assignment fit into the drift ledger (one
-    // aggregate over the batch only — never a corpus rescan). Appends
-    // are maintenance ops: like the parquet append itself, the ledger
-    // update assumes one maintainer at a time (serialize via
-    // KvMaintenance.acquire when that isn't structural).
+    // fold this batch's fit into the drift ledger (metrics from the
+    // write pass only — never a corpus rescan). Appends are maintenance
+    // ops: like the parquet append itself, the ledger update assumes
+    // one maintainer at a time (serialize via KvMaintenance.acquire
+    // when that isn't structural).
     // a re-appended id must come back: fold the batch's ids OUT of the
     // tombstone list (the new row would otherwise stay hidden forever)
     val unTombstoned = removeFromDeleted(newVectors.sparkSession, path,
       newVectors.select(col(idCol)).distinct(), idCol)
     if (SidecarFs.exists(driftFile(path))) {
       val (br, bcs, ar, acs, ac, acl, del) = readDrift(path)
-      val (n, cosSum) = fitOf(newVectors, cents, vecCol)
-      // grid-fit of the batch: components the persisted scales CLAMP
-      // (|round(v/s)| > 127, or nonzero in an all-zero-at-build dim) —
-      // the int8-fidelity signal cosine fit cannot see
-      val sArr = array(scales.map(lit): _*)
-      val clampedPerRow = aggregate(
-        zip_with(col(vecCol), sArr, (x, s) =>
-          when(s === 0.0, when(x =!= 0.0f, 1L).otherwise(0L))
-            .otherwise(when(abs(round(x.cast("double") / s)) > 127.0, 1L)
-              .otherwise(0L))),
-        lit(0L), (acc, v) => acc + v)
-      val grid = newVectors.agg(
-        coalesce(sum(size(col(vecCol)).cast("long")), lit(0L)).as("comps"),
-        coalesce(sum(clampedPerRow), lit(0L)).as("clamped")).head()
-      writeDrift(path, br, bcs, ar + n, acs + cosSum,
-        ac + grid.getLong(0), acl + grid.getLong(1),
+      writeDrift(path, br, bcs,
+        ar + fit.get("n").asInstanceOf[Long],
+        acs + fit.get("s").asInstanceOf[Double],
+        ac + fit.get("comps").asInstanceOf[Long],
+        acl + fit.get("clamped").asInstanceOf[Long],
         math.max(0L, del - unTombstoned))
     }
     }

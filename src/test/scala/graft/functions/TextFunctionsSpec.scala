@@ -11,6 +11,26 @@ class TextFunctionsSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c.as("v")).head().get(0)
 
+  test("native whitespace_tokens ≡ regex split+filter on random strings " +
+      "(incl. unicode, every \\s char, empties)") {
+    val rng = new scala.util.Random(421)
+    val alphabet = "ab \t\n\f\r.é中 -"
+    val cases = Seq("", " ", "a", " a ", "a  b", "\t\n x \r\n",
+      " nbsp is not ws ", "多 语 言", "ab\fc") ++
+      (1 to 300).map(_ => (0 until rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("t").select(
+      col("t"),
+      TextFunctions.tokens(col("t")).as("native"),
+      filter(split(col("t"), "\\s+"), t => length(t) > 0).as("regex"))
+    val bad = df.filter(not(col("native") === col("regex"))).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // null text behaves like the regex path (null in, null out)
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.tokens(col("t"))).head().isNullAt(0)
+    assert(n)
+  }
+
   test("tokenCount counts whitespace tokens, collapsing runs") {
     assert(one(TextFunctions.tokenCount(col("t")), "a b  c\td") == 4)
     assert(one(TextFunctions.tokenCount(col("t")), "  leading and trailing  ") == 3)
