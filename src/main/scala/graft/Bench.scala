@@ -218,7 +218,10 @@ object Bench {
     // 10× "scale" section measured mostly a self-inflicted input-skew
     // floor, not the plans. Spread each shifted fact over the session's
     // parallelism so the fixture reads like real multi-split data.
-    val outParts = spark.sparkContext.defaultParallelism
+    // floor of 16: the fixture persists across runs, and the driver
+    // re-benches at LOWER core counts — a fixture first built by a
+    // low-core run must not under-split the later full-core sections
+    val outParts = math.max(spark.sparkContext.defaultParallelism, 16)
     def writeShifted(name: String, key: String, k: Long): Unit =
       Tables.table(spark, src, name)
         .crossJoin(reps)
