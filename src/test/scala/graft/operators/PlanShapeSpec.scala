@@ -204,6 +204,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kv < pq, s"kv34 shuffles=$kv, a19 shuffles=$pq")
   }
 
+  test("Q18's heavy-hitter broadcast is size-conditional (scale-safe)") {
+    // r15 verdict item 2: the explicit broadcast() hint bypasses every
+    // AQE size check, and the HAVING survivor set grows linearly with
+    // the fact — the hint must degrade to a shuffle join above the
+    // fact-size gate. Auto-broadcast is disabled for BOTH sides of the
+    // A/B so only the hint itself decides: a hint that were still
+    // unconditional would broadcast in the "forced large" leg too.
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def semiPlan(): String = {
+        val df = SparkEntry.queries("a19_tpch_q18")(spark, sf)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      spark.conf.set(TpcH.Q18MaxBroadcastFactBytesKey, "0")
+      val forced = semiPlan() // fact "too large": hint withheld
+      assert(!forced.contains("BroadcastHashJoin"), forced.take(3000))
+      assert(forced.contains("LeftSemi") &&
+        (forced.contains("SortMergeJoin") ||
+          forced.contains("ShuffledHashJoin")), forced.take(3000))
+      spark.conf.unset(TpcH.Q18MaxBroadcastFactBytesKey)
+      val hinted = semiPlan() // default gate: hint fires despite -1
+      assert(hinted.contains("BroadcastHashJoin") &&
+        hinted.contains("LeftSemi"), hinted.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset(TpcH.Q18MaxBroadcastFactBytesKey)
+    }
+  }
+
+  test("dd9 tokenizes through the native kernel, not regex split") {
+    // r15 shipped an after-plan contradicting the doc's claim — pin it:
+    // every tokenize site in dd9's plan is the whitespace_tokens kernel
+    val plan = planOf("dd9_substring_dedup")
+    assert(plan.contains("whitespace_tokens"), plan.take(3000))
+    assert(!plan.contains("split(text"), plan.take(3000))
+  }
+
   test("ORDER BY + LIMIT plans as top-k, not global sort (t2)") {
     assert(planOf("t2_sort_multi_dir").contains("TakeOrderedAndProject"))
   }

@@ -63,6 +63,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.select("__salt").distinct().count() == 8)
   }
 
+  test("parallelizeInput is the identity on small inputs (volume gate)") {
+    // r15 verdict item 1: the guard used to shuffle even a sub-MB corpus
+    // to 32 partitions; the volume gate must return the SAME frame (no
+    // exchange, no plan change) when the input is under the byte floor
+    val small = spark.range(1000).toDF().coalesce(1)
+    assert(Scale.parallelizeInput(small) eq small)
+  }
+
+  test("parallelizeInput repartitions a large under-split input to all cores") {
+    spark.conf.set(Scale.ParallelizeMinBytesPerCoreKey, "1")
+    try {
+      val p = spark.sparkContext.defaultParallelism
+      val one = spark.range(100000).toDF().coalesce(1)
+      val out = Scale.parallelizeInput(one)
+      assert(out.rdd.getNumPartitions == p,
+        s"expected $p partitions, got ${out.rdd.getNumPartitions}")
+      assert(out.count() == 100000)
+      // an input already split to >= cores is left untouched even when
+      // the volume gate passes
+      val wide = spark.range(100000).toDF().repartition(p)
+      assert(Scale.parallelizeInput(wide) eq wide)
+    } finally spark.conf.unset(Scale.ParallelizeMinBytesPerCoreKey)
+  }
+
   test("coLocate range-partitions and sorts within partitions") {
     val df = Scale.coLocate(
       graft.Tables.table(spark, TestSpark.sf, "orders"), "o_orderkey", 4)
