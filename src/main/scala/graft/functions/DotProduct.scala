@@ -108,14 +108,36 @@ object DotProduct {
   def compute(a: ArrayData, b: ArrayData, ta: Int, tb: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += get(a, i, ta) * get(b, i, tb)
-      i += 1
+    // Monomorphic fast path (round 16): the knnJoin pair space evals
+    // this over two float UnsafeArrayData per pair; the generic loop's
+    // per-element megamorphic ArrayData dispatch plus the per-element
+    // type switch measured ~26 ns/element there (tools/KnnStageProbe).
+    // A statically-typed receiver lets the JIT inline getFloat/isNullAt
+    // into one tight loop. Arithmetic is IDENTICAL — same order, same
+    // float→double widening — so results stay bit-identical
+    // (DotProductSpec pins fast == generic on shared inputs).
+    (a, b) match {
+      case (ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
+          if ta == 0 && tb == 0 =>
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (ua.isNullAt(i) || ub.isNullAt(i)) return null
+          acc += ua.getFloat(i).toDouble * ub.getFloat(i).toDouble
+          i += 1
+        }
+        java.lang.Double.valueOf(acc)
+      case _ =>
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          acc += get(a, i, ta) * get(b, i, tb)
+          i += 1
+        }
+        java.lang.Double.valueOf(acc)
     }
-    java.lang.Double.valueOf(acc)
   }
 
   /** Column API. */

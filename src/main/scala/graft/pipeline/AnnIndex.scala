@@ -810,13 +810,26 @@ object AnnIndex {
     * an indexed query always finds itself. */
   def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id"): DataFrame = {
     // norms hoisted OUT of the pair space: the index's stored vnorm
     // and a once-per-query __qn replace Similarity.cosine's two
     // per-pair norm recomputations — one dot per pair instead of
     // three, bit-identical doubles (vnorm is the same sqrt(dot(c,c))
     // the build computed; the division/multiplication order matches
     // cosine's), which is what the ann8 hash gate pins.
+    //
+    // Round 16 NEGATIVE RESULT (tried, measured, reverted — kept here
+    // so round 17 doesn't re-walk it): a centroid-residual
+    // Cauchy–Schwarz upper-bound prefilter (sim ≤ (dot(q,μ)/|q| +
+    // |c−μ|)/|c|, exact re-rank of survivors, provably lossless,
+    // property-pinned) made the 20k self-join 2.6× SLOWER. Measured
+    // root cause (tools/KnnBoundStats on the bench index): the corpus
+    // embeddings are near-isotropic — residual/vnorm median 0.98, so
+    // the bound sits a full ~1.0 ABOVE the sim (slack median 1.04) and
+    // even a perfect τ = 1.0 threshold keeps 93% of the pair space.
+    // No sound geometric bound prunes isotropic high-dim data; the
+    // productive levers were the ones below (tools/KnnStageProbe
+    // decomposition: window 44%, exact sims 30%, join 25%).
     knnJoinScaffold(spark, path, queries, k, nProbe, vecCol, idCol,
       prepQuery = _.withColumn("__qn", Similarity.norm(col("__qe"))),
       idxCols = Seq(col("__nid").as("neighbor_id"),
@@ -824,15 +837,38 @@ object AnnIndex {
       sim = when(col("vnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
         .otherwise(Similarity.dot(col("__qe"), col("__ce"))
           / (col("vnorm") * col("__qn"))))
+  }
+
+  /** Per-row query-vector guard: a ragged query OR a null element would
+    * null-poison every centroid sim — probe-cell selection degrades to
+    * the index tiebreak and the window still ranks k NULL-sim rows,
+    * garbage shaped like results — so both raise loudly per row.
+    * Expects the raw vector in `__qe0`. */
+  private def checkedQueryVec(dim: Int): Column =
+    when(size(col("__qe0")) === dim &&
+        !exists(col("__qe0"), x => x.isNull), col("__qe0"))
+      .otherwise(raise_error(concat(
+        lit("knnJoin: query vector dim "), size(col("__qe0")).cast("string"),
+        lit(s" != index dim $dim, or null vector elements")))
+        .cast("array<float>"))
+
+  /** The `np` nearest centroid indices for query vector `qe` as pure
+    * column algebra — sort (−sim, idx) structs, keep np indices (the
+    * [[nearestCell]] kernel shape and tie rule, so the FIRST probed
+    * cell is the query's own assignment cell). */
+  private def probeCellsOf(cents: Array[Array[Double]], np: Int,
+      qe: Column): Column =
+    transform(
+      slice(array_sort(zip_with(centroidSims(cents, qe),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))), 1, np),
+      st => st.getField("idx"))
 
   /** The shared shape of the batch joins: per-query probe-cell
-    * selection (pure column algebra — sort (−sim, idx) structs, keep
-    * nProbe indices, the [[nearestCell]] kernel shape and tie rule, so
-    * the FIRST probed cell is the query's own assignment cell), a
-    * loud per-row dimension guard (a ragged query would otherwise
-    * null-poison every sim and rank k arbitrary rows — silent garbage),
-    * the cell equi-join, and the per-query window rank. Callers supply
-    * only the index projection and the scoring expression. */
+    * selection ([[probeCellsOf]]), the loud per-row dimension guard
+    * ([[checkedQueryVec]]), the cell equi-join, and the per-query
+    * top-k rank. Callers supply only the index projection and the
+    * scoring expression. */
   private def knnJoinScaffold(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int, vecCol: String,
       idCol: String, prepQuery: DataFrame => DataFrame,
@@ -840,38 +876,46 @@ object AnnIndex {
     val cents = loadCentroids(path)
     val (dim, _) = loadParams(path)
     val np = math.min(nProbe, cents.length)
-    // a ragged query OR a null element would null-poison every centroid
-    // sim — probe-cell selection degrades to the index tiebreak and the
-    // window still ranks k NULL-sim rows, garbage shaped like results —
-    // so both raise loudly per row
-    val checkedQe = when(size(col("__qe0")) === dim &&
-        !exists(col("__qe0"), x => x.isNull), col("__qe0"))
-      .otherwise(raise_error(concat(
-        lit("knnJoin: query vector dim "), size(col("__qe0")).cast("string"),
-        lit(s" != index dim $dim, or null vector elements")))
-        .cast("array<float>"))
-    val probeCells = transform(
-      slice(array_sort(zip_with(centroidSims(cents, col("__qe")),
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("idx")))), 1, np),
-      st => st.getField("idx"))
     val q = prepQuery(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qe0"))
-      .withColumn("__qe", checkedQe)
+      .withColumn("__qe", checkedQueryVec(dim))
       .drop("__qe0")
-      .withColumn("cell", explode(probeCells)))
+      .withColumn("cell", explode(probeCellsOf(cents, np, col("__qe")))))
     val idx = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .withColumnRenamed(idCol, "__nid")
       .select(idxCols: _*)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    idx.join(q, Seq("cell"))
+    val scored = idx.join(q, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("rk").cast("int").as("rk"))
+    if (spark.conf.get(TopKAggregateKey, "true").toBoolean) {
+      // per-query top-k as a PARTIAL aggregate (round 16, guide §2.3):
+      // the window form shuffled and sorted the whole pair space; the
+      // bounded aggregate truncates to k map-side, so the exchange
+      // moves at most k entries per (query, map task). Identical rows,
+      // sims and ranks — same (sim desc, neighbor_id) total order,
+      // pinned by the toggle-equivalence property test and the ann8
+      // oracle gate.
+      scored.groupBy("query_id")
+        .agg(graft.functions.BoundedTopK.bounded_top_k(k, col("sim"),
+          col("neighbor_id"), lit(0L)).as("__top"))
+        .select(col("query_id"),
+          posexplode(col("__top")).as(Seq("__i", "__e")))
+        .select(col("query_id"), col("__e.id").as("neighbor_id"),
+          col("__e.score").as("sim"),
+          (col("__i") + 1).cast("int").as("rk"))
+    } else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      scored
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    }
   }
+
+  /** Conf toggle for the bounded top-k aggregate in the batch joins
+    * (A/B evidence + escape hatch); default on. */
+  val TopKAggregateKey: String = graft.functions.BoundedTopK.ToggleKey
 
   /** [[knnJoin]] over the QUANTIZED vectors: the same cell-local batch
     * join, but each probed cell reads only (id, qvec, vnorm) — parquet

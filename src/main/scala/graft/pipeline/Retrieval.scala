@@ -178,10 +178,17 @@ object Retrieval {
     * IEEE contribution tree). */
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
     if (query.isEmpty) return emptyBm25(docs)
-    val narrow = narrowToks(docs, query)
+    // dedupe at entry (round 16, advisor): a repeated term (SEARCH t FOR
+    // 'spark spark' — the parser splits on whitespace without distinct)
+    // would produce duplicate literal keys in statsAndDfMap's map() and
+    // throw DUPLICATED_MAP_KEY under Spark 4's default dedup policy;
+    // scoring already folds over array_distinct(qw), so results are
+    // unchanged
+    val terms = query.distinct
+    val narrow = narrowToks(docs, terms)
     narrow
       .filter(size(col("qw")) > 0)
-      .crossJoin(broadcast(statsAndDfMap(narrow, query)))
+      .crossJoin(broadcast(statsAndDfMap(narrow, terms)))
       .select(col("doc_id"),
         mapSideScore(array_distinct(col("qw"))).as("score"),
         size(array_distinct(col("qw"))).cast("int").as("n_terms"))
@@ -475,18 +482,41 @@ object Retrieval {
         mapSideScore(present).as("score"),
         size(present).cast("int").as("n_terms"))
     }: _*)
-    narrow
+    val scored = narrow
       .filter(size(col("qw")) > 0)
       .crossJoin(broadcast(statsAndDfMap(narrow, allTerms)))
       .select(col("doc_id"), explode(perQuery).as("__q"))
       .select(col("__q.query_id").as("query_id"), col("doc_id"),
         col("__q.score").as("score"), col("__q.n_terms").as("n_terms"))
       .filter(col("n_terms") > 0)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(desc("score"), asc("doc_id"))).cast("int"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    // per-query top-k as a PARTIAL aggregate (round 16, guide §2.3):
+    // the window form shuffled every matched (query, doc) row and
+    // sorted it reduce-side only to discard all but k per query; the
+    // bounded aggregate truncates to k map-side, so the exchange moves
+    // at most k entries per (query, map task) — at corpus scale the
+    // difference between shuffling every match and shuffling the
+    // answer. Same (score desc, doc_id) total order, bit-identical
+    // rows (BoundedTopKSpec pins the ordering; the oracle pins ir4).
+    if (docs.sparkSession.conf
+        .get(graft.functions.BoundedTopK.ToggleKey, "true").toBoolean) {
+      scored.groupBy("query_id")
+        .agg(graft.functions.BoundedTopK.bounded_top_k(k, col("score"),
+          col("doc_id"), col("n_terms").cast("long")).as("__top"))
+        .select(col("query_id"),
+          posexplode(col("__top")).as(Seq("__i", "__e")))
+        .select(col("query_id"), col("__e.id").as("doc_id"),
+          col("__e.score").as("score"),
+          col("__e.extra").cast("int").as("n_terms"),
+          (col("__i") + 1).cast("int").as("rk"))
+        .orderBy("query_id", "rk")
+    } else {
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("score"), asc("doc_id"))).cast("int"))
+        .filter(col("rk") <= k)
+        .orderBy("query_id", "rk")
+    }
   }
 
   /** Java/py4j-friendly entry (the Python shim's `bm25_top_k`). */

@@ -1224,6 +1224,13 @@ object SegmentFile {
           e: java.util.Map.Entry[StatsKey, Seq[Meta]]): Boolean = size() > 32
     }
 
+  /** Diagnostic hook (ColdPlanProbe): run the planning-stats lookup for
+    * the current version exactly as a query plan would, returning the
+    * live segment count. */
+  private[graft] def planningStatsProbe(dir: String): Int =
+    currentVersion(dir).flatMap(segmentsForVersion(dir, _))
+      .map(_.length).getOrElse(-1)
+
   /** Test hook: drop every cached planning artifact (as a fresh driver
     * process would start). */
   private[graft] def clearPlanningCache(): Unit = {

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions.col
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("ANNPROBE_OHA_THRESHOLD", "128"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,12 +31,21 @@ object AnnProbe {
     graft.pipeline.AnnIndex.build(emb, idx, dim = dim,
       nPlanes = 16, nCentroids = 64)
     println(s"n=$n dim=$dim")
+    // INTERLEAVED A/B of the bounded top-k aggregate (r16): same-
+    // process, alternating reps, so machine drift cancels out
+    val key = graft.pipeline.AnnIndex.TopKAggregateKey
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val c = graft.pipeline.AnnIndex.knnJoin(spark, idx, emb,
-        k = 5, nProbe = 2).count()
-      println(f"self rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+      Seq("window" -> "false", "topkagg" -> "true").foreach {
+        case (arm, v) =>
+          spark.conf.set(key, v)
+          val t0 = System.nanoTime()
+          val c = graft.pipeline.AnnIndex.knnJoin(spark, idx, emb,
+            k = 5, nProbe = 2).count()
+          println(f"self rep $i [$arm%-7s]: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+      }
     }
+    spark.conf.unset(key)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val c = graft.pipeline.AnnIndex.knnJoin(spark, idx,

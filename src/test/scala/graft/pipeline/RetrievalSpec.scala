@@ -66,6 +66,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.find(_._1 == 0L).get._3 == 2)
   }
 
+  test("bm25TopK tolerates duplicate query terms (parser passes raw splits)") {
+    // round 16 (advisor): SEARCH t FOR 'spark spark' splits to duplicate
+    // terms; the map-side df map would throw DUPLICATED_MAP_KEY under
+    // Spark 4's default mapKeyDedupPolicy=EXCEPTION unless deduped at
+    // entry. Scores fold over array_distinct(qw), so dedup is identity.
+    val dup = Retrieval.bm25TopK(docs, Seq("spark", "spark", "scan"), k = 10)
+      .collect().toSeq
+    val dis = Retrieval.bm25TopK(docs, Seq("spark", "scan"), k = 10)
+      .collect().toSeq
+    assert(dup == dis)
+  }
+
   test("index probe returns exactly the scan-path ranking") {
     val dir = java.nio.file.Files.createTempDirectory("ir_spec").toString
     Retrieval.buildIndex(docs, dir)
