@@ -323,6 +323,7 @@ object KvCommands {
     SidecarFs.list(path)
       .filter(n => n.endsWith(".kv") || n.endsWith(".kvmeta") ||
         n == "_graft_meta.json" || n == "_graft_segments" ||
+        n == "_graft_vhead" || // durable head-version hint dies too
         n.startsWith("_graft_segments.v") || // snapshot manifests: a
         // recreated table must not inherit the dead table's history
         n.startsWith("_graft_stats.v") || // packed planning stats die too

@@ -278,7 +278,13 @@ object SidecarFs {
 
   /** Child NAMES of a directory; empty when absent or not a directory
     * (the `java.io.File.list` null convention, already flattened). */
+  /** Directory-listing call counter (test instrumentation): a listing
+    * stats every child, so cold planning paths are pinned on NOT
+    * listing (SegmentFile's durable version hint). */
+  private[graft] val listCalls = new java.util.concurrent.atomic.AtomicLong()
+
   def list(dir: String): Seq[String] = {
+    listCalls.incrementAndGet()
     val p = new Path(dir)
     val fs = fsOf(p)
     try fs.listStatus(p).toSeq.map(_.getPath.getName)

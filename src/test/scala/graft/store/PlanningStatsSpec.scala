@@ -56,6 +56,39 @@ class PlanningStatsSpec extends AnyFunSuite {
     assert(plans == 0, s"cached planning opened $plans sidecars")
   }
 
+  test("cold version discovery reads the durable hint, never lists (r16)") {
+    // the listing stats every child — 2.2-3.4 s at 200k files
+    // (tools/ColdPlanProbe) — so a fresh process must find the head
+    // from _graft_vhead in O(1) stat calls
+    val path = tmpTable()
+    mkTable(path)
+    val head = SegmentFile.currentVersion(path)
+    assert(head.nonEmpty)
+    assert(new java.io.File(path, "_graft_vhead").isFile,
+      "commits must persist the head-version hint")
+    SegmentFile.clearPlanningCache() // simulate a fresh driver process
+    val before = graft.io.SidecarFs.listCalls.get()
+    assert(SegmentFile.currentVersion(path) == head)
+    val listed = graft.io.SidecarFs.listCalls.get() - before
+    assert(listed == 0, s"cold currentVersion listed the directory $listed times")
+    // hint-less (legacy) table: the one-time listing fallback still
+    // finds the head AND backfills the hint for the next cold process
+    assert(new java.io.File(path, "_graft_vhead").delete())
+    SegmentFile.clearPlanningCache()
+    assert(SegmentFile.currentVersion(path) == head)
+    assert(new java.io.File(path, "_graft_vhead").isFile,
+      "listing fallback must backfill the hint")
+    SegmentFile.clearPlanningCache()
+    val before2 = graft.io.SidecarFs.listCalls.get()
+    assert(SegmentFile.currentVersion(path) == head)
+    assert(graft.io.SidecarFs.listCalls.get() == before2)
+    // stale hint from a dropped-and-recreated table self-heals
+    java.nio.file.Files.writeString(
+      Paths.get(path, "_graft_vhead"), "999999")
+    SegmentFile.clearPlanningCache()
+    assert(SegmentFile.currentVersion(path) == head)
+  }
+
   test("a fresh process reads the pack, not one sidecar per segment") {
     val path = tmpTable()
     mkTable(path)
