@@ -15,17 +15,20 @@ final case class TopKList(entries: Seq[TopKEntry])
   * (PARTITION BY g ORDER BY score DESC, id ASC) <= k` pattern as a real
   * aggregate with PARTIAL, map-side truncation.
   *
-  * Why (guide §2.3, "aggregate before you shuffle"): the window form
-  * shuffles the ENTIRE input — every candidate row crosses the exchange
-  * and is sorted on the reduce side, only for all but k rows per group
-  * to be discarded. Measured on the 20k-vector knnJoin self-join
-  * (tools/KnnStageProbe): the window is 44% of the wall. This aggregate
-  * keeps a ≤ k best-first buffer per group in the map-side hash
-  * aggregate, so the exchange moves at most k entries per (group,
-  * map task) — at 100 TB the difference between shuffling the pair
-  * space and shuffling the answer. `collect_list` + `slice(sort_array)`
-  * has no partial truncation (the full group still crosses the wire),
-  * which is why it lost in the r15 pre-top-k experiment.
+  * Why (guide §2.3, "aggregate before you shuffle"): Spark 4's
+  * WindowGroupLimit optimization already bounds what the rank-filtered
+  * window form shuffles, but its pipeline still SORTS the full
+  * candidate set on the map side (below the partial group-limit) and
+  * sorts again after the exchange. This aggregate keeps a ≤ k
+  * best-first buffer per group in the map-side hash aggregate — no
+  * sort on either side, O(1) rejection per non-qualifying row — and
+  * the exchange moves at most k entries per (group, map task).
+  * Measured ~8% wall on the 20k-vector knnJoin self-join (interleaved
+  * same-process A/B, tools/AnnProbe); the structural win is sortless
+  * single-pass truncation at any scale. `collect_list` +
+  * `slice(sort_array)` has no partial truncation at all (the full
+  * group crosses the wire), which is why it lost in the r15 pre-top-k
+  * experiment.
   *
   * ORDER CONTRACT — identical to the window it replaces: score
   * descending with Spark SQL double semantics (NaN greatest, -0.0 equal

@@ -490,13 +490,13 @@ object Retrieval {
         col("__q.score").as("score"), col("__q.n_terms").as("n_terms"))
       .filter(col("n_terms") > 0)
     // per-query top-k as a PARTIAL aggregate (round 16, guide §2.3):
-    // the window form shuffled every matched (query, doc) row and
-    // sorted it reduce-side only to discard all but k per query; the
-    // bounded aggregate truncates to k map-side, so the exchange moves
-    // at most k entries per (query, map task) — at corpus scale the
-    // difference between shuffling every match and shuffling the
-    // answer. Same (score desc, doc_id) total order, bit-identical
-    // rows (BoundedTopKSpec pins the ordering; the oracle pins ir4).
+    // Spark 4's WindowGroupLimit already bounds what the window form
+    // shuffles, but its pipeline still SORTS every matched (query, doc)
+    // row map-side and again after the exchange; the bounded aggregate
+    // replaces both sorts with O(1)-reject heap inserts and ships one
+    // ≤k-entry buffer per (query, map task). Same (score desc, doc_id)
+    // total order, bit-identical rows (BoundedTopKSpec pins the
+    // ordering; the oracle pins ir4).
     if (docs.sparkSession.conf
         .get(graft.functions.BoundedTopK.ToggleKey, "true").toBoolean) {
       scored.groupBy("query_id")
