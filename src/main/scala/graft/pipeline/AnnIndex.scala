@@ -884,39 +884,27 @@ object AnnIndex {
     val idx = withoutDeleted(spark, path, spark.read.parquet(path), idCol)
       .withColumnRenamed(idCol, "__nid")
       .select(idxCols: _*)
-    val scored = idx.join(q, Seq("cell"))
+    // Round-16 NEGATIVE RESULT #2 (tried, measured, reverted): a
+    // bounded-top-k PARTIAL aggregate in place of this window — heap
+    // truncation instead of WindowGroupLimit's map- and reduce-side
+    // sorts, bit-identical output, property-pinned — measured a WASH
+    // within machine noise across three same-process interleaved A/Bs
+    // at 20k vectors (−8% / +3% / +4%, tools/AnnProbe): the window's
+    // input is already truncated map-side by Spark 4's WindowGroupLimit
+    // inside whole-stage codegen, while ObjectHashAggregate runs
+    // outside codegen and pays a typed-aggregator per-row encoder (and
+    // its 128-key sort-based fallback re-introduces a map-side sort at
+    // real group counts). On ir4's window the same rewrite measured 32%
+    // WORSE. No reliable win ⇒ reverted, per the r15 discipline.
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    idx.join(q, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
-    if (spark.conf.get(TopKAggregateKey, "true").toBoolean) {
-      // per-query top-k as a PARTIAL aggregate (round 16, guide §2.3):
-      // Spark 4's WindowGroupLimit already bounds what the window form
-      // shuffles, but its pipeline still SORTS the full pair space map-
-      // side and again after the exchange; the bounded aggregate
-      // replaces both sorts with O(1)-reject heap inserts (measured ~8%
-      // on the 20k self-join, interleaved A/B). Identical rows, sims
-      // and ranks — same (sim desc, neighbor_id) total order, pinned by
-      // the toggle-equivalence property test and the ann8 oracle gate.
-      scored.groupBy("query_id")
-        .agg(graft.functions.BoundedTopK.bounded_top_k(k, col("sim"),
-          col("neighbor_id"), lit(0L)).as("__top"))
-        .select(col("query_id"),
-          posexplode(col("__top")).as(Seq("__i", "__e")))
-        .select(col("query_id"), col("__e.id").as("neighbor_id"),
-          col("__e.score").as("sim"),
-          (col("__i") + 1).cast("int").as("rk"))
-    } else {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-      scored
-        .withColumn("rk", row_number().over(win))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("sim"),
-          col("rk").cast("int").as("rk"))
-    }
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
   }
-
-  /** Conf toggle for the bounded top-k aggregate in the batch joins
-    * (A/B evidence + escape hatch); default on. */
-  val TopKAggregateKey: String = graft.functions.BoundedTopK.ToggleKey
 
   /** [[knnJoin]] over the QUANTIZED vectors: the same cell-local batch
     * join, but each probed cell reads only (id, qvec, vnorm) — parquet

@@ -489,34 +489,20 @@ object Retrieval {
       .select(col("__q.query_id").as("query_id"), col("doc_id"),
         col("__q.score").as("score"), col("__q.n_terms").as("n_terms"))
       .filter(col("n_terms") > 0)
-    // per-query top-k as a PARTIAL aggregate (round 16, guide §2.3):
-    // Spark 4's WindowGroupLimit already bounds what the window form
-    // shuffles, but its pipeline still SORTS every matched (query, doc)
-    // row map-side and again after the exchange; the bounded aggregate
-    // replaces both sorts with O(1)-reject heap inserts and ships one
-    // ≤k-entry buffer per (query, map task). Same (score desc, doc_id)
-    // total order, bit-identical rows (BoundedTopKSpec pins the
-    // ordering; the oracle pins ir4).
-    if (docs.sparkSession.conf
-        .get(graft.functions.BoundedTopK.ToggleKey, "true").toBoolean) {
-      scored.groupBy("query_id")
-        .agg(graft.functions.BoundedTopK.bounded_top_k(k, col("score"),
-          col("doc_id"), col("n_terms").cast("long")).as("__top"))
-        .select(col("query_id"),
-          posexplode(col("__top")).as(Seq("__i", "__e")))
-        .select(col("query_id"), col("__e.id").as("doc_id"),
-          col("__e.score").as("score"),
-          col("__e.extra").cast("int").as("n_terms"),
-          (col("__i") + 1).cast("int").as("rk"))
-        .orderBy("query_id", "rk")
-    } else {
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(desc("score"), asc("doc_id"))).cast("int"))
-        .filter(col("rk") <= k)
-        .orderBy("query_id", "rk")
-    }
+    // Round-16 NEGATIVE RESULT (tried, measured, reverted): ranking
+    // through the bounded_top_k partial aggregate — a measured win on
+    // the knnJoin pair space — made ir4 32% SLOWER here (same-process
+    // interleaved A/B, median 1.15 s vs 0.87 s): this window's input is
+    // small (|matched (query, doc)| rows) and Spark 4 already truncates
+    // it map-side via WindowGroupLimit inside whole-stage codegen,
+    // while ObjectHashAggregate runs outside codegen and pays the typed
+    // aggregator's per-row encoder. The window stays.
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
   }
 
   /** Java/py4j-friendly entry (the Python shim's `bm25_top_k`). */

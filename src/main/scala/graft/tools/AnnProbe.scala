@@ -31,21 +31,12 @@ object AnnProbe {
     graft.pipeline.AnnIndex.build(emb, idx, dim = dim,
       nPlanes = 16, nCentroids = 64)
     println(s"n=$n dim=$dim")
-    // INTERLEAVED A/B of the bounded top-k aggregate (r16): same-
-    // process, alternating reps, so machine drift cancels out
-    val key = graft.pipeline.AnnIndex.TopKAggregateKey
     (1 to reps).foreach { i =>
-      Seq("window" -> "false", "topkagg" -> "true").foreach {
-        case (arm, v) =>
-          spark.conf.set(key, v)
-          val t0 = System.nanoTime()
-          val c = graft.pipeline.AnnIndex.knnJoin(spark, idx, emb,
-            k = 5, nProbe = 2).count()
-          println(f"self rep $i [$arm%-7s]: " +
-            f"${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
-      }
+      val t0 = System.nanoTime()
+      val c = graft.pipeline.AnnIndex.knnJoin(spark, idx, emb,
+        k = 5, nProbe = 2).count()
+      println(f"self rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
     }
-    spark.conf.unset(key)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val c = graft.pipeline.AnnIndex.knnJoin(spark, idx,

@@ -235,44 +235,6 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after.count(_.getAs[Long]("query_id") == 7L) == 4)
   }
 
-  test("knnJoin bounded top-k aggregate is row- and bit-identical to the " +
-      "window plan (ties, zero vectors, k > cell size)") {
-    // round 16: the partial top-k aggregate must be invisible — same
-    // rows, same sims (bit-identical doubles), same ranks. Synthetic
-    // corpus with the ranking edges: clustered gaussians, an exact-
-    // duplicate clique (sim ties at 1.0, broken by neighbor_id), two
-    // zero vectors (sim defined 0.0), k larger than some cells.
-    val rnd = new scala.util.Random(23)
-    val dim = 24
-    def vec(c: Array[Double]) =
-      c.indices.map(i => (c(i) + 0.3 * rnd.nextGaussian()).toFloat)
-    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 2))
-    val dupVec = vec(centers(0))
-    val rows: Seq[(Long, Seq[Float])] =
-      (0L until 400L).map(i => i -> vec(centers((i % 4).toInt))) ++
-        Seq(500L, 501L, 502L).map(_ -> dupVec) ++ // tie clique
-        Seq(600L, 601L).map(_ -> Seq.fill(dim)(0.0f)) // zero vectors
-    val emb = rows.toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("annknntopk")
-      .toString + "/idx"
-    AnnIndex.build(emb, dir, dim = dim, nPlanes = 16, nCentroids = 8)
-    val queries = emb // self-join: the benched hard-negative shape
-    def run(toggle: String, k: Int, nProbe: Int) = {
-      spark.conf.set(AnnIndex.TopKAggregateKey, toggle)
-      try AnnIndex.knnJoin(spark, dir, queries, k = k, nProbe = nProbe)
-        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
-          r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
-        .sorted.toSeq
-      finally spark.conf.unset(AnnIndex.TopKAggregateKey)
-    }
-    for ((k, np) <- Seq((5, 2), (3, 1), (60, 3))) { // 60 > several cells
-      val window = run("false", k, np)
-      val agg = run("true", k, np)
-      assert(agg == window, s"top-k aggregate diverged at k=$k np=$np")
-      assert(window.nonEmpty)
-    }
-  }
-
   test("semanticDedup keeps one id per embedding cluster, singletons intact") {
     val rnd = new scala.util.Random(19)
     val dim = 16
